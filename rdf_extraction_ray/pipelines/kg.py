@@ -1,0 +1,90 @@
+"""The flagship KG-construction pipeline (SURVEY §7.1).
+
+::
+
+    read_parquet(turns)                       # conv_id, turn_idx, role, text, tool, ts
+      → map_batches(detect_facts, pyarrow)     # stateless; text never shuffles
+      → groupby(conv_id).map_groups(finalize)  # conversation rules + seq minting (shuffle #1, small rows)
+      → map_batches(EntityLinker, actor pool)  # broadcast dicts, fuzzy fallback
+      → map_batches(build_triples, pandas)     # predicate templating
+      → two-level exact dedup                  # combiner + hash shuffle (#2)
+      → write_parquet                          # partitioned sink + manifest
+
+Scale notes (100 TB design):
+- the only stage that touches full transcript text is ``detect_facts``
+  — stateless, vectorized, zero-copy Arrow in; everything wide happens
+  on extracted-fact rows (~1-5% of input bytes);
+- the linker is an actor pool: dictionaries load once per actor
+  (``EntityLinker.__init__``), never per batch;
+- nothing materializes the full input: the pipeline is consumed by
+  ``write_parquet`` / aggregates only.
+
+None of these functions call ``ray.init`` — the caller owns the
+session (driver contract).
+"""
+
+from __future__ import annotations
+
+import ray.data as rd
+
+from ..stages.dedup import dedup_triples
+from ..stages.extract import detect_facts, finalize_bucket
+from ..stages.link import EntityLinker
+from ..stages.template import build_triples
+
+
+def read_turns(path: str, parallelism: int | None = None) -> rd.Dataset:
+    """Read the transcript table, pruning to the needed columns."""
+    return rd.read_parquet(
+        path, columns=["conv_id", "turn_idx", "role", "text"])
+
+
+def extract_facts(turns: rd.Dataset) -> rd.Dataset:
+    """turns → finalized per-conversation fact rows.
+
+    The shuffle key is the conversation-hash BUCKET (not conv_id):
+    B groups, per-conversation logic vectorized inside each group.
+    """
+    cands = turns.map_batches(detect_facts, batch_format="pyarrow")
+    return cands.groupby("bucket").map_groups(
+        finalize_bucket, batch_format="pandas")
+
+
+def _default_linker_pool() -> int:
+    """Actor-pool size that leaves CPUs free for the task stages — a
+    pool that reserves every CPU starves the read/sort stages and the
+    pipeline stalls (observed: 4 actors on a 4-CPU cluster deadlocks
+    the fused sort→linker stage)."""
+    import ray
+    n = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return max(1, min(n - 2, n // 2))
+
+
+def link_facts(facts: rd.Dataset, concurrency: int | tuple | None = None,
+               batch_size: int = 8192) -> rd.Dataset:
+    """facts → linked facts via the EntityLinker actor pool."""
+    if concurrency is None:
+        concurrency = _default_linker_pool()
+    return facts.map_batches(EntityLinker, batch_format="pandas",
+                             batch_size=batch_size, concurrency=concurrency,
+                             num_cpus=1)
+
+
+def triples_from_turns(turns: rd.Dataset,
+                       linker_concurrency: int | tuple | None = None) -> rd.Dataset:
+    """Full transform chain turns → deduped triples (lazy)."""
+    facts = extract_facts(turns)
+    linked = link_facts(facts, concurrency=linker_concurrency)
+    triples = linked.map_batches(build_triples, batch_format="pandas")
+    return dedup_triples(triples)
+
+
+def kg_pipeline(turns_path: str, out_dir: str | None = None,
+                linker_concurrency: int | tuple | None = None) -> rd.Dataset:
+    """Read → extract → link → template → dedup (→ optional sink)."""
+    triples = triples_from_turns(read_turns(turns_path),
+                                 linker_concurrency=linker_concurrency)
+    if out_dir is not None:
+        triples.write_parquet(out_dir)
+        return rd.read_parquet(out_dir)
+    return triples

@@ -1,0 +1,54 @@
+"""Exact triple dedup — the engine's analogue of rdflib set semantics.
+
+The reference gets corpus-wide dedup for free by folding every
+per-person graph into one in-RAM ``uber_graph`` (rdflib graphs are
+sets, ``bio_extraction.py:78``) — unbounded driver memory. Here it is
+a two-level distributed dedup (SURVEY §2.6 A1, §7.4):
+
+1. **combiner** (:func:`add_bucket_and_combine`): vectorized
+   ``drop_duplicates`` inside each ``map_batches`` batch — kills local
+   duplicates before anything shuffles — plus a deterministic 64-bit
+   row hash bucketed to ``N_DEDUP_BUCKETS``;
+2. **hash shuffle**: ``groupby("bucket").map_groups`` — B groups (not
+   one per distinct triple!), each running one vectorized
+   ``drop_duplicates`` over the full key columns (collision-safe: the
+   hash only routes, equality decides).
+
+Only the first occurrence's provenance ``(conv_id, turn_idx)`` is kept
+(deterministic: min (conv_id, turn_idx) per triple key) so reruns are
+stable regardless of block order.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+TRIPLE_KEY = ["subj", "pred", "obj", "obj_kind", "obj_lang", "obj_datatype"]
+
+# dedup-shuffle fan-out; sized for parallelism / per-group memory, not
+# row count (each bucket holds ~1/B of distinct triples)
+N_DEDUP_BUCKETS = 128
+
+
+def add_bucket_and_combine(batch: pd.DataFrame) -> pd.DataFrame:
+    """map_batches combiner: local dedup + deterministic hash bucket."""
+    b = (batch.sort_values(["conv_id", "turn_idx"], kind="stable")
+         .drop_duplicates(TRIPLE_KEY, keep="first"))
+    key = b[TRIPLE_KEY].fillna("")
+    h = pd.util.hash_pandas_object(key, index=False)
+    return b.assign(bucket=(h % N_DEDUP_BUCKETS).astype("int32"))
+
+
+def dedup_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    """map_groups body per hash bucket: collision-safe exact dedup,
+    deterministic winner = smallest (conv_id, turn_idx)."""
+    return (group.sort_values(["conv_id", "turn_idx"], kind="stable")
+            .drop_duplicates(TRIPLE_KEY, keep="first")
+            .drop(columns=["bucket"]))
+
+
+def dedup_triples(ds):
+    """Compose the two levels on a Dataset of triple rows."""
+    ds = ds.map_batches(add_bucket_and_combine, batch_format="pandas")
+    return ds.groupby("bucket").map_groups(dedup_bucket,
+                                           batch_format="pandas")

@@ -1,0 +1,264 @@
+"""Fact extraction: per-turn detection + per-conversation finalization.
+
+Re-expresses the reference's per-document extractor family
+(``Biography/birthDeath.py:78-261``, ``occupation.py:230-341``,
+``location.py:83-219``, ``culturalForm.py:86-510``,
+``lifeInfo.py:109-467``, ``education.py:338-549``,
+``biography.py:39-55``) as TWO Ray Data stages:
+
+1. :func:`detect_facts` — a **stateless** ``map_batches`` pass over raw
+   turns. All pattern matching happens here, so the heavy ``text``
+   column never enters a shuffle. Emits candidate-fact rows (small).
+2. :func:`finalize_bucket` — ``groupby("bucket").map_groups`` over the
+   candidate facts only, where ``bucket = hash(conv_id) % B``. Applies
+   the conversation-scoped rules the reference keeps in module-global
+   state — burial gated on a preceding death
+   (``birthDeath.py:237-256``), the MOVED occurrence-check quirk
+   (``location.py:74-103,126-141``), subject attribution for
+   biographer cues (``biography.py:39-55``), and order-dependent
+   sequence-ID minting (SURVEY §7.5.1) — fully vectorized with pandas
+   groupby transforms under a stable ``(conv_id, turn_idx, cand_idx)``
+   sort.
+
+Why this shape matters at 100 TB:
+- the wide all-to-all exchange moves only extracted facts (~1-5% of
+  input bytes), never transcripts;
+- grouping by hash BUCKET (not by conv_id) means the shuffle has B
+  groups instead of one per conversation — ``map_groups`` overhead is
+  O(B), and all per-conversation logic runs as vectorized pandas
+  groupbys inside a bucket. B scales with cluster cores, not rows.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.text import limit_words
+from ..state import fixtures as fx
+from ..synth import FACT_COLUMNS
+
+# candidate-fact table = FACT_COLUMNS + detection-order + snippet + bucket
+CAND_COLUMNS = FACT_COLUMNS + ["cand_idx", "snippet", "bucket"]
+
+# conversation-bucket count for the assembly shuffle: the number of
+# groups the finalize stage sees. Sized for parallelism (≥ cluster
+# cores), independent of conversation count.
+N_CONV_BUCKETS = 128
+
+_NAME = r"[A-Z][a-zA-Z]*\.?(?: [A-Z][a-zA-Z]*\.?)*"
+_REL = "|".join(sorted(fx.FAMILY_RELATIONS, key=len, reverse=True))
+
+# (fact_type, compiled regex, constant fields) — applied in order; the
+# first match wins for a turn unless the pattern is multi-fact.
+_PATTERNS: list[tuple[str, re.Pattern, dict]] = [
+    ("birth", re.compile(
+        rf"^(?P<person>{_NAME}) was born (?P<marker>on|by|after|around) "
+        rf"(?P<date>.+?) in (?P<place>[^.]+)\.$"), {}),
+    ("death", re.compile(
+        rf"^(?P<person>{_NAME}) died of (?P<term>.+?) on (?P<date>.+?) "
+        rf"in (?P<place>[^.]+)\.$"), {"certainty": "CERT"}),
+    ("burial", re.compile(
+        rf"^(?P<person>{_NAME}) was (?:buried|grave|interred) in "
+        rf"(?P<place>[^.]+)\.$"), {}),
+    ("income", re.compile(
+        rf"^(?P<person>{_NAME}) earned (?P<amount>\d+) pounds a year\.$"), {}),
+    ("occupation", re.compile(
+        rf"^(?P<person>{_NAME}) (?P<verb>worked|volunteered) as a "
+        rf"(?P<term>[^.]+)\.$"), {}),
+    ("moved", re.compile(
+        rf"^(?P<person>{_NAME}) moved to (?P<place>[A-Z][a-zA-Z]+, "
+        rf"[A-Z][a-zA-Z]+), leaving (?P<place2>[^.]+)\.$"), {}),
+    ("migration", re.compile(
+        rf"^(?P<person>{_NAME}) migrated to (?P<place>.+?) from "
+        rf"(?P<place2>[^.]+)\.$"), {}),
+    ("location", re.compile(
+        rf"^(?P<person>{_NAME}) (?P<verb>lived in|travelled to|visited) "
+        rf"(?P<place>[^.]+)\.$"), {}),
+    ("culturalform", re.compile(
+        rf"^(?P<person>{_NAME}) was (?P<term>[A-Za-z]+) by religion\.$"),
+        {"category": "religion"}),
+    ("culturalform", re.compile(
+        rf"^(?P<person>{_NAME}) identified as (?P<term>[A-Za-z]+)\.$"),
+        {"category": "nationality"}),
+    ("culturalform", re.compile(
+        rf"^(?P<person>{_NAME})'s gender was (?P<term>\w+)\.$"),
+        {"category": "gender"}),
+    ("family", re.compile(
+        rf"^(?P<person>{_NAME})'s (?P<term>(?:{_REL})) was "
+        rf"(?P<other>{_NAME})\.$"), {}),
+    ("friend", re.compile(
+        rf"^(?P<person>{_NAME}) was a close friend of "
+        rf"(?P<other>{_NAME})\.$"), {"category": "friend"}),
+    ("friend", re.compile(
+        rf"^(?P<person>{_NAME}) lived with (?P<other>{_NAME})\.$"),
+        {"category": "cohabitant"}),
+    ("childlessness", re.compile(
+        rf"^Regarding children, (?P<person>{_NAME}) was marked by "
+        rf"(?P<word>[a-z ]+)\.$"), {}),
+    ("education", re.compile(
+        rf"^(?P<person>{_NAME}) studied (?P<term>[a-z]+) at the "
+        rf"(?P<org>[^.]+)\.$"), {"category": "study"}),
+    ("education", re.compile(
+        rf"^(?P<person>{_NAME}) earned a (?P<term>[a-z ]+) in "
+        rf"(?P<place2>[a-z]+)\.$"), {"category": "degree"}),
+    ("title", re.compile(
+        rf'^(?P<person>{_NAME}) wrote "(?P<title>[^"]+)"\.$'), {}),
+    ("org", re.compile(
+        rf"^(?P<person>{_NAME}) joined the (?P<org>[^.]+)\.$"), {}),
+    ("biographer", re.compile(
+        rf"^Her (?P<category>biographer|critic|historian) "
+        rf"(?P<other>{_NAME}) recorded much of this\.$"), {}),
+]
+
+_SUBJECT = re.compile(rf"^Tell me about (?P<person>{_NAME})\.$")
+
+_LOC_VERB = {"lived in": "habitation", "travelled to": "travel",
+             "visited": "visit"}
+
+_MAX_SNIPPET_WORDS = 35  # reference MAX_WORD_COUNT (utilities.py:30)
+
+
+def _classify_childlessness(word_text: str) -> str:
+    """Keyword → reproductiveHistory category (lifeInfo.py:80-106);
+    no keyword → unspecifiedReproductiveHistory."""
+    for cat, words in fx.CHILDLESSNESS_WORDS.items():
+        if any(w in word_text for w in words):
+            return cat
+    return "unspecifiedReproductiveHistory"
+
+
+def _detect_one(text: str) -> list[dict]:
+    """All candidate facts for one turn text (without conv context)."""
+    m = _SUBJECT.match(text)
+    if m:
+        return [{"fact_type": "_subject", "person": m.group("person")}]
+    for fact_type, pat, const in _PATTERNS:
+        m = pat.match(text)
+        if not m:
+            continue
+        g = {k: v for k, v in m.groupdict().items() if v is not None}
+        g.update(const)
+        if fact_type == "occupation":
+            g["category"] = "paid" if g.pop("verb") == "worked" else "volunteer"
+        elif fact_type == "location":
+            g["category"] = _LOC_VERB[g.pop("verb")]
+        elif fact_type == "birth":
+            g["certainty"] = {"on": "CERT", "by": "BY", "after": "AFTER",
+                              "around": "ROUGHLYDATED"}[g.pop("marker")]
+        elif fact_type == "childlessness":
+            g["category"] = _classify_childlessness(g.pop("word"))
+        elif fact_type == "moved":
+            # one MOVED sentence → relocation(to) + spatialRelationship
+            # candidate(leaving); the latter is occurrence-filtered later
+            to_p, from_p = g.pop("place"), g.pop("place2")
+            return [
+                {"fact_type": "location", "person": g["person"],
+                 "place": to_p, "category": "relocation"},
+                {"fact_type": "location", "person": g["person"],
+                 "place": from_p, "category": "spatialRelationship"},
+            ]
+        elif fact_type == "migration":
+            to_p, from_p = g.pop("place"), g.pop("place2")
+            return [
+                {"fact_type": "location", "person": g["person"],
+                 "place": to_p, "category": "migration"},
+                {"fact_type": "location", "person": g["person"],
+                 "place": from_p, "category": "emigration"},
+            ]
+        g["fact_type"] = fact_type
+        return [g]
+    return []
+
+
+def detect_facts(batch: pa.Table) -> pa.Table:
+    """Stateless map_batches body: turns → candidate fact rows.
+
+    Cheap vectorized pre-filter (only assistant turns + the subject
+    declaration), then compiled-regex matching per surviving row.
+    """
+    conv = batch.column("conv_id").to_pylist()
+    tidx = batch.column("turn_idx").to_pylist()
+    role = batch.column("role").to_pylist()
+    text = batch.column("text").to_pylist()
+    out: dict[str, list] = {c: [] for c in CAND_COLUMNS}
+    for cid, ti, ro, tx in zip(conv, tidx, role, text):
+        if ro == "user":
+            cands = [c for c in _detect_one(tx) if c["fact_type"] == "_subject"]
+        elif ro == "assistant":
+            cands = _detect_one(tx)
+        else:
+            continue
+        for ci, cand in enumerate(cands):
+            for col in FACT_COLUMNS:
+                if col == "conv_id":
+                    out[col].append(cid)
+                elif col == "turn_idx":
+                    out[col].append(ti)
+                elif col == "seq":
+                    out[col].append(-1)  # minted in finalize
+                else:
+                    out[col].append(cand.get(col))
+            out["cand_idx"].append(ci)
+            out["snippet"].append(limit_words(tx, _MAX_SNIPPET_WORDS))
+    # deterministic conversation bucket (the assembly-shuffle key)
+    out["bucket"] = (pd.util.hash_pandas_object(
+        pd.Series(out["conv_id"], dtype="object"), index=False)
+        % N_CONV_BUCKETS).astype("int32").tolist()
+    return pa.table({c: pa.array(out[c],
+                                 pa.int32() if c in ("turn_idx", "seq",
+                                                     "cand_idx", "bucket")
+                                 else pa.string())
+                     for c in CAND_COLUMNS})
+
+
+def finalize_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    """map_groups body over ONE conversation-hash bucket of candidate
+    facts (many conversations). All per-conversation logic is
+    vectorized pandas-groupby arithmetic — no per-conversation Python
+    dispatch, so cost is O(rows), not O(conversations).
+
+    Mints dense per-conversation ``seq`` ids in document order under a
+    stable ``(conv_id, turn_idx, cand_idx)`` sort — the
+    order-dependent ID invariant (SURVEY §7.5.1).
+    """
+    g = group.sort_values(["conv_id", "turn_idx", "cand_idx"],
+                          kind="stable").reset_index(drop=True)
+
+    # conversation subject (from the user's declaration turn)
+    subj_map = (g[g["fact_type"] == "_subject"]
+                .groupby("conv_id")["person"].first())
+    g = g[g["fact_type"] != "_subject"]
+
+    # burial gate: keep only if a death occurs at an earlier turn of
+    # the same conversation
+    first_death = (g[g["fact_type"] == "death"]
+                   .groupby("conv_id")["turn_idx"].min())
+    is_burial = g["fact_type"] == "burial"
+    if is_burial.any():
+        fd = g["conv_id"].map(first_death)
+        g = g[~(is_burial & (fd.isna() | (g["turn_idx"] <= fd)))]
+
+    # MOVED occurrence quirk: a spatialRelationship place survives only
+    # if it occurs in no other location mention of its conversation
+    loc = g["fact_type"] == "location"
+    if loc.any():
+        occ = (g[loc].groupby(["conv_id", "place"])["place"]
+               .transform("size"))
+        drop_idx = occ[(g.loc[loc, "category"] == "spatialRelationship")
+                       & (occ > 1)].index
+        g = g.drop(index=drop_idx)
+
+    # biographer cues carry no explicit subject surface — attribute to
+    # the conversation subject (reference knows it from the entry file)
+    bio = g["fact_type"] == "biographer"
+    if bio.any():
+        subjects = g.loc[bio, "conv_id"].map(subj_map)
+        g.loc[bio, "person"] = subjects.where(subjects.notna(),
+                                              g.loc[bio, "person"])
+
+    g = g.copy()
+    g["seq"] = g.groupby("conv_id", sort=False).cumcount().astype("int32")
+    return g
