@@ -1,44 +1,475 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG-construction pipeline over a
+deterministic synthetic transcript corpus (the ``input_hint`` table
+shape; no external data). ``queries()`` exposes every implemented
+operator family from SURVEY.md §2 plus the training-data-pipeline
+suite; ``oracle_sql()`` gives DuckDB equivalents for every
+SQL-expressible query over the driver's parquet views. KG-pipeline
+queries run over the synthetic transcripts (not a registered view), so
+they carry no SQL oracle — their correctness gate is the golden-triple
+/ P-R pytest suite (tests/test_pipeline.py).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init``/``ray.shutdown`` anywhere below.
 """
 
 from __future__ import annotations
 
+import os
+import re
 from collections.abc import Callable
 from typing import Any
 
+import pandas as pd
+
+_ROUND = 4  # float aggregates rounded identically on both sides
+
+
+# --------------------------------------------------------------- helpers
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    return float(m.group(1)) if m else 0.001
+
+
+def _turns_path(sf_dir: str) -> str:
+    """Deterministic synthetic transcript corpus sized to the sf tier,
+    cached under /tmp (generation excluded from pipeline timing)."""
+    from rdf_extraction_ray import synth
+    sf = _sf_of(sf_dir)
+    n_convs = max(60, int(sf * 400_000))
+    path = f"/tmp/rdf_extraction_ray/turns_sf{sf}_n{n_convs}"
+    if not os.path.exists(os.path.join(path, "_DONE")):
+        synth.write_turns(path, n_convs, seed=42)
+        with open(os.path.join(path, "_DONE"), "w") as f:
+            f.write("ok")
+    return path
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                           columns=columns)
+
+
+def _small_df(sf_dir: str, table: str, columns=None) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+    return pq.read_table(os.path.join(sf_dir, f"{table}.parquet"),
+                         columns=columns).to_pandas()
+
+
+# ------------------------------------------------------------- flagship
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship KG pipeline at the smallest tier; returns the deduped
+    triple Dataset (stable schema, ≥0 rows)."""
+    from rdf_extraction_ray.pipelines.kg import kg_pipeline
+    return kg_pipeline(_turns_path("/root/testdata/sf0.001"))
+
+
+# ------------------------------------------------------- query callables
+
+def _q_kg_triples(sf_dir: str):
+    from rdf_extraction_ray.pipelines.kg import kg_pipeline
+    return kg_pipeline(_turns_path(sf_dir))
+
+
+def _q_kg_facts(sf_dir: str):
+    from rdf_extraction_ray.pipelines.kg import extract_facts, read_turns
+    return extract_facts(read_turns(_turns_path(sf_dir)))
+
+
+def _q_kg_link_histogram(sf_dir: str):
+    from rdf_extraction_ray.pipelines.kg import (extract_facts, link_facts,
+                                                 read_turns)
+    from rdf_extraction_ray.pipelines.reports import link_status_histogram
+    linked = link_facts(extract_facts(read_turns(_turns_path(sf_dir))))
+    return link_status_histogram(linked)
+
+
+def _q_kg_title_census(sf_dir: str):
+    from rdf_extraction_ray.pipelines.kg import extract_facts, read_turns
+    from rdf_extraction_ray.pipelines.reports import title_census
+    out = title_census(extract_facts(read_turns(_turns_path(sf_dir))))
+    out["convs"] = out["convs"].map(lambda l: ",".join(l))
+    return out
+
+
+def _q_kg_org_counts(sf_dir: str):
+    from rdf_extraction_ray.pipelines.kg import (extract_facts, link_facts,
+                                                 read_turns)
+    from rdf_extraction_ray.pipelines.reports import org_mention_counts
+    linked = link_facts(extract_facts(read_turns(_turns_path(sf_dir))))
+    return org_mention_counts(linked)
+
+
+def _q_kg_triples_stats(sf_dir: str):
+    from rdf_extraction_ray.pipelines.kg import read_turns, triples_from_turns
+    from rdf_extraction_ray.pipelines.reports import triples_per_conv_stats
+    return triples_per_conv_stats(
+        triples_from_turns(read_turns(_turns_path(sf_dir))))
+
+
+def _q_tpch_q1(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Mean, Sum
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_shipdate"])
+    cutoff = pa.scalar(pd.Timestamp("1998-09-01").to_pydatetime())
+
+    def _revenue(t):
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("revenue", rev)
+
+    ds = ds.map_batches(_revenue, batch_format="pyarrow")
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base"),
+        Sum("revenue", alias_name="sum_disc_price"),
+        Mean("l_discount", alias_name="avg_disc"),
+        Count(alias_name="count_order")).to_pandas()
+    for c in ("sum_qty", "sum_base", "sum_disc_price", "avg_disc"):
+        out[c] = out[c].round(_ROUND)
+    return out
+
+
+def _q_topk_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"],
+                   descending=[True, False]).limit(10)
+
+
+def _q_region_customers(sf_dir: str):
+    from rdf_extraction_ray.stages.joins import broadcast_join
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    nation = _small_df(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    region = _small_df(sf_dir, "region")
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    dim = dim.rename(columns={"n_nationkey": "c_nationkey"})[
+        ["c_nationkey", "r_name"]]
+    joined = broadcast_join(cust, dim, on="c_nationkey")
+    from ray.data.aggregate import Count, Sum
+    out = joined.groupby("r_name").aggregate(
+        Count(alias_name="n_customers"),
+        Sum("c_acctbal", alias_name="acctbal_sum")).to_pandas()
+    out["acctbal_sum"] = out["acctbal_sum"].round(_ROUND)
+    return out
+
+
+def _q_segment_revenue(sf_dir: str):
+    from rdf_extraction_ray.stages.joins import hash_join
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda df: df.rename(columns={"c_custkey": "o_custkey"}),
+        batch_format="pandas")
+    joined = hash_join(orders, cust, on="o_custkey")
+    from ray.data.aggregate import Count, Sum
+    out = joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("o_totalprice", alias_name="revenue")).to_pandas()
+    out["revenue"] = out["revenue"].round(_ROUND)
+    return out
+
+
+def _q_events_hourly(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def _hour(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "event_type": df["event_type"],
+            "hour": df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:00:00"),
+            "value": df["value"],
+        })
+        # partial pre-aggregation before the shuffle (combiner)
+        return (out.groupby(["event_type", "hour"], as_index=False)
+                .agg(n=("value", "size"), value_sum=("value", "sum")))
+
+    from ray.data.aggregate import Sum
+    out = (ds.map_batches(_hour, batch_format="pandas")
+           .groupby(["event_type", "hour"])
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("value_sum", alias_name="value_sum"))
+           .to_pandas())
+    out["value_sum"] = out["value_sum"].round(_ROUND)
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def _q_user_sessions(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def _bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        b = df.copy()
+        b["bucket"] = (b["user_id"] % 32).astype("int64")
+        return b
+
+    def _sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        gap = pd.Timedelta(minutes=30)
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        new_sess = new_user | (g["ts"] - g["ts"].shift() > gap)
+        return (pd.DataFrame({"user_id": g["user_id"], "s": new_sess})
+                .groupby("user_id", as_index=False)
+                .agg(n_events=("s", "size"), n_sessions=("s", "sum")))
+
+    out = (ds.map_batches(_bucketize, batch_format="pandas")
+           .groupby("bucket").map_groups(_sessions, batch_format="pandas")
+           .to_pandas())
+    out["n_sessions"] = out["n_sessions"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
+
+
+def _q_docs_exact_dedup(sf_dir: str):
+    from rdf_extraction_ray.stages.dedup_docs import exact_dedup
+    return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _q_docs_token_count(sf_dir: str):
+    from rdf_extraction_ray.stages.textstats import token_count
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(token_count, batch_format="pandas") \
+        .select_columns(["doc_id", "n_tokens"])
+
+
+def _q_docs_quality(sf_dir: str):
+    from rdf_extraction_ray.stages.textstats import quality_score
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(quality_score, batch_format="pandas") \
+        .select_columns(["doc_id", "n_chars_q", "n_words_q", "n_punct_q",
+                         "n_upper_q", "quality_ok"])
+
+
+def _q_docs_lang_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+    return _read(sf_dir, "documents", ["lang"]) \
+        .groupby("lang").aggregate(Count(alias_name="n"))
+
+
+def _q_docs_langid(sf_dir: str):
+    from rdf_extraction_ray.stages.textstats import LangId
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(LangId, batch_format="pandas", concurrency=2) \
+        .select_columns(["doc_id", "lang_pred"])
+
+
+def _q_docs_fingerprint(sf_dir: str):
+    from rdf_extraction_ray.stages.textstats import fingerprint
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(fingerprint, batch_format="pandas") \
+        .select_columns(["doc_id", "fingerprint"])
+
+
+def _q_docs_minhash_pairs(sf_dir: str):
+    from rdf_extraction_ray.stages.dedup_docs import (minhash_lsh_candidates,
+                                                      verify_jaccard)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    cands = minhash_lsh_candidates(docs)
+    docs_df = _small_df(sf_dir, "documents", ["doc_id", "text"])
+    out = verify_jaccard(cands, docs_df, threshold=0.5).to_pandas()
+    out["jaccard"] = out["jaccard"].round(_ROUND)
+    return out.sort_values(["a", "b"], ignore_index=True)
+
+
+def _q_docs_simhash(sf_dir: str):
+    from rdf_extraction_ray.stages.dedup_docs import SimHasher
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(SimHasher, batch_format="pandas", concurrency=2)
+
+
+def _q_ann_bruteforce(sf_dir: str):
+    from rdf_extraction_ray.stages.ann import brute_force_topk
+    corpus = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = _small_df(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = qdf[qdf["vec_id"] < 8]
+    return brute_force_topk(corpus, qdf, k=10)
+
+
+def _q_ann_lsh(sf_dir: str):
+    from rdf_extraction_ray.stages.ann import lsh_topk
+    corpus = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = _small_df(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = qdf[qdf["vec_id"] < 8]
+    return lsh_topk(corpus, qdf, k=10)
+
+
+def _q_part_brand_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+    out = (_read(sf_dir, "part", ["p_brand", "p_retailprice"])
+           .groupby("p_brand")
+           .aggregate(Count(alias_name="n"),
+                      Sum("p_retailprice", alias_name="retail_sum"))
+           .to_pandas())
+    out["retail_sum"] = out["retail_sum"].round(_ROUND)
+    return out
+
+
+def _q_media_features(sf_dir: str):
+    """Multimodal plumbing: binary payload column → feature vectors
+    (deterministic fake decode; real decode stubbed — no image libs)."""
+    import ray.data as rd
+
+    from rdf_extraction_ray.stages.multimodal import (FeatureExtractor,
+                                                      synth_media_table)
+    sf = _sf_of(sf_dir)
+    media = rd.from_arrow(synth_media_table(max(30, int(sf * 30_000))))
+    feats = media.map_batches(FeatureExtractor, batch_format="pyarrow",
+                              batch_size=64, concurrency=2)
+    out = feats.to_pandas()[["media_id", "kind"]]
+    return out
+
+
+def _q_media_frames(sf_dir: str):
+    import ray.data as rd
+
+    from rdf_extraction_ray.stages.multimodal import (FrameSampler,
+                                                      synth_media_table)
+    sf = _sf_of(sf_dir)
+    media = rd.from_arrow(synth_media_table(max(30, int(sf * 30_000))))
+    return media.map_batches(FrameSampler, batch_format="pyarrow",
+                             batch_size=64, concurrency=2)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- KG construction pipeline (synthetic transcripts; oracle =
+        #     golden-triple pytest suite, rows-only here)
+        "kg_triples": _q_kg_triples,
+        "kg_facts": _q_kg_facts,
+        "kg_link_histogram": _q_kg_link_histogram,
+        "kg_title_census": _q_kg_title_census,
+        "kg_org_counts": _q_kg_org_counts,
+        "kg_triples_stats": _q_kg_triples_stats,
+        # --- relational operator coverage (SQL-oracled)
+        "tpch_q1_pricing": _q_tpch_q1,
+        "topk_orders": _q_topk_orders,
+        "region_customers": _q_region_customers,
+        "segment_revenue": _q_segment_revenue,
+        "events_hourly": _q_events_hourly,
+        "user_sessions": _q_user_sessions,
+        "part_brand_stats": _q_part_brand_stats,
+        # --- training-data pipeline suite over documents/embeddings
+        "docs_exact_dedup": _q_docs_exact_dedup,
+        "docs_token_count": _q_docs_token_count,
+        "docs_quality": _q_docs_quality,
+        "docs_lang_counts": _q_docs_lang_counts,
+        "docs_langid": _q_docs_langid,
+        "docs_fingerprint": _q_docs_fingerprint,
+        "docs_minhash_pairs": _q_docs_minhash_pairs,
+        "docs_simhash": _q_docs_simhash,
+        "ann_bruteforce": _q_ann_bruteforce,
+        "ann_lsh": _q_ann_lsh,
+        # --- multimodal plumbing (stubbed decode, real Ray plumbing)
+        "media_features": _q_media_features,
+        "media_frames": _q_media_frames,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tpch_q1_pricing": f"""
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), {_ROUND}) AS sum_qty,
+                   round(sum(l_extendedprice), {_ROUND}) AS sum_base,
+                   round(sum(l_extendedprice * (1 - l_discount)), {_ROUND})
+                       AS sum_disc_price,
+                   round(avg(l_discount), {_ROUND}) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "region_customers": f"""
+            SELECT r.r_name,
+                   count(*) AS n_customers,
+                   round(sum(c.c_acctbal), {_ROUND}) AS acctbal_sum
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        """,
+        "segment_revenue": f"""
+            SELECT c.c_mktsegment,
+                   count(*) AS n_orders,
+                   round(sum(o.o_totalprice), {_ROUND}) AS revenue
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "events_hourly": f"""
+            SELECT event_type,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00')
+                       AS hour,
+                   count(*) AS n,
+                   round(sum(value), {_ROUND}) AS value_sum
+            FROM events GROUP BY 1, 2
+        """,
+        "user_sessions": """
+            WITH lagged AS (
+                SELECT user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_ts
+                FROM events)
+            SELECT user_id, count(*) AS n_events,
+                   CAST(sum(CASE WHEN prev_ts IS NULL
+                            OR ts - prev_ts > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+            FROM lagged GROUP BY user_id
+        """,
+        "part_brand_stats": f"""
+            SELECT p_brand, count(*) AS n,
+                   round(sum(p_retailprice), {_ROUND}) AS retail_sum
+            FROM part GROUP BY p_brand
+        """,
+        "docs_exact_dedup": """
+            SELECT md5(text) AS text_key, min(doc_id) AS doc_id,
+                   count(*) AS n_dups
+            FROM documents GROUP BY text
+        """,
+        "docs_token_count": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                       AS n_tokens
+            FROM documents
+        """,
+        "docs_quality": """
+            SELECT doc_id,
+                   length(text) AS n_chars_q,
+                   len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                       AS n_words_q,
+                   len(regexp_extract_all(text, '[.!?,;:]')) AS n_punct_q,
+                   len(regexp_extract_all(text, '[A-Z]')) AS n_upper_q,
+                   (length(text) BETWEEN 20 AND 10000)
+                       AND len(regexp_extract_all(text, '[A-Za-z0-9_]+')) >= 5
+                       AS quality_ok
+            FROM documents
+        """,
+        "docs_lang_counts": """
+            SELECT lang, count(*) AS n FROM documents GROUP BY lang
+        """,
+        "ann_bruteforce": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                       FROM embeddings WHERE vec_id < 8),
+            s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                         list_cosine_similarity(
+                             CAST(q.qe AS DOUBLE[]),
+                             CAST(e.embedding AS DOUBLE[])) AS cos
+                  FROM q CROSS JOIN embeddings e),
+            r AS (SELECT query_id, neighbor_id,
+                         row_number() OVER (
+                             PARTITION BY query_id
+                             ORDER BY cos DESC, neighbor_id) - 1 AS rank
+                  FROM s)
+            SELECT query_id, neighbor_id, rank FROM r
+            WHERE rank < 10
+        """,
+    }

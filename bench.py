@@ -1,0 +1,132 @@
+"""Benchmark harness. Prints ONE JSON line.
+
+Headline: the flagship KG-construction pipeline (synthetic transcript
+corpus sized to $GRAFT_SF_DIR's scale factor, generation cached and
+untimed) — turns → facts → link → template → dedup → parquet sink.
+Plus per-query timings for representative operators.
+
+  python bench.py               # one run at $RAY_GRAFT_CPUS (default 32)
+  python bench.py --scaling     # fresh processes at 8 and 32 CPUs →
+                                # throughput at both + scaling efficiency
+
+Owns its Ray session (the only scripts allowed to: bench.py, CLI, tests).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def _one_json_line(obj) -> None:
+    print(json.dumps(obj))
+
+
+def run_bench() -> dict:
+    import ray
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import __ray_entry__ as entrymod
+    from rdf_extraction_ray.pipelines.kg import read_turns, triples_from_turns
+
+    sf = entrymod._sf_of(sf_dir)
+    turns_path = entrymod._turns_path(sf_dir)  # cached generation (untimed)
+
+    # warm OS page cache so we measure compute+shuffle, not first read
+    n_turns = read_turns(turns_path).count()
+
+    out_dir = "/tmp/rdf_extraction_ray/bench_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    triples = triples_from_turns(read_turns(turns_path))
+    triples.write_parquet(out_dir)
+    headline_sec = time.time() - t0
+    import glob
+
+    import pyarrow.parquet as pq
+    n_triples = sum(pq.read_metadata(f).num_rows
+                    for f in glob.glob(os.path.join(out_dir, "*.parquet")))
+
+    # representative per-operator timings
+    qnames = ["tpch_q1_pricing", "segment_revenue", "events_hourly",
+              "user_sessions", "docs_exact_dedup", "docs_token_count",
+              "docs_quality", "docs_minhash_pairs", "ann_bruteforce",
+              "kg_link_histogram"]
+    queries = entrymod.queries()
+    qtimes: dict[str, float] = {}
+    for name in qnames:
+        t0 = time.time()
+        res = queries[name](sf_dir)
+        # force execution for lazy results
+        try:
+            import ray.data as rd
+            if isinstance(res, rd.Dataset):
+                res.count()
+        except Exception:
+            pass
+        qtimes[name] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "kg_pipeline_sec",
+        "value": round(headline_sec, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "n_turns": int(n_turns),
+        "n_triples": int(n_triples),
+        "turns_per_sec": round(n_turns / headline_sec, 1),
+        "triples_per_sec": round(n_triples / headline_sec, 1),
+    }
+
+
+def run_scaling() -> None:
+    """Same job, fresh processes, two parallelism levels (the
+    sandbox's stand-in for N- vs 4N-node clusters)."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    tput_lo = r_lo["turns_per_sec"]
+    tput_hi = r_hi["turns_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    _one_json_line({
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sf": r_lo["sf"],
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "turns_per_sec_lo": tput_lo,
+        "turns_per_sec_hi": tput_hi,
+        "triples_per_sec_lo": r_lo["triples_per_sec"],
+        "triples_per_sec_hi": r_hi["triples_per_sec"],
+    })
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        _one_json_line(run_bench())

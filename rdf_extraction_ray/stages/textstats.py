@@ -1,0 +1,105 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID (stopword/n-gram heuristic), quality scoring, token
+counting, and document fingerprinting (rolling hash).
+
+All are stateless vectorized ``map_batches`` bodies over a ``text``
+column (pandas string kernels / numpy); none shuffles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+# tiny per-language stopword lists for the heuristic language ID
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "was"},
+    "fr": {"le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"},
+    "es": {"el", "la", "los", "las", "y", "de", "un", "una", "es", "que"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit",
+           "von"},
+    "zh": set(),  # no-space script: detected by CJK codepoint ratio
+}
+
+_TOKEN_RE = r"[A-Za-z0-9_]+"
+# crude BPE-ish sub-token splitter: word pieces of up to 4 chars
+_BPE_RE = r"[A-Za-z]{1,4}|[0-9]{1,3}|[^\sA-Za-z0-9]"
+
+
+def token_count(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Whitespace/word tokens + a BPE-ish sub-token count per doc."""
+    out = batch.copy()
+    out["n_tokens"] = batch[text_col].str.count(_TOKEN_RE).astype("int64")
+    out["n_subtokens"] = batch[text_col].str.count(_BPE_RE).astype("int64")
+    return out
+
+
+def quality_score(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Integer quality features + a boolean gate (integer comparisons
+    only, so results are exactly reproducible in SQL)."""
+    out = batch.copy()
+    s = batch[text_col]
+    out["n_chars_q"] = s.str.len().astype("int64")
+    out["n_words_q"] = s.str.count(_TOKEN_RE).astype("int64")
+    out["n_punct_q"] = s.str.count(r"[.!?,;:]").astype("int64")
+    out["n_upper_q"] = s.str.count(r"[A-Z]").astype("int64")
+    # gate: 20..10000 chars and at least 5 words
+    out["quality_ok"] = ((out["n_chars_q"] >= 20)
+                         & (out["n_chars_q"] <= 10000)
+                         & (out["n_words_q"] >= 5))
+    return out
+
+
+class LangId:
+    """Actor-pool language identifier: stopword-hit ratios + CJK
+    codepoint ratio. Tables built once per actor in ``__init__``."""
+
+    def __init__(self):
+        import re
+        self.word = re.compile(r"[a-zA-Z']+")
+        self.langs = [l for l in _STOPWORDS if _STOPWORDS[l]]
+        self.tables = {l: frozenset(w) for l, w in _STOPWORDS.items() if w}
+
+    def _one(self, text: str) -> str:
+        if not text:
+            return "und"
+        cjk = sum(1 for ch in text[:400] if "一" <= ch <= "鿿")
+        if cjk / max(1, min(len(text), 400)) > 0.2:
+            return "zh"
+        words = [w.lower() for w in self.word.findall(text[:2000])]
+        if not words:
+            return "und"
+        best, best_hits = "und", 0
+        for lang in self.langs:
+            hits = sum(1 for w in words if w in self.tables[lang])
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        return best
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["lang_pred"] = [self._one(t) for t in batch["text"]]
+        return out
+
+
+def fingerprint(batch: pd.DataFrame, text_col: str = "text",
+                window: int = 8) -> pd.DataFrame:
+    """Winnowing-style document fingerprint: min rolling hash over
+    ``window``-grams of the normalized text (one int64 per doc)."""
+    out = batch.copy()
+    fps = np.empty(len(batch), dtype="int64")
+    for i, t in enumerate(batch[text_col]):
+        t = " ".join(str(t).lower().split())
+        if len(t) < window:
+            import zlib
+            fps[i] = np.int64(zlib.crc32(t.encode("utf-8", "ignore")))
+            continue
+        data = np.frombuffer(t.encode("utf-8", "ignore"), dtype=np.uint8)
+        n = len(data) - window + 1
+        # vectorized polynomial rolling hash over byte windows
+        acc = np.zeros(n, dtype=np.uint64)
+        for k in range(window):
+            acc = acc * np.uint64(131) + data[k:k + n].astype(np.uint64)
+        fps[i] = np.int64(acc.min() & np.uint64(0x7FFFFFFFFFFFFFFF))
+    out["fingerprint"] = fps
+    return out

@@ -1,0 +1,63 @@
+"""Resume-from-manifest tests (north_rule: resumable mid-pipeline with
+per-partition lineage + metrics)."""
+
+import json
+import os
+
+from rdf_extraction_ray import synth
+from rdf_extraction_ray.pipelines.manifest import (
+    MANIFEST_NAME,
+    read_output,
+    run_sharded,
+)
+
+TKEY = ["subj", "pred", "obj", "obj_kind", "obj_lang", "obj_datatype"]
+
+
+def _triple_set(out_dir):
+    df = read_output(out_dir).to_pandas()
+    return set(map(tuple, df[TKEY].fillna("").itertuples(index=False)))
+
+
+class TestResume:
+    def test_partial_run_then_resume_equals_clean_run(self, tmp_path):
+        turns_dir = synth.write_turns(str(tmp_path / "turns"), 60, seed=9)
+
+        # clean run
+        clean_dir = str(tmp_path / "clean")
+        run_sharded(turns_dir, clean_dir, n_shards=4)
+        clean = _triple_set(clean_dir)
+
+        # simulated failure: only shards 0-1 complete
+        resumed_dir = str(tmp_path / "resumed")
+        run_sharded(turns_dir, resumed_dir, n_shards=4, shards=[0, 1])
+        done = {d for d in os.listdir(resumed_dir) if d.startswith("shard=")}
+        assert done == {"shard=0", "shard=1"}
+
+        # resume: finished shards are skipped, the rest run
+        summary = run_sharded(turns_dir, resumed_dir, n_shards=4)
+        assert summary[0]["skipped"] and summary[1]["skipped"]
+        assert not summary[2]["skipped"] and not summary[3]["skipped"]
+        assert _triple_set(resumed_dir) == clean
+
+    def test_manifest_lineage_counters(self, tmp_path):
+        turns_dir = synth.write_turns(str(tmp_path / "turns"), 40, seed=4)
+        out = str(tmp_path / "out")
+        summary = run_sharded(turns_dir, out, n_shards=2)
+        for s, m in summary.items():
+            with open(os.path.join(out, f"shard={s}", MANIFEST_NAME)) as f:
+                on_disk = json.load(f)
+            assert on_disk["triples_out"] > 0
+            assert on_disk["facts_detected"] > 0
+            assert on_disk["input_fingerprint"]
+            hist = on_disk["link_status_histogram"]
+            assert hist.get("person=linked", 0) > 0  # miss counters live here
+
+    def test_changed_input_invalidates_manifest(self, tmp_path):
+        turns_dir = synth.write_turns(str(tmp_path / "turns"), 20, seed=6)
+        out = str(tmp_path / "out")
+        run_sharded(turns_dir, out, n_shards=2)
+        # regenerate with different content → fingerprint changes
+        synth.write_turns(str(tmp_path / "turns"), 25, seed=6)
+        summary = run_sharded(turns_dir, out, n_shards=2)
+        assert all(not m["skipped"] for m in summary.values())
