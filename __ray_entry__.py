@@ -39,7 +39,8 @@ def _turns_path(sf_dir: str) -> str:
     from rdf_extraction_ray import synth
     sf = _sf_of(sf_dir)
     n_convs = max(60, int(sf * 400_000))
-    path = f"/tmp/rdf_extraction_ray/turns_sf{sf}_n{n_convs}"
+    path = (f"/tmp/rdf_extraction_ray/turns_v{synth.GENERATOR_VERSION}"
+            f"_sf{sf}_n{n_convs}")
     if not os.path.exists(os.path.join(path, "_DONE")):
         synth.write_turns(path, n_convs, seed=42)
         with open(os.path.join(path, "_DONE"), "w") as f:
@@ -102,6 +103,34 @@ def _q_kg_org_counts(sf_dir: str):
     from rdf_extraction_ray.pipelines.reports import org_mention_counts
     linked = link_facts(extract_facts(read_turns(_turns_path(sf_dir))))
     return org_mention_counts(linked)
+
+
+def _q_kg_triples_seeded(sf_dir: str):
+    from rdf_extraction_ray.pipelines.kg import read_turns, triples_with_seed
+    return triples_with_seed(read_turns(_turns_path(sf_dir)))
+
+
+def _q_kg_unmatched_places(sf_dir: str):
+    from rdf_extraction_ray.pipelines.kg import (extract_facts, link_facts,
+                                                 read_turns)
+    from rdf_extraction_ray.pipelines.reports import unmatched_places
+    linked = link_facts(extract_facts(read_turns(_turns_path(sf_dir))))
+    return unmatched_places(linked)
+
+
+def _q_kg_vocab_terms(sf_dir: str):
+    from rdf_extraction_ray.pipelines.kg import (extract_facts, link_facts,
+                                                 read_turns)
+    from rdf_extraction_ray.pipelines.reports import vocab_terms_used
+    linked = link_facts(extract_facts(read_turns(_turns_path(sf_dir))))
+    return vocab_terms_used(linked)
+
+
+def _q_kg_ntriples(sf_dir: str):
+    from rdf_extraction_ray.pipelines.kg import read_turns, triples_from_turns
+    from rdf_extraction_ray.stages.serialize import format_ntriples
+    triples = triples_from_turns(read_turns(_turns_path(sf_dir)))
+    return triples.map_batches(format_ntriples, batch_format="pandas")
 
 
 def _q_kg_triples_stats(sf_dir: str):
@@ -346,6 +375,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_title_census": _q_kg_title_census,
         "kg_org_counts": _q_kg_org_counts,
         "kg_triples_stats": _q_kg_triples_stats,
+        "kg_triples_seeded": _q_kg_triples_seeded,
+        "kg_unmatched_places": _q_kg_unmatched_places,
+        "kg_vocab_terms": _q_kg_vocab_terms,
+        "kg_ntriples": _q_kg_ntriples,
         # --- relational operator coverage (SQL-oracled)
         "tpch_q1_pricing": _q_tpch_q1,
         "topk_orders": _q_topk_orders,

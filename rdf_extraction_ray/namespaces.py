@@ -26,6 +26,7 @@ NS: dict[str, str] = {
     "cod": "http://kg.example.org/vocab/cod/",
     "cf": "http://kg.example.org/vocab/cf/",
     "edu": "http://kg.example.org/vocab/education/",
+    "wd": "http://kg.example.org/wikidata/",        # sameAs targets (wikidata_ids.csv role)
 }
 
 # Object-kind markers for the triple table (FIXTURES.md T3).

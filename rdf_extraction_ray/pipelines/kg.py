@@ -79,6 +79,22 @@ def triples_from_turns(turns: rd.Dataset,
     return dedup_triples(triples)
 
 
+def triples_with_seed(turns: rd.Dataset,
+                      linker_concurrency: int | tuple | None = None
+                      ) -> rd.Dataset:
+    """Extracted triples unioned with the static seed graph BEFORE the
+    dedup shuffle (reference merges ``additional_triples.ttl`` into the
+    uber graph, ``Utils/utilities.py:552-556`` — rdflib set semantics
+    make the merge idempotent; here the shared dedup stage does)."""
+    from ..state.fixtures import seed_triples_table
+
+    facts = extract_facts(turns)
+    linked = link_facts(facts, concurrency=linker_concurrency)
+    triples = linked.map_batches(build_triples, batch_format="pandas")
+    seed = rd.from_arrow(seed_triples_table())
+    return dedup_triples(triples.union(seed))
+
+
 def kg_pipeline(turns_path: str, out_dir: str | None = None,
                 linker_concurrency: int | tuple | None = None) -> rd.Dataset:
     """Read → extract → link → template → dedup (→ optional sink)."""

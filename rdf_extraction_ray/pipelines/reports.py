@@ -75,6 +75,49 @@ def org_mention_counts(linked_facts: rd.Dataset) -> pd.DataFrame:
                          ignore_index=True))
 
 
+def unmatched_places(linked_facts: rd.Dataset) -> pd.DataFrame:
+    """Gazetteer-miss place surfaces with counts, sorted desc — the
+    reference's unmapped-place side output (place.py:100-113,
+    modsBib.py:1405-1408)."""
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        miss = df[df["place"].notna() & df["place_uri"].isna()]
+        if not len(miss):
+            return pd.DataFrame(columns=["place", "n"])
+        vc = miss["place"].value_counts()
+        return pd.DataFrame({"place": vc.index, "n": vc.to_numpy()})
+
+    partials = linked_facts.map_batches(_partial,
+                                        batch_format="pandas").to_pandas()
+    if not len(partials):
+        return pd.DataFrame(columns=["place", "n"])
+    return (partials.groupby("place", as_index=False)["n"].sum()
+            .sort_values(["n", "place"], ascending=[False, True],
+                         ignore_index=True))
+
+
+def vocab_terms_used(linked_facts: rd.Dataset) -> pd.DataFrame:
+    """Distinct vocabulary URIs actually used, joined to their English
+    labels — the reference's used-genre label lookup + review-terms
+    join (modsBib.py:1392-1403, reviewTerms.py:35-63). Broadcast map
+    join: the label table ships once, the distinct set is tiny."""
+    from ..state.fixtures import vocab_labels
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        used = df.loc[df["term_uri"].notna(), "term_uri"].unique()
+        return pd.DataFrame({"term_uri": used})
+
+    partials = linked_facts.map_batches(_partial,
+                                        batch_format="pandas").to_pandas()
+    if not len(partials):
+        return pd.DataFrame(columns=["term_uri", "label"])
+    labels = vocab_labels()
+    out = (partials.drop_duplicates("term_uri")
+           .sort_values("term_uri", ignore_index=True))
+    out["label"] = out["term_uri"].map(labels)
+    return out
+
+
 def title_census(facts: rd.Dataset) -> pd.DataFrame:
     """Normalized-title census: count + sorted distinct conv list
     (reference titles/readFiles.py:151-201)."""

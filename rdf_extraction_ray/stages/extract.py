@@ -106,6 +106,18 @@ _PATTERNS: list[tuple[str, re.Pattern, dict]] = [
         rf"(?P<place2>[a-z]+)\.$"), {"category": "degree"}),
     ("title", re.compile(
         rf'^(?P<person>{_NAME}) wrote "(?P<title>[^"]+)"\.$'), {}),
+    ("personname", re.compile(
+        rf'^(?P<person>{_NAME}) was also known as "(?P<term>[^"]+)"\.$'),
+        {"category": "nickname"}),
+    ("personname", re.compile(
+        rf"^(?P<person>{_NAME})'s birth name was (?P<other>{_NAME})\.$"),
+        {"category": "birthname"}),
+    ("profile", re.compile(
+        rf"^To summarise the oeuvre: (?P<term>(?P<person>{_NAME}) was "
+        rf".+?\.)$"), {}),
+    ("event", re.compile(
+        r"^On (?P<date>.+?), (?P<term>[a-z][^.]*?) took place in "
+        r"(?P<place>[^.]+)\.$"), {}),
     ("org", re.compile(
         rf"^(?P<person>{_NAME}) joined the (?P<org>[^.]+)\.$"), {}),
     ("biographer", re.compile(

@@ -26,9 +26,11 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions.dates import date_parse, timestamp_predicate, xsd_datatype_for
-from ..functions.text import make_standard_uri
+from ..functions.text import limit_words, make_standard_uri
 from ..namespaces import NS, TRIPLE_COLUMNS, uri
 from ..state.fixtures import FAMILY_RELATIONS
+
+_MAX_PROFILE_WORDS = 35  # reference MAX_WORD_COUNT (utilities.py:30)
 
 CONTEXT_CLASS = {
     "birth": "BirthContext", "death": "DeathContext",
@@ -39,6 +41,8 @@ CONTEXT_CLASS = {
     "friend": "FriendsAndAssociatesContext",
     "education": "EducationContext", "title": "WritingContext",
     "org": "OrganizationContext", "biographer": "BiographyContext",
+    "personname": "PersonNameContext", "profile": "WritingContext",
+    "event": "EventContext",
 }
 
 LOCATION_PRED = {"habitation": "habitation", "travel": "travel",
@@ -294,6 +298,74 @@ def build_triples(batch: pd.DataFrame) -> pa.Table:
     if m.any():
         sub = b[m]
         em.emit(P[m], uri("kg", "hasBiographer"), sub["other_uri"],
+                conv=sub["conv_id"], tidx=sub["turn_idx"])
+
+    # ---------------------------------------------------------- person name
+    # typed name entities (reference personname.py:131-269): nickname →
+    # a Nickname node with label; birth name → a BirthName node with
+    # given/surname parts (personname.py:241-269)
+    m = ((ft == "personname") & (b["category"] == "nickname")).to_numpy()
+    if m.any():
+        sub = b[m]
+        N = sub["term"].map(lambda t: make_standard_uri(t + " NAME"))
+        em.emit(P[m], uri("kg", "hasNickname"), N,
+                conv=sub["conv_id"], tidx=sub["turn_idx"])
+        em.emit(N, _R, uri("kg", "Nickname"),
+                conv=sub["conv_id"], tidx=sub["turn_idx"])
+        em.emit(N, _LABEL, sub["term"], kind="literal", lang="en",
+                conv=sub["conv_id"], tidx=sub["turn_idx"])
+    m = ((ft == "personname") & (b["category"] == "birthname")).to_numpy()
+    if m.any():
+        sub = b[m]
+        N = sub["other"].map(lambda t: make_standard_uri(t + " BIRTHNAME"))
+        given = sub["other"].map(lambda t: t.rsplit(" ", 1)[0])
+        surname = sub["other"].map(lambda t: t.rsplit(" ", 1)[-1])
+        em.emit(P[m], uri("kg", "hasBirthName"), N,
+                conv=sub["conv_id"], tidx=sub["turn_idx"])
+        em.emit(N, _R, uri("kg", "BirthName"),
+                conv=sub["conv_id"], tidx=sub["turn_idx"])
+        em.emit(N, uri("kg", "givenName"), given, kind="literal",
+                conv=sub["conv_id"], tidx=sub["turn_idx"])
+        em.emit(N, uri("kg", "surname"), surname, kind="literal",
+                conv=sub["conv_id"], tidx=sub["turn_idx"])
+
+    # ------------------------------------------------------ profile summary
+    # author-summary profile literal, hard 35-word limit (reference
+    # writing_extraction.py:29-70 + utilities.py:30 MAX_WORD_COUNT)
+    m = (ft == "profile").to_numpy()
+    if m.any():
+        sub = b[m]
+        prof = sub["term"].map(
+            lambda t: limit_words(t, _MAX_PROFILE_WORDS))
+        em.emit(P[m], uri("kg", "hasProfileDescription"), prof,
+                kind="literal", lang="en",
+                conv=sub["conv_id"], tidx=sub["turn_idx"])
+
+    # --------------------------------------------------- freestanding event
+    # person-less SEM event (reference freestanding_events.py:50-103;
+    # blank-node place skolemized per SURVEY §7.5.6)
+    m = (ft == "event").to_numpy()
+    if m.any():
+        sub = b[m]
+        E = data_ns + sub["conv_id"] + "_event_" + sub["seq"].astype(str)
+        lex, dtyp, start, ok = _date_columns(sub["date"])
+        em.emit(E, _R, NS["sem"] + "Event",
+                conv=sub["conv_id"], tidx=sub["turn_idx"])
+        em.emit(E, _LABEL, sub["term"], kind="literal", lang="en",
+                conv=sub["conv_id"], tidx=sub["turn_idx"])
+        linked = sub["place_uri"].notna()
+        em.emit(E, NS["sem"] + "hasPlace", sub["place_uri"],
+                conv=sub["conv_id"], tidx=sub["turn_idx"], mask=linked)
+        em.emit(E, NS["sem"] + "hasPlace", sub["place"], kind="literal",
+                conv=sub["conv_id"], tidx=sub["turn_idx"], mask=~linked)
+        em.emit(E, NS["sem"] + "hasTimeStamp",
+                pd.Series(start, index=sub.index), kind="literal",
+                dtype="xsd:dateTime", conv=sub["conv_id"],
+                tidx=sub["turn_idx"])
+        # unparseable dates stay lexical (event.py:90-110 quirk)
+        lex_only = pd.Series(lex, index=sub.index).where(
+            ~pd.Series(ok, index=sub.index), None)
+        em.emit(E, NS["sem"] + "hasTime", lex_only, kind="literal",
                 conv=sub["conv_id"], tidx=sub["turn_idx"])
 
     return em.table()

@@ -161,6 +161,10 @@ DEGREES: dict[str, str] = {
 SUBJECTS = ["botany", "philology", "mathematics", "theology", "geology",
             "rhetoric", "astronomy", "chemistry"]
 
+# nickname surfaces (personname.py:19-39 connotation dicts analogue):
+NICKNAMES = ["The Fenland Sibyl", "Old Thunder", "The Alnwick Nightingale",
+             "Mrs. Quill", "The Lady Cartographer", "Bo", "Fanny"]
+
 # work titles for the title census (titles/readFiles.py):
 TITLES = [
     "The Glass Orchard", "Letters from the Fens", "A Winter in Alnwick",
@@ -181,6 +185,60 @@ CHILDLESSNESS_WORDS: dict[str, list[str]] = {
 }
 
 BURIAL_KEYWORDS = ["buried", "grave", "interred"]  # birthDeath.py:15
+
+
+# ------------------------------------------------------------ seed triples
+
+def vocab_labels() -> dict[str, str]:
+    """URI → English label for every closed-vocabulary term (the J9
+    label join side; reference reviewTerms.py:35-63 reads these from
+    the published vocab graphs)."""
+    labels: dict[str, str] = {}
+    for j in _JOBS:
+        labels[uri("occ", j.replace(" ", "_"))] = j
+    for c in _CAUSES:
+        labels[uri("cod", c.replace(" ", "_"))] = c
+    for terms in _CF_TERMS.values():
+        for t in terms:
+            labels[uri("cf", t.lower())] = t
+    for d in ("bachelor of arts", "master of arts", "doctorate", "diploma",
+              "certificate", "licentiate"):
+        labels[uri("edu", d.replace(" ", "_"))] = d
+    return labels
+
+
+def seed_triples_table():
+    """Static seed graph merged into the corpus output (the
+    ``additional_triples.ttl`` / ``organizations.ttl`` analogue,
+    reference ``Utils/utilities.py:552-556``,
+    ``Biography/combineTriples.py:90``): writer sameAs links, org
+    authority labels, and vocab term labels. Returns an Arrow table in
+    the triple schema (provenance columns empty — corpus-level)."""
+    import pyarrow as pa
+
+    from ..namespaces import NS, TRIPLE_COLUMNS
+    rows: list[tuple[str, str, str, str, str, str]] = []
+    label = NS["rdfs"] + "label"
+    for i, (puri, (wid, _sex)) in enumerate(sorted(WRITERS.items())):
+        rows.append((puri, NS["kg"] + "sameAs",
+                     uri("wd", f"Q{9_000_000 + i}"), "uri", "", ""))
+        rows.append((puri, NS["kg"] + "writerId", wid, "literal", "", ""))
+    for clean, ouri in sorted(ORGS.items()):
+        rows.append((ouri, label, clean, "literal", "en", ""))
+    for vuri, vlabel in sorted(vocab_labels().items()):
+        rows.append((vuri, label, vlabel, "literal", "en", ""))
+    cols = list(zip(*rows))
+    data = {
+        "subj": pa.array(cols[0], pa.string()),
+        "pred": pa.array(cols[1], pa.string()),
+        "obj": pa.array(cols[2], pa.string()),
+        "obj_kind": pa.array(cols[3], pa.string()),
+        "obj_lang": pa.array(cols[4], pa.string()),
+        "obj_datatype": pa.array(cols[5], pa.string()),
+        "conv_id": pa.array([""] * len(rows), pa.string()),
+        "turn_idx": pa.array([-1] * len(rows), pa.int32()),
+    }
+    return pa.table({c: data[c] for c in TRIPLE_COLUMNS})
 
 
 def build_linker_maps() -> dict:

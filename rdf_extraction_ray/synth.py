@@ -27,6 +27,10 @@ import pyarrow as pa
 
 from .state import fixtures as fx
 
+# bump when generator output changes — cache paths embed it so stale
+# /tmp corpora are never reused across versions
+GENERATOR_VERSION = 2
+
 TURNS_SCHEMA = pa.schema([
     ("conv_id", pa.string()),
     ("turn_idx", pa.int32()),
@@ -123,7 +127,7 @@ def _plant(rng: np.random.Generator, c: _Conv, prev_death: bool) -> bool:
     """Plant one fact turn; returns whether this turn was a death."""
     s = c.subject
     surf = _surface(rng, s)
-    kind = int(rng.integers(0, 15))
+    kind = int(rng.integers(0, 17))
 
     if prev_death and int(rng.integers(0, 2)) == 0:
         # burial keyword in the turn AFTER a death (birthDeath.py:15,237-256)
@@ -235,6 +239,24 @@ def _plant(rng: np.random.Generator, c: _Conv, prev_death: bool) -> bool:
         t = fx.TITLES[int(rng.integers(0, len(fx.TITLES)))]
         i = c.turn("assistant", f'{surf} wrote "{t}".')
         c.fact(i, "title", person=surf, title=t)
+    elif kind == 15:  # person-name facts (personname.py:131-269)
+        if int(rng.integers(0, 2)) == 0:
+            nick = fx.NICKNAMES[int(rng.integers(0, len(fx.NICKNAMES)))]
+            i = c.turn("assistant", f'{surf} was also known as "{nick}".')
+            c.fact(i, "personname", person=surf, term=nick,
+                   category="nickname")
+        else:
+            birth_name = fx.PEOPLE[int(rng.integers(0, len(fx.PEOPLE)))]
+            i = c.turn("assistant", f"{surf}'s birth name was {birth_name}.")
+            c.fact(i, "personname", person=surf, other=birth_name,
+                   category="birthname")
+    elif kind == 16:  # author summary → profile literal (writing M16)
+        frags = ["a novelist of quiet power", "an essayist of the first rank",
+                 "a diarist of rare candour", "a poet of the northern coast"]
+        words = " and ".join(frags[int(rng.integers(0, 4))]
+                             for _ in range(int(rng.integers(1, 12))))
+        i = c.turn("assistant", f"To summarise the oeuvre: {surf} was {words}.")
+        c.fact(i, "profile", person=surf, term=f"{surf} was {words}.")
     else:  # org membership / biographer cue
         if int(rng.integers(0, 2)) == 0:
             org = fx.ORG_NAMES[int(rng.integers(0, len(fx.ORG_NAMES)))]
@@ -271,12 +293,29 @@ def _resolve_moved(c: _Conv) -> None:
     c.facts = kept
 
 
+_EVENT_DESCS = ["a great flood", "the county fair", "a solar eclipse",
+                "the turnpike riots", "a travelling menagerie",
+                "the cholera quarantine", "a grand regatta"]
+
+
+def _freestanding_conv(rng: np.random.Generator, c: _Conv) -> None:
+    """Person-less event conversation (freestanding_events.py:50-103)."""
+    c.turn("user", "What notable events do the archives record?")
+    for _ in range(int(rng.integers(2, 7))):
+        date = _date_string(rng)
+        desc = _EVENT_DESCS[int(rng.integers(0, len(_EVENT_DESCS)))]
+        place = _place(rng)
+        i = c.turn("assistant", f"On {date}, {desc} took place in {place}.")
+        c.fact(i, "event", term=desc, date=date, place=place)
+
+
 def generate(n_convs: int, seed: int = 42, mega_every: int = 500,
-             ) -> tuple[pa.Table, pa.Table]:
+             events_every: int = 25) -> tuple[pa.Table, pa.Table]:
     """Generate ``(turns, planted_facts)`` Arrow tables.
 
     Every ``mega_every``-th conversation is a mega-conversation (~10×
-    median turns) to exercise skew handling.
+    median turns) to exercise skew handling; every ``events_every``-th
+    is a person-less freestanding-events conversation (M17).
     """
     rows_conv, rows_idx, rows_role, rows_text, rows_tool, rows_ts = [], [], [], [], [], []
     fact_rows: list[dict] = []
@@ -286,6 +325,18 @@ def generate(n_convs: int, seed: int = 42, mega_every: int = 500,
         subject = fx.PEOPLE[i % len(fx.PEOPLE)]
         c = _Conv(conv_id, subject)
         c.turn("system", "You are a biographical research assistant.")
+        if events_every and i % events_every == events_every - 2:
+            _freestanding_conv(rng, c)
+            base = _BASE_TS + _dt.timedelta(seconds=i * 3600)
+            for idx, (role, text, tool) in enumerate(c.turns):
+                rows_conv.append(conv_id)
+                rows_idx.append(idx)
+                rows_role.append(role)
+                rows_text.append(text)
+                rows_tool.append(tool)
+                rows_ts.append(base + _dt.timedelta(seconds=idx * 37))
+            fact_rows.extend(c.facts)
+            continue
         c.turn("user", f"Tell me about {subject}.")
         n_facts = int(rng.integers(4, 20))
         if mega_every and i % mega_every == mega_every - 1:

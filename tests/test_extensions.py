@@ -1,0 +1,181 @@
+"""Tests for the coverage-extension operators: person-name entities
+(M14), author-summary profile (M16), freestanding events (M17), the
+seed-triple union (S4), N-Triples / N-Quads serialization (S6/S9) and
+the vocab-label / unmatched-place reports (J9/A8)."""
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from rdf_extraction_ray import synth
+from rdf_extraction_ray.namespaces import NS
+from rdf_extraction_ray.pipelines.kg import (extract_facts, link_facts,
+                                             triples_from_turns,
+                                             triples_with_seed)
+from rdf_extraction_ray.pipelines.reports import (unmatched_places,
+                                                  vocab_terms_used)
+from rdf_extraction_ray.stages.serialize import (format_nquads,
+                                                 format_ntriples,
+                                                 write_ntriples)
+from rdf_extraction_ray.state.fixtures import seed_triples_table
+
+DATA = NS["data"]
+KG = NS["kg"]
+SEM = NS["sem"]
+RDF_TYPE = NS["rdf"] + "type"
+LABEL = NS["rdfs"] + "label"
+
+
+def _turns_table(rows):
+    return pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows], pa.string()),
+        "text": pa.array([r[3] for r in rows], pa.string()),
+        "tool": pa.array([""] * len(rows), pa.string()),
+        "ts": pa.array(list(range(len(rows))), pa.timestamp("us")),
+    })
+
+
+class TestPersonName:
+    def test_nickname_and_birthname(self):
+        turns = _turns_table([
+            ("p1", 0, "user", "Tell me about Margaret Blake."),
+            ("p1", 1, "assistant",
+             'Margaret Blake was also known as "Mrs. Quill".'),
+            ("p1", 2, "assistant",
+             "Margaret Blake's birth name was Harriet Whitfield."),
+        ])
+        out = triples_from_turns(rd.from_arrow(turns)).to_pandas()
+        P = DATA + "Margaret_Blake"
+        nick = out[out["pred"] == KG + "hasNickname"]
+        assert list(nick["subj"]) == [P]
+        n_node = nick.iloc[0]["obj"]
+        assert (out[(out["subj"] == n_node) & (out["pred"] == LABEL)]
+                ["obj"].iloc[0]) == "Mrs. Quill"
+        bn = out[out["pred"] == KG + "hasBirthName"]
+        b_node = bn.iloc[0]["obj"]
+        given = out[(out["subj"] == b_node) & (out["pred"] == KG + "givenName")]
+        sur = out[(out["subj"] == b_node) & (out["pred"] == KG + "surname")]
+        assert given["obj"].iloc[0] == "Harriet"
+        assert sur["obj"].iloc[0] == "Whitfield"
+
+
+class TestProfile:
+    def test_profile_limited_to_35_words(self):
+        body = " and ".join(["a novelist of quiet power"] * 12)
+        turns = _turns_table([
+            ("p2", 0, "user", "Tell me about Margaret Blake."),
+            ("p2", 1, "assistant",
+             f"To summarise the oeuvre: Margaret Blake was {body}."),
+        ])
+        out = triples_from_turns(rd.from_arrow(turns)).to_pandas()
+        prof = out[out["pred"] == KG + "hasProfileDescription"]
+        assert len(prof) == 1
+        assert len(prof.iloc[0]["obj"].split()) <= 35
+        assert prof.iloc[0]["obj_lang"] == "en"
+
+
+class TestFreestandingEvents:
+    def test_personless_event(self):
+        turns = _turns_table([
+            ("e9", 0, "user", "What notable events do the archives record?"),
+            ("e9", 1, "assistant",
+             "On 1848-06-01, a great flood took place in Bath, Somerset."),
+        ])
+        out = triples_from_turns(rd.from_arrow(turns)).to_pandas()
+        ev = out[(out["pred"] == RDF_TYPE) & (out["obj"] == SEM + "Event")]
+        assert len(ev) == 1
+        E = ev.iloc[0]["subj"]
+        assert E == DATA + "e9_event_0"
+        assert (out[(out["subj"] == E) & (out["pred"] == LABEL)]
+                ["obj"].iloc[0]) == "a great flood"
+        place = out[(out["subj"] == E) & (out["pred"] == SEM + "hasPlace")]
+        assert place["obj_kind"].iloc[0] == "uri"  # Bath is in the gazetteer
+        ts = out[(out["subj"] == E) & (out["pred"] == SEM + "hasTimeStamp")]
+        assert ts["obj"].iloc[0] == "1848-06-01T00:00:00"
+        # no hasSubject / person triples for a freestanding event
+        assert not (out["pred"] == KG + "hasSubject").any()
+
+    def test_synth_plants_events(self):
+        turns, planted = synth.generate(50, seed=13, mega_every=0,
+                                        events_every=25)
+        pf = planted.to_pandas()
+        assert (pf["fact_type"] == "event").any()
+        ext = extract_facts(rd.from_arrow(turns)).to_pandas()
+        key = ["conv_id", "turn_idx", "seq", "fact_type"]
+        p = set(map(tuple, pf[key].itertuples(index=False)))
+        e = set(map(tuple, ext[key].itertuples(index=False)))
+        assert p == e
+
+
+class TestSeedUnion:
+    def test_seed_triples_merged_and_deduped(self):
+        turns, _ = synth.generate(10, seed=21, mega_every=0)
+        seed = seed_triples_table().to_pandas()
+        out = triples_with_seed(rd.from_arrow(turns)).to_pandas()
+        TKEY = ["subj", "pred", "obj"]
+        got = set(map(tuple, out[TKEY].itertuples(index=False)))
+        want = set(map(tuple, seed[TKEY].itertuples(index=False)))
+        assert want <= got
+        assert not out.duplicated(
+            TKEY + ["obj_kind", "obj_lang", "obj_datatype"]).any()
+
+
+class TestSerialize:
+    def _triples_df(self):
+        return pd.DataFrame({
+            "subj": [DATA + "x", DATA + "y", DATA + "z"],
+            "pred": [LABEL, KG + "hasIncome", KG + "snippet"],
+            "obj": ["Bath \"spa\"", "42", 'line\nbreak'],
+            "obj_kind": ["literal", "literal", "literal"],
+            "obj_lang": ["en", "", ""],
+            "obj_datatype": ["", "xsd:int", ""],
+            "conv_id": ["c1", "c1", None],
+            "turn_idx": [1, 2, None],
+        })
+
+    def test_ntriples_formatting(self):
+        lines = format_ntriples(self._triples_df())["line"]
+        assert lines.iloc[0] == (
+            f'<{DATA}x> <{LABEL}> "Bath \\"spa\\""@en .')
+        assert lines.iloc[1] == (
+            f'<{DATA}y> <{KG}hasIncome> '
+            f'"42"^^<{NS["xsd"]}int> .')
+        assert "\\n" in lines.iloc[2] and "\n" not in lines.iloc[2]
+
+    def test_nquads_graph_column(self):
+        lines = format_nquads(self._triples_df())["line"]
+        assert lines.iloc[0].endswith(f'<{DATA}c1> .')
+        # missing provenance → corpus graph
+        assert lines.iloc[2].endswith(f'<{DATA}corpus> .')
+
+    def test_write_ntriples_roundtrip(self, tmp_path):
+        turns, _ = synth.generate(8, seed=2, mega_every=0)
+        triples = triples_from_turns(rd.from_arrow(turns))
+        n = triples.count()
+        out = str(tmp_path / "nt")
+        write_ntriples(triples, out)
+        lines = []
+        for f in sorted(os.listdir(out)):
+            with open(os.path.join(out, f)) as fh:
+                lines += [l for l in fh.read().splitlines() if l]
+        assert len(lines) == n
+        assert all(l.endswith(" .") and l.startswith("<") for l in lines)
+
+
+class TestReports:
+    def test_unmatched_places_and_vocab_terms(self):
+        turns, _ = synth.generate(120, seed=17, mega_every=0)
+        linked = link_facts(extract_facts(rd.from_arrow(turns)))
+        linked = linked.materialize()
+        up = unmatched_places(linked)
+        # every 7th settlement is deliberately missing from the gazetteer
+        assert len(up) > 0
+        assert (up["n"] > 0).all()
+        vt = vocab_terms_used(linked)
+        assert len(vt) > 0
+        assert vt["label"].notna().all()
+        assert vt["term_uri"].is_unique
