@@ -48,6 +48,22 @@ def _turns_path(sf_dir: str) -> str:
     return path
 
 
+def _works_paths(sf_dir: str) -> tuple[str, str]:
+    """Deterministic synthetic bibliography tables sized to the sf tier."""
+    from rdf_extraction_ray import synth
+    sf = _sf_of(sf_dir)
+    n_works = max(80, int(sf * 40_000))
+    path = (f"/tmp/rdf_extraction_ray/works_v{synth.GENERATOR_VERSION}"
+            f"_sf{sf}_n{n_works}")
+    wp = os.path.join(path, "works.parquet")
+    gp = os.path.join(path, "writing.parquet")
+    if not os.path.exists(os.path.join(path, "_DONE")):
+        synth.write_works(path, n_works, seed=42)
+        with open(os.path.join(path, "_DONE"), "w") as f:
+            f.write("ok")
+    return wp, gp
+
+
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
@@ -131,6 +147,20 @@ def _q_kg_ntriples(sf_dir: str):
     from rdf_extraction_ray.stages.serialize import format_ntriples
     triples = triples_from_turns(read_turns(_turns_path(sf_dir)))
     return triples.map_batches(format_ntriples, batch_format="pandas")
+
+
+def _q_works_triples(sf_dir: str):
+    from rdf_extraction_ray.pipelines.works import works_pipeline
+    wp, gp = _works_paths(sf_dir)
+    return works_pipeline(wp, gp)
+
+
+def _q_works_genres(sf_dir: str):
+    import ray.data as rd
+
+    from rdf_extraction_ray.pipelines.works import genres_used
+    _wp, gp = _works_paths(sf_dir)
+    return genres_used(rd.read_parquet(gp))
 
 
 def _q_kg_triples_stats(sf_dir: str):
@@ -255,6 +285,84 @@ def _q_user_sessions(sf_dir: str):
     return out
 
 
+def _q_top_orders_per_segment(sf_dir: str):
+    """Windowed top-k per group (row_number analogue): per-batch
+    partial top-3 per segment, tiny driver-side final merge — no
+    global sort, no per-key shuffle."""
+    from rdf_extraction_ray.stages.joins import hash_join
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey",
+                                      "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda df: df.rename(columns={"c_custkey": "o_custkey"}),
+        batch_format="pandas")
+    joined = hash_join(orders, cust, on="o_custkey")
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["c_mktsegment", "o_totalprice", "o_orderkey"],
+                               ascending=[True, False, True], kind="stable")
+                .groupby("c_mktsegment").head(3)
+                [["c_mktsegment", "o_orderkey", "o_totalprice"]])
+
+    partials = joined.map_batches(_partial, batch_format="pandas").to_pandas()
+    out = (partials.sort_values(
+        ["c_mktsegment", "o_totalprice", "o_orderkey"],
+        ascending=[True, False, True], kind="stable")
+        .groupby("c_mktsegment").head(3).reset_index(drop=True))
+    out["rn"] = (out.groupby("c_mktsegment").cumcount() + 1).astype("int64")
+    # hash_join schema-padding leaves object dtypes; restore types
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    out["o_totalprice"] = out["o_totalprice"].astype("float64").round(_ROUND)
+    return out
+
+
+def _q_customers_no_big_orders(sf_dir: str):
+    """Anti-join: customers with no order above 450k, counted per
+    nation. The key set is collected via streaming per-batch distinct,
+    then broadcast once (ray.put) into the filter stage."""
+    from ray.data.aggregate import Count
+
+    from rdf_extraction_ray.stages.joins import semi_join_filter
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    keys = set()
+    for b in orders.iter_batches(batch_format="pandas", batch_size=65536):
+        keys.update(b.loc[b["o_totalprice"] > 450_000, "o_custkey"].unique())
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    no_orders = semi_join_filter(cust, keys, "c_custkey", anti=True)
+    return no_orders.groupby("c_nationkey").aggregate(
+        Count(alias_name="n_customers"))
+
+
+def _q_suppliers_in_lineitem(sf_dir: str):
+    """Semi-join: suppliers that appear in lineitem, per nation."""
+    from ray.data.aggregate import Count
+
+    from rdf_extraction_ray.stages.joins import semi_join_filter
+    li = _read(sf_dir, "lineitem", ["l_suppkey"])
+    keys = set()
+    for b in li.iter_batches(batch_format="pandas", batch_size=65536):
+        keys.update(b["l_suppkey"].unique())
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    active = semi_join_filter(supp, keys, "s_suppkey")
+    return active.groupby("s_nationkey").aggregate(
+        Count(alias_name="n_suppliers"))
+
+
+def _q_distinct_return_status(sf_dir: str):
+    """Distinct over a big table: per-batch unique → tiny final
+    dedup (never a full-table shuffle for a low-cardinality column)."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["l_returnflag", "l_linestatus"])
+
+    out = (ds.map_batches(_partial, batch_format="pandas").to_pandas()
+           .drop_duplicates(["l_returnflag", "l_linestatus"])
+           .sort_values(["l_returnflag", "l_linestatus"],
+                        ignore_index=True))
+    return out
+
+
 def _q_docs_exact_dedup(sf_dir: str):
     from rdf_extraction_ray.stages.dedup_docs import exact_dedup
     return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
@@ -328,6 +436,39 @@ def _q_ann_lsh(sf_dir: str):
     return lsh_topk(corpus, qdf, k=10)
 
 
+def _q_ann_ivf(sf_dir: str):
+    from rdf_extraction_ray.stages.ann import ivf_topk
+    corpus = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = _small_df(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = qdf[qdf["vec_id"] < 8]
+    return ivf_topk(corpus, qdf, k=10)
+
+
+def _q_docs_embed_neardup(sf_dir: str):
+    """The sf embeddings are near-orthogonal (max pairwise cosine
+    ~0.5), so near-dups are planted deterministically: every 10th
+    vector gets a perturbed copy (id + 10^7) unioned into the corpus;
+    the operator must recover exactly those pairs."""
+    import numpy as np
+
+    from rdf_extraction_ray.stages.dedup_docs import embedding_neardup_pairs
+    corpus = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _dups(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df["vec_id"] % 10 == 0].copy()
+        sub["embedding"] = sub["embedding"].map(
+            lambda v: (np.asarray(v, dtype="float32") + 1e-4).tolist())
+        sub["vec_id"] = sub["vec_id"] + 10_000_000
+        return sub
+
+    planted = corpus.map_batches(_dups, batch_format="pandas")
+    out = embedding_neardup_pairs(corpus.union(planted), threshold=0.999)
+    out["cosine"] = out["cosine"].round(_ROUND)
+    out["a"] = out["a"].astype("int64")
+    out["b"] = out["b"].astype("int64")
+    return out.sort_values(["a", "b"], ignore_index=True)
+
+
 def _q_part_brand_stats(sf_dir: str):
     from ray.data.aggregate import Count, Sum
     out = (_read(sf_dir, "part", ["p_brand", "p_retailprice"])
@@ -379,6 +520,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_unmatched_places": _q_kg_unmatched_places,
         "kg_vocab_terms": _q_kg_vocab_terms,
         "kg_ntriples": _q_kg_ntriples,
+        "works_triples": _q_works_triples,
+        "works_genres": _q_works_genres,
         # --- relational operator coverage (SQL-oracled)
         "tpch_q1_pricing": _q_tpch_q1,
         "topk_orders": _q_topk_orders,
@@ -387,6 +530,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "user_sessions": _q_user_sessions,
         "part_brand_stats": _q_part_brand_stats,
+        "top_orders_per_segment": _q_top_orders_per_segment,
+        "customers_no_big_orders": _q_customers_no_big_orders,
+        "suppliers_in_lineitem": _q_suppliers_in_lineitem,
+        "distinct_return_status": _q_distinct_return_status,
         # --- training-data pipeline suite over documents/embeddings
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_token_count": _q_docs_token_count,
@@ -398,6 +545,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash": _q_docs_simhash,
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
+        "docs_embed_neardup": _q_docs_embed_neardup,
         # --- multimodal plumbing (stubbed decode, real Ray plumbing)
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
@@ -504,5 +653,32 @@ def oracle_sql() -> dict[str, str]:
                   FROM s)
             SELECT query_id, neighbor_id, rank FROM r
             WHERE rank < 10
+        """,
+        "top_orders_per_segment": """
+            WITH ranked AS (
+                SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY c.c_mktsegment
+                           ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+            SELECT c_mktsegment, o_orderkey, o_totalprice, rn
+            FROM ranked WHERE rn <= 3
+        """,
+        "customers_no_big_orders": """
+            SELECT c_nationkey, count(*) AS n_customers
+            FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_totalprice > 450000)
+            GROUP BY c_nationkey
+        """,
+        "suppliers_in_lineitem": """
+            SELECT s_nationkey, count(*) AS n_suppliers
+            FROM supplier
+            WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem)
+            GROUP BY s_nationkey
+        """,
+        "distinct_return_status": """
+            SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+            ORDER BY l_returnflag, l_linestatus
         """,
     }

@@ -67,6 +67,75 @@ def brute_force_topk(corpus: rd.Dataset, queries_df: pd.DataFrame, k: int = 10,
     return out[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
 
 
+def train_centroids(corpus: rd.Dataset, n_centroids: int = 16,
+                    n_iters: int = 8, sample_size: int = 4096,
+                    seed: int = 7, vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic mini-kmeans for the IVF coarse quantizer: train on
+    a bounded sample (first ``sample_size`` rows — cheap, deterministic),
+    Lloyd iterations in numpy on the driver. The sample is small by
+    design; the full corpus never leaves the cluster."""
+    sample = _normalize(_matrix(
+        corpus.limit(sample_size).to_pandas()[vec_col]))
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(sample), size=min(n_centroids, len(sample)),
+                     replace=False)
+    cent = sample[idx].copy()
+    for _ in range(n_iters):
+        assign = (sample @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def ivf_topk(corpus: rd.Dataset, queries_df: pd.DataFrame, k: int = 10,
+             n_centroids: int = 16, nprobe: int = 4, seed: int = 7,
+             id_col: str = "vec_id", vec_col: str = "embedding"
+             ) -> pd.DataFrame:
+    """IVF top-k: a coarse quantizer (mini-kmeans) buckets the corpus
+    into cells; each query only scores vectors in its ``nprobe``
+    nearest cells. The scale path vs brute force: per-batch cost drops
+    by ~``nprobe/n_centroids``; recall < 1 near cell boundaries.
+
+    Partitioning assumption: cells are roughly balanced — skewed
+    embedding distributions need more centroids (same caveat as the
+    reference's fuzzy-match hot spots, SURVEY §7.5.4)."""
+    cent = train_centroids(corpus, n_centroids=n_centroids, seed=seed,
+                           vec_col=vec_col)
+    q = _normalize(_matrix(queries_df[vec_col]))
+    q_ids = queries_df[id_col].to_numpy()
+    # each query probes its nprobe nearest cells
+    probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]      # (nq, nprobe)
+    ref = ray.put((q, q_ids, probe, cent))
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        qm, qi, pr, ce = ray.get(ref)
+        c = _normalize(_matrix(batch[vec_col]))
+        ids = batch[id_col].to_numpy()
+        cell = (c @ ce.T).argmax(axis=1)                       # (nc,)
+        mask = (pr[:, :, None] == cell[None, None, :]).any(axis=1)  # (nq, nc)
+        sims = qm @ c.T
+        sims[~mask] = -2.0
+        kk = min(k, sims.shape[1])
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        return pd.DataFrame({
+            "query_id": np.repeat(qi, kk),
+            "neighbor_id": ids[idx].ravel(),
+            "cosine": np.take_along_axis(sims, idx, axis=1).ravel(),
+        })
+
+    partials = corpus.map_batches(_partial, batch_format="pandas").to_pandas()
+    partials = partials[partials["cosine"] > -1.5]
+    partials = partials.sort_values(["query_id", "cosine", "neighbor_id"],
+                                    ascending=[True, False, True],
+                                    kind="stable")
+    out = partials.groupby("query_id", sort=True).head(k).copy()
+    out["rank"] = out.groupby("query_id").cumcount().astype("int64")
+    return out[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
+
+
 def lsh_topk(corpus: rd.Dataset, queries_df: pd.DataFrame, k: int = 10,
              n_bits: int = 8, n_tables: int = 4, seed: int = 99,
              id_col: str = "vec_id", vec_col: str = "embedding",

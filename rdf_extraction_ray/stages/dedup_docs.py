@@ -204,6 +204,65 @@ class SimHasher:
         return out
 
 
+# ------------------------------------------- embedding-cosine near-dup
+
+def embedding_neardup_pairs(embeddings: rd.Dataset, threshold: float = 0.9,
+                            n_bits: int = 6, n_tables: int = 4,
+                            seed: int = 31, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            dim: int | None = None) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold).
+
+    Scale shape: random-hyperplane LSH buckets each vector into
+    ``n_tables`` (table, bucket) keys — only vectors sharing a bucket
+    are compared, so the all-pairs matmul never happens. Within-bucket
+    comparison is a dense numpy matmul per group; pairs found in
+    several tables dedup at the end (small output).
+    """
+    if dim is None:
+        first = embeddings.limit(1).to_pandas()
+        dim = len(first[vec_col].iloc[0])
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_tables, n_bits, dim)
+    pw = (1 << np.arange(n_bits)).astype(np.int64)
+
+    def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        m = np.asarray([np.asarray(v, dtype=np.float64)
+                        for v in batch[vec_col]])
+        norm = np.linalg.norm(m, axis=1, keepdims=True)
+        norm[norm == 0] = 1.0
+        m = m / norm
+        out = []
+        ids = batch[id_col].to_numpy()
+        for t in range(n_tables):
+            bk = ((m @ planes[t].T) > 0) @ pw
+            out.append(pd.DataFrame({
+                id_col: ids, "bucket": bk + (t << n_bits),
+                "vec": list(m)}))
+        return pd.concat(out, ignore_index=True)
+
+    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(id_col).sort_values(id_col)
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []})
+        m = np.stack(g["vec"].to_numpy())
+        ids = g[id_col].to_numpy()
+        sims = m @ m.T
+        iu, ju = np.triu_indices(len(g), k=1)
+        keep = sims[iu, ju] >= threshold
+        return pd.DataFrame({"a": ids[iu[keep]], "b": ids[ju[keep]],
+                             "cosine": sims[iu, ju][keep]})
+
+    pairs = (embeddings.map_batches(_bucketize, batch_format="pandas")
+             .groupby("bucket").map_groups(_pairs, batch_format="pandas")
+             .to_pandas())
+    if not len(pairs):
+        return pd.DataFrame({"a": [], "b": [], "cosine": []})
+    return (pairs.sort_values(["a", "b", "cosine"])
+            .drop_duplicates(["a", "b"])
+            .reset_index(drop=True))
+
+
 # ------------------------------------------------ connected components
 
 def connected_components(pairs_df: pd.DataFrame, max_rounds: int = 10

@@ -379,6 +379,86 @@ def generate(n_convs: int, seed: int = 42, mega_every: int = 500,
     return turns, facts
 
 
+_GENRES = ["poetry", "epistolary novel", "travel narrative", "sermon",
+           "natural history", "memoir", "gothic romance", "ballad"]
+_PUBLISHERS = ["Harrow and Sons", "The Minster Press", "Caxton Brothers",
+               "Albion House", "The Quayside Press"]
+_ROLES = ["author", "editor", "translator", "illustrator", "compiler"]
+_RELATED = ["host", "series", "preceding", "succeeding"]
+
+WORKS_SCHEMA = pa.schema([
+    ("record_id", pa.string()),
+    ("title", pa.string()),
+    ("subtitle", pa.string()),
+    ("creator", pa.string()),
+    ("creator_role", pa.string()),
+    ("publisher", pa.string()),
+    ("pub_place", pa.string()),
+    ("pub_date", pa.string()),
+    ("lang", pa.string()),
+    ("related_id", pa.string()),
+    ("related_type", pa.string()),
+])
+
+
+def generate_works(n_works: int, seed: int = 42
+                   ) -> tuple[pa.Table, pa.Table]:
+    """Deterministic MODS-record analogue tables: ``works`` (one row
+    per bibliography record, FLAT — related items are rows with a
+    ``related_id`` back-reference, replacing modsBib's recursive
+    sub-soups) and ``writing`` (the pass-1 genre side: one row per
+    (record_id, genre), reference WritingParse)."""
+    rng = np.random.default_rng(seed * 7_777_777)
+    w_rows: list[dict] = []
+    g_rows: list[dict] = []
+    for i in range(n_works):
+        rec = f"rec{i:06d}"
+        title = fx.TITLES[i % len(fx.TITLES)]
+        creator = fx.PEOPLE[int(rng.integers(0, len(fx.PEOPLE)))]
+        related = int(rng.integers(0, 4)) == 0 and i > 0
+        w_rows.append({
+            "record_id": rec,
+            "title": title,
+            "subtitle": ("An Account in Several Parts"
+                         if int(rng.integers(0, 3)) == 0 else ""),
+            "creator": creator,
+            "creator_role": _ROLES[int(rng.integers(0, len(_ROLES)))],
+            "publisher": _PUBLISHERS[int(rng.integers(0, len(_PUBLISHERS)))],
+            "pub_place": "{}, {}".format(
+                *fx.PLACE_NAMES[int(rng.integers(0, len(fx.PLACE_NAMES)))]),
+            "pub_date": _date_string(rng),
+            "lang": ["en", "fr", "la"][int(rng.integers(0, 3))],
+            "related_id": f"rec{int(rng.integers(0, i)):06d}" if related else "",
+            "related_type": (_RELATED[int(rng.integers(0, len(_RELATED)))]
+                             if related else ""),
+        })
+        for _ in range(int(rng.integers(0, 3))):
+            g_rows.append({
+                "record_id": rec,
+                "genre": _GENRES[int(rng.integers(0, len(_GENRES)))],
+            })
+    works = pa.table({f.name: pa.array([r[f.name] for r in w_rows], f.type)
+                      for f in WORKS_SCHEMA})
+    writing = pa.table({
+        "record_id": pa.array([r["record_id"] for r in g_rows], pa.string()),
+        "genre": pa.array([r["genre"] for r in g_rows], pa.string()),
+    })
+    return works, writing
+
+
+def write_works(path: str, n_works: int, seed: int = 42) -> tuple[str, str]:
+    """Write works + writing tables; returns their paths."""
+    import os
+    import pyarrow.parquet as pq
+    works, writing = generate_works(n_works, seed)
+    os.makedirs(path, exist_ok=True)
+    wp = os.path.join(path, "works.parquet")
+    gp = os.path.join(path, "writing.parquet")
+    pq.write_table(works, wp)
+    pq.write_table(writing, gp)
+    return wp, gp
+
+
 def write_turns(path: str, n_convs: int, seed: int = 42,
                 rows_per_file: int = 200_000) -> str:
     """Write the turns table as (possibly multi-file) Parquet; returns path."""

@@ -1,0 +1,78 @@
+"""IVF ANN + embedding-cosine near-dup tests."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from rdf_extraction_ray.stages.ann import (brute_force_topk, ivf_topk,
+                                           train_centroids)
+from rdf_extraction_ray.stages.dedup_docs import embedding_neardup_pairs
+
+
+def _vec_table(mat: np.ndarray) -> rd.Dataset:
+    return rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(len(mat)), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float32())),
+    }))
+
+
+def _random_corpus(n=400, dim=16, seed=3):
+    rng = np.random.RandomState(seed)
+    m = rng.randn(n, dim)
+    return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
+class TestIVF:
+    def test_centroids_deterministic_and_normalized(self):
+        ds = _vec_table(_random_corpus())
+        c1 = train_centroids(ds, n_centroids=8)
+        c2 = train_centroids(ds, n_centroids=8)
+        assert np.allclose(c1, c2)
+        assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+    def test_recall_vs_bruteforce(self):
+        m = _random_corpus(600, 16)
+        ds = _vec_table(m)
+        qdf = pd.DataFrame({"vec_id": range(5),
+                            "embedding": [list(map(float, m[i]))
+                                          for i in range(5)]})
+        exact = brute_force_topk(ds, qdf, k=10)
+        approx = ivf_topk(ds, qdf, k=10, n_centroids=8, nprobe=4)
+        recalls = []
+        for q in range(5):
+            e = set(exact[exact["query_id"] == q]["neighbor_id"])
+            a = set(approx[approx["query_id"] == q]["neighbor_id"])
+            recalls.append(len(e & a) / len(e))
+        assert np.mean(recalls) >= 0.6  # nprobe=4/8 cells probed
+
+    def test_full_probe_equals_bruteforce(self):
+        m = _random_corpus(200, 8, seed=9)
+        ds = _vec_table(m)
+        qdf = pd.DataFrame({"vec_id": [0, 1],
+                            "embedding": [list(map(float, m[i]))
+                                          for i in range(2)]})
+        exact = brute_force_topk(ds, qdf, k=5)
+        full = ivf_topk(ds, qdf, k=5, n_centroids=4, nprobe=4)
+        assert exact.equals(full)
+
+
+class TestEmbeddingNearDup:
+    def test_planted_duplicates_found(self):
+        m = _random_corpus(300, 16, seed=5)
+        # plant near-dups: 301≈0, 302≈7 (tiny perturbation)
+        dup0 = m[0] + 1e-4
+        dup7 = m[7] + 1e-4
+        mat = np.vstack([m, dup0[None, :], dup7[None, :]])
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        pairs = embedding_neardup_pairs(_vec_table(mat), threshold=0.999)
+        got = set(map(tuple, pairs[["a", "b"]].itertuples(index=False)))
+        assert (0, 300) in got
+        assert (7, 301) in got
+        assert (pairs["cosine"] >= 0.999).all()
+
+    def test_no_false_pairs_on_random(self):
+        m = _random_corpus(100, 32, seed=11)
+        pairs = embedding_neardup_pairs(_vec_table(m), threshold=0.99)
+        assert len(pairs) == 0
