@@ -45,7 +45,8 @@ def extract_facts(turns: rd.Dataset) -> rd.Dataset:
     The shuffle key is the conversation-hash BUCKET (not conv_id):
     B groups, per-conversation logic vectorized inside each group.
     """
-    cands = turns.map_batches(detect_facts, batch_format="pyarrow")
+    cands = turns.map_batches(detect_facts, batch_format="pyarrow",
+                              batch_size=32768)
     return cands.groupby("bucket").map_groups(
         finalize_bucket, batch_format="pandas")
 
@@ -75,7 +76,8 @@ def triples_from_turns(turns: rd.Dataset,
     """Full transform chain turns → deduped triples (lazy)."""
     facts = extract_facts(turns)
     linked = link_facts(facts, concurrency=linker_concurrency)
-    triples = linked.map_batches(build_triples, batch_format="pandas")
+    triples = linked.map_batches(build_triples, batch_format="pandas",
+                                 batch_size=32768)
     return dedup_triples(triples)
 
 
@@ -90,7 +92,8 @@ def triples_with_seed(turns: rd.Dataset,
 
     facts = extract_facts(turns)
     linked = link_facts(facts, concurrency=linker_concurrency)
-    triples = linked.map_batches(build_triples, batch_format="pandas")
+    triples = linked.map_batches(build_triples, batch_format="pandas",
+                                 batch_size=32768)
     seed = rd.from_arrow(seed_triples_table())
     return dedup_triples(triples.union(seed))
 

@@ -126,18 +126,17 @@ def minhash_lsh_candidates(docs: rd.Dataset, num_perm: int = 64,
         **kwargs)
 
     def _pairs(group: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
+        parts = []
         for _, g in group.groupby(["band_id", "band_hash"], sort=False):
             if len(g) < 2:
                 continue
             ids = np.sort(g["doc_id"].to_numpy())
             ids = ids[:50]  # cap pathological buckets (logged via n_dups)
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-        df = pd.DataFrame({"a": out_a, "b": out_b})
-        return df.drop_duplicates()
+            iu, ju = np.triu_indices(len(ids), k=1)
+            parts.append(pd.DataFrame({"a": ids[iu], "b": ids[ju]}))
+        if not parts:
+            return pd.DataFrame({"a": [], "b": []})
+        return pd.concat(parts, ignore_index=True).drop_duplicates()
 
     # group by band_hash prefix bucket to bound group count
     def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
@@ -151,28 +150,48 @@ def minhash_lsh_candidates(docs: rd.Dataset, num_perm: int = 64,
 
 
 def verify_jaccard(pairs: rd.Dataset, docs_df: pd.DataFrame,
-                   ngram: int = 5, threshold: float = 0.8) -> rd.Dataset:
-    """Exact character-n-gram Jaccard check of candidate pairs against
-    a broadcast id→text table (small side via ray.put)."""
-    import ray
-    ref = ray.put(dict(zip(docs_df["doc_id"], docs_df["text"])))
+                   ngram: int = 5, threshold: float = 0.8,
+                   batch_size: int = 8192) -> rd.Dataset:
+    """Exact character-n-gram Jaccard check of candidate pairs.
 
-    def _grams(t: str) -> set:
+    The gram set of every doc is computed ONCE on the driver (sorted
+    uint64 hash arrays — compact and intersectable via
+    ``np.intersect1d``) and broadcast via ``ray.put``; each verify
+    task then does a vectorized sorted-array intersection per pair
+    instead of re-shingling texts per pair (the naive form re-computed
+    grams 2×|pairs| times — ~100× waste at 230k candidates)."""
+    import ray
+
+    def _gram_hashes(t: str) -> np.ndarray:
         t = " ".join(str(t).lower().split())
-        return {t[i:i + ngram] for i in range(max(1, len(t) - ngram + 1))}
+        if len(t) < ngram:
+            t = t.ljust(ngram, "_")
+        data = np.frombuffer(t.encode("utf-8", "ignore"), dtype=np.uint8)
+        n = len(data) - ngram + 1
+        acc = np.zeros(n, dtype=np.uint64)
+        for j in range(ngram):
+            acc = acc * np.uint64(1000003) + data[j:j + n].astype(np.uint64)
+        return np.unique(acc)
+
+    grams = {d: _gram_hashes(t)
+             for d, t in zip(docs_df["doc_id"], docs_df["text"])}
+    ref = ray.put(grams)
 
     def _verify(batch: pd.DataFrame) -> pd.DataFrame:
-        texts = ray.get(ref)
+        g = ray.get(ref)
         jac = np.empty(len(batch))
         for i, (a, b) in enumerate(zip(batch["a"], batch["b"])):
-            ga, gb = _grams(texts[a]), _grams(texts[b])
-            inter = len(ga & gb)
+            ga, gb = g[a], g[b]
+            inter = len(np.intersect1d(ga, gb, assume_unique=True))
             jac[i] = inter / max(1, len(ga) + len(gb) - inter)
         out = batch.copy()
         out["jaccard"] = jac
         return out[out["jaccard"] >= threshold]
 
-    return pairs.map_batches(_verify, batch_format="pandas")
+    # candidate pairs arrive as a handful of groupby-output blocks;
+    # re-split so verification fans out across the CPU pool
+    return pairs.repartition(32).map_batches(
+        _verify, batch_format="pandas", batch_size=batch_size)
 
 
 # ----------------------------------------------------------- simhash

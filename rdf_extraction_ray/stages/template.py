@@ -84,8 +84,8 @@ class _Emitter:
                              for c in TRIPLE_COLUMNS})
         out = pd.concat(self.parts, ignore_index=True)
         return pa.table({
-            c: pa.array(out[c].tolist(),
-                        pa.int32() if c == "turn_idx" else pa.string())
+            c: pa.array(out[c], from_pandas=True,
+                        type=pa.int32() if c == "turn_idx" else pa.string())
             for c in TRIPLE_COLUMNS
         })
 
