@@ -34,9 +34,17 @@ def run_bench() -> dict:
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    # push-based sort shuffle: measured 2.8x on the dedup exchange
+    # (3.75s → 1.34s at sf0.1/32cpu) — used for the KG headline; the
+    # relational queries run pull-based (push regressed the hash-join
+    # groupby 2-3x when run after a big pipeline in the same session).
+    # Strategy is set by session owners only (bench, CLI), never by
+    # library code.
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
 
     import __ray_entry__ as entrymod
     from rdf_extraction_ray.pipelines.kg import read_turns, triples_from_turns
@@ -59,7 +67,8 @@ def run_bench() -> dict:
     n_triples = sum(pq.read_metadata(f).num_rows
                     for f in glob.glob(os.path.join(out_dir, "*.parquet")))
 
-    # representative per-operator timings
+    # representative per-operator timings (pull-based shuffle)
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PULL_BASED
     qnames = ["tpch_q1_pricing", "segment_revenue", "events_hourly",
               "user_sessions", "docs_exact_dedup", "docs_token_count",
               "docs_quality", "docs_minhash_pairs", "ann_bruteforce",

@@ -1,0 +1,146 @@
+"""CLI entry point — the engine's ``ray job submit`` surface.
+
+Replaces the reference's per-script argparse CLI
+(``Utils/utilities.py:736-828``: selection modes, verbosity, output
+format) with one subcommand interface over the same capabilities:
+
+    python -m rdf_extraction_ray synth     --out DIR --n-convs N [--seed S]
+    python -m rdf_extraction_ray run       --input DIR --out DIR
+                                           [--shards N] [--fresh]
+    python -m rdf_extraction_ray serialize --input DIR --out DIR
+                                           [--format nt|nq]
+    python -m rdf_extraction_ray report    --input DIR
+                                           [--kind links|orgs|titles|places]
+    python -m rdf_extraction_ray works     --works F --writing F --out DIR
+
+On a cluster: ``ray job submit --working-dir . -- python -m
+rdf_extraction_ray run --input s3://...`` — the guarded ``ray.init``
+attaches to the job's cluster; locally it starts a local session.
+``run`` is resumable: finished shards (matching input fingerprint) are
+skipped unless ``--fresh`` is given.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+
+
+def _ensure_ray() -> None:
+    import ray
+    if not ray.is_initialized():
+        ray.init(ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+
+
+def cmd_synth(args) -> int:
+    from . import synth
+    path = synth.write_turns(args.out, args.n_convs, seed=args.seed)
+    print(json.dumps({"out": path, "n_convs": args.n_convs,
+                      "seed": args.seed}))
+    return 0
+
+
+def cmd_run(args) -> int:
+    _ensure_ray()
+    from .pipelines.manifest import run_sharded
+    if args.fresh:
+        shutil.rmtree(args.out, ignore_errors=True)
+    summary = run_sharded(args.input, args.out, n_shards=args.shards,
+                          linker_concurrency=args.linker_concurrency)
+    total = sum(m["triples_out"] for m in summary.values())
+    skipped = sum(1 for m in summary.values() if m.get("skipped"))
+    print(json.dumps({"out": args.out, "shards": args.shards,
+                      "skipped_shards": skipped, "triples_out": total}))
+    return 0
+
+
+def cmd_serialize(args) -> int:
+    _ensure_ray()
+    import ray.data as rd
+
+    from .stages.serialize import write_nquads, write_ntriples
+    triples = rd.read_parquet(args.input)
+    if args.format == "nq":
+        write_nquads(triples, args.out)
+    else:
+        write_ntriples(triples, args.out)
+    print(json.dumps({"out": args.out, "format": args.format}))
+    return 0
+
+
+def cmd_report(args) -> int:
+    _ensure_ray()
+    from .pipelines import reports
+    from .pipelines.kg import extract_facts, link_facts, read_turns
+    facts = extract_facts(read_turns(args.input))
+    if args.kind == "titles":
+        out = reports.title_census(facts)
+    else:
+        linked = link_facts(facts).materialize()
+        out = {"links": reports.link_status_histogram,
+               "orgs": reports.org_mention_counts,
+               "places": reports.unmatched_places,
+               "terms": reports.vocab_terms_used}[args.kind](linked)
+    print(out.to_string(index=False))
+    return 0
+
+
+def cmd_works(args) -> int:
+    _ensure_ray()
+    from .pipelines.works import works_pipeline
+    triples = works_pipeline(args.works, args.writing)
+    triples.write_parquet(args.out)
+    print(json.dumps({"out": args.out}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="rdf_extraction_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("synth", help="generate a synthetic transcript corpus")
+    s.add_argument("--out", required=True)
+    s.add_argument("--n-convs", type=int, default=1000)
+    s.add_argument("--seed", type=int, default=42)
+    s.set_defaults(fn=cmd_synth)
+
+    s = sub.add_parser("run", help="turns → deduped triples (resumable)")
+    s.add_argument("--input", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--shards", type=int, default=8)
+    s.add_argument("--linker-concurrency", type=int, default=None)
+    s.add_argument("--fresh", action="store_true",
+                   help="discard previous shards instead of resuming")
+    s.set_defaults(fn=cmd_run)
+
+    s = sub.add_parser("serialize", help="triples parquet → N-Triples/N-Quads")
+    s.add_argument("--input", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--format", choices=["nt", "nq"], default="nt")
+    s.set_defaults(fn=cmd_serialize)
+
+    s = sub.add_parser("report", help="corpus aggregate side-channels")
+    s.add_argument("--input", required=True)
+    s.add_argument("--kind", choices=["links", "orgs", "titles", "places",
+                                      "terms"], default="links")
+    s.set_defaults(fn=cmd_report)
+
+    s = sub.add_parser("works", help="bibliography migration pipeline")
+    s.add_argument("--works", required=True)
+    s.add_argument("--writing", required=True)
+    s.add_argument("--out", required=True)
+    s.set_defaults(fn=cmd_works)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -50,6 +50,6 @@ def dedup_bucket(group: pd.DataFrame) -> pd.DataFrame:
 def dedup_triples(ds):
     """Compose the two levels on a Dataset of triple rows."""
     ds = ds.map_batches(add_bucket_and_combine, batch_format="pandas",
-                        batch_size=65536)
+                        batch_size=None)  # combine per block
     return ds.groupby("bucket").map_groups(dedup_bucket,
                                            batch_format="pandas")

@@ -29,7 +29,7 @@ from .state import fixtures as fx
 
 # bump when generator output changes — cache paths embed it so stale
 # /tmp corpora are never reused across versions
-GENERATOR_VERSION = 2
+GENERATOR_VERSION = 3
 
 TURNS_SCHEMA = pa.schema([
     ("conv_id", pa.string()),
@@ -460,7 +460,7 @@ def write_works(path: str, n_works: int, seed: int = 42) -> tuple[str, str]:
 
 
 def write_turns(path: str, n_convs: int, seed: int = 42,
-                rows_per_file: int = 200_000) -> str:
+                rows_per_file: int = 65_536) -> str:
     """Write the turns table as (possibly multi-file) Parquet; returns path."""
     import os
     import pyarrow.parquet as pq
