@@ -86,6 +86,28 @@ _PATTERNS: list[tuple[str, re.Pattern, dict]] = [
     ("culturalform", re.compile(
         rf"^(?P<person>{_NAME})'s gender was (?P<term>\w+)\.$"),
         {"category": "gender"}),
+    ("culturalform", re.compile(
+        rf"^(?P<person>{_NAME}) belonged to the (?P<term>[a-z ]+)\.$"),
+        {"category": "class"}),
+    ("culturalform", re.compile(
+        rf"^(?P<person>{_NAME}) spoke (?P<term>[A-Za-z]+) with "
+        rf"(?P<marker>native|acquired) fluency\.$"),
+        {"category": "language"}),
+    ("othercontext", re.compile(
+        rf"^(?P<person>{_NAME}) suffered from (?P<term>[^.]+)\.$"),
+        {"category": "health"}),
+    ("othercontext", re.compile(
+        rf"^(?P<person>{_NAME}) was assaulted in (?P<place>[^.]+)\.$"),
+        {"category": "violence"}),
+    ("othercontext", re.compile(
+        rf"^(?P<person>{_NAME}) inherited a fortune of (?P<amount>\d+) "
+        rf"pounds\.$"), {"category": "wealth"}),
+    ("othercontext", re.compile(
+        rf"^(?P<person>{_NAME}) took pleasure in (?P<term>[^.]+)\.$"),
+        {"category": "leisure"}),
+    ("citation", re.compile(
+        r'^This is recorded in "(?P<title>[^"]+)", page (?P<amount>\d+)\.$'),
+        {}),
     ("family", re.compile(
         rf"^(?P<person>{_NAME})'s (?P<term>(?:{_REL})) was "
         rf"(?P<other>{_NAME})\.$"), {}),
@@ -162,6 +184,9 @@ def _detect_one(text: str) -> list[dict]:
                               "around": "ROUGHLYDATED"}[g.pop("marker")]
         elif fact_type == "childlessness":
             g["category"] = _classify_childlessness(g.pop("word"))
+        elif fact_type == "culturalform" and "marker" in g:
+            # language competence marker → predicate choice downstream
+            g["certainty"] = g.pop("marker").upper()
         elif fact_type == "moved":
             # one MOVED sentence → relocation(to) + spatialRelationship
             # candidate(leaving); the latter is occurrence-filtered later
@@ -263,9 +288,10 @@ def finalize_bucket(group: pd.DataFrame) -> pd.DataFrame:
                        & (occ > 1)].index
         g = g.drop(index=drop_idx)
 
-    # biographer cues carry no explicit subject surface — attribute to
-    # the conversation subject (reference knows it from the entry file)
-    bio = g["fact_type"] == "biographer"
+    # biographer/citation cues carry no explicit subject surface —
+    # attribute to the conversation subject (reference knows it from
+    # the entry file)
+    bio = g["fact_type"].isin(("biographer", "citation"))
     if bio.any():
         subjects = g.loc[bio, "conv_id"].map(subj_map)
         g.loc[bio, "person"] = subjects.where(subjects.notna(),

@@ -42,7 +42,13 @@ CONTEXT_CLASS = {
     "education": "EducationContext", "title": "WritingContext",
     "org": "OrganizationContext", "biographer": "BiographyContext",
     "personname": "PersonNameContext", "profile": "WritingContext",
-    "event": "EventContext",
+    "event": "EventContext", "citation": "CitationContext",
+}
+
+# other-contexts (other_contexts.py:14-109): category → context class
+OTHER_CONTEXT_CLASS = {
+    "health": "HealthContext", "violence": "ViolenceContext",
+    "wealth": "WealthContext", "leisure": "LeisureContext",
 }
 
 LOCATION_PRED = {"habitation": "habitation", "travel": "travel",
@@ -51,7 +57,10 @@ LOCATION_PRED = {"habitation": "habitation", "travel": "travel",
                  "migration": "migration", "emigration": "emigration"}
 
 CF_PRED = {"religion": "hasReligion", "nationality": "hasNationality",
-           "gender": "hasGender"}
+           "gender": "hasGender", "class": "hasSocialClass"}
+# language competence → predicate (culturalForm.py competence rule)
+LANG_PRED = {"NATIVE": "hasNativeLinguisticAbility",
+             "ACQUIRED": "hasLinguisticAbility"}
 
 _R = NS["rdf"] + "type"
 _LABEL = NS["rdfs"] + "label"
@@ -119,7 +128,12 @@ def build_triples(batch: pd.DataFrame) -> pa.Table:
     A = data_ns + conv + "_activity_" + b["seq"].astype(str)
     TURN = data_ns + conv + "_turn_" + tidx.astype(str)
     P = b["person_uri"]
-    ctx_class = b["fact_type"].map(CONTEXT_CLASS).map(
+    ctx_class = b["fact_type"].map(CONTEXT_CLASS)
+    oc = (b["fact_type"] == "othercontext")
+    if oc.any():  # per-category class (HealthContext etc.)
+        ctx_class = ctx_class.where(
+            ~oc, b["category"].map(OTHER_CONTEXT_CLASS))
+    ctx_class = ctx_class.map(
         lambda c: uri("kg", c) if isinstance(c, str) else None)
 
     # ---- context frame (every fact): type, subject, target, snippet
@@ -215,7 +229,14 @@ def build_triples(batch: pd.DataFrame) -> pa.Table:
     m = (ft == "culturalform").to_numpy()
     if m.any():
         sub = b[m]
-        pred = sub["category"].map(CF_PRED).map(lambda p: uri("kg", p))
+        is_lang = (sub["category"] == "language").to_numpy()
+        pred = pd.Series(np.where(
+            is_lang,
+            sub["certainty"].map(lambda c: uri(
+                "kg", LANG_PRED.get(c or "", "hasLinguisticAbility"))),
+            sub["category"].map(
+                lambda c: uri("kg", CF_PRED[c]) if c in CF_PRED else None)),
+            index=sub.index)
         linked = sub["term_uri"].notna()
         em.emit(P[m], pred, sub["term_uri"], conv=sub["conv_id"],
                 tidx=sub["turn_idx"], mask=linked)
@@ -339,6 +360,52 @@ def build_triples(batch: pd.DataFrame) -> pa.Table:
             lambda t: limit_words(t, _MAX_PROFILE_WORDS))
         em.emit(P[m], uri("kg", "hasProfileDescription"), prof,
                 kind="literal", lang="en",
+                conv=sub["conv_id"], tidx=sub["turn_idx"])
+
+    # ------------------------------------------------------- other contexts
+    # VIOLENCE/WEALTH/LEISURE/HEALTH → identifying context + generic
+    # E7 activity (reference other_contexts.py:14-109)
+    m = (ft == "othercontext").to_numpy()
+    if m.any():
+        sub = b[m]
+        em.emit(A[m], _R, NS["crm"] + "E7_Activity",
+                conv=sub["conv_id"], tidx=sub["turn_idx"])
+        em.emit(A[m], NS["crm"] + "P14_carried_out_by", P[m],
+                conv=sub["conv_id"], tidx=sub["turn_idx"])
+        cat = sub["category"]
+        em.emit(P[m], uri("kg", "hasHealthCondition"), sub["term"],
+                kind="literal", conv=sub["conv_id"], tidx=sub["turn_idx"],
+                mask=(cat == "health"))
+        em.emit(P[m], uri("kg", "hasLeisureActivity"), sub["term"],
+                kind="literal", conv=sub["conv_id"], tidx=sub["turn_idx"],
+                mask=(cat == "leisure"))
+        em.emit(P[m], uri("kg", "inheritedWealth"), sub["amount"],
+                kind="literal", dtype="xsd:int", conv=sub["conv_id"],
+                tidx=sub["turn_idx"], mask=(cat == "wealth"))
+        viol = (cat == "violence")
+        if viol.any():
+            linked = sub["place_uri"].notna()
+            em.emit(P[m], uri("kg", "experiencedViolenceAt"),
+                    sub["place_uri"], conv=sub["conv_id"],
+                    tidx=sub["turn_idx"], mask=(viol & linked))
+            em.emit(P[m], uri("kg", "experiencedViolenceAt"), sub["place"],
+                    kind="literal", conv=sub["conv_id"],
+                    tidx=sub["turn_idx"], mask=(viol & ~linked))
+
+    # ------------------------------------------------------------- citation
+    # BIBCIT → cito:Citation + refers-to wiring (Utils/citation.py:27-72)
+    m = (ft == "citation").to_numpy()
+    if m.any():
+        sub = b[m]
+        N = data_ns + sub["conv_id"] + "_citation_" + sub["seq"].astype(str)
+        W = sub["title"].map(lambda t: make_standard_uri(t + " TITLE"))
+        em.emit(N, _R, NS["cito"] + "Citation",
+                conv=sub["conv_id"], tidx=sub["turn_idx"])
+        em.emit(N, NS["cito"] + "hasCitedEntity", W,
+                conv=sub["conv_id"], tidx=sub["turn_idx"])
+        em.emit(N, uri("kg", "pageNumber"), sub["amount"], kind="literal",
+                dtype="xsd:int", conv=sub["conv_id"], tidx=sub["turn_idx"])
+        em.emit(C[m], uri("kg", "hasCitation"), N,
                 conv=sub["conv_id"], tidx=sub["turn_idx"])
 
     # --------------------------------------------------- freestanding event

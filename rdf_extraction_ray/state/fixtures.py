@@ -126,9 +126,13 @@ _CF_TERMS = {
     "nationality": ["English", "Scottish", "Welsh", "Irish", "Cornish",
                     "Manx", "French"],
     "gender": ["female", "male", "nonbinary"],
+    "class": ["gentry", "working class", "middle class", "aristocracy",
+              "merchant class"],
+    "language": ["English", "French", "Latin", "Welsh", "Gaelic", "Italian"],
 }
 CULTURAL_FORMS: dict[str, dict[str, str]] = {
-    cat: {clean_term_stemmed(t): uri("cf", t.lower()) for t in terms}
+    cat: {clean_term_stemmed(t): uri("cf", t.lower().replace(" ", "_"))
+          for t in terms}
     for cat, terms in _CF_TERMS.items()
 }
 CF_SURFACES = _CF_TERMS  # surfaces used by the generator
@@ -186,6 +190,12 @@ CHILDLESSNESS_WORDS: dict[str, list[str]] = {
 
 BURIAL_KEYWORDS = ["buried", "grave", "interred"]  # birthDeath.py:15
 
+# other-contexts vocab (other_contexts.py:14-109 categories):
+HEALTH_CONDITIONS = ["melancholia", "rheumatism", "a weak constitution",
+                     "failing eyesight", "nervous exhaustion"]
+LEISURE_PURSUITS = ["botanizing", "watercolour painting", "archery",
+                    "sea-bathing", "amateur theatricals"]
+
 
 # ------------------------------------------------------------ seed triples
 
@@ -200,7 +210,7 @@ def vocab_labels() -> dict[str, str]:
         labels[uri("cod", c.replace(" ", "_"))] = c
     for terms in _CF_TERMS.values():
         for t in terms:
-            labels[uri("cf", t.lower())] = t
+            labels[uri("cf", t.lower().replace(" ", "_"))] = t
     for d in ("bachelor of arts", "master of arts", "doctorate", "diploma",
               "certificate", "licentiate"):
         labels[uri("edu", d.replace(" ", "_"))] = d

@@ -29,7 +29,7 @@ from .state import fixtures as fx
 
 # bump when generator output changes — cache paths embed it so stale
 # /tmp corpora are never reused across versions
-GENERATOR_VERSION = 3
+GENERATOR_VERSION = 4
 
 TURNS_SCHEMA = pa.schema([
     ("conv_id", pa.string()),
@@ -127,7 +127,7 @@ def _plant(rng: np.random.Generator, c: _Conv, prev_death: bool) -> bool:
     """Plant one fact turn; returns whether this turn was a death."""
     s = c.subject
     surf = _surface(rng, s)
-    kind = int(rng.integers(0, 17))
+    kind = int(rng.integers(0, 21))
 
     if prev_death and int(rng.integers(0, 2)) == 0:
         # burial keyword in the turn AFTER a death (birthDeath.py:15,237-256)
@@ -250,6 +250,48 @@ def _plant(rng: np.random.Generator, c: _Conv, prev_death: bool) -> bool:
             i = c.turn("assistant", f"{surf}'s birth name was {birth_name}.")
             c.fact(i, "personname", person=surf, other=birth_name,
                    category="birthname")
+    elif kind == 17:  # other contexts (other_contexts.py:14-109)
+        v = int(rng.integers(0, 4))
+        if v == 0:
+            t = fx.HEALTH_CONDITIONS[int(rng.integers(0, len(fx.HEALTH_CONDITIONS)))]
+            i = c.turn("assistant", f"{surf} suffered from {t}.")
+            c.fact(i, "othercontext", person=surf, term=t, category="health")
+        elif v == 1:
+            place = _place(rng)
+            i = c.turn("assistant", f"{surf} was assaulted in {place}.")
+            c.fact(i, "othercontext", person=surf, place=place,
+                   category="violence")
+        elif v == 2:
+            amount = int(rng.integers(100, 9000))
+            i = c.turn("assistant",
+                       f"{surf} inherited a fortune of {amount} pounds.")
+            c.fact(i, "othercontext", person=surf, amount=str(amount),
+                   category="wealth")
+        else:
+            t = fx.LEISURE_PURSUITS[int(rng.integers(0, len(fx.LEISURE_PURSUITS)))]
+            i = c.turn("assistant", f"{surf} took pleasure in {t}.")
+            c.fact(i, "othercontext", person=surf, term=t,
+                   category="leisure")
+    elif kind == 18:  # citation (Utils/citation.py:27-72)
+        t = fx.TITLES[int(rng.integers(0, len(fx.TITLES)))]
+        page = int(rng.integers(1, 400))
+        i = c.turn("assistant",
+                   f'This is recorded in "{t}", page {page}.')
+        # no subject surface in the text — attributed to the
+        # conversation subject (canonical name) downstream
+        c.fact(i, "citation", person=s, title=t, amount=str(page))
+    elif kind == 19:  # cultural form: class
+        terms = fx.CF_SURFACES["class"]
+        t = terms[int(rng.integers(0, len(terms)))]
+        i = c.turn("assistant", f"{surf} belonged to the {t}.")
+        c.fact(i, "culturalform", person=surf, term=t, category="class")
+    elif kind == 20:  # cultural form: language competence
+        terms = fx.CF_SURFACES["language"]
+        t = terms[int(rng.integers(0, len(terms)))]
+        comp = ["native", "acquired"][int(rng.integers(0, 2))]
+        i = c.turn("assistant", f"{surf} spoke {t} with {comp} fluency.")
+        c.fact(i, "culturalform", person=surf, term=t, category="language",
+               certainty=comp.upper())
     elif kind == 16:  # author summary → profile literal (writing M16)
         frags = ["a novelist of quiet power", "an essayist of the first rank",
                  "a diarist of rare candour", "a poet of the northern coast"]

@@ -111,6 +111,81 @@ class TestFreestandingEvents:
         assert p == e
 
 
+class TestOtherContexts:
+    def test_four_categories(self):
+        turns = _turns_table([
+            ("o1", 0, "user", "Tell me about Margaret Blake."),
+            ("o1", 1, "assistant", "Margaret Blake suffered from rheumatism."),
+            ("o1", 2, "assistant",
+             "Margaret Blake was assaulted in Bath, Somerset."),
+            ("o1", 3, "assistant",
+             "Margaret Blake inherited a fortune of 500 pounds."),
+            ("o1", 4, "assistant",
+             "Margaret Blake took pleasure in archery."),
+        ])
+        out = triples_from_turns(rd.from_arrow(turns)).to_pandas()
+        P = DATA + "Margaret_Blake"
+        RDFT = NS["rdf"] + "type"
+        classes = set(out.loc[(out["pred"] == RDFT)
+                              & out["obj"].str.endswith("Context"), "obj"])
+        assert classes == {KG + "HealthContext", KG + "ViolenceContext",
+                           KG + "WealthContext", KG + "LeisureContext"}
+        assert (out[out["pred"] == KG + "hasHealthCondition"]
+                ["obj"].iloc[0]) == "rheumatism"
+        w = out[out["pred"] == KG + "inheritedWealth"]
+        assert w["obj"].iloc[0] == "500" and \
+            w["obj_datatype"].iloc[0] == "xsd:int"
+        v = out[out["pred"] == KG + "experiencedViolenceAt"]
+        assert v["obj_kind"].iloc[0] == "uri"  # Bath is gazetteer-linked
+        # generic E7 activity attached for each (occupation-pattern)
+        assert (out["obj"] == NS["crm"] + "E7_Activity").sum() == 4
+
+
+class TestCitation:
+    def test_citation_node_wiring(self):
+        turns = _turns_table([
+            ("c1", 0, "user", "Tell me about Margaret Blake."),
+            ("c1", 1, "assistant",
+             'This is recorded in "The Glass Orchard", page 12.'),
+        ])
+        out = triples_from_turns(rd.from_arrow(turns)).to_pandas()
+        CITO = NS["cito"]
+        N = DATA + "c1_citation_0"
+        assert ((out["subj"] == N) & (out["pred"] == NS["rdf"] + "type")
+                & (out["obj"] == CITO + "Citation")).any()
+        cited = out[(out["subj"] == N)
+                    & (out["pred"] == CITO + "hasCitedEntity")]
+        assert cited["obj"].iloc[0] == DATA + "The_Glass_Orchard_TITLE"
+        page = out[out["pred"] == KG + "pageNumber"]
+        assert page["obj"].iloc[0] == "12" and \
+            page["obj_datatype"].iloc[0] == "xsd:int"
+        # the context is attributed to the conversation subject
+        subj = out[out["pred"] == KG + "hasSubject"]
+        assert subj["obj"].iloc[0] == DATA + "Margaret_Blake"
+        assert (out[out["pred"] == KG + "hasCitation"]
+                ["obj"].iloc[0]) == N
+
+
+class TestCulturalFormExtras:
+    def test_class_and_language(self):
+        turns = _turns_table([
+            ("f1", 0, "user", "Tell me about Margaret Blake."),
+            ("f1", 1, "assistant",
+             "Margaret Blake belonged to the working class."),
+            ("f1", 2, "assistant",
+             "Margaret Blake spoke Latin with acquired fluency."),
+            ("f1", 3, "assistant",
+             "Margaret Blake spoke Welsh with native fluency."),
+        ])
+        out = triples_from_turns(rd.from_arrow(turns)).to_pandas()
+        cls = out[out["pred"] == KG + "hasSocialClass"]
+        assert cls["obj"].iloc[0] == NS["cf"] + "working_class"
+        acq = out[out["pred"] == KG + "hasLinguisticAbility"]
+        nat = out[out["pred"] == KG + "hasNativeLinguisticAbility"]
+        assert acq["obj"].iloc[0] == NS["cf"] + "latin"
+        assert nat["obj"].iloc[0] == NS["cf"] + "welsh"
+
+
 class TestSeedUnion:
     def test_seed_triples_merged_and_deduped(self):
         turns, _ = synth.generate(10, seed=21, mega_every=0)
