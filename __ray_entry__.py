@@ -33,12 +33,14 @@ def _sf_of(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.001
 
 
-def _turns_path(sf_dir: str) -> str:
+def _turns_path(sf_dir: str, mult: int = 1) -> str:
     """Deterministic synthetic transcript corpus sized to the sf tier,
-    cached under /tmp (generation excluded from pipeline timing)."""
+    cached under /tmp (generation excluded from pipeline timing).
+    ``mult`` scales the corpus (bench --scaling uses 3× so compute
+    dominates fixed startup at both parallelism levels)."""
     from rdf_extraction_ray import synth
     sf = _sf_of(sf_dir)
-    n_convs = max(60, int(sf * 400_000))
+    n_convs = max(60, int(sf * 400_000)) * mult
     path = (f"/tmp/rdf_extraction_ray/turns_v{synth.GENERATOR_VERSION}"
             f"_sf{sf}_n{n_convs}")
     if not os.path.exists(os.path.join(path, "_DONE")):

@@ -50,7 +50,8 @@ def run_bench() -> dict:
     from rdf_extraction_ray.pipelines.kg import read_turns, triples_from_turns
 
     sf = entrymod._sf_of(sf_dir)
-    turns_path = entrymod._turns_path(sf_dir)  # cached generation (untimed)
+    mult = int(os.environ.get("GRAFT_CORPUS_MULT", "1"))
+    turns_path = entrymod._turns_path(sf_dir, mult)  # cached gen (untimed)
 
     # warm OS page cache so we measure compute+shuffle, not first read
     n_turns = read_turns(turns_path).count()
@@ -107,7 +108,12 @@ def run_scaling() -> None:
     sandbox's stand-in for N- vs 4N-node clusters)."""
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # 3× corpus: scaling is measured where compute dominates the
+        # ~3s fixed startup (sort-barrier planning, worker imports) —
+        # the same input at both parallelism levels
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_CORPUS_MULT=os.environ.get("GRAFT_CORPUS_MULT",
+                                                    "3"))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True).stdout

@@ -65,22 +65,35 @@ def extract_facts(turns: rd.Dataset) -> rd.Dataset:
         finalize_bucket, batch_format="pandas")
 
 
-def _default_linker_pool() -> int:
-    """Actor-pool size that leaves CPUs free for the task stages — a
-    pool that reserves every CPU starves the read/sort stages and the
-    pipeline stalls (observed: 4 actors on a 4-CPU cluster deadlocks
-    the fused sort→linker stage)."""
-    import ray
-    n = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    return max(1, min(8, n - 2, n // 2))  # >8 actors: startup cost
-    # outweighs the linker's ~8s of total UDF work at bench scale
+# NOTE when sizing a bounded actor pool here: concurrency × num_cpus
+# must leave ≥2 CPUs for task stages or the fused sort→linker stage
+# deadlocks (observed with 4 actors on a 4-CPU cluster).
+_LINKER_CACHE: list = []  # one EntityLinker per worker process
+
+
+def _link_batch(batch):
+    """Task-pool linker body: the EntityLinker (broadcast dicts +
+    fuzzy memo) is built once per WORKER PROCESS and cached — Ray
+    pre-starts workers at init, so unlike an actor pool there is no
+    process-spawn + import latency on the critical path. Semantically
+    identical to the actor pool (state is read-only + memo)."""
+    if not _LINKER_CACHE:
+        _LINKER_CACHE.append(EntityLinker())
+    return _LINKER_CACHE[0](batch)
 
 
 def link_facts(facts: rd.Dataset, concurrency: int | tuple | None = None,
                batch_size: int = 8192) -> rd.Dataset:
-    """facts → linked facts via the EntityLinker actor pool."""
+    """facts → linked facts.
+
+    Default: task pool with a per-process cached linker (fast start,
+    elastic parallelism). Pass ``concurrency`` to force a bounded
+    ACTOR pool instead — the right shape when linker state becomes
+    heavy (embedding index, model) and per-process duplication must be
+    capped."""
     if concurrency is None:
-        concurrency = _default_linker_pool()
+        return facts.map_batches(_link_batch, batch_format="pandas",
+                                 batch_size=batch_size)
     return facts.map_batches(EntityLinker, batch_format="pandas",
                              batch_size=batch_size, concurrency=concurrency,
                              num_cpus=1)
