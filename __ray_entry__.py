@@ -365,6 +365,24 @@ def _q_distinct_return_status(sf_dir: str):
     return out
 
 
+def _q_clicks_last_purchase(sf_dir: str):
+    """As-of join: each click event matched to the same user's most
+    recent purchase at-or-before it (nearest-prior semantics)."""
+    from rdf_extraction_ray.stages.joins import asof_join
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type", "value"])
+    clicks = ev.filter(lambda r: r["event_type"] == "click")
+    purchases = ev.filter(lambda r: r["event_type"] == "purchase")
+    out = asof_join(clicks, purchases, by="user_id", on="ts").to_pandas()
+    out = out[["event_id", "user_id", "event_id_r", "value_r"]].rename(
+        columns={"event_id_r": "purchase_event_id",
+                 "value_r": "purchase_value"})
+    out["purchase_value"] = out["purchase_value"].astype(
+        "float64").round(_ROUND)
+    out["purchase_event_id"] = out["purchase_event_id"].astype("int64")
+    return out.sort_values("event_id", ignore_index=True)
+
+
 def _q_docs_exact_dedup(sf_dir: str):
     from rdf_extraction_ray.stages.dedup_docs import exact_dedup
     return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
@@ -536,6 +554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_big_orders": _q_customers_no_big_orders,
         "suppliers_in_lineitem": _q_suppliers_in_lineitem,
         "distinct_return_status": _q_distinct_return_status,
+        "clicks_last_purchase": _q_clicks_last_purchase,
         # --- training-data pipeline suite over documents/embeddings
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_token_count": _q_docs_token_count,
@@ -682,5 +701,14 @@ def oracle_sql() -> dict[str, str]:
         "distinct_return_status": """
             SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "clicks_last_purchase": f"""
+            SELECT c.event_id, c.user_id,
+                   p.event_id AS purchase_event_id,
+                   round(p.value, {_ROUND}) AS purchase_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF JOIN (SELECT * FROM events
+                       WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
         """,
     }

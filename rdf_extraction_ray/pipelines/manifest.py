@@ -97,7 +97,8 @@ def _run_one_shard(turns_path: str, out_dir: str, s: int, n_shards: int,
 
     shard_turns = turns.map_batches(_filter_shard, batch_format="pandas")
     facts = (shard_turns
-             .map_batches(detect_facts, batch_format="pyarrow")
+             .map_batches(detect_facts, batch_format="pyarrow",
+                          batch_size=None)
              .groupby("bucket").map_groups(finalize_bucket,
                                            batch_format="pandas"))
     linked = link_facts(facts, concurrency=linker_concurrency)
@@ -121,7 +122,8 @@ def _run_one_shard(turns_path: str, out_dir: str, s: int, n_shards: int,
                  .to_dict() if len(partials) else {})
 
     triples = dedup_triples(
-        linked.map_batches(build_triples, batch_format="pandas"))
+        linked.map_batches(build_triples, batch_format="pandas",
+                           batch_size=None))
     triples.write_parquet(tmp)
     import pyarrow.parquet as pq
     triples_out = sum(pq.read_metadata(os.path.join(tmp, f)).num_rows

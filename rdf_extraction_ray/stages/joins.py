@@ -60,6 +60,58 @@ def semi_join_filter(large: rd.Dataset, keys, column: str,
     return large.map_batches(_filter, batch_format="pandas")
 
 
+def asof_join(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
+              n_buckets: int = 32, suffix: str = "_r") -> rd.Dataset:
+    """As-of (nearest-prior) join: for each left row, the latest right
+    row with the same ``by`` key and ``right.on <= left.on``
+    (inclusive). Rows with no prior match are dropped (inner asof).
+
+    A custom operator Ray Data lacks: both sides hash-partition on
+    ``by`` (all rows of one key co-locate — the partitioning
+    assumption), then each bucket runs a vectorized
+    ``pandas.merge_asof`` under a stable per-bucket sort on ``on``.
+    One shuffle each side, |left|+|right| rows once.
+    """
+    left_cols = left.schema().names
+    right_cols = right.schema().names
+
+    def _tag(side: int, own_cols: list[str]):
+        all_cols = left_cols + [c for c in right_cols if c not in left_cols]
+
+        def inner(batch: pd.DataFrame) -> pd.DataFrame:
+            b = batch.copy()
+            b["__bucket"] = _bucket(b[by], n_buckets)
+            b["__side"] = side
+            for c in all_cols:
+                if c not in b.columns:
+                    b[c] = None
+            return b[all_cols + ["__bucket", "__side"]]
+        return inner
+
+    tagged = left.map_batches(_tag(0, left_cols), batch_format="pandas") \
+        .union(right.map_batches(_tag(1, right_cols), batch_format="pandas"))
+
+    def _merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        l = (group.loc[group["__side"] == 0, left_cols]
+             .sort_values(on, kind="stable"))
+        r = (group.loc[group["__side"] == 1, right_cols]
+             .sort_values(on, kind="stable"))
+        if not len(l) or not len(r):
+            return pd.DataFrame(columns=left_cols + [
+                c + suffix if c in left_cols else c for c in right_cols
+                if c != by])
+        out = pd.merge_asof(l, r, on=on, by=by, direction="backward",
+                            suffixes=("", suffix))
+        right_on = on + suffix if on in right_cols else None
+        probe = (right_on if right_on and right_on in out.columns
+                 else next((c + suffix if c in left_cols else c)
+                           for c in right_cols if c not in (by, on)))
+        return out[out[probe].notna()]
+
+    return tagged.groupby("__bucket").map_groups(_merge_bucket,
+                                                 batch_format="pandas")
+
+
 def hash_join(left: rd.Dataset, right: rd.Dataset, on: str | list[str],
               how: str = "inner", n_buckets: int = 32,
               suffix: str = "_r") -> rd.Dataset:

@@ -201,3 +201,29 @@ class TestMultimodal:
         from rdf_extraction_ray.stages.multimodal import _decode_image_real
         with pytest.raises(NotImplementedError):
             _decode_image_real(b"")
+
+
+class TestAsofJoin:
+    def test_nearest_prior_semantics(self):
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from rdf_extraction_ray.stages.joins import asof_join
+        left = rd.from_arrow(pa.table({
+            "lid": [1, 2, 3, 4],
+            "k": ["a", "a", "b", "b"],
+            "t": [10, 20, 10, 5],
+        }))
+        right = rd.from_arrow(pa.table({
+            "rid": [100, 101, 102],
+            "k": ["a", "a", "b"],
+            "t": [5, 20, 8],
+        }))
+        out = (asof_join(left, right, by="k", on="t")
+               .to_pandas().sort_values("lid", ignore_index=True))
+        # lid=1 (a,10) → rid=100 (a,5); lid=2 (a,20) → rid=101 (a,20,
+        # inclusive); lid=3 (b,10) → rid=102 (b,8); lid=4 (b,5) → no
+        # prior match, dropped
+        assert list(out["lid"]) == [1, 2, 3]
+        assert list(out["rid"].astype(int)) == [100, 101, 102]
