@@ -1,0 +1,78 @@
+"""Mega-conversation skew handling (SURVEY §7.5.7, north_rule).
+
+The ordered-assembly shuffle moves FACT rows only, keyed on
+``hash(conv_id) % N_CONV_BUCKETS`` — a mega-conversation therefore
+costs one bucket one larger *vectorized* pandas group, never a
+per-row Python loop, and turns themselves never shuffle. These tests
+pin the correctness half of that design: a conversation ~100× the
+median must still get dense, turn-ordered sequence IDs and identical
+per-fact output, regardless of how many input blocks it spans.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from rdf_extraction_ray import synth
+from rdf_extraction_ray.pipelines.kg import extract_facts
+from rdf_extraction_ray.stages.extract import N_CONV_BUCKETS
+
+
+def _mega_turns(n_facts: int = 5000) -> pa.Table:
+    rows = []
+    rows.append(("mega", 0, "user", "Tell me about Margaret Blake."))
+    for i in range(n_facts):
+        place = ["Bath, Somerset", "Norwich, Norfolk",
+                 "Kendal, Cumbria"][i % 3]
+        rows.append(("mega", i + 1, "assistant",
+                     f"Margaret Blake visited {place}."))
+    return pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows], pa.string()),
+        "text": pa.array([r[3] for r in rows], pa.string()),
+        "tool": pa.array([""] * len(rows), pa.string()),
+        "ts": pa.array(list(range(len(rows))), pa.timestamp("us")),
+    })
+
+
+class TestMegaConversation:
+    def test_seq_dense_and_turn_ordered_across_blocks(self):
+        turns = _mega_turns(5000)
+        # force the conversation across many input blocks
+        ds = rd.from_arrow(turns).repartition(20)
+        out = extract_facts(ds).to_pandas().sort_values("seq",
+                                                        ignore_index=True)
+        assert len(out) == 5000
+        assert list(out["seq"]) == list(range(5000))
+        # seq order == turn order (the O4 invariant)
+        assert out["turn_idx"].is_monotonic_increasing
+
+    def test_mega_conv_mixed_with_normal_corpus(self):
+        normal, _ = synth.generate(80, seed=31, mega_every=0)
+        mega = _mega_turns(3000)
+        ds = rd.from_arrow(pa.concat_tables(
+            [normal, mega])).repartition(16)
+        out = extract_facts(ds).to_pandas()
+        m = out[out["conv_id"] == "mega"]
+        assert len(m) == 3000
+        assert sorted(m["seq"]) == list(range(3000))
+        # normal conversations are unaffected by the giant neighbor
+        solo = extract_facts(rd.from_arrow(normal)).to_pandas()
+        both = out[out["conv_id"] != "mega"]
+        key = ["conv_id", "turn_idx", "seq", "fact_type", "place"]
+        a = both[key].sort_values(key, ignore_index=True).fillna("")
+        b = solo[key].sort_values(key, ignore_index=True).fillna("")
+        assert a.equals(b)
+
+    def test_bucket_spread(self):
+        """Conversations spread over the full bucket range so one
+        giant conversation bounds only its own bucket's size."""
+        turns, _ = synth.generate(300, seed=7, mega_every=0)
+        cands = rd.from_arrow(turns).map_batches(
+            __import__("rdf_extraction_ray.stages.extract",
+                       fromlist=["detect_facts"]).detect_facts,
+            batch_format="pyarrow").to_pandas()
+        n_used = cands["bucket"].nunique()
+        assert n_used > N_CONV_BUCKETS * 0.5
