@@ -383,6 +383,44 @@ def _q_clicks_last_purchase(sf_dir: str):
     return out.sort_values("event_id", ignore_index=True)
 
 
+def _q_events_rolling_1h(sf_dir: str):
+    """Sliding time window: per event, how many events the same user
+    produced in the trailing hour (RANGE window incl. ts-peers).
+    Bucketed by user hash; per-user counts via two vectorized
+    searchsorted passes — no per-row Python."""
+    import numpy as np
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        b = df.copy()
+        b["bucket"] = (b["user_id"] % 32).astype("int64")
+        return b
+
+    def _rolling(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        ts = g["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        lo = ts - 3_600_000_000  # 1h in µs
+        out = np.empty(len(g), dtype="int64")
+        uid = g["user_id"].to_numpy()
+        # per-user segment boundaries
+        bounds = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        bounds = np.r_[bounds, len(uid)]
+        for i in range(len(bounds) - 1):
+            s, e = bounds[i], bounds[i + 1]
+            seg = ts[s:e]
+            left = np.searchsorted(seg, lo[s:e], side="left")
+            right = np.searchsorted(seg, seg, side="right")
+            out[s:e] = right - left
+        return pd.DataFrame({"event_id": g["event_id"],
+                             "user_id": g["user_id"], "n_1h": out})
+
+    res = (ds.map_batches(_bucketize, batch_format="pandas")
+           .groupby("bucket").map_groups(_rolling, batch_format="pandas")
+           .to_pandas())
+    res["n_1h"] = res["n_1h"].astype("int64")
+    return res.sort_values("event_id", ignore_index=True)
+
+
 def _q_docs_exact_dedup(sf_dir: str):
     from rdf_extraction_ray.stages.dedup_docs import exact_dedup
     return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
@@ -555,6 +593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_in_lineitem": _q_suppliers_in_lineitem,
         "distinct_return_status": _q_distinct_return_status,
         "clicks_last_purchase": _q_clicks_last_purchase,
+        "events_rolling_1h": _q_events_rolling_1h,
         # --- training-data pipeline suite over documents/embeddings
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_token_count": _q_docs_token_count,
@@ -710,5 +749,13 @@ def oracle_sql() -> dict[str, str]:
             ASOF JOIN (SELECT * FROM events
                        WHERE event_type = 'purchase') p
               ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "events_rolling_1h": """
+            SELECT event_id, user_id,
+                   count(*) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                             AND CURRENT ROW) AS n_1h
+            FROM events
         """,
     }

@@ -73,7 +73,9 @@ def run_bench() -> dict:
     qnames = ["tpch_q1_pricing", "segment_revenue", "events_hourly",
               "user_sessions", "docs_exact_dedup", "docs_token_count",
               "docs_quality", "docs_minhash_pairs", "ann_bruteforce",
-              "kg_link_histogram"]
+              "kg_link_histogram", "clicks_last_purchase",
+              "events_rolling_1h", "ann_ivf", "works_triples",
+              "docs_embed_neardup"]
     queries = entrymod.queries()
     qtimes: dict[str, float] = {}
     for name in qnames:

@@ -21,20 +21,33 @@ def triples_per_conv_stats(triples: rd.Dataset) -> pd.DataFrame:
     """min/max/avg triples per conversation
     (reference bio_extraction.py:84-90).
 
-    Partial per-batch value_counts → one small groupby-sum — avoids a
-    full shuffle of the triple table keyed on a string column."""
+    Two-level: per-batch value_counts (tiny) → hash-bucket groupby
+    with a pandas sum per bucket — the exchange moves per-batch
+    partials keyed on a small int, never a string-keyed shuffle of
+    the triple table."""
 
     def _partial(df: pd.DataFrame) -> pd.DataFrame:
         vc = df["conv_id"].value_counts()
-        return pd.DataFrame({"conv_id": vc.index, "n": vc.to_numpy()})
+        out = pd.DataFrame({"conv_id": vc.index, "n": vc.to_numpy()})
+        out["bucket"] = (pd.util.hash_pandas_object(out["conv_id"],
+                                                    index=False)
+                         % 32).astype("int32")
+        return out
 
-    per_conv = (triples.map_batches(_partial, batch_format="pandas")
-                .groupby("conv_id").aggregate(Sum("n", alias_name="n"))
-                .to_pandas())
+    def _merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("conv_id", as_index=False)["n"].sum()
+        return pd.DataFrame([{
+            "min_n": int(g["n"].min()), "max_n": int(g["n"].max()),
+            "sum_n": int(g["n"].sum()), "cnt": int(len(g)),
+        }])
+
+    parts = (triples.map_batches(_partial, batch_format="pandas")
+             .groupby("bucket").map_groups(_merge, batch_format="pandas")
+             .to_pandas())
     return pd.DataFrame([{
-        "min_triples": int(per_conv["n"].min()),
-        "max_triples": int(per_conv["n"].max()),
-        "avg_triples": float(per_conv["n"].mean()),
+        "min_triples": int(parts["min_n"].min()),
+        "max_triples": int(parts["max_n"].max()),
+        "avg_triples": float(parts["sum_n"].sum() / parts["cnt"].sum()),
     }])
 
 
