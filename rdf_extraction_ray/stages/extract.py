@@ -147,6 +147,64 @@ _PATTERNS: list[tuple[str, re.Pattern, dict]] = [
         rf"(?P<other>{_NAME}) recorded much of this\.$"), {}),
 ]
 
+
+
+# literal anchor per pattern: an invariant substring of any text the
+# pattern can match, checked with C-level ``in`` before attempting the
+# regex — same match order and results, ~30x fewer regex calls on the
+# volume stage (most turns match exactly one anchor)
+_ANCHORS = {
+    "birth": " was born ", "death": " died of ", "income": " earned ",
+    "occupation": " as a ", "moved": " moved to ",
+    "migration": " migrated to ", "childlessness": "Regarding children",
+    "title": " wrote ", "org": " joined the ",
+    "biographer": " recorded much of this", "profile": "To summarise",
+    "event": " took place in ", "citation": "This is recorded in",
+}
+_PATTERN_ANCHOR: list[str | None] = []
+for _ft, _pat, _const in _PATTERNS:
+    _p = _pat.pattern
+    if _ft in _ANCHORS:
+        _a = _ANCHORS[_ft]
+    elif _ft == "burial":
+        _a = None  # three keyword alternatives — no single literal
+    elif _ft == "location":
+        _a = None  # lived in / travelled to / visited
+    elif _ft == "friend":
+        _a = " close friend of " if "close friend" in _p else " lived with "
+    elif _ft == "culturalform":
+        if "religion" in _p:
+            _a = " by religion"
+        elif "identified as" in _p:
+            _a = " identified as "
+        elif "gender" in _p:
+            _a = "gender was "
+        elif "belonged to" in _p:
+            _a = " belonged to the "
+        else:
+            _a = " fluency"
+    elif _ft == "family":
+        _a = "'s "
+    elif _ft == "personname":
+        _a = " was also known as " if "known as" in _p else " birth name was "
+    elif _ft == "education":
+        _a = " studied " if "studied" in _p else " earned a "
+    elif _ft == "othercontext":
+        if "suffered" in _p:
+            _a = " suffered from "
+        elif "assaulted" in _p:
+            _a = " was assaulted in "
+        elif "inherited" in _p:
+            _a = " inherited a fortune of "
+        else:
+            _a = " took pleasure in "
+    else:
+        _a = None
+    _PATTERN_ANCHOR.append(_a)
+_PATTERNS_WITH_ANCHORS = [
+    (ft, pat, const, anch)
+    for (ft, pat, const), anch in zip(_PATTERNS, _PATTERN_ANCHOR)]
+
 _SUBJECT = re.compile(rf"^Tell me about (?P<person>{_NAME})\.$")
 
 _LOC_VERB = {"lived in": "habitation", "travelled to": "travel",
@@ -169,7 +227,9 @@ def _detect_one(text: str) -> list[dict]:
     m = _SUBJECT.match(text)
     if m:
         return [{"fact_type": "_subject", "person": m.group("person")}]
-    for fact_type, pat, const in _PATTERNS:
+    for fact_type, pat, const, anchor in _PATTERNS_WITH_ANCHORS:
+        if anchor is not None and anchor not in text:
+            continue
         m = pat.match(text)
         if not m:
             continue
