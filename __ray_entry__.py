@@ -151,6 +151,13 @@ def _q_kg_ntriples(sf_dir: str):
     return triples.map_batches(format_ntriples, batch_format="pandas")
 
 
+def _q_kg_nquads(sf_dir: str):
+    from rdf_extraction_ray.pipelines.kg import read_turns, triples_from_turns
+    from rdf_extraction_ray.stages.serialize import format_nquads
+    triples = triples_from_turns(read_turns(_turns_path(sf_dir)))
+    return triples.map_batches(format_nquads, batch_format="pandas")
+
+
 def _q_works_triples(sf_dir: str):
     from rdf_extraction_ray.pipelines.works import works_pipeline
     wp, gp = _works_paths(sf_dir)
@@ -578,6 +585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_unmatched_places": _q_kg_unmatched_places,
         "kg_vocab_terms": _q_kg_vocab_terms,
         "kg_ntriples": _q_kg_ntriples,
+        "kg_nquads": _q_kg_nquads,
         "works_triples": _q_works_triples,
         "works_genres": _q_works_genres,
         # --- relational operator coverage (SQL-oracled)

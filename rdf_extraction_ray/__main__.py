@@ -47,12 +47,47 @@ def cmd_synth(args) -> int:
     return 0
 
 
+def _select_conversations(turns_path: str, args) -> str:
+    """Reference file-selection modes (`utilities.py:653-734`):
+    explicit ids, first-N conversations, or a seeded random sample.
+    Writes the filtered turns next to the output and returns the new
+    input path."""
+    import ray.data as rd
+    ds = rd.read_parquet(turns_path)
+    if args.conv_ids:
+        wanted = frozenset(args.conv_ids.split(","))
+        ds = ds.filter(lambda r: r["conv_id"] in wanted)
+    elif args.limit_convs:
+        import pandas as pd
+        keep = sorted(set(
+            ds.select_columns(["conv_id"]).to_pandas()["conv_id"]
+        ))[:args.limit_convs]
+        keepset = frozenset(keep)
+        ds = ds.filter(lambda r: r["conv_id"] in keepset)
+    elif args.sample_frac:
+        import zlib
+        frac, seed = args.sample_frac, args.seed
+        thresh = int(frac * 0xFFFFFFFF)
+
+        def _keep(r):
+            h = zlib.crc32(f"{seed}:{r['conv_id']}".encode())
+            return h <= thresh
+        ds = ds.filter(_keep)  # deterministic per-conversation sample
+    else:
+        return turns_path
+    sel = args.out.rstrip("/") + ".selected"
+    shutil.rmtree(sel, ignore_errors=True)
+    ds.write_parquet(sel)
+    return sel
+
+
 def cmd_run(args) -> int:
     _ensure_ray()
     from .pipelines.manifest import run_sharded
     if args.fresh:
         shutil.rmtree(args.out, ignore_errors=True)
-    summary = run_sharded(args.input, args.out, n_shards=args.shards,
+    inp = _select_conversations(args.input, args)
+    summary = run_sharded(inp, args.out, n_shards=args.shards,
                           linker_concurrency=args.linker_concurrency)
     total = sum(m["triples_out"] for m in summary.values())
     skipped = sum(1 for m in summary.values() if m.get("skipped"))
@@ -118,6 +153,13 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--linker-concurrency", type=int, default=None)
     s.add_argument("--fresh", action="store_true",
                    help="discard previous shards instead of resuming")
+    s.add_argument("--conv-ids", default=None,
+                   help="comma-separated conversation ids to run")
+    s.add_argument("--limit-convs", type=int, default=None,
+                   help="first N conversations by id")
+    s.add_argument("--sample-frac", type=float, default=None,
+                   help="deterministic per-conversation sample fraction")
+    s.add_argument("--seed", type=int, default=42)
     s.set_defaults(fn=cmd_run)
 
     s = sub.add_parser("serialize", help="triples parquet → N-Triples/N-Quads")
