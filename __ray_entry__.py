@@ -455,6 +455,10 @@ def _q_docs_lang_counts(sf_dir: str):
 
 
 def _q_docs_langid(sf_dir: str):
+    """Heuristic language ID (stopword + CJK-ratio). Note: the sf
+    tables' ``lang`` column is uncorrelated metadata (all texts are
+    the same English-ish token soup), so predictions are rows-checked,
+    not accuracy-scored against it."""
     from rdf_extraction_ray.stages.textstats import LangId
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(LangId, batch_format="pandas", concurrency=2) \
@@ -477,6 +481,22 @@ def _q_docs_minhash_pairs(sf_dir: str):
     out = verify_jaccard(cands, docs_df, threshold=0.5).to_pandas()
     out["jaccard"] = out["jaccard"].round(_ROUND)
     return out.sort_values(["a", "b"], ignore_index=True)
+
+
+def _q_docs_dup_components(sf_dir: str):
+    """Near-dup clusters: LSH candidates → exact Jaccard verify →
+    min-label connected components (doc_id, component)."""
+    from rdf_extraction_ray.stages.dedup_docs import (connected_components,
+                                                      minhash_lsh_candidates,
+                                                      verify_jaccard)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    cands = minhash_lsh_candidates(docs)
+    docs_df = _small_df(sf_dir, "documents", ["doc_id", "text"])
+    pairs = verify_jaccard(cands, docs_df, threshold=0.5).to_pandas()
+    out = connected_components(pairs)
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["component"] = out["component"].astype("int64")
+    return out.sort_values("doc_id", ignore_index=True)
 
 
 def _q_docs_simhash(sf_dir: str):
@@ -611,6 +631,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprint": _q_docs_fingerprint,
         "docs_minhash_pairs": _q_docs_minhash_pairs,
         "docs_simhash": _q_docs_simhash,
+        "docs_dup_components": _q_docs_dup_components,
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
