@@ -360,3 +360,163 @@ def finalize_bucket(group: pd.DataFrame) -> pd.DataFrame:
     g = g.copy()
     g["seq"] = g.groupby("conv_id", sort=False).cumcount().astype("int32")
     return g
+
+
+# --------------------------------------------------------------------
+# Salted two-level assembly for giant conversations (SURVEY §7.5.7,
+# north_rule "salted conv_id repartitioning before the ordered-assembly
+# shuffle"). The default path groups whole conversations; this path
+# splits a conversation into TURN-SPAN SEGMENTS, so no single group
+# ever exceeds ~span_turns rows — the escape hatch when one
+# conversation's facts outgrow a worker's heap.
+#
+# Stages (conversation-level rules only ever need four SMALL maps):
+#   A. groupby(salted segment) — stable in-segment sort + per-segment
+#      summary rows (subject, first death turn, place counts, sizes);
+#   B. summaries → tiny conversation-level maps, broadcast (ray.put);
+#      map_batches applies the drop rules + local ranks (no shuffle);
+#   C. per-segment surviving counts → prefix-sum offsets (tiny,
+#      driver-side), broadcast; map_batches assigns global dense seq.
+# Output is row-identical to finalize_bucket (pytest-pinned).
+
+def _segment_key(conv_hash: pd.Series, turn_idx: pd.Series,
+                 span: int, n_buckets: int) -> pd.Series:
+    seg = (turn_idx // span).astype("int64")
+    return ((conv_hash * 1_000_003 + seg) % n_buckets).astype("int64")
+
+
+def extract_facts_salted(turns, span_turns: int = 2048,
+                         n_buckets: int = 256):
+    """Salted-segment variant of :func:`extract_facts` — identical
+    output, bounded per-group memory for mega-conversations."""
+    import ray
+    import ray.data as rd  # noqa: F401
+
+    cands = turns.map_batches(detect_facts, batch_format="pyarrow",
+                              batch_size=None)
+
+    def _salt(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.copy()
+        ch = pd.util.hash_pandas_object(b["conv_id"], index=False)
+        b["segment"] = (b["turn_idx"] // span_turns).astype("int64")
+        b["salt_bucket"] = ((ch.astype("int64").abs() % 1_000_003)
+                            * 131 + b["segment"]) % n_buckets
+        return b
+
+    def _stage_a(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["conv_id", "segment", "turn_idx",
+                               "cand_idx"], kind="stable")
+        g = g.copy()
+        g["in_seg_pos"] = g.groupby(["conv_id", "segment"],
+                                    sort=False).cumcount()
+        return g
+
+    rows = (cands.map_batches(_salt, batch_format="pandas",
+                              batch_size=None)
+            .groupby("salt_bucket")
+            .map_groups(_stage_a, batch_format="pandas")
+            .materialize())
+
+    # ---- stage B: conversation-level maps from per-batch partials
+    def _summaries(df: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        subj = df[df["fact_type"] == "_subject"]
+        if len(subj):
+            s = subj.groupby("conv_id").agg(
+                turn_idx=("turn_idx", "min"), person=("person", "first"))
+            s = s.reset_index().assign(kind="subject")
+            parts.append(s[["kind", "conv_id", "turn_idx", "person"]])
+        death = df[df["fact_type"] == "death"]
+        if len(death):
+            d = (death.groupby("conv_id", as_index=False)["turn_idx"]
+                 .min().assign(kind="death", person=None))
+            parts.append(d[["kind", "conv_id", "turn_idx", "person"]])
+        loc = df[df["fact_type"] == "location"]
+        if len(loc):
+            p = (loc.groupby(["conv_id", "place"], as_index=False)
+                 .size().rename(columns={"size": "turn_idx",
+                                         "place": "person"}))
+            p["kind"] = "place"
+            parts.append(p[["kind", "conv_id", "turn_idx", "person"]])
+        if not parts:
+            return pd.DataFrame(columns=["kind", "conv_id", "turn_idx",
+                                         "person"])
+        return pd.concat(parts, ignore_index=True)
+
+    summ = (rows.map_batches(_summaries, batch_format="pandas",
+                             batch_size=None).to_pandas())
+    subj_map, first_death, place_counts = {}, {}, {}
+    if len(summ):
+        s = summ[summ["kind"] == "subject"].sort_values(
+            ["conv_id", "turn_idx"])
+        subj_map = dict(zip(s.drop_duplicates("conv_id")["conv_id"],
+                            s.drop_duplicates("conv_id")["person"]))
+        d = summ[summ["kind"] == "death"]
+        first_death = (d.groupby("conv_id")["turn_idx"].min().to_dict())
+        p = summ[summ["kind"] == "place"]
+        pc = p.groupby(["conv_id", "person"])["turn_idx"].sum()
+        place_counts = pc.to_dict()
+    maps_ref = ray.put((subj_map, first_death, place_counts))
+
+    def _apply_rules(df: pd.DataFrame) -> pd.DataFrame:
+        smap, fdeath, pcount = ray.get(maps_ref)
+        g = df[df["fact_type"] != "_subject"].copy()
+        if not len(g):
+            return g
+        is_burial = g["fact_type"] == "burial"
+        if is_burial.any():
+            fd = g["conv_id"].map(fdeath)
+            g = g[~(is_burial & (fd.isna() | (g["turn_idx"] <= fd)))]
+        loc = g["fact_type"] == "location"
+        if loc.any():
+            occ = pd.Series(
+                [pcount.get((c, p), 0) for c, p in zip(
+                    g.loc[loc, "conv_id"], g.loc[loc, "place"])],
+                index=g.index[loc])
+            drop_idx = occ[(g.loc[loc, "category"] == "spatialRelationship")
+                           & (occ > 1)].index
+            g = g.drop(index=drop_idx)
+        bio = g["fact_type"].isin(("biographer", "citation"))
+        if bio.any():
+            subjects = g.loc[bio, "conv_id"].map(smap)
+            g.loc[bio, "person"] = subjects.where(subjects.notna(),
+                                                  g.loc[bio, "person"])
+        g = g.sort_values(["conv_id", "segment", "turn_idx", "cand_idx"],
+                          kind="stable")
+        g["local_rank"] = g.groupby(["conv_id", "segment"],
+                                    sort=False).cumcount()
+        return g
+
+    surviving = rows.map_batches(_apply_rules, batch_format="pandas",
+                                 batch_size=None).materialize()
+
+    # ---- stage C: per-segment surviving counts → prefix-sum offsets
+    def _seg_counts(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["conv_id", "segment"], as_index=False)
+                .size())
+
+    counts = (surviving.map_batches(_seg_counts, batch_format="pandas",
+                                    batch_size=None).to_pandas())
+    if len(counts):
+        counts = (counts.groupby(["conv_id", "segment"], as_index=False)
+                  ["size"].sum().sort_values(["conv_id", "segment"]))
+        counts["offset"] = (counts.groupby("conv_id")["size"]
+                            .cumsum() - counts["size"])
+        offsets = dict(zip(zip(counts["conv_id"], counts["segment"]),
+                           counts["offset"]))
+    else:
+        offsets = {}
+    off_ref = ray.put(offsets)
+
+    def _assign_seq(df: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        g = df.copy()
+        base = [off.get((c, s), 0) for c, s in zip(g["conv_id"],
+                                                   g["segment"])]
+        g["seq"] = (pd.Series(base, index=g.index)
+                    + g["local_rank"]).astype("int32")
+        return g.drop(columns=["segment", "salt_bucket", "in_seg_pos",
+                               "local_rank"])
+
+    return surviving.map_batches(_assign_seq, batch_format="pandas",
+                                 batch_size=None)

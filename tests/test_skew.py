@@ -66,6 +66,25 @@ class TestMegaConversation:
         b = solo[key].sort_values(key, ignore_index=True).fillna("")
         assert a.equals(b)
 
+    def test_salted_two_level_equals_default(self):
+        """The salted-segment assembly path (span_turns splits every
+        conversation) must be row-identical to whole-conversation
+        grouping — including burial gating, the MOVED quirk, subject
+        attribution, and dense seq minting across segment borders."""
+        from rdf_extraction_ray.stages.extract import extract_facts_salted
+        turns, _ = synth.generate(120, seed=23)
+        mega = _mega_turns(2000)
+        ds = rd.from_arrow(pa.concat_tables([turns, mega])).repartition(10)
+        a = extract_facts(ds).to_pandas()
+        b = extract_facts_salted(ds, span_turns=64).to_pandas()
+        cols = sorted(set(a.columns) & set(b.columns))
+        ka = a[cols].sort_values(cols, ignore_index=True).fillna("")
+        kb = b[cols].sort_values(cols, ignore_index=True).fillna("")
+        assert len(a) == len(b)
+        assert ka.equals(kb)
+        m = b[b["conv_id"] == "mega"]
+        assert sorted(m["seq"]) == list(range(len(m)))
+
     def test_bucket_spread(self):
         """Conversations spread over the full bucket range so one
         giant conversation bounds only its own bucket's size."""
