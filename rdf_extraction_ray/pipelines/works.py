@@ -185,16 +185,36 @@ class WorkTemplater:
             for c in TRIPLE_COLUMNS})
 
 
+_TEMPLATER_CACHE: dict = {}  # ref-id → WorkTemplater, per worker process
+
+
 def works_pipeline(works_path: str, writing_path: str,
-                   concurrency: int | tuple = 2) -> rd.Dataset:
+                   concurrency: int | tuple | None = None) -> rd.Dataset:
     """Two-pass MODS-style migration: writing pass builds the genre
-    map (broadcast), works pass templates triples, shared dedup."""
+    map (broadcast via ``ray.put``), works pass templates triples,
+    shared dedup. Default: task pool with a per-process cached
+    templater (same rationale as the entity linker — the state is a
+    small dict, actor spawn would be pure latency); pass
+    ``concurrency`` for a bounded actor pool."""
     genre_map = build_genre_map(rd.read_parquet(writing_path))
     ref = ray.put(genre_map)
     works = read_works(works_path)
-    triples = works.map_batches(WorkTemplater, batch_format="pandas",
-                                concurrency=concurrency,
-                                fn_constructor_args=(ref,))
+    if concurrency is not None:
+        triples = works.map_batches(WorkTemplater, batch_format="pandas",
+                                    batch_size=None,
+                                    concurrency=concurrency,
+                                    fn_constructor_args=(ref,))
+        return dedup_triples(triples)
+
+    def _template(batch):
+        t = _TEMPLATER_CACHE.get(ref.hex())
+        if t is None:
+            t = WorkTemplater(ref)
+            _TEMPLATER_CACHE[ref.hex()] = t
+        return t(batch)
+
+    triples = works.map_batches(_template, batch_format="pandas",
+                                batch_size=None)
     return dedup_triples(triples)
 
 
