@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import shutil
 import sys
 
@@ -51,8 +52,24 @@ def _select_conversations(turns_path: str, args) -> str:
     """Reference file-selection modes (`utilities.py:653-734`):
     explicit ids, first-N conversations, or a seeded random sample.
     Writes the filtered turns next to the output and returns the new
-    input path."""
+    input path. The selection spec + source fingerprint are recorded
+    in a marker; an unchanged rerun REUSES the existing .selected dir
+    (rewriting it would change the parquet file names and break
+    run_sharded's fingerprint-based shard resume)."""
     import ray.data as rd
+
+    from .pipelines.manifest import _fingerprint
+    spec = json.dumps({
+        "conv_ids": args.conv_ids, "limit_convs": args.limit_convs,
+        "sample_frac": args.sample_frac, "seed": args.seed,
+        "source": _fingerprint(turns_path),
+    }, sort_keys=True)
+    sel = args.out.rstrip("/") + ".selected"
+    marker = sel + ".spec.json"
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() == spec and os.path.isdir(sel):
+                return sel
     ds = rd.read_parquet(turns_path)
     if args.conv_ids:
         wanted = frozenset(args.conv_ids.split(","))
@@ -75,9 +92,10 @@ def _select_conversations(turns_path: str, args) -> str:
         ds = ds.filter(_keep)  # deterministic per-conversation sample
     else:
         return turns_path
-    sel = args.out.rstrip("/") + ".selected"
     shutil.rmtree(sel, ignore_errors=True)
     ds.write_parquet(sel)
+    with open(marker, "w") as f:
+        f.write(spec)
     return sel
 
 

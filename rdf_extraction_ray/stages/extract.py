@@ -51,159 +51,105 @@ N_CONV_BUCKETS = 128
 _NAME = r"[A-Z][a-zA-Z]*\.?(?: [A-Z][a-zA-Z]*\.?)*"
 _REL = "|".join(sorted(fx.FAMILY_RELATIONS, key=len, reverse=True))
 
-# (fact_type, compiled regex, constant fields) — applied in order; the
-# first match wins for a turn unless the pattern is multi-fact.
-_PATTERNS: list[tuple[str, re.Pattern, dict]] = [
+# (fact_type, compiled regex, constant fields, literal anchor) —
+# applied in order. The ANCHOR is an invariant substring of any text
+# the pattern can match, checked with a C-level `in` before the regex
+# attempt (None = always attempt) — keep it NEXT TO its pattern.
+_PATTERNS: list[tuple[str, re.Pattern, dict, str | None]] = [
     ("birth", re.compile(
         rf"^(?P<person>{_NAME}) was born (?P<marker>on|by|after|around) "
-        rf"(?P<date>.+?) in (?P<place>[^.]+)\.$"), {}),
+        rf"(?P<date>.+?) in (?P<place>[^.]+)\.$"), {}, " was born "),
     ("death", re.compile(
         rf"^(?P<person>{_NAME}) died of (?P<term>.+?) on (?P<date>.+?) "
-        rf"in (?P<place>[^.]+)\.$"), {"certainty": "CERT"}),
+        rf"in (?P<place>[^.]+)\.$"), {"certainty": "CERT"}, " died of "),
     ("burial", re.compile(
         rf"^(?P<person>{_NAME}) was (?:buried|grave|interred) in "
-        rf"(?P<place>[^.]+)\.$"), {}),
+        rf"(?P<place>[^.]+)\.$"), {}, None),
     ("income", re.compile(
-        rf"^(?P<person>{_NAME}) earned (?P<amount>\d+) pounds a year\.$"), {}),
+        rf"^(?P<person>{_NAME}) earned (?P<amount>\d+) pounds a year\.$"), {}, " earned "),
     ("occupation", re.compile(
         rf"^(?P<person>{_NAME}) (?P<verb>worked|volunteered) as a "
-        rf"(?P<term>[^.]+)\.$"), {}),
+        rf"(?P<term>[^.]+)\.$"), {}, " as a "),
     ("moved", re.compile(
         rf"^(?P<person>{_NAME}) moved to (?P<place>[A-Z][a-zA-Z]+, "
-        rf"[A-Z][a-zA-Z]+), leaving (?P<place2>[^.]+)\.$"), {}),
+        rf"[A-Z][a-zA-Z]+), leaving (?P<place2>[^.]+)\.$"), {}, " moved to "),
     ("migration", re.compile(
         rf"^(?P<person>{_NAME}) migrated to (?P<place>.+?) from "
-        rf"(?P<place2>[^.]+)\.$"), {}),
+        rf"(?P<place2>[^.]+)\.$"), {}, " migrated to "),
     ("location", re.compile(
         rf"^(?P<person>{_NAME}) (?P<verb>lived in|travelled to|visited) "
-        rf"(?P<place>[^.]+)\.$"), {}),
+        rf"(?P<place>[^.]+)\.$"), {}, None),
     ("culturalform", re.compile(
         rf"^(?P<person>{_NAME}) was (?P<term>[A-Za-z]+) by religion\.$"),
-        {"category": "religion"}),
+        {"category": "religion"}, " by religion"),
     ("culturalform", re.compile(
         rf"^(?P<person>{_NAME}) identified as (?P<term>[A-Za-z]+)\.$"),
-        {"category": "nationality"}),
+        {"category": "nationality"}, " identified as "),
     ("culturalform", re.compile(
         rf"^(?P<person>{_NAME})'s gender was (?P<term>\w+)\.$"),
-        {"category": "gender"}),
+        {"category": "gender"}, "gender was "),
     ("culturalform", re.compile(
         rf"^(?P<person>{_NAME}) belonged to the (?P<term>[a-z ]+)\.$"),
-        {"category": "class"}),
+        {"category": "class"}, " belonged to the "),
     ("culturalform", re.compile(
         rf"^(?P<person>{_NAME}) spoke (?P<term>[A-Za-z]+) with "
         rf"(?P<marker>native|acquired) fluency\.$"),
-        {"category": "language"}),
+        {"category": "language"}, " fluency"),
     ("othercontext", re.compile(
         rf"^(?P<person>{_NAME}) suffered from (?P<term>[^.]+)\.$"),
-        {"category": "health"}),
+        {"category": "health"}, " suffered from "),
     ("othercontext", re.compile(
         rf"^(?P<person>{_NAME}) was assaulted in (?P<place>[^.]+)\.$"),
-        {"category": "violence"}),
+        {"category": "violence"}, " was assaulted in "),
     ("othercontext", re.compile(
         rf"^(?P<person>{_NAME}) inherited a fortune of (?P<amount>\d+) "
-        rf"pounds\.$"), {"category": "wealth"}),
+        rf"pounds\.$"), {"category": "wealth"}, " inherited a fortune of "),
     ("othercontext", re.compile(
         rf"^(?P<person>{_NAME}) took pleasure in (?P<term>[^.]+)\.$"),
-        {"category": "leisure"}),
+        {"category": "leisure"}, " took pleasure in "),
     ("citation", re.compile(
         r'^This is recorded in "(?P<title>[^"]+)", page (?P<amount>\d+)\.$'),
-        {}),
+        {}, "This is recorded in"),
     ("family", re.compile(
         rf"^(?P<person>{_NAME})'s (?P<term>(?:{_REL})) was "
-        rf"(?P<other>{_NAME})\.$"), {}),
+        rf"(?P<other>{_NAME})\.$"), {}, "'s "),
     ("friend", re.compile(
         rf"^(?P<person>{_NAME}) was a close friend of "
-        rf"(?P<other>{_NAME})\.$"), {"category": "friend"}),
+        rf"(?P<other>{_NAME})\.$"), {"category": "friend"}, " close friend of "),
     ("friend", re.compile(
         rf"^(?P<person>{_NAME}) lived with (?P<other>{_NAME})\.$"),
-        {"category": "cohabitant"}),
+        {"category": "cohabitant"}, " lived with "),
     ("childlessness", re.compile(
         rf"^Regarding children, (?P<person>{_NAME}) was marked by "
-        rf"(?P<word>[a-z ]+)\.$"), {}),
+        rf"(?P<word>[a-z ]+)\.$"), {}, "Regarding children"),
     ("education", re.compile(
         rf"^(?P<person>{_NAME}) studied (?P<term>[a-z]+) at the "
-        rf"(?P<org>[^.]+)\.$"), {"category": "study"}),
+        rf"(?P<org>[^.]+)\.$"), {"category": "study"}, " studied "),
     ("education", re.compile(
         rf"^(?P<person>{_NAME}) earned a (?P<term>[a-z ]+) in "
-        rf"(?P<place2>[a-z]+)\.$"), {"category": "degree"}),
+        rf"(?P<place2>[a-z]+)\.$"), {"category": "degree"}, " earned a "),
     ("title", re.compile(
-        rf'^(?P<person>{_NAME}) wrote "(?P<title>[^"]+)"\.$'), {}),
+        rf'^(?P<person>{_NAME}) wrote "(?P<title>[^"]+)"\.$'), {}, " wrote "),
     ("personname", re.compile(
         rf'^(?P<person>{_NAME}) was also known as "(?P<term>[^"]+)"\.$'),
-        {"category": "nickname"}),
+        {"category": "nickname"}, " was also known as "),
     ("personname", re.compile(
         rf"^(?P<person>{_NAME})'s birth name was (?P<other>{_NAME})\.$"),
-        {"category": "birthname"}),
+        {"category": "birthname"}, " birth name was "),
     ("profile", re.compile(
         rf"^To summarise the oeuvre: (?P<term>(?P<person>{_NAME}) was "
-        rf".+?\.)$"), {}),
+        rf".+?\.)$"), {}, "To summarise"),
     ("event", re.compile(
         r"^On (?P<date>.+?), (?P<term>[a-z][^.]*?) took place in "
-        r"(?P<place>[^.]+)\.$"), {}),
+        r"(?P<place>[^.]+)\.$"), {}, " took place in "),
     ("org", re.compile(
-        rf"^(?P<person>{_NAME}) joined the (?P<org>[^.]+)\.$"), {}),
+        rf"^(?P<person>{_NAME}) joined the (?P<org>[^.]+)\.$"), {}, " joined the "),
     ("biographer", re.compile(
         rf"^Her (?P<category>biographer|critic|historian) "
-        rf"(?P<other>{_NAME}) recorded much of this\.$"), {}),
+        rf"(?P<other>{_NAME}) recorded much of this\.$"), {}, " recorded much of this"),
 ]
 
 
-
-# literal anchor per pattern: an invariant substring of any text the
-# pattern can match, checked with C-level ``in`` before attempting the
-# regex — same match order and results, ~30x fewer regex calls on the
-# volume stage (most turns match exactly one anchor)
-_ANCHORS = {
-    "birth": " was born ", "death": " died of ", "income": " earned ",
-    "occupation": " as a ", "moved": " moved to ",
-    "migration": " migrated to ", "childlessness": "Regarding children",
-    "title": " wrote ", "org": " joined the ",
-    "biographer": " recorded much of this", "profile": "To summarise",
-    "event": " took place in ", "citation": "This is recorded in",
-}
-_PATTERN_ANCHOR: list[str | None] = []
-for _ft, _pat, _const in _PATTERNS:
-    _p = _pat.pattern
-    if _ft in _ANCHORS:
-        _a = _ANCHORS[_ft]
-    elif _ft == "burial":
-        _a = None  # three keyword alternatives — no single literal
-    elif _ft == "location":
-        _a = None  # lived in / travelled to / visited
-    elif _ft == "friend":
-        _a = " close friend of " if "close friend" in _p else " lived with "
-    elif _ft == "culturalform":
-        if "religion" in _p:
-            _a = " by religion"
-        elif "identified as" in _p:
-            _a = " identified as "
-        elif "gender" in _p:
-            _a = "gender was "
-        elif "belonged to" in _p:
-            _a = " belonged to the "
-        else:
-            _a = " fluency"
-    elif _ft == "family":
-        _a = "'s "
-    elif _ft == "personname":
-        _a = " was also known as " if "known as" in _p else " birth name was "
-    elif _ft == "education":
-        _a = " studied " if "studied" in _p else " earned a "
-    elif _ft == "othercontext":
-        if "suffered" in _p:
-            _a = " suffered from "
-        elif "assaulted" in _p:
-            _a = " was assaulted in "
-        elif "inherited" in _p:
-            _a = " inherited a fortune of "
-        else:
-            _a = " took pleasure in "
-    else:
-        _a = None
-    _PATTERN_ANCHOR.append(_a)
-_PATTERNS_WITH_ANCHORS = [
-    (ft, pat, const, anch)
-    for (ft, pat, const), anch in zip(_PATTERNS, _PATTERN_ANCHOR)]
 
 _SUBJECT = re.compile(rf"^Tell me about (?P<person>{_NAME})\.$")
 
@@ -227,7 +173,7 @@ def _detect_one(text: str) -> list[dict]:
     m = _SUBJECT.match(text)
     if m:
         return [{"fact_type": "_subject", "person": m.group("person")}]
-    for fact_type, pat, const, anchor in _PATTERNS_WITH_ANCHORS:
+    for fact_type, pat, const, anchor in _PATTERNS:
         if anchor is not None and anchor not in text:
             continue
         m = pat.match(text)
@@ -379,12 +325,6 @@ def finalize_bucket(group: pd.DataFrame) -> pd.DataFrame:
 #      driver-side), broadcast; map_batches assigns global dense seq.
 # Output is row-identical to finalize_bucket (pytest-pinned).
 
-def _segment_key(conv_hash: pd.Series, turn_idx: pd.Series,
-                 span: int, n_buckets: int) -> pd.Series:
-    seg = (turn_idx // span).astype("int64")
-    return ((conv_hash * 1_000_003 + seg) % n_buckets).astype("int64")
-
-
 def extract_facts_salted(turns, span_turns: int = 2048,
                          n_buckets: int = 256):
     """Salted-segment variant of :func:`extract_facts` — identical
@@ -481,14 +421,24 @@ def extract_facts_salted(turns, span_turns: int = 2048,
             subjects = g.loc[bio, "conv_id"].map(smap)
             g.loc[bio, "person"] = subjects.where(subjects.notna(),
                                                   g.loc[bio, "person"])
-        g = g.sort_values(["conv_id", "segment", "turn_idx", "cand_idx"],
-                          kind="stable")
+        return g  # drops are row-local; ranking happens under groupby
+
+    # local_rank must see a WHOLE segment — map_batches blocks can
+    # split one (Ray splits map_groups output at target block size),
+    # so ranking runs under a salted groupby, which guarantees
+    # co-location; order key is stage A's in-segment position
+    def _rank_segment(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["conv_id", "segment", "in_seg_pos"],
+                              kind="stable").copy()
         g["local_rank"] = g.groupby(["conv_id", "segment"],
                                     sort=False).cumcount()
         return g
 
-    surviving = rows.map_batches(_apply_rules, batch_format="pandas",
-                                 batch_size=None).materialize()
+    surviving = (rows.map_batches(_apply_rules, batch_format="pandas",
+                                  batch_size=None)
+                 .groupby("salt_bucket")
+                 .map_groups(_rank_segment, batch_format="pandas")
+                 .materialize())
 
     # ---- stage C: per-segment surviving counts → prefix-sum offsets
     def _seg_counts(df: pd.DataFrame) -> pd.DataFrame:

@@ -21,6 +21,7 @@ The reference's joins are ALL broadcast-small-side dictionary lookups
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import ray
 import ray.data as rd
@@ -91,22 +92,26 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
     tagged = left.map_batches(_tag(0, left_cols), batch_format="pandas") \
         .union(right.map_batches(_tag(1, right_cols), batch_format="pandas"))
 
+    # output schema is fixed up front so every bucket (incl. one-sided
+    # ones) emits identical columns; merge_asof consumes the right
+    # side's `on`, the rest of its columns collide-suffix as usual
+    out_cols = left_cols + [c + suffix if c in left_cols else c
+                            for c in right_cols if c not in (by, on)]
+
     def _merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
         l = (group.loc[group["__side"] == 0, left_cols]
              .sort_values(on, kind="stable"))
         r = (group.loc[group["__side"] == 1, right_cols]
              .sort_values(on, kind="stable"))
         if not len(l) or not len(r):
-            return pd.DataFrame(columns=left_cols + [
-                c + suffix if c in left_cols else c for c in right_cols
-                if c != by])
+            return pd.DataFrame(columns=out_cols)
+        # explicit matched indicator: NEVER probe a value column (a
+        # legitimately-null right value is not a failed match)
+        r = r.assign(__rmatch=np.int8(1))
         out = pd.merge_asof(l, r, on=on, by=by, direction="backward",
                             suffixes=("", suffix))
-        right_on = on + suffix if on in right_cols else None
-        probe = (right_on if right_on and right_on in out.columns
-                 else next((c + suffix if c in left_cols else c)
-                           for c in right_cols if c not in (by, on)))
-        return out[out[probe].notna()]
+        out = out[out["__rmatch"].notna()].drop(columns=["__rmatch"])
+        return out[out_cols]
 
     return tagged.groupby("__bucket").map_groups(_merge_bucket,
                                                  batch_format="pandas")

@@ -27,10 +27,13 @@ _BPE_RE = r"[A-Za-z]{1,4}|[0-9]{1,3}|[^\sA-Za-z0-9]"
 
 
 def token_count(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
-    """Whitespace/word tokens + a BPE-ish sub-token count per doc."""
+    """Whitespace/word tokens + a BPE-ish sub-token count per doc.
+    Null text counts as empty (str.count yields NaN on nulls, which
+    would poison the int cast and kill the task)."""
     out = batch.copy()
-    out["n_tokens"] = batch[text_col].str.count(_TOKEN_RE).astype("int64")
-    out["n_subtokens"] = batch[text_col].str.count(_BPE_RE).astype("int64")
+    s = batch[text_col].fillna("")
+    out["n_tokens"] = s.str.count(_TOKEN_RE).astype("int64")
+    out["n_subtokens"] = s.str.count(_BPE_RE).astype("int64")
     return out
 
 
@@ -38,7 +41,7 @@ def quality_score(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     """Integer quality features + a boolean gate (integer comparisons
     only, so results are exactly reproducible in SQL)."""
     out = batch.copy()
-    s = batch[text_col]
+    s = batch[text_col].fillna("")
     out["n_chars_q"] = s.str.len().astype("int64")
     out["n_words_q"] = s.str.count(_TOKEN_RE).astype("int64")
     out["n_punct_q"] = s.str.count(r"[.!?,;:]").astype("int64")

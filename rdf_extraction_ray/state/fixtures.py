@@ -40,14 +40,24 @@ def _person_uri(name: str) -> str:
     return make_standard_uri(name, "data")
 
 # alias dict: canonical name, initials form, and a nickname form all
-# resolve to the canonical URI (role of people_mapping.csv, 7,148 rows)
+# resolve to the canonical URI (role of people_mapping.csv, 7,148
+# rows). An abbreviated surface shared by two people (e.g. the
+# E.-initial form of Eleanor and Edmund Trevelyan) is AMBIGUOUS and
+# excluded — a dict would otherwise silently keep the last writer and
+# the linker would attach one person's facts to the other's node.
 PERSON_ALIASES: dict[str, str] = {}
+AMBIGUOUS_ALIASES: set[str] = set()
 for _name in PEOPLE:
     _first, _last = _name.split(" ", 1)
     _u = _person_uri(_name)
-    PERSON_ALIASES[_name] = _u
-    PERSON_ALIASES[f"{_first[0]}. {_last}"] = _u
-    PERSON_ALIASES[f"{_first} {_last[0]}."] = _u
+    for _surface in (_name, f"{_first[0]}. {_last}", f"{_first} {_last[0]}."):
+        _prev = PERSON_ALIASES.get(_surface)
+        if _prev is not None and _prev != _u:
+            AMBIGUOUS_ALIASES.add(_surface)
+        else:
+            PERSON_ALIASES[_surface] = _u
+for _surface in AMBIGUOUS_ALIASES:
+    PERSON_ALIASES.pop(_surface, None)
 
 # writers table analogue: canonical uri → (id, sex) (writers_sex.csv)
 WRITERS: dict[str, tuple[str, str]] = {

@@ -29,7 +29,7 @@ from .state import fixtures as fx
 
 # bump when generator output changes — cache paths embed it so stale
 # /tmp corpora are never reused across versions
-GENERATOR_VERSION = 4
+GENERATOR_VERSION = 5
 
 TURNS_SCHEMA = pa.schema([
     ("conv_id", pa.string()),
@@ -88,10 +88,14 @@ def _date_string(rng: np.random.Generator) -> str:
 
 
 def _surface(rng: np.random.Generator, name: str) -> str:
-    """Pick one of the three alias surfaces for a canonical person."""
+    """Pick one of the alias surfaces for a canonical person, skipping
+    surfaces shared by two people (those are excluded from the alias
+    dict — see fixtures.AMBIGUOUS_ALIASES — so planting them would
+    make the ground truth ambiguous)."""
     first, last = name.split(" ", 1)
-    forms = [name, f"{first[0]}. {last}", f"{first} {last[0]}."]
-    return forms[int(rng.integers(0, 3))]
+    forms = [f for f in (name, f"{first[0]}. {last}", f"{first} {last[0]}.")
+             if f not in fx.AMBIGUOUS_ALIASES]
+    return forms[int(rng.integers(0, len(forms)))]
 
 
 def _place(rng: np.random.Generator) -> str:

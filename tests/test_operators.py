@@ -227,3 +227,79 @@ class TestAsofJoin:
         # prior match, dropped
         assert list(out["lid"]) == [1, 2, 3]
         assert list(out["rid"].astype(int)) == [100, 101, 102]
+
+
+class TestReviewRegressions:
+    """Regression pins for the round-1 code-review findings."""
+
+    def test_asof_join_keeps_null_right_values(self):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from rdf_extraction_ray.stages.joins import asof_join
+        left = rd.from_arrow(pa.table({
+            "lid": [1], "k": ["a"], "t": [5]}))
+        right = rd.from_arrow(pa.table({
+            "rid": [9], "k": ["a"], "t": [1],
+            "v": pa.array([None], pa.float64())}))
+        out = asof_join(left, right, by="k", on="t").to_pandas()
+        # the t=1 row IS a match even though its value v is null
+        assert len(out) == 1 and int(out["rid"].iloc[0]) == 9
+
+    def test_asof_join_right_side_with_only_key_columns(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from rdf_extraction_ray.stages.joins import asof_join
+        left = rd.from_arrow(pa.table({
+            "lid": [1, 2], "k": ["a", "a"], "t": [5, 0]}))
+        right = rd.from_arrow(pa.table({"k": ["a"], "t": [3]}))
+        out = asof_join(left, right, by="k", on="t").to_pandas()
+        assert list(out["lid"]) == [1]  # t=0 has no prior right row
+
+    def test_connected_components_long_chain(self):
+        import pandas as pd
+
+        from rdf_extraction_ray.stages.dedup_docs import connected_components
+        n = 40
+        pairs = pd.DataFrame({"a": [f"d{i:02d}" for i in range(n - 1)],
+                              "b": [f"d{i + 1:02d}" for i in range(n - 1)]})
+        out = connected_components(pairs)
+        assert out["component"].nunique() == 1
+        assert len(out) == n
+
+    def test_textstats_null_text(self):
+        import pandas as pd
+
+        from rdf_extraction_ray.stages.textstats import (quality_score,
+                                                         token_count)
+        batch = pd.DataFrame({"doc_id": [1, 2],
+                              "text": ["hello world one two three", None]})
+        t = token_count(batch)
+        assert list(t["n_tokens"]) == [5, 0]
+        q = quality_score(batch)
+        assert bool(q["quality_ok"].iloc[1]) is False
+
+    def test_minhash_pairs_unique_across_bands(self):
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from rdf_extraction_ray.stages.dedup_docs import \
+            minhash_lsh_candidates
+        text = "the quick brown fox jumps over the lazy dog " * 8
+        docs = rd.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": [text, text],  # identical → matches in EVERY band
+        }))
+        pairs = minhash_lsh_candidates(docs).to_pandas()
+        assert len(pairs) == 1  # not one copy per band
+
+    def test_ambiguous_person_aliases_excluded(self):
+        from rdf_extraction_ray.state.fixtures import (AMBIGUOUS_ALIASES,
+                                                       PERSON_ALIASES)
+        assert AMBIGUOUS_ALIASES  # the 60-person fixture has collisions
+        for surf in AMBIGUOUS_ALIASES:
+            assert surf not in PERSON_ALIASES
