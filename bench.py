@@ -121,8 +121,22 @@ def run_scaling() -> None:
                              check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    def best_of(ncpu: int, reps: int = 3) -> dict:
+        """Min-wall-time of ``reps`` runs: single runs vary ±20% on a
+        shared box (raylet/plasma teardown of the previous session,
+        page-cache state), and min is the standard noise-robust
+        estimator for same-input benchmark legs."""
+        best = None
+        for _ in range(reps):
+            r = run(ncpu)
+            if best is None or r["value"] < best["value"]:
+                best = r
+            time.sleep(15)  # let session teardown finish
+        return best
+
     lo, hi = 8, 32
-    r_lo, r_hi = run(lo), run(hi)
+    r_lo = best_of(lo)
+    r_hi = best_of(hi)
     tput_lo = r_lo["turns_per_sec"]
     tput_hi = r_hi["turns_per_sec"]
     eff = (tput_hi / tput_lo) / (hi / lo)
