@@ -188,19 +188,33 @@ def _q_tpch_q1(sf_dir: str):
                 "l_extendedprice", "l_discount", "l_shipdate"])
     cutoff = pa.scalar(pd.Timestamp("1998-09-01").to_pydatetime())
 
-    def _revenue(t):
+    def _partial(t):
+        """Map-side combiner: filter + per-batch partial sums, so the
+        exchange moves ~6 rows per batch instead of the line items."""
         t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
         rev = pc.multiply(t["l_extendedprice"],
                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return t.append_column("revenue", rev)
+        df = t.append_column("revenue", rev).to_pandas()
+        return (df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+                .agg(sum_qty=("l_quantity", "sum"),
+                     sum_base=("l_extendedprice", "sum"),
+                     sum_disc_price=("revenue", "sum"),
+                     sum_disc=("l_discount", "sum"),
+                     count_order=("l_discount", "size")))
 
-    ds = ds.map_batches(_revenue, batch_format="pyarrow")
-    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_base"),
-        Sum("revenue", alias_name="sum_disc_price"),
-        Mean("l_discount", alias_name="avg_disc"),
-        Count(alias_name="count_order")).to_pandas()
+    parts = (ds.map_batches(_partial, batch_format="pyarrow",
+                            batch_size=None)
+             .groupby(["l_returnflag", "l_linestatus"])
+             .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                        Sum("sum_base", alias_name="sum_base"),
+                        Sum("sum_disc_price", alias_name="sum_disc_price"),
+                        Sum("sum_disc", alias_name="sum_disc"),
+                        Sum("count_order", alias_name="count_order"))
+             .to_pandas())
+    out = parts
+    out["avg_disc"] = out["sum_disc"] / out["count_order"]
+    out = out.drop(columns=["sum_disc"])
+    out["count_order"] = out["count_order"].astype("int64")
     for c in ("sum_qty", "sum_base", "sum_disc_price", "avg_disc"):
         out[c] = out[c].round(_ROUND)
     return out
@@ -237,11 +251,21 @@ def _q_segment_revenue(sf_dir: str):
         lambda df: df.rename(columns={"c_custkey": "o_custkey"}),
         batch_format="pandas")
     joined = hash_join(orders, cust, on="o_custkey")
-    from ray.data.aggregate import Count, Sum
-    out = joined.groupby("c_mktsegment").aggregate(
-        Count(alias_name="n_orders"),
-        Sum("o_totalprice", alias_name="revenue")).to_pandas()
-    out["revenue"] = out["revenue"].round(_ROUND)
+    from ray.data.aggregate import Sum
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        # combiner: collapse each join-output block to ≤5 segment rows
+        return (df.groupby("c_mktsegment", as_index=False)
+                .agg(n_orders=("o_totalprice", "size"),
+                     revenue=("o_totalprice", "sum")))
+
+    out = (joined.map_batches(_partial, batch_format="pandas",
+                              batch_size=None)
+           .groupby("c_mktsegment")
+           .aggregate(Sum("n_orders", alias_name="n_orders"),
+                      Sum("revenue", alias_name="revenue")).to_pandas())
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["revenue"] = out["revenue"].astype("float64").round(_ROUND)
     return out
 
 
