@@ -56,16 +56,57 @@ def _shard_of(conv_ids: pd.Series, n_shards: int) -> pd.Series:
             % n_shards)
 
 
+def _prepartition(turns_path: str, out_dir: str, n_shards: int,
+                  fp: str) -> str:
+    """ONE pass over the input writing it hash-partitioned by shard
+    (``_input/shard=k/``), so each shard's pipeline reads only its own
+    files instead of scanning the whole corpus and discarding
+    (n_shards-1)/n_shards of it — read amplification drops from
+    O(n_shards) to O(1). Idempotent via a fingerprint marker; the
+    partition survives crashes, so resume skips this step too."""
+    import ray.data as rd
+    part_dir = os.path.join(out_dir, "_input")
+    marker = os.path.join(part_dir, "_PARTITIONED.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            meta = json.load(f)
+        if meta.get("fingerprint") == fp and meta.get("n") == n_shards:
+            return part_dir
+        shutil.rmtree(part_dir)
+    tmp = part_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    def _tag(df: pd.DataFrame) -> pd.DataFrame:
+        b = df.copy()
+        b["shard"] = _shard_of(b["conv_id"], n_shards).astype("int64")
+        return b
+
+    (rd.read_parquet(turns_path)
+     .map_batches(_tag, batch_format="pandas", batch_size=None)
+     .write_parquet(tmp, partition_cols=["shard"]))
+    with open(os.path.join(tmp, "_PARTITIONED.json"), "w") as f:
+        json.dump({"fingerprint": fp, "n": n_shards}, f)
+    shutil.rmtree(part_dir, ignore_errors=True)
+    os.replace(tmp, part_dir)
+    return part_dir
+
+
 def run_sharded(turns_path: str, out_dir: str, n_shards: int = 8,
                 linker_concurrency: int | tuple | None = None,
-                shards: list[int] | None = None) -> dict:
+                shards: list[int] | None = None,
+                prepartition: bool = True) -> dict:
     """Run the KG pipeline shard by shard, skipping finished shards.
 
     Returns a summary dict {shard: manifest}. ``shards`` restricts the
-    run (used by tests to simulate a mid-run failure).
+    run (used by tests to simulate a mid-run failure). With
+    ``prepartition`` (default) the input is first written
+    hash-partitioned under ``out_dir/_input`` in one pass, so each
+    shard reads only its own partition.
     """
     fp = _fingerprint(turns_path)
     os.makedirs(out_dir, exist_ok=True)
+    part_dir = (_prepartition(turns_path, out_dir, n_shards, fp)
+                if prepartition else None)
     summary: dict[int, dict] = {}
     todo = range(n_shards) if shards is None else shards
     for s in todo:
@@ -80,22 +121,27 @@ def run_sharded(turns_path: str, out_dir: str, n_shards: int = 8,
                 continue
             shutil.rmtree(final)  # stale output for a different input
         summary[s] = _run_one_shard(turns_path, out_dir, s, n_shards, fp,
-                                    linker_concurrency)
+                                    linker_concurrency, part_dir)
     return summary
 
 
 def _run_one_shard(turns_path: str, out_dir: str, s: int, n_shards: int,
-                   fp: str, linker_concurrency) -> dict:
+                   fp: str, linker_concurrency,
+                   part_dir: str | None = None) -> dict:
     tmp = os.path.join(out_dir, f"shard={s}.tmp")
     final = os.path.join(out_dir, f"shard={s}")
     shutil.rmtree(tmp, ignore_errors=True)
 
-    turns = read_turns(turns_path)
+    if part_dir is not None:
+        shard_turns = read_turns(os.path.join(part_dir, f"shard={s}"))
+    else:
+        turns = read_turns(turns_path)
 
-    def _filter_shard(df: pd.DataFrame) -> pd.DataFrame:
-        return df[_shard_of(df["conv_id"], n_shards) == s]
+        def _filter_shard(df: pd.DataFrame) -> pd.DataFrame:
+            return df[_shard_of(df["conv_id"], n_shards) == s]
 
-    shard_turns = turns.map_batches(_filter_shard, batch_format="pandas")
+        shard_turns = turns.map_batches(_filter_shard,
+                                        batch_format="pandas")
     facts = (shard_turns
              .map_batches(detect_facts, batch_format="pyarrow",
                           batch_size=None)
