@@ -33,6 +33,18 @@ def _sf_of(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.001
 
 
+def _publish_dir(tmp: str, path: str) -> None:
+    """Atomic corpus publish: a fully written tmp dir is renamed into
+    place; if a concurrent process won the race, keep its output and
+    discard ours — directory EXISTENCE is the done-marker, so no
+    reader can ever see a half-written corpus."""
+    import shutil
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _turns_path(sf_dir: str, mult: int = 1) -> str:
     """Deterministic synthetic transcript corpus sized to the sf tier,
     cached under /tmp (generation excluded from pipeline timing).
@@ -43,10 +55,10 @@ def _turns_path(sf_dir: str, mult: int = 1) -> str:
     n_convs = max(60, int(sf * 400_000)) * mult
     path = (f"/tmp/rdf_extraction_ray/turns_v{synth.GENERATOR_VERSION}"
             f"_sf{sf}_n{n_convs}")
-    if not os.path.exists(os.path.join(path, "_DONE")):
-        synth.write_turns(path, n_convs, seed=42)
-        with open(os.path.join(path, "_DONE"), "w") as f:
-            f.write("ok")
+    if not os.path.exists(path):
+        tmp = f"{path}.tmp.{os.getpid()}"
+        synth.write_turns(tmp, n_convs, seed=42)
+        _publish_dir(tmp, path)
     return path
 
 
@@ -59,11 +71,19 @@ def _works_paths(sf_dir: str) -> tuple[str, str]:
             f"_sf{sf}_n{n_works}")
     wp = os.path.join(path, "works.parquet")
     gp = os.path.join(path, "writing.parquet")
-    if not os.path.exists(os.path.join(path, "_DONE")):
-        synth.write_works(path, n_works, seed=42)
-        with open(os.path.join(path, "_DONE"), "w") as f:
-            f.write("ok")
+    if not os.path.exists(path):
+        tmp = f"{path}.tmp.{os.getpid()}"
+        synth.write_works(tmp, n_works, seed=42)
+        _publish_dir(tmp, path)
     return wp, gp
+
+
+def _bucket_by_user(df: pd.DataFrame, n: int = 32) -> pd.DataFrame:
+    """Hash-bucket rows by user_id — the per-user co-location contract
+    shared by the sessionization and rolling-window queries."""
+    b = df.copy()
+    b["bucket"] = (b["user_id"] % n).astype("int64")
+    return b
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -182,7 +202,7 @@ def _q_kg_triples_stats(sf_dir: str):
 def _q_tpch_q1(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Mean, Sum
+    from ray.data.aggregate import Sum
     ds = _read(sf_dir, "lineitem",
                ["l_returnflag", "l_linestatus", "l_quantity",
                 "l_extendedprice", "l_discount", "l_shipdate"])
@@ -283,7 +303,7 @@ def _q_events_hourly(sf_dir: str):
                 .agg(n=("value", "size"), value_sum=("value", "sum")))
 
     from ray.data.aggregate import Sum
-    out = (ds.map_batches(_hour, batch_format="pandas")
+    out = (ds.map_batches(_hour, batch_format="pandas", batch_size=None)
            .groupby(["event_type", "hour"])
            .aggregate(Sum("n", alias_name="n"),
                       Sum("value_sum", alias_name="value_sum"))
@@ -296,11 +316,6 @@ def _q_events_hourly(sf_dir: str):
 def _q_user_sessions(sf_dir: str):
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
 
-    def _bucketize(df: pd.DataFrame) -> pd.DataFrame:
-        b = df.copy()
-        b["bucket"] = (b["user_id"] % 32).astype("int64")
-        return b
-
     def _sessions(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["user_id", "ts", "event_id"], kind="stable")
         gap = pd.Timedelta(minutes=30)
@@ -310,7 +325,8 @@ def _q_user_sessions(sf_dir: str):
                 .groupby("user_id", as_index=False)
                 .agg(n_events=("s", "size"), n_sessions=("s", "sum")))
 
-    out = (ds.map_batches(_bucketize, batch_format="pandas")
+    out = (ds.map_batches(_bucket_by_user, batch_format="pandas",
+                          batch_size=None)
            .groupby("bucket").map_groups(_sessions, batch_format="pandas")
            .to_pandas())
     out["n_sessions"] = out["n_sessions"].astype("int64")
@@ -422,11 +438,6 @@ def _q_events_rolling_1h(sf_dir: str):
     import numpy as np
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
 
-    def _bucketize(df: pd.DataFrame) -> pd.DataFrame:
-        b = df.copy()
-        b["bucket"] = (b["user_id"] % 32).astype("int64")
-        return b
-
     def _rolling(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["user_id", "ts", "event_id"], kind="stable")
         ts = g["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
@@ -445,7 +456,8 @@ def _q_events_rolling_1h(sf_dir: str):
         return pd.DataFrame({"event_id": g["event_id"],
                              "user_id": g["user_id"], "n_1h": out})
 
-    res = (ds.map_batches(_bucketize, batch_format="pandas")
+    res = (ds.map_batches(_bucket_by_user, batch_format="pandas",
+                          batch_size=None)
            .groupby("bucket").map_groups(_rolling, batch_format="pandas")
            .to_pandas())
     res["n_1h"] = res["n_1h"].astype("int64")

@@ -53,8 +53,15 @@ def run_bench() -> dict:
     mult = int(os.environ.get("GRAFT_CORPUS_MULT", "1"))
     turns_path = entrymod._turns_path(sf_dir, mult)  # cached gen (untimed)
 
-    # warm OS page cache so we measure compute+shuffle, not first read
-    n_turns = read_turns(turns_path).count()
+    # pre-generate secondary corpora OUTSIDE the timed regions
+    entrymod._works_paths(sf_dir)
+    if mult != 1:
+        entrymod._turns_path(sf_dir, 1)  # used by per-query timings
+    # warm the OS page cache with a REAL full read (Dataset.count()
+    # alone takes the parquet-metadata fast path and reads no data)
+    warm = read_turns(turns_path).materialize()
+    n_turns = warm.count()
+    del warm
 
     out_dir = "/tmp/rdf_extraction_ray/bench_out"
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -78,17 +85,19 @@ def run_bench() -> dict:
               "docs_embed_neardup"]
     queries = entrymod.queries()
     qtimes: dict[str, float] = {}
+    qerrors: dict[str, str] = {}
     for name in qnames:
         t0 = time.time()
-        res = queries[name](sf_dir)
-        # force execution for lazy results
         try:
+            res = queries[name](sf_dir)
             import ray.data as rd
             if isinstance(res, rd.Dataset):
-                res.count()
-        except Exception:
-            pass
-        qtimes[name] = round(time.time() - t0, 3)
+                res.count()  # force execution for lazy results
+            qtimes[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # a broken query must be VISIBLE,
+            # not a bogus ~0s timing with a clean exit
+            qtimes[name] = -1.0
+            qerrors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
     ray.shutdown()
     return {
@@ -96,6 +105,7 @@ def run_bench() -> dict:
         "value": round(headline_sec, 3),
         "unit": "sec",
         "queries": qtimes,
+        **({"query_errors": qerrors} if qerrors else {}),
         "sf": sf,
         "num_cpus": num_cpus,
         "n_turns": int(n_turns),
@@ -127,11 +137,12 @@ def run_scaling() -> None:
         page-cache state), and min is the standard noise-robust
         estimator for same-input benchmark legs."""
         best = None
-        for _ in range(reps):
+        for i in range(reps):
+            if i or ncpu != 8:  # settle AFTER a previous session only
+                time.sleep(15)
             r = run(ncpu)
             if best is None or r["value"] < best["value"]:
                 best = r
-            time.sleep(15)  # let session teardown finish
         return best
 
     lo, hi = 8, 32

@@ -51,6 +51,10 @@ def main():
     import __ray_entry__ as entrymod
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"[ERR ] unknown query name(s): {sorted(unknown)}")
+        sys.exit(2)
 
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem events "
