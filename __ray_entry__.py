@@ -42,6 +42,8 @@ def _publish_dir(tmp: str, path: str) -> None:
     try:
         os.rename(tmp, path)
     except OSError:
+        if not os.path.exists(path):  # not a lost race — a real error
+            raise
         shutil.rmtree(tmp, ignore_errors=True)
 
 

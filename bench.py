@@ -137,14 +137,16 @@ def run_scaling() -> None:
         page-cache state), and min is the standard noise-robust
         estimator for same-input benchmark legs."""
         best = None
-        for i in range(reps):
-            if i or ncpu != 8:  # settle AFTER a previous session only
+        for _ in range(reps):
+            if ran_any[0]:  # settle only after a previous session
                 time.sleep(15)
+            ran_any[0] = True
             r = run(ncpu)
             if best is None or r["value"] < best["value"]:
                 best = r
         return best
 
+    ran_any = [False]
     lo, hi = 8, 32
     r_lo = best_of(lo)
     r_hi = best_of(hi)

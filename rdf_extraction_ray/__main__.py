@@ -92,6 +92,10 @@ def _select_conversations(turns_path: str, args) -> str:
         ds = ds.filter(_keep)  # deterministic per-conversation sample
     else:
         return turns_path
+    # invalidate BEFORE rewriting: a crash mid-write must not leave a
+    # stale marker validating a half-written selection
+    if os.path.exists(marker):
+        os.remove(marker)
     shutil.rmtree(sel, ignore_errors=True)
     ds.write_parquet(sel)
     with open(marker, "w") as f:

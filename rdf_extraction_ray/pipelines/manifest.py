@@ -105,23 +105,39 @@ def run_sharded(turns_path: str, out_dir: str, n_shards: int = 8,
     """
     fp = _fingerprint(turns_path)
     os.makedirs(out_dir, exist_ok=True)
-    part_dir = (_prepartition(turns_path, out_dir, n_shards, fp)
-                if prepartition else None)
     summary: dict[int, dict] = {}
-    todo = range(n_shards) if shards is None else shards
-    for s in todo:
-        final = os.path.join(out_dir, f"shard={s}")
-        mpath = os.path.join(final, MANIFEST_NAME)
+    todo = list(range(n_shards) if shards is None else shards)
+
+    def _finished(s: int):
+        mpath = os.path.join(out_dir, f"shard={s}", MANIFEST_NAME)
         if os.path.exists(mpath):
             with open(mpath) as f:
                 m = json.load(f)
             if m.get("input_fingerprint") == fp:
-                m["skipped"] = True
-                summary[s] = m
-                continue
+                return m
+        return None
+
+    pending = [s for s in todo if _finished(s) is None]
+    # prepartition ONLY when work remains — an all-skipped resume must
+    # not re-copy the corpus just to skip everything
+    part_dir = (_prepartition(turns_path, out_dir, n_shards, fp)
+                if prepartition and pending else None)
+    for s in todo:
+        m = _finished(s)
+        if m is not None:
+            m["skipped"] = True
+            summary[s] = m
+            continue
+        final = os.path.join(out_dir, f"shard={s}")
+        if os.path.exists(final):
             shutil.rmtree(final)  # stale output for a different input
         summary[s] = _run_one_shard(turns_path, out_dir, s, n_shards, fp,
                                     linker_concurrency, part_dir)
+    # all shards final → the _input copy (a full corpus duplicate) has
+    # served its purpose; reclaim the space
+    if shards is None and all(
+            _finished(s) is not None for s in range(n_shards)):
+        shutil.rmtree(os.path.join(out_dir, "_input"), ignore_errors=True)
     return summary
 
 
@@ -133,7 +149,15 @@ def _run_one_shard(turns_path: str, out_dir: str, s: int, n_shards: int,
     shutil.rmtree(tmp, ignore_errors=True)
 
     if part_dir is not None:
-        shard_turns = read_turns(os.path.join(part_dir, f"shard={s}"))
+        shard_dir = os.path.join(part_dir, f"shard={s}")
+        if not os.path.isdir(shard_dir):
+            # hive-partitioned writes create no dir for an empty shard
+            import pyarrow as pa
+            import ray.data as rd
+            from ..synth import TURNS_SCHEMA
+            shard_turns = rd.from_arrow(TURNS_SCHEMA.empty_table())
+        else:
+            shard_turns = read_turns(shard_dir)
     else:
         turns = read_turns(turns_path)
 
@@ -171,6 +195,8 @@ def _run_one_shard(turns_path: str, out_dir: str, s: int, n_shards: int,
         linked.map_batches(build_triples, batch_format="pandas",
                            batch_size=None))
     triples.write_parquet(tmp)
+    os.makedirs(tmp, exist_ok=True)  # an EMPTY shard writes no files
+    # and creates no dir — the manifest below is still published
     import pyarrow.parquet as pq
     triples_out = sum(pq.read_metadata(os.path.join(tmp, f)).num_rows
                       for f in os.listdir(tmp) if f.endswith(".parquet"))

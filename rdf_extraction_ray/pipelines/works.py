@@ -185,7 +185,9 @@ class WorkTemplater:
             for c in TRIPLE_COLUMNS})
 
 
-_TEMPLATER_CACHE: dict = {}  # ref-id → WorkTemplater, per worker process
+_TEMPLATER_CACHE: list = []  # [(ref_hex, WorkTemplater)] — one slot per
+# worker process, replaced when the broadcast ref changes (an unbounded
+# dict would leak one genre map per pipeline invocation per worker)
 
 
 def works_pipeline(works_path: str, writing_path: str,
@@ -207,11 +209,9 @@ def works_pipeline(works_path: str, writing_path: str,
         return dedup_triples(triples)
 
     def _template(batch):
-        t = _TEMPLATER_CACHE.get(ref.hex())
-        if t is None:
-            t = WorkTemplater(ref)
-            _TEMPLATER_CACHE[ref.hex()] = t
-        return t(batch)
+        if not _TEMPLATER_CACHE or _TEMPLATER_CACHE[0][0] != ref.hex():
+            _TEMPLATER_CACHE[:] = [(ref.hex(), WorkTemplater(ref))]
+        return _TEMPLATER_CACHE[0][1](batch)
 
     triples = works.map_batches(_template, batch_format="pandas",
                                 batch_size=None)

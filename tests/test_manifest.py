@@ -61,3 +61,25 @@ class TestResume:
         synth.write_turns(str(tmp_path / "turns"), 25, seed=6)
         summary = run_sharded(turns_dir, out, n_shards=2)
         assert all(not m["skipped"] for m in summary.values())
+
+    def test_empty_shards_complete_and_resume(self, tmp_path):
+        """A selection leaving most shards EMPTY must still complete
+        every shard (hive-partitioned prepartition creates no dir for
+        an empty shard) and resume as all-skipped."""
+        import pyarrow.parquet as pq
+        turns_dir = synth.write_turns(str(tmp_path / "turns"), 3, seed=2)
+        # keep only one conversation → with 8 shards most are empty
+        t = pq.read_table(os.path.join(turns_dir, "turns-0000.parquet"))
+        keep = t.filter(
+            __import__("pyarrow.compute", fromlist=["equal"]).equal(
+                t.column("conv_id"), "conv0000000"))
+        one = str(tmp_path / "one")
+        os.makedirs(one)
+        pq.write_table(keep, os.path.join(one, "turns.parquet"))
+        out = str(tmp_path / "out")
+        summary = run_sharded(one, out, n_shards=8)
+        assert len(summary) == 8
+        assert sum(m["triples_out"] for m in summary.values()) > 0
+        assert sum(m["triples_out"] == 0 for m in summary.values()) >= 6
+        summary2 = run_sharded(one, out, n_shards=8)
+        assert all(m["skipped"] for m in summary2.values())
