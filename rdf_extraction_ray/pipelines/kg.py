@@ -4,8 +4,8 @@
 
     read_parquet(turns)                       # conv_id, turn_idx, role, text, tool, ts
       → map_batches(detect_facts, pyarrow)     # stateless; text never shuffles
-      → groupby(conv_id).map_groups(finalize)  # conversation rules + seq minting (shuffle #1, small rows)
-      → map_batches(EntityLinker, actor pool)  # broadcast dicts, fuzzy fallback
+      → groupby(bucket).map_groups(finalize)   # conversation rules + seq minting (shuffle #1, fact rows only)
+      → map_batches(link)                      # broadcast dicts + fuzzy fallback, cached per process
       → map_batches(build_triples, pandas)     # predicate templating
       → two-level exact dedup                  # combiner + hash shuffle (#2)
       → write_parquet                          # partitioned sink + manifest
@@ -14,10 +14,12 @@ Scale notes (100 TB design):
 - the only stage that touches full transcript text is ``detect_facts``
   — stateless, vectorized, zero-copy Arrow in; everything wide happens
   on extracted-fact rows (~1-5% of input bytes);
-- the linker is an actor pool: dictionaries load once per actor
-  (``EntityLinker.__init__``), never per batch;
+- the linker's dictionaries load once per WORKER PROCESS (task pool
+  with a module-level cache; a bounded actor pool is available via
+  ``linker_concurrency`` for heavy state), never per batch;
 - nothing materializes the full input: the pipeline is consumed by
-  ``write_parquet`` / aggregates only.
+  ``write_parquet`` / aggregates only;
+- giant conversations: see ``stages.extract.extract_facts_salted``.
 
 None of these functions call ``ray.init`` — the caller owns the
 session (driver contract).
@@ -33,7 +35,7 @@ from ..stages.link import EntityLinker
 from ..stages.template import build_triples
 
 
-def read_turns(path: str, parallelism: int | None = None) -> rd.Dataset:
+def read_turns(path: str) -> rd.Dataset:
     """Read the transcript table, pruning to the needed columns."""
     return rd.read_parquet(
         path, columns=["conv_id", "turn_idx", "role", "text"])

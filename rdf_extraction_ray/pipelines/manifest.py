@@ -87,7 +87,13 @@ def _prepartition(turns_path: str, out_dir: str, n_shards: int,
     with open(os.path.join(tmp, "_PARTITIONED.json"), "w") as f:
         json.dump({"fingerprint": fp, "n": n_shards}, f)
     shutil.rmtree(part_dir, ignore_errors=True)
-    os.replace(tmp, part_dir)
+    try:
+        os.rename(tmp, part_dir)
+    except OSError:
+        # a concurrent run published first — use theirs, drop ours
+        if not os.path.exists(part_dir):
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
     return part_dir
 
 

@@ -76,7 +76,7 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
     left_cols = left.schema().names
     right_cols = right.schema().names
 
-    def _tag(side: int, own_cols: list[str]):
+    def _tag(side: int):
         all_cols = left_cols + [c for c in right_cols if c not in left_cols]
 
         def inner(batch: pd.DataFrame) -> pd.DataFrame:
@@ -89,8 +89,8 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
             return b[all_cols + ["__bucket", "__side"]]
         return inner
 
-    tagged = left.map_batches(_tag(0, left_cols), batch_format="pandas") \
-        .union(right.map_batches(_tag(1, right_cols), batch_format="pandas"))
+    tagged = left.map_batches(_tag(0), batch_format="pandas") \
+        .union(right.map_batches(_tag(1), batch_format="pandas"))
 
     # output schema is fixed up front so every bucket (incl. one-sided
     # ones) emits identical columns; merge_asof consumes the right
@@ -131,7 +131,7 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str | list[str],
     right_cols = right.schema().names
     all_cols = left_cols + [c for c in right_cols if c not in left_cols]
 
-    def _tag(side: int, own_cols: list[str]):
+    def _tag(side: int):
         def inner(batch: pd.DataFrame) -> pd.DataFrame:
             b = batch.copy()
             key = b[on_cols].astype(str).agg("|".join, axis=1) \
@@ -144,8 +144,8 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str | list[str],
             return b[all_cols + ["__bucket", "__side"]]
         return inner
 
-    tagged = left.map_batches(_tag(0, left_cols), batch_format="pandas").union(
-        right.map_batches(_tag(1, right_cols), batch_format="pandas"))
+    tagged = left.map_batches(_tag(0), batch_format="pandas").union(
+        right.map_batches(_tag(1), batch_format="pandas"))
 
     def _merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
         l = group.loc[group["__side"] == 0, left_cols]
