@@ -75,7 +75,6 @@ def _select_conversations(turns_path: str, args) -> str:
         wanted = frozenset(args.conv_ids.split(","))
         ds = ds.filter(lambda r: r["conv_id"] in wanted)
     elif args.limit_convs:
-        import pandas as pd
         keep = sorted(set(
             ds.select_columns(["conv_id"]).to_pandas()["conv_id"]
         ))[:args.limit_convs]

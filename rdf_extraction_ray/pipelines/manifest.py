@@ -158,7 +158,6 @@ def _run_one_shard(turns_path: str, out_dir: str, s: int, n_shards: int,
         shard_dir = os.path.join(part_dir, f"shard={s}")
         if not os.path.isdir(shard_dir):
             # hive-partitioned writes create no dir for an empty shard
-            import pyarrow as pa
             import ray.data as rd
             from ..synth import TURNS_SCHEMA
             shard_turns = rd.from_arrow(TURNS_SCHEMA.empty_table())

@@ -14,8 +14,6 @@ from __future__ import annotations
 import pandas as pd
 import ray.data as rd
 
-from ray.data.aggregate import Sum
-
 
 def triples_per_conv_stats(triples: rd.Dataset) -> pd.DataFrame:
     """min/max/avg triples per conversation

@@ -59,8 +59,6 @@ def read_works(path: str) -> rd.Dataset:
 def build_genre_map(writing: rd.Dataset) -> dict[str, list[str]]:
     """Pass 1: record_id → sorted distinct genre names. Streaming
     partial aggregation; the result is the broadcast side of J8."""
-    from ray.data.aggregate import AggregateFn  # noqa: F401 (doc)
-
     def _partial(df: pd.DataFrame) -> pd.DataFrame:
         return df[["record_id", "genre"]].drop_duplicates()
 

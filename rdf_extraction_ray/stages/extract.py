@@ -330,7 +330,6 @@ def extract_facts_salted(turns, span_turns: int = 2048,
     """Salted-segment variant of :func:`extract_facts` — identical
     output, bounded per-group memory for mega-conversations."""
     import ray
-    import ray.data as rd  # noqa: F401
 
     cands = turns.map_batches(detect_facts, batch_format="pyarrow",
                               batch_size=None)
