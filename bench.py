@@ -136,8 +136,9 @@ def run_scaling() -> None:
                              check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def best_of(ncpu: int, reps: int = 3) -> dict:
-        """Min-wall-time of ``reps`` runs: single runs vary ±20% on a
+    def best_of(ncpu: int, reps: int = 2) -> dict:
+        """Min-wall-time of ``reps`` runs (each itself a best-of-2
+        headline): single runs vary ±20% on a
         shared box (raylet/plasma teardown of the previous session,
         page-cache state), and min is the standard noise-robust
         estimator for same-input benchmark legs."""
