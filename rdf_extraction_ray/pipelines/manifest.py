@@ -39,16 +39,17 @@ MANIFEST_NAME = "_MANIFEST.json"
 
 
 def _fingerprint(turns_path: str) -> str:
-    """Cheap input identity: file names + sizes under the input path."""
-    entries = []
+    """Cheap input identity: file names + sizes + mtimes. The mtime
+    guards against an in-place rewrite that happens to preserve sizes
+    (which would otherwise make resume silently serve stale output)."""
+    def _one(p: str) -> str:
+        st = os.stat(p)
+        return f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}"
+
     if os.path.isdir(turns_path):
-        for name in sorted(os.listdir(turns_path)):
-            p = os.path.join(turns_path, name)
-            entries.append(f"{name}:{os.path.getsize(p)}")
-    else:
-        entries.append(f"{os.path.basename(turns_path)}:"
-                       f"{os.path.getsize(turns_path)}")
-    return "|".join(entries)
+        return "|".join(_one(os.path.join(turns_path, name))
+                        for name in sorted(os.listdir(turns_path)))
+    return _one(turns_path)
 
 
 def _shard_of(conv_ids: pd.Series, n_shards: int) -> pd.Series:
@@ -73,7 +74,9 @@ def _prepartition(turns_path: str, out_dir: str, n_shards: int,
         if meta.get("fingerprint") == fp and meta.get("n") == n_shards:
             return part_dir
         shutil.rmtree(part_dir)
-    tmp = part_dir + ".tmp"
+    # unique tmp per process: two concurrent runs must not delete each
+    # other's in-progress files or interleave writes into one tmp dir
+    tmp = f"{part_dir}.tmp.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
 
     def _tag(df: pd.DataFrame) -> pd.DataFrame:
@@ -150,7 +153,7 @@ def run_sharded(turns_path: str, out_dir: str, n_shards: int = 8,
 def _run_one_shard(turns_path: str, out_dir: str, s: int, n_shards: int,
                    fp: str, linker_concurrency,
                    part_dir: str | None = None) -> dict:
-    tmp = os.path.join(out_dir, f"shard={s}.tmp")
+    tmp = os.path.join(out_dir, f"shard={s}.tmp.{os.getpid()}")
     final = os.path.join(out_dir, f"shard={s}")
     shutil.rmtree(tmp, ignore_errors=True)
 
@@ -230,7 +233,16 @@ def read_output(out_dir: str):
     import ray.data as rd
     files = sorted(
         f for d in os.listdir(out_dir)
-        if d.startswith("shard=") and not d.endswith(".tmp")
+        if d.startswith("shard=") and ".tmp" not in d
         for f in glob.glob(os.path.join(out_dir, d, "*.parquet")))
+    if not files:
+        # a legitimately empty / fact-free corpus publishes manifest-only
+        # shard dirs — return an empty Dataset in the triple schema
+        import pyarrow as pa
+        from ..namespaces import TRIPLE_COLUMNS
+        schema = pa.schema([
+            (c, pa.int32() if c == "turn_idx" else pa.string())
+            for c in TRIPLE_COLUMNS])
+        return rd.from_arrow(schema.empty_table())
     ds = rd.read_parquet(files)
     return dedup_triples(ds)

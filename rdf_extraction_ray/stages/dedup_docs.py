@@ -125,15 +125,21 @@ def minhash_lsh_candidates(docs: rd.Dataset, num_perm: int = 64,
                                               shingle=shingle),
         **kwargs)
 
-    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+    def _pairs(group: pd.DataFrame, dense_cap: int = 50) -> pd.DataFrame:
         parts = []
         for _, g in group.groupby(["band_id", "band_hash"], sort=False):
             if len(g) < 2:
                 continue
-            ids = np.sort(g["doc_id"].to_numpy())
-            ids = ids[:50]  # cap pathological buckets (logged via n_dups)
-            iu, ju = np.triu_indices(len(ids), k=1)
-            parts.append(pd.DataFrame({"a": ids[iu], "b": ids[ju]}))
+            ids = np.sort(pd.unique(g["doc_id"].to_numpy()))
+            if len(ids) <= dense_cap:
+                iu, ju = np.triu_indices(len(ids), k=1)
+                parts.append(pd.DataFrame({"a": ids[iu], "b": ids[ju]}))
+            else:
+                # dense bucket: STAR edges to the bucket minimum instead
+                # of truncating — O(n) pairs, and every member stays
+                # connected, so dup components never split on a dense
+                # cluster (the old first-50 cap silently dropped docs)
+                parts.append(pd.DataFrame({"a": ids[0], "b": ids[1:]}))
         if not parts:
             return pd.DataFrame({"a": [], "b": []})
         return pd.concat(parts, ignore_index=True).drop_duplicates()
