@@ -4,8 +4,17 @@ Rebuilds the reference's broadcast-dictionary joins (SURVEY §2.5
 J1-J7): person alias → canonical URI (``Utils/utilities.py:289-360``),
 place gazetteer (``Utils/place.py:116-157``), org authority
 (``Utils/organizations.py:56-83``), and the vocab term maps with the
-exact → cleaned/stemmed → fuzzy (``difflib.get_close_matches``,
-``culturalForm.py:589-591``) fallback ladder.
+exact → cleaned/stemmed → miss ladder.
+
+Fuzzy matching parity: in the reference the vocab mappers'
+``difflib.get_close_matches`` calls are DIAGNOSTIC-ONLY — a near-miss
+is logged but the raw value is still emitted as a literal
+(``culturalForm.py:589-591``); only modsBib's place mapper substitutes
+fuzzily (``fuzz.ratio >= 95``, ``Mods/modsBib.py:89``). The linker
+mirrors that: a close match yields status ``<kind>=fuzzy`` (feeding the
+hit/miss histograms) but NO vocab URI, so templating emits the raw
+literal. ``fuzzy_substitute=True`` opts into substitution for
+modsBib-style pipelines.
 
 Used as ``facts.map_batches(EntityLinker, concurrency=N,
 batch_format="pandas")`` — dictionaries are built ONCE per actor in
@@ -13,6 +22,10 @@ batch_format="pandas")`` — dictionaries are built ONCE per actor in
 time); the fuzzy matcher memoizes per actor. URI minting is
 deterministic (same surface → same URI on every actor), which replaces
 the reference's in-RAM dedup caches (J11).
+
+``__call__`` is fully vectorized: every slot is a ``Series.map``
+against the broadcast dict, with Python only on the UNIQUE surfaces of
+a batch (cleaning, minting, fuzzy diagnostics) — never per row.
 
 Adds columns: ``person_uri, other_uri, place_uri, place2_uri,
 term_uri, org_uri, person_sex, link_status`` (a compact
@@ -23,6 +36,7 @@ from __future__ import annotations
 
 from difflib import get_close_matches
 
+import numpy as np
 import pandas as pd
 
 from ..functions.text import clean_term, clean_term_stemmed, make_standard_uri
@@ -31,13 +45,21 @@ from ..state.fixtures import WRITERS, build_linker_maps
 LINKED_COLUMNS = ["person_uri", "other_uri", "place_uri", "place2_uri",
                   "term_uri", "org_uri", "person_sex", "link_status"]
 
-_FUZZY_CUTOFF = 0.8  # reference uses difflib default / ratio>=95 variants
+_FUZZY_CUTOFF = 0.8  # difflib default-ish; reference logs at this band
+
+
+def _map_unique(series: pd.Series, fn) -> pd.Series:
+    """Apply ``fn`` once per UNIQUE non-null value of ``series`` —
+    batch-level memoization for the scalar cleanup/minting functions."""
+    uniq = pd.unique(series.dropna())
+    return series.map({u: fn(u) for u in uniq})
 
 
 class EntityLinker:
     """Callable class for an actor-pool ``map_batches`` stage."""
 
-    def __init__(self, maps: dict | None = None):
+    def __init__(self, maps: dict | None = None,
+                 fuzzy_substitute: bool = False):
         m = maps or build_linker_maps()
         self.people: dict[str, str] = m["people"]
         self.places: dict[str, str] = m["places"]
@@ -47,7 +69,9 @@ class EntityLinker:
         self.cultural_forms: dict[str, dict[str, str]] = m["cultural_forms"]
         self.degrees: dict[str, str] = m["degrees"]
         self.writers = WRITERS
-        # per-actor memo for the fuzzy fallback (SURVEY §7.5.4)
+        self._sex_by_uri = {u: t[1] for u, t in WRITERS.items()}
+        self.fuzzy_substitute = fuzzy_substitute
+        # per-actor memo for the fuzzy diagnostic (SURVEY §7.5.4)
         self._fuzzy_memo: dict[tuple[str, str], str | None] = {}
 
     # ------------------------------------------------------------ lookups
@@ -80,23 +104,29 @@ class EntityLinker:
             return hit, "org=linked"
         return make_standard_uri(surface + " ORG"), "org=minted"
 
+    def _fuzzy_lookup(self, table: dict[str, str], kind: str,
+                      key: str) -> str | None:
+        """Memoized ``get_close_matches`` probe; returns the close
+        match's URI or None."""
+        memo_key = (kind, key)
+        if memo_key not in self._fuzzy_memo:
+            close = get_close_matches(key, table.keys(), n=1,
+                                      cutoff=_FUZZY_CUTOFF)
+            self._fuzzy_memo[memo_key] = table[close[0]] if close else None
+        return self._fuzzy_memo[memo_key]
+
     def _vocab(self, table: dict[str, str], key: str,
                kind: str) -> tuple[str | None, str]:
-        """exact (cleaned) → fuzzy → miss ladder with per-actor memo."""
+        """exact (cleaned) → fuzzy-diagnostic → miss ladder."""
         hit = table.get(key)
         if hit is not None:
             return hit, f"{kind}=linked"
-        memo_key = (kind, key)
-        if memo_key in self._fuzzy_memo:
-            hit = self._fuzzy_memo[memo_key]
-        else:
-            close = get_close_matches(key, table.keys(), n=1,
-                                      cutoff=_FUZZY_CUTOFF)
-            hit = table[close[0]] if close else None
-            self._fuzzy_memo[memo_key] = hit
-        if hit is not None:
-            return hit, f"{kind}=fuzzy"
-        return None, f"{kind}=miss"
+        close_hit = self._fuzzy_lookup(table, kind, key)
+        if close_hit is None:
+            return None, f"{kind}=miss"
+        if self.fuzzy_substitute:
+            return close_hit, f"{kind}=fuzzy"
+        return None, f"{kind}=fuzzy"  # diagnostic only: literal downstream
 
     def link_term(self, fact_type: str, category: str | None,
                   surface: str | None) -> tuple[str | None, str]:
@@ -114,59 +144,120 @@ class EntityLinker:
             return self._vocab(self.degrees, clean_term(surface), "edu")
         return None, ""
 
+    # ------------------------------------------------------ vector ladder
+
+    def _vocab_series(self, table: dict[str, str], keys: pd.Series,
+                      kind: str) -> tuple[pd.Series, pd.Series]:
+        """Vectorized ``_vocab``: dict map for the exact rung, Python
+        only on unique misses (fuzzy diagnostic, memoized per actor)."""
+        hit = keys.map(table)
+        status = pd.Series(
+            np.where(hit.notna(), f"{kind}=linked", ""), index=keys.index)
+        miss = hit.isna()
+        if miss.any():
+            mk = keys[miss]
+            close = mk.map({k: self._fuzzy_lookup(table, kind, k)
+                            for k in pd.unique(mk)})
+            status[miss] = np.where(close.notna(), f"{kind}=fuzzy",
+                                    f"{kind}=miss")
+            if self.fuzzy_substitute:
+                hit[miss] = close
+        return hit, status
+
+    def _person_series(self, surfaces: pd.Series,
+                       slot: str) -> tuple[pd.Series, pd.Series]:
+        hit = surfaces.map(self.people)
+        mint = surfaces.notna() & hit.isna()
+        uri = hit.copy()
+        if mint.any():
+            uri[mint] = _map_unique(surfaces[mint], make_standard_uri)
+        status = pd.Series(np.where(
+            surfaces.isna(), "",
+            np.where(hit.notna(), f"{slot}=linked", f"{slot}=minted")),
+            index=surfaces.index)
+        return uri, status
+
+    def _place_series(self, surfaces: pd.Series,
+                      slot: str) -> tuple[pd.Series, pd.Series]:
+        uri = _map_unique(surfaces, clean_term).map(self.places)
+        status = pd.Series(np.where(
+            surfaces.isna(), "",
+            np.where(uri.notna(), f"{slot}=linked", f"{slot}=miss")),
+            index=surfaces.index)
+        return uri, status
+
     # ------------------------------------------------------------- batch
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        n = len(batch)
-        cols = {c: [None] * n for c in LINKED_COLUMNS}
-        def _col(name: str):
-            s = batch[name]
-            return s.where(s.notna(), None).to_numpy()
-
-        ft = _col("fact_type")
-        cat = _col("category")
-        person = _col("person")
-        other = _col("other")
-        place = _col("place")
-        place2 = _col("place2")
-        term = _col("term")
-        org = _col("org")
-        for i in range(n):
-            status: list[str] = []
-            u, s = self.link_person(person[i])
-            cols["person_uri"][i] = u
-            if s:
-                status.append(s)
-            if u is not None:
-                sex = self.writers.get(u)
-                cols["person_sex"][i] = sex[1] if sex else None
-            if other[i] is not None:
-                u, s = self.link_person(other[i])
-                cols["other_uri"][i] = u
-                status.append("other=" + s.split("=")[1])
-            if place[i] is not None:
-                u, s = self.link_place(place[i])
-                cols["place_uri"][i] = u
-                status.append(s)
-            # place2 is only a place for migration-style rows; education
-            # "degree" reuses it for the subject literal
-            if place2[i] is not None and ft[i] == "location":
-                u, s = self.link_place(place2[i])
-                cols["place2_uri"][i] = u
-                status.append("place2=" + s.split("=")[1])
-            if term[i] is not None:
-                u, s = self.link_term(ft[i], cat[i], term[i])
-                cols["term_uri"][i] = u
-                if s:
-                    status.append(s)
-            if org[i] is not None:
-                u, s = self.link_org(org[i])
-                cols["org_uri"][i] = u
-                status.append(s)
-            cols["link_status"][i] = ";".join(status)
         out = batch.copy()
-        for c in LINKED_COLUMNS:
-            out[c] = cols[c]
+        idx = batch.index
+        ft = batch["fact_type"]
+
+        p_uri, p_status = self._person_series(batch["person"], "person")
+        o_uri, o_status = self._person_series(batch["other"], "other")
+        pl_uri, pl_status = self._place_series(batch["place"], "place")
+        # place2 is only a place for migration-style rows; education
+        # "degree" reuses it for the subject literal
+        p2 = batch["place2"].where(ft == "location")
+        p2_uri, p2_status = self._place_series(p2, "place2")
+
+        # term → vocabulary, routed by fact type
+        term = batch["term"]
+        t_uri = pd.Series(np.full(len(batch), None, dtype=object), index=idx)
+        t_status = pd.Series("", index=idx)
+        for mask, table, keyfn, kind in (
+                ((ft == "occupation") & term.notna(),
+                 self.occupations, clean_term, "occ"),
+                ((ft == "death") & term.notna(),
+                 self.causes, clean_term, "cod"),
+                ((ft == "education") & (batch["category"] == "degree")
+                 & term.notna(), self.degrees, clean_term, "edu")):
+            if mask.any():
+                u, s = self._vocab_series(table,
+                                          _map_unique(term[mask], keyfn),
+                                          kind)
+                t_uri[mask] = u
+                t_status[mask] = s
+        cfm = (ft == "culturalform") & term.notna()
+        if cfm.any():
+            for cat, g in batch.loc[cfm].groupby("category", dropna=False):
+                table = self.cultural_forms.get(
+                    cat if isinstance(cat, str) else "", {})
+                u, s = self._vocab_series(
+                    table, _map_unique(g["term"], clean_term_stemmed), "cf")
+                t_uri[g.index] = u
+                t_status[g.index] = s
+
+        org = batch["org"]
+        org_hit = _map_unique(org, clean_term).map(self.orgs)
+        org_mint = org.notna() & org_hit.isna()
+        org_uri = org_hit.copy()
+        if org_mint.any():
+            org_uri[org_mint] = _map_unique(
+                org[org_mint], lambda s: make_standard_uri(s + " ORG"))
+        org_status = pd.Series(np.where(
+            org.isna(), "",
+            np.where(org_hit.notna(), "org=linked", "org=minted")),
+            index=idx)
+
+        # link_status: non-empty slot statuses joined with ";" in the
+        # fixed slot order person, other, place, place2, term, org
+        combined = np.full(len(batch), "", dtype=object)
+        for part in (p_status, o_status, pl_status, p2_status, t_status,
+                     org_status):
+            pv = part.to_numpy()
+            combined = np.where(
+                pv == "", combined,
+                np.where(combined == "", pv, combined + ";" + pv))
+
+        out["person_uri"] = p_uri
+        out["other_uri"] = o_uri
+        out["place_uri"] = pl_uri
+        out["place2_uri"] = p2_uri
+        out["term_uri"] = t_uri
+        out["org_uri"] = org_uri
+        out["person_sex"] = p_uri.map(self._sex_by_uri)
+        out["link_status"] = combined
 
         # location facts whose place failed the gazetteer are marked
         # dropped — the reference filters Location(value=None)

@@ -56,8 +56,14 @@ class TestLinker:
         # stemmed cultural form: plural hits
         uri, s = self.lk.link_term("culturalform", "religion", "Methodists")
         assert s == "cf=linked" and uri.endswith("methodist")
-        # fuzzy: typo within cutoff
+        # fuzzy: typo within cutoff is DIAGNOSTIC-ONLY by default — the
+        # reference logs the close match but still emits the raw
+        # literal (culturalForm.py:589-591); no URI is substituted
         uri, s = self.lk.link_term("culturalform", "religion", "Quakker")
+        assert s == "cf=fuzzy" and uri is None
+        # explicit opt-in (modsBib-style substitution) restores the URI
+        lk2 = EntityLinker(fuzzy_substitute=True)
+        uri, s = lk2.link_term("culturalform", "religion", "Quakker")
         assert s == "cf=fuzzy" and uri.endswith("quaker")
         # miss: falls through → literal handled by templating
         uri, s = self.lk.link_term("culturalform", "religion", "Muggletonian")
@@ -87,3 +93,59 @@ class TestLinker:
         out = self.lk(df)
         assert out.iloc[0]["person_sex"] in ("FEMALE", "MALE")
         assert out.iloc[0]["other_uri"] is not None
+
+    def test_batch_matches_scalar_ladder(self):
+        """The vectorized __call__ must agree slot-by-slot with the
+        scalar lookup methods on a mixed batch (incl. fuzzy, miss,
+        minted, unrouted-term and null-category rows)."""
+        rows = [
+            {"fact_type": "occupation", "person": "M. Blake",
+             "term": "Governess", "category": "paid"},
+            {"fact_type": "culturalform", "person": "Zeb Quince",
+             "term": "Quakker", "category": "religion"},
+            {"fact_type": "culturalform", "person": "M. Blake",
+             "term": "Methodists", "category": None},
+            {"fact_type": "death", "person": "M. Blake",
+             "term": "a surfeit of lampreys", "place": "Atlantis, Nowhere",
+             "date": "1851"},
+            {"fact_type": "education", "person": "M. Blake",
+             "term": "doctorate", "category": "degree"},
+            {"fact_type": "education", "person": "M. Blake",
+             "term": "botany", "org": "Provincial Ballooning Guild",
+             "category": "study"},
+            {"fact_type": "location", "person": "M. Blake",
+             "place": "Bath, Somerset", "place2": "Atlantis, Nowhere",
+             "category": "migration"},
+        ]
+        out = self.lk(_facts(rows))
+        for i, r in enumerate(rows):
+            got = out.iloc[i]
+            exp_status = []
+            u, s = self.lk.link_person(r.get("person"))
+            assert got["person_uri"] == u or (u is None
+                                              and pd.isna(got["person_uri"]))
+            if s:
+                exp_status.append(s)
+            if r.get("other"):
+                u, s = self.lk.link_person(r["other"])
+                exp_status.append("other=" + s.split("=")[1])
+            if r.get("place"):
+                u, s = self.lk.link_place(r["place"])
+                assert (got["place_uri"] == u if u is not None
+                        else pd.isna(got["place_uri"]))
+                exp_status.append(s)
+            if r.get("place2") and r["fact_type"] == "location":
+                u, s = self.lk.link_place(r["place2"])
+                exp_status.append("place2=" + s.split("=")[1])
+            if r.get("term"):
+                u, s = self.lk.link_term(r["fact_type"], r.get("category"),
+                                         r["term"])
+                assert (got["term_uri"] == u if u is not None
+                        else pd.isna(got["term_uri"]))
+                if s:
+                    exp_status.append(s)
+            if r.get("org"):
+                u, s = self.lk.link_org(r["org"])
+                assert got["org_uri"] == u
+                exp_status.append(s)
+            assert got["link_status"] == ";".join(exp_status)
