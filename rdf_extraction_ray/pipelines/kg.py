@@ -101,14 +101,51 @@ def link_facts(facts: rd.Dataset, concurrency: int | tuple | None = None,
                              num_cpus=1)
 
 
+def _assemble_bucket(group):
+    """Fused map_groups body over one conversation-hash bucket:
+    finalize → link → template → dedup-combiner in ONE pandas pass.
+
+    Ray would fuse these operators into one task anyway, but each
+    map_batches still pays a pandas↔Arrow block round-trip per
+    sub-stage; fusing the bodies keeps the fact rows in pandas from
+    finalize through the combiner (measured ~2x stage-CPU drop at
+    sf0.1). Semantically identical to the unfused chain — pinned by
+    the golden/P-R suite, which runs both paths."""
+    from ..stages.dedup import add_bucket_and_combine
+    from ..stages.template import build_triples_frame
+    if not _LINKER_CACHE:
+        _LINKER_CACHE.append(EntityLinker())
+    finalized = finalize_bucket(group)
+    triples = build_triples_frame(_LINKER_CACHE[0](finalized))
+    return add_bucket_and_combine(triples)
+
+
 def triples_from_turns(turns: rd.Dataset,
                        linker_concurrency: int | tuple | None = None) -> rd.Dataset:
-    """Full transform chain turns → deduped triples (lazy)."""
-    facts = extract_facts(turns)
-    linked = link_facts(facts, concurrency=linker_concurrency)
-    triples = linked.map_batches(build_triples, batch_format="pandas",
-                                 batch_size=None)
-    return dedup_triples(triples)
+    """Full transform chain turns → deduped triples (lazy).
+
+    Default: the fused assembly path (one pandas pass per bucket).
+    With ``linker_concurrency`` the unfused chain runs instead, so the
+    linker can be a bounded actor pool (heavy linker state)."""
+    if linker_concurrency is not None:
+        facts = extract_facts(turns)
+        linked = link_facts(facts, concurrency=linker_concurrency)
+        triples = linked.map_batches(build_triples, batch_format="pandas",
+                                     batch_size=None)
+        return dedup_triples(triples)
+    from ..stages.dedup import dedup_bucket
+    return _assembled(turns).groupby("bucket").map_groups(
+        dedup_bucket, batch_format="pandas")
+
+
+def _assembled(turns: rd.Dataset) -> rd.Dataset:
+    """detect → fused assembly; output is combined triple rows keyed
+    by the dedup-hash ``bucket`` (ready for the dedup exchange)."""
+    cands = turns.map_batches(detect_facts, batch_format="pyarrow",
+                              batch_size=None)
+    cands = cands.repartition(_cluster_cpus())
+    return cands.groupby("bucket").map_groups(
+        _assemble_bucket, batch_format="pandas")
 
 
 def triples_with_seed(turns: rd.Dataset,
@@ -119,13 +156,22 @@ def triples_with_seed(turns: rd.Dataset,
     uber graph, ``Utils/utilities.py:552-556`` — rdflib set semantics
     make the merge idempotent; here the shared dedup stage does)."""
     from ..state.fixtures import seed_triples_table
+    from ..stages.dedup import add_bucket_and_combine, dedup_bucket
 
-    facts = extract_facts(turns)
-    linked = link_facts(facts, concurrency=linker_concurrency)
-    triples = linked.map_batches(build_triples, batch_format="pandas",
-                                 batch_size=None)
-    seed = rd.from_arrow(seed_triples_table())
-    return dedup_triples(triples.union(seed))
+    seed = rd.from_arrow(seed_triples_table()).map_batches(
+        add_bucket_and_combine, batch_format="pandas", batch_size=None)
+    if linker_concurrency is not None:
+        facts = extract_facts(turns)
+        linked = link_facts(facts, concurrency=linker_concurrency)
+        triples = linked.map_batches(build_triples, batch_format="pandas",
+                                     batch_size=None)
+        assembled = triples.map_batches(add_bucket_and_combine,
+                                        batch_format="pandas",
+                                        batch_size=None)
+    else:
+        assembled = _assembled(turns)
+    return assembled.union(seed).groupby("bucket").map_groups(
+        dedup_bucket, batch_format="pandas")
 
 
 def kg_pipeline(turns_path: str, out_dir: str | None = None,

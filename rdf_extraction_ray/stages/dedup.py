@@ -38,12 +38,20 @@ def add_bucket_and_combine(batch: pd.DataFrame):
     pandas object blocks (measured 3.5 GB → 1.2 GB at 6M triples,
     shuffle 7.7s → 5.5s at 32 CPUs)."""
     import pyarrow as pa
+
+    from ..namespaces import TRIPLE_COLUMNS
     b = (batch.sort_values(["conv_id", "turn_idx"], kind="stable")
          .drop_duplicates(TRIPLE_KEY, keep="first"))
     key = b[TRIPLE_KEY].fillna("")
     h = pd.util.hash_pandas_object(key, index=False)
     b = b.assign(bucket=(h % N_DEDUP_BUCKETS).astype("int32"))
-    return pa.Table.from_pandas(b, preserve_index=False)
+    # explicit schema: an all-null column (e.g. obj_lang in one block)
+    # must stay string, never infer to pa.null and wobble the schema
+    return pa.table({c: pa.array(b[c], from_pandas=True,
+                                 type=pa.int32() if c in ("turn_idx",
+                                                          "bucket")
+                                 else pa.string())
+                     for c in TRIPLE_COLUMNS + ["bucket"]})
 
 
 def dedup_bucket(group: pd.DataFrame) -> pd.DataFrame:

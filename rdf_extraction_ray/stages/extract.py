@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -51,11 +52,12 @@ N_CONV_BUCKETS = 128
 _NAME = r"[A-Z][a-zA-Z]*\.?(?: [A-Z][a-zA-Z]*\.?)*"
 _REL = "|".join(sorted(fx.FAMILY_RELATIONS, key=len, reverse=True))
 
-# (fact_type, compiled regex, constant fields, literal anchor) —
-# applied in order. The ANCHOR is an invariant substring of any text
-# the pattern can match, checked with a C-level `in` before the regex
-# attempt (None = always attempt) — keep it NEXT TO its pattern.
-_PATTERNS: list[tuple[str, re.Pattern, dict, str | None]] = [
+# (fact_type, compiled regex, constant fields, literal anchors) —
+# applied in order. The ANCHORS are substrings at least one of which
+# occurs in any text the pattern can match, checked with a vectorized
+# Arrow match_substring before the regex attempt (None = always
+# attempt) — keep them NEXT TO their pattern.
+_PATTERNS: list[tuple[str, re.Pattern, dict, str | tuple | None]] = [
     ("birth", re.compile(
         rf"^(?P<person>{_NAME}) was born (?P<marker>on|by|after|around) "
         rf"(?P<date>.+?) in (?P<place>[^.]+)\.$"), {}, " was born "),
@@ -64,7 +66,8 @@ _PATTERNS: list[tuple[str, re.Pattern, dict, str | None]] = [
         rf"in (?P<place>[^.]+)\.$"), {"certainty": "CERT"}, " died of "),
     ("burial", re.compile(
         rf"^(?P<person>{_NAME}) was (?:buried|grave|interred) in "
-        rf"(?P<place>[^.]+)\.$"), {}, None),
+        rf"(?P<place>[^.]+)\.$"), {},
+        ("buried in ", "grave in ", "interred in ")),
     ("income", re.compile(
         rf"^(?P<person>{_NAME}) earned (?P<amount>\d+) pounds a year\.$"), {}, " earned "),
     ("occupation", re.compile(
@@ -78,7 +81,8 @@ _PATTERNS: list[tuple[str, re.Pattern, dict, str | None]] = [
         rf"(?P<place2>[^.]+)\.$"), {}, " migrated to "),
     ("location", re.compile(
         rf"^(?P<person>{_NAME}) (?P<verb>lived in|travelled to|visited) "
-        rf"(?P<place>[^.]+)\.$"), {}, None),
+        rf"(?P<place>[^.]+)\.$"), {},
+        (" lived in ", " travelled to ", " visited ")),
     ("culturalform", re.compile(
         rf"^(?P<person>{_NAME}) was (?P<term>[A-Za-z]+) by religion\.$"),
         {"category": "religion"}, " by religion"),
@@ -174,8 +178,10 @@ def _detect_one(text: str) -> list[dict]:
     if m:
         return [{"fact_type": "_subject", "person": m.group("person")}]
     for fact_type, pat, const, anchor in _PATTERNS:
-        if anchor is not None and anchor not in text:
-            continue
+        if anchor is not None:
+            anchors = (anchor,) if isinstance(anchor, str) else anchor
+            if not any(a in text for a in anchors):
+                continue
         m = pat.match(text)
         if not m:
             continue
@@ -216,44 +222,140 @@ def _detect_one(text: str) -> list[dict]:
     return []
 
 
+_BIRTH_CERT = {"on": "CERT", "by": "BY", "after": "AFTER",
+               "around": "ROUGHLYDATED"}
+
+
+def _snippets_arrow(texts, max_words: int):
+    """Vectorized :func:`limit_words` on an Arrow string array:
+    whitespace-normalize, keep the first ``max_words`` words, append
+    ``...`` when truncated. All C kernels."""
+    import pyarrow.compute as pc
+    words = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(texts))
+    trunc = pc.binary_join(pc.list_slice(words, 0, max_words), " ")
+    return pc.if_else(pc.greater(pc.list_value_length(words), max_words),
+                      pc.binary_join_element_wise(trunc, "...", ""), trunc)
+
+
+def _empty_cand_table() -> pa.Table:
+    return pa.table({c: pa.array([], pa.int32()
+                                 if c in ("turn_idx", "seq", "cand_idx",
+                                          "bucket") else pa.string())
+                     for c in CAND_COLUMNS})
+
+
 def detect_facts(batch: pa.Table) -> pa.Table:
     """Stateless map_batches body: turns → candidate fact rows.
 
-    Cheap vectorized pre-filter (only assistant turns + the subject
-    declaration), then compiled-regex matching per surviving row.
+    Fully vectorized, first-match-wins over the ordered pattern list:
+    per pattern, a C-level literal-anchor ``pyarrow.compute
+    .match_substring`` mask over the still-unmatched rows, then
+    ``str.extract`` (regex group capture) on the survivors only —
+    which are almost all true matches, so regex work is ~one
+    successful match per candidate row. Per-row semantics are pinned
+    to :func:`_detect_one` by a differential test.
     """
-    conv = batch.column("conv_id").to_pylist()
-    tidx = batch.column("turn_idx").to_pylist()
-    role = batch.column("role").to_pylist()
-    text = batch.column("text").to_pylist()
-    out: dict[str, list] = {c: [] for c in CAND_COLUMNS}
-    for cid, ti, ro, tx in zip(conv, tidx, role, text):
-        if ro == "user":
-            cands = [c for c in _detect_one(tx) if c["fact_type"] == "_subject"]
-        elif ro == "assistant":
-            cands = _detect_one(tx)
-        else:
+    import pyarrow.compute as pc
+
+    text_arr = batch.column("text")
+    text = text_arr.to_pandas()
+    role = batch.column("role").to_numpy(zero_copy_only=False)
+    parts: list[pd.DataFrame] = []
+
+    def _anchor_mask(anchors) -> np.ndarray:
+        m = None
+        for a in (anchors,) if isinstance(anchors, str) else anchors:
+            am = pc.match_substring(text_arr, a).to_numpy(
+                zero_copy_only=False)
+            m = am if m is None else (m | am)
+        return m
+
+    # subject declaration is checked FIRST for both roles (as in
+    # _detect_one); user turns can ONLY yield _subject
+    unmatched = (role == "user") | (role == "assistant")
+    sub_anchor = unmatched & _anchor_mask("Tell me about ")
+    if sub_anchor.any():
+        ext = text[sub_anchor].str.extract(_SUBJECT)
+        hidx = ext.index[ext["person"].notna()]
+        if len(hidx):
+            parts.append(pd.DataFrame({
+                "__pos": hidx, "fact_type": "_subject",
+                "person": ext.loc[hidx, "person"], "cand_idx": 0}))
+            unmatched[hidx] = False
+    unmatched &= role == "assistant"
+
+    for fact_type, pat, const, anchor in _PATTERNS:
+        if not unmatched.any():
+            break
+        cand = unmatched if anchor is None \
+            else unmatched & _anchor_mask(anchor)
+        if not cand.any():
             continue
-        for ci, cand in enumerate(cands):
-            for col in FACT_COLUMNS:
-                if col == "conv_id":
-                    out[col].append(cid)
-                elif col == "turn_idx":
-                    out[col].append(ti)
-                elif col == "seq":
-                    out[col].append(-1)  # minted in finalize
-                else:
-                    out[col].append(cand.get(col))
-            out["cand_idx"].append(ci)
-            out["snippet"].append(limit_words(tx, _MAX_SNIPPET_WORDS))
+        sel = text[cand]
+        ext = sel.str.extract(pat)
+        g = ext[ext.notna().any(axis=1)]
+        if not len(g):
+            continue
+        g = g.copy()
+        hidx = g.index
+        unmatched[hidx] = False
+        for k, v in const.items():
+            g[k] = v
+        if fact_type == "occupation":
+            g["category"] = np.where(g.pop("verb") == "worked",
+                                     "paid", "volunteer")
+        elif fact_type == "location":
+            g["category"] = g.pop("verb").map(_LOC_VERB)
+        elif fact_type == "birth":
+            g["certainty"] = g.pop("marker").map(_BIRTH_CERT)
+        elif fact_type == "childlessness":
+            words = g.pop("word")
+            g["category"] = words.map(
+                {w: _classify_childlessness(w) for w in pd.unique(words)})
+        elif fact_type == "culturalform" and "marker" in g.columns:
+            # language competence marker → predicate choice downstream
+            g["certainty"] = g.pop("marker").str.upper()
+        if fact_type in ("moved", "migration"):
+            # one sentence → two location candidates; the second
+            # ('leaving'/'from') is occurrence-filtered in finalize
+            to_cat, from_cat = (
+                ("relocation", "spatialRelationship")
+                if fact_type == "moved" else ("migration", "emigration"))
+            for ci, (pcol, cat) in enumerate(
+                    (("place", to_cat), ("place2", from_cat))):
+                parts.append(pd.DataFrame({
+                    "__pos": hidx, "fact_type": "location",
+                    "person": g["person"].to_numpy(),
+                    "place": g[pcol].to_numpy(),
+                    "category": cat, "cand_idx": ci}))
+        else:
+            g["fact_type"] = fact_type
+            g["cand_idx"] = 0
+            g["__pos"] = hidx
+            parts.append(g)
+
+    if not parts:
+        return _empty_cand_table()
+    out = pd.concat(parts, ignore_index=True)
+    pos = out["__pos"].to_numpy()
+    out["conv_id"] = batch.column("conv_id").to_pandas().to_numpy()[pos]
+    out["turn_idx"] = batch.column("turn_idx").to_pandas().to_numpy()[pos]
+    out["seq"] = -1  # minted in finalize
+    upos = np.unique(pos)
+    snips = _snippets_arrow(pc.take(text_arr, pa.array(upos)),
+                            _MAX_SNIPPET_WORDS).to_pandas().to_numpy()
+    out["snippet"] = snips[np.searchsorted(upos, pos)]
     # deterministic conversation bucket (the assembly-shuffle key)
     out["bucket"] = (pd.util.hash_pandas_object(
-        pd.Series(out["conv_id"], dtype="object"), index=False)
-        % N_CONV_BUCKETS).astype("int32").tolist()
+        out["conv_id"].astype("object"), index=False)
+        % N_CONV_BUCKETS).astype("int32")
+    for c in CAND_COLUMNS:
+        if c not in out.columns:
+            out[c] = None
     return pa.table({c: pa.array(out[c],
                                  pa.int32() if c in ("turn_idx", "seq",
                                                      "cand_idx", "bucket")
-                                 else pa.string())
+                                 else pa.string(), from_pandas=True)
                      for c in CAND_COLUMNS})
 
 

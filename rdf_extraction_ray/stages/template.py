@@ -86,6 +86,11 @@ class _Emitter:
         if len(df):
             self.parts.append(df)
 
+    def frame(self) -> pd.DataFrame:
+        if not self.parts:
+            return pd.DataFrame(columns=TRIPLE_COLUMNS)
+        return pd.concat(self.parts, ignore_index=True)[TRIPLE_COLUMNS]
+
     def table(self) -> pa.Table:
         if not self.parts:
             return pa.table({c: pa.array([], pa.int32() if c == "turn_idx"
@@ -115,11 +120,11 @@ def _date_columns(dates: pd.Series) -> tuple[list, list, list, list]:
     return lex, dtyp, start, ok
 
 
-def build_triples(batch: pd.DataFrame) -> pa.Table:
-    """map_batches body: linked fact rows → triple rows."""
+def _emit_triples(batch: pd.DataFrame) -> _Emitter:
+    """Shared body: linked fact rows → triple emitter."""
     b = batch[~batch["dropped"].astype(bool)].reset_index(drop=True)
     if not len(b):
-        return _Emitter().table()
+        return _Emitter()
     em = _Emitter()
     conv = b["conv_id"]
     tidx = b["turn_idx"]
@@ -435,4 +440,15 @@ def build_triples(batch: pd.DataFrame) -> pa.Table:
         em.emit(E, NS["sem"] + "hasTime", lex_only, kind="literal",
                 conv=sub["conv_id"], tidx=sub["turn_idx"])
 
-    return em.table()
+    return em
+
+
+def build_triples(batch: pd.DataFrame) -> pa.Table:
+    """map_batches body: linked fact rows → triple rows (Arrow)."""
+    return _emit_triples(batch).table()
+
+
+def build_triples_frame(batch: pd.DataFrame) -> pd.DataFrame:
+    """Fused-pipeline variant: same rows as a pandas frame, skipping
+    one Arrow round-trip when the caller keeps processing in pandas."""
+    return _emit_triples(batch).frame()

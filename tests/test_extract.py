@@ -96,6 +96,39 @@ class TestDetection:
         assert _one("What happened next?") == []
         assert _one("The records are unclear on this point.") == []
 
+    def test_detect_facts_matches_detect_one(self):
+        """Differential: the vectorized batch detector must produce
+        exactly the rows the scalar spec (_detect_one) produces, over a
+        synth corpus that exercises every pattern."""
+        from rdf_extraction_ray import synth
+        from rdf_extraction_ray.functions.text import limit_words
+        turns, _ = synth.generate(60, seed=13, mega_every=0)
+        got = detect_facts(turns).to_pandas()
+        exp_rows = []
+        for cid, ti, ro, tx in zip(turns.column("conv_id").to_pylist(),
+                                   turns.column("turn_idx").to_pylist(),
+                                   turns.column("role").to_pylist(),
+                                   turns.column("text").to_pylist()):
+            if ro == "user":
+                cands = [c for c in _detect_one(tx)
+                         if c["fact_type"] == "_subject"]
+            elif ro == "assistant":
+                cands = _detect_one(tx)
+            else:
+                continue
+            for ci, cand in enumerate(cands):
+                row = {c: None for c in CAND_COLUMNS}
+                row.update(cand)
+                row.update(conv_id=cid, turn_idx=ti, seq=-1, cand_idx=ci,
+                           snippet=limit_words(tx, 35))
+                exp_rows.append(row)
+        exp = pd.DataFrame(exp_rows)
+        cols = [c for c in CAND_COLUMNS if c != "bucket"]
+        key = ["conv_id", "turn_idx", "cand_idx"]
+        g = got[cols].sort_values(key, ignore_index=True).fillna("")
+        e = exp[cols].sort_values(key, ignore_index=True).fillna("")
+        pd.testing.assert_frame_equal(g, e, check_dtype=False)
+
     def test_detect_facts_batch_shape(self):
         tbl = pa.table({
             "conv_id": ["c1", "c1", "c1"],
