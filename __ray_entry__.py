@@ -270,8 +270,8 @@ def _q_segment_revenue(sf_dir: str):
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     cust = cust.map_batches(
-        lambda df: df.rename(columns={"c_custkey": "o_custkey"}),
-        batch_format="pandas")
+        lambda t: t.rename_columns(["o_custkey", "c_mktsegment"]),
+        batch_format="pyarrow")
     joined = hash_join(orders, cust, on="o_custkey")
     from ray.data.aggregate import Sum
 
@@ -345,8 +345,8 @@ def _q_top_orders_per_segment(sf_dir: str):
                                       "o_totalprice"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     cust = cust.map_batches(
-        lambda df: df.rename(columns={"c_custkey": "o_custkey"}),
-        batch_format="pandas")
+        lambda t: t.rename_columns(["o_custkey", "c_mktsegment"]),
+        batch_format="pyarrow")
     joined = hash_join(orders, cust, on="o_custkey")
 
     def _partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -361,23 +361,24 @@ def _q_top_orders_per_segment(sf_dir: str):
         ascending=[True, False, True], kind="stable")
         .groupby("c_mktsegment").head(3).reset_index(drop=True))
     out["rn"] = (out.groupby("c_mktsegment").cumcount() + 1).astype("int64")
-    # hash_join schema-padding leaves object dtypes; restore types
-    out["o_orderkey"] = out["o_orderkey"].astype("int64")
-    out["o_totalprice"] = out["o_totalprice"].astype("float64").round(_ROUND)
+    out["o_totalprice"] = out["o_totalprice"].round(_ROUND)
     return out
 
 
 def _q_customers_no_big_orders(sf_dir: str):
     """Anti-join: customers with no order above 450k, counted per
-    nation. The key set is collected via streaming per-batch distinct,
-    then broadcast once (ray.put) into the filter stage."""
+    nation. The key set is computed by a DISTRIBUTED distinct
+    (per-batch unique → hash-bucket groupby), so only the distinct
+    keys ever reach the driver, then broadcast once (ray.put) into
+    the filter stage."""
     from ray.data.aggregate import Count
 
-    from rdf_extraction_ray.stages.joins import semi_join_filter
+    from rdf_extraction_ray.stages.joins import (distinct_values,
+                                                 semi_join_filter)
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    keys = set()
-    for b in orders.iter_batches(batch_format="pandas", batch_size=65536):
-        keys.update(b.loc[b["o_totalprice"] > 450_000, "o_custkey"].unique())
+    keys = distinct_values(
+        orders, "o_custkey",
+        pre=lambda df: df[df["o_totalprice"] > 450_000])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     no_orders = semi_join_filter(cust, keys, "c_custkey", anti=True)
     return no_orders.groupby("c_nationkey").aggregate(
@@ -385,14 +386,15 @@ def _q_customers_no_big_orders(sf_dir: str):
 
 
 def _q_suppliers_in_lineitem(sf_dir: str):
-    """Semi-join: suppliers that appear in lineitem, per nation."""
+    """Semi-join: suppliers that appear in lineitem, per nation. The
+    key set comes from a distributed distinct, never a driver loop
+    over the full l_suppkey column."""
     from ray.data.aggregate import Count
 
-    from rdf_extraction_ray.stages.joins import semi_join_filter
+    from rdf_extraction_ray.stages.joins import (distinct_values,
+                                                 semi_join_filter)
     li = _read(sf_dir, "lineitem", ["l_suppkey"])
-    keys = set()
-    for b in li.iter_batches(batch_format="pandas", batch_size=65536):
-        keys.update(b["l_suppkey"].unique())
+    keys = distinct_values(li, "l_suppkey")
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
     active = semi_join_filter(supp, keys, "s_suppkey")
     return active.groupby("s_nationkey").aggregate(
@@ -417,18 +419,24 @@ def _q_distinct_return_status(sf_dir: str):
 def _q_clicks_last_purchase(sf_dir: str):
     """As-of join: each click event matched to the same user's most
     recent purchase at-or-before it (nearest-prior semantics)."""
+    import pyarrow.compute as pc
+
     from rdf_extraction_ray.stages.joins import asof_join
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts",
                                   "event_type", "value"])
-    clicks = ev.filter(lambda r: r["event_type"] == "click")
-    purchases = ev.filter(lambda r: r["event_type"] == "purchase")
+
+    def _of_type(kind: str):
+        # Arrow-level filter: keeps the schema typed and vectorized
+        # (a row-lambda filter would drop to per-row Python)
+        return lambda t: t.filter(pc.equal(t["event_type"], kind))
+
+    clicks = ev.map_batches(_of_type("click"), batch_format="pyarrow")
+    purchases = ev.map_batches(_of_type("purchase"), batch_format="pyarrow")
     out = asof_join(clicks, purchases, by="user_id", on="ts").to_pandas()
     out = out[["event_id", "user_id", "event_id_r", "value_r"]].rename(
         columns={"event_id_r": "purchase_event_id",
                  "value_r": "purchase_value"})
-    out["purchase_value"] = out["purchase_value"].astype(
-        "float64").round(_ROUND)
-    out["purchase_event_id"] = out["purchase_event_id"].astype("int64")
+    out["purchase_value"] = out["purchase_value"].round(_ROUND)
     return out.sort_values("event_id", ignore_index=True)
 
 

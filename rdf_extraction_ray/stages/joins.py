@@ -15,20 +15,30 @@ The reference's joins are ALL broadcast-small-side dictionary lookups
   ``Dataset.join`` exists in this version; we keep an explicit
   implementation so the partitioning contract is visible and
   portable.)
-- semi/anti join: broadcast the key set and filter (used by the
-  pipeline's resume anti-join).
+- semi/anti join: distributed distinct of the filter keys
+  (:func:`distinct_values`), broadcast once, filter per batch
+  (:func:`semi_join_filter`).
+
+The tagged-union exchange is **Arrow end-to-end**: each side is padded
+to the union schema with TYPED null columns (``pa.nulls(n, type)``),
+so the shuffle moves compact Arrow blocks — never pandas object-dtype
+blocks — and per-bucket merges recover each side's true dtypes by
+selecting that side's own columns BEFORE converting to pandas (a
+side's own columns contain no padding nulls).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 import ray.data as rd
 
 
-def _bucket(series: pd.Series, n: int) -> pd.Series:
-    return (pd.util.hash_pandas_object(series, index=False) % n).astype("int64")
+def _bucket_of(series: pd.Series, n: int) -> np.ndarray:
+    return (pd.util.hash_pandas_object(series, index=False)
+            % n).to_numpy().astype("int64")
 
 
 def broadcast_join(large: rd.Dataset, small_df: pd.DataFrame, on: str | list,
@@ -48,6 +58,28 @@ def broadcast_join(large: rd.Dataset, small_df: pd.DataFrame, on: str | list,
     return large.map_batches(_merge, batch_format="pandas")
 
 
+def distinct_values(ds: rd.Dataset, column: str, pre=None,
+                    n_buckets: int = 32) -> pd.Series:
+    """Distributed distinct of one column: per-batch unique (combiner)
+    → hash-bucket groupby unique → small driver collect of only the
+    distinct values. ``pre`` optionally filters/projects each batch
+    first. The full column never streams through the driver."""
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        if pre is not None:
+            df = pre(df)
+        u = pd.Series(df[column].dropna().unique(), name=column)
+        return pd.DataFrame({column: u, "__b": _bucket_of(u, n_buckets)})
+
+    def _uniq(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates(column)[[column]]
+
+    out = (ds.map_batches(_partial, batch_format="pandas")
+           .groupby("__b").map_groups(_uniq, batch_format="pandas")
+           .to_pandas())
+    return out[column]
+
+
 def semi_join_filter(large: rd.Dataset, keys, column: str,
                      anti: bool = False) -> rd.Dataset:
     """Keep rows whose ``column`` is (not) in ``keys`` — broadcast set."""
@@ -61,6 +93,69 @@ def semi_join_filter(large: rd.Dataset, keys, column: str,
     return large.map_batches(_filter, batch_format="pandas")
 
 
+def _arrow_schema(ds: rd.Dataset) -> pa.Schema:
+    """The Dataset's schema as a pyarrow schema. Upstream pandas
+    blocks report numpy dtypes — convert them (object → string, the
+    pandas convention for text columns)."""
+    base = ds.schema().base_schema
+    if isinstance(base, pa.Schema):
+        return base
+    fields = []
+    for name, t in zip(base.names, base.types):
+        if isinstance(t, pa.DataType):
+            fields.append((name, t))
+        elif getattr(t, "kind", None) == "O":
+            fields.append((name, pa.string()))
+        else:
+            fields.append((name, pa.from_numpy_dtype(t)))
+    return pa.schema(fields)
+
+
+def _union_schema(left_schema: pa.Schema, right_schema: pa.Schema
+                  ) -> tuple[list[str], list[str], dict]:
+    left_cols = list(left_schema.names)
+    right_cols = list(right_schema.names)
+    type_of = dict(zip(left_schema.names, left_schema.types))
+    for name, t in zip(right_schema.names, right_schema.types):
+        type_of.setdefault(name, t)
+    all_cols = left_cols + [c for c in right_cols if c not in left_cols]
+    return all_cols, (left_cols, right_cols), type_of
+
+
+def _tagger(side: int, own_cols: list[str], all_cols: list[str],
+            type_of: dict, on_cols: list[str], n_buckets: int):
+    """Arrow map_batches body: pad to the union schema with typed
+    nulls, add ``__bucket``/``__side``."""
+
+    def inner(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        key = t.select(on_cols).to_pandas()
+        key = (key[on_cols[0]] if len(on_cols) == 1
+               else key.astype(str).agg("|".join, axis=1))
+        cols = {}
+        for c in all_cols:
+            cols[c] = t.column(c) if c in own_cols \
+                else pa.nulls(n, type=type_of[c])
+        cols["__bucket"] = pa.array(_bucket_of(key, n_buckets),
+                                    type=pa.int64())
+        cols["__side"] = pa.array(np.full(n, side, dtype=np.int8()))
+        return pa.table(cols)
+
+    return inner
+
+
+def _side_frames(t: pa.Table, left_cols: list[str], right_cols: list[str]
+                 ) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Split a tagged-union group back into per-side pandas frames.
+    Selecting a side's OWN columns before ``to_pandas`` means no
+    padding nulls ever reach pandas, so dtypes survive exactly."""
+    import pyarrow.compute as pc
+    side = t.column("__side")
+    l = t.filter(pc.equal(side, 0)).select(left_cols).to_pandas()
+    r = t.filter(pc.equal(side, 1)).select(right_cols).to_pandas()
+    return l, r
+
+
 def asof_join(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
               n_buckets: int = 32, suffix: str = "_r") -> rd.Dataset:
     """As-of (nearest-prior) join: for each left row, the latest right
@@ -71,50 +166,41 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
     ``by`` (all rows of one key co-locate — the partitioning
     assumption), then each bucket runs a vectorized
     ``pandas.merge_asof`` under a stable per-bucket sort on ``on``.
-    One shuffle each side, |left|+|right| rows once.
+    One shuffle each side, |left|+|right| rows once, Arrow blocks
+    throughout the exchange.
     """
-    left_cols = left.schema().names
-    right_cols = right.schema().names
+    rschema = _arrow_schema(right)
+    all_cols, (left_cols, right_cols), type_of = _union_schema(
+        _arrow_schema(left), rschema)
+    right_types = dict(zip(rschema.names, rschema.types))
+    out_fields = [(c, type_of[c]) for c in left_cols]
+    out_fields += [(c + suffix if c in left_cols else c, right_types[c])
+                   for c in right_cols if c not in (by, on)]
+    out_schema = pa.schema(out_fields)
+    out_cols = out_schema.names
 
-    def _tag(side: int):
-        all_cols = left_cols + [c for c in right_cols if c not in left_cols]
+    tagged = left.map_batches(
+        _tagger(0, left_cols, all_cols, type_of, [by], n_buckets),
+        batch_format="pyarrow").union(right.map_batches(
+            _tagger(1, right_cols, all_cols, type_of, [by], n_buckets),
+            batch_format="pyarrow"))
 
-        def inner(batch: pd.DataFrame) -> pd.DataFrame:
-            b = batch.copy()
-            b["__bucket"] = _bucket(b[by], n_buckets)
-            b["__side"] = side
-            for c in all_cols:
-                if c not in b.columns:
-                    b[c] = None
-            return b[all_cols + ["__bucket", "__side"]]
-        return inner
-
-    tagged = left.map_batches(_tag(0), batch_format="pandas") \
-        .union(right.map_batches(_tag(1), batch_format="pandas"))
-
-    # output schema is fixed up front so every bucket (incl. one-sided
-    # ones) emits identical columns; merge_asof consumes the right
-    # side's `on`, the rest of its columns collide-suffix as usual
-    out_cols = left_cols + [c + suffix if c in left_cols else c
-                            for c in right_cols if c not in (by, on)]
-
-    def _merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        l = (group.loc[group["__side"] == 0, left_cols]
-             .sort_values(on, kind="stable"))
-        r = (group.loc[group["__side"] == 1, right_cols]
-             .sort_values(on, kind="stable"))
+    def _merge_bucket(t: pa.Table) -> pa.Table:
+        l, r = _side_frames(t, left_cols, right_cols)
         if not len(l) or not len(r):
-            return pd.DataFrame(columns=out_cols)
+            return out_schema.empty_table()
+        l = l.sort_values(on, kind="stable")
         # explicit matched indicator: NEVER probe a value column (a
         # legitimately-null right value is not a failed match)
-        r = r.assign(__rmatch=np.int8(1))
+        r = r.sort_values(on, kind="stable").assign(__rmatch=np.int8(1))
         out = pd.merge_asof(l, r, on=on, by=by, direction="backward",
                             suffixes=("", suffix))
-        out = out[out["__rmatch"].notna()].drop(columns=["__rmatch"])
-        return out[out_cols]
+        out = out[out["__rmatch"].notna()]
+        return pa.Table.from_pandas(out[out_cols], schema=out_schema,
+                                    preserve_index=False)
 
     return tagged.groupby("__bucket").map_groups(_merge_bucket,
-                                                 batch_format="pandas")
+                                                 batch_format="pyarrow")
 
 
 def hash_join(left: rd.Dataset, right: rd.Dataset, on: str | list[str],
@@ -124,33 +210,30 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str | list[str],
 
     Both sides are tagged (``__side``), bucketed on the key hash,
     unioned, grouped by bucket, and merged pairwise per bucket. The
-    shuffle volume is |left| + |right| rows, once.
+    shuffle volume is |left| + |right| rows, once, in Arrow blocks.
     """
     on_cols = [on] if isinstance(on, str) else list(on)
-    left_cols = left.schema().names
-    right_cols = right.schema().names
-    all_cols = left_cols + [c for c in right_cols if c not in left_cols]
+    rschema = _arrow_schema(right)
+    all_cols, (left_cols, right_cols), type_of = _union_schema(
+        _arrow_schema(left), rschema)
+    right_types = dict(zip(rschema.names, rschema.types))
+    out_fields = [(c, type_of[c]) for c in left_cols]
+    out_fields += [(c + suffix if c in left_cols else c, right_types[c])
+                   for c in right_cols if c not in on_cols]
+    out_schema = pa.schema(out_fields)
+    out_cols = out_schema.names
 
-    def _tag(side: int):
-        def inner(batch: pd.DataFrame) -> pd.DataFrame:
-            b = batch.copy()
-            key = b[on_cols].astype(str).agg("|".join, axis=1) \
-                if len(on_cols) > 1 else b[on_cols[0]]
-            b["__bucket"] = _bucket(key, n_buckets)
-            b["__side"] = side
-            for c in all_cols:  # pad to the union schema so union() is clean
-                if c not in b.columns:
-                    b[c] = None
-            return b[all_cols + ["__bucket", "__side"]]
-        return inner
+    tagged = left.map_batches(
+        _tagger(0, left_cols, all_cols, type_of, on_cols, n_buckets),
+        batch_format="pyarrow").union(right.map_batches(
+            _tagger(1, right_cols, all_cols, type_of, on_cols, n_buckets),
+            batch_format="pyarrow"))
 
-    tagged = left.map_batches(_tag(0), batch_format="pandas").union(
-        right.map_batches(_tag(1), batch_format="pandas"))
-
-    def _merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        l = group.loc[group["__side"] == 0, left_cols]
-        r = group.loc[group["__side"] == 1, right_cols]
-        return l.merge(r, on=on_cols, how=how, suffixes=("", suffix))
+    def _merge_bucket(t: pa.Table) -> pa.Table:
+        l, r = _side_frames(t, left_cols, right_cols)
+        out = l.merge(r, on=on_cols, how=how, suffixes=("", suffix))
+        return pa.Table.from_pandas(out[out_cols], schema=out_schema,
+                                    preserve_index=False)
 
     return tagged.groupby("__bucket").map_groups(_merge_bucket,
-                                                 batch_format="pandas")
+                                                 batch_format="pyarrow")
