@@ -505,9 +505,9 @@ def _q_docs_langid(sf_dir: str):
     tables' ``lang`` column is uncorrelated metadata (all texts are
     the same English-ish token soup), so predictions are rows-checked,
     not accuracy-scored against it."""
-    from rdf_extraction_ray.stages.textstats import LangId
+    from rdf_extraction_ray.stages.textstats import langid_batch
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(LangId, batch_format="pandas", concurrency=2) \
+    return ds.map_batches(langid_batch, batch_format="pandas") \
         .select_columns(["doc_id", "lang_pred"])
 
 
@@ -519,36 +519,40 @@ def _q_docs_fingerprint(sf_dir: str):
 
 
 def _q_docs_minhash_pairs(sf_dir: str):
+    """LSH candidates → DISTRIBUTED exact-Jaccard verify (gram sets
+    computed as a Dataset over candidate docs only; attached to pairs
+    via hash joins — the driver never holds texts or gram sets)."""
     from rdf_extraction_ray.stages.dedup_docs import (minhash_lsh_candidates,
                                                       verify_jaccard)
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     cands = minhash_lsh_candidates(docs)
-    docs_df = _small_df(sf_dir, "documents", ["doc_id", "text"])
-    out = verify_jaccard(cands, docs_df, threshold=0.5).to_pandas()
+    out = verify_jaccard(cands, docs, threshold=0.5).to_pandas()
     out["jaccard"] = out["jaccard"].round(_ROUND)
     return out.sort_values(["a", "b"], ignore_index=True)
 
 
 def _q_docs_dup_components(sf_dir: str):
-    """Near-dup clusters: LSH candidates → exact Jaccard verify →
-    min-label connected components (doc_id, component)."""
-    from rdf_extraction_ray.stages.dedup_docs import (connected_components,
-                                                      minhash_lsh_candidates,
-                                                      verify_jaccard)
+    """Near-dup clusters: LSH candidates → distributed exact Jaccard
+    verify → DISTRIBUTED min-label connected components
+    (hash-join/groupby rounds + pointer jumping; O(log diameter))."""
+    from rdf_extraction_ray.stages.dedup_docs import (
+        connected_components_ds, minhash_lsh_candidates, verify_jaccard)
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     cands = minhash_lsh_candidates(docs)
-    docs_df = _small_df(sf_dir, "documents", ["doc_id", "text"])
-    pairs = verify_jaccard(cands, docs_df, threshold=0.5).to_pandas()
-    out = connected_components(pairs)
+    pairs = verify_jaccard(cands, docs, threshold=0.5)
+    out = connected_components_ds(pairs).to_pandas()
+    if not len(out):
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "component": pd.Series([], dtype="int64")})
     out["doc_id"] = out["doc_id"].astype("int64")
     out["component"] = out["component"].astype("int64")
     return out.sort_values("doc_id", ignore_index=True)
 
 
 def _q_docs_simhash(sf_dir: str):
-    from rdf_extraction_ray.stages.dedup_docs import SimHasher
+    from rdf_extraction_ray.stages.dedup_docs import simhash_batch
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(SimHasher, batch_format="pandas", concurrency=2)
+    return ds.map_batches(simhash_batch, batch_format="pandas")
 
 
 def _q_ann_bruteforce(sf_dir: str):

@@ -3,12 +3,24 @@
 - :func:`exact_dedup` — hash-partition on content hash + per-group
   first (same two-level shape as the triple dedup).
 - :class:`MinHasher` + :func:`minhash_lsh_candidates` — shingle →
-  minhash → band → bucket-groupby candidate generation, then exact
-  n-gram Jaccard verification of candidate pairs.
-- :class:`SimHasher` — 64-bit simhash per doc; near-dups = equal
-  simhash band keys.
-- :func:`connected_components` — min-label propagation over candidate
-  pairs (a few groupby rounds; no driver-side union-find on big data).
+  minhash → band → bucket-groupby candidate generation.
+- :func:`verify_jaccard` — exact n-gram Jaccard verification of
+  candidate pairs, fully DISTRIBUTED: gram-hash arrays are computed as
+  a Dataset over only the docs that appear in candidate pairs, then
+  attached to the pairs with two partitioned hash joins — the driver
+  never holds a gram set or a document, only the candidate id list.
+- :class:`SimHasher` — 64-bit simhash per doc (vectorized over the
+  batch's unique words; per-word md5 so the hash is reproducible in
+  SQL for the DuckDB oracle).
+- :func:`connected_components` (pandas reference implementation) and
+  :func:`connected_components_ds` — min-label propagation + pointer
+  jumping over candidate pairs as Dataset hash-join/groupby rounds;
+  converges in O(log diameter) rounds with a raising (never silent)
+  round guard.
+- :func:`embedding_neardup_pairs` — hyperplane-LSH bucketed cosine
+  near-dup pairs; vectors transit the shuffle as Arrow
+  ``fixed_size_list<float32>`` columns (≈4x smaller than the pandas
+  object-list blocks they replaced, and schema-stable).
 
 All hashes are seeded/deterministic (no PYTHONHASHSEED dependence).
 """
@@ -19,12 +31,21 @@ import hashlib
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data as rd
 
+_PAIR_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
 
-def _md5_64(s: str) -> np.int64:
-    return np.int64(int.from_bytes(hashlib.md5(s.encode()).digest()[:8],
-                                   "big", signed=True))
+_MINHASH_CACHE: dict = {}   # per worker process: params → MinHasher
+_SIMHASH_CACHE: list = []   # per worker process: [SimHasher]
+
+
+def simhash_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Task-pool body: per-process cached :class:`SimHasher` (keeps
+    the word→votes memo across batches without actor startup)."""
+    if not _SIMHASH_CACHE:
+        _SIMHASH_CACHE.append(SimHasher())
+    return _SIMHASH_CACHE[0](batch)
 
 
 # ------------------------------------------------------------- exact
@@ -55,16 +76,36 @@ def exact_dedup(ds: rd.Dataset, text_col: str = "text",
 
 # ----------------------------------------------------------- minhash
 
+def _rolling_gram_hashes(text: str, k: int) -> np.ndarray:
+    """Sorted unique polynomial hashes of the character ``k``-grams of
+    the whitespace-normalized text (vectorized over positions)."""
+    t = " ".join(str(text).lower().split())
+    if len(t) < k:
+        t = t.ljust(k, "_")
+    data = np.frombuffer(t.encode("utf-8", "ignore"), dtype=np.uint8)
+    n = len(data) - k + 1
+    acc = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        acc = acc * np.uint64(1000003) + data[j:j + n].astype(np.uint64)
+    return np.unique(acc)
+
+
 class MinHasher:
     """Actor-pool stage: text → k minhash values over character
     shingles, emitted as ``n_bands`` band keys (LSH).
 
     Permutation parameters are derived from a fixed seed in
-    ``__init__`` — once per actor, identical on every actor.
+    ``__init__`` — once per actor, identical on every actor. The
+    signature computation is batched: all docs' shingle hashes are
+    concatenated and one ``(num_perm × shingles)`` universal-hash
+    matrix per chunk is min-reduced at the doc offsets
+    (``np.minimum.reduceat``) — no per-doc Python in the hot path
+    beyond string normalization.
     """
 
     def __init__(self, num_perm: int = 64, n_bands: int = 16,
-                 shingle: int = 5, seed: int = 1337):
+                 shingle: int = 5, seed: int = 1337,
+                 chunk_shingles: int = 262_144):
         rng = np.random.RandomState(seed)
         self.p = np.uint64((1 << 61) - 1)
         self.a = rng.randint(1, 1 << 31, size=num_perm).astype(np.uint64)
@@ -73,38 +114,59 @@ class MinHasher:
         self.n_bands = n_bands
         self.rows = num_perm // n_bands
         self.shingle = shingle
+        self.chunk_shingles = chunk_shingles
 
     def _shingle_hashes(self, text: str) -> np.ndarray:
-        t = " ".join(str(text).lower().split())
-        k = self.shingle
-        if len(t) < k:
-            t = t.ljust(k, "_")
-        data = np.frombuffer(t.encode("utf-8", "ignore"), dtype=np.uint8)
-        n = len(data) - k + 1
-        acc = np.zeros(n, dtype=np.uint64)
-        for j in range(k):
-            acc = acc * np.uint64(1000003) + data[j:j + n].astype(np.uint64)
-        return np.unique(acc)
+        return _rolling_gram_hashes(text, self.shingle)
 
     def signature(self, text: str) -> np.ndarray:
         sh = self._shingle_hashes(text)
-        # (num_perm, n_shingles) universal hashing, rowwise min
         v = (np.outer(self.a, sh) + self.b[:, None]) % self.p
         return v.min(axis=1)
 
+    def _signatures(self, texts) -> np.ndarray:
+        """(num_perm, n_docs) signature matrix for a batch."""
+        shs = [self._shingle_hashes(t) for t in texts]
+        sig_parts = []
+        i = 0
+        while i < len(shs):
+            # bound the (num_perm × shingles) hash matrix per chunk
+            j, total = i, 0
+            while j < len(shs) and (total == 0
+                                    or total + len(shs[j])
+                                    <= self.chunk_shingles):
+                total += len(shs[j])
+                j += 1
+            chunk = shs[i:j]
+            flat = np.concatenate(chunk)
+            offsets = np.cumsum([0] + [len(s) for s in chunk[:-1]])
+            v = (self.a[:, None] * flat[None, :] + self.b[:, None]) % self.p
+            sig_parts.append(np.minimum.reduceat(v, offsets, axis=1))
+            i = j
+        return np.concatenate(sig_parts, axis=1)
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         """Emit one row per (doc, band): (doc_id, band_id, band_hash)."""
-        ids, bands, hashes = [], [], []
-        for did, text in zip(batch["doc_id"], batch["text"]):
-            sig = self.signature(text)
-            for b in range(self.n_bands):
-                chunk = sig[b * self.rows:(b + 1) * self.rows]
-                h = hashlib.md5(chunk.tobytes() + bytes([b])).hexdigest()[:16]
-                ids.append(did)
-                bands.append(b)
-                hashes.append(h)
-        return pd.DataFrame({"doc_id": ids, "band_id": bands,
-                             "band_hash": hashes})
+        n = len(batch)
+        if not n:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "band_id": pd.Series([], dtype="int64"),
+                                 "band_hash": pd.Series([], dtype="int64")})
+        sig = self._signatures(batch["text"])          # (num_perm, n)
+        sig = sig.reshape(self.n_bands, self.rows, n)
+        h = np.zeros((self.n_bands, n), dtype=np.uint64)
+        P = np.uint64(1099511628211)
+        for r in range(self.rows):                     # fold band rows
+            h = h * P + sig[:, r, :]
+        h = h * P + np.arange(self.n_bands,
+                              dtype=np.uint64)[:, None]  # band salt
+        ids = batch["doc_id"].to_numpy()
+        return pd.DataFrame({
+            "doc_id": np.tile(ids, self.n_bands),
+            "band_id": np.repeat(np.arange(self.n_bands, dtype=np.int64),
+                                 n),
+            "band_hash": h.reshape(-1).view(np.int64),
+        })
 
 
 def minhash_lsh_candidates(docs: rd.Dataset, num_perm: int = 64,
@@ -112,18 +174,23 @@ def minhash_lsh_candidates(docs: rd.Dataset, num_perm: int = 64,
                            concurrency: int | None = None) -> rd.Dataset:
     """docs(doc_id, text) → candidate near-dup pairs (a, b), a < b.
 
-    shingle→minhash→band (actor pool) → groupby(band) → pairs within
-    the band bucket, deduped."""
+    shingle→minhash→band (task pool, hasher cached per worker
+    process — actor spin-up was pure latency for stateless-ish init)
+    → groupby(band) → pairs within the band bucket, deduped."""
+    params = (num_perm, n_bands, shingle)
+
+    def _mh(batch: pd.DataFrame) -> pd.DataFrame:
+        mh = _MINHASH_CACHE.get(params)
+        if mh is None:
+            mh = MinHasher(num_perm=params[0], n_bands=params[1],
+                           shingle=params[2])
+            _MINHASH_CACHE[params] = mh
+        return mh(batch)
+
     kwargs = dict(batch_format="pandas", batch_size=2048)
     if concurrency is not None:
         kwargs["concurrency"] = concurrency
-    else:
-        kwargs["concurrency"] = 2
-    bands = docs.map_batches(
-        MinHasher, fn_constructor_kwargs=dict(num_perm=num_perm,
-                                              n_bands=n_bands,
-                                              shingle=shingle),
-        **kwargs)
+    bands = docs.map_batches(_mh, **kwargs)
 
     def _pairs(group: pd.DataFrame, dense_cap: int = 50) -> pd.DataFrame:
         parts = []
@@ -136,18 +203,19 @@ def minhash_lsh_candidates(docs: rd.Dataset, num_perm: int = 64,
                 parts.append(pd.DataFrame({"a": ids[iu], "b": ids[ju]}))
             else:
                 # dense bucket: STAR edges to the bucket minimum instead
-                # of truncating — O(n) pairs, and every member stays
+                # of truncating — O(n) pairs, every member stays
                 # connected, so dup components never split on a dense
-                # cluster (the old first-50 cap silently dropped docs)
+                # cluster
                 parts.append(pd.DataFrame({"a": ids[0], "b": ids[1:]}))
         if not parts:
-            return pd.DataFrame({"a": [], "b": []})
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
         return pd.concat(parts, ignore_index=True).drop_duplicates()
 
-    # group by band_hash prefix bucket to bound group count
+    # group by a band_hash bucket to bound group count
     def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
         b = batch.copy()
-        b["bucket"] = b["band_hash"].str[:2]
+        b["bucket"] = (b["band_hash"].to_numpy() % 256).astype("int64")
         return b
 
     cands = (bands.map_batches(_bucketize, batch_format="pandas")
@@ -172,77 +240,141 @@ def minhash_lsh_candidates(docs: rd.Dataset, num_perm: int = 64,
                                            batch_format="pandas"))
 
 
-def verify_jaccard(pairs: rd.Dataset, docs_df: pd.DataFrame,
+def verify_jaccard(pairs: rd.Dataset, docs: rd.Dataset,
                    ngram: int = 5, threshold: float = 0.8,
-                   batch_size: int = 8192) -> rd.Dataset:
-    """Exact character-n-gram Jaccard check of candidate pairs.
+                   id_col: str = "doc_id", text_col: str = "text"
+                   ) -> rd.Dataset:
+    """Exact character-n-gram Jaccard check of candidate pairs —
+    distributed end to end.
 
-    The gram set of every doc is computed ONCE on the driver (sorted
-    uint64 hash arrays — compact and intersectable via
-    ``np.intersect1d``) and broadcast via ``ray.put``; each verify
-    task then does a vectorized sorted-array intersection per pair
-    instead of re-shingling texts per pair (the naive form re-computed
-    grams 2×|pairs| times — ~100× waste at 230k candidates)."""
-    import ray
+    1. the candidate id set (distributed distinct over the pair
+       columns — ints only, bounded by 2·|pairs|) filters ``docs``;
+    2. surviving docs map to (id, grams) rows — sorted uint64 gram
+       hashes as an Arrow ``list<uint64>`` column;
+    3. two partitioned hash joins attach ``grams_a``/``grams_b`` to
+       each pair; a vectorized sorted-array intersection scores it.
 
-    def _gram_hashes(t: str) -> np.ndarray:
-        t = " ".join(str(t).lower().split())
-        if len(t) < ngram:
-            t = t.ljust(ngram, "_")
-        data = np.frombuffer(t.encode("utf-8", "ignore"), dtype=np.uint8)
-        n = len(data) - ngram + 1
-        acc = np.zeros(n, dtype=np.uint64)
-        for j in range(ngram):
-            acc = acc * np.uint64(1000003) + data[j:j + n].astype(np.uint64)
-        return np.unique(acc)
+    The driver holds only the candidate id list — never a text or a
+    gram set (the round-1 version built every doc's gram set
+    driver-side, which dies at corpus scale)."""
+    from .joins import distinct_values, hash_join, semi_join_filter
 
-    grams = {d: _gram_hashes(t)
-             for d, t in zip(docs_df["doc_id"], docs_df["text"])}
-    ref = ray.put(grams)
+    # the pair set is consumed three times (two distincts + the join);
+    # pin it in the object store so the candidate pipeline runs once
+    pairs = pairs.materialize()
+    cand_ids = set(distinct_values(pairs, "a")) \
+        | set(distinct_values(pairs, "b"))
+    cand_docs = semi_join_filter(docs, cand_ids, id_col)
+
+    def _grams(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        arrs = [_rolling_gram_hashes(x, ngram) for x in texts]
+        offsets = np.zeros(len(arrs) + 1, dtype=np.int32)
+        if arrs:
+            offsets[1:] = np.cumsum([len(x) for x in arrs])
+        values = pa.array(
+            np.concatenate(arrs) if arrs else np.empty(0, np.uint64),
+            type=pa.uint64())
+        return pa.table({
+            id_col: t.column(id_col).cast(pa.int64()),
+            "grams": pa.ListArray.from_arrays(pa.array(offsets), values),
+        })
+
+    grams = cand_docs.map_batches(_grams, batch_format="pyarrow")
+    gtype = pa.list_(pa.uint64())
+
+    def _as(side: str):
+        def inner(t: pa.Table) -> pa.Table:
+            return t.rename_columns([side, f"grams_{side}"])
+        return inner
+
+    j1 = hash_join(
+        pairs, grams.map_batches(_as("a"), batch_format="pyarrow"), on="a",
+        left_schema=_PAIR_SCHEMA,
+        right_schema=pa.schema([("a", pa.int64()), ("grams_a", gtype)]))
+    j2 = hash_join(
+        j1, grams.map_batches(_as("b"), batch_format="pyarrow"), on="b",
+        left_schema=pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                               ("grams_a", gtype)]),
+        right_schema=pa.schema([("b", pa.int64()), ("grams_b", gtype)]))
 
     def _verify(batch: pd.DataFrame) -> pd.DataFrame:
-        g = ray.get(ref)
         jac = np.empty(len(batch))
-        for i, (a, b) in enumerate(zip(batch["a"], batch["b"])):
-            ga, gb = g[a], g[b]
+        for i, (ga, gb) in enumerate(zip(batch["grams_a"],
+                                         batch["grams_b"])):
+            ga = np.asarray(ga, dtype=np.uint64)
+            gb = np.asarray(gb, dtype=np.uint64)
             inter = len(np.intersect1d(ga, gb, assume_unique=True))
             jac[i] = inter / max(1, len(ga) + len(gb) - inter)
-        out = batch.copy()
+        out = batch[["a", "b"]].copy()
         out["jaccard"] = jac
         return out[out["jaccard"] >= threshold]
 
-    # candidate pairs arrive as a handful of groupby-output blocks;
-    # re-split so verification fans out across the CPU pool
-    return pairs.repartition(32).map_batches(
-        _verify, batch_format="pandas", batch_size=batch_size)
+    return j2.map_batches(_verify, batch_format="pandas")
 
 
 # ----------------------------------------------------------- simhash
 
 class SimHasher:
-    """64-bit simhash per doc over word features (actor pool)."""
+    """64-bit simhash per doc over word features (actor pool).
 
-    def __init__(self, seed: int = 7):
+    Word hash = first 8 bytes of md5 (big-endian) so the DuckDB oracle
+    can recompute it in SQL; the per-batch path hashes each UNIQUE
+    word once (memoized per actor) and accumulates the ±1 bit votes
+    with one vectorized ``np.add.at`` over the exploded
+    (doc, distinct word) table."""
+
+    _WORD_RE = r"[a-z0-9]+"
+
+    def __init__(self, seed: int = 7, cache_cap: int = 1_000_000):
         import re
-        self.word = re.compile(r"[a-z0-9]+")
+        self.word = re.compile(self._WORD_RE)
         self.seed = seed
+        self._bits: dict[str, np.ndarray] = {}  # word → ±1 votes (64,)
+        self._cache_cap = cache_cap
+
+    def _word_votes(self, w: str) -> np.ndarray:
+        v = self._bits.get(w)
+        if v is None:
+            h = hashlib.md5(w.encode()).digest()[:8]
+            bits = np.unpackbits(np.frombuffer(h, dtype=np.uint8))
+            v = np.where(bits > 0, 1, -1).astype(np.int32)
+            if len(self._bits) < self._cache_cap:
+                self._bits[w] = v
+        return v
 
     def _one(self, text: str) -> np.int64:
+        """Scalar spec (kept for tests / SQL-parity documentation)."""
         acc = np.zeros(64, dtype=np.int64)
-        words = self.word.findall(str(text).lower())
-        for w in set(words):
-            h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
-            bits = np.unpackbits(
-                np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8))
-            acc += np.where(bits > 0, 1, -1)
+        for w in set(self.word.findall(str(text).lower())):
+            acc += self._word_votes(w)
         val = 0
         for bit in (acc > 0).astype(int):
             val = (val << 1) | int(bit)
         return np.int64(val - (1 << 63))
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
         out = batch[["doc_id"]].copy()
-        out["simhash"] = [self._one(t) for t in batch["text"]]
+        if not n:
+            out["simhash"] = pd.Series([], dtype="int64")
+            return out
+        words = batch["text"].fillna("").str.lower().str.findall(self.word)
+        pairs = (pd.DataFrame({
+            "pos": np.repeat(np.arange(n), words.str.len()),
+            "word": np.concatenate([np.asarray(w, dtype=object)
+                                    for w in words])
+            if words.str.len().sum() else np.empty(0, dtype=object)})
+            .drop_duplicates())
+        acc = np.zeros((n, 64), dtype=np.int64)
+        if len(pairs):
+            uniq, inv = np.unique(pairs["word"].to_numpy(),
+                                  return_inverse=True)
+            votes = np.stack([self._word_votes(w) for w in uniq])
+            np.add.at(acc, pairs["pos"].to_numpy(), votes[inv])
+        packed = np.packbits(acc > 0, axis=1).view(">u8").reshape(-1)
+        out["simhash"] = (packed.astype(np.uint64)
+                          ^ np.uint64(1 << 63)).view(np.int64)
         return out
 
 
@@ -258,8 +390,9 @@ def embedding_neardup_pairs(embeddings: rd.Dataset, threshold: float = 0.9,
     Scale shape: random-hyperplane LSH buckets each vector into
     ``n_tables`` (table, bucket) keys — only vectors sharing a bucket
     are compared, so the all-pairs matmul never happens. Within-bucket
-    comparison is a dense numpy matmul per group; pairs found in
-    several tables dedup at the end (small output).
+    comparison is a dense numpy matmul per group (float64); the
+    shuffle carries normalized vectors as ``fixed_size_list<float32>``
+    Arrow columns — compact, schema-stable, no object dtype.
     """
     if dim is None:
         first = embeddings.limit(1).to_pandas()
@@ -267,36 +400,55 @@ def embedding_neardup_pairs(embeddings: rd.Dataset, threshold: float = 0.9,
     rng = np.random.RandomState(seed)
     planes = rng.randn(n_tables, n_bits, dim)
     pw = (1 << np.arange(n_bits)).astype(np.int64)
+    out_type = pa.list_(pa.float32(), dim)
 
-    def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
-        m = np.asarray([np.asarray(v, dtype=np.float64)
-                        for v in batch[vec_col]])
+    def _vecs_of(t: pa.Table, col: str, d: int) -> np.ndarray:
+        lst = t.column(col).combine_chunks()
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        flat = lst.flatten().to_numpy(zero_copy_only=False)
+        return np.asarray(flat, dtype=np.float64).reshape(len(t), d)
+
+    def _bucketize(t: pa.Table) -> pa.Table:
+        m = _vecs_of(t, vec_col, dim)
         norm = np.linalg.norm(m, axis=1, keepdims=True)
         norm[norm == 0] = 1.0
         m = m / norm
-        out = []
-        ids = batch[id_col].to_numpy()
-        for t in range(n_tables):
-            bk = ((m @ planes[t].T) > 0) @ pw
-            out.append(pd.DataFrame({
-                id_col: ids, "bucket": bk + (t << n_bits),
-                "vec": list(m)}))
-        return pd.concat(out, ignore_index=True)
+        ids = t.column(id_col).cast(pa.int64())
+        m32 = m.astype(np.float32)
+        vec_arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(m32.reshape(-1)), dim)
+        parts = []
+        for tab in range(n_tables):
+            bk = ((m @ planes[tab].T) > 0) @ pw
+            parts.append(pa.table({
+                id_col: ids,
+                "bucket": pa.array(bk + (tab << n_bits), type=pa.int64()),
+                "vec": vec_arr.cast(out_type)}))
+        return pa.concat_tables(parts)
 
-    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates(id_col).sort_values(id_col)
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "cosine": []})
-        m = np.stack(g["vec"].to_numpy())
-        ids = g[id_col].to_numpy()
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                             ("cosine", pa.float64())])
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy()
+        order = np.argsort(ids, kind="stable")
+        keep = order[np.concatenate(([True], np.diff(ids[order]) != 0))] \
+            if len(ids) else order
+        if len(keep) < 2:
+            return pair_schema.empty_table()
+        m = _vecs_of(t, "vec", dim)[keep].astype(np.float64)
+        ids = ids[keep]
         sims = m @ m.T
-        iu, ju = np.triu_indices(len(g), k=1)
-        keep = sims[iu, ju] >= threshold
-        return pd.DataFrame({"a": ids[iu[keep]], "b": ids[ju[keep]],
-                             "cosine": sims[iu, ju][keep]})
+        iu, ju = np.triu_indices(len(ids), k=1)
+        mask = sims[iu, ju] >= threshold
+        return pa.table({"a": pa.array(ids[iu[mask]], type=pa.int64()),
+                         "b": pa.array(ids[ju[mask]], type=pa.int64()),
+                         "cosine": pa.array(sims[iu, ju][mask],
+                                            type=pa.float64())})
 
-    pairs = (embeddings.map_batches(_bucketize, batch_format="pandas")
-             .groupby("bucket").map_groups(_pairs, batch_format="pandas")
+    pairs = (embeddings.map_batches(_bucketize, batch_format="pyarrow")
+             .groupby("bucket").map_groups(_pairs, batch_format="pyarrow")
              .to_pandas())
     if not len(pairs):
         return pd.DataFrame({"a": [], "b": [], "cosine": []})
@@ -310,13 +462,11 @@ def embedding_neardup_pairs(embeddings: rd.Dataset, threshold: float = 0.9,
 def connected_components(pairs_df: pd.DataFrame) -> pd.DataFrame:
     """Min-label propagation over (a, b) edges → (doc_id, component),
     iterated to a FIXPOINT with pointer-jumping (label ← label[label])
-    between propagation rounds, so convergence is O(log diameter) —
-    a 10^6-edge duplicate chain converges in ~20 rounds, and the loop
-    only ends when labels stop changing (never a silent cap).
+    between propagation rounds, so convergence is O(log diameter).
 
-    Pure pandas rounds (the candidate set is small after LSH); each
-    round is a groupby-min — the same algorithm distributes as
-    Dataset groupbys if the edge set ever outgrows one node.
+    Pandas reference implementation (and the small-input fast path);
+    :func:`connected_components_ds` is the same algorithm as Dataset
+    rounds for edge sets that outgrow one node.
     """
     edges = pd.concat([pairs_df[["a", "b"]],
                        pairs_df.rename(columns={"a": "b", "b": "a"})
@@ -336,3 +486,142 @@ def connected_components(pairs_df: pd.DataFrame) -> pd.DataFrame:
             break
         label = jumped
     return pd.DataFrame({"doc_id": label.index, "component": label.to_numpy()})
+
+
+def _edge_bucket(u: pd.Series, n: int) -> pd.Series:
+    return (pd.util.hash_pandas_object(u, index=False) % n).astype("int64")
+
+
+def connected_components_ds(pairs: rd.Dataset, n_buckets: int = 32,
+                            max_rounds: int = 64) -> rd.Dataset:
+    """Distributed connected components over (a, b) candidate pairs →
+    (doc_id, component), int64 ids.
+
+    Alternating **large-star / small-star** contraction (Kiveris et
+    al., "Connected Components in MapReduce and Beyond") — the
+    edge set itself is the only state, and each half-round is ONE
+    hash-bucket groupby over the edges:
+
+    - large-star (per node u over its full neighborhood N(u)):
+      m = min(N(u) ∪ {u}); re-point every larger neighbor at m —
+      emit (v, m) for v ∈ N(u), v > u;
+    - small-star (per node u over its SMALLER neighbors N⁻(u), edges
+      oriented hi→lo): m = min(N⁻(u) ∪ {u}); emit (v, m) for
+      v ∈ N⁻(u) ∪ {u}, v ≠ m.
+
+    Converges to per-component stars (every node → component min) in
+    O(log²) rounds worst case, a handful in practice. Convergence is
+    detected by an exact edge-multiset signature (count + two
+    independent 64-bit hash sums — a tiny aggregate, not a driver
+    materialization). No joins, no label table, nothing driver-side:
+    the design avoids the per-round block/ref blowup a join-based
+    label-propagation loop exhibits on Ray's sort shuffle.
+
+    Raises after ``max_rounds`` (hitting the guard means a bug, never
+    a silent cap).
+    """
+
+    def _canon(t: pa.Table) -> pa.Table:
+        a = t.column("a").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b = t.column("b").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hi, lo = np.maximum(a, b), np.minimum(a, b)
+        keep = hi != lo
+        return pa.table({"a": pa.array(hi[keep]), "b": pa.array(lo[keep])})
+
+    edges = pairs.map_batches(_canon, batch_format="pyarrow").materialize()
+
+    def _large_map(df: pd.DataFrame) -> pd.DataFrame:
+        # symmetrize so each group key sees its full neighborhood
+        out = pd.DataFrame({
+            "u": pd.concat([df["a"], df["b"]], ignore_index=True),
+            "v": pd.concat([df["b"], df["a"]], ignore_index=True)})
+        out["__b"] = _edge_bucket(out["u"], n_buckets)
+        return out
+
+    def _large_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("u")["v"].min()
+        m = np.minimum(m, m.index)          # min(N(u) ∪ {u})
+        big = g[g["v"] > g["u"]]
+        out = pd.DataFrame({"a": big["v"].to_numpy(),
+                            "b": big["u"].map(m).to_numpy()})
+        return out.drop_duplicates()
+
+    def _small_map(df: pd.DataFrame) -> pd.DataFrame:
+        hi = np.maximum(df["a"], df["b"])
+        lo = np.minimum(df["a"], df["b"])
+        out = pd.DataFrame({"u": hi, "v": lo})
+        out["__b"] = _edge_bucket(out["u"], n_buckets)
+        return out
+
+    def _small_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("u")["v"].min()       # ≤ u already (v < u)
+        parts = [
+            pd.DataFrame({"a": g["v"].to_numpy(),
+                          "b": g["u"].map(m).to_numpy()}),
+            pd.DataFrame({"a": m.index.to_numpy(), "b": m.to_numpy()}),
+        ]
+        out = pd.concat(parts, ignore_index=True)
+        out = out[out["a"] != out["b"]]
+        return out.drop_duplicates()
+
+    def _signature(ds: rd.Dataset) -> tuple:
+        def _partial(df: pd.DataFrame) -> pd.DataFrame:
+            k1 = np.uint64(0x9E3779B97F4A7C15)
+            k2 = np.uint64(0xC2B2AE3D27D4EB4F)
+            a = df["a"].to_numpy().astype(np.uint64)
+            b = df["b"].to_numpy().astype(np.uint64)
+            m1 = (a * k1 + b) * k2
+            m2 = (b * k2 + a) * k1
+            m1 ^= m1 >> np.uint64(29)
+            m2 ^= m2 >> np.uint64(31)
+            return pd.DataFrame({"n": [len(df)],
+                                 "h1": [int(m1.sum(dtype=np.uint64))],
+                                 "h2": [int(m2.sum(dtype=np.uint64))]})
+
+        p = ds.map_batches(_partial, batch_format="pandas").to_pandas()
+        if not len(p):
+            return (0, 0, 0)
+        return (int(p["n"].sum()),
+                int(p["h1"].to_numpy().astype("uint64")
+                    .sum(dtype="uint64")),
+                int(p["h2"].to_numpy().astype("uint64")
+                    .sum(dtype="uint64")))
+
+    sig = _signature(edges)
+    for _ in range(max_rounds):
+        edges = (edges
+                 .map_batches(_large_map, batch_format="pandas")
+                 .groupby("__b").map_groups(_large_reduce,
+                                            batch_format="pandas")
+                 .map_batches(_small_map, batch_format="pandas")
+                 .groupby("__b").map_groups(_small_reduce,
+                                            batch_format="pandas")
+                 ).materialize()
+        new_sig = _signature(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components_ds did not converge in {max_rounds} "
+            "rounds — investigate, do not raise the cap blindly")
+
+    # converged star edges: (node, component-min); roots appear only on
+    # the b side — add their self-assignments
+    def _emit(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = pd.DataFrame({"doc_id": df["a"].to_numpy(),
+                              "component": df["b"].to_numpy()})
+        roots = pd.DataFrame({"doc_id": df["b"].unique()})
+        roots["component"] = roots["doc_id"]
+        out = pd.concat([nodes, roots], ignore_index=True)
+        out["__b"] = _edge_bucket(out["doc_id"], n_buckets)
+        return out
+
+    def _dedup(g: pd.DataFrame) -> pd.DataFrame:
+        # a root may also appear under several star groups — one row
+        # per node, preferring the smallest component label
+        return (g.sort_values(["doc_id", "component"])
+                .drop_duplicates("doc_id")[["doc_id", "component"]])
+
+    return (edges.map_batches(_emit, batch_format="pandas")
+            .groupby("__b").map_groups(_dedup, batch_format="pandas"))

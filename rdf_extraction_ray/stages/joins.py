@@ -157,7 +157,9 @@ def _side_frames(t: pa.Table, left_cols: list[str], right_cols: list[str]
 
 
 def asof_join(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
-              n_buckets: int = 32, suffix: str = "_r") -> rd.Dataset:
+              n_buckets: int = 32, suffix: str = "_r",
+              left_schema: pa.Schema | None = None,
+              right_schema: pa.Schema | None = None) -> rd.Dataset:
     """As-of (nearest-prior) join: for each left row, the latest right
     row with the same ``by`` key and ``right.on <= left.on``
     (inclusive). Rows with no prior match are dropped (inner asof).
@@ -169,9 +171,9 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
     One shuffle each side, |left|+|right| rows once, Arrow blocks
     throughout the exchange.
     """
-    rschema = _arrow_schema(right)
+    rschema = right_schema or _arrow_schema(right)
     all_cols, (left_cols, right_cols), type_of = _union_schema(
-        _arrow_schema(left), rschema)
+        left_schema or _arrow_schema(left), rschema)
     right_types = dict(zip(rschema.names, rschema.types))
     out_fields = [(c, type_of[c]) for c in left_cols]
     out_fields += [(c + suffix if c in left_cols else c, right_types[c])
@@ -205,7 +207,9 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
 
 def hash_join(left: rd.Dataset, right: rd.Dataset, on: str | list[str],
               how: str = "inner", n_buckets: int = 32,
-              suffix: str = "_r") -> rd.Dataset:
+              suffix: str = "_r",
+              left_schema: pa.Schema | None = None,
+              right_schema: pa.Schema | None = None) -> rd.Dataset:
     """Partitioned hash join of two Datasets on ``on``.
 
     Both sides are tagged (``__side``), bucketed on the key hash,
@@ -213,9 +217,9 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str | list[str],
     shuffle volume is |left| + |right| rows, once, in Arrow blocks.
     """
     on_cols = [on] if isinstance(on, str) else list(on)
-    rschema = _arrow_schema(right)
+    rschema = right_schema or _arrow_schema(right)
     all_cols, (left_cols, right_cols), type_of = _union_schema(
-        _arrow_schema(left), rschema)
+        left_schema or _arrow_schema(left), rschema)
     right_types = dict(zip(rschema.names, rschema.types))
     out_fields = [(c, type_of[c]) for c in left_cols]
     out_fields += [(c + suffix if c in left_cols else c, right_types[c])

@@ -85,6 +85,16 @@ class LangId:
         return out
 
 
+_LANGID_CACHE: list = []
+
+
+def langid_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Task-pool body: per-process cached :class:`LangId` tables."""
+    if not _LANGID_CACHE:
+        _LANGID_CACHE.append(LangId())
+    return _LANGID_CACHE[0](batch)
+
+
 def fingerprint(batch: pd.DataFrame, text_col: str = "text",
                 window: int = 8) -> pd.DataFrame:
     """Winnowing-style document fingerprint: min rolling hash over

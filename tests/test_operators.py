@@ -118,7 +118,7 @@ class TestDocDedup:
     def test_minhash_finds_near_dups(self):
         docs = rd.from_pandas(_docs_with_dups())
         cands = minhash_lsh_candidates(docs, concurrency=1)
-        verified = verify_jaccard(cands, _docs_with_dups(),
+        verified = verify_jaccard(cands, rd.from_pandas(_docs_with_dups()),
                                   threshold=0.6).to_pandas()
         pairs = set(map(tuple, verified[["a", "b"]].itertuples(index=False)))
         assert (0, 1) in pairs and (0, 2) in pairs  # exact dups found
@@ -269,6 +269,37 @@ class TestReviewRegressions:
         out = connected_components(pairs)
         assert out["component"].nunique() == 1
         assert len(out) == n
+
+    def test_distributed_cc_matches_pandas(self):
+        import pandas as pd
+
+        from rdf_extraction_ray.stages.dedup_docs import (
+            connected_components, connected_components_ds)
+        rng = np.random.RandomState(3)
+        pairs = pd.DataFrame({"a": rng.randint(0, 300, 400),
+                              "b": rng.randint(0, 300, 400)})
+        pairs = pairs[pairs["a"] != pairs["b"]].reset_index(drop=True)
+        exp = connected_components(pairs).astype("int64")
+        got = (connected_components_ds(rd.from_pandas(pairs))
+               .to_pandas().astype("int64"))
+        exp = exp.sort_values("doc_id", ignore_index=True)
+        got = got.sort_values("doc_id", ignore_index=True)
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_distributed_cc_dup_chain_regression(self):
+        """A 10^4-node duplicate CHAIN (worst-case diameter) must
+        converge via pointer jumping — O(log n) rounds, never the
+        round guard — and collapse to one component."""
+        import pandas as pd
+
+        from rdf_extraction_ray.stages.dedup_docs import \
+            connected_components_ds
+        n = 10_000
+        pairs = pd.DataFrame({"a": np.arange(n - 1, dtype="int64"),
+                              "b": np.arange(1, n, dtype="int64")})
+        out = connected_components_ds(rd.from_pandas(pairs)).to_pandas()
+        assert len(out) == n
+        assert (out["component"] == 0).all()
 
     def test_textstats_null_text(self):
         import pandas as pd
