@@ -98,21 +98,24 @@ def langid_batch(batch: pd.DataFrame) -> pd.DataFrame:
 def fingerprint(batch: pd.DataFrame, text_col: str = "text",
                 window: int = 8) -> pd.DataFrame:
     """Winnowing-style document fingerprint: min rolling hash over
-    ``window``-grams of the normalized text (one int64 per doc)."""
+    ``window``-grams of the normalized text (one int64 per doc).
+
+    The polynomial (base 131 over bytes, window 8) never exceeds
+    2^58, so values are exact non-negative int64 — reproducible in
+    SQL as eight ord()·131^k terms (the DuckDB oracle does exactly
+    that). Short texts are '_'-padded to one full window."""
     out = batch.copy()
     fps = np.empty(len(batch), dtype="int64")
     for i, t in enumerate(batch[text_col]):
         t = " ".join(str(t).lower().split())
         if len(t) < window:
-            import zlib
-            fps[i] = np.int64(zlib.crc32(t.encode("utf-8", "ignore")))
-            continue
+            t = t.ljust(window, "_")
         data = np.frombuffer(t.encode("utf-8", "ignore"), dtype=np.uint8)
         n = len(data) - window + 1
         # vectorized polynomial rolling hash over byte windows
         acc = np.zeros(n, dtype=np.uint64)
         for k in range(window):
             acc = acc * np.uint64(131) + data[k:k + n].astype(np.uint64)
-        fps[i] = np.int64(acc.min() & np.uint64(0x7FFFFFFFFFFFFFFF))
+        fps[i] = np.int64(acc.min())
     out["fingerprint"] = fps
     return out
