@@ -214,6 +214,14 @@ def _q_kg_nquads(sf_dir: str):
                                              batch_format="pandas")
 
 
+def _q_kg_turtle(sf_dir: str):
+    """Turtle statements (ungrouped form — one deterministic line per
+    triple; the file sink writes the ';'-grouped compact form)."""
+    from rdf_extraction_ray.stages.serialize import format_turtle
+    return _triples_view(sf_dir).map_batches(format_turtle,
+                                             batch_format="pandas")
+
+
 def _q_works_triples(sf_dir: str):
     from rdf_extraction_ray.pipelines.works import works_pipeline
     wp, gp = _works_paths(sf_dir)
@@ -690,6 +698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_vocab_terms": _q_kg_vocab_terms,
         "kg_ntriples": _q_kg_ntriples,
         "kg_nquads": _q_kg_nquads,
+        "kg_turtle": _q_kg_turtle,
         "works_triples": _q_works_triples,
         "works_genres": _q_works_genres,
         # --- relational operator coverage (SQL-oracled)
@@ -755,7 +764,36 @@ def oracle_sql() -> dict[str, str]:
                        ELSE '' END
         END"""
 
+    # CURIE compression as SQL, generated from the closed NS table
+    from rdf_extraction_ray.namespaces import NS as _NS
+
+    def _sql_curie(col: str) -> str:
+        cases = " ".join(
+            f"WHEN {col} LIKE '{base}%' AND regexp_matches("
+            f"substr({col}, {len(base) + 1}), "
+            f"'^[A-Za-z0-9_][A-Za-z0-9_-]*$') "
+            f"THEN '{p}:' || substr({col}, {len(base) + 1})"
+            for p, base in _NS.items())
+        return f"(CASE {cases} ELSE '<' || {col} || '>' END)"
+
+    _ttl_term = f"""
+        CASE WHEN obj_kind = 'uri' THEN {_sql_curie('obj')}
+             ELSE '"' || {_esc} || '"' ||
+                  CASE WHEN obj_lang IS NOT NULL AND obj_lang <> ''
+                           THEN '@' || obj_lang
+                       WHEN obj_datatype IS NOT NULL AND obj_datatype <> ''
+                           THEN '^^' || obj_datatype
+                       ELSE '' END
+        END"""
+    _ttl_pred = (f"(CASE WHEN pred = '{_NS['rdf']}type' THEN 'a' "
+                 f"ELSE {_sql_curie('pred')} END)")
+
     kg_oracles = {
+        "kg_turtle": f"""
+            SELECT {_sql_curie('subj')} || ' ' || {_ttl_pred} || ' '
+                   || {_ttl_term} || ' .' AS line
+            FROM read_parquet('{triples}')
+        """,
         "kg_link_histogram": f"""
             SELECT status, count(*) AS n
             FROM (SELECT unnest(string_split(link_status, ';')) AS status
