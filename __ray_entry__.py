@@ -214,12 +214,76 @@ def _q_kg_nquads(sf_dir: str):
                                              batch_format="pandas")
 
 
+def _titles_csv(sf_dir: str) -> str:
+    """Deterministic curated-titles CSV sized to the sf tier."""
+    from rdf_extraction_ray import synth
+    sf = _sf_of(sf_dir)
+    n = max(60, int(sf * 30_000))
+    path = (f"/tmp/rdf_extraction_ray/titles_v{synth.GENERATOR_VERSION}"
+            f"_sf{sf}_n{n}.csv")
+    if not os.path.exists(path):
+        tmp = f"{path}.tmp.{os.getpid()}"
+        synth.write_titles_csv(tmp, n, seed=42)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            if not os.path.exists(path):
+                raise
+            os.unlink(tmp)
+    return path
+
+
+def _q_title_rdf(sf_dir: str):
+    """M26: standalone CSV-driven bf:Title typing (linked-row pairs
+    merge into one entity carrying both labels and mapped types)."""
+    from rdf_extraction_ray.pipelines.titles import title_rdf
+    return title_rdf(_titles_csv(sf_dir)).select_columns(
+        ["subj", "pred", "obj", "obj_kind"])
+
+
 def _q_kg_turtle(sf_dir: str):
     """Turtle statements (ungrouped form — one deterministic line per
     triple; the file sink writes the ';'-grouped compact form)."""
     from rdf_extraction_ray.stages.serialize import format_turtle
     return _triples_view(sf_dir).map_batches(format_turtle,
                                              batch_format="pandas")
+
+
+def _q_kg_works_person_join(sf_dir: str):
+    """Cross-dataset join: biography facts × bibliography works per
+    canonical person URI (the reference's shared cwrcdata person
+    space across Biography/* and Mods/*). Both sides pre-aggregate
+    (combiner → groupby count) so the hash join moves only one row
+    per person."""
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+
+    from rdf_extraction_ray.functions.text import make_standard_uri
+    from rdf_extraction_ray.stages.joins import hash_join
+    import pyarrow.compute as pc
+    linked = _linked_view(sf_dir)
+    fa = (linked.map_batches(
+            lambda t: t.filter(pc.is_valid(t["person_uri"]))
+                       .select(["person_uri"]),
+            batch_format="pyarrow")
+          .groupby("person_uri").aggregate(Count(alias_name="n_facts")))
+    import ray.data as rd
+    wp, _gp = _works_paths(sf_dir)
+
+    def _mint(df: pd.DataFrame) -> pd.DataFrame:
+        uniq = {c: make_standard_uri(c) for c in df["creator"].unique()}
+        return pd.DataFrame({"person_uri": df["creator"].map(uniq)})
+
+    wa = (rd.read_parquet(wp, columns=["creator"])
+          .map_batches(_mint, batch_format="pandas")
+          .groupby("person_uri").aggregate(Count(alias_name="n_works")))
+    sch_f = pa.schema([("person_uri", pa.string()),
+                       ("n_facts", pa.int64())])
+    sch_w = pa.schema([("person_uri", pa.string()),
+                       ("n_works", pa.int64())])
+    out = hash_join(fa, wa, on="person_uri", left_schema=sch_f,
+                    right_schema=sch_w).to_pandas()
+    return out.sort_values("person_uri", ignore_index=True)
 
 
 def _q_works_triples(sf_dir: str):
@@ -699,8 +763,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ntriples": _q_kg_ntriples,
         "kg_nquads": _q_kg_nquads,
         "kg_turtle": _q_kg_turtle,
+        "title_rdf": _q_title_rdf,
         "works_triples": _q_works_triples,
         "works_genres": _q_works_genres,
+        "kg_works_person_join": _q_kg_works_person_join,
         # --- relational operator coverage (SQL-oracled)
         "tpch_q1_pricing": _q_tpch_q1,
         "topk_orders": _q_topk_orders,
@@ -748,6 +814,8 @@ def oracle_sql() -> dict[str, str]:
     vlabels = os.path.join(kv, "vocab_labels.parquet")
     works_dir = os.path.dirname(_works_paths("/root/testdata/sf0.01")[0])
     writing = os.path.join(works_dir, "writing.parquet")
+    titles_csv = _titles_csv("/root/testdata/sf0.01")
+    works_pq = _works_paths("/root/testdata/sf0.01")[0]
 
     # N-Triples object-term rendering shared by the nt/nq oracles
     _esc = ("replace(replace(replace(replace(replace(obj,"
@@ -788,11 +856,81 @@ def oracle_sql() -> dict[str, str]:
     _ttl_pred = (f"(CASE WHEN pred = '{_NS['rdf']}type' THEN 'a' "
                  f"ELSE {_sql_curie('pred')} END)")
 
+    _mint = ("'http://kg.example.org/data/' || replace(regexp_replace("
+             "key || ' TITLE', '[^a-zA-Z0-9 -]', '', 'g'), ' ', '_')")
     kg_oracles = {
+        "title_rdf": f"""
+            WITH tt AS (
+                SELECT row_id::BIGINT AS row_id, normalized, titletype,
+                       try_cast(ct_islink AS BIGINT) AS link
+                FROM read_csv('{titles_csv}', header=true,
+                              all_varchar=true)
+            ),
+            pairs AS (
+                SELECT s.normalized AS sa, s.titletype AS ya,
+                       o.normalized AS sb, o.titletype AS yb
+                FROM tt s JOIN tt o
+                  ON s.link = o.row_id AND o.row_id <> s.row_id
+            ),
+            stand AS (
+                SELECT r.normalized, r.titletype FROM tt r
+                WHERE r.link IS NULL
+                  AND NOT EXISTS (SELECT 1 FROM tt s
+                                  WHERE s.link = r.row_id
+                                    AND s.row_id <> r.row_id)
+            ),
+            ment AS (  -- (key, label, title_type) mapping entries
+                SELECT sa AS key, sb AS label, yb AS title_type FROM pairs
+                UNION ALL SELECT sa, sa, ya FROM pairs
+                UNION ALL SELECT sb, sb, yb FROM pairs
+                UNION ALL SELECT sb, sa, ya FROM pairs
+                UNION ALL SELECT normalized, normalized, titletype
+                          FROM stand
+            )
+            SELECT DISTINCT * FROM (
+                SELECT {_mint} AS subj,
+                       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                           AS pred,
+                       'http://kg.example.org/ontology#Title' AS obj,
+                       'uri' AS obj_kind
+                FROM ment
+                UNION ALL
+                SELECT {_mint},
+                       'http://www.w3.org/2000/01/rdf-schema#label',
+                       label, 'literal'
+                FROM ment
+                UNION ALL
+                SELECT {_mint},
+                       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                       'http://kg.example.org/ontology#' || m.cls, 'uri'
+                FROM ment
+                JOIN (VALUES ('monographic', 'standaloneWork'),
+                             ('analytic', 'embeddedWork'),
+                             ('journal', 'periodical'),
+                             ('series', 'series'),
+                             ('unpublished', 'unpublished')) m(ty, cls)
+                  ON lower(title_type) = m.ty
+            )
+        """,
         "kg_turtle": f"""
             SELECT {_sql_curie('subj')} || ' ' || {_ttl_pred} || ' '
                    || {_ttl_term} || ' .' AS line
             FROM read_parquet('{triples}')
+        """,
+        "kg_works_person_join": f"""
+            WITH f AS (SELECT person_uri, count(*) AS n_facts
+                       FROM read_parquet('{linked}')
+                       WHERE person_uri IS NOT NULL
+                       GROUP BY person_uri),
+                 w AS (SELECT 'http://kg.example.org/data/' ||
+                              replace(regexp_replace(creator,
+                                      '[^a-zA-Z0-9 -]', '', 'g'),
+                                      ' ', '_') AS person_uri,
+                              count(*) AS n_works
+                       FROM read_parquet('{works_pq}')
+                       GROUP BY 1)
+            SELECT f.person_uri, f.n_facts, w.n_works
+            FROM f JOIN w USING (person_uri)
         """,
         "kg_link_histogram": f"""
             SELECT status, count(*) AS n

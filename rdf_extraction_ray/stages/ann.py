@@ -69,13 +69,27 @@ def brute_force_topk(corpus: rd.Dataset, queries_df: pd.DataFrame, k: int = 10,
 
 def train_centroids(corpus: rd.Dataset, n_centroids: int = 16,
                     n_iters: int = 8, sample_size: int = 4096,
-                    seed: int = 7, vec_col: str = "embedding") -> np.ndarray:
-    """Deterministic mini-kmeans for the IVF coarse quantizer: train on
-    a bounded sample (first ``sample_size`` rows — cheap, deterministic),
-    Lloyd iterations in numpy on the driver. The sample is small by
-    design; the full corpus never leaves the cluster."""
-    sample = _normalize(_matrix(
-        corpus.limit(sample_size).to_pandas()[vec_col]))
+                    seed: int = 7, vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> np.ndarray:
+    """Deterministic mini-kmeans for the IVF coarse quantizer.
+
+    Training rows are a deterministic id-hash spread sample over the
+    WHOLE corpus (a head sample biases the cells when the input is
+    sorted/clustered by write order), capped at ``sample_size``. Lloyd
+    iterations run in numpy on the driver; the sample is small by
+    design and the full corpus never leaves the cluster."""
+    import pandas as pd
+    n_rows = corpus.count()
+    keep_per_10k = min(10_000, int(10_000 * 4 * sample_size
+                                   / max(1, n_rows)) + 1)
+
+    def _spread(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[id_col], index=False) % 10_000
+        return df[h < keep_per_10k]
+
+    sampled = (corpus.map_batches(_spread, batch_format="pandas")
+               .limit(sample_size).to_pandas())
+    sample = _normalize(_matrix(sampled[vec_col]))
     rng = np.random.RandomState(seed)
     idx = rng.choice(len(sample), size=min(n_centroids, len(sample)),
                      replace=False)

@@ -505,6 +505,52 @@ def write_works(path: str, n_works: int, seed: int = 42) -> tuple[str, str]:
     return wp, gp
 
 
+_TITLE_TYPES = ["monographic", "analytic", "journal", "series",
+                "unpublished", "broadside"]  # last one unmapped on purpose
+
+
+def write_titles_csv(path: str, n_titles: int, seed: int = 42) -> str:
+    """Deterministic curated-titles CSV (reference
+    ``titles/title_extraction.py`` input shape): columns ``row_id,
+    normalized, titletype, ct_islink``. ~20% of rows link a later row
+    (explicit ``row_id`` reference); each row is source or target of
+    at most ONE link and titles are unique, matching the invariants
+    the reference's was_seen bookkeeping assumes. ~10% carry the
+    'n'/''/'?' non-link markers, the rest empty."""
+    import csv as _csv
+    rng = np.random.default_rng(seed * 424_243)
+    rows = []
+    for i in range(n_titles):
+        base = fx.TITLES[i % len(fx.TITLES)]
+        rows.append({
+            "row_id": i,
+            "normalized": f"{base} No. {i}",
+            "titletype": _TITLE_TYPES[int(rng.integers(
+                0, len(_TITLE_TYPES)))],
+            "ct_islink": ["n", "", "?"][int(rng.integers(0, 3))]
+            if rng.integers(0, 10) == 0 else "",
+        })
+    used: set[int] = set()
+    for i in range(n_titles):
+        if i in used or rows[i]["ct_islink"] != "":
+            continue
+        if rng.integers(0, 5) == 0:
+            free = [j for j in range(i + 1, min(i + 8, n_titles))
+                    if j not in used and rows[j]["ct_islink"] == ""]
+            if free:
+                j = free[int(rng.integers(0, len(free)))]
+                rows[i]["ct_islink"] = str(j)
+                used.update((i, j))
+    import os
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w", newline="") as f:
+        w = _csv.DictWriter(f, fieldnames=["row_id", "normalized",
+                                           "titletype", "ct_islink"])
+        w.writeheader()
+        w.writerows(rows)
+    return path
+
+
 def write_turns(path: str, n_convs: int, seed: int = 42,
                 rows_per_file: int = 65_536) -> str:
     """Write the turns table as (possibly multi-file) Parquet; returns path."""

@@ -76,3 +76,50 @@ class TestEmbeddingNearDup:
         m = _random_corpus(100, 32, seed=11)
         pairs = embedding_neardup_pairs(_vec_table(m), threshold=0.99)
         assert len(pairs) == 0
+
+
+class TestAnnRecall:
+    """Recall bars for the approximate paths vs the exact baseline, on
+    a clustered corpus (the regime ANN parameters are tuned for; on
+    isotropic gaussian noise no sublinear method clears 0.9)."""
+
+    def _clustered(self, n=400, dim=24, k=8, seed=5):
+        rng = np.random.RandomState(seed)
+        centers = rng.randn(k, dim) * 3
+        vecs = (centers[np.arange(n) % k]
+                + 0.15 * rng.randn(n, dim)).astype(np.float32)
+        return pd.DataFrame({"vec_id": np.arange(n),
+                             "embedding": [v.tolist() for v in vecs]})
+
+    @staticmethod
+    def _recall(approx: pd.DataFrame, exact: pd.DataFrame) -> float:
+        hits = 0
+        total = 0
+        for q, g in exact.groupby("query_id"):
+            truth = set(g["neighbor_id"])
+            got = set(approx[approx["query_id"] == q]["neighbor_id"])
+            hits += len(truth & got)
+            total += len(truth)
+        return hits / total
+
+    def test_lsh_recall_vs_bruteforce(self):
+        from rdf_extraction_ray.stages.ann import brute_force_topk, lsh_topk
+        df = self._clustered()
+        corpus = rd.from_pandas(df)
+        q = df.head(8)
+        exact = brute_force_topk(corpus, q, k=10)
+        approx = lsh_topk(corpus, q, k=10, n_bits=6, n_tables=8)
+        r = self._recall(approx, exact)
+        print(f"lsh recall@10 = {r:.3f}")
+        assert r >= 0.9
+
+    def test_ivf_recall_vs_bruteforce(self):
+        from rdf_extraction_ray.stages.ann import brute_force_topk, ivf_topk
+        df = self._clustered()
+        corpus = rd.from_pandas(df)
+        q = df.head(8)
+        exact = brute_force_topk(corpus, q, k=10)
+        approx = ivf_topk(corpus, q, k=10, n_centroids=16, nprobe=4)
+        r = self._recall(approx, exact)
+        print(f"ivf recall@10 = {r:.3f}")
+        assert r >= 0.9
