@@ -507,10 +507,28 @@ def _edge_bucket(u: pd.Series, n: int) -> pd.Series:
     return (pd.util.hash_pandas_object(u, index=False) % n).astype("int64")
 
 
+#: Edge-count threshold below which :func:`connected_components_ds`
+#: solves on the driver with the pandas kernel instead of running
+#: distributed star-contraction rounds. Verified near-dup EDGES are a
+#: tiny fraction of corpus bytes (ints only, no text) — at 100 TB a
+#: pair set under this bound is ~100 MB, trivially driver-sized, while
+#: each distributed round costs two full shuffles of the same edges.
+#: Larger edge sets take the distributed path automatically.
+SMALL_EDGE_FASTPATH = 4_000_000
+
+
 def connected_components_ds(pairs: rd.Dataset, n_buckets: int = 32,
-                            max_rounds: int = 64) -> rd.Dataset:
+                            max_rounds: int = 64,
+                            small_edge_fastpath: int | None = None
+                            ) -> rd.Dataset:
     """Distributed connected components over (a, b) candidate pairs →
     (doc_id, component), int64 ids.
+
+    Edge sets smaller than ``small_edge_fastpath`` (default
+    :data:`SMALL_EDGE_FASTPATH`) are solved on the driver with the
+    pandas kernel — same output, none of the per-round shuffle
+    overhead; the distributed star-contraction rounds below engage
+    only when the edge set is genuinely cluster-sized.
 
     Alternating **large-star / small-star** contraction (Kiveris et
     al., "Connected Components in MapReduce and Beyond") — the
@@ -544,6 +562,20 @@ def connected_components_ds(pairs: rd.Dataset, n_buckets: int = 32,
         return pa.table({"a": pa.array(hi[keep]), "b": pa.array(lo[keep])})
 
     edges = pairs.map_batches(_canon, batch_format="pyarrow").materialize()
+
+    cap = (SMALL_EDGE_FASTPATH if small_edge_fastpath is None
+           else small_edge_fastpath)
+    if edges.count() <= cap:
+        df = edges.to_pandas()
+        if not len(df):
+            return rd.from_arrow(pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "component": pa.array([], pa.int64())}))
+        out = connected_components(df)
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out["component"] = out["component"].astype("int64")
+        return rd.from_pandas(out.sort_values("doc_id",
+                                              ignore_index=True))
 
     def _large_map(df: pd.DataFrame) -> pd.DataFrame:
         # symmetrize so each group key sees its full neighborhood

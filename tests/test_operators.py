@@ -280,11 +280,17 @@ class TestReviewRegressions:
                               "b": rng.randint(0, 300, 400)})
         pairs = pairs[pairs["a"] != pairs["b"]].reset_index(drop=True)
         exp = connected_components(pairs).astype("int64")
-        got = (connected_components_ds(rd.from_pandas(pairs))
+        got = (connected_components_ds(rd.from_pandas(pairs),
+                                       small_edge_fastpath=0)
                .to_pandas().astype("int64"))
         exp = exp.sort_values("doc_id", ignore_index=True)
         got = got.sort_values("doc_id", ignore_index=True)
         pd.testing.assert_frame_equal(got, exp)
+        # the small-edge fast path (driver pandas kernel) must agree
+        fast = (connected_components_ds(rd.from_pandas(pairs))
+                .to_pandas().astype("int64")
+                .sort_values("doc_id", ignore_index=True))
+        pd.testing.assert_frame_equal(fast, exp)
 
     def test_distributed_cc_dup_chain_regression(self):
         """A 10^4-node duplicate CHAIN (worst-case diameter) must
@@ -297,7 +303,8 @@ class TestReviewRegressions:
         n = 10_000
         pairs = pd.DataFrame({"a": np.arange(n - 1, dtype="int64"),
                               "b": np.arange(1, n, dtype="int64")})
-        out = connected_components_ds(rd.from_pandas(pairs)).to_pandas()
+        out = connected_components_ds(rd.from_pandas(pairs),
+                                      small_edge_fastpath=0).to_pandas()
         assert len(out) == n
         assert (out["component"] == 0).all()
 
