@@ -25,6 +25,36 @@ import pandas as pd
 
 _ROUND = 4  # float aggregates rounded identically on both sides
 
+# Exact word-5-gram Jaccard pairs (df-capped inverted index) — the
+# DuckDB twin of stages.dedup_docs.ngram_jaccard_pairs. CTE bodies are
+# shared by the pair oracle and the recursive-CTE components oracle
+# (composed under one WITH [RECURSIVE] header).
+_NGRAM_CTES = """
+    grams AS (
+        SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' '
+                               || ws[i+2] || ' ' || ws[i+3] || ' '
+                               || ws[i+4]), 1, 15))::BIGINT AS gram
+        FROM (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+              FROM documents),
+             unnest(generate_series(1, len(ws) - 4)) s(i)),
+    fg AS (
+        SELECT g.* FROM grams g
+        JOIN (SELECT gram FROM grams
+              GROUP BY gram HAVING count(*) <= 64) keep USING (gram)),
+    cnt AS (SELECT doc_id, count(*) AS n FROM fg GROUP BY doc_id),
+    pairs AS (
+        SELECT a, b, round(i / (ca.n + cb.n - i), 4) AS jaccard
+        FROM (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+              FROM fg x JOIN fg y
+                ON x.gram = y.gram AND x.doc_id < y.doc_id
+              GROUP BY 1, 2) inter
+        JOIN cnt ca ON ca.doc_id = a
+        JOIN cnt cb ON cb.doc_id = b
+        WHERE i / (ca.n + cb.n - i) >= 0.5)
+"""
+
 
 # --------------------------------------------------------------- helpers
 
@@ -655,6 +685,37 @@ def _q_docs_dup_components(sf_dir: str):
     return out.sort_values("doc_id", ignore_index=True)
 
 
+def _q_docs_ngram_jaccard(sf_dir: str):
+    """EXACT word-5-gram Jaccard pairs via a distributed inverted gram
+    index (df-capped; no LSH) — fully SQL-oracled."""
+    from rdf_extraction_ray.stages.dedup_docs import ngram_jaccard_pairs
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ngram_jaccard_pairs(docs, threshold=0.5).to_pandas()
+    return out.sort_values(["a", "b"], ignore_index=True)
+
+
+def _q_docs_ngram_components(sf_dir: str):
+    """Connected components over the EXACT n-gram Jaccard pair graph —
+    the SQL-oracled (recursive CTE) twin of docs_dup_components."""
+    from rdf_extraction_ray.stages.dedup_docs import (
+        connected_components_ds, ngram_jaccard_pairs)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    out = connected_components_ds(pairs).to_pandas()
+    if not len(out):
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "component": pd.Series([], dtype="int64")})
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+def _q_embed_cosine_pairs(sf_dir: str):
+    """EXACT cosine-threshold pairs (broadcast side + streaming
+    matmul) — the oracle-checkable baseline of the near-dup family."""
+    from rdf_extraction_ray.stages.ann import cosine_threshold_pairs
+    corpus = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return cosine_threshold_pairs(corpus, threshold=0.4)
+
+
 def _q_docs_simhash(sf_dir: str):
     from rdf_extraction_ray.stages.dedup_docs import simhash_batch
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -789,6 +850,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_langid": _q_docs_langid,
         "docs_fingerprint": _q_docs_fingerprint,
         "docs_minhash_pairs": _q_docs_minhash_pairs,
+        "docs_ngram_jaccard": _q_docs_ngram_jaccard,
+        "docs_ngram_components": _q_docs_ngram_components,
+        "embed_cosine_pairs": _q_embed_cosine_pairs,
         "docs_simhash": _q_docs_simhash,
         "docs_dup_components": _q_docs_dup_components,
         "ann_bruteforce": _q_ann_bruteforce,
@@ -1012,6 +1076,31 @@ def oracle_sql() -> dict[str, str]:
                        AS fingerprint
             FROM norm, unnest(generate_series(1, length(t) - 7)) AS s(i)
             GROUP BY doc_id
+        """,
+        "docs_ngram_jaccard": (
+            f"WITH {_NGRAM_CTES} SELECT * FROM pairs ORDER BY a, b"),
+        "docs_ngram_components": f"""
+            WITH RECURSIVE {_NGRAM_CTES},
+            e AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+            nodes AS (SELECT DISTINCT a AS n FROM e),
+            reach(n, r) AS (
+                SELECT n, n FROM nodes
+                UNION
+                SELECT reach.n, e.b FROM reach JOIN e ON e.a = reach.r)
+            SELECT n AS doc_id, min(r) AS component
+            FROM reach GROUP BY n ORDER BY doc_id
+        """,
+        "embed_cosine_pairs": f"""
+            SELECT x.vec_id AS a, y.vec_id AS b,
+                   round(list_cosine_similarity(
+                       CAST(x.embedding AS DOUBLE[]),
+                       CAST(y.embedding AS DOUBLE[])), {_ROUND})
+                       AS cosine
+            FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+            WHERE list_cosine_similarity(
+                      CAST(x.embedding AS DOUBLE[]),
+                      CAST(y.embedding AS DOUBLE[])) >= 0.4
+            ORDER BY a, b
         """,
         "docs_simhash": """
             WITH words AS (

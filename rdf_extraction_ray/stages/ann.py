@@ -67,6 +67,53 @@ def brute_force_topk(corpus: rd.Dataset, queries_df: pd.DataFrame, k: int = 10,
     return out[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
 
 
+def cosine_threshold_pairs(corpus: rd.Dataset, threshold: float = 0.4,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           round_to: int = 4) -> pd.DataFrame:
+    """EXACT all-pairs cosine similarity pairs (a < b, cosine ≥
+    ``threshold``) — the oracle-checkable exact baseline of the
+    embedding near-dup family.
+
+    Scale shape: one side of the O(N²) comparison must be resident; it
+    is collected once (ids + float64 matrix), broadcast via
+    ``ray.put``, and every corpus batch does a single dense matmul
+    against it — the corpus side streams. This is the exact-baseline
+    tool for corpora whose matrix fits a worker's heap;
+    :func:`rdf_extraction_ray.stages.dedup_docs.embedding_neardup_pairs`
+    (hyperplane LSH, never all-pairs) is the 100-TB path.
+    """
+    side = corpus.map_batches(
+        lambda df: pd.DataFrame({id_col: df[id_col],
+                                 vec_col: df[vec_col]}),
+        batch_format="pandas").to_pandas()
+    ids_full = side[id_col].to_numpy()
+    m_full = _normalize(_matrix(side[vec_col]))
+    ref = ray.put((ids_full, m_full))
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        fids, fm = ray.get(ref)
+        c = _normalize(_matrix(batch[vec_col]))
+        ids = batch[id_col].to_numpy()
+        sims = c @ fm.T                         # (nb, N)
+        # keep only pairs where the resident id is strictly larger —
+        # every unordered pair surfaces exactly once
+        mask = (sims >= threshold) & (ids[:, None] < fids[None, :])
+        bi, fj = np.nonzero(mask)
+        return pd.DataFrame({"a": ids[bi], "b": fids[fj],
+                             "cosine": sims[bi, fj]})
+
+    out = corpus.map_batches(_partial, batch_format="pandas").to_pandas()
+    if not len(out):
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "cosine": pd.Series([], dtype="float64")})
+    out["cosine"] = out["cosine"].round(round_to)
+    out["a"] = out["a"].astype("int64")
+    out["b"] = out["b"].astype("int64")
+    return out.sort_values(["a", "b"], ignore_index=True)
+
+
 def train_centroids(corpus: rd.Dataset, n_centroids: int = 16,
                     n_iters: int = 8, sample_size: int = 4096,
                     seed: int = 7, vec_col: str = "embedding",

@@ -328,6 +328,155 @@ def verify_jaccard(pairs: rd.Dataset, docs: rd.Dataset,
     return j2.map_batches(_verify, batch_format="pandas")
 
 
+# ------------------------------------------------ exact n-gram Jaccard
+
+_NGRAM_MEMO: dict = {}  # per worker process: gram string → int64 hash
+_WORD_RE = __import__("re").compile(r"[a-z0-9]+")
+
+
+def _gram_hash(g: str) -> int:
+    """First 15 hex digits of md5 as a positive int64 — chosen so the
+    DuckDB oracle can recompute it in SQL
+    (``('0x' || substr(md5(g), 1, 15))::BIGINT``)."""
+    h = _NGRAM_MEMO.get(g)
+    if h is None:
+        h = int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+        if len(_NGRAM_MEMO) > 2_000_000:  # bound worker memory
+            _NGRAM_MEMO.clear()
+        _NGRAM_MEMO[g] = h
+    return h
+
+
+def ngram_jaccard_pairs(docs: rd.Dataset, n_words: int = 5,
+                        df_cap: int = 64, threshold: float = 0.5,
+                        n_gram_buckets: int = 256,
+                        n_pair_buckets: int = 64,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        round_to: int = 4) -> rd.Dataset:
+    """EXACT word-n-gram Jaccard similarity pairs (a < b, jaccard ≥
+    ``threshold``) via a distributed inverted gram index — no LSH, no
+    approximation, fully DuckDB-oracle-checkable.
+
+    Scale shape: docs explode to (gram, doc) rows, grouped by gram
+    hash; within each gram group, co-occurring docs emit pair partial
+    counts. Gram SELECTIVITY is the scale lever: word 5-grams (the
+    default) are ~100x more selective than 3-grams on this corpus
+    (measured 13.5k vs 1.27M pair emissions at sf0.1 for the same
+    final pair set). Grams with document frequency > ``df_cap`` are
+    excluded
+    from BOTH the intersection and the union (the standard
+    frequent-feature pruning of prefix-filter joins — an O(df²) pair
+    blowup on stop-grams would dominate otherwise; the cap is part of
+    the operator's declared semantics, and the SQL oracle applies the
+    same cap). Everything that shuffles after the gram stage is
+    int64-only; texts never leave the map stage.
+    """
+    from .joins import hash_join
+
+    def _gram_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, grams = [], []
+        for d, t in zip(batch[id_col], batch[text_col]):
+            ws = _WORD_RE.findall(str(t).lower())
+            gs = {" ".join(ws[i:i + n_words])
+                  for i in range(len(ws) - n_words + 1)}
+            ids.extend([d] * len(gs))
+            grams.extend(_gram_hash(g) for g in gs)
+        out = pd.DataFrame({id_col: pd.array(ids, dtype="int64"),
+                            "gram": pd.array(grams, dtype="int64")})
+        out["gbucket"] = (out["gram"] % n_gram_buckets).astype("int64")
+        return out
+
+    # one gram lives in exactly one bucket, so per-bucket df IS global
+    # df; the reduce emits (kind=0 per-doc count partials, kind=1 pair
+    # intersection partials) in one union-schema int table
+    def _gram_reduce(group: pd.DataFrame) -> pd.DataFrame:
+        df_ = group.groupby("gram")[id_col].transform("size")
+        g = group[df_ <= df_cap]
+        parts = []
+        cnt = g.groupby(id_col, as_index=False).size()
+        if len(cnt):
+            parts.append(pd.DataFrame({
+                "kind": 0, "a": cnt[id_col].to_numpy(),
+                "b": -1, "v": cnt["size"].to_numpy()}))
+        m = g.merge(g, on="gram")
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        if len(m):
+            p = (m.groupby([f"{id_col}_x", f"{id_col}_y"], as_index=False)
+                 .size())
+            parts.append(pd.DataFrame({
+                "kind": 1, "a": p[f"{id_col}_x"].to_numpy(),
+                "b": p[f"{id_col}_y"].to_numpy(),
+                "v": p["size"].to_numpy()}))
+        if not parts:
+            return pd.DataFrame({"kind": pd.Series([], dtype="int64"),
+                                 "a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "v": pd.Series([], dtype="int64")})
+        out = pd.concat(parts, ignore_index=True)
+        out["pbucket"] = (pd.util.hash_pandas_object(
+            out["a"], index=False) % n_pair_buckets).astype("int64")
+        return out
+
+    def _sum_reduce(group: pd.DataFrame) -> pd.DataFrame:
+        return (group.groupby(["kind", "a", "b"], as_index=False)
+                ["v"].sum())
+
+    partials = (docs.map_batches(_gram_rows, batch_format="pandas")
+                .groupby("gbucket").map_groups(_gram_reduce,
+                                               batch_format="pandas")
+                .groupby("pbucket").map_groups(_sum_reduce,
+                                               batch_format="pandas")
+                ).materialize()
+
+    import pyarrow.compute as pc
+
+    def _kind(k: int, cols):
+        def inner(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t.column("kind"), k))
+            return pa.table({out_name: t.column(src)
+                             for out_name, src in cols})
+        return inner
+
+    counts = partials.map_batches(_kind(0, [(id_col, "a"), ("n", "v")]),
+                                  batch_format="pyarrow")
+    inter = partials.map_batches(_kind(1, [("a", "a"), ("b", "b"),
+                                           ("i", "v")]),
+                                 batch_format="pyarrow")
+
+    j1 = hash_join(
+        inter, counts.map_batches(
+            lambda t: pa.table({"a": t.column(id_col),
+                                "na": t.column("n")}),
+            batch_format="pyarrow"), on="a",
+        left_schema=pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                               ("i", pa.int64())]),
+        right_schema=pa.schema([("a", pa.int64()), ("na", pa.int64())]))
+    j2 = hash_join(
+        j1, counts.map_batches(
+            lambda t: pa.table({"b": t.column(id_col),
+                                "nb": t.column("n")}),
+            batch_format="pyarrow"), on="b",
+        left_schema=pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                               ("i", pa.int64()), ("na", pa.int64())]),
+        right_schema=pa.schema([("b", pa.int64()), ("nb", pa.int64())]))
+
+    def _score(t: pa.Table) -> pa.Table:
+        i = t.column("i").to_numpy(zero_copy_only=False).astype(np.float64)
+        na = t.column("na").to_numpy(zero_copy_only=False)
+        nb = t.column("nb").to_numpy(zero_copy_only=False)
+        jac = i / (na + nb - i)
+        keep = jac >= threshold
+        return pa.table({
+            "a": pa.array(t.column("a").to_numpy(
+                zero_copy_only=False)[keep], pa.int64()),
+            "b": pa.array(t.column("b").to_numpy(
+                zero_copy_only=False)[keep], pa.int64()),
+            "jaccard": pa.array(np.round(jac[keep], round_to),
+                                pa.float64())})
+
+    return j2.map_batches(_score, batch_format="pyarrow")
+
+
 # ----------------------------------------------------------- simhash
 
 class SimHasher:

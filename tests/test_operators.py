@@ -341,3 +341,80 @@ class TestReviewRegressions:
         assert AMBIGUOUS_ALIASES  # the 60-person fixture has collisions
         for surf in AMBIGUOUS_ALIASES:
             assert surf not in PERSON_ALIASES
+
+
+class TestExactSimilarity:
+    """ngram_jaccard_pairs + cosine_threshold_pairs vs in-process
+    reference implementations."""
+
+    def _docs(self):
+        base = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                "kappa lambda mu nu xi omicron pi rho sigma tau")
+        return pd.DataFrame({
+            "doc_id": [0, 1, 2, 3],
+            "text": [base,
+                     base + " upsilon",          # near-dup of 0
+                     "totally different words with no shared five grams "
+                     "at all here really nothing common between them",
+                     base.upper()],              # case-insensitive dup of 0
+        })
+
+    def test_ngram_jaccard_matches_reference(self):
+        import itertools
+        import re
+
+        from rdf_extraction_ray.stages.dedup_docs import ngram_jaccard_pairs
+        docs = self._docs()
+        out = (ngram_jaccard_pairs(rd.from_pandas(docs), threshold=0.3)
+               .to_pandas().sort_values(["a", "b"], ignore_index=True))
+
+        # pure-python reference (same semantics, no distribution)
+        W = re.compile(r"[a-z0-9]+")
+        grams = {}
+        for d, t in zip(docs["doc_id"], docs["text"]):
+            ws = W.findall(t.lower())
+            grams[d] = {" ".join(ws[i:i + 5]) for i in range(len(ws) - 4)}
+        exp = []
+        for a, b in itertools.combinations(sorted(grams), 2):
+            i = len(grams[a] & grams[b])
+            if not i:
+                continue
+            j = i / (len(grams[a]) + len(grams[b]) - i)
+            if j >= 0.3:
+                exp.append((a, b, round(j, 4)))
+        exp_df = pd.DataFrame(exp, columns=["a", "b", "jaccard"])
+        pd.testing.assert_frame_equal(
+            out.astype({"a": "int64", "b": "int64"}),
+            exp_df.astype({"a": "int64", "b": "int64"}))
+        # the case-insensitive dup must be found with jaccard 1.0
+        assert ((out["a"] == 0) & (out["b"] == 3)
+                & (out["jaccard"] == 1.0)).any()
+
+    def test_ngram_df_cap_prunes(self):
+        from rdf_extraction_ray.stages.dedup_docs import ngram_jaccard_pairs
+        # every doc shares the SAME text → each gram's df == n_docs;
+        # with df_cap below n_docs every gram is pruned → no pairs
+        docs = pd.DataFrame({"doc_id": range(6),
+                             "text": ["one two three four five six"] * 6})
+        out = ngram_jaccard_pairs(rd.from_pandas(docs), df_cap=5,
+                                  threshold=0.1).to_pandas()
+        assert len(out) == 0
+
+    def test_cosine_threshold_pairs_matches_numpy(self):
+        from rdf_extraction_ray.stages.ann import cosine_threshold_pairs
+        rng = np.random.RandomState(5)
+        m = rng.randn(40, 8)
+        m[7] = m[3] + 0.01            # planted near-dup
+        df = pd.DataFrame({"vec_id": np.arange(40, dtype="int64"),
+                           "embedding": [v.tolist() for v in m]})
+        out = cosine_threshold_pairs(rd.from_pandas(df), threshold=0.8)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = mn @ mn.T
+        iu, ju = np.triu_indices(len(m), k=1)
+        keep = sims[iu, ju] >= 0.8
+        exp = pd.DataFrame({"a": iu[keep], "b": ju[keep],
+                            "cosine": np.round(sims[iu, ju][keep], 4)}) \
+            .astype({"a": "int64", "b": "int64"}) \
+            .sort_values(["a", "b"], ignore_index=True)
+        pd.testing.assert_frame_equal(out, exp)
+        assert ((out["a"] == 3) & (out["b"] == 7)).any()
