@@ -782,28 +782,60 @@ def _q_part_brand_stats(sf_dir: str):
     return out
 
 
+def _media_path(sf_dir: str) -> str:
+    """Deterministic fake media corpus (binary payload column) written
+    to parquet — both the Ray queries and the DuckDB oracles read the
+    same file."""
+    import pyarrow.parquet as pq
+
+    from rdf_extraction_ray import synth
+    from rdf_extraction_ray.stages.multimodal import synth_media_table
+    sf = _sf_of(sf_dir)
+    n = max(30, int(sf * 30_000))
+    path = (f"/tmp/rdf_extraction_ray/media_v{synth.GENERATOR_VERSION}"
+            f"_sf{sf}_n{n}")
+    if not os.path.exists(path):
+        tmp = f"{path}.tmp.{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(synth_media_table(n),
+                       os.path.join(tmp, "media.parquet"))
+        _publish_dir(tmp, path)
+    return os.path.join(path, "media.parquet")
+
+
 def _q_media_features(sf_dir: str):
     """Multimodal plumbing: binary payload column → feature vectors
-    (deterministic fake decode; real decode stubbed — no image libs)."""
+    (deterministic fake decode; real decode stubbed — no image libs).
+    Features are exploded to (media_id, kind, dim_idx, feature) rows
+    so the driver's column-sorted value hash covers every value."""
+    import numpy as np
     import ray.data as rd
 
-    from rdf_extraction_ray.stages.multimodal import (FeatureExtractor,
-                                                      synth_media_table)
-    sf = _sf_of(sf_dir)
-    media = rd.from_arrow(synth_media_table(max(30, int(sf * 30_000))))
+    from rdf_extraction_ray.stages.multimodal import FeatureExtractor
+    media = rd.read_parquet(_media_path(sf_dir))
     feats = media.map_batches(FeatureExtractor, batch_format="pyarrow",
                               batch_size=64, concurrency=2)
-    out = feats.to_pandas()[["media_id", "kind"]]
-    return out
+
+    def _explode(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        dim = len(df["features"].iloc[0]) if n else 0
+        return pd.DataFrame({
+            "media_id": np.repeat(df["media_id"].to_numpy(), dim),
+            "kind": np.repeat(df["kind"].to_numpy(), dim),
+            "dim_idx": np.tile(np.arange(dim, dtype="int64"), n),
+            "feature": np.round(np.concatenate(
+                [np.asarray(f, dtype="float64") for f in df["features"]])
+                if n else np.array([]), _ROUND),
+        })
+
+    return feats.map_batches(_explode, batch_format="pandas")
 
 
 def _q_media_frames(sf_dir: str):
     import ray.data as rd
 
-    from rdf_extraction_ray.stages.multimodal import (FrameSampler,
-                                                      synth_media_table)
-    sf = _sf_of(sf_dir)
-    media = rd.from_arrow(synth_media_table(max(30, int(sf * 30_000))))
+    from rdf_extraction_ray.stages.multimodal import FrameSampler
+    media = rd.read_parquet(_media_path(sf_dir))
     return media.map_batches(FrameSampler, batch_format="pyarrow",
                              batch_size=64, concurrency=2)
 
@@ -1135,7 +1167,25 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN sim s USING (doc_id)
         """,
     }
-    return kg_oracles | {
+    media_pq = _media_path("/root/testdata/sf0.01")
+    media_oracles = {
+        "media_features": f"""
+            SELECT media_id, kind, j AS dim_idx,
+                   round((('0x' || substr(md5(lower(hex(payload))
+                                          || ':' || j), 1, 8))::BIGINT
+                          % 1000) / 1000.0, {_ROUND}) AS feature
+            FROM read_parquet('{media_pq}'),
+                 unnest(generate_series(0, 15)) s(j)
+        """,
+        "media_frames": f"""
+            SELECT media_id, f::INTEGER AS frame_idx,
+                   md5(lower(hex(payload)) || ':' || f) AS frame_digest
+            FROM read_parquet('{media_pq}'),
+                 unnest(generate_series(0, 3)) s(f)
+            WHERE kind = 'video'
+        """,
+    }
+    return kg_oracles | media_oracles | {
         "tpch_q1_pricing": f"""
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), {_ROUND}) AS sum_qty,

@@ -55,10 +55,15 @@ class FeatureExtractor:
         self.dim = dim
 
     def _features(self, payload: bytes) -> np.ndarray:
-        digest = hashlib.sha256(payload or b"").digest()
-        raw = np.frombuffer((digest * ((self.dim * 4) // len(digest) + 1))
-                            [: self.dim * 4], dtype=np.uint32)
-        return (raw % 1000).astype(np.float32) / 1000.0
+        """Deterministic fake feature: dim j =
+        ``int(md5(hex(payload) + ':' + j)[:8], 16) % 1000 / 1000`` —
+        chosen so the DuckDB oracle can recompute it in SQL
+        (``('0x' || substr(md5(lower(hex(payload)) || ':' || j), 1, 8)
+        )::BIGINT % 1000 / 1000.0``)."""
+        hexp = (payload or b"").hex()
+        return np.array(
+            [int(hashlib.md5(f"{hexp}:{j}".encode()).hexdigest()[:8], 16)
+             % 1000 / 1000.0 for j in range(self.dim)], dtype=np.float32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = [self._features(p.as_py() if p is not None else b"")
@@ -84,10 +89,14 @@ class FrameSampler:
             if kind != "video":
                 continue
             payload = p.as_py() if p is not None else b""
+            hexp = payload.hex()
             for f in range(self.n):
                 ids.append(mid)
                 frame_idx.append(f)
-                digests.append(hashlib.md5(payload + bytes([f])).hexdigest())
+                # hex-domain digest so the DuckDB oracle reproduces it:
+                # md5(lower(hex(payload)) || ':' || frame_idx)
+                digests.append(hashlib.md5(
+                    f"{hexp}:{f}".encode()).hexdigest())
         return pa.table({"media_id": pa.array(ids, pa.int64()),
                          "frame_idx": pa.array(frame_idx, pa.int32()),
                          "frame_digest": pa.array(digests, pa.string())})
