@@ -185,9 +185,652 @@ def _q_kg_triples(sf_dir: str):
     return kg_pipeline(_turns_path(sf_dir))
 
 
+#: kg_facts output contract (the internal shuffle-bucket column is
+#: excluded — it is a pandas-hash partitioning key, not a fact field)
+_FACT_OUT_COLS = ["conv_id", "turn_idx", "seq", "fact_type", "person",
+                  "other", "place", "place2", "term", "category", "date",
+                  "certainty", "title", "org", "amount", "cand_idx",
+                  "snippet"]
+
+
 def _q_kg_facts(sf_dir: str):
     from rdf_extraction_ray.pipelines.kg import extract_facts, read_turns
-    return extract_facts(read_turns(_turns_path(sf_dir)))
+    return extract_facts(read_turns(_turns_path(sf_dir))) \
+        .select_columns(_FACT_OUT_COLS)
+
+
+def _kg_facts_sql(turns_glob: str) -> str:
+    """INDEPENDENT DuckDB oracle for the whole extraction stage: the
+    per-turn regex waterfall (every pattern in ``extract._PATTERNS``,
+    single source of truth for the regex text) plus the
+    conversation-scoped finalize rules (burial gate, MOVED occurrence
+    filter, biographer/citation subject attribution, dense seq
+    minting) — recomputed from the RAW turns parquet in SQL.
+
+    A plain UNION ALL over the patterns is equivalent to the engine's
+    first-match-wins waterfall because the patterns are mutually
+    exclusive (anchored sentence templates with distinct literal
+    anchors); ``tests/test_extract.py`` pins per-row semantics and the
+    driver's hash compare would catch any divergence."""
+    from rdf_extraction_ray.stages.extract import _PATTERNS, _SUBJECT
+    from rdf_extraction_ray.state import fixtures as fx
+
+    def sq(s: str) -> str:
+        return s.replace("'", "''")
+
+    NULLS = {c: "NULL" for c in ["person", "other", "place", "place2",
+                                 "term", "category", "date", "certainty",
+                                 "title", "org", "amount"]}
+
+    selects = []
+    for fact_type, pat, const, _anchor in _PATTERNS:
+        names = list(pat.groupindex)
+        p = sq(pat.pattern)
+        ex = (f"regexp_extract(text, '{p}', "
+              f"[{', '.join(repr(n) for n in names)}])")
+        g = dict(NULLS)
+        for n in names:
+            g[n] = f"s.{n}"
+        for k, v in const.items():
+            g[k] = f"'{sq(v)}'"
+        rows = [(0, g)]
+        if fact_type == "occupation":
+            g["category"] = ("CASE WHEN s.verb = 'worked' THEN 'paid' "
+                             "ELSE 'volunteer' END")
+        elif fact_type == "location" and "verb" in names:
+            g["category"] = ("CASE s.verb WHEN 'lived in' THEN 'habitation' "
+                             "WHEN 'travelled to' THEN 'travel' "
+                             "ELSE 'visit' END")
+        elif fact_type == "birth":
+            g["certainty"] = ("CASE s.marker WHEN 'on' THEN 'CERT' "
+                              "WHEN 'by' THEN 'BY' WHEN 'after' THEN 'AFTER' "
+                              "ELSE 'ROUGHLYDATED' END")
+        elif fact_type == "childlessness":
+            cases = []
+            for cat, words in fx.CHILDLESSNESS_WORDS.items():
+                cond = " OR ".join(f"s.word LIKE '%{sq(w)}%'"
+                                   for w in words)
+                cases.append(f"WHEN {cond} THEN '{sq(cat)}'")
+            g["category"] = ("CASE " + " ".join(cases) +
+                             " ELSE 'unspecifiedReproductiveHistory' END")
+        elif fact_type == "culturalform" and "marker" in names:
+            g["certainty"] = "upper(s.marker)"
+        if fact_type in ("moved", "migration"):
+            to_cat, from_cat = (("relocation", "spatialRelationship")
+                                if fact_type == "moved"
+                                else ("migration", "emigration"))
+            rows = []
+            for ci, (pcol, cat) in enumerate((("place", to_cat),
+                                              ("place2", from_cat))):
+                gg = dict(NULLS)
+                gg["person"] = "s.person"
+                gg["place"] = f"s.{pcol}"
+                gg["category"] = f"'{cat}'"
+                rows.append((ci, gg))
+            out_type = "location"
+        else:
+            out_type = fact_type
+        for helper in ("marker", "verb", "word"):
+            g.pop(helper, None)
+        for ci, gg in rows:
+            cols = ", ".join(f"{gg[c]} AS {c}" for c in NULLS)
+            selects.append(f"""
+    SELECT conv_id, turn_idx, text, '{out_type}' AS fact_type, {cols},
+           {ci}::INTEGER AS cand_idx
+    FROM tt, LATERAL (SELECT {ex} AS s)
+    WHERE role = 'assistant' AND regexp_matches(text, '{p}')""")
+    cand_union = "\nUNION ALL".join(selects)
+    subj_pat = sq(_SUBJECT.pattern)
+    return f"""
+WITH tt AS (SELECT conv_id, turn_idx, role, text
+            FROM read_parquet('{turns_glob}')),
+subj AS (
+    SELECT conv_id, person FROM (
+        SELECT conv_id,
+               regexp_extract(text, '{subj_pat}', ['person']).person
+                   AS person,
+               row_number() OVER (PARTITION BY conv_id
+                                  ORDER BY turn_idx) AS rn
+        FROM tt WHERE regexp_matches(text, '{subj_pat}'))
+    WHERE rn = 1),
+cand AS MATERIALIZED ({cand_union}),
+first_death AS (
+    SELECT conv_id, min(turn_idx) AS fd FROM cand
+    WHERE fact_type = 'death' GROUP BY conv_id),
+place_occ AS (
+    SELECT conv_id, place, count(*) AS occ FROM cand
+    WHERE fact_type = 'location' GROUP BY conv_id, place),
+kept AS (
+    SELECT c.* FROM cand c
+    LEFT JOIN first_death d USING (conv_id)
+    LEFT JOIN place_occ o ON o.conv_id = c.conv_id AND o.place = c.place
+    WHERE NOT (c.fact_type = 'burial'
+               AND (d.fd IS NULL OR c.turn_idx <= d.fd))
+      AND NOT (c.fact_type = 'location'
+               AND c.category = 'spatialRelationship' AND o.occ > 1)),
+final AS MATERIALIZED (
+    SELECT k.conv_id, k.turn_idx,
+           (row_number() OVER (PARTITION BY k.conv_id
+                               ORDER BY k.turn_idx, k.cand_idx) - 1
+           )::INTEGER AS seq,
+           k.fact_type,
+           CASE WHEN k.fact_type IN ('biographer', 'citation')
+                THEN coalesce(s.person, k.person)
+                ELSE k.person END AS person,
+           k.other, k.place, k.place2, k.term, k.category, k.date,
+           k.certainty, k.title, k.org, k.amount, k.cand_idx,
+           CASE WHEN len(ws) > 35
+                THEN array_to_string(ws[1:35], ' ') || '...'
+                ELSE array_to_string(ws, ' ') END AS snippet
+    FROM kept k
+    LEFT JOIN subj s USING (conv_id),
+    LATERAL (SELECT string_split_regex(trim(k.text), '\\s+') AS ws))
+SELECT * FROM final
+"""
+
+
+def _kg_maps_dir() -> str:
+    """Linker fixture maps + seed triples written once to parquet —
+    the SQL oracle's join inputs (the engine broadcasts the same maps
+    via ``ray.put``)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rdf_extraction_ray import synth
+    from rdf_extraction_ray.state.fixtures import (build_linker_maps,
+                                                   seed_triples_table)
+    d = f"/tmp/rdf_extraction_ray/kgmaps_v{synth.GENERATOR_VERSION}"
+    if os.path.exists(d):
+        return d
+    tmp = f"{d}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    m = build_linker_maps()
+
+    def w(name, table):
+        pq.write_table(table, os.path.join(tmp, f"{name}.parquet"))
+
+    w("people", pa.table({"surface": list(m["people"]),
+                          "uri": list(m["people"].values())}))
+    for name in ("places", "orgs", "occupations", "causes", "degrees"):
+        w(name, pa.table({"key": list(m[name]),
+                          "uri": list(m[name].values())}))
+    cf = [(c, k, u) for c, t in m["cultural_forms"].items()
+          for k, u in t.items()]
+    w("cultural_forms", pa.table({
+        "category": [r[0] for r in cf], "key": [r[1] for r in cf],
+        "uri": [r[2] for r in cf]}))
+    w("writers", pa.table({"uri": list(m["writers"]),
+                           "sex": [t[1] for t in m["writers"].values()]}))
+    w("family", pa.table({
+        "term": list(m["family"]),
+        "fwd": [t[0] for t in m["family"].values()],
+        "inv_m": [t[1] for t in m["family"].values()],
+        "inv_f": [t[2] for t in m["family"].values()]}))
+    w("seed", seed_triples_table())
+    _publish_dir(tmp, d)
+    return d
+
+
+def _sql_month_expr(e: str) -> str:
+    return (f"CASE lower({e}) WHEN 'january' THEN 1 "
+            "WHEN 'february' THEN 2 WHEN 'march' THEN 3 "
+            "WHEN 'april' THEN 4 WHEN 'may' THEN 5 WHEN 'june' THEN 6 "
+            "WHEN 'july' THEN 7 WHEN 'august' THEN 8 "
+            "WHEN 'september' THEN 9 WHEN 'october' THEN 10 "
+            "WHEN 'november' THEN 11 WHEN 'december' THEN 12 "
+            "WHEN 'jan' THEN 1 WHEN 'feb' THEN 2 WHEN 'mar' THEN 3 "
+            "WHEN 'apr' THEN 4 WHEN 'jun' THEN 6 WHEN 'jul' THEN 7 "
+            "WHEN 'aug' THEN 8 WHEN 'sep' THEN 9 WHEN 'oct' THEN 10 "
+            "WHEN 'nov' THEN 11 WHEN 'dec' THEN 12 ELSE NULL END")
+
+
+def _sql_date_laterals(dcol: str) -> str:
+    """LATERAL clauses computing ``dl.lex``/``dl.dtype`` (length-typed
+    lexical form, ``functions.dates.xsd_datatype_for``) and
+    ``ds.start_iso`` (the parse-waterfall start timestamp,
+    ``functions.dates.date_parse``) for date column ``dcol``."""
+    m1 = _sql_month_expr(f"regexp_extract(trim({dcol}), '^([A-Za-z]+)', 1)")
+    m2 = _sql_month_expr(f"regexp_extract(trim({dcol}), ' ([A-Za-z]+) ', 1)")
+    return f"""
+    LATERAL (SELECT CASE WHEN {dcol} LIKE '%-'
+                         THEN trim({dcol}, '-') ELSE {dcol} END AS dl0) x0,
+    LATERAL (SELECT dl0 AS lex,
+                    CASE length(dl0) WHEN 10 THEN 'xsd:date'
+                         WHEN 7 THEN 'xsd:gYearMonth'
+                         WHEN 4 THEN 'xsd:gYear'
+                         WHEN 19 THEN 'xsd:dateTime'
+                         ELSE '' END AS dtype) dl,
+    LATERAL (SELECT CASE
+        WHEN regexp_matches(trim({dcol}), '^\\d{{4}}-\\d{{2}}-\\d{{2}}-?$')
+        THEN strftime(make_timestamp(
+                 regexp_extract(trim({dcol}), '^(\\d{{4}})', 1)::INT,
+                 substr(trim({dcol}), 6, 2)::INT,
+                 substr(trim({dcol}), 9, 2)::INT, 0, 0, 0),
+             '%Y-%m-%dT%H:%M:%S')
+        WHEN regexp_matches(trim({dcol}), '^\\d{{4}}-\\d{{2}}-{{0,2}}$')
+        THEN strftime(make_timestamp(
+                 substr(trim({dcol}), 1, 4)::INT,
+                 substr(trim({dcol}), 6, 2)::INT, 1, 0, 0, 0),
+             '%Y-%m-%dT%H:%M:%S')
+        WHEN regexp_matches(trim({dcol}), '^\\d{{4}}-{{0,2}}$')
+        THEN strftime(make_timestamp(
+                 substr(trim({dcol}), 1, 4)::INT, 1, 1, 0, 0, 0),
+             '%Y-%m-%dT%H:%M:%S')
+        WHEN regexp_matches(trim({dcol}), '^[A-Za-z]+ \\d{{4}}$')
+        THEN strftime(make_timestamp(
+                 regexp_extract(trim({dcol}), ' (\\d{{4}})$', 1)::INT,
+                 {m1}, 1, 0, 0, 0), '%Y-%m-%dT%H:%M:%S')
+        WHEN regexp_matches(trim({dcol}),
+                            '^\\d{{1,2}} [A-Za-z]+ \\d{{4}}$')
+        THEN strftime(make_timestamp(
+                 regexp_extract(trim({dcol}), ' (\\d{{4}})$', 1)::INT,
+                 {m2},
+                 regexp_extract(trim({dcol}), '^(\\d{{1,2}}) ', 1)::INT,
+                 0, 0, 0), '%Y-%m-%dT%H:%M:%S')
+        ELSE NULL END AS start_iso) ds"""
+
+
+def _kg_triples_sql(turns_glob: str, seeded: bool = False) -> str:
+    """INDEPENDENT end-to-end DuckDB oracle for the flagship pipeline:
+    raw turns → regex facts (``_kg_facts_sql`` CTE chain) → entity
+    linking (joins against the fixture-map parquet) → predicate
+    templating (one UNION ALL arm per emit in ``stages/template.py``)
+    → exact dedup (window over the 6-column triple key, winner =
+    smallest (conv_id, turn_idx)). With ``seeded``, the seed-triple
+    parquet unions in before the dedup (S4/J10 merge semantics)."""
+    from rdf_extraction_ray.namespaces import NS
+    from rdf_extraction_ray.stages.template import (CF_PRED, CONTEXT_CLASS,
+                                                    LANG_PRED,
+                                                    LOCATION_PRED,
+                                                    OTHER_CONTEXT_CLASS)
+    maps_dir = _kg_maps_dir()
+    maps = {n: os.path.join(maps_dir, f"{n}.parquet")
+            for n in ("people", "places", "orgs", "occupations", "causes",
+                      "cultural_forms", "degrees", "writers", "family",
+                      "seed")}
+    DATA, KG, CRM, SEM, OA, CITO = (NS["data"], NS["kg"], NS["crm"],
+                                    NS["sem"], NS["oa"], NS["cito"])
+    RDF_T = NS["rdf"] + "type"
+    LABEL = NS["rdfs"] + "label"
+
+    def msu(expr: str) -> str:
+        return (f"'{DATA}' || replace(regexp_replace({expr}, "
+                f"'[^a-zA-Z0-9 -]', '', 'g'), ' ', '_')")
+
+    def clean(expr: str) -> str:
+        return f"replace(replace(lower({expr}), '-', ''), ' ', '')"
+
+    def clean_stem(expr: str) -> str:
+        w0 = clean(expr)
+        w1 = (f"CASE WHEN {w0} LIKE '%s' THEN substr({w0}, 1, "
+              f"length({w0}) - 1) ELSE {w0} END")
+        w2 = (f"CASE WHEN substr({w1}, length({w1}) - 2) IN "
+              f"('ism','ist','ing') THEN substr({w1}, 1, "
+              f"length({w1}) - 3) ELSE {w1} END")
+        return (f"CASE WHEN {w2} LIKE '%er' THEN substr({w2}, 1, "
+                f"length({w2}) - 2) ELSE {w2} END")
+
+    facts = _kg_facts_sql(turns_glob).strip()
+    assert facts.endswith("SELECT * FROM final")
+    facts_ctes = facts[len("WITH"):-len("SELECT * FROM final")].strip()
+
+    ctx_case = " ".join(f"WHEN '{k}' THEN '{KG}{v}'"
+                        for k, v in CONTEXT_CLASS.items())
+    octx_case = " ".join(f"WHEN '{k}' THEN '{KG}{v}'"
+                         for k, v in OTHER_CONTEXT_CLASS.items())
+    loc_case = " ".join(f"WHEN '{k}' THEN '{KG}{v}'"
+                        for k, v in LOCATION_PRED.items())
+    cf_case = " ".join(f"WHEN '{k}' THEN '{KG}{v}'"
+                       for k, v in CF_PRED.items())
+    lang_case = " ".join(f"WHEN '{k}' THEN '{KG}{v}'"
+                         for k, v in LANG_PRED.items())
+    cert_case = ("CASE coalesce(certainty, '') "
+                 "WHEN 'BY' THEN 'hasLatestBeginTimeStamp' "
+                 "WHEN 'AFTER' THEN 'hasEarliestBeginTimeStamp' "
+                 "WHEN 'ROUGHLYDATED' THEN 'hasTime' "
+                 "ELSE 'hasTimeStamp' END")
+
+    arms = []
+
+    def arm(cond, subj, pred, obj, kind="uri", lang="''", dtype="''"):
+        arms.append(f"""
+    SELECT {subj} AS subj, {pred} AS pred, {obj} AS obj,
+           '{kind}' AS obj_kind, {lang} AS obj_lang,
+           {dtype} AS obj_datatype, conv_id, turn_idx
+    FROM linked WHERE ({cond}) AND ({subj}) IS NOT NULL
+      AND ({obj}) IS NOT NULL""")
+
+    arm("NOT dropped", "C", f"'{RDF_T}'",
+        f"CASE WHEN fact_type = 'othercontext' "
+        f"THEN (CASE category {octx_case} ELSE NULL END) "
+        f"ELSE (CASE fact_type {ctx_case} ELSE NULL END) END")
+    arm("NOT dropped", "C", f"'{KG}hasSubject'", "P")
+    arm("NOT dropped", "C", f"'{OA}hasTarget'", "TURN")
+    arm("NOT dropped", "C", f"'{KG}snippet'", "snippet",
+        kind="literal", lang="'en'")
+    arm("NOT dropped", "P", f"'{RDF_T}'", f"'{CRM}E21_Person'")
+
+    for kind_, ev_class, ev_pred, date_pred, place_pred in (
+            ("birth", "E67_Birth", "P98_brought_into_life",
+             "hasBirthDate", "hasBirthPlace"),
+            ("death", "E69_Death", "P100_was_death_of",
+             "hasDeathDate", "hasDeathPlace")):
+        c = f"fact_type = '{kind_}'"
+        arm(c, "A", f"'{RDF_T}'", f"'{CRM}{ev_class}'")
+        arm(c, "A", f"'{CRM}{ev_pred}'", "P")
+        arm(c, "P", f"'{KG}{date_pred}'", "date_lex", kind="literal",
+            dtype="date_dtype")
+        arm(f"{c} AND place_uri IS NOT NULL", "P", f"'{KG}{place_pred}'",
+            "place_uri")
+        arm(f"{c} AND place_uri IS NULL", "P", f"'{KG}{place_pred}'",
+            "place", kind="literal")
+        arm(c, "A", f"'{SEM}' || {cert_case}", "date_start",
+            kind="literal", dtype="'xsd:dateTime'")
+        if kind_ == "death":
+            arm(f"{c} AND term_uri IS NOT NULL", "P",
+                f"'{KG}hasCauseOfDeath'", "term_uri")
+            arm(f"{c} AND term_uri IS NULL", "P",
+                f"'{KG}hasCauseOfDeath'", "term", kind="literal")
+
+    arm("fact_type = 'burial' AND place_uri IS NOT NULL", "P",
+        f"'{KG}hasBurialPlace'", "place_uri")
+    arm("fact_type = 'burial' AND place_uri IS NULL", "P",
+        f"'{KG}hasBurialPlace'", "place", kind="literal")
+
+    occ_pred = (f"CASE category WHEN 'paid' THEN '{KG}hasPaidOccupation' "
+                f"ELSE '{KG}hasVolunteerOccupation' END")
+    arm("fact_type = 'occupation'", "A", f"'{RDF_T}'",
+        f"'{CRM}E7_Activity'")
+    arm("fact_type = 'occupation'", "A", f"'{CRM}P14_carried_out_by'",
+        "P")
+    arm("fact_type = 'occupation' AND term_uri IS NOT NULL", "P",
+        occ_pred, "term_uri")
+    arm("fact_type = 'occupation' AND term_uri IS NULL", "P",
+        occ_pred, "term", kind="literal")
+
+    arm("fact_type = 'income'", "P", f"'{KG}hasIncome'", "amount",
+        kind="literal", dtype="'xsd:int'")
+
+    arm("fact_type = 'location'", "P",
+        f"(CASE category {loc_case} ELSE NULL END)", "place_uri")
+
+    cf_pred = (f"CASE WHEN category = 'language' "
+               f"THEN coalesce(CASE coalesce(certainty, '') {lang_case} "
+               f"ELSE NULL END, '{KG}hasLinguisticAbility') "
+               f"ELSE (CASE category {cf_case} ELSE NULL END) END")
+    arm("fact_type = 'culturalform' AND term_uri IS NOT NULL", "P",
+        cf_pred, "term_uri")
+    arm("fact_type = 'culturalform' AND term_uri IS NULL", "P",
+        cf_pred, "term", kind="literal")
+
+    arm("fact_type = 'family'", "P", f"'{KG}' || fam_fwd", "other_uri")
+    arm("fact_type = 'family'", "other_uri",
+        f"'{KG}' || (CASE WHEN person_sex = 'MALE' THEN fam_inv_m "
+        f"ELSE fam_inv_f END)", "P")
+
+    arm("fact_type = 'friend'", "P",
+        f"CASE category WHEN 'friend' "
+        f"THEN '{KG}interpersonalRelationshipWith' "
+        f"ELSE '{KG}cohabitant' END", "other_uri")
+
+    arm("fact_type = 'childlessness'", "P",
+        f"'{KG}reproductiveHistory'", f"'{KG}' || category")
+
+    arm("fact_type = 'education' AND category = 'study'", "P",
+        f"'{KG}studiedSubject'", "term", kind="literal")
+    arm("fact_type = 'education' AND category = 'study'", "P",
+        f"'{KG}attendedSchool'", "org_uri")
+    arm("fact_type = 'education' AND category = 'degree' "
+        "AND term_uri IS NOT NULL", "P", f"'{KG}holdsDegree'", "term_uri")
+    arm("fact_type = 'education' AND category = 'degree' "
+        "AND term_uri IS NULL", "P", f"'{KG}holdsDegree'", "term",
+        kind="literal")
+    arm("fact_type = 'education' AND category = 'degree'", "P",
+        f"'{KG}studiedSubject'", "place2", kind="literal")
+
+    W = msu("title || ' TITLE'")
+    arm("fact_type = 'title'", "P", f"'{KG}authorOf'", W)
+    arm("fact_type = 'title'", W, f"'{RDF_T}'", f"'{KG}Title'")
+    arm("fact_type = 'title'", W, f"'{LABEL}'", "title",
+        kind="literal", lang="'en'")
+
+    arm("fact_type = 'org'", "P", f"'{KG}memberOf'", "org_uri")
+    arm("fact_type = 'biographer'", "P", f"'{KG}hasBiographer'",
+        "other_uri")
+
+    NN = msu("term || ' NAME'")
+    arm("fact_type = 'personname' AND category = 'nickname'", "P",
+        f"'{KG}hasNickname'", NN)
+    arm("fact_type = 'personname' AND category = 'nickname'", NN,
+        f"'{RDF_T}'", f"'{KG}Nickname'")
+    arm("fact_type = 'personname' AND category = 'nickname'", NN,
+        f"'{LABEL}'", "term", kind="literal", lang="'en'")
+    NB = msu("other || ' BIRTHNAME'")
+    given = ("CASE WHEN other LIKE '% %' "
+             "THEN regexp_replace(other, ' [^ ]+$', '') ELSE other END")
+    surname = "regexp_extract(other, '[^ ]+$')"
+    arm("fact_type = 'personname' AND category = 'birthname'", "P",
+        f"'{KG}hasBirthName'", NB)
+    arm("fact_type = 'personname' AND category = 'birthname'", NB,
+        f"'{RDF_T}'", f"'{KG}BirthName'")
+    arm("fact_type = 'personname' AND category = 'birthname'", NB,
+        f"'{KG}givenName'", given, kind="literal")
+    arm("fact_type = 'personname' AND category = 'birthname'", NB,
+        f"'{KG}surname'", surname, kind="literal")
+
+    prof = ("CASE WHEN len(tws) > 35 "
+            "THEN array_to_string(tws[1:35], ' ') || '...' "
+            "ELSE array_to_string(tws, ' ') END")
+    arm("fact_type = 'profile'", "P", f"'{KG}hasProfileDescription'",
+        prof, kind="literal", lang="'en'")
+
+    arm("fact_type = 'othercontext'", "A", f"'{RDF_T}'",
+        f"'{CRM}E7_Activity'")
+    arm("fact_type = 'othercontext'", "A",
+        f"'{CRM}P14_carried_out_by'", "P")
+    arm("fact_type = 'othercontext' AND category = 'health'", "P",
+        f"'{KG}hasHealthCondition'", "term", kind="literal")
+    arm("fact_type = 'othercontext' AND category = 'leisure'", "P",
+        f"'{KG}hasLeisureActivity'", "term", kind="literal")
+    arm("fact_type = 'othercontext' AND category = 'wealth'", "P",
+        f"'{KG}inheritedWealth'", "amount", kind="literal",
+        dtype="'xsd:int'")
+    arm("fact_type = 'othercontext' AND category = 'violence' "
+        "AND place_uri IS NOT NULL", "P",
+        f"'{KG}experiencedViolenceAt'", "place_uri")
+    arm("fact_type = 'othercontext' AND category = 'violence' "
+        "AND place_uri IS NULL", "P", f"'{KG}experiencedViolenceAt'",
+        "place", kind="literal")
+
+    arm("fact_type = 'citation'", "CIT", f"'{RDF_T}'",
+        f"'{CITO}Citation'")
+    arm("fact_type = 'citation'", "CIT", f"'{CITO}hasCitedEntity'", W)
+    arm("fact_type = 'citation'", "CIT", f"'{KG}pageNumber'", "amount",
+        kind="literal", dtype="'xsd:int'")
+    arm("fact_type = 'citation'", "C", f"'{KG}hasCitation'", "CIT")
+
+    arm("fact_type = 'event'", "EVT", f"'{RDF_T}'", f"'{SEM}Event'")
+    arm("fact_type = 'event'", "EVT", f"'{LABEL}'", "term",
+        kind="literal", lang="'en'")
+    arm("fact_type = 'event' AND place_uri IS NOT NULL", "EVT",
+        f"'{SEM}hasPlace'", "place_uri")
+    arm("fact_type = 'event' AND place_uri IS NULL", "EVT",
+        f"'{SEM}hasPlace'", "place", kind="literal")
+    arm("fact_type = 'event'", "EVT", f"'{SEM}hasTimeStamp'",
+        "date_start", kind="literal", dtype="'xsd:dateTime'")
+    arm("fact_type = 'event' AND date_start IS NULL", "EVT",
+        f"'{SEM}hasTime'", "date_lex", kind="literal")
+
+    trip_union = "\nUNION ALL".join(arms)
+    seed_union = (f"\nUNION ALL\nSELECT * FROM read_parquet("
+                  f"'{maps['seed']}')" if seeded else "")
+
+    return f"""
+WITH {facts_ctes},
+linked AS MATERIALIZED (
+    SELECT f.*,
+           '{DATA}' || f.conv_id || '_context_' || f.seq AS C,
+           '{DATA}' || f.conv_id || '_activity_' || f.seq AS A,
+           '{DATA}' || f.conv_id || '_turn_' || f.turn_idx AS TURN,
+           '{DATA}' || f.conv_id || '_citation_' || f.seq AS CIT,
+           '{DATA}' || f.conv_id || '_event_' || f.seq AS EVT,
+           coalesce(pp.uri, {msu('f.person')}) AS P,
+           CASE WHEN f.other IS NULL THEN NULL
+                ELSE coalesce(po.uri, {msu('f.other')}) END AS other_uri,
+           pl.uri AS place_uri,
+           CASE
+             WHEN f.fact_type = 'occupation' THEN oc.uri
+             WHEN f.fact_type = 'death' THEN cd.uri
+             WHEN f.fact_type = 'culturalform' THEN cf.uri
+             WHEN f.fact_type = 'education' AND f.category = 'degree'
+                 THEN dg.uri
+             ELSE NULL END AS term_uri,
+           CASE WHEN f.org IS NULL THEN NULL
+                ELSE coalesce(og.uri, {msu("f.org || ' ORG'")})
+                END AS org_uri,
+           wr.sex AS person_sex,
+           fam.fwd AS fam_fwd, fam.inv_m AS fam_inv_m,
+           fam.inv_f AS fam_inv_f,
+           (f.fact_type = 'location' AND pl.uri IS NULL) AS dropped,
+           dl.lex AS date_lex, dl.dtype AS date_dtype,
+           ds.start_iso AS date_start,
+           string_split_regex(trim(coalesce(f.term, '')), '\\s+') AS tws
+    FROM final f
+    LEFT JOIN read_parquet('{maps["people"]}') pp
+        ON pp.surface = f.person
+    LEFT JOIN read_parquet('{maps["people"]}') po
+        ON po.surface = f.other
+    LEFT JOIN read_parquet('{maps["places"]}') pl
+        ON pl.key = {clean('f.place')}
+    LEFT JOIN read_parquet('{maps["occupations"]}') oc
+        ON f.fact_type = 'occupation' AND oc.key = {clean('f.term')}
+    LEFT JOIN read_parquet('{maps["causes"]}') cd
+        ON f.fact_type = 'death' AND cd.key = {clean('f.term')}
+    LEFT JOIN read_parquet('{maps["cultural_forms"]}') cf
+        ON f.fact_type = 'culturalform'
+       AND cf.category = coalesce(f.category, '')
+       AND cf.key = {clean_stem('f.term')}
+    LEFT JOIN read_parquet('{maps["degrees"]}') dg
+        ON f.fact_type = 'education' AND f.category = 'degree'
+       AND dg.key = {clean('f.term')}
+    LEFT JOIN read_parquet('{maps["orgs"]}') og
+        ON og.key = {clean('f.org')}
+    LEFT JOIN read_parquet('{maps["writers"]}') wr
+        ON wr.uri = coalesce(pp.uri, {msu('f.person')})
+    LEFT JOIN read_parquet('{maps["family"]}') fam
+        ON f.fact_type = 'family' AND fam.term = f.term,
+{_sql_date_laterals('f.date')}
+),
+trip AS ({trip_union}{seed_union}),
+dedup AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY subj, pred, obj, obj_kind, obj_lang, obj_datatype
+        ORDER BY conv_id, turn_idx) AS rn
+    FROM trip)
+SELECT subj, pred, obj, obj_kind, obj_lang, obj_datatype, conv_id,
+       turn_idx
+FROM dedup WHERE rn = 1
+"""
+
+
+def _works_triples_sql(works_pq: str, writing_pq: str) -> str:
+    """INDEPENDENT DuckDB oracle for the MODS-style works pipeline:
+    one UNION ALL arm per emit in ``pipelines/works.WorkTemplater``
+    (work frame, creation activity, agent roles, origin info, typed
+    timespan, broadcast genre join, related-item links) recomputed
+    from the raw works/writing parquet, then the shared triple
+    dedup."""
+    from rdf_extraction_ray.namespaces import NS
+    from rdf_extraction_ray.pipelines.works import RELATED_PRED, ROLE_PRED
+    DATA, KG, CRM, SEM = NS["data"], NS["kg"], NS["crm"], NS["sem"]
+    RDF_T = NS["rdf"] + "type"
+    maps_dir = _kg_maps_dir()
+    places_pq = os.path.join(maps_dir, "places.parquet")
+
+    def msu(expr: str) -> str:
+        return (f"'{DATA}' || replace(regexp_replace({expr}, "
+                f"'[^a-zA-Z0-9 -]', '', 'g'), ' ', '_')")
+
+    role_case = " ".join(f"WHEN '{k}' THEN '{KG}{v}'"
+                         for k, v in ROLE_PRED.items())
+    rel_case = " ".join(f"WHEN '{k}' THEN '{KG}{v}'"
+                        for k, v in RELATED_PRED.items())
+    arms = []
+
+    def arm(cond, subj, pred, obj, kind="uri", lang="''", dtype="''"):
+        arms.append(f"""
+    SELECT {subj} AS subj, {pred} AS pred, {obj} AS obj,
+           '{kind}' AS obj_kind, {lang} AS obj_lang,
+           {dtype} AS obj_datatype
+    FROM w WHERE ({cond}) AND ({subj}) IS NOT NULL
+      AND ({obj}) IS NOT NULL""")
+
+    arm("TRUE", "W", f"'{RDF_T}'", f"'{KG}Work'")
+    arm("TRUE", "W", f"'{KG}hasTitle'", "title", kind="literal",
+        lang="'en'")
+    arm("subtitle IS NOT NULL AND subtitle <> ''", "W",
+        f"'{KG}hasSubtitle'", "subtitle", kind="literal", lang="'en'")
+    arm("TRUE", "W", f"'{KG}language'", "lang", kind="literal")
+    arm("TRUE", "A", f"'{RDF_T}'", f"'{CRM}E65_Creation'")
+    arm("TRUE", "A", f"'{CRM}P94_has_created'", "W")
+    arm("TRUE", "agent", f"'{RDF_T}'", f"'{CRM}E21_Person'")
+    arm("TRUE", "W",
+        f"coalesce(CASE creator_role {role_case} ELSE NULL END, "
+        f"'{KG}hasContributor')", "agent")
+    arm("TRUE", "W", f"'{KG}hasPublisher'", "pub")
+    arm("TRUE", "pub", f"'{RDF_T}'", f"'{KG}Organization'")
+    arm("place_uri IS NOT NULL", "W", f"'{KG}publishedIn'", "place_uri")
+    arm("place_uri IS NULL", "W", f"'{KG}publishedIn'", "pub_place",
+        kind="literal")
+    arm("has_date", "A", f"'{CRM}P4_has_time-span'", "TS")
+    arm("has_date", "TS", f"'{KG}dateLabel'", "date_lex",
+        kind="literal", dtype="date_dtype")
+    arm("has_date", "TS", f"'{SEM}hasBeginTimeStamp'", "date_start",
+        kind="literal", dtype="'xsd:dateTime'")
+    arm("related_id IS NOT NULL AND related_id <> ''", "W",
+        f"coalesce(CASE related_type {rel_case} ELSE NULL END, "
+        f"'{KG}relatedWork')",
+        f"'{DATA}work_' || related_id")
+
+    trip_union = "\nUNION ALL".join(arms)
+    return f"""
+WITH w AS MATERIALIZED (
+    SELECT r.*,
+           '{DATA}work_' || r.record_id AS W,
+           '{DATA}work_' || r.record_id || '_creation' AS A,
+           '{DATA}work_' || r.record_id || '_timespan' AS TS,
+           CASE WHEN r.creator IS NULL THEN NULL
+                ELSE {msu('r.creator')} END AS agent,
+           CASE WHEN r.publisher IS NULL THEN NULL
+                ELSE {msu("r.publisher || ' ORG'")} END AS pub,
+           pl.uri AS place_uri,
+           (r.pub_date IS NOT NULL AND r.pub_date <> '') AS has_date,
+           CASE WHEN r.pub_date IS NOT NULL AND r.pub_date <> ''
+                THEN dl.lex END AS date_lex,
+           CASE WHEN r.pub_date IS NOT NULL AND r.pub_date <> ''
+                THEN dl.dtype END AS date_dtype,
+           ds.start_iso AS date_start
+    FROM read_parquet('{works_pq}') r
+    LEFT JOIN read_parquet('{places_pq}') pl
+        ON pl.key = replace(replace(lower(r.pub_place), '-', ''),
+                            ' ', ''),{_sql_date_laterals('r.pub_date')}
+),
+genre AS (
+    SELECT DISTINCT '{DATA}work_' || record_id AS W,
+           '{KG}genre_' || replace(genre, ' ', '_') AS G
+    FROM read_parquet('{writing_pq}')),
+trip AS ({trip_union}
+UNION ALL
+    SELECT W, '{KG}hasGenre', G, 'uri', '', '' FROM genre),
+dedup AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY subj, pred, obj, obj_kind, obj_lang, obj_datatype
+        ) AS rn
+    FROM trip)
+SELECT subj, pred, obj, obj_kind, obj_lang, obj_datatype,
+       '' AS conv_id, (-1)::INTEGER AS turn_idx
+FROM dedup WHERE rn = 1
+"""
 
 
 def _linked_view(sf_dir: str):
@@ -954,7 +1597,12 @@ def oracle_sql() -> dict[str, str]:
 
     _mint = ("'http://kg.example.org/data/' || replace(regexp_replace("
              "key || ' TITLE', '[^a-zA-Z0-9 -]', '', 'g'), ' ', '_')")
+    turns_glob = _turns_path("/root/testdata/sf0.01") + "/*.parquet"
     kg_oracles = {
+        "kg_facts": _kg_facts_sql(turns_glob),
+        "kg_triples": _kg_triples_sql(turns_glob),
+        "kg_triples_seeded": _kg_triples_sql(turns_glob, seeded=True),
+        "works_triples": _works_triples_sql(works_pq, writing),
         "title_rdf": f"""
             WITH tt AS (
                 SELECT row_id::BIGINT AS row_id, normalized, titletype,
