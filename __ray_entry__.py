@@ -928,35 +928,48 @@ def _q_kg_works_person_join(sf_dir: str):
     space across Biography/* and Mods/*). Both sides pre-aggregate
     (combiner → groupby count) so the hash join moves only one row
     per person."""
-    import pyarrow as pa
-    from ray.data.aggregate import Count
+    import ray.data as rd
+    from ray.data.aggregate import Sum
 
     from rdf_extraction_ray.functions.text import make_standard_uri
-    from rdf_extraction_ray.stages.joins import hash_join
-    import pyarrow.compute as pc
     linked = _linked_view(sf_dir)
-    fa = (linked.map_batches(
-            lambda t: t.filter(pc.is_valid(t["person_uri"]))
-                       .select(["person_uri"]),
-            batch_format="pyarrow")
-          .groupby("person_uri").aggregate(Count(alias_name="n_facts")))
-    import ray.data as rd
+
+    # map-side combiner: per-batch value_counts, so the exchange moves
+    # one row per (batch, person) instead of 1.9M fact rows
+    def _fa_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["person_uri"].dropna().value_counts()
+        return pd.DataFrame({"person_uri": vc.index,
+                             "n_facts": vc.to_numpy()})
+
+    fa = (linked.map_batches(_fa_partial, batch_format="pandas",
+                             batch_size=None)
+          .groupby("person_uri")
+          .aggregate(Sum("n_facts", alias_name="n_facts")))
     wp, _gp = _works_paths(sf_dir)
 
-    def _mint(df: pd.DataFrame) -> pd.DataFrame:
+    def _wa_partial(df: pd.DataFrame) -> pd.DataFrame:
         uniq = {c: make_standard_uri(c) for c in df["creator"].unique()}
-        return pd.DataFrame({"person_uri": df["creator"].map(uniq)})
+        vc = df["creator"].map(uniq).value_counts()
+        return pd.DataFrame({"person_uri": vc.index,
+                             "n_works": vc.to_numpy()})
 
-    wa = (rd.read_parquet(wp, columns=["creator"])
-          .map_batches(_mint, batch_format="pandas")
-          .groupby("person_uri").aggregate(Count(alias_name="n_works")))
-    sch_f = pa.schema([("person_uri", pa.string()),
-                       ("n_facts", pa.int64())])
-    sch_w = pa.schema([("person_uri", pa.string()),
-                       ("n_works", pa.int64())])
-    out = hash_join(fa, wa, on="person_uri", left_schema=sch_f,
-                    right_schema=sch_w).to_pandas()
-    return out.sort_values("person_uri", ignore_index=True)
+    wa_small = (rd.read_parquet(wp, columns=["creator"])
+                .map_batches(_wa_partial, batch_format="pandas",
+                             batch_size=None)
+                .groupby("person_uri")
+                .aggregate(Sum("n_works", alias_name="n_works"))
+                .to_pandas())  # one row per creator — broadcast side
+
+    # broadcast inner join: the works side is one row per distinct
+    # creator (dimension-table sized at any corpus scale), so it ships
+    # once via ray.put instead of a sort exchange
+    from rdf_extraction_ray.stages.joins import broadcast_join
+    out = broadcast_join(fa, wa_small, on="person_uri").to_pandas()
+    out["n_facts"] = out["n_facts"].astype("int64")
+    out["n_works"] = out["n_works"].astype("int64")
+    return out.sort_values("person_uri",
+                           ignore_index=True)[["person_uri", "n_facts",
+                                               "n_works"]]
 
 
 def _q_works_triples(sf_dir: str):

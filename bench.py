@@ -92,7 +92,9 @@ def run_bench() -> dict:
               "kg_link_histogram", "clicks_last_purchase",
               "events_rolling_1h", "ann_ivf", "works_triples",
               "docs_embed_neardup", "docs_dup_components", "docs_simhash",
-              "kg_turtle", "title_rdf", "kg_works_person_join"]
+              "kg_turtle", "title_rdf", "kg_works_person_join",
+              "docs_ngram_jaccard", "embed_cosine_pairs",
+              "media_features"]
     queries = entrymod.queries()
     qtimes: dict[str, float] = {}
     qerrors: dict[str, str] = {}
