@@ -5,10 +5,15 @@ deterministic synthetic transcript corpus (the ``input_hint`` table
 shape; no external data). ``queries()`` exposes every implemented
 operator family from SURVEY.md §2 plus the training-data-pipeline
 suite; ``oracle_sql()`` gives DuckDB equivalents for every
-SQL-expressible query over the driver's parquet views. KG-pipeline
-queries run over the synthetic transcripts (not a registered view), so
-they carry no SQL oracle — their correctness gate is the golden-triple
-/ P-R pytest suite (tests/test_pipeline.py).
+SQL-expressible query. The flagship KG family is oracled END TO END
+from the raw turns parquet (``_kg_facts_sql`` recomputes the regex
+extraction + finalize rules in SQL; ``_kg_triples_sql`` adds linking
+as fixture-map joins, the full predicate templating, and the triple
+dedup; ``_works_triples_sql`` covers the MODS-style works pipeline) —
+on top of the golden-triple / P-R pytest suite
+(tests/test_pipeline.py). Only the honestly-approximate queries
+(LSH/IVF ANN, minhash candidates, language-ID heuristic) are
+rows-only.
 
 Ray is initialised by the driver BEFORE this module is imported: no
 ``ray.init``/``ray.shutdown`` anywhere below.
