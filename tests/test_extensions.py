@@ -254,3 +254,94 @@ class TestReports:
         assert len(vt) > 0
         assert vt["label"].notna().all()
         assert vt["term_uri"].is_unique
+
+
+class TestSqlOracleParity:
+    """Local regression net for the driver's DuckDB oracles: the
+    end-to-end SQL recomputation must match the engine on a FRESH
+    synthetic corpus (not just the cached driver tiers)."""
+
+    def test_kg_facts_sql_matches_engine(self, tmp_path):
+        import duckdb
+        import pandas as pd
+
+        import __ray_entry__ as entrymod
+        from rdf_extraction_ray import synth
+        from rdf_extraction_ray.pipelines.kg import extract_facts, read_turns
+
+        path = synth.write_turns(str(tmp_path / "turns"), 120, seed=7)
+        ray_df = (extract_facts(read_turns(path))
+                  .select_columns(entrymod._FACT_OUT_COLS).to_pandas())
+        con = duckdb.connect()
+        oracle = con.sql(
+            entrymod._kg_facts_sql(path + "/*.parquet")).df()
+
+        def canon(df):
+            df = df[sorted(df.columns)].copy()
+            for c in df.columns:
+                if df[c].dtype == object:
+                    df[c] = df[c].fillna("").astype(str)
+                else:
+                    df[c] = df[c].astype("int64")
+            return df.sort_values(list(df.columns), ignore_index=True)
+
+        assert len(ray_df) > 500
+        pd.testing.assert_frame_equal(canon(ray_df), canon(oracle))
+
+    def test_kg_triples_sql_matches_engine(self, tmp_path):
+        import duckdb
+        import pandas as pd
+
+        import __ray_entry__ as entrymod
+        from rdf_extraction_ray import synth
+        from rdf_extraction_ray.pipelines.kg import kg_pipeline
+
+        path = synth.write_turns(str(tmp_path / "turns"), 120, seed=7)
+        ray_df = kg_pipeline(path).to_pandas()
+        con = duckdb.connect()
+        oracle = con.sql(
+            entrymod._kg_triples_sql(path + "/*.parquet")).df()
+
+        def canon(df):
+            df = df.copy()
+            df["turn_idx"] = df["turn_idx"].astype("int64")
+            for c in df.columns:
+                if df[c].dtype == object:
+                    df[c] = df[c].fillna("").astype(str)
+            return df.sort_values(list(df.columns), ignore_index=True)
+
+        assert len(ray_df) > 3000
+        pd.testing.assert_frame_equal(canon(ray_df), canon(oracle))
+
+
+class TestMinhashRecall:
+    """The LSH candidate stage must not lose any pair the EXACT
+    char-5-gram Jaccard operator (threshold well above the LSH band
+    sweet spot) finds on the sf0.001 documents table."""
+
+    def test_candidates_superset_of_exact_pairs(self):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from rdf_extraction_ray.stages.dedup_docs import (
+            _rolling_gram_hashes, minhash_lsh_candidates)
+        docs_df = pd.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["doc_id", "text"])
+        grams = {d: _rolling_gram_hashes(t, 5)
+                 for d, t in zip(docs_df["doc_id"], docs_df["text"])}
+        exact = set()
+        ids = sorted(grams)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                inter = len(np.intersect1d(grams[a], grams[b],
+                                           assume_unique=True))
+                j = inter / (len(grams[a]) + len(grams[b]) - inter)
+                if j >= 0.6:
+                    exact.add((a, b))
+        assert exact, "fixture should plant near-dups"
+        cands = minhash_lsh_candidates(rd.from_pandas(docs_df)).to_pandas()
+        got = set(map(tuple, cands[["a", "b"]].itertuples(index=False)))
+        missing = exact - got
+        assert not missing, f"LSH lost {len(missing)} exact pairs"
