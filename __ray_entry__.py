@@ -344,7 +344,7 @@ def _kg_maps_dir() -> str:
     from rdf_extraction_ray import synth
     from rdf_extraction_ray.state.fixtures import (build_linker_maps,
                                                    seed_triples_table)
-    d = f"/tmp/rdf_extraction_ray/kgmaps_v{synth.GENERATOR_VERSION}"
+    d = f"/tmp/rdf_extraction_ray/kgmaps_v{synth.GENERATOR_VERSION}.2"
     if os.path.exists(d):
         return d
     tmp = f"{d}.tmp.{os.getpid()}"
@@ -372,6 +372,13 @@ def _kg_maps_dir() -> str:
         "inv_m": [t[1] for t in m["family"].values()],
         "inv_f": [t[2] for t in m["family"].values()]}))
     w("seed", seed_triples_table())
+    from rdf_extraction_ray.stages.textstats import _STOPWORDS
+    sw = [(prio, lang, word)
+          for prio, (lang, words) in enumerate(_STOPWORDS.items())
+          for word in sorted(words)]
+    w("langid_stopwords", pa.table({
+        "prio": [r[0] for r in sw], "lang": [r[1] for r in sw],
+        "word": [r[2] for r in sw]}))
     _publish_dir(tmp, d)
     return d
 
@@ -1308,6 +1315,20 @@ def _q_docs_langid(sf_dir: str):
         .select_columns(["doc_id", "lang_pred"])
 
 
+_SAMPLE_RATES = {"en": 0.5, "zh": 0.25}
+
+
+def _q_docs_stratified_sample(sf_dir: str):
+    """Deterministic hash-based stratified sampling per lang (no RNG
+    state — reproducible across runs, block orders, cluster sizes)."""
+    from rdf_extraction_ray.stages.textstats import stratified_sample
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    return ds.map_batches(
+        lambda df: stratified_sample(df, _SAMPLE_RATES,
+                                     default_rate=0.1),
+        batch_format="pandas")
+
+
 def _q_docs_fingerprint(sf_dir: str):
     from rdf_extraction_ray.stages.textstats import fingerprint
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -1541,6 +1562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality": _q_docs_quality,
         "docs_lang_counts": _q_docs_lang_counts,
         "docs_langid": _q_docs_langid,
+        "docs_stratified_sample": _q_docs_stratified_sample,
         "docs_fingerprint": _q_docs_fingerprint,
         "docs_minhash_pairs": _q_docs_minhash_pairs,
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
@@ -1775,6 +1797,14 @@ def oracle_sql() -> dict[str, str]:
             FROM norm, unnest(generate_series(1, length(t) - 7)) AS s(i)
             GROUP BY doc_id
         """,
+        "docs_stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                  % 1000
+                < CAST(1000 * (CASE lang WHEN 'en' THEN 0.5
+                                         WHEN 'zh' THEN 0.25
+                                         ELSE 0.1 END) AS BIGINT)
+        """,
         "docs_ngram_jaccard": (
             f"WITH {_NGRAM_CTES} SELECT * FROM pairs ORDER BY a, b"),
         "docs_ngram_components": f"""
@@ -1833,8 +1863,47 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN sim s USING (doc_id)
         """,
     }
+    stopwords_pq = os.path.join(_kg_maps_dir(),
+                                "langid_stopwords.parquet")
     media_pq = _media_path("/root/testdata/sf0.01")
     media_oracles = {
+        # heuristic language ID recomputed in SQL: CJK-codepoint-ratio
+        # gate, then argmax of stopword hit counts (multiplicity
+        # counted, ties to the lower-priority index, 0 hits → 'und')
+        "docs_langid": f"""
+            WITH base AS (
+                SELECT doc_id, coalesce(text, '') AS txt FROM documents),
+            cjk AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(substr(txt, 1, 400),
+                                              '[一-鿿]')) AS n_cjk,
+                       greatest(1, least(length(txt), 400)) AS denom
+                FROM base),
+            words AS (
+                SELECT doc_id,
+                       lower(unnest(regexp_extract_all(
+                           substr(txt, 1, 2000), '[a-zA-Z'']+'))) AS w
+                FROM base),
+            hits AS (
+                SELECT doc_id, s.lang, min(s.prio) AS prio,
+                       count(*) AS n
+                FROM words JOIN read_parquet('{stopwords_pq}') s
+                  ON s.word = words.w
+                GROUP BY doc_id, s.lang),
+            best AS (
+                SELECT doc_id, lang,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY n DESC, prio) AS rn
+                FROM hits WHERE n > 0)
+            SELECT d.doc_id,
+                   CASE WHEN c.n_cjk * 1.0 / c.denom > 0.2 THEN 'zh'
+                        WHEN b.lang IS NOT NULL THEN b.lang
+                        ELSE 'und' END AS lang_pred
+            FROM documents d
+            LEFT JOIN cjk c USING (doc_id)
+            LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b
+                USING (doc_id)
+        """,
         "media_features": f"""
             SELECT media_id, kind, j AS dim_idx,
                    round((('0x' || substr(md5(lower(hex(payload))

@@ -67,12 +67,12 @@ def run_bench() -> dict:
     n_turns = warm.count()
     del warm
 
-    # best-of-2 headline: external host noise swings single runs 2x
-    # (observed load avg 8+ from outside the VM); min of two runs in
+    # best-of-3 headline: external host noise swings single runs 2x
+    # (observed load avg 8+ from outside the VM); min of a few runs in
     # one session is the cheapest robust estimator
     out_dir = "/tmp/rdf_extraction_ray/bench_out"
     headline_sec = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.time()
         triples = triples_from_turns(read_turns(turns_path))

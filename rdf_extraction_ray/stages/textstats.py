@@ -119,3 +119,26 @@ def fingerprint(batch: pd.DataFrame, text_col: str = "text",
         fps[i] = np.int64(acc.min())
     out["fingerprint"] = fps
     return out
+
+
+def stratified_sample(batch: pd.DataFrame, rates: dict[str, float],
+                      default_rate: float = 0.1,
+                      strata_col: str = "lang",
+                      id_col: str = "doc_id") -> pd.DataFrame:
+    """Deterministic per-stratum sampling (map_batches body — embarrassingly
+    parallel, no shuffle, no RNG state).
+
+    A row survives iff ``md5(str(id)) % 1000 < rate*1000`` for its
+    stratum's rate — the hash-based coin makes the sample reproducible
+    across runs, block orders and cluster sizes, and lets a DuckDB
+    oracle recompute the exact row set in SQL (the reference's
+    ``random``-mode file selection, ``Utils/utilities.py:653-734``, is
+    seeded-random; hash sampling is the distributed-safe equivalent).
+    """
+    import hashlib
+    coin = np.array(
+        [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1000
+         for i in batch[id_col]], dtype="int64")
+    thresh = (batch[strata_col].map(rates).fillna(default_rate)
+              .to_numpy() * 1000).astype("int64")
+    return batch[coin < thresh]

@@ -418,3 +418,20 @@ class TestExactSimilarity:
             .sort_values(["a", "b"], ignore_index=True)
         pd.testing.assert_frame_equal(out, exp)
         assert ((out["a"] == 3) & (out["b"] == 7)).any()
+
+
+class TestStratifiedSample:
+    def test_deterministic_and_rate_scaled(self):
+        from rdf_extraction_ray.stages.textstats import stratified_sample
+        df = pd.DataFrame({"doc_id": np.arange(4000, dtype="int64"),
+                           "lang": ["en", "fr", "zh", "de"] * 1000})
+        a = stratified_sample(df, {"en": 0.5, "zh": 0.25},
+                              default_rate=0.1)
+        b = stratified_sample(df.sample(frac=1, random_state=0),
+                              {"en": 0.5, "zh": 0.25}, default_rate=0.1)
+        # same ROWS regardless of input order (hash coin, no RNG state)
+        assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+        by = a.groupby("lang").size()
+        assert 400 <= by.get("en", 0) <= 600
+        assert 175 <= by.get("zh", 0) <= 325
+        assert 50 <= by.get("fr", 0) <= 150
