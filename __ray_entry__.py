@@ -1329,6 +1329,18 @@ def _q_docs_stratified_sample(sf_dir: str):
         batch_format="pandas")
 
 
+def _q_docs_pack_windows(sf_dir: str):
+    """Concat-and-split sequence packing: token counts per doc →
+    hash-bucket groupby → in-bucket offsets and window ids (the
+    standard pretraining pack; deterministic, SQL-oracled)."""
+    from rdf_extraction_ray.stages.textstats import (assign_windows,
+                                                     pack_windows)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return (ds.map_batches(pack_windows, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(assign_windows, batch_format="pandas"))
+
+
 def _q_docs_fingerprint(sf_dir: str):
     from rdf_extraction_ray.stages.textstats import fingerprint
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -1563,6 +1575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_counts": _q_docs_lang_counts,
         "docs_langid": _q_docs_langid,
         "docs_stratified_sample": _q_docs_stratified_sample,
+        "docs_pack_windows": _q_docs_pack_windows,
         "docs_fingerprint": _q_docs_fingerprint,
         "docs_minhash_pairs": _q_docs_minhash_pairs,
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
@@ -1804,6 +1817,28 @@ def oracle_sql() -> dict[str, str]:
                 < CAST(1000 * (CASE lang WHEN 'en' THEN 0.5
                                          WHEN 'zh' THEN 0.25
                                          ELSE 0.1 END) AS BIGINT)
+        """,
+        "docs_pack_windows": """
+            WITH toks AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                           ::BIGINT AS n_tokens,
+                       doc_id % 32 AS bucket
+                FROM documents),
+            offs AS (
+                SELECT doc_id, bucket, n_tokens,
+                       coalesce(sum(n_tokens) OVER (
+                           PARTITION BY bucket ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS start_tok
+                FROM toks)
+            SELECT doc_id, bucket, n_tokens,
+                   start_tok::BIGINT AS start_tok,
+                   (start_tok // 1024)::BIGINT AS window_id,
+                   (CASE WHEN (start_tok + n_tokens - 1) // 1024
+                              > start_tok // 1024
+                         THEN 1 ELSE 0 END)::BIGINT AS spans_boundary
+            FROM offs
         """,
         "docs_ngram_jaccard": (
             f"WITH {_NGRAM_CTES} SELECT * FROM pairs ORDER BY a, b"),

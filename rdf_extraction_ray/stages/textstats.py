@@ -142,3 +142,38 @@ def stratified_sample(batch: pd.DataFrame, rates: dict[str, float],
     thresh = (batch[strata_col].map(rates).fillna(default_rate)
               .to_numpy() * 1000).astype("int64")
     return batch[coin < thresh]
+
+
+def pack_windows(batch: pd.DataFrame, capacity: int = 1024,
+                 n_buckets: int = 32,
+                 id_col: str = "doc_id") -> pd.DataFrame:
+    """Stage 1 of concat-and-split sequence packing: per-doc token
+    counts + the pack bucket (hash of id % n_buckets).
+
+    Packing semantics (stage 2, :func:`assign_windows`): within a
+    bucket, documents are concatenated in ``id_col`` order and split
+    into fixed-``capacity`` token windows — the standard pretraining
+    pack, where a document may span a window boundary. Window id =
+    ``floor(start_offset / capacity)`` of the document's first token;
+    ``spans_boundary`` marks documents crossing into the next window.
+    Both stages are deterministic (no RNG, no order dependence beyond
+    the declared ``id_col`` sort), so a DuckDB oracle recomputes the
+    exact assignment with a window cumsum.
+    """
+    out = token_count(batch, text_col="text")[[id_col, "n_tokens"]].copy()
+    out["bucket"] = (out[id_col].astype("int64") % n_buckets)
+    return out
+
+
+def assign_windows(group: pd.DataFrame, capacity: int = 1024,
+                   id_col: str = "doc_id") -> pd.DataFrame:
+    """Stage 2 (map_groups per bucket): offsets → window assignment."""
+    g = group.sort_values(id_col, kind="stable").reset_index(drop=True)
+    start = g["n_tokens"].cumsum().shift(fill_value=0)
+    end = start + g["n_tokens"]
+    g["start_tok"] = start.astype("int64")
+    g["window_id"] = (start // capacity).astype("int64")
+    g["spans_boundary"] = ((end - 1) // capacity
+                           > g["window_id"]).astype("int64")
+    return g[[id_col, "bucket", "n_tokens", "start_tok", "window_id",
+              "spans_boundary"]]

@@ -435,3 +435,20 @@ class TestStratifiedSample:
         assert 400 <= by.get("en", 0) <= 600
         assert 175 <= by.get("zh", 0) <= 325
         assert 50 <= by.get("fr", 0) <= 150
+
+
+class TestPackWindows:
+    def test_concat_and_split_semantics(self):
+        from rdf_extraction_ray.stages.textstats import (assign_windows,
+                                                         pack_windows)
+        df = pd.DataFrame({
+            "doc_id": [0, 32, 64, 96, 128],
+            "text": ["w " * 600, "w " * 500, "w " * 30, "w " * 1000,
+                     "w " * 10]})
+        p = pack_windows(df, n_buckets=32)
+        out = assign_windows(p[p["bucket"] == 0], capacity=1024)
+        out = out.sort_values("doc_id", ignore_index=True)
+        assert list(out["start_tok"]) == [0, 600, 1100, 1130, 2130]
+        assert list(out["window_id"]) == [0, 0, 1, 1, 2]
+        # doc 32 crosses the 1024 boundary; doc 96 crosses 2048
+        assert list(out["spans_boundary"]) == [0, 1, 0, 1, 0]
