@@ -1410,6 +1410,44 @@ def _q_embed_cosine_pairs(sf_dir: str):
     return cosine_threshold_pairs(corpus, threshold=0.4)
 
 
+def _q_docs_dedup_keep_best(sf_dir: str):
+    """The canonical dedup ACTION: per exact-Jaccard duplicate
+    cluster, keep the single best document (longest text, ties to the
+    smallest doc_id) and list the dropped ones. Composes the exact
+    n-gram components with a per-doc score via a broadcast of the
+    tiny component map — the pair graph is a vanishing fraction of the
+    corpus, so the map ships once while the docs stream."""
+    import ray
+
+    from rdf_extraction_ray.stages.dedup_docs import (
+        connected_components_ds, ngram_jaccard_pairs)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    comp = connected_components_ds(
+        ngram_jaccard_pairs(docs, threshold=0.5)).to_pandas()
+    comp_ref = ray.put(dict(zip(comp["doc_id"].astype("int64"),
+                                comp["component"].astype("int64"))))
+
+    def _score(df: pd.DataFrame) -> pd.DataFrame:
+        cmap = ray.get(comp_ref)
+        member = df["doc_id"].map(cmap)
+        sub = df[member.notna()]
+        return pd.DataFrame({
+            "component": member[member.notna()].astype("int64"),
+            "doc_id": sub["doc_id"].astype("int64"),
+            "n_chars": sub["text"].str.len().astype("int64")})
+
+    scored = docs.map_batches(_score, batch_format="pandas").to_pandas()
+    scored = scored.sort_values(
+        ["component", "n_chars", "doc_id"],
+        ascending=[True, False, True], ignore_index=True)
+    best = scored.drop_duplicates("component").rename(
+        columns={"doc_id": "keep_id"})[["component", "keep_id"]]
+    out = scored.merge(best, on="component")
+    out["kept"] = (out["doc_id"] == out["keep_id"]).astype("int64")
+    return out[["component", "doc_id", "n_chars", "keep_id", "kept"]] \
+        .sort_values(["component", "doc_id"], ignore_index=True)
+
+
 def _q_docs_simhash(sf_dir: str):
     from rdf_extraction_ray.stages.dedup_docs import simhash_batch
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -1580,6 +1618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_pairs": _q_docs_minhash_pairs,
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
         "docs_ngram_components": _q_docs_ngram_components,
+        "docs_dedup_keep_best": _q_docs_dedup_keep_best,
         "embed_cosine_pairs": _q_embed_cosine_pairs,
         "docs_simhash": _q_docs_simhash,
         "docs_dup_components": _q_docs_dup_components,
@@ -1852,6 +1891,33 @@ def oracle_sql() -> dict[str, str]:
                 SELECT reach.n, e.b FROM reach JOIN e ON e.a = reach.r)
             SELECT n AS doc_id, min(r) AS component
             FROM reach GROUP BY n ORDER BY doc_id
+        """,
+        "docs_dedup_keep_best": f"""
+            WITH RECURSIVE {_NGRAM_CTES},
+            e AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+            nodes AS (SELECT DISTINCT a AS n FROM e),
+            reach(n, r) AS (
+                SELECT n, n FROM nodes
+                UNION
+                SELECT reach.n, e.b FROM reach JOIN e ON e.a = reach.r),
+            comp AS (SELECT n AS doc_id, min(r) AS component
+                     FROM reach GROUP BY n),
+            scored AS (
+                SELECT c.component, d.doc_id,
+                       length(d.text)::BIGINT AS n_chars
+                FROM comp c JOIN documents d USING (doc_id)),
+            best AS (
+                SELECT component, doc_id AS keep_id,
+                       row_number() OVER (
+                           PARTITION BY component
+                           ORDER BY n_chars DESC, doc_id) AS rn
+                FROM scored)
+            SELECT s.component, s.doc_id, s.n_chars, b.keep_id,
+                   (s.doc_id = b.keep_id)::BIGINT AS kept
+            FROM scored s
+            JOIN (SELECT component, keep_id FROM best WHERE rn = 1) b
+                USING (component)
+            ORDER BY s.component, s.doc_id
         """,
         "embed_cosine_pairs": f"""
             SELECT x.vec_id AS a, y.vec_id AS b,
