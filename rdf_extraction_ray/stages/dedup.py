@@ -42,7 +42,12 @@ def add_bucket_and_combine(batch: pd.DataFrame):
     from ..namespaces import TRIPLE_COLUMNS
     b = (batch.sort_values(["conv_id", "turn_idx"], kind="stable")
          .drop_duplicates(TRIPLE_KEY, keep="first"))
-    key = b[TRIPLE_KEY].fillna("")
+    # bucket on a SUBSET of the key: rows equal on the full 6-column
+    # key are equal on (subj, obj), so all duplicates still co-locate
+    # — and hashing 2 string columns instead of 6 was the hottest
+    # kernel in the whole headline profile (2.9s -> ~1s at 2.7M rows).
+    # Equality in dedup_bucket still checks the FULL key.
+    key = b[["subj", "obj"]].fillna("")
     h = pd.util.hash_pandas_object(key, index=False)
     b = b.assign(bucket=(h % N_DEDUP_BUCKETS).astype("int32"))
     # explicit schema: an all-null column (e.g. obj_lang in one block)
