@@ -1329,6 +1329,15 @@ def _q_docs_stratified_sample(sf_dir: str):
         batch_format="pandas")
 
 
+def _q_docs_tfidf_terms(sf_dir: str):
+    """Per-doc top-3 tf-idf terms (fixed-point integer idf; df joined
+    by term hash, never a driver vocabulary)."""
+    from rdf_extraction_ray.stages.textstats import tfidf_top_terms
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = tfidf_top_terms(docs, k=3).to_pandas()
+    return out.sort_values(["doc_id", "term"], ignore_index=True)
+
+
 def _q_docs_pack_windows(sf_dir: str):
     """Concat-and-split sequence packing: token counts per doc →
     hash-bucket groupby → in-bucket offsets and window ids (the
@@ -1614,6 +1623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_langid": _q_docs_langid,
         "docs_stratified_sample": _q_docs_stratified_sample,
         "docs_pack_windows": _q_docs_pack_windows,
+        "docs_tfidf_terms": _q_docs_tfidf_terms,
         "docs_fingerprint": _q_docs_fingerprint,
         "docs_minhash_pairs": _q_docs_minhash_pairs,
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
@@ -1856,6 +1866,29 @@ def oracle_sql() -> dict[str, str]:
                 < CAST(1000 * (CASE lang WHEN 'en' THEN 0.5
                                          WHEN 'zh' THEN 0.25
                                          ELSE 0.1 END) AS BIGINT)
+        """,
+        "docs_tfidf_terms": """
+            WITH dt AS (
+                SELECT doc_id, w AS term, count(*)::BIGINT AS tf
+                FROM (SELECT doc_id,
+                             unnest(regexp_extract_all(lower(text),
+                                                       '[a-z0-9]+')) AS w
+                      FROM documents)
+                GROUP BY doc_id, w),
+            dfr AS (SELECT term, count(*)::BIGINT AS df_n
+                    FROM dt GROUP BY term),
+            n AS (SELECT count(*)::BIGINT AS n FROM documents),
+            scored AS (
+                SELECT dt.doc_id, dt.term, dt.tf,
+                       (dt.tf * ((n.n * 1000) // dfr.df_n))::BIGINT
+                           AS score
+                FROM dt JOIN dfr USING (term), n),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id
+                      ORDER BY score DESC, term) AS rn
+                  FROM scored)
+            SELECT doc_id, term, tf, score FROM r WHERE rn <= 3
+            ORDER BY doc_id, term
         """,
         "docs_pack_windows": """
             WITH toks AS (

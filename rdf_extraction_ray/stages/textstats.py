@@ -177,3 +177,90 @@ def assign_windows(group: pd.DataFrame, capacity: int = 1024,
                            > g["window_id"]).astype("int64")
     return g[[id_col, "bucket", "n_tokens", "start_tok", "window_id",
               "spans_boundary"]]
+
+
+def tfidf_top_terms(docs, k: int = 3, n_buckets: int = 64,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document top-``k`` terms by tf-idf — term weighting for
+    corpus curation, distributed end to end.
+
+    Scale shape: docs explode to (doc, term, tf) rows; document
+    frequency is a partial-count groupby per term; the df table joins
+    back by term hash (a shuffle join, NOT a driver-side vocabulary —
+    vocabularies at corpus scale outgrow any single node); top-k runs
+    under a doc-hash groupby. The idf is FIXED-POINT integer
+    (``(N * 1000) // df``) so the score is exactly reproducible in the
+    DuckDB oracle — float ``ln`` implementations differ across engines
+    in the last ulp, integer arithmetic never does. Ties break by
+    term text.
+    """
+    import re
+
+    import ray.data as rd
+
+    from .joins import hash_join
+    import pyarrow as pa
+    word = re.compile(r"[a-z0-9]+")
+    n_docs = docs.count()
+
+    def _doc_terms(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, terms, tfs = [], [], []
+        for d, t in zip(batch[id_col], batch[text_col]):
+            ws = word.findall(str(t).lower())
+            if not ws:
+                continue
+            vc = pd.Series(ws).value_counts()
+            ids.extend([d] * len(vc))
+            terms.extend(vc.index)
+            tfs.extend(vc.to_numpy())
+        out = pd.DataFrame({id_col: pd.array(ids, dtype="int64"),
+                            "term": terms,
+                            "tf": pd.array(tfs, dtype="int64")})
+        out["tbucket"] = (pd.util.hash_pandas_object(
+            out["term"], index=False) % n_buckets).astype("int64")
+        return out
+
+    dt = docs.map_batches(_doc_terms, batch_format="pandas",
+                          batch_size=None).materialize()
+
+    def _df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch["term"].value_counts()
+        out = pd.DataFrame({"term": vc.index,
+                            "df_n": vc.to_numpy().astype("int64")})
+        out["tbucket"] = (pd.util.hash_pandas_object(
+            out["term"], index=False) % n_buckets).astype("int64")
+        return out
+
+    def _df_sum(group: pd.DataFrame) -> pd.DataFrame:
+        return (group.groupby("term", as_index=False)["df_n"].sum())
+
+    df_tab = (dt.map_batches(_df_partial, batch_format="pandas",
+                             batch_size=None)
+              .groupby("tbucket").map_groups(_df_sum,
+                                             batch_format="pandas"))
+
+    joined = hash_join(
+        dt.map_batches(lambda t: t.drop(["tbucket"]),
+                       batch_format="pyarrow"),
+        df_tab, on="term",
+        left_schema=pa.schema([(id_col, pa.int64()),
+                               ("term", pa.string()),
+                               ("tf", pa.int64())]),
+        right_schema=pa.schema([("term", pa.string()),
+                                ("df_n", pa.int64())]))
+
+    def _score(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.copy()
+        b["score"] = (b["tf"] * ((n_docs * 1000) // b["df_n"])) \
+            .astype("int64")
+        b["dbucket"] = (b[id_col] % n_buckets).astype("int64")
+        return b
+
+    def _topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["score", "term"],
+                              ascending=[False, True], kind="stable")
+        g = g.groupby(id_col, sort=False).head(k)
+        return g[[id_col, "term", "tf", "score"]]
+
+    return (joined.map_batches(_score, batch_format="pandas")
+            .groupby("dbucket").map_groups(_topk, batch_format="pandas"))

@@ -452,3 +452,36 @@ class TestPackWindows:
         assert list(out["window_id"]) == [0, 0, 1, 1, 2]
         # doc 32 crosses the 1024 boundary; doc 96 crosses 2048
         assert list(out["spans_boundary"]) == [0, 1, 0, 1, 0]
+
+
+class TestTfidfTopTerms:
+    def test_matches_pandas_reference(self):
+        import re
+
+        from rdf_extraction_ray.stages.textstats import tfidf_top_terms
+        docs = pd.DataFrame({
+            "doc_id": [0, 1, 2, 3],
+            "text": ["apple banana apple cherry",
+                     "banana banana date",
+                     "apple cherry cherry cherry",
+                     "unique words only here"]})
+        out = (tfidf_top_terms(rd.from_pandas(docs), k=2).to_pandas()
+               .sort_values(["doc_id", "term"], ignore_index=True))
+        # pandas reference
+        word = re.compile(r"[a-z0-9]+")
+        rows = []
+        for d, t in zip(docs["doc_id"], docs["text"]):
+            vc = pd.Series(word.findall(t.lower())).value_counts()
+            for term, tf in vc.items():
+                rows.append((d, term, tf))
+        dt = pd.DataFrame(rows, columns=["doc_id", "term", "tf"])
+        df_n = dt.groupby("term")["doc_id"].nunique()
+        n = len(docs)
+        dt["score"] = dt["tf"] * ((n * 1000) // dt["term"].map(df_n))
+        exp = (dt.sort_values(["score", "term"],
+                              ascending=[False, True], kind="stable")
+               .groupby("doc_id", sort=False).head(2)
+               .sort_values(["doc_id", "term"], ignore_index=True))
+        exp = exp.astype({"tf": "int64", "score": "int64"})
+        pd.testing.assert_frame_equal(
+            out.astype({"tf": "int64", "score": "int64"}), exp)
