@@ -1244,6 +1244,31 @@ def _q_clicks_last_purchase(sf_dir: str):
     return out.sort_values("event_id", ignore_index=True)
 
 
+def _q_purchase_click_window(sf_dir: str):
+    """RANGE JOIN: per purchase event, the number of same-user clicks
+    with ts in [purchase.ts - 1h, purchase.ts] (equi-bucket on user +
+    vectorized searchsorted interval counts — Ray Data has no non-equi
+    join primitive)."""
+    import pyarrow.compute as pc
+
+    from rdf_extraction_ray.stages.joins import range_count_join
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def _of(kind):
+        def inner(t):
+            return (t.filter(pc.equal(t.column("event_type"), kind))
+                    .select(["event_id", "ts", "user_id"]))
+        return inner
+
+    purchases = ev.map_batches(_of("purchase"), batch_format="pyarrow")
+    clicks = ev.map_batches(_of("click"), batch_format="pyarrow")
+    out = range_count_join(purchases, clicks, on="user_id",
+                           count_col="n_clicks_1h").to_pandas()
+    return (out[["event_id", "user_id", "n_clicks_1h"]]
+            .sort_values("event_id", ignore_index=True))
+
+
 def _q_events_rolling_1h(sf_dir: str):
     """Sliding time window: per event, how many events the same user
     produced in the trailing hour (RANGE window incl. ts-peers).
@@ -1615,6 +1640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_return_status": _q_distinct_return_status,
         "clicks_last_purchase": _q_clicks_last_purchase,
         "events_rolling_1h": _q_events_rolling_1h,
+        "purchase_click_window": _q_purchase_click_window,
         # --- training-data pipeline suite over documents/embeddings
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_token_count": _q_docs_token_count,
@@ -2189,6 +2215,17 @@ def oracle_sql() -> dict[str, str]:
             ASOF JOIN (SELECT * FROM events
                        WHERE event_type = 'purchase') p
               ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "purchase_click_window": """
+            SELECT p.event_id, p.user_id,
+                   count(c.event_id) AS n_clicks_1h
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            LEFT JOIN (SELECT * FROM events
+                       WHERE event_type = 'click') c
+              ON c.user_id = p.user_id
+             AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+            GROUP BY p.event_id, p.user_id
+            ORDER BY p.event_id
         """,
         "events_rolling_1h": """
             SELECT event_id, user_id,

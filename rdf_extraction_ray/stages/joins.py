@@ -241,3 +241,64 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str | list[str],
 
     return tagged.groupby("__bucket").map_groups(_merge_bucket,
                                                  batch_format="pyarrow")
+
+
+def range_count_join(left: rd.Dataset, right: rd.Dataset, on: str,
+                     ts_col: str = "ts",
+                     lo_offset: pd.Timedelta = pd.Timedelta(hours=-1),
+                     hi_offset: pd.Timedelta = pd.Timedelta(0),
+                     count_col: str = "n_in_range",
+                     n_buckets: int = 32) -> rd.Dataset:
+    """RANGE JOIN (count form): for each left row, the number of right
+    rows sharing ``on`` whose ``ts_col`` lies in
+    ``[left.ts + lo_offset, left.ts + hi_offset]`` (both inclusive).
+
+    Ray Data has no non-equi join; this is the
+    equi-bucket + in-group interval-count composition: both sides
+    hash-bucket on the key, union into one sorted exchange, and each
+    key's count is two vectorized ``searchsorted`` probes against that
+    key's sorted right-timestamp array. Partitioning assumption: one
+    KEY's rows fit a worker (same contract as the as-of join /
+    sessionization); a pathologically hot key needs the salted-segment
+    treatment (SURVEY §7.5.7).
+
+    Returns the left rows + ``count_col`` (int64).
+    """
+
+    def _tag(side: int):
+        def inner(df: pd.DataFrame) -> pd.DataFrame:
+            b = df.copy()
+            b["__side"] = np.int8(side)
+            b["__bucket"] = _bucket_of(b[on], n_buckets)
+            return b
+        return inner
+
+    def _count(group: pd.DataFrame) -> pd.DataFrame:
+        lhs = group[group["__side"] == 0]
+        rhs = group[group["__side"] == 1]
+        out_cols = [c for c in lhs.columns
+                    if c not in ("__side", "__bucket")]
+        if not len(lhs):
+            return pd.DataFrame(columns=out_cols + [count_col])
+        counts = np.zeros(len(lhs), dtype="int64")
+        if len(rhs):
+            r_by_key = {k: g2[ts_col].to_numpy()
+                        for k, g2 in (rhs.sort_values(ts_col,
+                                                      kind="stable")
+                                      .groupby(on, sort=False))}
+            for key, g in lhs.groupby(on, sort=False):
+                ts_r = r_by_key.get(key)
+                if ts_r is None:
+                    continue
+                t = g[ts_col].to_numpy()
+                lo = np.searchsorted(ts_r, t + lo_offset, side="left")
+                hi = np.searchsorted(ts_r, t + hi_offset, side="right")
+                counts[lhs.index.get_indexer(g.index)] = hi - lo
+        out = lhs.reset_index(drop=True)[out_cols]
+        out[count_col] = counts
+        return out
+
+    lt = left.map_batches(_tag(0), batch_format="pandas")
+    rt = right.map_batches(_tag(1), batch_format="pandas")
+    return (lt.union(rt).groupby("__bucket")
+            .map_groups(_count, batch_format="pandas"))

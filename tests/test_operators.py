@@ -485,3 +485,33 @@ class TestTfidfTopTerms:
         exp = exp.astype({"tf": "int64", "score": "int64"})
         pd.testing.assert_frame_equal(
             out.astype({"tf": "int64", "score": "int64"}), exp)
+
+
+class TestRangeCountJoin:
+    def test_interval_counts_match_pandas(self):
+        from rdf_extraction_ray.stages.joins import range_count_join
+        rng = np.random.RandomState(11)
+        base = pd.Timestamp("2026-01-01")
+        left = pd.DataFrame({
+            "event_id": np.arange(50, dtype="int64"),
+            "user_id": rng.randint(0, 5, 50),
+            "ts": base + pd.to_timedelta(rng.randint(0, 10_000, 50),
+                                         unit="s")})
+        right = pd.DataFrame({
+            "rid": np.arange(400, dtype="int64"),
+            "user_id": rng.randint(0, 5, 400),
+            "ts": base + pd.to_timedelta(rng.randint(0, 10_000, 400),
+                                         unit="s")})
+        lo, hi = pd.Timedelta(seconds=-600), pd.Timedelta(0)
+        out = (range_count_join(rd.from_pandas(left),
+                                rd.from_pandas(right),
+                                on="user_id", lo_offset=lo,
+                                hi_offset=hi).to_pandas()
+               .sort_values("event_id", ignore_index=True))
+        exp = []
+        for _, row in left.iterrows():
+            m = right[(right["user_id"] == row["user_id"])
+                      & (right["ts"] >= row["ts"] + lo)
+                      & (right["ts"] <= row["ts"])]
+            exp.append(len(m))
+        assert list(out["n_in_range"]) == exp
