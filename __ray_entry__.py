@@ -60,6 +60,40 @@ _NGRAM_CTES = """
         WHERE i / (ca.n + cb.n - i) >= 0.5)
 """
 
+_SIMHASH_SQL = """
+            WITH words AS (
+                SELECT DISTINCT doc_id, w
+                FROM (SELECT doc_id,
+                             unnest(regexp_extract_all(lower(text),
+                                                       '[a-z0-9]+')) AS w
+                      FROM documents)
+            ),
+            hashed AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h
+                FROM words
+            ),
+            acc AS (
+                SELECT doc_id, j,
+                       sum(CASE WHEN (h >> (63 - j)) & 1 = 1
+                                THEN 1 ELSE -1 END) AS v
+                FROM hashed, unnest(generate_series(0, 63)) AS s(j)
+                GROUP BY doc_id, j
+            ),
+            sim AS (
+                SELECT doc_id,
+                       sum(CASE WHEN v > 0
+                                THEN (1::UBIGINT << (63 - j))::HUGEINT
+                                ELSE 0 END) AS u
+                FROM acc GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(s.u, 0) - 9223372036854775808
+                        AS BIGINT) AS simhash
+            FROM documents d LEFT JOIN sim s USING (doc_id)
+        """
+
+
 
 # --------------------------------------------------------------- helpers
 
@@ -1444,6 +1478,16 @@ def _q_embed_cosine_pairs(sf_dir: str):
     return cosine_threshold_pairs(corpus, threshold=0.4)
 
 
+def _q_docs_simhash_pairs(sf_dir: str):
+    """EXACT simhash near-dup pairs (hamming ≤ 3): banding is
+    recall-1 by pigeonhole (4 bands of 16 bits; ≤3 flipped bits leave
+    ≥1 band intact), xor-popcount verifies. SQL-oracled all-pairs."""
+    from rdf_extraction_ray.stages.dedup_docs import simhash_pairs
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = simhash_pairs(docs, max_hamming=3).to_pandas()
+    return out.sort_values(["a", "b"], ignore_index=True)
+
+
 def _q_docs_dedup_keep_best(sf_dir: str):
     """The canonical dedup ACTION: per exact-Jaccard duplicate
     cluster, keep the single best document (longest text, ties to the
@@ -1657,6 +1701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dedup_keep_best": _q_docs_dedup_keep_best,
         "embed_cosine_pairs": _q_embed_cosine_pairs,
         "docs_simhash": _q_docs_simhash,
+        "docs_simhash_pairs": _q_docs_simhash_pairs,
         "docs_dup_components": _q_docs_dup_components,
         "ann_bruteforce": _q_ann_bruteforce,
         "ann_lsh": _q_ann_lsh,
@@ -1990,37 +2035,15 @@ def oracle_sql() -> dict[str, str]:
                       CAST(y.embedding AS DOUBLE[])) >= 0.4
             ORDER BY a, b
         """,
-        "docs_simhash": """
-            WITH words AS (
-                SELECT DISTINCT doc_id, w
-                FROM (SELECT doc_id,
-                             unnest(regexp_extract_all(lower(text),
-                                                       '[a-z0-9]+')) AS w
-                      FROM documents)
-            ),
-            hashed AS (
-                SELECT doc_id,
-                       ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h
-                FROM words
-            ),
-            acc AS (
-                SELECT doc_id, j,
-                       sum(CASE WHEN (h >> (63 - j)) & 1 = 1
-                                THEN 1 ELSE -1 END) AS v
-                FROM hashed, unnest(generate_series(0, 63)) AS s(j)
-                GROUP BY doc_id, j
-            ),
-            sim AS (
-                SELECT doc_id,
-                       sum(CASE WHEN v > 0
-                                THEN (1::UBIGINT << (63 - j))::HUGEINT
-                                ELSE 0 END) AS u
-                FROM acc GROUP BY doc_id
-            )
-            SELECT d.doc_id,
-                   CAST(coalesce(s.u, 0) - 9223372036854775808
-                        AS BIGINT) AS simhash
-            FROM documents d LEFT JOIN sim s USING (doc_id)
+        "docs_simhash": _SIMHASH_SQL,
+        "docs_simhash_pairs": f"""
+            WITH sim AS ({_SIMHASH_SQL})
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   bit_count(xor(x.simhash, y.simhash))::BIGINT
+                       AS hamming
+            FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+            WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+            ORDER BY a, b
         """,
     }
     stopwords_pq = os.path.join(_kg_maps_dir(),

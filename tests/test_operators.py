@@ -515,3 +515,27 @@ class TestRangeCountJoin:
                       & (right["ts"] <= row["ts"])]
             exp.append(len(m))
         assert list(out["n_in_range"]) == exp
+
+
+class TestSimhashPairs:
+    def test_banding_is_exact_by_pigeonhole(self):
+        """Banded candidates + popcount verify must equal brute-force
+        all-pairs hamming at the threshold (recall 1 by pigeonhole)."""
+        from rdf_extraction_ray.stages.dedup_docs import (SimHasher,
+                                                          simhash_pairs)
+        docs = _docs_with_dups()
+        out = (simhash_pairs(rd.from_pandas(docs), max_hamming=3)
+               .to_pandas().sort_values(["a", "b"], ignore_index=True))
+        sh = SimHasher()(docs)
+        h = dict(zip(sh["doc_id"],
+                     sh["simhash"].astype("int64")))
+        exp = []
+        ids = sorted(h)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                d = bin((h[a] ^ h[b]) & 0xFFFFFFFFFFFFFFFF).count("1")
+                if d <= 3:
+                    exp.append((a, b, d))
+        got = list(map(tuple, out.itertuples(index=False)))
+        assert sorted(got) == sorted(exp)
+        assert (0, 1, 0) in got  # exact dups collide at hamming 0
