@@ -94,7 +94,8 @@ def run_bench() -> dict:
               "docs_embed_neardup", "docs_dup_components", "docs_simhash",
               "kg_turtle", "title_rdf", "kg_works_person_join",
               "docs_ngram_jaccard", "embed_cosine_pairs",
-              "media_features"]
+              "media_features", "docs_simhash_pairs", "docs_tfidf_terms",
+              "purchase_click_window", "docs_pack_windows"]
     queries = entrymod.queries()
     qtimes: dict[str, float] = {}
     qerrors: dict[str, str] = {}
