@@ -255,26 +255,37 @@ def minhash_lsh_candidates(docs: rd.Dataset, num_perm: int = 64,
                                            batch_format="pandas"))
 
 
+#: Candidate count below which :func:`verify_jaccard` broadcasts the
+#: candidate TEXTS (one ``ray.put``, read by every verify task)
+#: instead of running two partitioned hash joins. Candidate doc sets
+#: at this size are a few hundred MB at worst — object-store-sized,
+#: never driver-heap-resident beyond the put. Larger candidate sets
+#: take the join path automatically.
+BROADCAST_VERIFY_CAP = 200_000
+
+
 def verify_jaccard(pairs: rd.Dataset, docs: rd.Dataset,
                    ngram: int = 5, threshold: float = 0.8,
-                   id_col: str = "doc_id", text_col: str = "text"
-                   ) -> rd.Dataset:
+                   id_col: str = "doc_id", text_col: str = "text",
+                   broadcast_cap: int | None = None) -> rd.Dataset:
     """Exact character-n-gram Jaccard check of candidate pairs —
     distributed end to end.
 
     1. the candidate id set (distributed distinct over the pair
        columns — ints only, bounded by 2·|pairs|) filters ``docs``;
-    2. two partitioned hash joins attach the candidate TEXTS to each
-       pair (texts are ~8x smaller than materialized gram-hash
-       arrays — on a low-entropy corpus where LSH emits dense
-       candidates, gram-array transport dominated);
+    2. candidate TEXTS attach to pairs — via ONE broadcast when the
+       candidate set is small (``BROADCAST_VERIFY_CAP``; near-dup
+       candidates are normally a sliver of the corpus, and a
+       broadcast replaces two sort exchanges), else via two
+       partitioned hash joins (texts are ~8x smaller than
+       materialized gram-hash arrays);
     3. the verify task shingles each doc once per worker process
        (bounded memo) and scores pairs with a vectorized sorted-array
        intersection.
 
-    The driver holds only the candidate id list — never a text or a
-    gram set (the round-1 version built every doc's gram set
-    driver-side, which dies at corpus scale)."""
+    The driver holds only the candidate id list — never a gram set
+    (the round-1 version built every doc's gram set driver-side,
+    which dies at corpus scale)."""
     from .joins import distinct_values, hash_join, semi_join_filter
 
     # the pair set is consumed three times (two distincts + the join);
@@ -283,6 +294,39 @@ def verify_jaccard(pairs: rd.Dataset, docs: rd.Dataset,
     cand_ids = set(distinct_values(pairs, "a")) \
         | set(distinct_values(pairs, "b"))
     cand_docs = semi_join_filter(docs, cand_ids, id_col)
+
+    cap = BROADCAST_VERIFY_CAP if broadcast_cap is None else broadcast_cap
+    if len(cand_ids) <= cap:
+        import ray as _ray
+        tdf = cand_docs.map_batches(
+            lambda t: pa.table({id_col: t.column(id_col).cast(pa.int64()),
+                                text_col: t.column(text_col)}),
+            batch_format="pyarrow").to_pandas()
+        text_ref = _ray.put(dict(zip(tdf[id_col], tdf[text_col])))
+
+        def _verify_bcast(batch: pd.DataFrame) -> pd.DataFrame:
+            texts = _ray.get(text_ref)
+            memo = _GRAM_MEMO.setdefault(ngram, {})
+
+            def grams_of(doc):
+                g = memo.get(doc)
+                if g is None:
+                    if len(memo) > 200_000:
+                        memo.clear()
+                    g = _rolling_gram_hashes(texts.get(doc, ""), ngram)
+                    memo[doc] = g
+                return g
+
+            jac = np.empty(len(batch))
+            for i, (a, b) in enumerate(zip(batch["a"], batch["b"])):
+                ga, gb = grams_of(a), grams_of(b)
+                inter = len(np.intersect1d(ga, gb, assume_unique=True))
+                jac[i] = inter / max(1, len(ga) + len(gb) - inter)
+            out = batch[["a", "b"]].copy()
+            out["jaccard"] = jac
+            return out[out["jaccard"] >= threshold]
+
+        return pairs.map_batches(_verify_bcast, batch_format="pandas")
 
     def _as(side: str):
         def inner(t: pa.Table) -> pa.Table:
