@@ -539,3 +539,24 @@ class TestSimhashPairs:
         got = list(map(tuple, out.itertuples(index=False)))
         assert sorted(got) == sorted(exp)
         assert (0, 1, 0) in got  # exact dups collide at hamming 0
+
+
+class TestVerifyJaccardPaths:
+    def test_broadcast_and_join_paths_agree(self):
+        from rdf_extraction_ray.stages.dedup_docs import (
+            minhash_lsh_candidates, verify_jaccard)
+        docs = _docs_with_dups()
+        cands = minhash_lsh_candidates(rd.from_pandas(docs),
+                                       concurrency=1)
+        bcast = (verify_jaccard(cands, rd.from_pandas(docs),
+                                threshold=0.6)
+                 .to_pandas().sort_values(["a", "b"],
+                                          ignore_index=True))
+        cands2 = minhash_lsh_candidates(rd.from_pandas(docs),
+                                        concurrency=1)
+        joined = (verify_jaccard(cands2, rd.from_pandas(docs),
+                                 threshold=0.6, broadcast_cap=0)
+                  .to_pandas().sort_values(["a", "b"],
+                                           ignore_index=True))
+        pd.testing.assert_frame_equal(bcast.round(6), joined.round(6))
+        assert len(bcast) >= 3
