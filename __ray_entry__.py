@@ -34,7 +34,10 @@ _ROUND = 4  # float aggregates rounded identically on both sides
 # DuckDB twin of stages.dedup_docs.ngram_jaccard_pairs. CTE bodies are
 # shared by the pair oracle and the recursive-CTE components oracle
 # (composed under one WITH [RECURSIVE] header).
-_NGRAM_CTES = """
+def _ngram_ctes(table: str = "documents") -> str:
+    """The exact word-5-gram Jaccard CTE chain over ``table``
+    (grams → df-capped fg → per-doc counts → pairs)."""
+    return """
     grams AS (
         SELECT DISTINCT doc_id,
                ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' '
@@ -42,7 +45,7 @@ _NGRAM_CTES = """
                                || ws[i+4]), 1, 15))::BIGINT AS gram
         FROM (SELECT doc_id,
                      regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
-              FROM documents),
+              FROM {t}),
              unnest(generate_series(1, len(ws) - 4)) s(i)),
     fg AS (
         SELECT g.* FROM grams g
@@ -58,7 +61,10 @@ _NGRAM_CTES = """
         JOIN cnt ca ON ca.doc_id = a
         JOIN cnt cb ON cb.doc_id = b
         WHERE i / (ca.n + cb.n - i) >= 0.5)
-"""
+""".replace("{t}", table)
+
+
+_NGRAM_CTES = _ngram_ctes()
 
 _SIMHASH_SQL = """
             WITH words AS (
@@ -1526,6 +1532,73 @@ def _q_docs_dedup_keep_best(sf_dir: str):
         .sort_values(["component", "doc_id"], ignore_index=True)
 
 
+def _q_docs_curation(sf_dir: str):
+    """END-TO-END curation pipeline — the composed training-data
+    flagship: quality gate → exact dedup (min doc per distinct text)
+    → near-dup resolution (exact word-5-gram Jaccard components over
+    the survivors, longest text per cluster wins). Returns the
+    surviving corpus (doc_id) with each stage's verdict columns, fully
+    SQL-oracled."""
+    import pyarrow.compute as pc
+
+    import hashlib
+
+    from rdf_extraction_ray.stages.dedup_docs import (
+        connected_components_ds, ngram_jaccard_pairs)
+    from rdf_extraction_ray.stages.textstats import quality_score
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    q = docs.map_batches(quality_score, batch_format="pandas") \
+        .map_batches(lambda t: t.filter(pc.equal(t.column("quality_ok"),
+                                                 True))
+                     .select(["doc_id", "text"]),
+                     batch_format="pyarrow")
+
+    # exact dedup emits the SURVIVORS from the groupby itself (min doc
+    # per distinct text) — no winner-id broadcast, scales with the
+    # shuffle not the driver
+    def _with_key(df: pd.DataFrame) -> pd.DataFrame:
+        b = df.copy()
+        b["tbucket"] = [int(hashlib.md5(str(t).encode())
+                            .hexdigest()[:8], 16) % 64
+                        for t in b["text"]]
+        return b
+
+    def _min_per_text(group: pd.DataFrame) -> pd.DataFrame:
+        return (group.sort_values("doc_id")
+                .drop_duplicates("text")[["doc_id", "text"]])
+
+    survivors = (q.map_batches(_with_key, batch_format="pandas")
+                 .groupby("tbucket")
+                 .map_groups(_min_per_text, batch_format="pandas")
+                 ).materialize()
+    comp = connected_components_ds(
+        ngram_jaccard_pairs(survivors, threshold=0.5)).to_pandas()
+
+    import ray
+    cmap_ref = ray.put(dict(zip(comp["doc_id"].astype("int64"),
+                                comp["component"].astype("int64"))))
+
+    def _mark(df: pd.DataFrame) -> pd.DataFrame:
+        cmap = ray.get(cmap_ref)
+        out = pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                            "n_chars": df["text"].str.len()
+                            .astype("int64")})
+        out["component"] = out["doc_id"].map(cmap).fillna(-1) \
+            .astype("int64")
+        return out
+
+    marked = survivors.map_batches(_mark,
+                                   batch_format="pandas").to_pandas()
+    clustered = marked[marked["component"] >= 0].sort_values(
+        ["component", "n_chars", "doc_id"],
+        ascending=[True, False, True])
+    losers = set(clustered.loc[clustered.duplicated("component"),
+                               "doc_id"])
+    out = marked[~marked["doc_id"].isin(losers)]
+    return (out[["doc_id", "n_chars", "component"]]
+            .sort_values("doc_id", ignore_index=True))
+
+
 def _q_docs_simhash(sf_dir: str):
     from rdf_extraction_ray.stages.dedup_docs import simhash_batch
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -1700,6 +1773,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ngram_components": _q_docs_ngram_components,
         "docs_dedup_keep_best": _q_docs_dedup_keep_best,
         "embed_cosine_pairs": _q_embed_cosine_pairs,
+        "docs_curation": _q_docs_curation,
         "docs_simhash": _q_docs_simhash,
         "docs_simhash_pairs": _q_docs_simhash_pairs,
         "docs_dup_components": _q_docs_dup_components,
@@ -2034,6 +2108,40 @@ def oracle_sql() -> dict[str, str]:
                       CAST(x.embedding AS DOUBLE[]),
                       CAST(y.embedding AS DOUBLE[])) >= 0.4
             ORDER BY a, b
+        """,
+        "docs_curation": f"""
+            WITH RECURSIVE qdocs AS (
+                SELECT doc_id, text FROM documents
+                WHERE length(text) BETWEEN 20 AND 10000
+                  AND len(regexp_extract_all(text, '[A-Za-z0-9_]+')) >= 5),
+            survivors AS MATERIALIZED (
+                SELECT doc_id, text FROM (
+                    SELECT doc_id, text,
+                           row_number() OVER (PARTITION BY text
+                                              ORDER BY doc_id) AS rn
+                    FROM qdocs) WHERE rn = 1),
+            {_ngram_ctes("survivors")},
+            e AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+            nodes AS (SELECT DISTINCT a AS n FROM e),
+            reach(n, r) AS (
+                SELECT n, n FROM nodes
+                UNION
+                SELECT reach.n, e.b FROM reach JOIN e ON e.a = reach.r),
+            comp AS (SELECT n AS doc_id, min(r) AS component
+                     FROM reach GROUP BY n),
+            marked AS (
+                SELECT s.doc_id, length(s.text)::BIGINT AS n_chars,
+                       coalesce(c.component, -1)::BIGINT AS component
+                FROM survivors s LEFT JOIN comp c USING (doc_id)),
+            losers AS (
+                SELECT doc_id FROM (
+                    SELECT doc_id, row_number() OVER (
+                        PARTITION BY component
+                        ORDER BY n_chars DESC, doc_id) AS rn
+                    FROM marked WHERE component >= 0) WHERE rn > 1)
+            SELECT doc_id, n_chars, component FROM marked
+            WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+            ORDER BY doc_id
         """,
         "docs_simhash": _SIMHASH_SQL,
         "docs_simhash_pairs": f"""
