@@ -1587,14 +1587,22 @@ def _q_docs_curation(sf_dir: str):
             .astype("int64")
         return out
 
-    marked = survivors.map_batches(_mark,
-                                   batch_format="pandas").to_pandas()
-    clustered = marked[marked["component"] >= 0].sort_values(
+    marked = survivors.map_batches(_mark, batch_format="pandas") \
+        .materialize()
+    # keep-best needs only the CLUSTERED rows — bounded by 2·|pairs|,
+    # a sliver of the corpus; the anti-filter broadcasts the loser ids
+    # while the corpus itself streams
+    clustered = marked.map_batches(
+        lambda df: df[df["component"] >= 0],
+        batch_format="pandas").to_pandas()
+    clustered = clustered.sort_values(
         ["component", "n_chars", "doc_id"],
         ascending=[True, False, True])
     losers = set(clustered.loc[clustered.duplicated("component"),
                                "doc_id"])
-    out = marked[~marked["doc_id"].isin(losers)]
+    from rdf_extraction_ray.stages.joins import semi_join_filter
+    out = semi_join_filter(marked, losers, "doc_id",
+                           anti=True).to_pandas()
     return (out[["doc_id", "n_chars", "component"]]
             .sort_values("doc_id", ignore_index=True))
 
