@@ -1866,17 +1866,21 @@ def oracle_sql() -> dict[str, str]:
                               all_varchar=true)
             ),
             pairs AS (
-                SELECT s.normalized AS sa, s.titletype AS ya,
+                SELECT s.row_id AS src, o.row_id AS tgt,
+                       s.normalized AS sa, s.titletype AS ya,
                        o.normalized AS sb, o.titletype AS yb
                 FROM tt s JOIN tt o
                   ON s.link = o.row_id AND o.row_id <> s.row_id
             ),
+            -- standalone = not consumed by any VALID pair; a dangling
+            -- or self-referencing ct_islink falls through to the
+            -- standalone branch exactly as the engine's
+            -- by_id.get(int(link)) miss does
             stand AS (
                 SELECT r.normalized, r.titletype FROM tt r
-                WHERE r.link IS NULL
-                  AND NOT EXISTS (SELECT 1 FROM tt s
-                                  WHERE s.link = r.row_id
-                                    AND s.row_id <> r.row_id)
+                WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                                  WHERE p.src = r.row_id
+                                     OR p.tgt = r.row_id)
             ),
             ment AS (  -- (key, label, title_type) mapping entries
                 SELECT sa AS key, sb AS label, yb AS title_type FROM pairs

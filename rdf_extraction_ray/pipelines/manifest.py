@@ -100,6 +100,32 @@ def _prepartition(turns_path: str, out_dir: str, n_shards: int,
     return part_dir
 
 
+_STALE_TMP_AGE_S = 3600  # crashed-run debris; live runs touch within this
+
+
+def _sweep_stale_tmp(out_dir: str) -> None:
+    """Remove ``*.tmp.<pid>`` dirs whose mtime is over an hour old —
+    debris from crashed runs (per-pid names protect CONCURRENT runs
+    from each other, but a killed run's tmp would otherwise leak a
+    full shard of parquet forever; the age guard keeps a live
+    concurrent run's in-progress tmp safe)."""
+    import time
+    try:
+        entries = os.listdir(out_dir)
+    except FileNotFoundError:
+        return
+    now = time.time()
+    for d in entries:
+        if ".tmp." not in d:
+            continue
+        p = os.path.join(out_dir, d)
+        try:
+            if now - os.path.getmtime(p) > _STALE_TMP_AGE_S:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            continue
+
+
 def run_sharded(turns_path: str, out_dir: str, n_shards: int = 8,
                 linker_concurrency: int | tuple | None = None,
                 shards: list[int] | None = None,
@@ -114,6 +140,7 @@ def run_sharded(turns_path: str, out_dir: str, n_shards: int = 8,
     """
     fp = _fingerprint(turns_path)
     os.makedirs(out_dir, exist_ok=True)
+    _sweep_stale_tmp(out_dir)
     summary: dict[int, dict] = {}
     todo = list(range(n_shards) if shards is None else shards)
 

@@ -83,6 +83,9 @@ def cosine_threshold_pairs(corpus: rd.Dataset, threshold: float = 0.4,
     :func:`rdf_extraction_ray.stages.dedup_docs.embedding_neardup_pairs`
     (hyperplane LSH, never all-pairs) is the 100-TB path.
     """
+    # the corpus is consumed twice (resident-side collect + streaming
+    # matmul pass); pin it so an expensive upstream runs exactly once
+    corpus = corpus.materialize()
     side = corpus.map_batches(
         lambda df: pd.DataFrame({id_col: df[id_col],
                                  vec_col: df[vec_col]}),

@@ -38,7 +38,10 @@ _PAIR_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
 
 _MINHASH_CACHE: dict = {}   # per worker process: params → MinHasher
 _SIMHASH_CACHE: list = []   # per worker process: [SimHasher]
-_GRAM_MEMO: dict = {}       # per worker process: ngram → {doc: grams}
+_GRAM_MEMO: dict = {}       # per worker process: ngram → {TEXT: grams}
+# (keyed by the text itself, NOT doc_id: doc ids are reused across
+# corpora within one worker process, and a doc-keyed memo would serve
+# stale grams — python string hashing makes the text key O(len) once)
 
 
 def simhash_batch(batch: pd.DataFrame) -> pd.DataFrame:
@@ -308,18 +311,23 @@ def verify_jaccard(pairs: rd.Dataset, docs: rd.Dataset,
             texts = _ray.get(text_ref)
             memo = _GRAM_MEMO.setdefault(ngram, {})
 
-            def grams_of(doc):
-                g = memo.get(doc)
+            def grams_of(text):
+                g = memo.get(text)
                 if g is None:
                     if len(memo) > 200_000:
                         memo.clear()
-                    g = _rolling_gram_hashes(texts.get(doc, ""), ngram)
-                    memo[doc] = g
+                    g = _rolling_gram_hashes(text, ngram)
+                    memo[text] = g
                 return g
 
+            # a pair whose doc is absent from `docs` is DROPPED — the
+            # same outcome the join path's inner join produces
+            present = np.array([a in texts and b in texts
+                                for a, b in zip(batch["a"], batch["b"])])
+            batch = batch[present]
             jac = np.empty(len(batch))
             for i, (a, b) in enumerate(zip(batch["a"], batch["b"])):
-                ga, gb = grams_of(a), grams_of(b)
+                ga, gb = grams_of(texts[a]), grams_of(texts[b])
                 inter = len(np.intersect1d(ga, gb, assume_unique=True))
                 jac[i] = inter / max(1, len(ga) + len(gb) - inter)
             out = batch[["a", "b"]].copy()
@@ -350,19 +358,19 @@ def verify_jaccard(pairs: rd.Dataset, docs: rd.Dataset,
     def _verify(batch: pd.DataFrame) -> pd.DataFrame:
         memo = _GRAM_MEMO.setdefault(ngram, {})
 
-        def grams_of(doc, text):
-            g = memo.get(doc)
+        def grams_of(text):
+            g = memo.get(text)
             if g is None:
                 if len(memo) > 200_000:  # bound worker memory
                     memo.clear()
                 g = _rolling_gram_hashes(text, ngram)
-                memo[doc] = g
+                memo[text] = g
             return g
 
         jac = np.empty(len(batch))
-        it = zip(batch["a"], batch["b"], batch["text_a"], batch["text_b"])
-        for i, (a, b, ta, tb) in enumerate(it):
-            ga, gb = grams_of(a, ta), grams_of(b, tb)
+        it = zip(batch["text_a"], batch["text_b"])
+        for i, (ta, tb) in enumerate(it):
+            ga, gb = grams_of(ta), grams_of(tb)
             inter = len(np.intersect1d(ga, gb, assume_unique=True))
             jac[i] = inter / max(1, len(ga) + len(gb) - inter)
         out = batch[["a", "b"]].copy()
@@ -627,16 +635,20 @@ def simhash_pairs(docs: rd.Dataset, max_hamming: int = 3,
         parts = []
         for b in range(n_bands):
             val = (h >> np.uint64(width * b)) & mask
+            # band id and value as SEPARATE columns: packing them into
+            # one int64 needs a shift that is undefined at width=64
+            # (n_bands=1) and a lossy uint64→int64 cast; .view keeps
+            # the full 64-bit band value bit-exact
             parts.append(pd.DataFrame({
                 "doc_id": ids,
-                "simhash": h.astype(np.int64),
-                "band_key": (np.int64(b) << np.int64(width + 1))
-                | val.astype(np.int64)}))
+                "simhash": h.view(np.int64),
+                "band_id": np.int64(b),
+                "band_val": val.view(np.int64)}))
         return pd.concat(parts, ignore_index=True)
 
     def _pairs(group: pd.DataFrame) -> pd.DataFrame:
         parts = []
-        for _, g in group.groupby("band_key", sort=False):
+        for _, g in group.groupby(["band_id", "band_val"], sort=False):
             if len(g) < 2:
                 continue
             g = g.drop_duplicates("doc_id")
@@ -664,7 +676,8 @@ def simhash_pairs(docs: rd.Dataset, max_hamming: int = 3,
 
     def _bucketize(batch: pd.DataFrame) -> pd.DataFrame:
         b = batch.copy()
-        b["gbucket"] = (b["band_key"] % 256).astype("int64")
+        b["gbucket"] = ((b["band_val"] % 251) * (b["band_id"] + 1)
+                        % 256).astype("int64")
         return b
 
     def _dedup(group: pd.DataFrame) -> pd.DataFrame:

@@ -265,19 +265,36 @@ def range_count_join(left: rd.Dataset, right: rd.Dataset, on: str,
     Returns the left rows + ``count_col`` (int64).
     """
 
-    def _tag(side: int):
-        def inner(df: pd.DataFrame) -> pd.DataFrame:
-            b = df.copy()
-            b["__side"] = np.int8(side)
-            b["__bucket"] = _bucket_of(b[on], n_buckets)
-            return b
-        return inner
+    # both sides are padded to ONE explicit column set before the
+    # union (the exchange must see a stable schema; outer-concat
+    # NaN-padding would also leak right-only columns into the output)
+    left_schema = left.schema()
+    left_cols = list(left_schema.names)
+    # the union's None-padding promotes left columns to object dtype
+    # inside mixed blocks; the output casts back to the left schema
+    left_dtypes = (pa.schema([(n, t) for n, t in
+                              zip(left_schema.names, left_schema.types)])
+                   .empty_table().to_pandas().dtypes.to_dict())
+
+    def _tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        b = df[left_cols].copy()
+        b["__side"] = np.int8(0)
+        b["__bucket"] = _bucket_of(b[on], n_buckets)
+        return b
+
+    def _tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        b = pd.DataFrame({c: pd.Series([None] * len(df))
+                          for c in left_cols})
+        b[on] = df[on].to_numpy()
+        b[ts_col] = df[ts_col].to_numpy()
+        b["__side"] = np.int8(1)
+        b["__bucket"] = _bucket_of(b[on], n_buckets)
+        return b
 
     def _count(group: pd.DataFrame) -> pd.DataFrame:
         lhs = group[group["__side"] == 0]
         rhs = group[group["__side"] == 1]
-        out_cols = [c for c in lhs.columns
-                    if c not in ("__side", "__bucket")]
+        out_cols = [c for c in left_cols]
         if not len(lhs):
             return pd.DataFrame(columns=out_cols + [count_col])
         counts = np.zeros(len(lhs), dtype="int64")
@@ -294,11 +311,12 @@ def range_count_join(left: rd.Dataset, right: rd.Dataset, on: str,
                 lo = np.searchsorted(ts_r, t + lo_offset, side="left")
                 hi = np.searchsorted(ts_r, t + hi_offset, side="right")
                 counts[lhs.index.get_indexer(g.index)] = hi - lo
-        out = lhs.reset_index(drop=True)[out_cols]
+        out = lhs.reset_index(drop=True)[out_cols] \
+            .astype(left_dtypes)
         out[count_col] = counts
         return out
 
-    lt = left.map_batches(_tag(0), batch_format="pandas")
-    rt = right.map_batches(_tag(1), batch_format="pandas")
+    lt = left.map_batches(_tag_left, batch_format="pandas")
+    rt = right.map_batches(_tag_right, batch_format="pandas")
     return (lt.union(rt).groupby("__bucket")
             .map_groups(_count, batch_format="pandas"))

@@ -116,7 +116,6 @@ def _curie_series(col: pd.Series) -> pd.Series:
             continue
         local = col[m].str.slice(len(base))
         ok = local.map(lambda x: bool(local_ok.match(x)))
-        sel = m[m] & ok
         idx = local.index[ok]
         out.loc[idx] = prefix + ":" + local[ok]
         done.loc[idx] = True
@@ -185,6 +184,23 @@ def format_rdfxml(batch: pd.DataFrame) -> pd.DataFrame:
     keep the output deterministic and block-independent)."""
     subj = batch["subj"].astype(str).str.translate(_XML_ESC)
     pred_curie = _curie_series(batch["pred"].astype(str))
+    # a predicate outside the closed NS table cannot use the CURIE
+    # fallback ("<iri>" is not a legal XML element name): split the
+    # IRI at its last '#'/'/' and declare the namespace inline
+    pred_open = pred_curie.copy()
+    pred_close = pred_curie.copy()
+    oob = pred_curie.str.startswith("<")
+    if oob.any():
+        parts = batch.loc[oob, "pred"].astype(str).str.extract(
+            r"^(?P<base>.*[#/])(?P<local>[A-Za-z_][A-Za-z0-9_.\-]*)$")
+        bad = parts["local"].isna()
+        if bad.any():
+            raise ValueError(
+                "predicate IRI not serializable as RDF/XML (no legal "
+                f"local name): {batch.loc[oob, 'pred'][bad].iloc[0]!r}")
+        pred_open[oob] = ("ns1:" + parts["local"]
+                          + ' xmlns:ns1="' + parts["base"] + '"')
+        pred_close[oob] = "ns1:" + parts["local"]
     obj = batch["obj"].astype(str)
     kind = batch["obj_kind"]
     lang = batch["obj_lang"].fillna("")
@@ -194,8 +210,8 @@ def format_rdfxml(batch: pd.DataFrame) -> pd.DataFrame:
     attr = np.where(lang != "", ' xml:lang="' + lang + '"',
                     np.where(dtype != "",
                              ' rdf:datatype="' + dt_iri + '"', ""))
-    el_lit = ("<" + pred_curie + attr + ">" + lit + "</" + pred_curie + ">")
-    el_uri = ("<" + pred_curie + ' rdf:resource="'
+    el_lit = ("<" + pred_open + attr + ">" + lit + "</" + pred_close + ">")
+    el_uri = ("<" + pred_open + ' rdf:resource="'
               + obj.str.translate(_XML_ESC) + '"/>')
     inner = np.where(kind == "uri", el_uri, el_lit)
     line = ('  <rdf:Description rdf:about="' + subj + '">'

@@ -144,8 +144,7 @@ def stratified_sample(batch: pd.DataFrame, rates: dict[str, float],
     return batch[coin < thresh]
 
 
-def pack_windows(batch: pd.DataFrame, capacity: int = 1024,
-                 n_buckets: int = 32,
+def pack_windows(batch: pd.DataFrame, n_buckets: int = 32,
                  id_col: str = "doc_id") -> pd.DataFrame:
     """Stage 1 of concat-and-split sequence packing: per-doc token
     counts + the pack bucket (hash of id % n_buckets).

@@ -560,3 +560,86 @@ class TestVerifyJaccardPaths:
                                            ignore_index=True))
         pd.testing.assert_frame_equal(bcast.round(6), joined.round(6))
         assert len(bcast) >= 3
+
+
+class TestReviewRound2Regressions:
+    def test_gram_memo_not_keyed_by_doc_id(self):
+        """Same doc_ids, different corpora, one process: the verify
+        must not serve stale grams from the first corpus."""
+        from rdf_extraction_ray.stages.dedup_docs import verify_jaccard
+        pairs = pd.DataFrame({"a": [0], "b": [1]})
+        c1 = pd.DataFrame({"doc_id": [0, 1],
+                           "text": ["alpha beta gamma delta epsilon"] * 2})
+        c2 = pd.DataFrame({"doc_id": [0, 1],
+                           "text": ["alpha beta gamma delta epsilon",
+                                    "zeta eta theta iota kappa"]})
+        v1 = verify_jaccard(rd.from_pandas(pairs), rd.from_pandas(c1),
+                            threshold=0.0).to_pandas()
+        v2 = verify_jaccard(rd.from_pandas(pairs), rd.from_pandas(c2),
+                            threshold=0.0).to_pandas()
+        assert v1["jaccard"].iloc[0] == 1.0
+        assert v2["jaccard"].iloc[0] < 0.2  # stale memo would say 1.0
+
+    def test_verify_drops_pairs_with_missing_docs_both_paths(self):
+        from rdf_extraction_ray.stages.dedup_docs import verify_jaccard
+        pairs = pd.DataFrame({"a": [0, 5], "b": [1, 6]})  # 5,6 absent
+        docs = pd.DataFrame({"doc_id": [0, 1],
+                             "text": ["one two three four five six"] * 2})
+        for cap in (None, 0):
+            kw = {} if cap is None else {"broadcast_cap": cap}
+            out = verify_jaccard(rd.from_pandas(pairs),
+                                 rd.from_pandas(docs),
+                                 threshold=0.0, **kw).to_pandas()
+            assert sorted(map(tuple, out[["a", "b"]]
+                              .itertuples(index=False))) == [(0, 1)]
+
+    def test_simhash_pairs_max_hamming_zero(self):
+        from rdf_extraction_ray.stages.dedup_docs import simhash_pairs
+        docs = pd.DataFrame({"doc_id": [0, 1, 2],
+                             "text": ["same words here", "same words here",
+                                      "different content entirely now"]})
+        out = simhash_pairs(rd.from_pandas(docs),
+                            max_hamming=0).to_pandas()
+        assert list(map(tuple, out[["a", "b", "hamming"]]
+                        .itertuples(index=False))) == [(0, 1, 0)]
+
+    def test_range_join_output_has_no_right_columns(self):
+        from rdf_extraction_ray.stages.joins import range_count_join
+        base = pd.Timestamp("2026-01-01")
+        left = pd.DataFrame({"event_id": [1], "user_id": [7],
+                             "ts": [base]})
+        right = pd.DataFrame({"rid": [10, 11], "user_id": [7, 7],
+                              "ts": [base, base]})
+        out = range_count_join(rd.from_pandas(left),
+                               rd.from_pandas(right),
+                               on="user_id").to_pandas()
+        assert sorted(out.columns) == ["event_id", "n_in_range",
+                                       "ts", "user_id"]
+        assert out["n_in_range"].iloc[0] == 2
+
+    def test_title_links_dangling_and_self(self):
+        from rdf_extraction_ray.pipelines.titles import resolve_title_links
+        df = pd.DataFrame({
+            "row_id": [1, 2, 3],
+            "normalized": ["A", "B", "C"],
+            "titletype": ["monographic"] * 3,
+            "ct_islink": ["999", "2", None]})  # dangling, self, none
+        out = resolve_title_links(df)
+        # every row falls through to the standalone branch
+        assert sorted(out["key"]) == ["A", "B", "C"]
+        assert (out["key"] == out["label"]).all()
+
+    def test_rdfxml_out_of_ns_predicate(self):
+        from rdf_extraction_ray.stages.serialize import format_rdfxml
+        import xml.etree.ElementTree as ET
+        batch = pd.DataFrame({
+            "subj": ["http://kg.example.org/data/x"],
+            "pred": ["http://other.example.net/vocab#custom"],
+            "obj": ["http://kg.example.org/data/y"],
+            "obj_kind": ["uri"], "obj_lang": [""],
+            "obj_datatype": [""]})
+        line = format_rdfxml(batch)["line"].iloc[0]
+        xml = ('<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/'
+               '22-rdf-syntax-ns#">' + line + "</rdf:RDF>")
+        ET.fromstring(xml)  # must parse as XML
+        assert 'xmlns:ns1="http://other.example.net/vocab#"' in line
