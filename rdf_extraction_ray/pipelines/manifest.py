@@ -120,7 +120,15 @@ def _sweep_stale_tmp(out_dir: str) -> None:
             continue
         p = os.path.join(out_dir, d)
         try:
-            if now - os.path.getmtime(p) > _STALE_TMP_AGE_S:
+            # a LIVE run keeps writing files somewhere in the tree but
+            # may not touch the top-level dir for hours — age by the
+            # NEWEST mtime in the tree, not the root's
+            newest = os.path.getmtime(p)
+            for root, _dirs, files in os.walk(p):
+                newest = max([newest, os.path.getmtime(root)]
+                             + [os.path.getmtime(os.path.join(root, f))
+                                for f in files])
+            if now - newest > _STALE_TMP_AGE_S:
                 shutil.rmtree(p, ignore_errors=True)
         except OSError:
             continue

@@ -42,6 +42,41 @@ _GRAM_MEMO: dict = {}       # per worker process: ngram → {TEXT: grams}
 # (keyed by the text itself, NOT doc_id: doc ids are reused across
 # corpora within one worker process, and a doc-keyed memo would serve
 # stale grams — python string hashing makes the text key O(len) once)
+_BCAST_CACHE: dict = {}     # per worker process: object-ref hex → value
+
+
+def _cached_get(ref):
+    """``ray.get`` with a per-process cache: a pickled dict broadcast
+    deserializes ONCE per worker, not once per batch."""
+    import ray as _ray
+    key = ref.hex()
+    if key not in _BCAST_CACHE:
+        _BCAST_CACHE.clear()  # one live broadcast per worker is enough
+        _BCAST_CACHE[key] = _ray.get(ref)
+    return _BCAST_CACHE[key]
+
+
+def _memoized_grams(text: str, ngram: int) -> np.ndarray:
+    """Per-process text→gram-array memo shared by both verify paths."""
+    memo = _GRAM_MEMO.setdefault(ngram, {})
+    g = memo.get(text)
+    if g is None:
+        if len(memo) > 200_000:  # bound worker memory
+            memo.clear()
+        g = _rolling_gram_hashes(text, ngram)
+        memo[text] = g
+    return g
+
+
+def _jaccard_scores(texts_a, texts_b, ngram: int) -> np.ndarray:
+    """Exact n-gram Jaccard per (text_a, text_b) pair."""
+    jac = np.empty(len(texts_a))
+    for i, (ta, tb) in enumerate(zip(texts_a, texts_b)):
+        ga = _memoized_grams(ta, ngram)
+        gb = _memoized_grams(tb, ngram)
+        inter = len(np.intersect1d(ga, gb, assume_unique=True))
+        jac[i] = inter / max(1, len(ga) + len(gb) - inter)
+    return jac
 
 
 def simhash_batch(batch: pd.DataFrame) -> pd.DataFrame:
@@ -308,30 +343,17 @@ def verify_jaccard(pairs: rd.Dataset, docs: rd.Dataset,
         text_ref = _ray.put(dict(zip(tdf[id_col], tdf[text_col])))
 
         def _verify_bcast(batch: pd.DataFrame) -> pd.DataFrame:
-            texts = _ray.get(text_ref)
-            memo = _GRAM_MEMO.setdefault(ngram, {})
-
-            def grams_of(text):
-                g = memo.get(text)
-                if g is None:
-                    if len(memo) > 200_000:
-                        memo.clear()
-                    g = _rolling_gram_hashes(text, ngram)
-                    memo[text] = g
-                return g
-
+            texts = _cached_get(text_ref)
             # a pair whose doc is absent from `docs` is DROPPED — the
             # same outcome the join path's inner join produces
             present = np.array([a in texts and b in texts
-                                for a, b in zip(batch["a"], batch["b"])])
+                                for a, b in zip(batch["a"], batch["b"])],
+                               dtype=bool)
             batch = batch[present]
-            jac = np.empty(len(batch))
-            for i, (a, b) in enumerate(zip(batch["a"], batch["b"])):
-                ga, gb = grams_of(texts[a]), grams_of(texts[b])
-                inter = len(np.intersect1d(ga, gb, assume_unique=True))
-                jac[i] = inter / max(1, len(ga) + len(gb) - inter)
             out = batch[["a", "b"]].copy()
-            out["jaccard"] = jac
+            out["jaccard"] = _jaccard_scores(
+                [texts[a] for a in batch["a"]],
+                [texts[b] for b in batch["b"]], ngram)
             return out[out["jaccard"] >= threshold]
 
         return pairs.map_batches(_verify_bcast, batch_format="pandas")
@@ -356,25 +378,9 @@ def verify_jaccard(pairs: rd.Dataset, docs: rd.Dataset,
                                 ("text_b", pa.string())]))
 
     def _verify(batch: pd.DataFrame) -> pd.DataFrame:
-        memo = _GRAM_MEMO.setdefault(ngram, {})
-
-        def grams_of(text):
-            g = memo.get(text)
-            if g is None:
-                if len(memo) > 200_000:  # bound worker memory
-                    memo.clear()
-                g = _rolling_gram_hashes(text, ngram)
-                memo[text] = g
-            return g
-
-        jac = np.empty(len(batch))
-        it = zip(batch["text_a"], batch["text_b"])
-        for i, (ta, tb) in enumerate(it):
-            ga, gb = grams_of(ta), grams_of(tb)
-            inter = len(np.intersect1d(ga, gb, assume_unique=True))
-            jac[i] = inter / max(1, len(ga) + len(gb) - inter)
         out = batch[["a", "b"]].copy()
-        out["jaccard"] = jac
+        out["jaccard"] = _jaccard_scores(batch["text_a"].tolist(),
+                                         batch["text_b"].tolist(), ngram)
         return out[out["jaccard"] >= threshold]
 
     return j2.map_batches(_verify, batch_format="pandas")

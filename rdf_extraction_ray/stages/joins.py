@@ -77,6 +77,8 @@ def distinct_values(ds: rd.Dataset, column: str, pre=None,
     out = (ds.map_batches(_partial, batch_format="pandas")
            .groupby("__b").map_groups(_uniq, batch_format="pandas")
            .to_pandas())
+    if column not in out.columns:  # zero-row input loses its schema
+        return pd.Series([], name=column, dtype="object")
     return out[column]
 
 
@@ -268,13 +270,12 @@ def range_count_join(left: rd.Dataset, right: rd.Dataset, on: str,
     # both sides are padded to ONE explicit column set before the
     # union (the exchange must see a stable schema; outer-concat
     # NaN-padding would also leak right-only columns into the output)
-    left_schema = left.schema()
+    left_schema = _arrow_schema(left)  # numpy dtypes → Arrow types
     left_cols = list(left_schema.names)
     # the union's None-padding promotes left columns to object dtype
     # inside mixed blocks; the output casts back to the left schema
-    left_dtypes = (pa.schema([(n, t) for n, t in
-                              zip(left_schema.names, left_schema.types)])
-                   .empty_table().to_pandas().dtypes.to_dict())
+    left_dtypes = (left_schema.empty_table().to_pandas()
+                   .dtypes.to_dict())
 
     def _tag_left(df: pd.DataFrame) -> pd.DataFrame:
         b = df[left_cols].copy()

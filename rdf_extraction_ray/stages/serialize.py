@@ -199,7 +199,8 @@ def format_rdfxml(batch: pd.DataFrame) -> pd.DataFrame:
                 "predicate IRI not serializable as RDF/XML (no legal "
                 f"local name): {batch.loc[oob, 'pred'][bad].iloc[0]!r}")
         pred_open[oob] = ("ns1:" + parts["local"]
-                          + ' xmlns:ns1="' + parts["base"] + '"')
+                          + ' xmlns:ns1="'
+                          + parts["base"].str.translate(_XML_ESC) + '"')
         pred_close[oob] = "ns1:" + parts["local"]
     obj = batch["obj"].astype(str)
     kind = batch["obj_kind"]

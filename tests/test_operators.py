@@ -643,3 +643,25 @@ class TestReviewRound2Regressions:
                '22-rdf-syntax-ns#">' + line + "</rdf:RDF>")
         ET.fromstring(xml)  # must parse as XML
         assert 'xmlns:ns1="http://other.example.net/vocab#"' in line
+
+
+def test_titles_csv_generator_is_chain_free():
+    """The title_rdf SQL oracle matches the engine only for CHAIN-FREE
+    link structures (a row that is both link source and link target is
+    order-dependent in the engine, mirroring the reference's
+    positional semantics, and not expressible in one SQL pass). The
+    generator must therefore never emit chains."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from rdf_extraction_ray import synth
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.csv")
+        synth.write_titles_csv(p, 400, seed=42)
+        df = pd.read_csv(p, dtype=str)
+        links = df[df["ct_islink"].notna()]
+        sources = set(links["row_id"])
+        targets = set(links["ct_islink"])
+        assert not (sources & targets), "chained title links generated"
