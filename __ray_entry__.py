@@ -1422,6 +1422,53 @@ def _q_docs_fingerprint(sf_dir: str):
         .select_columns(["doc_id", "fingerprint"])
 
 
+def _q_docs_repetition(sf_dir: str):
+    """Gopher-style within-doc repetition features (top word / top
+    bigram counts, integer-exact gate)."""
+    from rdf_extraction_ray.stages.curate import repetition_stats
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(repetition_stats, batch_format="pandas")
+
+
+def _q_docs_pii_redact(sf_dir: str):
+    """PII scrub over deterministically augmented text (the synthetic
+    corpus has no PII, so both the Ray side and the SQL oracle append
+    the same doc_id-derived SSN/email/phone tail before redacting —
+    the operator itself runs the real compiled patterns)."""
+    from rdf_extraction_ray.stages.curate import pii_redact
+
+    def _augment(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        did = batch["doc_id"].astype("int64")
+        out["text"] = (batch["text"].fillna("")
+                       + " contact u" + did.astype(str)
+                       + "@ex.com or call 555-01"
+                       + (did % 100).astype(str).str.zfill(2)
+                       + " ssn 123-45-"
+                       + (did % 10000).astype(str).str.zfill(4))
+        return out
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return (ds.map_batches(_augment, batch_format="pandas")
+            .map_batches(pii_redact, batch_format="pandas")
+            .select_columns(["doc_id", "n_ssn", "n_email", "n_phone",
+                             "text_redacted"]))
+
+
+def _q_docs_decontaminate(sf_dir: str):
+    """Benchmark n-gram decontamination: docs with doc_id % 97 == 0
+    act as the held-out benchmark set; every OTHER doc is probed for
+    word-5-gram overlap against the broadcast benchmark gram set."""
+    from rdf_extraction_ray.stages.curate import (benchmark_gram_set,
+                                                  decontaminate)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    bench = docs.map_batches(lambda b: b[b["doc_id"] % 97 == 0],
+                             batch_format="pandas")
+    corpus = docs.map_batches(lambda b: b[b["doc_id"] % 97 != 0],
+                              batch_format="pandas")
+    return decontaminate(corpus, benchmark_gram_set(bench))
+
+
 def _q_docs_minhash_pairs(sf_dir: str):
     """LSH candidates → DISTRIBUTED exact-Jaccard verify (gram sets
     computed as a Dataset over candidate docs only; attached to pairs
@@ -1776,6 +1823,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pack_windows": _q_docs_pack_windows,
         "docs_tfidf_terms": _q_docs_tfidf_terms,
         "docs_fingerprint": _q_docs_fingerprint,
+        "docs_repetition": _q_docs_repetition,
+        "docs_pii_redact": _q_docs_pii_redact,
+        "docs_decontaminate": _q_docs_decontaminate,
         "docs_minhash_pairs": _q_docs_minhash_pairs,
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
         "docs_ngram_components": _q_docs_ngram_components,
@@ -2015,6 +2065,105 @@ def oracle_sql() -> dict[str, str]:
                        AS fingerprint
             FROM norm, unnest(generate_series(1, length(t) - 7)) AS s(i)
             GROUP BY doc_id
+        """,
+        "docs_repetition": """
+            WITH w AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9]+') AS ws
+                FROM documents),
+            wc AS (
+                SELECT doc_id, w, count(*) AS c
+                FROM (SELECT doc_id, unnest(ws) AS w FROM w)
+                GROUP BY doc_id, w),
+            agg AS (
+                SELECT doc_id, sum(c)::BIGINT AS n_words_r,
+                       count(*)::BIGINT AS n_distinct_words,
+                       max(c)::BIGINT AS max_word_n
+                FROM wc GROUP BY doc_id),
+            bc AS (
+                SELECT doc_id, bg, count(*) AS c
+                FROM (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+                      FROM w, unnest(generate_series(1, len(ws) - 1))
+                               AS s(i))
+                GROUP BY doc_id, bg),
+            bagg AS (
+                SELECT doc_id, max(c)::BIGINT AS max_bigram_n
+                FROM bc GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(a.n_words_r, 0) AS n_words_r,
+                   coalesce(a.n_distinct_words, 0) AS n_distinct_words,
+                   coalesce(a.max_word_n, 0) AS max_word_n,
+                   coalesce(b.max_bigram_n, 0) AS max_bigram_n,
+                   (coalesce(a.max_word_n, 0) * 5
+                        < coalesce(a.n_words_r, 0))
+                   AND (coalesce(b.max_bigram_n, 0) * 10
+                        < greatest(coalesce(a.n_words_r, 0) - 1, 0))
+                       AS repetition_ok
+            FROM documents d
+            LEFT JOIN agg a USING (doc_id)
+            LEFT JOIN bagg b USING (doc_id)
+        """,
+        "docs_pii_redact": """
+            WITH aug AS (
+                SELECT doc_id,
+                       coalesce(text, '') || ' contact u' || doc_id
+                       || '@ex.com or call 555-01'
+                       || lpad((doc_id % 100)::VARCHAR, 2, '0')
+                       || ' ssn 123-45-'
+                       || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS t
+                FROM documents),
+            s1 AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(
+                           t, '\\b\\d{3}-\\d{2}-\\d{4}\\b'))::BIGINT
+                           AS n_ssn,
+                       regexp_replace(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b',
+                                      '[SSN]', 'g') AS t
+                FROM aug),
+            s2 AS (
+                SELECT doc_id, n_ssn,
+                       len(regexp_extract_all(
+                           t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+'
+                              || '\\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+                       regexp_replace(
+                           t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+'
+                              || '\\.[A-Za-z]{2,}',
+                           '[EMAIL]', 'g') AS t
+                FROM s1),
+            s3 AS (
+                SELECT doc_id, n_ssn, n_email,
+                       len(regexp_extract_all(
+                           t, '\\b\\d{3}-\\d{4}\\b'))::BIGINT AS n_phone,
+                       regexp_replace(t, '\\b\\d{3}-\\d{4}\\b',
+                                      '[PHONE]', 'g') AS t
+                FROM s2)
+            SELECT doc_id, n_ssn, n_email, n_phone, t AS text_redacted
+            FROM s3
+        """,
+        "docs_decontaminate": """
+            WITH g AS (
+                SELECT DISTINCT doc_id,
+                       ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' '
+                                       || ws[i+2] || ' ' || ws[i+3] || ' '
+                                       || ws[i+4]), 1, 15))::BIGINT AS gram
+                FROM (SELECT doc_id,
+                             regexp_extract_all(lower(text),
+                                                '[a-z0-9]+') AS ws
+                      FROM documents),
+                     unnest(generate_series(1, len(ws) - 4)) s(i)),
+            bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+            hits AS (
+                SELECT g.doc_id, count(*)::BIGINT AS n_hit_grams
+                FROM g JOIN bg USING (gram)
+                WHERE g.doc_id % 97 <> 0
+                GROUP BY g.doc_id)
+            SELECT d.doc_id,
+                   coalesce(h.n_hit_grams, 0) AS n_hit_grams,
+                   coalesce(h.n_hit_grams, 0) > 0 AS contaminated
+            FROM documents d
+            LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 97 <> 0
         """,
         "docs_stratified_sample": """
             SELECT doc_id, lang FROM documents
