@@ -429,8 +429,6 @@ def ngram_jaccard_pairs(docs: rd.Dataset, n_words: int = 5,
     same cap). Everything that shuffles after the gram stage is
     int64-only; texts never leave the map stage.
     """
-    from .joins import hash_join
-
     def _gram_rows(batch: pd.DataFrame) -> pd.DataFrame:
         ids, grams = [], []
         for d, t in zip(batch[id_col], batch[text_col]):
@@ -475,64 +473,67 @@ def ngram_jaccard_pairs(docs: rd.Dataset, n_words: int = 5,
             out["a"], index=False) % n_pair_buckets).astype("int64")
         return out
 
+    def _bucket_of(s: pd.Series) -> np.ndarray:
+        return (pd.util.hash_pandas_object(s, index=False)
+                % n_pair_buckets).to_numpy().astype("int64")
+
     def _sum_reduce(group: pd.DataFrame) -> pd.DataFrame:
-        return (group.groupby(["kind", "a", "b"], as_index=False)
-                ["v"].sum())
+        """Sum partials AND attach the a-side per-doc gram count
+        WITHOUT a join shuffle: kind-0 rows were bucketed by
+        hash(doc) and kind-1 rows by hash(a), so every pair's ``na``
+        already sits in its own group. Pairs re-key by hash(b) —
+        where the b-side counts live — for one final groupby; count
+        rows re-emit unchanged. (This replaced two hash_join
+        exchanges + a materialize with a single extra groupby.)"""
+        g = group.groupby(["kind", "a", "b"], as_index=False)["v"].sum()
+        cnt = g[g["kind"] == 0]
+        pairs = g[g["kind"] == 1].merge(
+            cnt[["a", "v"]].rename(columns={"v": "na"}), on="a")
+        parts = []
+        if len(cnt):
+            parts.append(pd.DataFrame({
+                "kind": 0, "a": cnt["a"].to_numpy(),
+                "b": np.int64(-1), "i": np.int64(-1),
+                "na": cnt["v"].to_numpy(),
+                "pbucket2": _bucket_of(cnt["a"])}))
+        if len(pairs):
+            parts.append(pd.DataFrame({
+                "kind": 1, "a": pairs["a"].to_numpy(),
+                "b": pairs["b"].to_numpy(),
+                "i": pairs["v"].to_numpy(),
+                "na": pairs["na"].to_numpy(),
+                "pbucket2": _bucket_of(pairs["b"])}))
+        if not parts:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ("kind", "a", "b", "i", "na",
+                                           "pbucket2")})
+        return pd.concat(parts, ignore_index=True)
 
-    partials = (docs.map_batches(_gram_rows, batch_format="pandas")
-                .groupby("gbucket").map_groups(_gram_reduce,
-                                               batch_format="pandas")
-                .groupby("pbucket").map_groups(_sum_reduce,
-                                               batch_format="pandas")
-                ).materialize()
-
-    import pyarrow.compute as pc
-
-    def _kind(k: int, cols):
-        def inner(t: pa.Table) -> pa.Table:
-            t = t.filter(pc.equal(t.column("kind"), k))
-            return pa.table({out_name: t.column(src)
-                             for out_name, src in cols})
-        return inner
-
-    counts = partials.map_batches(_kind(0, [(id_col, "a"), ("n", "v")]),
-                                  batch_format="pyarrow")
-    inter = partials.map_batches(_kind(1, [("a", "a"), ("b", "b"),
-                                           ("i", "v")]),
-                                 batch_format="pyarrow")
-
-    j1 = hash_join(
-        inter, counts.map_batches(
-            lambda t: pa.table({"a": t.column(id_col),
-                                "na": t.column("n")}),
-            batch_format="pyarrow"), on="a",
-        left_schema=pa.schema([("a", pa.int64()), ("b", pa.int64()),
-                               ("i", pa.int64())]),
-        right_schema=pa.schema([("a", pa.int64()), ("na", pa.int64())]))
-    j2 = hash_join(
-        j1, counts.map_batches(
-            lambda t: pa.table({"b": t.column(id_col),
-                                "nb": t.column("n")}),
-            batch_format="pyarrow"), on="b",
-        left_schema=pa.schema([("a", pa.int64()), ("b", pa.int64()),
-                               ("i", pa.int64()), ("na", pa.int64())]),
-        right_schema=pa.schema([("b", pa.int64()), ("nb", pa.int64())]))
-
-    def _score(t: pa.Table) -> pa.Table:
-        i = t.column("i").to_numpy(zero_copy_only=False).astype(np.float64)
-        na = t.column("na").to_numpy(zero_copy_only=False)
-        nb = t.column("nb").to_numpy(zero_copy_only=False)
-        jac = i / (na + nb - i)
+    def _finish(group: pd.DataFrame) -> pd.DataFrame:
+        cnt = group[group["kind"] == 0]
+        pairs = group[group["kind"] == 1]
+        if not len(pairs):
+            return pd.DataFrame({
+                "a": pd.Series([], dtype="int64"),
+                "b": pd.Series([], dtype="int64"),
+                "jaccard": pd.Series([], dtype="float64")})
+        m = pairs.merge(cnt[["a", "na"]].rename(
+            columns={"a": "b", "na": "nb"}), on="b")
+        i = m["i"].to_numpy().astype(np.float64)
+        jac = i / (m["na"].to_numpy() + m["nb"].to_numpy() - i)
         keep = jac >= threshold
-        return pa.table({
-            "a": pa.array(t.column("a").to_numpy(
-                zero_copy_only=False)[keep], pa.int64()),
-            "b": pa.array(t.column("b").to_numpy(
-                zero_copy_only=False)[keep], pa.int64()),
-            "jaccard": pa.array(np.round(jac[keep], round_to),
-                                pa.float64())})
+        return pd.DataFrame({
+            "a": m["a"].to_numpy()[keep],
+            "b": m["b"].to_numpy()[keep],
+            "jaccard": np.round(jac[keep], round_to)})
 
-    return j2.map_batches(_score, batch_format="pyarrow")
+    return (docs.map_batches(_gram_rows, batch_format="pandas")
+            .groupby("gbucket").map_groups(_gram_reduce,
+                                           batch_format="pandas")
+            .groupby("pbucket").map_groups(_sum_reduce,
+                                           batch_format="pandas")
+            .groupby("pbucket2").map_groups(_finish,
+                                            batch_format="pandas"))
 
 
 # ----------------------------------------------------------- simhash
