@@ -183,22 +183,19 @@ def tfidf_top_terms(docs, k: int = 3, n_buckets: int = 64,
     """Per-document top-``k`` terms by tf-idf — term weighting for
     corpus curation, distributed end to end.
 
-    Scale shape: docs explode to (doc, term, tf) rows; document
-    frequency is a partial-count groupby per term; the df table joins
-    back by term hash (a shuffle join, NOT a driver-side vocabulary —
-    vocabularies at corpus scale outgrow any single node); top-k runs
-    under a doc-hash groupby. The idf is FIXED-POINT integer
-    (``(N * 1000) // df``) so the score is exactly reproducible in the
-    DuckDB oracle — float ``ln`` implementations differ across engines
-    in the last ulp, integer arithmetic never does. Ties break by
-    term text.
+    Scale shape: docs explode to (doc, term, tf) rows grouped by term
+    hash. A term lives in exactly ONE bucket and doc-term rows are
+    unique, so the bucket group holds every row of each of its terms —
+    document frequency is a ``transform('size')`` INSIDE the group (no
+    separate df table, no join shuffle, no driver-side vocabulary);
+    top-k then runs under a doc-hash groupby. Two exchanges total.
+    The idf is FIXED-POINT integer (``(N * 1000) // df``) so the score
+    is exactly reproducible in the DuckDB oracle — float ``ln``
+    implementations differ across engines in the last ulp, integer
+    arithmetic never does. Ties break by term text.
     """
     import re
 
-    import ray.data as rd
-
-    from .joins import hash_join
-    import pyarrow as pa
     word = re.compile(r"[a-z0-9]+")
     n_docs = docs.count()
 
@@ -219,41 +216,14 @@ def tfidf_top_terms(docs, k: int = 3, n_buckets: int = 64,
             out["term"], index=False) % n_buckets).astype("int64")
         return out
 
-    dt = docs.map_batches(_doc_terms, batch_format="pandas",
-                          batch_size=None).materialize()
-
-    def _df_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        vc = batch["term"].value_counts()
-        out = pd.DataFrame({"term": vc.index,
-                            "df_n": vc.to_numpy().astype("int64")})
-        out["tbucket"] = (pd.util.hash_pandas_object(
-            out["term"], index=False) % n_buckets).astype("int64")
-        return out
-
-    def _df_sum(group: pd.DataFrame) -> pd.DataFrame:
-        return (group.groupby("term", as_index=False)["df_n"].sum())
-
-    df_tab = (dt.map_batches(_df_partial, batch_format="pandas",
-                             batch_size=None)
-              .groupby("tbucket").map_groups(_df_sum,
-                                             batch_format="pandas"))
-
-    joined = hash_join(
-        dt.map_batches(lambda t: t.drop(["tbucket"]),
-                       batch_format="pyarrow"),
-        df_tab, on="term",
-        left_schema=pa.schema([(id_col, pa.int64()),
-                               ("term", pa.string()),
-                               ("tf", pa.int64())]),
-        right_schema=pa.schema([("term", pa.string()),
-                                ("df_n", pa.int64())]))
-
-    def _score(batch: pd.DataFrame) -> pd.DataFrame:
-        b = batch.copy()
-        b["score"] = (b["tf"] * ((n_docs * 1000) // b["df_n"])) \
+    def _score_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.copy()
+        df_n = g.groupby("term")["term"].transform("size") \
             .astype("int64")
-        b["dbucket"] = (b[id_col] % n_buckets).astype("int64")
-        return b
+        g["score"] = (g["tf"] * ((n_docs * 1000) // df_n)) \
+            .astype("int64")
+        g["dbucket"] = (g[id_col] % n_buckets).astype("int64")
+        return g[[id_col, "term", "tf", "score", "dbucket"]]
 
     def _topk(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["score", "term"],
@@ -261,5 +231,8 @@ def tfidf_top_terms(docs, k: int = 3, n_buckets: int = 64,
         g = g.groupby(id_col, sort=False).head(k)
         return g[[id_col, "term", "tf", "score"]]
 
-    return (joined.map_batches(_score, batch_format="pandas")
+    return (docs.map_batches(_doc_terms, batch_format="pandas",
+                             batch_size=None)
+            .groupby("tbucket").map_groups(_score_bucket,
+                                           batch_format="pandas")
             .groupby("dbucket").map_groups(_topk, batch_format="pandas"))
