@@ -1469,6 +1469,81 @@ def _q_docs_decontaminate(sf_dir: str):
     return decontaminate(corpus, benchmark_gram_set(bench))
 
 
+def _q_embed_kmeans(sf_dir: str):
+    """Distributed integer-exact k-means over the embedding column
+    (semantic clustering for curation) — 2 Lloyd rounds from a
+    deterministic md5-hash init, fully SQL-oracled."""
+    from rdf_extraction_ray.stages.cluster import kmeans
+    vecs = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kmeans(vecs, k=8, n_iter=2)
+
+
+def _kmeans_sql(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
+    """DuckDB replay of stages.cluster.kmeans: same quantization,
+    integer distances, floor-division centroid updates, and
+    (hash, vec_id) init order."""
+    floordiv = ("CAST((u.s - ((u.s % u.n) + u.n) % u.n) / u.n"
+                " AS BIGINT)")
+
+    def assign(src: str, cents: str, name: str) -> str:
+        return f"""
+            {name} AS (
+                SELECT vec_id, v, c, d FROM (
+                    SELECT vec_id, v, c, d,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY d, c) AS rn
+                    FROM (SELECT q.vec_id, q.v, cc.c,
+                                 list_sum(list_transform(
+                                     list_zip(q.v, cc.v),
+                                     p -> (p[1]-p[2])*(p[1]-p[2])))
+                                     AS d
+                          FROM {src} q, {cents} cc))
+                WHERE rn = 1)"""
+
+    def update(assigned: str, prev: str, name: str) -> str:
+        return f"""
+            u_{name} AS (
+                SELECT c, i, sum(v[i]) AS s, count(*) AS n
+                FROM {assigned},
+                     unnest(generate_series(1, {dim})) s(i)
+                GROUP BY c, i),
+            {name} AS (
+                SELECT d.c, list(d.val ORDER BY d.i) AS v FROM (
+                    SELECT cc.c, i.i,
+                           coalesce({floordiv}, cc.v[i.i]) AS val
+                    FROM {prev} cc
+                    CROSS JOIN (SELECT unnest(generate_series(1, {dim}))
+                                AS i) i
+                    LEFT JOIN u_{name} u
+                      ON u.c = cc.c AND u.i = i.i) d
+                GROUP BY d.c)"""
+
+    ctes = [f"""
+            q AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                           x -> CAST(floor(CAST(x AS DOUBLE) * 1000
+                                           + 0.5) AS BIGINT)) AS v
+                FROM embeddings),
+            c0 AS (
+                SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS c,
+                       v
+                FROM (SELECT vec_id, v,
+                             ('0x' || substr(md5(vec_id::VARCHAR),
+                                             1, 15))::BIGINT AS h
+                      FROM q)
+                ORDER BY h, vec_id LIMIT {k})"""]
+    prev = "c0"
+    for it in range(1, n_iter + 1):
+        ctes.append(assign("q", prev, f"a{it}"))
+        ctes.append(update(f"a{it}", prev, f"c{it}"))
+        prev = f"c{it}"
+    ctes.append(assign("q", prev, "afinal"))
+    return ("WITH " + ",".join(ctes)
+            + " SELECT vec_id, c AS cluster,"
+              " CAST(d AS BIGINT) AS dist_sq FROM afinal")
+
+
 def _q_docs_minhash_pairs(sf_dir: str):
     """LSH candidates → DISTRIBUTED exact-Jaccard verify (gram sets
     computed as a Dataset over candidate docs only; attached to pairs
@@ -1826,6 +1901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition": _q_docs_repetition,
         "docs_pii_redact": _q_docs_pii_redact,
         "docs_decontaminate": _q_docs_decontaminate,
+        "embed_kmeans": _q_embed_kmeans,
         "docs_minhash_pairs": _q_docs_minhash_pairs,
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
         "docs_ngram_components": _q_docs_ngram_components,
@@ -2165,6 +2241,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN hits h USING (doc_id)
             WHERE d.doc_id % 97 <> 0
         """,
+        "embed_kmeans": _kmeans_sql(),
         "docs_stratified_sample": """
             SELECT doc_id, lang FROM documents
             WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT

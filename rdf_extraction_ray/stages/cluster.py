@@ -1,0 +1,117 @@
+"""Distributed k-means over an embedding column — semantic clustering
+for corpus curation (the grouping step of SemDedup-style semantic
+dedup, Abbas et al. 2023).
+
+Integer-exact by construction so a DuckDB oracle can replay every
+step bit-for-bit:
+
+- embeddings quantize to int64 via ``floor(x*1000 + 0.5)`` (computed
+  in float64 on both engines — no banker's-rounding mismatch),
+- distances are integer squared-L2, ties break to the smallest
+  cluster id,
+- centroid updates use pure-integer floor division
+  (``(s - ((s % n) + n) % n) / n`` in SQL, ``//`` in numpy),
+- init picks the ``k`` vectors with the smallest
+  ``md5(vec_id)``-derived hash (deterministic pseudo-random spread,
+  no RNG state), cluster ids assigned in (hash, vec_id) order.
+
+Scale shape: centroids are tiny (k × dim ints) and ride the object
+store via ``ray.put``; each Lloyd round is one ``map_batches`` pass
+emitting k partial (sum-vector, count) rows per batch — the driver
+reduces only O(batches × k) partials, never touches vectors. The
+vector table itself streams; nothing materializes it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data as rd
+
+
+def _id_hash(vid: int) -> int:
+    return int(hashlib.md5(str(vid).encode()).hexdigest()[:15], 16)
+
+
+def _quantize(col) -> np.ndarray:
+    """(n, dim) int64 from a list<float> column, float64-exact."""
+    e = np.asarray([np.asarray(v, dtype=np.float64) for v in col])
+    return np.floor(e * 1000.0 + 0.5).astype(np.int64)
+
+
+def _assign(x: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Integer squared-L2 argmin; np.argmin's first-hit rule = the
+    smallest cluster id on ties (the oracle orders by (dist, c))."""
+    d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return d.argmin(axis=1)
+
+
+def init_centroids(vecs: rd.Dataset, k: int, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> np.ndarray:
+    """The k vectors with the smallest (md5-hash, id) — a distributed
+    sort + limit(k); only k rows ever reach the driver."""
+
+    def _hash(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[[id_col, vec_col]].copy()
+        out["h"] = [_id_hash(int(v)) for v in batch[id_col]]
+        return out
+
+    top = (vecs.map_batches(_hash, batch_format="pandas")
+           .sort(["h", id_col]).limit(k).to_pandas())
+    return _quantize(top[vec_col])
+
+
+def kmeans(vecs: rd.Dataset, k: int = 8, n_iter: int = 2,
+           id_col: str = "vec_id",
+           vec_col: str = "embedding") -> rd.Dataset:
+    """``n_iter`` Lloyd rounds from the deterministic init, then the
+    final assignment as (id, cluster, dist_sq). Empty clusters keep
+    their previous centroid."""
+    cents = init_centroids(vecs, k, id_col, vec_col)
+    dim = cents.shape[1]
+
+    for _ in range(n_iter):
+        ref = ray.put(cents)
+
+        def _partials(batch: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(ref)
+            x = _quantize(batch[vec_col])
+            a = _assign(x, c)
+            sums = np.zeros((k, dim), dtype=np.int64)
+            np.add.at(sums, a, x)
+            cnt = np.bincount(a, minlength=k).astype(np.int64)
+            return pd.DataFrame({
+                "c": np.arange(k, dtype=np.int64),
+                "n": cnt,
+                "s": [sums[j].tolist() for j in range(k)]})
+
+        parts = (vecs.map_batches(_partials, batch_format="pandas")
+                 .to_pandas())  # O(batches × k) rows — bounded
+        nxt = cents.copy()
+        for c in range(k):
+            rows = parts[parts["c"] == c]
+            n = int(rows["n"].sum())
+            if n == 0:
+                continue  # empty cluster keeps its centroid
+            s = np.sum([np.asarray(v, dtype=np.int64)
+                        for v in rows["s"]], axis=0)
+            nxt[c] = s // n  # floor division, matching the SQL form
+        cents = nxt
+
+    ref = ray.put(cents)
+
+    def _final(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(ref)
+        x = _quantize(batch[vec_col])
+        d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        return pd.DataFrame({
+            id_col: batch[id_col].astype("int64").to_numpy(),
+            "cluster": a.astype("int64"),
+            "dist_sq": d[np.arange(len(a)), a].astype("int64")})
+
+    return vecs.map_batches(_final, batch_format="pandas")
