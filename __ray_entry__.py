@@ -1478,6 +1478,15 @@ def _q_embed_kmeans(sf_dir: str):
     return kmeans(vecs, k=8, n_iter=2)
 
 
+def _q_embed_semantic_dedup(sf_dir: str):
+    """SemDedup: k-means partition + within-cluster integer-exact
+    cosine pruning (drop iff a smaller-id vector in the same cluster
+    has cosine ≥ 0.95) — fully SQL-oracled."""
+    from rdf_extraction_ray.stages.cluster import semantic_dedup
+    vecs = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semantic_dedup(vecs, k=8, n_iter=2, tau_x100=95)
+
+
 def _kmeans_sql(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
     """DuckDB replay of stages.cluster.kmeans: same quantization,
     integer distances, floor-division centroid updates, and
@@ -1539,9 +1548,42 @@ def _kmeans_sql(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
         ctes.append(update(f"a{it}", prev, f"c{it}"))
         prev = f"c{it}"
     ctes.append(assign("q", prev, "afinal"))
-    return ("WITH " + ",".join(ctes)
+    return "WITH " + ",".join(ctes)
+
+
+def _kmeans_select(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
+    return (_kmeans_sql(k, n_iter, dim)
             + " SELECT vec_id, c AS cluster,"
               " CAST(d AS BIGINT) AS dist_sq FROM afinal")
+
+
+def _semantic_dedup_sql(k: int = 8, n_iter: int = 2, dim: int = 64,
+                        tau_x100: int = 95) -> str:
+    """DuckDB replay of stages.cluster.semantic_dedup: the kmeans CTE
+    chain, then within-cluster pairs with the integer-exact cosine
+    test (HUGEINT intermediates) and the smaller-id drop rule."""
+    tau2 = tau_x100 * tau_x100
+    return _kmeans_sql(k, n_iter, dim) + f""",
+            n2 AS (
+                SELECT vec_id, c, v,
+                       CAST(list_sum(list_transform(v, x -> x*x))
+                            AS HUGEINT) AS nn
+                FROM afinal),
+            prs AS (
+                SELECT x.vec_id AS a, y.vec_id AS b,
+                       x.nn AS na, y.nn AS nb,
+                       CAST(list_sum(list_transform(
+                           list_zip(x.v, y.v), p -> p[1]*p[2]))
+                           AS HUGEINT) AS dot
+                FROM n2 x JOIN n2 y
+                  ON x.c = y.c AND x.vec_id < y.vec_id),
+            dropped AS (
+                SELECT DISTINCT b AS vec_id FROM prs
+                WHERE dot > 0
+                  AND dot * dot * 10000 >= {tau2} * na * nb)
+            SELECT f.vec_id, f.c AS cluster,
+                   d.vec_id IS NULL AS kept
+            FROM afinal f LEFT JOIN dropped d USING (vec_id)"""
 
 
 def _q_docs_minhash_pairs(sf_dir: str):
@@ -1902,6 +1944,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pii_redact": _q_docs_pii_redact,
         "docs_decontaminate": _q_docs_decontaminate,
         "embed_kmeans": _q_embed_kmeans,
+        "embed_semantic_dedup": _q_embed_semantic_dedup,
         "docs_minhash_pairs": _q_docs_minhash_pairs,
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
         "docs_ngram_components": _q_docs_ngram_components,
@@ -2241,7 +2284,8 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN hits h USING (doc_id)
             WHERE d.doc_id % 97 <> 0
         """,
-        "embed_kmeans": _kmeans_sql(),
+        "embed_kmeans": _kmeans_select(),
+        "embed_semantic_dedup": _semantic_dedup_sql(),
         "docs_stratified_sample": """
             SELECT doc_id, lang FROM documents
             WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT

@@ -1,6 +1,6 @@
 """Distributed k-means over an embedding column — semantic clustering
-for corpus curation (the grouping step of SemDedup-style semantic
-dedup, Abbas et al. 2023).
+for corpus curation — plus SemDedup-style within-cluster near-dup
+pruning (Abbas et al. 2023).
 
 Integer-exact by construction so a DuckDB oracle can replay every
 step bit-for-bit:
@@ -65,12 +65,10 @@ def init_centroids(vecs: rd.Dataset, k: int, id_col: str = "vec_id",
     return _quantize(top[vec_col])
 
 
-def kmeans(vecs: rd.Dataset, k: int = 8, n_iter: int = 2,
-           id_col: str = "vec_id",
-           vec_col: str = "embedding") -> rd.Dataset:
-    """``n_iter`` Lloyd rounds from the deterministic init, then the
-    final assignment as (id, cluster, dist_sq). Empty clusters keep
-    their previous centroid."""
+def _fit_centroids(vecs: rd.Dataset, k: int, n_iter: int,
+                   id_col: str, vec_col: str) -> np.ndarray:
+    """``n_iter`` Lloyd rounds from the deterministic init. Empty
+    clusters keep their previous centroid."""
     cents = init_centroids(vecs, k, id_col, vec_col)
     dim = cents.shape[1]
 
@@ -101,7 +99,15 @@ def kmeans(vecs: rd.Dataset, k: int = 8, n_iter: int = 2,
                         for v in rows["s"]], axis=0)
             nxt[c] = s // n  # floor division, matching the SQL form
         cents = nxt
+    return cents
 
+
+def kmeans(vecs: rd.Dataset, k: int = 8, n_iter: int = 2,
+           id_col: str = "vec_id",
+           vec_col: str = "embedding") -> rd.Dataset:
+    """``n_iter`` Lloyd rounds, then the final assignment as
+    (id, cluster, dist_sq)."""
+    cents = _fit_centroids(vecs, k, n_iter, id_col, vec_col)
     ref = ray.put(cents)
 
     def _final(batch: pd.DataFrame) -> pd.DataFrame:
@@ -115,3 +121,55 @@ def kmeans(vecs: rd.Dataset, k: int = 8, n_iter: int = 2,
             "dist_sq": d[np.arange(len(a)), a].astype("int64")})
 
     return vecs.map_batches(_final, batch_format="pandas")
+
+
+def semantic_dedup(vecs: rd.Dataset, k: int = 8, n_iter: int = 2,
+                   tau_x100: int = 95, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> rd.Dataset:
+    """SemDedup: k-means partitions the space, then near-duplicates
+    are pruned WITHIN each cluster — the pairwise term is
+    O(Σ cluster²), never corpus².
+
+    Drop rule (declared semantics, SQL-replayable): a vector is
+    dropped iff a SMALLER-id vector in the same cluster has cosine
+    similarity ≥ tau_x100/100. The cosine test is integer-exact on
+    the quantized vectors: ``dot > 0 AND dot²·10⁴ ≥ tau²·|a|²·|b|²``
+    (all int64; by Cauchy-Schwarz both sides are ≤ 10⁴·|a|²·|b|², so
+    int64 is exact for vectors of L2 norm ≤ ~5.4 under the ×1000
+    quantization — any normalized embedding qualifies).
+
+    Scale: clusters ride one groupby(cluster) exchange; ``k`` is the
+    parallelism bound, so at corpus scale use k in the thousands —
+    cluster size, not corpus size, bounds the quadratic term.
+    Output: (id, cluster, kept).
+    """
+    cents = _fit_centroids(vecs, k, n_iter, id_col, vec_col)
+    ref = ray.put(cents)
+
+    def _assign_with_vec(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(ref)
+        x = _quantize(batch[vec_col])
+        a = _assign(x, c)
+        return pd.DataFrame({
+            id_col: batch[id_col].astype("int64").to_numpy(),
+            "cluster": a.astype("int64"),
+            "qv": [row.tolist() for row in x]})
+
+    def _dedup_cluster(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(id_col, kind="stable", ignore_index=True)
+        x = np.asarray([np.asarray(v, dtype=np.int64)
+                        for v in g["qv"]])
+        dot = x @ x.T
+        n2 = (x * x).sum(axis=1)
+        tau2 = np.int64(tau_x100) * np.int64(tau_x100)
+        dup = (dot > 0) & (dot ** 2 * 10000 >= tau2 * np.outer(n2, n2))
+        # column j is dropped iff any row i < j (smaller id) is a dup
+        dropped = np.triu(dup, k=1).any(axis=0)
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            "cluster": g["cluster"].to_numpy(),
+            "kept": ~dropped})
+
+    return (vecs.map_batches(_assign_with_vec, batch_format="pandas")
+            .groupby("cluster")
+            .map_groups(_dedup_cluster, batch_format="pandas"))
