@@ -26,6 +26,7 @@ import re
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
 import pandas as pd
 
 _ROUND = 4  # float aggregates rounded identically on both sides
@@ -65,6 +66,115 @@ def _ngram_ctes(table: str = "documents") -> str:
 
 
 _NGRAM_CTES = _ngram_ctes()
+
+
+def _minhash_ctes(num_perm: int = 64, n_bands: int = 16, shingle: int = 5,
+                  seed: int = 1337, dense_cap: int = 50,
+                  threshold: str = "0.5") -> str:
+    """CTE chain replaying the FULL minhash-LSH + exact-Jaccard-verify
+    pipeline (stages.dedup_docs.minhash_lsh_candidates +
+    verify_jaccard) in DuckDB — bit-exact, because every step is
+    integer arithmetic:
+
+    - char ``shingle``-gram hashes: polynomial rolling hash, uint32
+      wrapping — replayed as one HUGEINT polynomial ``% 2^32`` (mod is
+      multiply-add homomorphic, and the unreduced value ≤ 255·Σ K^j
+      ≈ 2.6e26 fits HUGEINT);
+    - minhash: per-permutation universal hash ``(a·sh + b) % 2^32``
+      min-reduced per doc. The (a, b) constants below are inlined from
+      the operator's documented seeded derivation (RandomState(seed):
+      a = odd 32-bit, b = 31-bit — same recipe as MinHasher.__init__);
+    - LSH band fold: uint64 wrapping FNV-style fold of each band's
+      rows plus a band salt — replayed stepwise ``% 2^64`` (one step's
+      unreduced value < 2^104, fits HUGEINT);
+    - candidates: docs sharing a (band_id, band_hash) bucket; dense
+      buckets (> ``dense_cap`` docs) emit star edges to the bucket
+      minimum, exactly like the engine;
+    - verify: exact char-5-gram Jaccard over uint64 gram hashes
+      (same polynomial ``% 2^64``), threshold ≥ ``threshold``.
+    """
+    rng = np.random.RandomState(seed)
+    a = (rng.randint(0, 1 << 31, size=num_perm).astype(np.uint64)
+         * 2 + 1)
+    b = rng.randint(0, 1 << 31, size=num_perm).astype(np.uint64)
+    perm_rows = ",".join(f"({p},{int(a[p])},{int(b[p])})"
+                         for p in range(num_perm))
+    rows = num_perm // n_bands
+    K, M32, M64 = 1000003, 1 << 32, 1 << 64
+    P = 1099511628211
+
+    def poly(mod: int) -> str:
+        expr = f"CAST(ascii(substr(s, i, 1)) AS HUGEINT)"
+        for j in range(1, shingle):
+            expr = f"({expr} * {K} + ascii(substr(s, i + {j}, 1)))"
+        return f"(({expr}) % {mod})"
+
+    svals = ",".join(f"min(CASE WHEN p % {rows} = {r} THEN sg END) AS s{r}"
+                     for r in range(rows))
+    fold = f"CAST(s0 AS HUGEINT)"
+    for r in range(1, rows):
+        fold = f"(({fold} * {P} + s{r}) % {M64})"
+    fold = f"(({fold} * {P} + band_id) % {M64})"
+
+    return f"""
+    mh_t AS (
+        SELECT doc_id,
+               CASE WHEN length(s) < {shingle}
+                    THEN s || repeat('_', {shingle} - length(s))
+                    ELSE s END AS s
+        FROM (SELECT doc_id,
+                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                         AS s
+              FROM documents)),
+    mh_pos AS (
+        SELECT doc_id, s, unnest(generate_series(
+            1, length(s) - {shingle - 1})) AS i
+        FROM mh_t),
+    mh_g32 AS (
+        SELECT DISTINCT doc_id, {poly(M32)} AS sh FROM mh_pos),
+    mh_perms(p, am, bm) AS (VALUES {perm_rows}),
+    mh_sig AS (
+        SELECT g.doc_id, pr.p,
+               min((CAST(pr.am AS HUGEINT) * g.sh + pr.bm) % {M32}) AS sg
+        FROM mh_g32 g CROSS JOIN mh_perms pr
+        GROUP BY g.doc_id, pr.p),
+    mh_bh AS (
+        SELECT doc_id, band_id, {fold} AS band_hash
+        FROM (SELECT doc_id, p // {rows} AS band_id, {svals}
+              FROM mh_sig GROUP BY doc_id, p // {rows})),
+    mh_bstats AS (
+        SELECT band_id, band_hash, count(*) AS n, min(doc_id) AS mn
+        FROM mh_bh GROUP BY band_id, band_hash),
+    mh_cand AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM mh_bh x
+        JOIN mh_bh y ON x.band_id = y.band_id
+                    AND x.band_hash = y.band_hash
+                    AND x.doc_id < y.doc_id
+        JOIN mh_bstats st ON st.band_id = x.band_id
+                         AND st.band_hash = x.band_hash
+        WHERE st.n <= {dense_cap} OR x.doc_id = st.mn),
+    mh_g64 AS (
+        SELECT DISTINCT doc_id, {poly(M64)} AS gh FROM mh_pos),
+    mh_gsz AS (SELECT doc_id, count(*) AS n FROM mh_g64 GROUP BY doc_id),
+    mh_inter AS (
+        SELECT c.a, c.b, count(*) AS i
+        FROM mh_cand c
+        JOIN mh_g64 ga ON ga.doc_id = c.a
+        JOIN mh_g64 gb ON gb.doc_id = c.b AND gb.gh = ga.gh
+        GROUP BY c.a, c.b),
+    mh_pairs AS (
+        SELECT i.a, i.b,
+               round_even(CAST(i.i AS DOUBLE)
+                          / (sa.n + sb.n - i.i), {_ROUND}) AS jaccard
+        FROM mh_inter i
+        JOIN mh_gsz sa ON sa.doc_id = i.a
+        JOIN mh_gsz sb ON sb.doc_id = i.b
+        WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= {threshold})
+"""
+
+
+_MINHASH_CTES = _minhash_ctes()
 
 _SIMHASH_SQL = """
             WITH words AS (
@@ -2341,6 +2451,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_ngram_jaccard": (
             f"WITH {_NGRAM_CTES} SELECT * FROM pairs ORDER BY a, b"),
+        "docs_minhash_pairs": (
+            f"WITH {_MINHASH_CTES} "
+            "SELECT a, b, jaccard FROM mh_pairs ORDER BY a, b"),
+        "docs_dup_components": f"""
+            WITH RECURSIVE {_MINHASH_CTES},
+            mh_e AS (SELECT a, b FROM mh_pairs
+                     UNION SELECT b, a FROM mh_pairs),
+            mh_nodes AS (SELECT DISTINCT a AS n FROM mh_e),
+            mh_reach(n, r) AS (
+                SELECT n, n FROM mh_nodes
+                UNION
+                SELECT mh_reach.n, mh_e.b
+                FROM mh_reach JOIN mh_e ON mh_e.a = mh_reach.r)
+            SELECT n AS doc_id, min(r) AS component
+            FROM mh_reach GROUP BY n ORDER BY doc_id
+        """,
         "docs_ngram_components": f"""
             WITH RECURSIVE {_NGRAM_CTES},
             e AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),

@@ -95,7 +95,8 @@ def run_bench() -> dict:
               "kg_turtle", "title_rdf", "kg_works_person_join",
               "docs_ngram_jaccard", "embed_cosine_pairs",
               "media_features", "docs_simhash_pairs", "docs_tfidf_terms",
-              "purchase_click_window", "docs_pack_windows"]
+              "purchase_click_window", "docs_pack_windows",
+              "embed_kmeans", "embed_semantic_dedup", "docs_curation"]
     queries = entrymod.queries()
     qtimes: dict[str, float] = {}
     qerrors: dict[str, str] = {}
