@@ -176,6 +176,71 @@ def _minhash_ctes(num_perm: int = 64, n_bands: int = 16, shingle: int = 5,
 
 _MINHASH_CTES = _minhash_ctes()
 
+
+def _plane_values(n_tables: int, n_bits: int, dim: int, seed: int) -> str:
+    """(t, bit, i, w) VALUES rows for the ×1000-quantized hyperplanes
+    — the same documented derivation as stages.ann.int_planes
+    (``round(RandomState(seed).randn(...)·1000)``), inlined so the
+    oracle carries its own constants. Zero weights are omitted (they
+    contribute nothing to the dot sums)."""
+    pl = np.round(np.random.RandomState(seed)
+                  .randn(n_tables, n_bits, dim) * 1000).astype(np.int64)
+    rows = [f"({t},{b},{i + 1},{int(pl[t, b, i])})"
+            for t in range(n_tables) for b in range(n_bits)
+            for i in range(dim) if pl[t, b, i]]
+    return ",".join(rows)
+
+
+def _ann_qv_ctes(src: str = "embeddings", dim: int = 64) -> str:
+    """Quantized-vector + squared-norm CTEs of the shared ANN metric:
+    ×10,000 integer coordinates; similarity is later computed as
+    ``dot / (sqrt(na)·sqrt(nb))`` — IEEE-identical to the numpy path
+    because every input is an exactly-converted integer."""
+    return f"""
+    av AS (SELECT vec_id, list_transform({src}.e,
+               x -> CAST(floor(x * 10000 + 0.5) AS BIGINT)) AS v
+           FROM {src}),
+    an2 AS (SELECT vec_id, CASE WHEN s = 0 THEN 1 ELSE s END AS n2
+            FROM (SELECT vec_id,
+                         CAST(list_sum(list_transform(v, x -> x * x))
+                              AS HUGEINT) AS s
+                  FROM av)),
+    adim(i) AS (SELECT unnest(generate_series(1, {dim})))
+"""
+
+
+_ANN_COS = ("CAST(CAST(list_sum(list_transform(list_zip(va.v, vb.v),"
+            " p -> p[1]*p[2])) AS HUGEINT) AS DOUBLE)"
+            " / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))")
+
+
+def _ann_bucket_ctes(n_tables: int, n_bits: int, dim: int,
+                     seed: int) -> str:
+    """LSH bucket CTEs over ``av``: per-(table, bit) integer plane
+    dots, sign bits packed into a bucket id."""
+    return f"""
+    planes(t, bit, i, w) AS (VALUES {_plane_values(n_tables, n_bits,
+                                                   dim, seed)}),
+    vex AS (SELECT vec_id, i.i, v[i.i] AS val FROM av, adim i),
+    pdots AS (SELECT x.vec_id, p.t, p.bit, sum(x.val * p.w) AS d
+              FROM vex x JOIN planes p ON p.i = x.i
+              GROUP BY x.vec_id, p.t, p.bit),
+    bk AS (SELECT vec_id, t,
+                  CAST(sum(CASE WHEN d > 0 THEN 1 << bit ELSE 0 END)
+                       AS BIGINT) AS b
+           FROM pdots GROUP BY vec_id, t)
+"""
+
+
+_ANN_RANK = """
+    r AS (SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) - 1
+                     AS rank
+          FROM s)
+    SELECT query_id, neighbor_id, rank FROM r WHERE rank < 10
+"""
+
 _SIMHASH_SQL = """
             WITH words AS (
                 SELECT DISTINCT doc_id, w
@@ -1923,8 +1988,10 @@ def _q_docs_embed_neardup(sf_dir: str):
 
     def _dups(df: pd.DataFrame) -> pd.DataFrame:
         sub = df[df["vec_id"] % 10 == 0].copy()
+        # float64 perturbation so the SQL oracle replays it bit-exact
+        # (CAST(x AS DOUBLE) + 1e-4 — IEEE-identical on both engines)
         sub["embedding"] = sub["embedding"].map(
-            lambda v: (np.asarray(v, dtype="float32") + 1e-4).tolist())
+            lambda v: (np.asarray(v, dtype="float64") + 1e-4).tolist())
         sub["vec_id"] = sub["vec_id"] + 10_000_000
         return sub
 
@@ -2703,21 +2770,88 @@ def oracle_sql() -> dict[str, str]:
         "docs_lang_counts": """
             SELECT lang, count(*) AS n FROM documents GROUP BY lang
         """,
-        "ann_bruteforce": """
-            WITH q AS (SELECT vec_id AS qid, embedding AS qe
-                       FROM embeddings WHERE vec_id < 8),
-            s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
-                         list_cosine_similarity(
-                             CAST(q.qe AS DOUBLE[]),
-                             CAST(e.embedding AS DOUBLE[])) AS cos
-                  FROM q CROSS JOIN embeddings e),
-            r AS (SELECT query_id, neighbor_id,
-                         row_number() OVER (
-                             PARTITION BY query_id
-                             ORDER BY cos DESC, neighbor_id) - 1 AS rank
-                  FROM s)
-            SELECT query_id, neighbor_id, rank FROM r
-            WHERE rank < 10
+        "ann_bruteforce": f"""
+            WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                         FROM embeddings),
+            {_ann_qv_ctes('emb')},
+            s AS (SELECT va.vec_id AS query_id, vb.vec_id AS neighbor_id,
+                         {_ANN_COS} AS cos
+                  FROM av va, av vb, an2 na, an2 nb
+                  WHERE va.vec_id < 8 AND na.vec_id = va.vec_id
+                    AND nb.vec_id = vb.vec_id),
+            {_ANN_RANK}
+        """,
+        "ann_lsh": f"""
+            WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                         FROM embeddings),
+            {_ann_qv_ctes('emb')},
+            {_ann_bucket_ctes(4, 8, 64, seed=99)},
+            cand AS (SELECT DISTINCT qb.vec_id AS qid, cb.vec_id AS cid
+                     FROM bk qb JOIN bk cb
+                       ON qb.t = cb.t AND qb.b = cb.b
+                     WHERE qb.vec_id < 8),
+            s AS (SELECT c.qid AS query_id, c.cid AS neighbor_id,
+                         {_ANN_COS} AS cos
+                  FROM cand c, av va, av vb, an2 na, an2 nb
+                  WHERE va.vec_id = c.qid AND vb.vec_id = c.cid
+                    AND na.vec_id = c.qid AND nb.vec_id = c.cid),
+            {_ANN_RANK}
+        """,
+        "ann_ivf": _kmeans_sql(k=16, n_iter=2) + f""",
+            emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings),
+            {_ann_qv_ctes('emb')},
+            qd AS (SELECT qs.vec_id, cc.c,
+                          list_sum(list_transform(list_zip(qs.v, cc.v),
+                              p -> (p[1]-p[2])*(p[1]-p[2]))) AS d
+                   FROM (SELECT vec_id, v FROM q WHERE vec_id < 8) qs,
+                        c2 cc),
+            probe AS (SELECT vec_id, c FROM (
+                          SELECT vec_id, c,
+                                 row_number() OVER (PARTITION BY vec_id
+                                                    ORDER BY d, c) AS rn
+                          FROM qd)
+                      WHERE rn <= 4),
+            cand AS (SELECT DISTINCT p.vec_id AS qid, a.vec_id AS cid
+                     FROM probe p JOIN afinal a ON a.c = p.c),
+            s AS (SELECT c.qid AS query_id, c.cid AS neighbor_id,
+                         {_ANN_COS} AS cos
+                  FROM cand c, av va, av vb, an2 na, an2 nb
+                  WHERE va.vec_id = c.qid AND vb.vec_id = c.cid
+                    AND na.vec_id = c.qid AND nb.vec_id = c.cid),
+            {_ANN_RANK}
+        """,
+        "docs_embed_neardup": f"""
+            WITH emb AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings
+                UNION ALL
+                SELECT vec_id + 10000000,
+                       list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> x + 1e-4)
+                FROM embeddings WHERE vec_id % 10 = 0),
+            {_ann_qv_ctes('emb')},
+            {_ann_bucket_ctes(4, 6, 64, seed=31)},
+            cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+                     FROM bk x JOIN bk y
+                       ON x.t = y.t AND x.b = y.b
+                          AND x.vec_id < y.vec_id),
+            d AS (SELECT c.a, c.b,
+                         CAST(list_sum(list_transform(
+                             list_zip(va.v, vb.v), p -> p[1]*p[2]))
+                             AS HUGEINT) AS dot,
+                         na.n2 AS na, nb.n2 AS nb
+                  FROM cand c, av va, av vb, an2 na, an2 nb
+                  WHERE va.vec_id = c.a AND vb.vec_id = c.b
+                    AND na.vec_id = c.a AND nb.vec_id = c.b)
+            SELECT a, b,
+                   round_even(CAST(dot AS DOUBLE)
+                              / (sqrt(CAST(na AS DOUBLE))
+                                 * sqrt(CAST(nb AS DOUBLE))),
+                              {_ROUND}) AS cosine
+            FROM d
+            WHERE dot > 0 AND dot*dot*1000000 >= 999*999*na*nb
+            ORDER BY a, b
         """,
         "top_orders_per_segment": """
             WITH ranked AS (

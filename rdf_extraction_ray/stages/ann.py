@@ -1,15 +1,34 @@
 """Approximate nearest-neighbor search over an embedding column.
 
-- :func:`brute_force_topk` — the exact baseline: numpy matmul per
-  batch against a broadcast query matrix (``ray.put`` once). Fully
-  streaming over the corpus side; cost O(corpus × queries).
+- :func:`brute_force_topk` — the exact baseline: integer-dot matmul
+  per batch against a broadcast query matrix (``ray.put`` once).
+  Fully streaming over the corpus side; cost O(corpus × queries).
 - :func:`lsh_topk` — the scale path: random-hyperplane LSH buckets
   both sides, candidates searched per bucket (multi-probe via
   several independent hash tables). Recall < 1, cost ~O(corpus/2^bits
   × queries) per table.
+- :func:`ivf_topk` — coarse-quantizer path: the integer-exact
+  distributed k-means (:mod:`.cluster`) cells the corpus; queries
+  probe their ``nprobe`` nearest cells.
 
-Embeddings are ``list<float>`` Arrow columns; kernels run on float64
-for cross-engine reproducibility (DuckDB computes in double).
+The WHOLE family shares one deterministic similarity metric so every
+operator is bit-replayable by a DuckDB oracle:
+
+- vectors quantize to int64 at ×10,000 (``floor(x·10⁴ + 0.5)``,
+  matching SQL's ``floor``; exact for |coordinate| ≤ ~1000, where the
+  squared norm stays below 2⁵³);
+- similarity = ``dot / (sqrt(na)·sqrt(nb))`` computed from those
+  integers — int→double conversion is exact below 2⁵³ and IEEE
+  sqrt/multiply/divide are correctly rounded, so numpy and DuckDB
+  produce the SAME double bit for bit;
+- hyperplanes quantize to int64 at ×1,000 from their seeded
+  derivation and are inlined into the oracle as constants, so bucket
+  membership (sign of an integer dot) is exact on both sides;
+- ties in the top-k rank are broken by ``neighbor_id``.
+
+"Exact" for :func:`brute_force_topk` means exact w.r.t. this declared
+metric; it differs from the real-valued cosine by O(10⁻⁴)
+quantization noise, which recall tests show is immaterial.
 """
 
 from __future__ import annotations
@@ -19,46 +38,40 @@ import pandas as pd
 import ray
 import ray.data as rd
 
+from .cluster import _assign, _fit_centroids, _quantize
 
-def _matrix(col) -> np.ndarray:
-    return np.asarray([np.asarray(v, dtype=np.float64) for v in col])
-
-
-def _normalize(m: np.ndarray) -> np.ndarray:
-    n = np.linalg.norm(m, axis=1, keepdims=True)
-    n[n == 0] = 1.0
-    return m / n
+#: Vector quantization scale for the ANN similarity metric.
+Q_SCALE = 10_000
+#: Hyperplane quantization scale (LSH bucketing).
+PLANE_SCALE = 1_000
 
 
-def brute_force_topk(corpus: rd.Dataset, queries_df: pd.DataFrame, k: int = 10,
-                     id_col: str = "vec_id", vec_col: str = "embedding"
-                     ) -> pd.DataFrame:
-    """Exact cosine top-k: per-batch partial top-k (numpy matmul) →
-    small driver-side merge of |queries|×(batches·k) partials.
+def _q10k(col) -> np.ndarray:
+    """(n, dim) int64 matrix: ``floor(x·10⁴ + 0.5)`` per coordinate."""
+    m = np.asarray([np.asarray(v, dtype=np.float64) for v in col])
+    return np.floor(m * Q_SCALE + 0.5).astype(np.int64)
 
-    Returns (query_id, neighbor_id, rank) with rank 0..k-1 by
-    descending cosine; ties broken by neighbor_id for determinism.
-    """
-    q = _normalize(_matrix(queries_df[vec_col]))
-    q_ids = queries_df[id_col].to_numpy()
-    ref = ray.put((q, q_ids))
 
-    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
-        qm, qi = ray.get(ref)
-        c = _normalize(_matrix(batch[vec_col]))
-        ids = batch[id_col].to_numpy()
-        sims = qm @ c.T                      # (nq, nb)
-        kk = min(k, sims.shape[1])
-        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        rows = {
-            "query_id": np.repeat(qi, kk),
-            "neighbor_id": ids[idx].ravel(),
-            "cosine": np.take_along_axis(sims, idx, axis=1).ravel(),
-        }
-        return pd.DataFrame(rows)
+def _norm2(m: np.ndarray) -> np.ndarray:
+    """Squared norms with the zero-vector guard (0 → 1, mirroring the
+    classic normalize-with-norm-1 convention; SQL uses the same
+    CASE)."""
+    n2 = (m * m).sum(axis=1)
+    n2[n2 == 0] = 1
+    return n2
 
-    partials = corpus.map_batches(_partial, batch_format="pandas").to_pandas()
-    # deterministic final top-k: sort by (-cosine, neighbor_id)
+
+def int_planes(n_tables: int, n_bits: int, dim: int,
+               seed: int) -> np.ndarray:
+    """(n_tables, n_bits, dim) int64 hyperplanes:
+    ``round(randn·1000)`` from ``RandomState(seed)`` — the documented
+    derivation an oracle inlines as constants."""
+    rng = np.random.RandomState(seed)
+    return np.round(rng.randn(n_tables, n_bits, dim)
+                    * PLANE_SCALE).astype(np.int64)
+
+
+def _topk_from_partials(partials: pd.DataFrame, k: int) -> pd.DataFrame:
     partials = partials.sort_values(["query_id", "cosine", "neighbor_id"],
                                     ascending=[True, False, True],
                                     kind="stable")
@@ -67,13 +80,47 @@ def brute_force_topk(corpus: rd.Dataset, queries_df: pd.DataFrame, k: int = 10,
     return out[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
 
 
+def brute_force_topk(corpus: rd.Dataset, queries_df: pd.DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding"
+                     ) -> pd.DataFrame:
+    """Exact top-k under the declared quantized-cosine metric:
+    per-batch partial top-k (integer matmul) → small driver-side merge
+    of |queries|×(batches·k) partials.
+
+    Returns (query_id, neighbor_id, rank) with rank 0..k-1 by
+    descending similarity; ties broken by neighbor_id.
+    """
+    q = _q10k(queries_df[vec_col])
+    qn = np.sqrt(_norm2(q).astype(np.float64))
+    q_ids = queries_df[id_col].to_numpy()
+    ref = ray.put((q, qn, q_ids))
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        qm, qnrm, qi = ray.get(ref)
+        c = _q10k(batch[vec_col])
+        cn = np.sqrt(_norm2(c).astype(np.float64))
+        ids = batch[id_col].to_numpy()
+        sims = (qm @ c.T).astype(np.float64) / (qnrm[:, None] * cn[None, :])
+        kk = min(k, sims.shape[1])
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        return pd.DataFrame({
+            "query_id": np.repeat(qi, kk),
+            "neighbor_id": ids[idx].ravel(),
+            "cosine": np.take_along_axis(sims, idx, axis=1).ravel(),
+        })
+
+    partials = corpus.map_batches(_partial, batch_format="pandas").to_pandas()
+    return _topk_from_partials(partials, k)
+
+
 def cosine_threshold_pairs(corpus: rd.Dataset, threshold: float = 0.4,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding",
                            round_to: int = 4) -> pd.DataFrame:
     """EXACT all-pairs cosine similarity pairs (a < b, cosine ≥
     ``threshold``) — the oracle-checkable exact baseline of the
-    embedding near-dup family.
+    embedding near-dup family (float64 path; its oracle uses DuckDB's
+    ``list_cosine_similarity`` directly).
 
     Scale shape: one side of the O(N²) comparison must be resident; it
     is collected once (ids + float64 matrix), broadcast via
@@ -83,6 +130,15 @@ def cosine_threshold_pairs(corpus: rd.Dataset, threshold: float = 0.4,
     :func:`rdf_extraction_ray.stages.dedup_docs.embedding_neardup_pairs`
     (hyperplane LSH, never all-pairs) is the 100-TB path.
     """
+
+    def _matrix(col) -> np.ndarray:
+        return np.asarray([np.asarray(v, dtype=np.float64) for v in col])
+
+    def _normalize(m: np.ndarray) -> np.ndarray:
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return m / n
+
     # the corpus is consumed twice (resident-side collect + streaming
     # matmul pass); pin it so an expensive upstream runs exactly once
     corpus = corpus.materialize()
@@ -117,70 +173,42 @@ def cosine_threshold_pairs(corpus: rd.Dataset, threshold: float = 0.4,
     return out.sort_values(["a", "b"], ignore_index=True)
 
 
-def train_centroids(corpus: rd.Dataset, n_centroids: int = 16,
-                    n_iters: int = 8, sample_size: int = 4096,
-                    seed: int = 7, vec_col: str = "embedding",
-                    id_col: str = "vec_id") -> np.ndarray:
-    """Deterministic mini-kmeans for the IVF coarse quantizer.
-
-    Training rows are a deterministic id-hash spread sample over the
-    WHOLE corpus (a head sample biases the cells when the input is
-    sorted/clustered by write order), capped at ``sample_size``. Lloyd
-    iterations run in numpy on the driver; the sample is small by
-    design and the full corpus never leaves the cluster."""
-    import pandas as pd
-    n_rows = corpus.count()
-    keep_per_10k = min(10_000, int(10_000 * 4 * sample_size
-                                   / max(1, n_rows)) + 1)
-
-    def _spread(df: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(df[id_col], index=False) % 10_000
-        return df[h < keep_per_10k]
-
-    sampled = (corpus.map_batches(_spread, batch_format="pandas")
-               .limit(sample_size).to_pandas())
-    sample = _normalize(_matrix(sampled[vec_col]))
-    rng = np.random.RandomState(seed)
-    idx = rng.choice(len(sample), size=min(n_centroids, len(sample)),
-                     replace=False)
-    cent = sample[idx].copy()
-    for _ in range(n_iters):
-        assign = (sample @ cent.T).argmax(axis=1)
-        for c in range(len(cent)):
-            members = sample[assign == c]
-            if len(members):
-                cent[c] = members.mean(axis=0)
-        cent = _normalize(cent)
-    return cent
-
-
 def ivf_topk(corpus: rd.Dataset, queries_df: pd.DataFrame, k: int = 10,
-             n_centroids: int = 16, nprobe: int = 4, seed: int = 7,
+             n_centroids: int = 16, nprobe: int = 4, n_iter: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding"
              ) -> pd.DataFrame:
-    """IVF top-k: a coarse quantizer (mini-kmeans) buckets the corpus
-    into cells; each query only scores vectors in its ``nprobe``
-    nearest cells. The scale path vs brute force: per-batch cost drops
-    by ~``nprobe/n_centroids``; recall < 1 near cell boundaries.
+    """IVF top-k: the integer-exact distributed k-means
+    (:func:`.cluster._fit_centroids` — hash-ordered init, Lloyd rounds
+    with floor-division updates, all SQL-replayable) cells the corpus;
+    each query only scores vectors in its ``nprobe`` nearest cells
+    (integer L2, ties to the smaller cell id). Scoring uses the shared
+    quantized-cosine metric, so ``nprobe == n_centroids`` reproduces
+    :func:`brute_force_topk` exactly.
 
     Partitioning assumption: cells are roughly balanced — skewed
     embedding distributions need more centroids (same caveat as the
     reference's fuzzy-match hot spots, SURVEY §7.5.4)."""
-    cent = train_centroids(corpus, n_centroids=n_centroids, seed=seed,
-                           vec_col=vec_col)
-    q = _normalize(_matrix(queries_df[vec_col]))
+    cents = _fit_centroids(corpus, k=n_centroids, n_iter=n_iter,
+                           id_col=id_col, vec_col=vec_col)
+    q10 = _q10k(queries_df[vec_col])
+    qn = np.sqrt(_norm2(q10).astype(np.float64))
     q_ids = queries_df[id_col].to_numpy()
-    # each query probes its nprobe nearest cells
-    probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]      # (nq, nprobe)
-    ref = ray.put((q, q_ids, probe, cent))
+    # probe the nprobe nearest cells by integer L2 on the ×1000 grid
+    # (the cells' own quantization), ties to the smaller cell id
+    qk = _quantize(queries_df[vec_col])
+    d = ((qk[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    order = np.argsort(d, axis=1, kind="stable")      # tie → smaller c
+    probe = order[:, :nprobe]                         # (nq, nprobe)
+    ref = ray.put((q10, qn, q_ids, probe, cents))
 
     def _partial(batch: pd.DataFrame) -> pd.DataFrame:
-        qm, qi, pr, ce = ray.get(ref)
-        c = _normalize(_matrix(batch[vec_col]))
+        qm, qnrm, qi, pr, ce = ray.get(ref)
+        c10 = _q10k(batch[vec_col])
+        cn = np.sqrt(_norm2(c10).astype(np.float64))
         ids = batch[id_col].to_numpy()
-        cell = (c @ ce.T).argmax(axis=1)                       # (nc,)
+        cell = _assign(_quantize(batch[vec_col]), ce)
         mask = (pr[:, :, None] == cell[None, None, :]).any(axis=1)  # (nq, nc)
-        sims = qm @ c.T
+        sims = (qm @ c10.T).astype(np.float64) / (qnrm[:, None] * cn[None, :])
         sims[~mask] = -2.0
         kk = min(k, sims.shape[1])
         idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
@@ -192,12 +220,7 @@ def ivf_topk(corpus: rd.Dataset, queries_df: pd.DataFrame, k: int = 10,
 
     partials = corpus.map_batches(_partial, batch_format="pandas").to_pandas()
     partials = partials[partials["cosine"] > -1.5]
-    partials = partials.sort_values(["query_id", "cosine", "neighbor_id"],
-                                    ascending=[True, False, True],
-                                    kind="stable")
-    out = partials.groupby("query_id", sort=True).head(k).copy()
-    out["rank"] = out.groupby("query_id").cumcount().astype("int64")
-    return out[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
+    return _topk_from_partials(partials, k)
 
 
 def lsh_topk(corpus: rd.Dataset, queries_df: pd.DataFrame, k: int = 10,
@@ -206,30 +229,32 @@ def lsh_topk(corpus: rd.Dataset, queries_df: pd.DataFrame, k: int = 10,
              dim: int | None = None) -> pd.DataFrame:
     """Random-hyperplane LSH top-k (approximate).
 
-    Corpus vectors land in ``n_tables`` hash buckets; each query only
-    scores candidates sharing a bucket in ANY table. Partitioning
-    assumption: bucket population ~ corpus/2^n_bits per table — skewed
-    data needs more bits."""
+    Corpus vectors land in ``n_tables`` hash buckets (bit = sign of an
+    integer plane·vector dot — exact); each query only scores
+    candidates sharing a bucket in ANY table. Partitioning assumption:
+    bucket population ~ corpus/2^n_bits per table — skewed data needs
+    more bits."""
     if dim is None:
         dim = len(queries_df[vec_col].iloc[0])
-    rng = np.random.RandomState(seed)
-    planes = rng.randn(n_tables, n_bits, dim)
-    q = _normalize(_matrix(queries_df[vec_col]))
+    planes = int_planes(n_tables, n_bits, dim, seed)
+    q = _q10k(queries_df[vec_col])
+    qn = np.sqrt(_norm2(q).astype(np.float64))
     q_ids = queries_df[id_col].to_numpy()
     pw = (1 << np.arange(n_bits)).astype(np.int64)
-    q_buckets = np.stack([( (q @ planes[t].T) > 0) @ pw
+    q_buckets = np.stack([((q @ planes[t].T) > 0) @ pw
                           for t in range(n_tables)], axis=1)  # (nq, nt)
-    ref = ray.put((q, q_ids, q_buckets, planes, pw))
+    ref = ray.put((q, qn, q_ids, q_buckets, planes, pw))
 
     def _partial(batch: pd.DataFrame) -> pd.DataFrame:
-        qm, qi, qb, pl, powv = ray.get(ref)
-        c = _normalize(_matrix(batch[vec_col]))
+        qm, qnrm, qi, qb, pl, powv = ray.get(ref)
+        c = _q10k(batch[vec_col])
+        cn = np.sqrt(_norm2(c).astype(np.float64))
         ids = batch[id_col].to_numpy()
         cb = np.stack([((c @ pl[t].T) > 0) @ powv
                        for t in range(len(pl))], axis=1)      # (nc, nt)
         # candidate mask: share a bucket in any table
         mask = (qb[:, None, :] == cb[None, :, :]).any(axis=2)  # (nq, nc)
-        sims = (qm @ c.T)
+        sims = (qm @ c.T).astype(np.float64) / (qnrm[:, None] * cn[None, :])
         sims[~mask] = -2.0
         kk = min(k, sims.shape[1])
         idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
@@ -241,9 +266,4 @@ def lsh_topk(corpus: rd.Dataset, queries_df: pd.DataFrame, k: int = 10,
 
     partials = corpus.map_batches(_partial, batch_format="pandas").to_pandas()
     partials = partials[partials["cosine"] > -1.5]
-    partials = partials.sort_values(["query_id", "cosine", "neighbor_id"],
-                                    ascending=[True, False, True],
-                                    kind="stable")
-    out = partials.groupby("query_id", sort=True).head(k).copy()
-    out["rank"] = out.groupby("query_id").cumcount().astype("int64")
-    return out[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
+    return _topk_from_partials(partials, k)

@@ -18,9 +18,10 @@
   converges in O(log diameter) rounds with a raising (never silent)
   round guard.
 - :func:`embedding_neardup_pairs` — hyperplane-LSH bucketed cosine
-  near-dup pairs; vectors transit the shuffle as Arrow
-  ``fixed_size_list<float32>`` columns (≈4x smaller than the pandas
-  object-list blocks they replaced, and schema-stable).
+  near-dup pairs, integer-exact (quantized vectors + integer planes,
+  big-int threshold test) so a DuckDB oracle replays it bit for bit;
+  vectors transit the shuffle as Arrow ``fixed_size_list<int32>``
+  columns (compact and schema-stable, no object dtype).
 
 All hashes are seeded/deterministic (no PYTHONHASHSEED dependence).
 """
@@ -710,35 +711,47 @@ def embedding_neardup_pairs(embeddings: rd.Dataset, threshold: float = 0.9,
 
     Scale shape: random-hyperplane LSH buckets each vector into
     ``n_tables`` (table, bucket) keys — only vectors sharing a bucket
-    are compared, so the all-pairs matmul never happens. Within-bucket
-    comparison is a dense numpy matmul per group (float64); the
-    shuffle carries normalized vectors as ``fixed_size_list<float32>``
+    are compared, so the all-pairs matmul never happens. The shuffle
+    carries ×10,000-quantized vectors as ``fixed_size_list<int32>``
     Arrow columns — compact, schema-stable, no object dtype.
+
+    INTEGER-EXACT and SQL-replayable end to end (declared semantics):
+
+    - hyperplanes quantize to int64 (``round(randn·1000)`` from
+      ``RandomState(seed)`` — :func:`..ann.int_planes`); a bucket bit
+      is the sign of an integer dot, exact on both engines;
+    - the threshold test is exact rational arithmetic on the
+      quantized vectors: with τ = round(threshold·1000),
+      ``dot > 0 AND dot²·10⁶ ≥ τ²·na·nb`` — evaluated in Python
+      big-ints here and HUGEINT in the oracle (it exceeds int64);
+    - the reported cosine is ``dot / (sqrt(na)·sqrt(nb))`` from the
+      same integers — correctly-rounded IEEE ops, so numpy and
+      DuckDB agree bit for bit.
     """
+    from .ann import Q_SCALE, int_planes
+
     if dim is None:
         first = embeddings.limit(1).to_pandas()
         dim = len(first[vec_col].iloc[0])
-    rng = np.random.RandomState(seed)
-    planes = rng.randn(n_tables, n_bits, dim)
+    planes = int_planes(n_tables, n_bits, dim, seed)
     pw = (1 << np.arange(n_bits)).astype(np.int64)
-    out_type = pa.list_(pa.float32(), dim)
+    tau = int(round(threshold * 1000))
+    out_type = pa.list_(pa.int32(), dim)
 
-    def _vecs_of(t: pa.Table, col: str, d: int) -> np.ndarray:
+    def _vecs_of(t: pa.Table, col: str, d: int,
+                 dtype=np.float64) -> np.ndarray:
         lst = t.column(col).combine_chunks()
         if isinstance(lst, pa.ChunkedArray):
             lst = lst.combine_chunks()
         flat = lst.flatten().to_numpy(zero_copy_only=False)
-        return np.asarray(flat, dtype=np.float64).reshape(len(t), d)
+        return np.asarray(flat, dtype=dtype).reshape(len(t), d)
 
     def _bucketize(t: pa.Table) -> pa.Table:
-        m = _vecs_of(t, vec_col, dim)
-        norm = np.linalg.norm(m, axis=1, keepdims=True)
-        norm[norm == 0] = 1.0
-        m = m / norm
+        m = np.floor(_vecs_of(t, vec_col, dim) * Q_SCALE + 0.5) \
+            .astype(np.int64)
         ids = t.column(id_col).cast(pa.int64())
-        m32 = m.astype(np.float32)
         vec_arr = pa.FixedSizeListArray.from_arrays(
-            pa.array(m32.reshape(-1)), dim)
+            pa.array(m.astype(np.int32).reshape(-1)), dim)
         parts = []
         for tab in range(n_tables):
             bk = ((m @ planes[tab].T) > 0) @ pw
@@ -758,14 +771,25 @@ def embedding_neardup_pairs(embeddings: rd.Dataset, threshold: float = 0.9,
             if len(ids) else order
         if len(keep) < 2:
             return pair_schema.empty_table()
-        m = _vecs_of(t, "vec", dim)[keep].astype(np.float64)
+        m = _vecs_of(t, "vec", dim, dtype=np.int64)[keep]
         ids = ids[keep]
-        sims = m @ m.T
+        dots = m @ m.T
+        n2 = (m * m).sum(axis=1)
+        n2[n2 == 0] = 1
         iu, ju = np.triu_indices(len(ids), k=1)
-        mask = sims[iu, ju] >= threshold
+        d = dots[iu, ju]
+        # exact rational threshold: dot²·10⁶ ≥ τ²·na·nb (big-ints —
+        # the products overflow int64 for large-norm vectors)
+        do = d.astype(object)
+        na = n2[iu].astype(object)
+        nb = n2[ju].astype(object)
+        mask = (d > 0) & np.asarray(
+            do * do * 1_000_000 >= tau * tau * na * nb, dtype=bool)
+        rn = np.sqrt(n2.astype(np.float64))
+        cos = d.astype(np.float64) / (rn[iu] * rn[ju])
         return pa.table({"a": pa.array(ids[iu[mask]], type=pa.int64()),
                          "b": pa.array(ids[ju[mask]], type=pa.int64()),
-                         "cosine": pa.array(sims[iu, ju][mask],
+                         "cosine": pa.array(cos[mask],
                                             type=pa.float64())})
 
     pairs = (embeddings.map_batches(_bucketize, batch_format="pyarrow")

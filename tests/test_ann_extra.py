@@ -5,8 +5,8 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-from rdf_extraction_ray.stages.ann import (brute_force_topk, ivf_topk,
-                                           train_centroids)
+from rdf_extraction_ray.stages.ann import brute_force_topk, ivf_topk
+from rdf_extraction_ray.stages.cluster import _fit_centroids
 from rdf_extraction_ray.stages.dedup_docs import embedding_neardup_pairs
 
 
@@ -25,12 +25,14 @@ def _random_corpus(n=400, dim=16, seed=3):
 
 
 class TestIVF:
-    def test_centroids_deterministic_and_normalized(self):
+    def test_centroids_deterministic_and_integer(self):
         ds = _vec_table(_random_corpus())
-        c1 = train_centroids(ds, n_centroids=8)
-        c2 = train_centroids(ds, n_centroids=8)
-        assert np.allclose(c1, c2)
-        assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+        c1 = _fit_centroids(ds, k=8, n_iter=2, id_col="vec_id",
+                            vec_col="embedding")
+        c2 = _fit_centroids(ds, k=8, n_iter=2, id_col="vec_id",
+                            vec_col="embedding")
+        assert (c1 == c2).all()
+        assert c1.dtype == np.int64
 
     def test_recall_vs_bruteforce(self):
         m = _random_corpus(600, 16)
