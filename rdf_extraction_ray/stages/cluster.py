@@ -28,6 +28,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray
 import ray.data as rd
@@ -145,31 +146,44 @@ def semantic_dedup(vecs: rd.Dataset, k: int = 8, n_iter: int = 2,
     """
     cents = _fit_centroids(vecs, k, n_iter, id_col, vec_col)
     ref = ray.put(cents)
+    dim = cents.shape[1]
+    qv_type = pa.list_(pa.int32(), dim)
 
-    def _assign_with_vec(batch: pd.DataFrame) -> pd.DataFrame:
+    def _assign_with_vec(t: pa.Table) -> pa.Table:
         c = ray.get(ref)
-        x = _quantize(batch[vec_col])
+        flat = t.column(vec_col).combine_chunks().flatten() \
+            .to_numpy(zero_copy_only=False)
+        m = np.asarray(flat, dtype=np.float64).reshape(len(t), dim)
+        x = np.floor(m * 1000.0 + 0.5).astype(np.int64)
         a = _assign(x, c)
-        return pd.DataFrame({
-            id_col: batch[id_col].astype("int64").to_numpy(),
-            "cluster": a.astype("int64"),
-            "qv": [row.tolist() for row in x]})
+        # quantized vectors ride the exchange as fixed_size_list<int32>
+        # — compact and schema-stable, never object dtype
+        qv = pa.FixedSizeListArray.from_arrays(
+            pa.array(x.astype(np.int32).reshape(-1)), dim)
+        return pa.table({
+            id_col: t.column(id_col).cast(pa.int64()),
+            "cluster": pa.array(a.astype("int64")),
+            "qv": qv.cast(qv_type)})
 
-    def _dedup_cluster(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(id_col, kind="stable", ignore_index=True)
-        x = np.asarray([np.asarray(v, dtype=np.int64)
-                        for v in g["qv"]])
+    def _dedup_cluster(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy()
+        order = np.argsort(ids, kind="stable")
+        flat = t.column("qv").combine_chunks().flatten() \
+            .to_numpy(zero_copy_only=False)
+        x = flat.astype(np.int64).reshape(len(t), dim)[order]
+        ids = ids[order]
         dot = x @ x.T
         n2 = (x * x).sum(axis=1)
         tau2 = np.int64(tau_x100) * np.int64(tau_x100)
         dup = (dot > 0) & (dot ** 2 * 10000 >= tau2 * np.outer(n2, n2))
         # column j is dropped iff any row i < j (smaller id) is a dup
         dropped = np.triu(dup, k=1).any(axis=0)
-        return pd.DataFrame({
-            id_col: g[id_col].to_numpy(),
-            "cluster": g["cluster"].to_numpy(),
-            "kept": ~dropped})
+        return pa.table({
+            id_col: pa.array(ids, type=pa.int64()),
+            "cluster": t.column("cluster").combine_chunks().take(
+                pa.array(order)),
+            "kept": pa.array(~dropped)})
 
-    return (vecs.map_batches(_assign_with_vec, batch_format="pandas")
+    return (vecs.map_batches(_assign_with_vec, batch_format="pyarrow")
             .groupby("cluster")
-            .map_groups(_dedup_cluster, batch_format="pandas"))
+            .map_groups(_dedup_cluster, batch_format="pyarrow"))
