@@ -1578,6 +1578,15 @@ def _q_docs_tfidf_terms(sf_dir: str):
     return out.sort_values(["doc_id", "term"], ignore_index=True)
 
 
+def _q_docs_top_tokens(sf_dir: str):
+    """EXACT global heavy hitters: top-100 word tokens by corpus
+    frequency (hash-bucketed combiner counts; only buckets×k
+    candidate rows reach the driver)."""
+    from rdf_extraction_ray.stages.textstats import top_tokens
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return top_tokens(docs, k=100)
+
+
 def _q_docs_pack_windows(sf_dir: str):
     """Concat-and-split sequence packing: token counts per doc →
     hash-bucket groupby → in-bucket offsets and window ids (the
@@ -2116,6 +2125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_sample": _q_docs_stratified_sample,
         "docs_pack_windows": _q_docs_pack_windows,
         "docs_tfidf_terms": _q_docs_tfidf_terms,
+        "docs_top_tokens": _q_docs_top_tokens,
         "docs_fingerprint": _q_docs_fingerprint,
         "docs_repetition": _q_docs_repetition,
         "docs_pii_redact": _q_docs_pii_redact,
@@ -2493,6 +2503,15 @@ def oracle_sql() -> dict[str, str]:
                   FROM scored)
             SELECT doc_id, term, tf, score FROM r WHERE rn <= 3
             ORDER BY doc_id, term
+        """,
+        "docs_top_tokens": """
+            SELECT w AS token, count(*)::BIGINT AS n
+            FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                                   '[a-z0-9]+')) AS w
+                  FROM documents)
+            GROUP BY w
+            ORDER BY n DESC, token
+            LIMIT 100
         """,
         "docs_pack_windows": """
             WITH toks AS (

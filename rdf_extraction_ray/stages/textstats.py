@@ -236,3 +236,53 @@ def tfidf_top_terms(docs, k: int = 3, n_buckets: int = 64,
             .groupby("tbucket").map_groups(_score_bucket,
                                            batch_format="pandas")
             .groupby("dbucket").map_groups(_topk, batch_format="pandas"))
+
+
+def top_tokens(docs, k: int = 100, n_buckets: int = 64,
+               id_col: str = "doc_id", text_col: str = "text"):
+    """EXACT global heavy hitters: the ``k`` most frequent word
+    tokens (``[a-z0-9]+`` over lowercased text) across the corpus,
+    ordered by (count desc, token asc).
+
+    Scale shape: per-batch local ``value_counts`` (a combiner — the
+    exchange carries one row per DISTINCT (batch, token), not one per
+    occurrence), hash-bucket groupby sums full per-token counts (a
+    token lives in exactly ONE bucket, so bucket-local top-k is
+    globally sound), and only ``n_buckets × k`` candidate rows reach
+    the driver for the final merge. No sketch needed: exactness comes
+    from the one-bucket-per-token invariant, not approximation.
+
+    Returns a pandas DataFrame (token, n) of ≤ k rows.
+    """
+    import re as _re
+
+    word = _re.compile(r"[a-z0-9]+")
+
+    def _local(batch: pd.DataFrame) -> pd.DataFrame:
+        toks: list = []
+        for t in batch[text_col]:
+            toks.extend(word.findall(str(t).lower()))
+        if not toks:
+            return pd.DataFrame({"token": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64"),
+                                 "tbucket": pd.Series([], dtype="int64")})
+        vc = pd.Series(toks).value_counts()
+        out = pd.DataFrame({"token": vc.index.to_numpy(),
+                            "n": vc.to_numpy().astype("int64")})
+        out["tbucket"] = (pd.util.hash_pandas_object(
+            out["token"], index=False) % n_buckets).astype("int64")
+        return out
+
+    def _bucket_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("token", as_index=False)["n"].sum()
+        g = g.sort_values(["n", "token"], ascending=[False, True],
+                          kind="stable").head(k)
+        return g[["token", "n"]]
+
+    cands = (docs.map_batches(_local, batch_format="pandas")
+             .groupby("tbucket").map_groups(_bucket_topk,
+                                            batch_format="pandas")
+             .to_pandas())
+    return (cands.sort_values(["n", "token"], ascending=[False, True],
+                              kind="stable").head(k)
+            .reset_index(drop=True))

@@ -487,6 +487,39 @@ class TestTfidfTopTerms:
             out.astype({"tf": "int64", "score": "int64"}), exp)
 
 
+class TestTopTokens:
+    def test_matches_pandas_reference(self):
+        import re
+
+        from rdf_extraction_ray.stages.textstats import top_tokens
+        docs = pd.DataFrame({
+            "doc_id": np.arange(6, dtype="int64"),
+            "text": ["the cat sat on the mat",
+                     "the dog ate the cat food",
+                     "a dog and a cat and a bird",
+                     "numbers 42 and 42 and 7",
+                     "",
+                     "THE the The tHe"]})
+        out = top_tokens(rd.from_pandas(docs), k=5)
+        word = re.compile(r"[a-z0-9]+")
+        toks: list = []
+        for t in docs["text"]:
+            toks.extend(word.findall(t.lower()))
+        vc = pd.Series(toks).value_counts()
+        exp = (pd.DataFrame({"token": vc.index, "n": vc.to_numpy()})
+               .sort_values(["n", "token"], ascending=[False, True],
+                            kind="stable").head(5)
+               .reset_index(drop=True).astype({"n": "int64"}))
+        pd.testing.assert_frame_equal(out.astype({"n": "int64"}), exp)
+
+    def test_k_larger_than_vocab(self):
+        from rdf_extraction_ray.stages.textstats import top_tokens
+        docs = pd.DataFrame({"doc_id": [0], "text": ["alpha beta alpha"]})
+        out = top_tokens(rd.from_pandas(docs), k=100)
+        assert list(out["token"]) == ["alpha", "beta"]
+        assert list(out["n"]) == [2, 1]
+
+
 class TestRangeCountJoin:
     def test_interval_counts_match_pandas(self):
         from rdf_extraction_ray.stages.joins import range_count_join
