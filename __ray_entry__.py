@@ -1587,6 +1587,16 @@ def _q_docs_top_tokens(sf_dir: str):
     return top_tokens(docs, k=100)
 
 
+def _q_docs_length_quantiles(sf_dir: str):
+    """EXACT discrete length quantiles: distributed histogram
+    (per-batch value_counts combiner → hash-bucket sum), driver
+    merges one row per DISTINCT length, not per doc."""
+    from rdf_extraction_ray.stages.textstats import exact_quantiles
+    docs = _read(sf_dir, "documents", ["n_chars"])
+    return exact_quantiles(docs, "n_chars",
+                           qs=(0.25, 0.5, 0.75, 0.9, 0.99))
+
+
 def _q_docs_pack_windows(sf_dir: str):
     """Concat-and-split sequence packing: token counts per doc →
     hash-bucket groupby → in-bucket offsets and window ids (the
@@ -2126,6 +2136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pack_windows": _q_docs_pack_windows,
         "docs_tfidf_terms": _q_docs_tfidf_terms,
         "docs_top_tokens": _q_docs_top_tokens,
+        "docs_length_quantiles": _q_docs_length_quantiles,
         "docs_fingerprint": _q_docs_fingerprint,
         "docs_repetition": _q_docs_repetition,
         "docs_pii_redact": _q_docs_pii_redact,
@@ -2512,6 +2523,12 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY w
             ORDER BY n DESC, token
             LIMIT 100
+        """,
+        "docs_length_quantiles": """
+            SELECT unnest([0.25,0.5,0.75,0.9,0.99])::DOUBLE AS q,
+                   unnest(quantile_disc(n_chars,
+                          [0.25,0.5,0.75,0.9,0.99]))::BIGINT AS value
+            FROM documents
         """,
         "docs_pack_windows": """
             WITH toks AS (

@@ -286,3 +286,50 @@ def top_tokens(docs, k: int = 100, n_buckets: int = 64,
     return (cands.sort_values(["n", "token"], ascending=[False, True],
                               kind="stable").head(k)
             .reset_index(drop=True))
+
+
+def exact_quantiles(ds, col: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99),
+                    n_buckets: int = 64):
+    """EXACT discrete quantiles of an integer-valued column
+    (``quantile_disc`` semantics: the element at sorted index
+    ``max(0, ceil(q*n) - 1)``).
+
+    Scale shape: per-batch ``value_counts`` is a combiner (the
+    exchange carries one row per distinct (batch, value), never one
+    per row), a hash-bucket groupby sums full per-value counts, and
+    the driver merges the GLOBAL HISTOGRAM — one row per distinct
+    value, not per input row. Exact for length-like columns whose
+    distinct-value cardinality is bounded (chars / tokens / scores);
+    for unbounded continuous columns use a sketch instead — this
+    operator is deliberately the exact path.
+
+    Returns a pandas DataFrame (q, value) with one row per requested
+    quantile, ordered by q.
+    """
+    import math
+
+    def _local(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch[col].value_counts()
+        out = pd.DataFrame({"v": vc.index.to_numpy().astype("int64"),
+                            "n": vc.to_numpy().astype("int64")})
+        out["vbucket"] = (out["v"] % n_buckets).astype("int64")
+        return out
+
+    def _merge(group: pd.DataFrame) -> pd.DataFrame:
+        return group.groupby("v", as_index=False)["n"].sum()
+
+    hist = (ds.map_batches(_local, batch_format="pandas")
+            .groupby("vbucket").map_groups(_merge, batch_format="pandas")
+            .to_pandas())
+    hist = hist.sort_values("v", ignore_index=True)
+    total = int(hist["n"].sum())
+    cum = hist["n"].cumsum().to_numpy()
+    vals = hist["v"].to_numpy()
+    out_q, out_v = [], []
+    for q in qs:
+        idx = max(0, math.ceil(q * total) - 1)
+        pos = int(np.searchsorted(cum, idx, side="right"))
+        out_q.append(float(q))
+        out_v.append(int(vals[pos]))
+    return pd.DataFrame({"q": pd.array(out_q, dtype="float64"),
+                         "value": pd.array(out_v, dtype="int64")})

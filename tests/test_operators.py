@@ -520,6 +520,30 @@ class TestTopTokens:
         assert list(out["n"]) == [2, 1]
 
 
+class TestExactQuantiles:
+    def test_matches_duckdb_quantile_disc(self):
+        import duckdb
+
+        from rdf_extraction_ray.stages.textstats import exact_quantiles
+        rng = np.random.RandomState(7)
+        vals = rng.randint(0, 500, 997).astype("int64")
+        df = pd.DataFrame({"n_chars": vals})
+        qs = (0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+        out = exact_quantiles(rd.from_pandas(df), "n_chars", qs=qs)
+        exp = duckdb.query_df(df, "t", f"""
+            SELECT unnest({list(qs)})::DOUBLE AS q,
+                   unnest(quantile_disc(n_chars, {list(qs)}))::BIGINT
+                       AS value
+            FROM t""").df()
+        pd.testing.assert_frame_equal(out, exp)
+
+    def test_single_value(self):
+        from rdf_extraction_ray.stages.textstats import exact_quantiles
+        df = pd.DataFrame({"x": [42]})
+        out = exact_quantiles(rd.from_pandas(df), "x", qs=(0.5,))
+        assert list(out["value"]) == [42]
+
+
 class TestRangeCountJoin:
     def test_interval_counts_match_pandas(self):
         from rdf_extraction_ray.stages.joins import range_count_join
