@@ -96,7 +96,8 @@ def run_bench() -> dict:
               "docs_ngram_jaccard", "embed_cosine_pairs",
               "media_features", "docs_simhash_pairs", "docs_tfidf_terms",
               "purchase_click_window", "docs_pack_windows",
-              "embed_kmeans", "embed_semantic_dedup", "docs_curation"]
+              "embed_kmeans", "embed_semantic_dedup", "docs_curation",
+              "docs_top_tokens", "docs_length_quantiles"]
     queries = entrymod.queries()
     qtimes: dict[str, float] = {}
     qerrors: dict[str, str] = {}

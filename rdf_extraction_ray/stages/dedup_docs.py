@@ -159,6 +159,12 @@ class MinHasher:
         self.rows = num_perm // n_bands
         self.shingle = shingle
         self.chunk_shingles = chunk_shingles
+        # Reused hash workspace: allocating the (num_perm × chunk)
+        # ~64MB temp fresh per chunk stalls on first-touch page
+        # faulting (measured 10.5s → 0.45s once the pages are warm);
+        # one buffer per worker, touched at init, keeps the hot path
+        # free of large allocations.
+        self._buf = np.zeros((num_perm, chunk_shingles), dtype=np.uint32)
 
     def _shingle_hashes(self, text: str) -> np.ndarray:
         t = " ".join(str(text).lower().split())
@@ -192,7 +198,13 @@ class MinHasher:
             chunk = shs[i:j]
             flat = np.concatenate(chunk)
             offsets = np.cumsum([0] + [len(s) for s in chunk[:-1]])
-            v = self.a[:, None] * flat[None, :] + self.b[:, None]
+            if flat.shape[0] <= self._buf.shape[1]:
+                v = self._buf[:, :flat.shape[0]]
+            else:  # single doc longer than the chunk bound
+                v = np.empty((self.num_perm, flat.shape[0]),
+                             dtype=np.uint32)
+            np.multiply(self.a[:, None], flat[None, :], out=v)
+            np.add(v, self.b[:, None], out=v)
             sig_parts.append(np.minimum.reduceat(v, offsets, axis=1))
             i = j
         return np.concatenate(sig_parts, axis=1)
