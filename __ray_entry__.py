@@ -2091,6 +2091,47 @@ def _q_media_frames(sf_dir: str):
                              batch_size=64, concurrency=2)
 
 
+def _q_docs_dup_spans(sf_dir: str):
+    """EXACT duplicated-span detection (Lee et al. 2022 substring-dedup
+    semantics at fixed width): per doc, how many of its word-10-gram
+    windows occur at ≥2 locations corpus-wide. Fully SQL-oracled via
+    the shared md5-15-hex gram hash."""
+    from rdf_extraction_ray.stages.dedup_docs import dup_span_stats
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = dup_span_stats(docs, n_words=10).to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+def _q_docs_incremental_dedup(sf_dir: str):
+    """EXACT incremental dedup of a 'new crawl' slice against a prior
+    'snapshot' slice (overlapping deterministic hash slices, so the
+    drop path is exercised): broadcast Bloom prefilter + exact
+    hash-bucket anti-join confirm — no document body ever shuffles."""
+    import hashlib as _hl
+
+    from rdf_extraction_ray.stages.curate import incremental_dedup
+    full = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _slot(d) -> int:
+        return int(_hl.md5(str(int(d)).encode()).hexdigest()[:8],
+                   16) % 3
+
+    snap = full.filter(lambda r: _slot(r["doc_id"]) <= 1)   # slots 0,1
+    new = full.filter(lambda r: _slot(r["doc_id"]) >= 1)    # slots 1,2
+    out = incremental_dedup(new, snap).to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+def _q_docs_source_cap(sf_dir: str):
+    """Per-source quota cap (RefinedWeb/C4-style anti-domination):
+    keep ≤16 docs per source by deterministic hash order — two-level
+    top-k-per-key, SQL-oracled as a window-rank."""
+    from rdf_extraction_ray.stages.curate import source_cap
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    out = source_cap(docs, cap=16).to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- KG construction pipeline (synthetic transcripts; oracle =
@@ -2141,6 +2182,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition": _q_docs_repetition,
         "docs_pii_redact": _q_docs_pii_redact,
         "docs_decontaminate": _q_docs_decontaminate,
+        "docs_dup_spans": _q_docs_dup_spans,
+        "docs_incremental_dedup": _q_docs_incremental_dedup,
+        "docs_source_cap": _q_docs_source_cap,
         "embed_kmeans": _q_embed_kmeans,
         "embed_semantic_dedup": _q_embed_semantic_dedup,
         "docs_minhash_pairs": _q_docs_minhash_pairs,
@@ -2481,6 +2525,53 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN hits h USING (doc_id)
             WHERE d.doc_id % 97 <> 0
+        """,
+        "docs_dup_spans": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                FROM documents),
+            spans AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5({
+                           " || ' ' || ".join(f"ws[i+{j}]"
+                                              for j in range(10))
+                       }), 1, 15))::BIGINT AS gram
+                FROM toks, unnest(generate_series(1, len(ws) - 9)) s(i)),
+            dup AS (SELECT gram FROM spans
+                    GROUP BY gram HAVING count(*) >= 2),
+            cnt AS (SELECT doc_id, count(*) AS n_dup
+                    FROM spans JOIN dup USING (gram) GROUP BY doc_id)
+            SELECT t.doc_id,
+                   greatest(len(t.ws) - 9, 0)::BIGINT AS n_spans,
+                   coalesce(c.n_dup, 0)::BIGINT AS n_dup_spans
+            FROM toks t LEFT JOIN cnt c USING (doc_id)
+            ORDER BY t.doc_id
+        """,
+        "docs_incremental_dedup": """
+            WITH snap AS (
+                SELECT md5(text) AS h FROM documents
+                WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                      % 3 <= 1),
+            nw AS (
+                SELECT doc_id, md5(text) AS h FROM documents
+                WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                      % 3 >= 1)
+            SELECT doc_id FROM nw
+            WHERE h NOT IN (SELECT h FROM snap)
+            ORDER BY doc_id
+        """,
+        "docs_source_cap": """
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY ('0x' || substr(md5(doc_id::VARCHAR),
+                                                    1, 8))::BIGINT,
+                                    doc_id) AS rn
+                FROM documents)
+            WHERE rn <= 16
+            ORDER BY doc_id
         """,
         "embed_kmeans": _kmeans_select(),
         "embed_semantic_dedup": _semantic_dedup_sql(),

@@ -97,7 +97,9 @@ def run_bench() -> dict:
               "media_features", "docs_simhash_pairs", "docs_tfidf_terms",
               "purchase_click_window", "docs_pack_windows",
               "embed_kmeans", "embed_semantic_dedup", "docs_curation",
-              "docs_top_tokens", "docs_length_quantiles"]
+              "docs_top_tokens", "docs_length_quantiles",
+              "docs_dup_spans", "docs_incremental_dedup",
+              "docs_source_cap"]
     queries = entrymod.queries()
     qtimes: dict[str, float] = {}
     qerrors: dict[str, str] = {}

@@ -25,6 +25,7 @@ Scale shapes:
 
 from __future__ import annotations
 
+import hashlib
 import re
 
 import numpy as np
@@ -33,7 +34,7 @@ import pandas as pd
 import ray
 import ray.data as rd
 
-from .dedup_docs import _gram_hash
+from .dedup_docs import _cached_get, _gram_hash
 
 _WORD = re.compile(r"[a-z0-9]+")
 
@@ -170,3 +171,170 @@ def decontaminate(corpus: rd.Dataset, bench_grams_ref: "ray.ObjectRef",
         return out
 
     return corpus.map_batches(_probe, batch_format="pandas")
+
+
+# ------------------------------------- incremental (snapshot) dedup
+
+_BLOOM_MULT = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 increment
+
+
+def _text_keys(texts) -> np.ndarray:
+    """md5-15-hex int64 of the raw text — the shared hashing scheme a
+    DuckDB oracle recomputes as ``('0x' || substr(md5(text), 1,
+    15))::BIGINT``."""
+    return np.fromiter(
+        (int(hashlib.md5(str(t).encode()).hexdigest()[:15], 16)
+         for t in texts), dtype=np.int64, count=len(texts))
+
+
+def _bloom_positions(h: np.ndarray, m_log2: int, k: int) -> np.ndarray:
+    """(k, n) bit positions via double hashing: idx_j = h1 + j·h2
+    (mod m). m is a power of two so the mod is a mask."""
+    mask = np.uint64((1 << m_log2) - 1)
+    h1 = h.view(np.uint64)
+    h2 = (h1 * _BLOOM_MULT) | np.uint64(1)
+    return np.stack([(h1 + np.uint64(j) * h2) & mask for j in range(k)])
+
+
+def snapshot_bloom(snapshot: rd.Dataset, m_log2: int = 23, k: int = 4,
+                   text_col: str = "text") -> "ray.ObjectRef":
+    """Bloom filter over the snapshot corpus' exact text hashes.
+
+    Built distributed: each ``map_batches`` task sets bits into its own
+    fixed-size bitmap (2^``m_log2`` bits — 1 MiB at the default,
+    INDEPENDENT of corpus size); the driver ORs the constant-size
+    partials as they stream and ``ray.put``s the result once for
+    broadcast. The driver never sees a hash, only bitmaps.
+    """
+    m = 1 << m_log2
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(m >> 6, dtype=np.uint64)
+        if len(batch):
+            pos = _bloom_positions(_text_keys(batch[text_col]),
+                                   m_log2, k).reshape(-1)
+            np.bitwise_or.at(bits, pos >> np.uint64(6),
+                             np.uint64(1) << (pos & np.uint64(63)))
+        return pd.DataFrame({"bitmap": [bits.tobytes()]})
+
+    acc = np.zeros(m >> 6, dtype=np.uint64)
+    parts = snapshot.map_batches(_partial, batch_format="pandas",
+                                 batch_size=8192)
+    for b in parts.iter_batches(batch_format="pandas"):
+        for raw in b["bitmap"]:
+            acc |= np.frombuffer(raw, dtype=np.uint64)
+    return ray.put(acc)
+
+
+def incremental_dedup(new_docs: rd.Dataset, snapshot: rd.Dataset,
+                      m_log2: int = 23, k: int = 4, n_buckets: int = 64,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> rd.Dataset:
+    """EXACT incremental dedup of a new shard against a prior corpus
+    snapshot: keep new docs whose exact text does not appear in the
+    snapshot — without ever shuffling a document body.
+
+    The scale pattern for recurring crawls: a broadcast Bloom filter
+    over the snapshot prunes the (typical-case dominant) definitely-new
+    docs from the exchange entirely; only Bloom POSITIVES enter an
+    exact hash-bucket anti-join against the snapshot's int64 text
+    hashes, so the result is exact (false positives are confirmed
+    away, and a Bloom filter has no false negatives). Output:
+    ``(doc_id,)`` of kept new docs. A production run would persist the
+    snapshot hash column and bitmap between crawls instead of
+    recomputing them.
+    """
+    bloom_ref = snapshot_bloom(snapshot, m_log2=m_log2, k=k,
+                               text_col=text_col)
+
+    def _probe(batch: pd.DataFrame) -> pd.DataFrame:
+        bits = _cached_get(bloom_ref)
+        h = _text_keys(batch[text_col])
+        pos = _bloom_positions(h, m_log2, k)
+        maybe = np.ones(len(batch), dtype=bool)
+        for row in pos:
+            maybe &= ((bits[row >> np.uint64(6)]
+                       >> (row & np.uint64(63))) & np.uint64(1)) == 1
+        return pd.DataFrame({id_col: batch[id_col].astype("int64"),
+                             "h": h, "maybe": maybe})
+
+    # materialize the PRUNED (id, hash, flag) projection — 17 bytes a
+    # doc, not the texts — so the two branches below don't re-hash
+    probed = new_docs.map_batches(
+        _probe, batch_format="pandas").materialize()
+    definite = probed.filter(
+        lambda r: not r["maybe"]).select_columns([id_col])
+
+    def _maybe_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch[batch["maybe"]]
+        out = pd.DataFrame({id_col: g[id_col].astype("int64"),
+                            "h": g["h"].astype("int64"),
+                            "kind": np.int64(1)})
+        out["hbucket"] = (out["h"] % n_buckets).astype("int64")
+        return out
+
+    def _snap_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({id_col: np.int64(-1),
+                            "h": _text_keys(batch[text_col]),
+                            "kind": np.int64(0)})
+        out["hbucket"] = (out["h"] % n_buckets).astype("int64")
+        return out
+
+    def _anti(group: pd.DataFrame) -> pd.DataFrame:
+        seen = group.loc[group["kind"] == 0, "h"]
+        keep = group[(group["kind"] == 1) & ~group["h"].isin(seen)]
+        return keep[[id_col]].astype("int64")
+
+    maybes = probed.map_batches(_maybe_rows, batch_format="pandas")
+    snap = snapshot.map_batches(_snap_rows, batch_format="pandas")
+    confirmed = (maybes.union(snap).groupby("hbucket")
+                 .map_groups(_anti, batch_format="pandas"))
+    return definite.union(confirmed)
+
+
+# --------------------------------------------- per-source quota cap
+
+
+def _id_rank(ids) -> np.ndarray:
+    """md5-8-hex int64 rank key of the id — the deterministic 'random'
+    order the DuckDB oracle recomputes as ``('0x' ||
+    substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT``."""
+    return np.fromiter(
+        (int(hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16)
+         for i in ids), dtype=np.int64, count=len(ids))
+
+
+def source_cap(docs: rd.Dataset, cap: int = 16, n_buckets: int = 32,
+               id_col: str = "doc_id",
+               key_col: str = "source") -> rd.Dataset:
+    """Keep at most ``cap`` docs per source, chosen by a deterministic
+    hash order (RefinedWeb/C4-style per-domain quota: stops any one
+    domain from dominating the training mix). Output: the kept
+    ``(doc_id, source)`` rows.
+
+    Two-level top-k-per-key: each batch locally prunes to its own
+    ``cap`` smallest rank keys per source (bounding the exchange to
+    cap × blocks per source regardless of skew), then a source-bucket
+    groupby takes the global ``cap`` smallest. Ties on the rank key
+    break by doc id, so the pick is total-order deterministic.
+    """
+
+    def _local(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({id_col: batch[id_col].astype("int64"),
+                            key_col: batch[key_col].astype(str),
+                            "rk": _id_rank(batch[id_col])})
+        out = (out.sort_values(["rk", id_col])
+               .groupby(key_col, as_index=False).head(cap))
+        out["sbucket"] = pd.array(
+            [int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+             % n_buckets for s in out[key_col]], dtype="int64")
+        return out
+
+    def _global(group: pd.DataFrame) -> pd.DataFrame:
+        g = (group.sort_values(["rk", id_col])
+             .groupby(key_col, as_index=False).head(cap))
+        return g[[id_col, key_col]]
+
+    return (docs.map_batches(_local, batch_format="pandas")
+            .groupby("sbucket").map_groups(_global,
+                                           batch_format="pandas"))

@@ -1021,3 +1021,84 @@ def connected_components_ds(pairs: rd.Dataset, n_buckets: int = 32,
 
     return (edges.map_batches(_emit, batch_format="pandas")
             .groupby("__b").map_groups(_dedup, batch_format="pandas"))
+
+
+# ------------------------------------------- exact duplicated spans
+
+
+def dup_span_stats(docs: rd.Dataset, n_words: int = 10,
+                   n_gram_buckets: int = 256, n_doc_buckets: int = 64,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> rd.Dataset:
+    """EXACT duplicated-span detection: per doc, the count of word
+    ``n_words``-gram windows (stride 1) whose gram occurs at ≥ 2
+    locations corpus-wide (any document, including repeats within the
+    same one) — the fixed-width, hash-grouped equivalent of
+    suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"). Output one row per
+    doc: ``(doc_id, n_spans, n_dup_spans)``.
+
+    Scale shape: one map pass tokenizes each doc once and emits one
+    int64 gram row PER POSITION (the unavoidable exchange of exact
+    substring dedup at fixed width — texts never shuffle) plus a
+    single per-doc total row; a gram-hash-bucket groupby counts
+    occurrences and turns dup grams into per-doc partial counts; a
+    second, doc-bucket groupby sums partials and joins the totals.
+    Gram hashing is the shared md5-15-hex scheme (:func:`_gram_hash`)
+    so a DuckDB oracle recomputes the whole operator bit-exactly.
+    """
+
+    def _span_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        ids: list[int] = []
+        keys: list[int] = []
+        vs: list[int] = []
+        kinds: list[int] = []
+        for d, t in zip(batch[id_col], batch[text_col]):
+            d = int(d)
+            ws = _WORD_RE.findall(str(t).lower())
+            n = max(len(ws) - n_words + 1, 0)
+            ids.append(d), keys.append(d), vs.append(n), kinds.append(0)
+            for i in range(n):
+                ids.append(d)
+                keys.append(_gram_hash(" ".join(ws[i:i + n_words])))
+                vs.append(1)
+                kinds.append(1)
+        out = pd.DataFrame({id_col: pd.array(ids, dtype="int64"),
+                            "key": pd.array(keys, dtype="int64"),
+                            "v": pd.array(vs, dtype="int64"),
+                            "kind": pd.array(kinds, dtype="int64")})
+        out["bucket"] = (out["key"] % n_gram_buckets).astype("int64")
+        return out
+
+    def _gram_reduce(group: pd.DataFrame) -> pd.DataFrame:
+        # kind-0 per-doc totals ride through untouched; kind-1 gram
+        # rows collapse to per-doc dup-location partial counts
+        parts = [group.loc[group["kind"] == 0, [id_col, "v", "kind"]]]
+        g = group[group["kind"] == 1]
+        if len(g):
+            occ = g.groupby("key")["key"].transform("size")
+            dup = g[occ >= 2]
+            if len(dup):
+                cnt = dup.groupby(id_col, as_index=False).size()
+                parts.append(pd.DataFrame({
+                    id_col: cnt[id_col].astype("int64"),
+                    "v": cnt["size"].astype("int64"),
+                    "kind": np.int64(1)}))
+        out = pd.concat(parts, ignore_index=True)
+        out["dbucket"] = (out[id_col] % n_doc_buckets).astype("int64")
+        return out
+
+    def _doc_reduce(group: pd.DataFrame) -> pd.DataFrame:
+        tot = group[group["kind"] == 0].groupby(id_col)["v"].sum()
+        dup = group[group["kind"] == 1].groupby(id_col)["v"].sum()
+        return pd.DataFrame({
+            id_col: tot.index.to_numpy(dtype="int64"),
+            "n_spans": tot.to_numpy(dtype="int64"),
+            "n_dup_spans": dup.reindex(tot.index).fillna(0)
+            .to_numpy(dtype="int64")})
+
+    rows = docs.map_batches(_span_rows, batch_format="pandas")
+    partials = rows.groupby("bucket").map_groups(
+        _gram_reduce, batch_format="pandas")
+    return partials.groupby("dbucket").map_groups(
+        _doc_reduce, batch_format="pandas")

@@ -85,3 +85,95 @@ def test_decontaminate_planted_overlap():
     assert out.loc[100, "n_hit_grams"] == 1
     assert not out.loc[101, "contaminated"]
     assert out.loc[101, "n_hit_grams"] == 0
+
+
+def test_incremental_dedup_planted_overlap():
+    from rdf_extraction_ray.stages.curate import incremental_dedup
+    snap = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["alpha body", "beta body", "gamma body"]}))
+    new = rd.from_pandas(pd.DataFrame({
+        "doc_id": [10, 11, 12, 13],
+        "text": ["beta body",            # exact match → dropped
+                 "beta body ",           # trailing space → kept (exact)
+                 "fresh content one",    # new → kept
+                 "gamma body"]}))        # exact match → dropped
+    kept = sorted(incremental_dedup(new, snap).to_pandas()["doc_id"])
+    assert kept == [11, 12]
+
+
+def test_incremental_dedup_small_bloom_false_positives():
+    # a 64-bit bloom (m_log2=6) with 500 snapshot docs saturates —
+    # nearly every probe is a bloom positive; the exact confirm join
+    # must still produce the exact answer
+    from rdf_extraction_ray.stages.curate import incremental_dedup
+    snap = rd.from_pandas(pd.DataFrame({
+        "doc_id": range(500),
+        "text": [f"snapshot doc {i}" for i in range(500)]}))
+    new = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1000, 1001, 1002],
+        "text": ["snapshot doc 7", "genuinely new", "snapshot doc 499"]}))
+    kept = sorted(incremental_dedup(new, snap,
+                                    m_log2=6).to_pandas()["doc_id"])
+    assert kept == [1001]
+
+
+def test_source_cap_deterministic_quota():
+    import hashlib
+
+    from rdf_extraction_ray.stages.curate import source_cap
+    df = pd.DataFrame({
+        "doc_id": range(40),
+        "source": ["a"] * 30 + ["b"] * 10})
+    out = source_cap(rd.from_pandas(df), cap=5).to_pandas()
+    assert out.groupby("source").size().to_dict() == {"a": 5, "b": 5}
+    # the pick is the 5 smallest md5(doc_id) rank keys per source
+    rk = {d: int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
+          for d in df["doc_id"]}
+    for src, grp in df.groupby("source"):
+        want = set(sorted(grp["doc_id"], key=lambda d: (rk[d], d))[:5])
+        got = set(out.loc[out["source"] == src, "doc_id"])
+        assert got == want, src
+
+
+def test_source_cap_local_prune_matches_single_block():
+    # many small blocks (local prune engaged) vs one block: same pick
+    from rdf_extraction_ray.stages.curate import source_cap
+    df = pd.DataFrame({"doc_id": range(200),
+                       "source": [f"s{i % 3}" for i in range(200)]})
+    one = source_cap(rd.from_pandas(df), cap=7).to_pandas()
+    many = source_cap(rd.from_pandas(df).repartition(20),
+                      cap=7).to_pandas()
+    key = ["doc_id", "source"]
+    assert one.sort_values(key, ignore_index=True).equals(
+        many.sort_values(key, ignore_index=True))
+
+
+def test_dup_span_stats_planted():
+    from rdf_extraction_ray.stages.dedup_docs import dup_span_stats
+    shared = "one two three four five six seven eight nine ten"
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [f"{shared} tail one", f"head {shared}",
+                 "completely different words " * 4]}))
+    out = (dup_span_stats(docs, n_words=10).to_pandas()
+           .set_index("doc_id").sort_index())
+    # docs 1 and 2 share exactly the one 10-word window
+    assert out.loc[1, "n_dup_spans"] == 1
+    assert out.loc[2, "n_dup_spans"] == 1
+    assert out.loc[3, "n_dup_spans"] == 0
+    # totals: doc1 has 12 words → 3 windows; doc2 11 words → 2
+    assert out.loc[1, "n_spans"] == 3
+    assert out.loc[2, "n_spans"] == 2
+
+
+def test_dup_span_stats_within_doc_repeat():
+    # a window repeated INSIDE one doc counts at both locations
+    from rdf_extraction_ray.stages.dedup_docs import dup_span_stats
+    run = "a b c d e f g h i j"
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": [5], "text": [f"{run} {run}"]}))
+    out = dup_span_stats(docs, n_words=10).to_pandas()
+    # 20 words → 11 windows; windows at pos 0 and pos 10 are the same
+    assert int(out["n_spans"].iloc[0]) == 11
+    assert int(out["n_dup_spans"].iloc[0]) == 2
