@@ -2107,17 +2107,18 @@ def _q_docs_incremental_dedup(sf_dir: str):
     'snapshot' slice (overlapping deterministic hash slices, so the
     drop path is exercised): broadcast Bloom prefilter + exact
     hash-bucket anti-join confirm — no document body ever shuffles."""
-    import hashlib as _hl
-
-    from rdf_extraction_ray.stages.curate import incremental_dedup
+    from rdf_extraction_ray.stages.curate import _id_rank, incremental_dedup
     full = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def _slot(d) -> int:
-        return int(_hl.md5(str(int(d)).encode()).hexdigest()[:8],
-                   16) % 3
+    def _slice(keep):
+        def inner(b: pd.DataFrame) -> pd.DataFrame:
+            return b[keep(_id_rank(b["doc_id"]) % 3)]
+        return inner
 
-    snap = full.filter(lambda r: _slot(r["doc_id"]) <= 1)   # slots 0,1
-    new = full.filter(lambda r: _slot(r["doc_id"]) >= 1)    # slots 1,2
+    snap = full.map_batches(_slice(lambda s: s <= 1),
+                            batch_format="pandas")   # slots 0,1
+    new = full.map_batches(_slice(lambda s: s >= 1),
+                           batch_format="pandas")    # slots 1,2
     out = incremental_dedup(new, snap).to_pandas()
     return out.sort_values("doc_id", ignore_index=True)
 

@@ -262,8 +262,8 @@ def incremental_dedup(new_docs: rd.Dataset, snapshot: rd.Dataset,
     # doc, not the texts — so the two branches below don't re-hash
     probed = new_docs.map_batches(
         _probe, batch_format="pandas").materialize()
-    definite = probed.filter(
-        lambda r: not r["maybe"]).select_columns([id_col])
+    definite = probed.map_batches(
+        lambda b: b.loc[~b["maybe"], [id_col]], batch_format="pandas")
 
     def _maybe_rows(batch: pd.DataFrame) -> pd.DataFrame:
         g = batch[batch["maybe"]]

@@ -200,8 +200,9 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
         out = pd.merge_asof(l, r, on=on, by=by, direction="backward",
                             suffixes=("", suffix))
         out = out[out["__rmatch"].notna()]
-        return pa.Table.from_pandas(out[out_cols], schema=out_schema,
-                                    preserve_index=False)
+        return pa.Table.from_pandas(
+            out[out_cols], schema=out_schema,
+            preserve_index=False).replace_schema_metadata(None)
 
     return tagged.groupby("__bucket").map_groups(_merge_bucket,
                                                  batch_format="pyarrow")
@@ -238,8 +239,9 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str | list[str],
     def _merge_bucket(t: pa.Table) -> pa.Table:
         l, r = _side_frames(t, left_cols, right_cols)
         out = l.merge(r, on=on_cols, how=how, suffixes=("", suffix))
-        return pa.Table.from_pandas(out[out_cols], schema=out_schema,
-                                    preserve_index=False)
+        return pa.Table.from_pandas(
+            out[out_cols], schema=out_schema,
+            preserve_index=False).replace_schema_metadata(None)
 
     return tagged.groupby("__bucket").map_groups(_merge_bucket,
                                                  batch_format="pyarrow")
@@ -268,36 +270,21 @@ def range_count_join(left: rd.Dataset, right: rd.Dataset, on: str,
     """
 
     # both sides are padded to ONE explicit column set before the
-    # union (the exchange must see a stable schema; outer-concat
-    # NaN-padding would also leak right-only columns into the output)
+    # union, with TYPED Arrow nulls — the exchange moves compact Arrow
+    # blocks, never pandas object-dtype padding (the right side
+    # contributes only its key + timestamp columns)
     left_schema = _arrow_schema(left)  # numpy dtypes → Arrow types
-    left_cols = list(left_schema.names)
-    # the union's None-padding promotes left columns to object dtype
-    # inside mixed blocks; the output casts back to the left schema
-    left_dtypes = (left_schema.empty_table().to_pandas()
-                   .dtypes.to_dict())
+    right_schema = _arrow_schema(right)
+    right_sub = pa.schema([(on, right_schema.field(on).type),
+                           (ts_col, right_schema.field(ts_col).type)])
+    all_cols, (left_cols, right_cols), type_of = _union_schema(
+        left_schema, right_sub)
+    out_schema = left_schema.append(pa.field(count_col, pa.int64()))
 
-    def _tag_left(df: pd.DataFrame) -> pd.DataFrame:
-        b = df[left_cols].copy()
-        b["__side"] = np.int8(0)
-        b["__bucket"] = _bucket_of(b[on], n_buckets)
-        return b
-
-    def _tag_right(df: pd.DataFrame) -> pd.DataFrame:
-        b = pd.DataFrame({c: pd.Series([None] * len(df))
-                          for c in left_cols})
-        b[on] = df[on].to_numpy()
-        b[ts_col] = df[ts_col].to_numpy()
-        b["__side"] = np.int8(1)
-        b["__bucket"] = _bucket_of(b[on], n_buckets)
-        return b
-
-    def _count(group: pd.DataFrame) -> pd.DataFrame:
-        lhs = group[group["__side"] == 0]
-        rhs = group[group["__side"] == 1]
-        out_cols = [c for c in left_cols]
+    def _count(group: pa.Table) -> pa.Table:
+        lhs, rhs = _side_frames(group, left_cols, right_cols)
         if not len(lhs):
-            return pd.DataFrame(columns=out_cols + [count_col])
+            return out_schema.empty_table()
         counts = np.zeros(len(lhs), dtype="int64")
         if len(rhs):
             r_by_key = {k: g2[ts_col].to_numpy()
@@ -312,12 +299,18 @@ def range_count_join(left: rd.Dataset, right: rd.Dataset, on: str,
                 lo = np.searchsorted(ts_r, t + lo_offset, side="left")
                 hi = np.searchsorted(ts_r, t + hi_offset, side="right")
                 counts[lhs.index.get_indexer(g.index)] = hi - lo
-        out = lhs.reset_index(drop=True)[out_cols] \
-            .astype(left_dtypes)
+        out = lhs.reset_index(drop=True)
         out[count_col] = counts
-        return out
+        return pa.Table.from_pandas(
+            out, schema=out_schema,
+            preserve_index=False).replace_schema_metadata(None)
 
-    lt = left.map_batches(_tag_left, batch_format="pandas")
-    rt = right.map_batches(_tag_right, batch_format="pandas")
+    lt = left.map_batches(
+        _tagger(0, left_cols, all_cols, type_of, [on], n_buckets),
+        batch_format="pyarrow")
+    rt = right.map_batches(
+        lambda t: _tagger(1, right_cols, all_cols, type_of, [on],
+                          n_buckets)(t.select(right_cols)),
+        batch_format="pyarrow")
     return (lt.union(rt).groupby("__bucket")
-            .map_groups(_count, batch_format="pandas"))
+            .map_groups(_count, batch_format="pyarrow"))
