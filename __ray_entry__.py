@@ -1587,6 +1587,25 @@ def _q_docs_top_tokens(sf_dir: str):
     return top_tokens(docs, k=100)
 
 
+def _q_docs_unigram_logprob(sf_dir: str):
+    """CCNet-style unigram-LM quality score: top-2000-token model fit
+    in one heavy-hitter pass, broadcast once, then each doc scored
+    vectorized as mean -ln p(token) with Laplace smoothing."""
+    from rdf_extraction_ray.stages.textstats import unigram_logprob
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = unigram_logprob(docs, vocab_k=2000).to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+def _q_docs_vocab_size(sf_dir: str):
+    """EXACT corpus vocabulary size: per-batch set-dedup combiner →
+    hash-bucket distinct counts → one scalar sum (no sketch, no
+    full-vocab driver merge)."""
+    from rdf_extraction_ray.stages.textstats import distinct_tokens
+    docs = _read(sf_dir, "documents", ["text"])
+    return distinct_tokens(docs)
+
+
 def _q_docs_length_quantiles(sf_dir: str):
     """EXACT discrete length quantiles: distributed histogram
     (per-batch value_counts combiner → hash-bucket sum), driver
@@ -2178,6 +2197,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pack_windows": _q_docs_pack_windows,
         "docs_tfidf_terms": _q_docs_tfidf_terms,
         "docs_top_tokens": _q_docs_top_tokens,
+        "docs_unigram_logprob": _q_docs_unigram_logprob,
+        "docs_vocab_size": _q_docs_vocab_size,
         "docs_length_quantiles": _q_docs_length_quantiles,
         "docs_fingerprint": _q_docs_fingerprint,
         "docs_repetition": _q_docs_repetition,
@@ -2615,6 +2636,35 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY w
             ORDER BY n DESC, token
             LIMIT 100
+        """,
+        "docs_unigram_logprob": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                                                 '[a-z0-9]+')) AS w
+                FROM documents),
+            vocab AS (
+                SELECT w AS token, count(*)::BIGINT AS n
+                FROM tok GROUP BY w
+                ORDER BY n DESC, token LIMIT 2000),
+            tot AS (SELECT count(*)::DOUBLE AS nt FROM tok),
+            scored AS (
+                SELECT t.doc_id,
+                       -ln((coalesce(v.n, 0) + 1.0)
+                           / (tot.nt + 2001.0)) AS nl
+                FROM tok t LEFT JOIN vocab v ON t.w = v.token, tot)
+            SELECT d.doc_id,
+                   count(s.nl)::BIGINT AS n_toks,
+                   coalesce(avg(s.nl), 0.0) AS logprob
+            FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+            GROUP BY d.doc_id
+            ORDER BY d.doc_id
+        """,
+        "docs_vocab_size": """
+            SELECT count(DISTINCT w)::BIGINT AS n_distinct_tokens
+            FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                                   '[a-z0-9]+')) AS w
+                  FROM documents)
         """,
         "docs_length_quantiles": """
             SELECT unnest([0.25,0.5,0.75,0.9,0.99])::DOUBLE AS q,

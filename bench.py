@@ -99,7 +99,8 @@ def run_bench() -> dict:
               "embed_kmeans", "embed_semantic_dedup", "docs_curation",
               "docs_top_tokens", "docs_length_quantiles",
               "docs_dup_spans", "docs_incremental_dedup",
-              "docs_source_cap"]
+              "docs_source_cap", "docs_unigram_logprob",
+              "docs_vocab_size"]
     queries = entrymod.queries()
     qtimes: dict[str, float] = {}
     qerrors: dict[str, str] = {}

@@ -333,3 +333,102 @@ def exact_quantiles(ds, col: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99),
         out_v.append(int(vals[pos]))
     return pd.DataFrame({"q": pd.array(out_q, dtype="float64"),
                          "value": pd.array(out_v, dtype="int64")})
+
+
+def unigram_logprob(docs, vocab_k: int = 2000, n_buckets: int = 64,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """CCNet-style unigram-LM quality score: mean negative log
+    probability of a document's tokens under a corpus-level unigram
+    model (lower = more "typical" text; high values flag gibberish,
+    boilerplate and OOV-dense junk — the classic perplexity filter
+    with a unigram LM standing in for the 5-gram KenLM).
+
+    Scale shape — two streaming scans, no full-vocab shuffle:
+      1. model fit: EXACT heavy-hitter vocabulary (top ``vocab_k``
+         tokens via :func:`top_tokens` — only buckets×k candidate
+         rows reach the driver) plus the exact corpus token total
+         (per-batch count combiner → scalar sum). Capping the model
+         at ``vocab_k`` is what keeps the broadcast O(k), not
+         O(corpus vocabulary).
+      2. scoring: the ~``vocab_k``-row model is broadcast once via
+         ``ray.put`` and each batch is scored vectorized (one
+         ``Series.map`` over the flattened token run + a cumsum
+         segment-mean); OOV tokens get Laplace count 0, i.e.
+         p(t) = (count(t)+1) / (N + vocab_k + 1).
+
+    Tokenization is the ``[a-z0-9]+``-over-lowercase convention the
+    DuckDB oracle replays with ``regexp_extract_all``. Returns a
+    Dataset of (doc_id, n_toks, logprob); empty docs score 0.0.
+    """
+    import re as _re
+
+    import ray
+
+    word = _re.compile(r"[a-z0-9]+")
+    vocab = top_tokens(docs, k=vocab_k, n_buckets=n_buckets,
+                       id_col=id_col, text_col=text_col)
+
+    def _ntok(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch[text_col].str.lower().str.count(r"[a-z0-9]+")
+        return pd.DataFrame({"n": pd.array([int(n.sum())],
+                                           dtype="int64")})
+
+    n_total = docs.map_batches(_ntok, batch_format="pandas").sum("n")
+    denom = float(n_total) + float(vocab_k) + 1.0
+    model_ref = ray.put(dict(zip(vocab["token"].tolist(),
+                                 vocab["n"].astype("int64").tolist())))
+
+    def _score(batch: pd.DataFrame) -> pd.DataFrame:
+        model = ray.get(model_ref)
+        toks = [word.findall(str(t).lower()) for t in batch[text_col]]
+        lens = np.fromiter((len(t) for t in toks), dtype=np.int64,
+                           count=len(toks))
+        flat = pd.Series([w for ts in toks for w in ts], dtype=object)
+        cnts = flat.map(model).fillna(0).to_numpy(dtype="float64")
+        nl = -np.log((cnts + 1.0) / denom)
+        c = np.concatenate([[0.0], np.cumsum(nl)])
+        ends = np.cumsum(lens)
+        sums = c[ends] - c[ends - lens]
+        mean = np.where(lens > 0, sums / np.maximum(lens, 1), 0.0)
+        return pd.DataFrame({id_col: batch[id_col].to_numpy(),
+                             "n_toks": lens,
+                             "logprob": mean})
+
+    return docs.map_batches(_score, batch_format="pandas")
+
+
+def distinct_tokens(docs, n_buckets: int = 64,
+                    text_col: str = "text") -> pd.DataFrame:
+    """EXACT corpus vocabulary size (count of distinct word tokens).
+
+    Scale shape: per-batch set-dedup is the combiner (the exchange
+    carries one row per DISTINCT (batch, token), never one per
+    occurrence), a hash-bucket groupby counts distinct tokens
+    bucket-locally (a token lives in exactly one bucket, so the
+    bucket counts are disjoint), and only ``n_buckets`` scalar rows
+    are summed — exactness from the one-bucket-per-token invariant,
+    no sketch, no full-vocab driver merge.
+    """
+    import re as _re
+
+    word = _re.compile(r"[a-z0-9]+")
+
+    def _local(batch: pd.DataFrame) -> pd.DataFrame:
+        s: set = set()
+        for t in batch[text_col]:
+            s.update(word.findall(str(t).lower()))
+        out = pd.DataFrame({"token": pd.Series(list(s), dtype=object)})
+        out["tbucket"] = (pd.util.hash_pandas_object(
+            out["token"], index=False) % n_buckets).astype("int64")
+        return out
+
+    def _count(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"n": pd.array([group["token"].nunique()], dtype="int64")})
+
+    total = (docs.map_batches(_local, batch_format="pandas")
+             .groupby("tbucket").map_groups(_count,
+                                            batch_format="pandas")
+             .sum("n"))
+    return pd.DataFrame({"n_distinct_tokens":
+                         pd.array([int(total)], dtype="int64")})

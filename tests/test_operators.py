@@ -722,3 +722,51 @@ def test_titles_csv_generator_is_chain_free():
         sources = set(links["row_id"])
         targets = set(links["ct_islink"])
         assert not (sources & targets), "chained title links generated"
+
+
+class TestUnigramLogprob:
+    def _docs(self):
+        return pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "text": ["the cat sat on the mat",
+                     "the dog sat on the log",
+                     "zzqx vvbn qqrr",        # OOV-dense gibberish
+                     ""],                     # empty doc
+        })
+
+    def test_matches_reference_formula(self):
+        from collections import Counter
+
+        from rdf_extraction_ray.stages.textstats import unigram_logprob
+        df = self._docs()
+        out = (unigram_logprob(rd.from_pandas(df), vocab_k=5)
+               .to_pandas().sort_values("doc_id", ignore_index=True))
+        # independent per-row recomputation of the same model
+        toks = {r.doc_id: str(r.text).lower().split()
+                for r in df.itertuples()}
+        counts = Counter(t for ts in toks.values() for t in ts)
+        vocab = dict(sorted(counts.items(),
+                            key=lambda kv: (-kv[1], kv[0]))[:5])
+        n_total = sum(counts.values())
+        for r in out.itertuples():
+            ts = toks[r.doc_id]
+            assert r.n_toks == len(ts)
+            if not ts:
+                assert r.logprob == 0.0
+                continue
+            exp = np.mean([-np.log((vocab.get(t, 0) + 1)
+                                   / (n_total + 5 + 1)) for t in ts])
+            assert abs(r.logprob - exp) < 1e-9
+
+    def test_gibberish_scores_worse_than_typical(self):
+        from rdf_extraction_ray.stages.textstats import unigram_logprob
+        out = (unigram_logprob(rd.from_pandas(self._docs()), vocab_k=5)
+               .to_pandas().set_index("doc_id"))
+        assert out.loc[3, "logprob"] > out.loc[1, "logprob"]
+
+
+def test_distinct_tokens_exact():
+    from rdf_extraction_ray.stages.textstats import distinct_tokens
+    df = pd.DataFrame({"text": ["a b c", "B c d", "", "d d e1"]})
+    out = distinct_tokens(rd.from_pandas(df), n_buckets=4)
+    assert out["n_distinct_tokens"].tolist() == [5]  # a b c d e1
