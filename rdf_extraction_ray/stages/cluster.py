@@ -53,16 +53,19 @@ def _assign(x: np.ndarray, cents: np.ndarray) -> np.ndarray:
 
 def init_centroids(vecs: rd.Dataset, k: int, id_col: str = "vec_id",
                    vec_col: str = "embedding") -> np.ndarray:
-    """The k vectors with the smallest (md5-hash, id) — a distributed
-    sort + limit(k); only k rows ever reach the driver."""
+    """The k vectors with the smallest (md5-hash, id) — per-batch
+    local top-k combiner, then a driver merge of the ≤ k-per-batch
+    partials. No global sort barrier: an all-to-all over the whole
+    corpus to pick k rows would be the wrong exchange at scale."""
 
-    def _hash(batch: pd.DataFrame) -> pd.DataFrame:
+    def _local_topk(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch[[id_col, vec_col]].copy()
         out["h"] = [_id_hash(int(v)) for v in batch[id_col]]
-        return out
+        return out.sort_values(["h", id_col], kind="stable").head(k)
 
-    top = (vecs.map_batches(_hash, batch_format="pandas")
-           .sort(["h", id_col]).limit(k).to_pandas())
+    top = (vecs.map_batches(_local_topk, batch_format="pandas")
+           .to_pandas()
+           .sort_values(["h", id_col], kind="stable").head(k))
     return _quantize(top[vec_col])
 
 
