@@ -1310,6 +1310,17 @@ def _q_segment_revenue(sf_dir: str):
     return out
 
 
+def _q_events_props_stats(sf_dir: str):
+    """Typed-field extraction from the JSON ``props`` string column
+    (polars Rust JSONPath kernel riding zero-copy on the Arrow batch
+    — no Python json.loads loop), then a combiner-first groupby:
+    integer n/sum/min/max per event_type, avg derived at merge."""
+    from rdf_extraction_ray.stages.jsoncol import json_field_stats
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+    return json_field_stats(ds, group_col="event_type",
+                            col="props", path="$.k")
+
+
 def _q_events_hourly(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
 
@@ -2178,6 +2189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_customers": _q_region_customers,
         "segment_revenue": _q_segment_revenue,
         "events_hourly": _q_events_hourly,
+        "events_props_stats": _q_events_props_stats,
         "user_sessions": _q_user_sessions,
         "part_brand_stats": _q_part_brand_stats,
         "top_orders_per_segment": _q_top_orders_per_segment,
@@ -2896,6 +2908,22 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o.o_totalprice), {_ROUND}) AS revenue
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment
+        """,
+        "events_props_stats": """
+            SELECT event_type,
+                   count(json_extract(props, '$.k'))::BIGINT AS n,
+                   sum(json_extract(props, '$.k')::BIGINT)::BIGINT
+                       AS sum_k,
+                   min(json_extract(props, '$.k')::BIGINT)::BIGINT
+                       AS min_k,
+                   max(json_extract(props, '$.k')::BIGINT)::BIGINT
+                       AS max_k,
+                   (sum(json_extract(props, '$.k')::BIGINT)::DOUBLE
+                    / count(json_extract(props, '$.k')))::DOUBLE
+                       AS avg_k
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
         """,
         "events_hourly": f"""
             SELECT event_type,

@@ -770,3 +770,28 @@ def test_distinct_tokens_exact():
     df = pd.DataFrame({"text": ["a b c", "B c d", "", "d d e1"]})
     out = distinct_tokens(rd.from_pandas(df), n_buckets=4)
     assert out["n_distinct_tokens"].tolist() == [5]  # a b c d e1
+
+
+class TestJsonCol:
+    def test_extract_json_field_typed_nulls(self):
+        from rdf_extraction_ray.stages.jsoncol import extract_json_field
+        ds = rd.from_arrow(pa.table({
+            "props": ['{"k": 7}', '{"other": 1}', None, '{"k": -3}']}))
+        out = extract_json_field(ds, "props", "$.k", "k",
+                                 "int64").to_pandas()
+        assert out["k"].tolist()[0] == 7
+        assert out["k"].tolist()[3] == -3
+        assert pd.isna(out["k"][1]) and pd.isna(out["k"][2])
+
+    def test_json_field_stats_matches_pandas(self):
+        from rdf_extraction_ray.stages.jsoncol import json_field_stats
+        df = pd.DataFrame({
+            "event_type": ["a", "a", "b", "b", "b", "a"],
+            "props": ['{"k": 1}', '{"k": 5}', '{"k": 2}',
+                      '{"x": 9}', '{"k": 4}', None]})
+        out = json_field_stats(rd.from_pandas(df))
+        a = out[out["event_type"] == "a"].iloc[0]
+        b = out[out["event_type"] == "b"].iloc[0]
+        assert (a["n"], a["sum_k"], a["min_k"], a["max_k"]) == (2, 6, 1, 5)
+        assert (b["n"], b["sum_k"], b["min_k"], b["max_k"]) == (2, 6, 2, 4)
+        assert abs(a["avg_k"] - 3.0) < 1e-12
