@@ -1321,6 +1321,38 @@ def _q_events_props_stats(sf_dir: str):
                             col="props", path="$.k")
 
 
+def _q_events_rollup(sf_dir: str):
+    """SQL ROLLUP shape: count + value sums at (event_type, hour),
+    (event_type) and grand-total levels — one raw-data scan feeds the
+    finest groupby; coarser levels re-aggregate the AGGREGATE rows,
+    never the input. Sentinel '__all__' marks rolled-up key slots."""
+    from rdf_extraction_ray.stages.rollup import rollup_sum
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "hour": df["ts"].dt.floor("h")
+                    .dt.strftime("%Y-%m-%d %H:00:00"),
+            "value_sum": df["value"],
+        })
+
+    out = rollup_sum(ds.map_batches(_prep, batch_format="pandas"),
+                     ["event_type", "hour"], ["value_sum"])
+    out["value_sum"] = out["value_sum"].astype("float64").round(_ROUND)
+    return out
+
+
+def _q_docs_quantiles_by_lang(sf_dir: str):
+    """Per-group EXACT discrete quantiles (length percentiles per
+    language): (key, value) histogram combiner, key-hash-bucketed
+    exchange, group-local quantile walk — only histograms move."""
+    from rdf_extraction_ray.stages.textstats import group_quantiles
+    docs = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return group_quantiles(docs, "lang", "n_chars",
+                           qs=(0.25, 0.5, 0.75, 0.9, 0.99))
+
+
 def _q_events_hourly(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
 
@@ -2190,6 +2222,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_revenue": _q_segment_revenue,
         "events_hourly": _q_events_hourly,
         "events_props_stats": _q_events_props_stats,
+        "events_rollup": _q_events_rollup,
+        "docs_quantiles_by_lang": _q_docs_quantiles_by_lang,
         "user_sessions": _q_user_sessions,
         "part_brand_stats": _q_part_brand_stats,
         "top_orders_per_segment": _q_top_orders_per_segment,
@@ -2908,6 +2942,28 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o.o_totalprice), {_ROUND}) AS revenue
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment
+        """,
+        "events_rollup": f"""
+            SELECT coalesce(event_type, '__all__') AS event_type,
+                   coalesce(hour, '__all__') AS hour,
+                   count(*)::BIGINT AS n,
+                   round(sum(value_sum), {_ROUND}) AS value_sum
+            FROM (SELECT event_type,
+                         strftime(date_trunc('hour', ts),
+                                  '%Y-%m-%d %H:00:00') AS hour,
+                         value AS value_sum
+                  FROM events)
+            GROUP BY ROLLUP(event_type, hour)
+            ORDER BY event_type, hour
+        """,
+        "docs_quantiles_by_lang": """
+            SELECT lang,
+                   unnest([0.25,0.5,0.75,0.9,0.99])::DOUBLE AS q,
+                   unnest(quantile_disc(n_chars,
+                          [0.25,0.5,0.75,0.9,0.99]))::BIGINT AS value
+            FROM documents
+            GROUP BY lang
+            ORDER BY lang, q
         """,
         "events_props_stats": """
             SELECT event_type,

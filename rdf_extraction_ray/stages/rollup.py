@@ -1,0 +1,91 @@
+"""Hierarchical (ROLLUP) aggregation.
+
+``rollup_sum`` computes count + sums at EVERY prefix level of the key
+list — (k1, k2), (k1), () — the SQL ``GROUP BY ROLLUP`` shape, with
+coarser levels carrying a sentinel label in the rolled-up key columns.
+
+Scale shape: one combiner pass over the raw rows feeds the FINEST
+groupby; every coarser level is then derived from the finest
+aggregate, never from a re-scan — the exchanges above the first one
+move only aggregate rows (one per distinct finest key), so the cost
+of the whole rollup is one scan + log-ish small shuffles.
+
+Reference analogue: the reference's report counters (mapping-failure
+histograms plus their per-run totals, Utils/utilities.py counters)
+are a two-level rollup computed in one pass here.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+ALL = "__all__"
+
+
+def _fill_sentinel(df: pd.DataFrame, keys: list[str],
+                   keep: int) -> pd.DataFrame:
+    out = df.copy()
+    for k in keys[keep:]:
+        out[k] = ALL
+    return out
+
+
+def rollup_sum(ds: rd.Dataset, keys: list[str],
+               sum_cols: list[str]) -> pd.DataFrame:
+    """Count + per-column sums at every prefix level of ``keys``.
+
+    Returns a pandas DataFrame with columns ``keys + ["n"] +
+    sum_cols``; rolled-up key slots hold the ``"__all__"`` sentinel
+    (the DuckDB oracle spells it ``coalesce(key, '__all__')`` under
+    ``GROUP BY ROLLUP``). Only aggregate rows reach the driver.
+    """
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, as_index=False).agg(
+            n=(sum_cols[0], "size"),
+            **{c: (c, "sum") for c in sum_cols})
+        return g.astype({"n": "int64"})
+
+    # materialize each aggregate level: it is BOUNDED (one row per
+    # distinct key, never per input row), and without it every union
+    # branch would lazily re-execute the shared raw scan per level
+    finest = (ds.map_batches(_partial, batch_format="pandas")
+              .groupby(keys)
+              .aggregate(Sum("n", alias_name="n"),
+                         *[Sum(c, alias_name=c) for c in sum_cols])
+              .materialize())
+
+    levels = [finest.map_batches(
+        lambda df: _fill_sentinel(df, keys, len(keys)),
+        batch_format="pandas")]
+    coarser = finest
+    for keep in range(len(keys) - 1, -1, -1):
+        sub = keys[:keep]
+        if sub:
+            coarser = (coarser.groupby(sub)
+                       .aggregate(Sum("n", alias_name="n"),
+                                  *[Sum(c, alias_name=c)
+                                    for c in sum_cols])
+                       .materialize())
+            lvl = coarser.map_batches(
+                lambda df, _keep=keep: _fill_sentinel(df, keys, _keep),
+                batch_format="pandas")
+        else:
+            tot = coarser.aggregate(Sum("n", alias_name="n"),
+                                    *[Sum(c, alias_name=c)
+                                      for c in sum_cols])
+            row = {k: ALL for k in keys}
+            row.update({c: tot[c] for c in ["n"] + sum_cols})
+            lvl = rd.from_pandas(pd.DataFrame([row]).astype(
+                {"n": "int64"}))
+        levels.append(lvl)
+
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    df = out.to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return (df[keys + ["n"] + sum_cols]
+            .sort_values(keys, ignore_index=True))

@@ -432,3 +432,59 @@ def distinct_tokens(docs, n_buckets: int = 64,
              .sum("n"))
     return pd.DataFrame({"n_distinct_tokens":
                          pd.array([int(total)], dtype="int64")})
+
+
+def group_quantiles(ds, key: str, col: str,
+                    qs=(0.25, 0.5, 0.75, 0.9, 0.99),
+                    n_buckets: int = 64):
+    """EXACT discrete quantiles of an integer column PER GROUP
+    (``quantile_disc`` semantics, as :func:`exact_quantiles`).
+
+    Scale shape: per-batch ``value_counts`` over (key, value) is the
+    combiner; the exchange is bucketed on the GROUP KEY hash, so every
+    (key, value) histogram row for one group lands in exactly one
+    bucket and the quantile walk is group-local inside ``map_groups``.
+    Nothing proportional to row count ever moves — only the per-group
+    histograms — and the driver sees one row per (group, q).
+
+    Skew note: a single mega-group costs its distinct-VALUE count,
+    not its row count; fine for bounded-cardinality columns
+    (lengths / scores), which is this operator's declared domain.
+    """
+
+    def _local(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = (batch[[key, col]]
+              .groupby([key, col], as_index=False).size())
+        out = pd.DataFrame({key: vc[key],
+                            "v": vc[col].astype("int64"),
+                            "n": vc["size"].astype("int64")})
+        out["kbucket"] = (pd.util.hash_pandas_object(
+            out[key], index=False) % n_buckets).astype("int64")
+        return out
+
+    def _bucket(group: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        outs = []
+        for k, g in group.groupby(key):
+            hist = (g.groupby("v", as_index=False)["n"].sum()
+                    .sort_values("v", ignore_index=True))
+            total = int(hist["n"].sum())
+            cum = hist["n"].cumsum().to_numpy()
+            vals = hist["v"].to_numpy()
+            for q in qs:
+                idx = max(0, math.ceil(q * total) - 1)
+                pos = int(np.searchsorted(cum, idx, side="right"))
+                outs.append((k, float(q), int(vals[pos])))
+        if not outs:
+            return pd.DataFrame({key: pd.Series([], dtype=object),
+                                 "q": pd.Series([], dtype="float64"),
+                                 "value": pd.Series([], dtype="int64")})
+        out = pd.DataFrame(outs, columns=[key, "q", "value"])
+        return out.astype({"q": "float64", "value": "int64"})
+
+    out = (ds.map_batches(_local, batch_format="pandas")
+           .groupby("kbucket").map_groups(_bucket,
+                                          batch_format="pandas")
+           .to_pandas())
+    return out.sort_values([key, "q"], ignore_index=True)

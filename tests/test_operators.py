@@ -795,3 +795,36 @@ class TestJsonCol:
         assert (a["n"], a["sum_k"], a["min_k"], a["max_k"]) == (2, 6, 1, 5)
         assert (b["n"], b["sum_k"], b["min_k"], b["max_k"]) == (2, 6, 2, 4)
         assert abs(a["avg_k"] - 3.0) < 1e-12
+
+
+def test_group_quantiles_matches_per_group_exact():
+    from rdf_extraction_ray.stages.textstats import group_quantiles
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({"lang": rng.choice(["en", "fr", "de"], 300),
+                       "n": rng.randint(0, 40, 300).astype("int64")})
+    out = group_quantiles(rd.from_pandas(df), "lang", "n",
+                          qs=(0.5, 0.9), n_buckets=4)
+    import math
+    for lang, g in df.groupby("lang"):
+        vals = np.sort(g["n"].to_numpy())
+        for q in (0.5, 0.9):
+            exp = vals[max(0, math.ceil(q * len(vals)) - 1)]
+            got = out[(out["lang"] == lang) & (out["q"] == q)]
+            assert got["value"].iloc[0] == exp, (lang, q)
+
+
+def test_rollup_sum_three_levels():
+    from rdf_extraction_ray.stages.rollup import ALL, rollup_sum
+    df = pd.DataFrame({"a": ["x", "x", "y", "y", "y"],
+                       "b": ["p", "q", "p", "p", "q"],
+                       "v": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    out = rollup_sum(rd.from_pandas(df), ["a", "b"], ["v"])
+    def row(a, b):
+        m = out[(out["a"] == a) & (out["b"] == b)].iloc[0]
+        return int(m["n"]), float(m["v"])
+    assert row("x", "p") == (1, 1.0)
+    assert row("y", "p") == (2, 7.0)
+    assert row("x", ALL) == (2, 3.0)
+    assert row("y", ALL) == (3, 12.0)
+    assert row(ALL, ALL) == (5, 15.0)
+    assert len(out) == 4 + 2 + 1
