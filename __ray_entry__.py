@@ -1321,6 +1321,19 @@ def _q_events_props_stats(sf_dir: str):
                             col="props", path="$.k")
 
 
+def _q_docs_source_fuzzy(sf_dir: str):
+    """Blocked edit-distance join of each doc's source label against a
+    canonical 8-term vocabulary (the reference's fuzzy place-mapper
+    shape, modsBib.py): vocab broadcast once per actor, exact
+    vocab-vectorized Levenshtein per DISTINCT surface, ties to the
+    smallest term; ('', -1) when nothing is within distance 1."""
+    from rdf_extraction_ray.stages.fuzzy import fuzzy_match_vocab
+    canon = [f"src{i}" for i in range(8)]
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    out = fuzzy_match_vocab(ds, "source", canon, max_dist=1).to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 def _q_events_rollup(sf_dir: str):
     """SQL ROLLUP shape: count + value sums at (event_type, hour),
     (event_type) and grand-total levels — one raw-data scan feeds the
@@ -2224,6 +2237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_stats": _q_events_props_stats,
         "events_rollup": _q_events_rollup,
         "docs_quantiles_by_lang": _q_docs_quantiles_by_lang,
+        "docs_source_fuzzy": _q_docs_source_fuzzy,
         "user_sessions": _q_user_sessions,
         "part_brand_stats": _q_part_brand_stats,
         "top_orders_per_segment": _q_top_orders_per_segment,
@@ -2942,6 +2956,28 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o.o_totalprice), {_ROUND}) AS revenue
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment
+        """,
+        "docs_source_fuzzy": """
+            WITH vocab(term) AS (
+                SELECT unnest(['src0','src1','src2','src3',
+                               'src4','src5','src6','src7'])),
+            best AS (
+                SELECT s.source, v.term,
+                       levenshtein(s.source, v.term) AS d,
+                       row_number() OVER (
+                           PARTITION BY s.source
+                           ORDER BY levenshtein(s.source, v.term),
+                                    v.term) AS rn
+                FROM (SELECT DISTINCT source FROM documents) s
+                CROSS JOIN vocab v
+                WHERE levenshtein(s.source, v.term) <= 1)
+            SELECT d.doc_id, d.source,
+                   coalesce(b.term, '') AS match,
+                   coalesce(b.d, -1)::BIGINT AS dist
+            FROM documents d
+            LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+                USING (source)
+            ORDER BY d.doc_id
         """,
         "events_rollup": f"""
             SELECT coalesce(event_type, '__all__') AS event_type,

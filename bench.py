@@ -101,7 +101,8 @@ def run_bench() -> dict:
               "docs_dup_spans", "docs_incremental_dedup",
               "docs_source_cap", "docs_unigram_logprob",
               "docs_vocab_size", "events_props_stats",
-              "events_rollup", "docs_quantiles_by_lang"]
+              "events_rollup", "docs_quantiles_by_lang",
+              "docs_source_fuzzy"]
     queries = entrymod.queries()
     qtimes: dict[str, float] = {}
     qerrors: dict[str, str] = {}

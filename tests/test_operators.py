@@ -828,3 +828,30 @@ def test_rollup_sum_three_levels():
     assert row("y", ALL) == (3, 12.0)
     assert row(ALL, ALL) == (5, 15.0)
     assert len(out) == 4 + 2 + 1
+
+
+class TestFuzzyMatch:
+    def test_levenshtein_kernel_exact(self):
+        from rdf_extraction_ray.stages.fuzzy import VocabMatcher
+        m = VocabMatcher(["kitten", "flaw", "abc"], max_dist=99)
+        # classic distances, checked against the textbook values
+        assert m._best("sitting") == ("kitten", 3)
+        assert m._best("lawn") == ("flaw", 2)
+        assert m._best("abc") == ("abc", 0)
+        assert m._best("") == ("abc", 3)
+
+    def test_tie_breaks_to_smallest_term(self):
+        from rdf_extraction_ray.stages.fuzzy import VocabMatcher
+        m = VocabMatcher(["ab", "ad"], max_dist=1)
+        assert m._best("ac") == ("ab", 1)   # both at distance 1
+
+    def test_no_match_sentinel_and_batch_path(self):
+        from rdf_extraction_ray.stages.fuzzy import fuzzy_match_vocab
+        ds = rd.from_pandas(pd.DataFrame(
+            {"doc_id": [1, 2, 3], "source": ["srcX", "zzzzzz", "src3"]}))
+        out = (fuzzy_match_vocab(ds, "source", ["src1", "src3"],
+                                 max_dist=1, concurrency=1)
+               .to_pandas().sort_values("doc_id", ignore_index=True))
+        assert out.loc[0, "match"] == "src1" and out.loc[0, "dist"] == 1
+        assert out.loc[1, "match"] == "" and out.loc[1, "dist"] == -1
+        assert out.loc[2, "match"] == "src3" and out.loc[2, "dist"] == 0
