@@ -78,10 +78,31 @@ class WorkTemplater:
     and gazetteer loaded once per actor (reference loads both at
     import, modsBib.py:1337-1356)."""
 
-    def __init__(self, genre_map_ref=None):
+    def __init__(self, genre_map_ref=None, fuzzy_places: bool = False):
         self.genre_map: dict[str, list[str]] = (
             ray.get(genre_map_ref) if genre_map_ref is not None else {})
         self.places = PLACES
+        # opt-in modsBib parity: the reference SUBSTITUTES fuzzily
+        # matched places (fuzz.ratio >= 95, modsBib.py place mapper);
+        # off by default so gazetteer misses stay literals (matching
+        # the exact-join oracle). max_dist=2 on the cleaned key ≈
+        # ratio 95 at typical "town,county" key lengths (~15 chars).
+        self._fuzzy = None
+        if fuzzy_places:
+            from ..stages.fuzzy import VocabMatcher
+            self._fuzzy = VocabMatcher(list(PLACES), max_dist=2,
+                                       col="pub_place")
+
+    def _place_of(self, p):
+        if not isinstance(p, str):
+            return None
+        key = clean_term(p)
+        hit = self.places.get(key)
+        if hit is None and self._fuzzy is not None:
+            near, d = self._fuzzy._best(key)
+            if d >= 0:
+                hit = self.places[near]
+        return hit
 
     def __call__(self, batch: pd.DataFrame) -> pa.Table:
         parts: list[pd.DataFrame] = []
@@ -123,9 +144,7 @@ class WorkTemplater:
             else None)
         emit(W, uri("kg", "hasPublisher"), pub)
         emit(pub, _R, uri("kg", "Organization"))
-        place_uri = batch["pub_place"].map(
-            lambda p: self.places.get(clean_term(p))
-            if isinstance(p, str) else None)
+        place_uri = batch["pub_place"].map(self._place_of)
         linked = place_uri.notna()
         emit(W, uri("kg", "publishedIn"), place_uri, mask=linked)
         emit(W, uri("kg", "publishedIn"), batch["pub_place"],
@@ -189,7 +208,8 @@ _TEMPLATER_CACHE: list = []  # [(ref_hex, WorkTemplater)] — one slot per
 
 
 def works_pipeline(works_path: str, writing_path: str,
-                   concurrency: int | tuple | None = None) -> rd.Dataset:
+                   concurrency: int | tuple | None = None,
+                   fuzzy_places: bool = False) -> rd.Dataset:
     """Two-pass MODS-style migration: writing pass builds the genre
     map (broadcast via ``ray.put``), works pass templates triples,
     shared dedup. Default: task pool with a per-process cached
@@ -203,12 +223,15 @@ def works_pipeline(works_path: str, writing_path: str,
         triples = works.map_batches(WorkTemplater, batch_format="pandas",
                                     batch_size=None,
                                     concurrency=concurrency,
-                                    fn_constructor_args=(ref,))
+                                    fn_constructor_args=(ref,
+                                                         fuzzy_places))
         return dedup_triples(triples)
 
     def _template(batch):
-        if not _TEMPLATER_CACHE or _TEMPLATER_CACHE[0][0] != ref.hex():
-            _TEMPLATER_CACHE[:] = [(ref.hex(), WorkTemplater(ref))]
+        tag = (ref.hex(), fuzzy_places)
+        if not _TEMPLATER_CACHE or _TEMPLATER_CACHE[0][0] != tag:
+            _TEMPLATER_CACHE[:] = [(tag,
+                                    WorkTemplater(ref, fuzzy_places))]
         return _TEMPLATER_CACHE[0][1](batch)
 
     triples = works.map_batches(_template, batch_format="pandas",

@@ -130,3 +130,26 @@ class TestSynthWorks:
             assert rid == "" or rid in recs
         out = works_pipeline(*synth.write_works(str(tmp_path), 100, seed=5))
         assert out.count() > 400
+
+
+def test_fuzzy_places_opt_in_substitutes_typo():
+    """modsBib parity knob: with fuzzy_places=True a close-typo place
+    gets the gazetteer URI; default keeps the literal (exact-only)."""
+    import pandas as pd
+
+    from rdf_extraction_ray.pipelines.works import WorkTemplater
+    from rdf_extraction_ray.state.fixtures import PLACES
+
+    batch = pd.DataFrame({
+        "record_id": ["r1"], "title": ["T"], "subtitle": [None],
+        "lang": ["en"], "creator": ["Ann Example"],
+        "creator_role": ["author"], "publisher": ["Pub"],
+        "pub_place": ["Bathh, Somerset"],   # one-char typo
+        "pub_date": [None], "related_id": [""], "related_type": [""],
+    })
+    strict = WorkTemplater()(batch.copy()).to_pandas()
+    fuzzy = WorkTemplater(fuzzy_places=True)(batch.copy()).to_pandas()
+    pub_s = strict[strict["pred"].str.endswith("publishedIn")]
+    pub_f = fuzzy[fuzzy["pred"].str.endswith("publishedIn")]
+    assert pub_s["obj"].iloc[0] == "Bathh, Somerset"   # literal kept
+    assert pub_f["obj"].iloc[0] == PLACES["bath,somerset"]
