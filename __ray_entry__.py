@@ -1356,6 +1356,25 @@ def _q_events_rollup(sf_dir: str):
     return out
 
 
+def _q_events_pivot(sf_dir: str):
+    """Long→wide reshape: per-hour event counts with one int64 column
+    per event type. Batches crosstab locally (the exchange carries
+    already-wide combiner rows), a groupby sums the partials; the
+    column universe is discovered by a bounded unique combiner."""
+    from rdf_extraction_ray.stages.rollup import pivot_counts
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "hour": df["ts"].dt.floor("h")
+                    .dt.strftime("%Y-%m-%d %H:00:00"),
+            "event_type": df["event_type"],
+        })
+
+    return pivot_counts(ds.map_batches(_prep, batch_format="pandas"),
+                        "hour", "event_type")
+
+
 def _q_docs_quantiles_by_lang(sf_dir: str):
     """Per-group EXACT discrete quantiles (length percentiles per
     language): (key, value) histogram combiner, key-hash-bucketed
@@ -2238,6 +2257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": _q_events_rollup,
         "docs_quantiles_by_lang": _q_docs_quantiles_by_lang,
         "docs_source_fuzzy": _q_docs_source_fuzzy,
+        "events_pivot": _q_events_pivot,
         "user_sessions": _q_user_sessions,
         "part_brand_stats": _q_part_brand_stats,
         "top_orders_per_segment": _q_top_orders_per_segment,
@@ -2991,6 +3011,23 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             GROUP BY ROLLUP(event_type, hour)
             ORDER BY event_type, hour
+        """,
+        "events_pivot": """
+            SELECT strftime(date_trunc('hour', ts),
+                            '%Y-%m-%d %H:00:00') AS hour,
+                   count(*) FILTER (event_type = 'click')::BIGINT
+                       AS click,
+                   count(*) FILTER (event_type = 'error')::BIGINT
+                       AS error,
+                   count(*) FILTER (event_type = 'purchase')::BIGINT
+                       AS purchase,
+                   count(*) FILTER (event_type = 'signup')::BIGINT
+                       AS signup,
+                   count(*) FILTER (event_type = 'view')::BIGINT
+                       AS view
+            FROM events
+            GROUP BY 1
+            ORDER BY hour
         """,
         "docs_quantiles_by_lang": """
             SELECT lang,

@@ -89,3 +89,39 @@ def rollup_sum(ds: rd.Dataset, keys: list[str],
     df["n"] = df["n"].astype("int64")
     return (df[keys + ["n"] + sum_cols]
             .sort_values(keys, ignore_index=True))
+
+
+def pivot_counts(ds: rd.Dataset, index: str, col: str,
+                 col_values: list[str] | None = None) -> pd.DataFrame:
+    """Long→wide reshape: one row per ``index`` value, one int64
+    count column per distinct ``col`` value.
+
+    Scale shape: the column universe is discovered with a per-batch
+    unique combiner (bounded by batches x distinct values — pivots
+    only make sense for small column universes, which is also what
+    keeps the wide schema sane); each batch then crosstabs locally so
+    the exchange carries one already-wide row per (batch, index
+    value), and a groupby sums the wide partials. Row cardinality
+    (|index|) can be huge — it streams; column cardinality must be
+    small — it is schema.
+    """
+
+    if col_values is None:
+        uniq = (ds.map_batches(
+            lambda df: pd.DataFrame({col: df[col].unique()}),
+            batch_format="pandas").to_pandas())
+        col_values = sorted(map(str, uniq[col].unique()))
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(df[index], df[col].astype(str))
+        ct = ct.reindex(columns=col_values, fill_value=0)
+        return (ct.astype("int64").reset_index()
+                .rename(columns=str))
+
+    wide = (ds.map_batches(_partial, batch_format="pandas")
+            .groupby(index)
+            .aggregate(*[Sum(v, alias_name=v) for v in col_values])
+            .to_pandas())
+    for v in col_values:
+        wide[v] = wide[v].astype("int64")
+    return wide.sort_values(index, ignore_index=True)

@@ -855,3 +855,19 @@ class TestFuzzyMatch:
         assert out.loc[0, "match"] == "src1" and out.loc[0, "dist"] == 1
         assert out.loc[1, "match"] == "" and out.loc[1, "dist"] == -1
         assert out.loc[2, "match"] == "src3" and out.loc[2, "dist"] == 0
+
+
+def test_pivot_counts_matches_crosstab():
+    from rdf_extraction_ray.stages.rollup import pivot_counts
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({"h": rng.randint(0, 6, 200).astype(str),
+                       "t": rng.choice(["a", "b", "c"], 200)})
+    out = pivot_counts(rd.from_pandas(df), "h", "t")
+    exp = (pd.crosstab(df["h"], df["t"])
+           .reindex(columns=["a", "b", "c"], fill_value=0)
+           .reset_index().rename_axis(None, axis=1))
+    got = out.sort_values("h", ignore_index=True)
+    exp = exp.sort_values("h", ignore_index=True)
+    assert got["h"].tolist() == exp["h"].tolist()
+    for c in ("a", "b", "c"):
+        assert got[c].tolist() == exp[c].tolist()
