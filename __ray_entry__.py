@@ -1559,6 +1559,41 @@ def _q_purchase_click_window(sf_dir: str):
             .sort_values("event_id", ignore_index=True))
 
 
+def _q_events_running_total(sf_dir: str):
+    """Ordered running aggregate per partition: cumulative value sum
+    per user over (ts, event_id) order — the SQL sum() OVER
+    (PARTITION BY ... ORDER BY ...) window. Bucketed by user hash so
+    each group holds whole users; the cumsum is one vectorized pass
+    with per-user segment resets, no per-row Python."""
+    import numpy as np
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def _running(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"],
+                              kind="stable")
+        v = g["value"].to_numpy(dtype="float64")
+        uid = g["user_id"].to_numpy()
+        out = np.empty(len(g), dtype="float64")
+        # per-user segment cumsum (NOT one global cumsum minus a
+        # prefix base: that cancellation loses float digits and the
+        # SQL window sum accumulates per partition sequentially)
+        bounds = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        bounds = np.r_[bounds, len(uid)]
+        for i in range(len(bounds) - 1):
+            s, e = bounds[i], bounds[i + 1]
+            out[s:e] = np.cumsum(v[s:e])
+        return pd.DataFrame({"event_id": g["event_id"],
+                             "user_id": g["user_id"],
+                             "running_value": out.round(_ROUND)})
+
+    res = (ds.map_batches(_bucket_by_user, batch_format="pandas",
+                          batch_size=None)
+           .groupby("bucket").map_groups(_running,
+                                         batch_format="pandas")
+           .to_pandas())
+    return res.sort_values("event_id", ignore_index=True)
+
+
 def _q_events_rolling_1h(sf_dir: str):
     """Sliding time window: per event, how many events the same user
     produced in the trailing hour (RANGE window incl. ts-peers).
@@ -2266,6 +2301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_return_status": _q_distinct_return_status,
         "clicks_last_purchase": _q_clicks_last_purchase,
         "events_rolling_1h": _q_events_rolling_1h,
+        "events_running_total": _q_events_running_total,
         "purchase_click_window": _q_purchase_click_window,
         # --- training-data pipeline suite over documents/embeddings
         "docs_exact_dedup": _q_docs_exact_dedup,
@@ -3011,6 +3047,16 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             GROUP BY ROLLUP(event_type, hour)
             ORDER BY event_type, hour
+        """,
+        "events_running_total": f"""
+            SELECT event_id, user_id,
+                   round(sum(value) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING), {_ROUND})
+                       AS running_value
+            FROM events
+            ORDER BY event_id
         """,
         "events_pivot": """
             SELECT strftime(date_trunc('hour', ts),

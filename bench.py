@@ -102,7 +102,8 @@ def run_bench() -> dict:
               "docs_source_cap", "docs_unigram_logprob",
               "docs_vocab_size", "events_props_stats",
               "events_rollup", "docs_quantiles_by_lang",
-              "docs_source_fuzzy", "events_pivot"]
+              "docs_source_fuzzy", "events_pivot",
+              "events_running_total"]
     queries = entrymod.queries()
     qtimes: dict[str, float] = {}
     qerrors: dict[str, str] = {}
