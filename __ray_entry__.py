@@ -1697,6 +1697,20 @@ def _q_docs_top_tokens(sf_dir: str):
     return top_tokens(docs, k=100)
 
 
+def _q_docs_gopher_rules(sf_dir: str):
+    """Gopher/MassiveText quality-rule bundle: seven integer-exact
+    rules (ratios as cross-multiplications) in one vectorized string
+    pass; the DuckDB oracle replays the whole gate bit-for-bit.
+    (The synthetic corpus's tiny vocabulary carries only one of the
+    eight stopwords, so r_stops fails by construction there — the
+    per-rule columns are the discriminating signal.)"""
+    from rdf_extraction_ray.stages.textstats import gopher_rules
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = (docs.map_batches(gopher_rules, batch_format="pandas")
+           .to_pandas().drop(columns=["text"]))
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 def _q_docs_unigram_logprob(sf_dir: str):
     """CCNet-style unigram-LM quality score: top-2000-token model fit
     in one heavy-hitter pass, broadcast once, then each doc scored
@@ -2313,6 +2327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pack_windows": _q_docs_pack_windows,
         "docs_tfidf_terms": _q_docs_tfidf_terms,
         "docs_top_tokens": _q_docs_top_tokens,
+        "docs_gopher_rules": _q_docs_gopher_rules,
         "docs_unigram_logprob": _q_docs_unigram_logprob,
         "docs_vocab_size": _q_docs_vocab_size,
         "docs_length_quantiles": _q_docs_length_quantiles,
@@ -2752,6 +2767,60 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY w
             ORDER BY n DESC, token
             LIMIT 100
+        """,
+        "docs_gopher_rules": """
+            WITH f AS (
+                SELECT doc_id,
+                       length(regexp_extract_all(text,
+                           '[A-Za-z0-9_]+'))::BIGINT AS g_n_words,
+                       length(regexp_extract_all(text,
+                           '[A-Za-z0-9_]'))::BIGINT AS g_word_chars,
+                       (length(regexp_extract_all(text, '#'))
+                        + length(regexp_extract_all(text,
+                                                    '\\.\\.\\.')))
+                           ::BIGINT AS n_sym,
+                       (length(regexp_extract_all(text, chr(10)))
+                        + 1)::BIGINT AS n_lines,
+                       length(regexp_extract_all(text,
+                           '(?m)^[-*•]'))::BIGINT AS n_bullet,
+                       length(regexp_extract_all(text,
+                           '(?m)\\.\\.\\.$'))::BIGINT AS n_ell,
+                       length(regexp_extract_all(text,
+                           '[A-Za-z0-9_]*[A-Za-z][A-Za-z0-9_]*'))
+                           ::BIGINT AS n_alpha,
+                       (regexp_matches(lower(text), '\\bthe\\b')::INT
+                        + regexp_matches(lower(text), '\\bbe\\b')::INT
+                        + regexp_matches(lower(text), '\\bto\\b')::INT
+                        + regexp_matches(lower(text), '\\bof\\b')::INT
+                        + regexp_matches(lower(text), '\\band\\b')::INT
+                        + regexp_matches(lower(text),
+                                         '\\bthat\\b')::INT
+                        + regexp_matches(lower(text),
+                                         '\\bhave\\b')::INT
+                        + regexp_matches(lower(text),
+                                         '\\bwith\\b')::INT)
+                           AS n_stops
+                FROM documents)
+            SELECT doc_id, g_n_words, g_word_chars,
+                   (g_n_words >= 50 AND g_n_words <= 100000)
+                       AS r_nwords,
+                   (3 * g_n_words <= g_word_chars
+                    AND g_word_chars <= 10 * g_n_words) AS r_meanlen,
+                   (10 * n_sym <= g_n_words) AS r_symbols,
+                   (10 * n_bullet <= 9 * n_lines) AS r_bullets,
+                   (10 * n_ell <= 3 * n_lines) AS r_ellipsis,
+                   (5 * n_alpha >= 4 * g_n_words) AS r_alpha,
+                   (n_stops >= 2) AS r_stops,
+                   ((g_n_words >= 50 AND g_n_words <= 100000)
+                    AND (3 * g_n_words <= g_word_chars
+                         AND g_word_chars <= 10 * g_n_words)
+                    AND (10 * n_sym <= g_n_words)
+                    AND (10 * n_bullet <= 9 * n_lines)
+                    AND (10 * n_ell <= 3 * n_lines)
+                    AND (5 * n_alpha >= 4 * g_n_words)
+                    AND (n_stops >= 2)) AS gopher_ok
+            FROM f
+            ORDER BY doc_id
         """,
         "docs_unigram_logprob": """
             WITH tok AS (

@@ -488,3 +488,55 @@ def group_quantiles(ds, key: str, col: str,
                                           batch_format="pandas")
            .to_pandas())
     return out.sort_values([key, "q"], ignore_index=True)
+
+
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(batch: pd.DataFrame,
+                 text_col: str = "text") -> pd.DataFrame:
+    """Gopher/MassiveText-style quality rule bundle (Rae et al. 2021,
+    "Scaling Language Models", Appendix A1.1), as one vectorized
+    pandas-string pass per batch. Every rule is an INTEGER comparison
+    (ratios as cross-multiplications), so a SQL oracle replays the
+    gate bit-for-bit:
+
+      r_nwords   50 <= word count <= 100000
+      r_meanlen  3 <= mean word length <= 10  (3n <= chars <= 10n)
+      r_symbols  hash/ellipsis symbols <= 0.1 per word
+      r_bullets  <= 90% of lines start with a bullet (- * •)
+      r_ellipsis <= 30% of lines end with ...
+      r_alpha    >= 80% of words contain an alphabetic char
+      r_stops    >= 2 distinct common-English stopwords present
+    """
+    s = batch[text_col].fillna("")
+    low = s.str.lower()
+    n_words = s.str.count(_TOKEN_RE).astype("int64")
+    # sum of token lengths == count of token-class chars (tokens are
+    # maximal [A-Za-z0-9_] runs), so this stays a C-level count
+    word_chars = s.str.count(r"[A-Za-z0-9_]").astype("int64")
+    n_sym = (s.str.count("#") + s.str.count(r"\.\.\.")).astype("int64")
+    n_lines = (s.str.count("\n") + 1).astype("int64")
+    n_bullet = s.str.count(r"(?m)^[-*•]").astype("int64")
+    n_ell_end = s.str.count(r"(?m)\.\.\.$").astype("int64")
+    n_alpha = s.str.count(
+        r"[A-Za-z0-9_]*[A-Za-z][A-Za-z0-9_]*").astype("int64")
+    n_stops = sum(low.str.contains(rf"\b{w}\b").astype("int64")
+                  for w in _GOPHER_STOPS)
+
+    out = batch.copy()
+    out["g_n_words"] = n_words
+    out["g_word_chars"] = word_chars
+    out["r_nwords"] = (n_words >= 50) & (n_words <= 100_000)
+    out["r_meanlen"] = ((3 * n_words <= word_chars)
+                        & (word_chars <= 10 * n_words))
+    out["r_symbols"] = 10 * n_sym <= n_words
+    out["r_bullets"] = 10 * n_bullet <= 9 * n_lines
+    out["r_ellipsis"] = 10 * n_ell_end <= 3 * n_lines
+    out["r_alpha"] = 5 * n_alpha >= 4 * n_words
+    out["r_stops"] = n_stops >= 2
+    out["gopher_ok"] = (out["r_nwords"] & out["r_meanlen"]
+                        & out["r_symbols"] & out["r_bullets"]
+                        & out["r_ellipsis"] & out["r_alpha"]
+                        & out["r_stops"])
+    return out

@@ -871,3 +871,22 @@ def test_pivot_counts_matches_crosstab():
     assert got["h"].tolist() == exp["h"].tolist()
     for c in ("a", "b", "c"):
         assert got[c].tolist() == exp[c].tolist()
+
+
+def test_gopher_rules_boundaries():
+    from rdf_extraction_ray.stages.textstats import gopher_rules
+    good = ("the cat and the dog have that with be to of " * 6).strip()
+    df = pd.DataFrame({"doc_id": [0, 1, 2, 3], "text": [
+        good,                               # passes everything
+        "word " * 10,                       # too few words
+        good + " ####################",     # symbol-heavy
+        "- a\n- b\n- c",                    # all bullet lines
+    ]})
+    out = gopher_rules(df)
+    assert bool(out.loc[0, "gopher_ok"])
+    assert not out.loc[1, "r_nwords"]
+    assert not out.loc[2, "r_symbols"]
+    assert not out.loc[3, "r_bullets"]
+    # mean word length is a cross-multiplied integer comparison
+    assert out.loc[0, "g_word_chars"] == sum(
+        len(w) for w in good.split())
