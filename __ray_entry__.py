@@ -1594,6 +1594,34 @@ def _q_events_running_total(sf_dir: str):
     return res.sort_values("event_id", ignore_index=True)
 
 
+def _q_events_interarrival(sf_dir: str):
+    """LAG window: microseconds since the same user's previous event
+    in (ts, event_id) order (-1 for the user's first event). Bucketed
+    by user hash; one vectorized diff with per-user segment resets."""
+    import numpy as np
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _lagdiff(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"],
+                              kind="stable")
+        ts = g["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        uid = g["user_id"].to_numpy()
+        d = np.empty(len(g), dtype="int64")
+        d[0] = -1
+        d[1:] = np.where(uid[1:] == uid[:-1], ts[1:] - ts[:-1], -1)
+        return pd.DataFrame({"event_id": g["event_id"],
+                             "user_id": g["user_id"],
+                             "gap_us": d})
+
+    res = (ds.map_batches(_bucket_by_user, batch_format="pandas",
+                          batch_size=None)
+           .groupby("bucket").map_groups(_lagdiff,
+                                         batch_format="pandas")
+           .to_pandas())
+    res["gap_us"] = res["gap_us"].astype("int64")
+    return res.sort_values("event_id", ignore_index=True)
+
+
 def _q_events_rolling_1h(sf_dir: str):
     """Sliding time window: per event, how many events the same user
     produced in the trailing hour (RANGE window incl. ts-peers).
@@ -2316,6 +2344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clicks_last_purchase": _q_clicks_last_purchase,
         "events_rolling_1h": _q_events_rolling_1h,
         "events_running_total": _q_events_running_total,
+        "events_interarrival": _q_events_interarrival,
         "purchase_click_window": _q_purchase_click_window,
         # --- training-data pipeline suite over documents/embeddings
         "docs_exact_dedup": _q_docs_exact_dedup,
@@ -3116,6 +3145,14 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             GROUP BY ROLLUP(event_type, hour)
             ORDER BY event_type, hour
+        """,
+        "events_interarrival": """
+            SELECT event_id, user_id,
+                   coalesce(epoch_us(ts - lag(ts) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id)), -1)::BIGINT AS gap_us
+            FROM events
+            ORDER BY event_id
         """,
         "events_running_total": f"""
             SELECT event_id, user_id,

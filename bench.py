@@ -103,7 +103,8 @@ def run_bench() -> dict:
               "docs_vocab_size", "events_props_stats",
               "events_rollup", "docs_quantiles_by_lang",
               "docs_source_fuzzy", "events_pivot",
-              "events_running_total", "docs_gopher_rules"]
+              "events_running_total", "docs_gopher_rules",
+              "events_interarrival"]
     queries = entrymod.queries()
     qtimes: dict[str, float] = {}
     qerrors: dict[str, str] = {}
