@@ -1375,6 +1375,37 @@ def _q_events_pivot(sf_dir: str):
                         "hour", "event_type")
 
 
+def _q_events_cube(sf_dir: str):
+    """GROUP BY CUBE shape: counts + value sums at every subset of
+    (event_type, hour) — one raw scan feeds the finest groupby, the
+    other three grouping sets derive from its materialized aggregate
+    rows."""
+    from rdf_extraction_ray.stages.rollup import cube_sum
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def _prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "hour": df["ts"].dt.floor("h")
+                    .dt.strftime("%Y-%m-%d %H:00:00"),
+            "value_sum": df["value"],
+        })
+
+    out = cube_sum(ds.map_batches(_prep, batch_format="pandas"),
+                   ["event_type", "hour"], ["value_sum"])
+    out["value_sum"] = out["value_sum"].astype("float64").round(_ROUND)
+    return out
+
+
+def _q_users_top_event(sf_dir: str):
+    """Per-group MODE: each user's most frequent event type (count
+    desc, type asc tie-break). (key, value) count combiner, key-hash
+    bucket exchange, group-local argmax."""
+    from rdf_extraction_ray.stages.rollup import group_mode
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return group_mode(ds, "user_id", "event_type")
+
+
 def _q_docs_quantiles_by_lang(sf_dir: str):
     """Per-group EXACT discrete quantiles (length percentiles per
     language): (key, value) histogram combiner, key-hash-bucketed
@@ -2335,6 +2366,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quantiles_by_lang": _q_docs_quantiles_by_lang,
         "docs_source_fuzzy": _q_docs_source_fuzzy,
         "events_pivot": _q_events_pivot,
+        "events_cube": _q_events_cube,
+        "users_top_event": _q_users_top_event,
         "user_sessions": _q_user_sessions,
         "part_brand_stats": _q_part_brand_stats,
         "top_orders_per_segment": _q_top_orders_per_segment,
@@ -3163,6 +3196,32 @@ def oracle_sql() -> dict[str, str]:
                        AS running_value
             FROM events
             ORDER BY event_id
+        """,
+        "events_cube": f"""
+            SELECT coalesce(event_type, '__all__') AS event_type,
+                   coalesce(hour, '__all__') AS hour,
+                   count(*)::BIGINT AS n,
+                   round(sum(value_sum), {_ROUND}) AS value_sum
+            FROM (SELECT event_type,
+                         strftime(date_trunc('hour', ts),
+                                  '%Y-%m-%d %H:00:00') AS hour,
+                         value AS value_sum
+                  FROM events)
+            GROUP BY CUBE(event_type, hour)
+            ORDER BY event_type, hour
+        """,
+        "users_top_event": """
+            WITH c AS (
+                SELECT user_id, event_type, count(*)::BIGINT AS n
+                FROM events GROUP BY 1, 2),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id
+                    ORDER BY n DESC, event_type) AS rn
+                FROM c)
+            SELECT user_id, event_type AS mode, n AS mode_n
+            FROM r WHERE rn = 1
+            ORDER BY user_id
         """,
         "events_pivot": """
             SELECT strftime(date_trunc('hour', ts),

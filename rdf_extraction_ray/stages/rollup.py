@@ -125,3 +125,88 @@ def pivot_counts(ds: rd.Dataset, index: str, col: str,
     for v in col_values:
         wide[v] = wide[v].astype("int64")
     return wide.sort_values(index, ignore_index=True)
+
+
+def cube_sum(ds: rd.Dataset, keys: list[str],
+             sum_cols: list[str]) -> pd.DataFrame:
+    """``GROUP BY CUBE`` — count + sums at EVERY SUBSET of ``keys``
+    (2^k grouping sets), rolled-up slots holding the sentinel.
+
+    Scale shape: one combiner scan feeds the finest groupby
+    (materialized — bounded at one row per distinct key tuple); every
+    other grouping set derives from those aggregate rows, so the
+    input is scanned exactly once regardless of k.
+    """
+    from itertools import combinations
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, as_index=False).agg(
+            n=(sum_cols[0], "size"),
+            **{c: (c, "sum") for c in sum_cols})
+        return g.astype({"n": "int64"})
+
+    aggs = [Sum("n", alias_name="n")] + [Sum(c, alias_name=c)
+                                         for c in sum_cols]
+    finest = (ds.map_batches(_partial, batch_format="pandas")
+              .groupby(keys).aggregate(*aggs).materialize())
+
+    def _mask(sub: tuple) -> "rd.Dataset":
+        def _fill(df: pd.DataFrame, _sub=sub) -> pd.DataFrame:
+            out = df.copy()
+            for k in keys:
+                if k not in _sub:
+                    out[k] = ALL
+            return out
+
+        if sub:
+            return (finest.groupby(list(sub)).aggregate(*aggs)
+                    .map_batches(_fill, batch_format="pandas"))
+        tot = finest.aggregate(*aggs)
+        row = {k: ALL for k in keys}
+        row.update({c: tot[c] for c in ["n"] + sum_cols})
+        return rd.from_pandas(pd.DataFrame([row]).astype({"n": "int64"}))
+
+    levels = [finest.map_batches(
+        lambda df: df.copy(), batch_format="pandas")]
+    for r in range(len(keys) - 1, -1, -1):
+        for sub in combinations(keys, r):
+            levels.append(_mask(sub))
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    df = out.to_pandas()
+    df["n"] = df["n"].astype("int64")
+    return (df[keys + ["n"] + sum_cols]
+            .sort_values(keys, ignore_index=True))
+
+
+def group_mode(ds: rd.Dataset, key: str, col: str,
+               n_buckets: int = 64) -> pd.DataFrame:
+    """Per-group MODE with deterministic tie-break: the most frequent
+    ``col`` value per ``key`` (count desc, value asc — the SQL
+    row_number() over (count DESC, value) form).
+
+    Scale shape: (key, value) counts are the combiner; the exchange
+    buckets on the KEY hash so each group's full histogram is local
+    to one ``map_groups`` call; one row per key reaches the driver.
+    """
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df[[key, col]].groupby([key, col], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        g["kbucket"] = (pd.util.hash_pandas_object(
+            g[key], index=False) % n_buckets).astype("int64")
+        return g.astype({"n": "int64"})
+
+    def _mode(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby([key, col], as_index=False)["n"].sum()
+        g = g.sort_values(["n", col], ascending=[False, True],
+                          kind="stable")
+        top = g.groupby(key, as_index=False).head(1)
+        return (top.rename(columns={col: "mode", "n": "mode_n"})
+                [[key, "mode", "mode_n"]])
+
+    out = (ds.map_batches(_partial, batch_format="pandas")
+           .groupby("kbucket").map_groups(_mode, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(key, ignore_index=True)

@@ -890,3 +890,28 @@ def test_gopher_rules_boundaries():
     # mean word length is a cross-multiplied integer comparison
     assert out.loc[0, "g_word_chars"] == sum(
         len(w) for w in good.split())
+
+
+def test_cube_sum_all_subsets():
+    from rdf_extraction_ray.stages.rollup import ALL, cube_sum
+    df = pd.DataFrame({"a": ["x", "x", "y"], "b": ["p", "q", "p"],
+                       "v": [1.0, 2.0, 4.0]})
+    out = cube_sum(rd.from_pandas(df), ["a", "b"], ["v"])
+    def row(a, b):
+        m = out[(out["a"] == a) & (out["b"] == b)].iloc[0]
+        return int(m["n"]), float(m["v"])
+    assert row("x", "p") == (1, 1.0)
+    assert row("x", ALL) == (2, 3.0)
+    assert row(ALL, "p") == (2, 5.0)     # the non-prefix subset
+    assert row(ALL, ALL) == (3, 7.0)
+    assert len(out) == 3 + 2 + 2 + 1
+
+
+def test_group_mode_tie_breaks_ascending():
+    from rdf_extraction_ray.stages.rollup import group_mode
+    df = pd.DataFrame({"u": [1, 1, 1, 1, 2, 2],
+                       "t": ["b", "b", "a", "a", "z", "c"]})
+    out = group_mode(rd.from_pandas(df), "u", "t", n_buckets=4)
+    got = dict(zip(out["u"], zip(out["mode"], out["mode_n"])))
+    assert got[1] == ("a", 2)   # tie 2-2 → ascending value wins
+    assert got[2] == ("c", 1)
