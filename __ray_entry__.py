@@ -1756,6 +1756,18 @@ def _q_docs_top_tokens(sf_dir: str):
     return top_tokens(docs, k=100)
 
 
+def _q_docs_train_shards(sf_dir: str):
+    """Deterministic pseudo-shuffle into training shards: md5-rank →
+    shard + in-shard position. Only (id, rank) pairs ride the
+    shard-keyed exchange; the companion write_train_shards sink lands
+    bodies as shard-partitioned parquet (resumable layout) without
+    any shuffle."""
+    from rdf_extraction_ray.stages.curate import train_shard_assignment
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    out = train_shard_assignment(docs, n_shards=8).to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 def _q_docs_gopher_rules(sf_dir: str):
     """Gopher/MassiveText quality-rule bundle: seven integer-exact
     rules (ratios as cross-multiplications) in one vectorized string
@@ -2390,6 +2402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_tfidf_terms": _q_docs_tfidf_terms,
         "docs_top_tokens": _q_docs_top_tokens,
         "docs_gopher_rules": _q_docs_gopher_rules,
+        "docs_train_shards": _q_docs_train_shards,
         "docs_unigram_logprob": _q_docs_unigram_logprob,
         "docs_vocab_size": _q_docs_vocab_size,
         "docs_length_quantiles": _q_docs_length_quantiles,
@@ -2829,6 +2842,19 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY w
             ORDER BY n DESC, token
             LIMIT 100
+        """,
+        "docs_train_shards": """
+            WITH r AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
+                           ::BIGINT AS rk
+                FROM documents)
+            SELECT doc_id, (rk % 8)::BIGINT AS shard,
+                   (row_number() OVER (
+                        PARTITION BY rk % 8
+                        ORDER BY rk, doc_id) - 1)::BIGINT AS pos
+            FROM r
+            ORDER BY doc_id
         """,
         "docs_gopher_rules": """
             WITH f AS (

@@ -104,7 +104,8 @@ def run_bench() -> dict:
               "events_rollup", "docs_quantiles_by_lang",
               "docs_source_fuzzy", "events_pivot",
               "events_running_total", "docs_gopher_rules",
-              "events_interarrival", "events_cube", "users_top_event"]
+              "events_interarrival", "events_cube", "users_top_event",
+              "docs_train_shards"]
     queries = entrymod.queries()
     qtimes: dict[str, float] = {}
     qerrors: dict[str, str] = {}

@@ -338,3 +338,51 @@ def source_cap(docs: rd.Dataset, cap: int = 16, n_buckets: int = 32,
     return (docs.map_batches(_local, batch_format="pandas")
             .groupby("sbucket").map_groups(_global,
                                            batch_format="pandas"))
+
+
+def train_shard_assignment(docs: rd.Dataset, n_shards: int = 8,
+                           id_col: str = "doc_id") -> rd.Dataset:
+    """Deterministic pseudo-shuffle into training shards: each doc's
+    md5-rank picks its shard (rank % n_shards) and its position
+    within the shard (rank order, id tie-break) — a reproducible
+    global shuffle with NO random_shuffle all-to-all: only (id, rank)
+    pairs ride the shard-keyed exchange, never document bodies.
+    """
+
+    def _assign(batch: pd.DataFrame) -> pd.DataFrame:
+        rk = _id_rank(batch[id_col])
+        return pd.DataFrame({id_col: batch[id_col].to_numpy(),
+                             "rk": rk,
+                             "shard": (rk % n_shards)})
+
+    def _position(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["rk", id_col], kind="stable",
+                              ignore_index=True)
+        return pd.DataFrame({id_col: g[id_col],
+                             "shard": g["shard"],
+                             "pos": np.arange(len(g), dtype="int64")})
+
+    return (docs.map_batches(_assign, batch_format="pandas")
+            .groupby("shard").map_groups(_position,
+                                         batch_format="pandas"))
+
+
+def write_train_shards(docs: rd.Dataset, out_dir: str,
+                       n_shards: int = 8,
+                       id_col: str = "doc_id") -> None:
+    """Materialize shard-partitioned training parquet (one directory
+    per shard via ``partition_cols`` — the resumable-output layout: a
+    re-run can skip finished shard directories). The shard key is
+    computed per batch; bodies flow straight to the sink without a
+    shuffle, and readers get the deterministic order by sorting each
+    shard on the stored rank."""
+
+    def _tag(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        rk = _id_rank(batch[id_col])
+        out["rk"] = rk
+        out["shard"] = rk % n_shards
+        return out
+
+    (docs.map_batches(_tag, batch_format="pandas")
+     .write_parquet(out_dir, partition_cols=["shard"]))

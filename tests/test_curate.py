@@ -1,6 +1,7 @@
 """Curation operators: PII redaction, repetition stats,
 benchmark decontamination."""
 
+import numpy as np
 import pandas as pd
 import ray.data as rd
 
@@ -177,3 +178,30 @@ def test_dup_span_stats_within_doc_repeat():
     # 20 words → 11 windows; windows at pos 0 and pos 10 are the same
     assert int(out["n_spans"].iloc[0]) == 11
     assert int(out["n_dup_spans"].iloc[0]) == 2
+
+
+def test_train_shards_deterministic_and_partitioned(tmp_path):
+    import os
+
+    import ray.data as rd
+
+    from rdf_extraction_ray.stages.curate import (
+        train_shard_assignment,
+        write_train_shards,
+    )
+    df = pd.DataFrame({"doc_id": np.arange(40), "text": "x"})
+    a1 = (train_shard_assignment(rd.from_pandas(df), n_shards=4)
+          .to_pandas().sort_values("doc_id", ignore_index=True))
+    a2 = (train_shard_assignment(rd.from_pandas(df.sample(frac=1.0,
+                                                          random_state=0)),
+                                 n_shards=4)
+          .to_pandas().sort_values("doc_id", ignore_index=True))
+    # assignment is a pure function of ids — input order irrelevant
+    assert a1.equals(a2)
+    # positions are dense 0..k-1 within each shard
+    for _, g in a1.groupby("shard"):
+        assert sorted(g["pos"]) == list(range(len(g)))
+    out = str(tmp_path / "shards")
+    write_train_shards(rd.from_pandas(df), out, n_shards=4)
+    dirs = {d for d in os.listdir(out) if d.startswith("shard=")}
+    assert dirs == {f"shard={s}" for s in a1["shard"].unique()}
