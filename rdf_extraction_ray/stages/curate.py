@@ -347,6 +347,12 @@ def train_shard_assignment(docs: rd.Dataset, n_shards: int = 8,
     within the shard (rank order, id tie-break) — a reproducible
     global shuffle with NO random_shuffle all-to-all: only (id, rank)
     pairs ride the shard-keyed exchange, never document bodies.
+
+    Scale note: position assignment sorts ONE SHARD per map_groups
+    call, so size ``n_shards`` to the corpus — thousands at corpus
+    scale (the usual training-shard count), keeping each shard's
+    (id, rank) slice in one worker's heap. The tiny default suits
+    test data only.
     """
 
     def _assign(batch: pd.DataFrame) -> pd.DataFrame:

@@ -93,6 +93,9 @@ def fuzzy_match_vocab(ds: rd.Dataset, col: str, vocab: list[str],
     constructor — the small side never shuffles and never re-ships
     per batch.
     """
+    if not vocab:
+        # fail on the driver, not as an opaque actor-constructor death
+        raise ValueError("fuzzy_match_vocab needs a non-empty vocab")
     return ds.map_batches(VocabMatcher,
                           fn_constructor_args=(vocab, max_dist, col),
                           batch_format="pandas",

@@ -61,11 +61,16 @@ def json_field_stats(events: rd.Dataset, group_col: str = "event_type",
     extracted = extract_json_field(events, col, path, "__v", "int64")
 
     def _partial(t: pa.Table) -> pd.DataFrame:
-        df = t.select([group_col, "__v"]).to_pandas()
-        # null fields drop here: n/sum/min/max are over PRESENT values
-        # (the SQL count(json_extract(...)) non-null convention), and
-        # an all-null batch must not NaN-poison the int64 partials
-        df = df[df["__v"].notna()]
+        import pyarrow.compute as pc
+
+        # null fields drop ON THE ARROW TABLE: n/sum/min/max are over
+        # PRESENT values (the SQL count(json_extract(...)) non-null
+        # convention) — and filtering before to_pandas keeps "__v"
+        # int64 end to end (a nullable column would convert to
+        # float64+NaN and sum in floating point, losing exactness
+        # past 2^53)
+        sub = t.select([group_col, "__v"])
+        df = sub.filter(pc.is_valid(sub.column("__v"))).to_pandas()
         g = df.groupby(group_col)["__v"]
         out = g.agg(n="count", s="sum", mn="min", mx="max")
         return out.reset_index().astype(

@@ -1,14 +1,21 @@
-"""Hierarchical (ROLLUP) aggregation.
+"""Grouping-set aggregations (ROLLUP / CUBE), reshaping (pivot) and
+per-group mode.
 
-``rollup_sum`` computes count + sums at EVERY prefix level of the key
-list — (k1, k2), (k1), () — the SQL ``GROUP BY ROLLUP`` shape, with
-coarser levels carrying a sentinel label in the rolled-up key columns.
+``rollup_sum`` computes count + sums at every PREFIX level of the key
+list — (k1, k2), (k1), () — the SQL ``GROUP BY ROLLUP`` shape;
+``cube_sum`` at every SUBSET (``GROUP BY CUBE``). Both ride one
+shared grouping-sets engine: one combiner pass over the raw rows
+feeds the FINEST groupby; every other grouping set is then derived
+from the materialized finest aggregate, never from a re-scan — the
+exchanges above the first one move only aggregate rows (one per
+distinct finest key), so the cost is one scan + small shuffles
+regardless of how many grouping sets exist.
 
-Scale shape: one combiner pass over the raw rows feeds the FINEST
-groupby; every coarser level is then derived from the finest
-aggregate, never from a re-scan — the exchanges above the first one
-move only aggregate rows (one per distinct finest key), so the cost
-of the whole rollup is one scan + log-ish small shuffles.
+Null-key precondition: rows whose key columns are null are excluded
+(pandas groupby dropna). The sentinel encoding cannot represent them
+unambiguously — in SQL, ``coalesce(key, '__all__')`` under ROLLUP
+folds a data-level NULL group onto the rolled-up rows just the same —
+so fill or drop nulls upstream if they carry meaning.
 
 Reference analogue: the reference's report counters (mapping-failure
 histograms plus their per-run totals, Utils/utilities.py counters)
@@ -17,6 +24,7 @@ are a two-level rollup computed in one pass here.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import ray.data as rd
 from ray.data.aggregate import Sum
@@ -24,23 +32,15 @@ from ray.data.aggregate import Sum
 ALL = "__all__"
 
 
-def _fill_sentinel(df: pd.DataFrame, keys: list[str],
-                   keep: int) -> pd.DataFrame:
-    out = df.copy()
-    for k in keys[keep:]:
-        out[k] = ALL
-    return out
-
-
-def rollup_sum(ds: rd.Dataset, keys: list[str],
-               sum_cols: list[str]) -> pd.DataFrame:
-    """Count + per-column sums at every prefix level of ``keys``.
-
-    Returns a pandas DataFrame with columns ``keys + ["n"] +
-    sum_cols``; rolled-up key slots hold the ``"__all__"`` sentinel
-    (the DuckDB oracle spells it ``coalesce(key, '__all__')`` under
-    ``GROUP BY ROLLUP``). Only aggregate rows reach the driver.
-    """
+def _grouping_sets(ds: rd.Dataset, keys: list[str],
+                   sum_cols: list[str],
+                   subsets: list[tuple]) -> pd.DataFrame:
+    """Shared engine: count + sums at the finest (full-key) level
+    plus each grouping set in ``subsets`` (tuples of key names; the
+    full-key tuple is implied and must not be listed)."""
+    if not sum_cols:
+        raise ValueError("grouping-set aggregation needs at least "
+                         "one sum column")
 
     def _partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(keys, as_index=False).agg(
@@ -48,40 +48,45 @@ def rollup_sum(ds: rd.Dataset, keys: list[str],
             **{c: (c, "sum") for c in sum_cols})
         return g.astype({"n": "int64"})
 
-    # materialize each aggregate level: it is BOUNDED (one row per
-    # distinct key, never per input row), and without it every union
-    # branch would lazily re-execute the shared raw scan per level
+    aggs = [Sum("n", alias_name="n")] + [Sum(c, alias_name=c)
+                                         for c in sum_cols]
+    # materialize the finest level: it is BOUNDED (one row per
+    # distinct key tuple) and every other grouping set re-aggregates
+    # it — without this, each union branch would lazily re-run the
+    # raw scan
     finest = (ds.map_batches(_partial, batch_format="pandas")
-              .groupby(keys)
-              .aggregate(Sum("n", alias_name="n"),
-                         *[Sum(c, alias_name=c) for c in sum_cols])
-              .materialize())
+              .groupby(keys).aggregate(*aggs).materialize())
+    n_finest = finest.count()
 
-    levels = [finest.map_batches(
-        lambda df: _fill_sentinel(df, keys, len(keys)),
-        batch_format="pandas")]
-    coarser = finest
-    for keep in range(len(keys) - 1, -1, -1):
-        sub = keys[:keep]
-        if sub:
-            coarser = (coarser.groupby(sub)
-                       .aggregate(Sum("n", alias_name="n"),
-                                  *[Sum(c, alias_name=c)
-                                    for c in sum_cols])
-                       .materialize())
-            lvl = coarser.map_batches(
-                lambda df, _keep=keep: _fill_sentinel(df, keys, _keep),
-                batch_format="pandas")
-        else:
-            tot = coarser.aggregate(Sum("n", alias_name="n"),
-                                    *[Sum(c, alias_name=c)
-                                      for c in sum_cols])
-            row = {k: ALL for k in keys}
+    def _fill(sub: tuple):
+        def inner(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            for k in keys:
+                if k not in sub:
+                    out[k] = ALL
+            return out
+        return inner
+
+    def _grand_total() -> rd.Dataset:
+        # on EMPTY input SQL still yields this one row (n=0, NULL
+        # sums) — mirror it instead of subscripting aggregate()'s None
+        row = {k: ALL for k in keys}
+        if n_finest:
+            tot = finest.aggregate(*aggs)
             row.update({c: tot[c] for c in ["n"] + sum_cols})
-            lvl = rd.from_pandas(pd.DataFrame([row]).astype(
-                {"n": "int64"}))
-        levels.append(lvl)
+        else:
+            row["n"] = 0
+            row.update({c: np.nan for c in sum_cols})
+        return rd.from_pandas(pd.DataFrame([row]).astype({"n": "int64"}))
 
+    levels = [finest] if n_finest else []
+    for sub in subsets:
+        if not sub:
+            levels.append(_grand_total())
+        elif n_finest:
+            levels.append(finest.groupby(list(sub)).aggregate(*aggs)
+                          .map_batches(_fill(sub),
+                                       batch_format="pandas"))
     out = levels[0]
     for lvl in levels[1:]:
         out = out.union(lvl)
@@ -89,6 +94,28 @@ def rollup_sum(ds: rd.Dataset, keys: list[str],
     df["n"] = df["n"].astype("int64")
     return (df[keys + ["n"] + sum_cols]
             .sort_values(keys, ignore_index=True))
+
+
+def rollup_sum(ds: rd.Dataset, keys: list[str],
+               sum_cols: list[str]) -> pd.DataFrame:
+    """Count + per-column sums at every prefix level of ``keys``
+    (``GROUP BY ROLLUP``). Rolled-up key slots hold ``"__all__"``
+    (the DuckDB oracle spells it ``coalesce(key, '__all__')``); only
+    aggregate rows reach the driver."""
+    subsets = [tuple(keys[:i]) for i in range(len(keys) - 1, -1, -1)]
+    return _grouping_sets(ds, keys, sum_cols, subsets)
+
+
+def cube_sum(ds: rd.Dataset, keys: list[str],
+             sum_cols: list[str]) -> pd.DataFrame:
+    """Count + per-column sums at EVERY SUBSET of ``keys`` (2^k
+    grouping sets — ``GROUP BY CUBE``), sentinel-encoded like
+    :func:`rollup_sum`. One raw scan regardless of k."""
+    from itertools import combinations
+
+    subsets = [sub for r in range(len(keys) - 1, -1, -1)
+               for sub in combinations(keys, r)]
+    return _grouping_sets(ds, keys, sum_cols, subsets)
 
 
 def pivot_counts(ds: rd.Dataset, index: str, col: str,
@@ -125,59 +152,6 @@ def pivot_counts(ds: rd.Dataset, index: str, col: str,
     for v in col_values:
         wide[v] = wide[v].astype("int64")
     return wide.sort_values(index, ignore_index=True)
-
-
-def cube_sum(ds: rd.Dataset, keys: list[str],
-             sum_cols: list[str]) -> pd.DataFrame:
-    """``GROUP BY CUBE`` — count + sums at EVERY SUBSET of ``keys``
-    (2^k grouping sets), rolled-up slots holding the sentinel.
-
-    Scale shape: one combiner scan feeds the finest groupby
-    (materialized — bounded at one row per distinct key tuple); every
-    other grouping set derives from those aggregate rows, so the
-    input is scanned exactly once regardless of k.
-    """
-    from itertools import combinations
-
-    def _partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(keys, as_index=False).agg(
-            n=(sum_cols[0], "size"),
-            **{c: (c, "sum") for c in sum_cols})
-        return g.astype({"n": "int64"})
-
-    aggs = [Sum("n", alias_name="n")] + [Sum(c, alias_name=c)
-                                         for c in sum_cols]
-    finest = (ds.map_batches(_partial, batch_format="pandas")
-              .groupby(keys).aggregate(*aggs).materialize())
-
-    def _mask(sub: tuple) -> "rd.Dataset":
-        def _fill(df: pd.DataFrame, _sub=sub) -> pd.DataFrame:
-            out = df.copy()
-            for k in keys:
-                if k not in _sub:
-                    out[k] = ALL
-            return out
-
-        if sub:
-            return (finest.groupby(list(sub)).aggregate(*aggs)
-                    .map_batches(_fill, batch_format="pandas"))
-        tot = finest.aggregate(*aggs)
-        row = {k: ALL for k in keys}
-        row.update({c: tot[c] for c in ["n"] + sum_cols})
-        return rd.from_pandas(pd.DataFrame([row]).astype({"n": "int64"}))
-
-    levels = [finest.map_batches(
-        lambda df: df.copy(), batch_format="pandas")]
-    for r in range(len(keys) - 1, -1, -1):
-        for sub in combinations(keys, r):
-            levels.append(_mask(sub))
-    out = levels[0]
-    for lvl in levels[1:]:
-        out = out.union(lvl)
-    df = out.to_pandas()
-    df["n"] = df["n"].astype("int64")
-    return (df[keys + ["n"] + sum_cols]
-            .sort_values(keys, ignore_index=True))
 
 
 def group_mode(ds: rd.Dataset, key: str, col: str,

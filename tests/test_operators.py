@@ -915,3 +915,37 @@ def test_group_mode_tie_breaks_ascending():
     got = dict(zip(out["u"], zip(out["mode"], out["mode_n"])))
     assert got[1] == ("a", 2)   # tie 2-2 → ascending value wins
     assert got[2] == ("c", 1)
+
+
+def test_rollup_and_cube_empty_input_grand_total_row():
+    from rdf_extraction_ray.stages.rollup import ALL, cube_sum, rollup_sum
+    empty = rd.from_pandas(pd.DataFrame(
+        {"a": pd.Series([], dtype=object),
+         "b": pd.Series([], dtype=object),
+         "v": pd.Series([], dtype="float64")}))
+    for fn in (rollup_sum, cube_sum):
+        out = fn(empty, ["a", "b"], ["v"])
+        # SQL GROUP BY ROLLUP/CUBE on empty input: one () row, n=0
+        assert len(out) == 1
+        assert out.loc[0, "a"] == ALL and out.loc[0, "b"] == ALL
+        assert out.loc[0, "n"] == 0 and pd.isna(out.loc[0, "v"])
+
+
+def test_json_field_stats_sum_is_integer_exact():
+    from rdf_extraction_ray.stages.jsoncol import json_field_stats
+    big = 9007199254740993  # 2^53 + 1: float64 cannot represent it
+    df = pd.DataFrame({
+        "event_type": ["a", "a", "a"],
+        "props": [f'{{"k": {big}}}', '{"k": 0}', None]})
+    out = json_field_stats(rd.from_pandas(df))
+    assert int(out.loc[0, "sum_k"]) == big
+    assert int(out.loc[0, "n"]) == 2
+
+
+def test_fuzzy_empty_vocab_fails_fast():
+    import pytest as _pytest
+
+    from rdf_extraction_ray.stages.fuzzy import fuzzy_match_vocab
+    ds = rd.from_pandas(pd.DataFrame({"source": ["x"]}))
+    with _pytest.raises(ValueError):
+        fuzzy_match_vocab(ds, "source", [])
