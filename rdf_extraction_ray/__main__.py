@@ -12,6 +12,7 @@ format) with one subcommand interface over the same capabilities:
     python -m rdf_extraction_ray report    --input DIR
                                            [--kind links|orgs|titles|places]
     python -m rdf_extraction_ray works     --works F --writing F --out DIR
+    python -m rdf_extraction_ray curate    --input DIR --out DIR [--shards N]
 
 On a cluster: ``ray job submit --working-dir . -- python -m
 rdf_extraction_ray run --input s3://...`` — the guarded ``ray.init``
@@ -157,6 +158,54 @@ def cmd_works(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Training-data curation driver: documents parquet → quality
+    gate → exact dedup (min id per distinct text, bodies shuffle
+    exactly once, straight to the sink) → shard-partitioned training
+    parquet. Stats counts run on the materialized survivor set —
+    which IS the output, so nothing extra is held."""
+    _ensure_ray()
+    import hashlib
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .stages.curate import write_train_shards
+    from .stages.textstats import quality_score
+
+    docs = rd.read_parquet(args.input, columns=["doc_id", "text"])
+    n_in = docs.count()
+    gated = (docs.map_batches(quality_score, batch_format="pandas")
+             .map_batches(
+                 lambda t: t.filter(pc.equal(t.column("quality_ok"),
+                                             True))
+                 .select(["doc_id", "text"]),
+                 batch_format="pyarrow"))
+
+    def _with_tbucket(df):
+        b = df.copy()
+        b["tbucket"] = [int(hashlib.md5(str(t).encode())
+                            .hexdigest()[:8], 16) % 64
+                        for t in b["text"]]
+        return b
+
+    def _survivors(group):
+        g = group.sort_values("doc_id", kind="stable")
+        return g.drop_duplicates("text", keep="first")[
+            ["doc_id", "text"]]
+
+    surv = (gated.map_batches(_with_tbucket, batch_format="pandas")
+            .groupby("tbucket").map_groups(_survivors,
+                                           batch_format="pandas")
+            .materialize())
+    n_out = surv.count()
+    write_train_shards(surv, args.out, n_shards=args.shards)
+    print(json.dumps({"out": args.out, "docs_in": int(n_in),
+                      "docs_out": int(n_out),
+                      "shards": args.shards}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="rdf_extraction_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -194,6 +243,13 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--kind", choices=["links", "orgs", "titles", "places",
                                       "terms"], default="links")
     s.set_defaults(fn=cmd_report)
+
+    s = sub.add_parser("curate", help="documents → quality gate → "
+                       "exact dedup → training shards")
+    s.add_argument("--input", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--shards", type=int, default=8)
+    s.set_defaults(fn=cmd_curate)
 
     s = sub.add_parser("works", help="bibliography migration pipeline")
     s.add_argument("--works", required=True)

@@ -83,3 +83,36 @@ class TestResume:
         assert sum(m["triples_out"] == 0 for m in summary.values()) >= 6
         summary2 = run_sharded(one, out, n_shards=8)
         assert all(m["skipped"] for m in summary2.values())
+
+
+def test_cli_curate_end_to_end(tmp_path):
+    """CLI curate: quality gate + exact dedup + sharded write."""
+    import json as _json
+    import os
+
+    import pandas as pd
+
+    from rdf_extraction_ray.__main__ import main
+    long = ("a reasonably long sentence with plenty of words in it "
+            "for the quality gate to accept without any complaint")
+    df = pd.DataFrame({
+        "doc_id": range(6),
+        "text": [long, long, long + " tail", "short", long + " tail",
+                 long + " other"],
+    })
+    inp = str(tmp_path / "docs.parquet")
+    df.to_parquet(inp)
+    out = str(tmp_path / "shards")
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["curate", "--input", inp, "--out", out,
+                   "--shards", "2"])
+    assert rc == 0
+    stats = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    # 6 in; "short" fails quality; dups of `long` and `long tail`
+    # collapse to min id → survivors {0, 2, 5}
+    assert stats["docs_in"] == 6 and stats["docs_out"] == 3
+    got = pd.read_parquet(out)
+    assert sorted(got["doc_id"]) == [0, 2, 5]
+    assert {d for d in os.listdir(out) if d.startswith("shard=")}
