@@ -2684,9 +2684,11 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.n_distinct_words, 0) AS n_distinct_words,
                    coalesce(a.max_word_n, 0) AS max_word_n,
                    coalesce(b.max_bigram_n, 0) AS max_bigram_n,
-                   (coalesce(a.max_word_n, 0) * 5
+                   (coalesce(a.max_word_n, 0) <= 1
+                    OR coalesce(a.max_word_n, 0) * 5
                         < coalesce(a.n_words_r, 0))
-                   AND (coalesce(b.max_bigram_n, 0) * 10
+                   AND (coalesce(b.max_bigram_n, 0) <= 1
+                        OR coalesce(b.max_bigram_n, 0) * 10
                         < greatest(coalesce(a.n_words_r, 0) - 1, 0))
                        AS repetition_ok
             FROM documents d
@@ -2723,8 +2725,11 @@ def oracle_sql() -> dict[str, str]:
             s3 AS (
                 SELECT doc_id, n_ssn, n_email,
                        len(regexp_extract_all(
-                           t, '\\b\\d{3}-\\d{4}\\b'))::BIGINT AS n_phone,
-                       regexp_replace(t, '\\b\\d{3}-\\d{4}\\b',
+                           t, '\\b\\d{3}-\\d{3}-\\d{4}\\b'
+                              || '|\\b\\d{3}-\\d{4}\\b'))::BIGINT
+                           AS n_phone,
+                       regexp_replace(t, '\\b\\d{3}-\\d{3}-\\d{4}\\b'
+                                         || '|\\b\\d{3}-\\d{4}\\b',
                                       '[PHONE]', 'g') AS t
                 FROM s2)
             SELECT doc_id, n_ssn, n_email, n_phone, t AS text_redacted
@@ -2807,9 +2812,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM documents
             WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
                   % 1000
-                < CAST(1000 * (CASE lang WHEN 'en' THEN 0.5
-                                         WHEN 'zh' THEN 0.25
-                                         ELSE 0.1 END) AS BIGINT)
+                < CAST(round(1000 * (CASE lang WHEN 'en' THEN 0.5
+                                              WHEN 'zh' THEN 0.25
+                                              ELSE 0.1 END)) AS BIGINT)
         """,
         "docs_tfidf_terms": """
             WITH dt AS (

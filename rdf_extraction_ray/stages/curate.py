@@ -44,7 +44,9 @@ _WORD = re.compile(r"[a-z0-9]+")
 PII_PATTERNS = [
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
-    ("phone", r"\b\d{3}-\d{4}\b", "[PHONE]"),
+    # 10-digit form first in the alternation so '555-123-4567' redacts
+    # whole instead of leaking the area code around '[PHONE]'
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b|\b\d{3}-\d{4}\b", "[PHONE]"),
 ]
 _PII_COMPILED = [(name, re.compile(pat), repl)
                  for name, pat, repl in PII_PATTERNS]
@@ -116,8 +118,14 @@ def repetition_stats(batch: pd.DataFrame, text_col: str = "text",
         "max_bigram_n": max_big.reindex(idx).fillna(0).astype("int64"),
     })
     n_bigrams = (out["n_words_r"] - 1).clip(lower=0)
-    out["repetition_ok"] = ((out["max_word_n"] * 5 < out["n_words_r"])
-                            & (out["max_bigram_n"] * 10 < n_bigrams))
+    # a value occurring ONCE is not repetition: without the <=1 exempt
+    # the bigram gate condemns every doc under 11 words (1*10 < 9 is
+    # False) even with zero repeated content
+    out["repetition_ok"] = (
+        ((out["max_word_n"] <= 1)
+         | (out["max_word_n"] * 5 < out["n_words_r"]))
+        & ((out["max_bigram_n"] <= 1)
+           | (out["max_bigram_n"] * 10 < n_bigrams)))
     return out
 
 
@@ -158,7 +166,7 @@ def decontaminate(corpus: rd.Dataset, bench_grams_ref: "ray.ObjectRef",
     """
 
     def _probe(batch: pd.DataFrame) -> pd.DataFrame:
-        bench = ray.get(bench_grams_ref)
+        bench = _cached_get(bench_grams_ref)  # unpickle once/worker
         hits = np.empty(len(batch), dtype="int64")
         for j, t in enumerate(batch[text_col]):
             ws = _WORD.findall(str(t).lower())

@@ -64,8 +64,8 @@ class LangId:
         self.tables = {l: frozenset(w) for l, w in _STOPWORDS.items() if w}
 
     def _one(self, text: str) -> str:
-        if not text:
-            return "und"
+        if not isinstance(text, str) or not text:
+            return "und"  # null/NaN text must not kill the task
         cjk = sum(1 for ch in text[:400] if "一" <= ch <= "鿿")
         if cjk / max(1, min(len(text), 400)) > 0.2:
             return "zh"
@@ -139,8 +139,10 @@ def stratified_sample(batch: pd.DataFrame, rates: dict[str, float],
     coin = np.array(
         [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1000
          for i in batch[id_col]], dtype="int64")
-    thresh = (batch[strata_col].map(rates).fillna(default_rate)
-              .to_numpy() * 1000).astype("int64")
+    # round, don't truncate: int(0.29*1000) is 289 (float undershoot)
+    # and sub-0.001 rates would silently drop the whole stratum
+    thresh = np.round(batch[strata_col].map(rates).fillna(default_rate)
+                      .to_numpy() * 1000).astype("int64")
     return batch[coin < thresh]
 
 
@@ -321,6 +323,11 @@ def exact_quantiles(ds, col: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99),
     hist = (ds.map_batches(_local, batch_format="pandas")
             .groupby("vbucket").map_groups(_merge, batch_format="pandas")
             .to_pandas())
+    if not len(hist):
+        # SQL parity: quantile_disc over an empty input unnests to
+        # zero rows — return the empty frame, don't index into it
+        return pd.DataFrame({"q": pd.Series([], dtype="float64"),
+                             "value": pd.Series([], dtype="int64")})
     hist = hist.sort_values("v", ignore_index=True)
     total = int(hist["n"].sum())
     cum = hist["n"].cumsum().to_numpy()
@@ -379,8 +386,12 @@ def unigram_logprob(docs, vocab_k: int = 2000, n_buckets: int = 64,
                                  vocab["n"].astype("int64").tolist())))
 
     def _score(batch: pd.DataFrame) -> pd.DataFrame:
-        model = ray.get(model_ref)
-        toks = [word.findall(str(t).lower()) for t in batch[text_col]]
+        from .dedup_docs import _cached_get
+        model = _cached_get(model_ref)  # unpickle once per worker
+        # null text scores as EMPTY (n_toks 0, logprob 0.0) — str()
+        # would invent a literal 'nan' token the fitted N never saw
+        toks = [word.findall(t.lower()) if isinstance(t, str) else []
+                for t in batch[text_col]]
         lens = np.fromiter((len(t) for t in toks), dtype=np.int64,
                            count=len(toks))
         flat = pd.Series([w for ts in toks for w in ts], dtype=object)

@@ -44,7 +44,7 @@ def test_repetition_stats_gate():
             # all distinct words, distinct bigrams -> passes
             "alpha beta gamma delta epsilon zeta eta theta iota kappa "
             "lambda mu",
-            "",  # empty -> fails (0*5 < 0 is False)
+            "",  # empty -> no repetition, passes
         ]})
     out = repetition_stats(batch).set_index("doc_id")
     assert out.loc[10, "n_words_r"] == 12
@@ -55,7 +55,9 @@ def test_repetition_stats_gate():
     assert out.loc[11, "max_bigram_n"] == 1
     assert bool(out.loc[11, "repetition_ok"])
     assert out.loc[12, "n_words_r"] == 0
-    assert not out.loc[12, "repetition_ok"]
+    # an empty doc has NO repetition, so the gate passes it — filtering
+    # empties is the length/quality gate's job, not this one's
+    assert bool(out.loc[12, "repetition_ok"])
 
 
 def test_repetition_bigram_counts():
@@ -205,3 +207,23 @@ def test_train_shards_deterministic_and_partitioned(tmp_path):
     write_train_shards(rd.from_pandas(df), out, n_shards=4)
     dirs = {d for d in os.listdir(out) if d.startswith("shard=")}
     assert dirs == {f"shard={s}" for s in a1["shard"].unique()}
+
+
+def test_pii_redacts_ten_digit_phone_whole():
+    from rdf_extraction_ray.stages.curate import pii_redact
+    df = pd.DataFrame({"doc_id": [0],
+                       "text": ["call 555-123-4567 or 555-0199 now"]})
+    out = pii_redact(df)
+    assert out.loc[0, "n_phone"] == 2
+    red = out.loc[0, "text_redacted"]
+    assert "555-" not in red and red.count("[PHONE]") == 2
+
+
+def test_repetition_short_clean_doc_passes():
+    from rdf_extraction_ray.stages.curate import repetition_stats
+    df = pd.DataFrame({"doc_id": [0, 1],
+                       "text": ["one two three four five six seven",
+                                "spam spam spam spam spam spam"]})
+    out = repetition_stats(df)
+    assert bool(out.loc[0, "repetition_ok"])      # short but clean
+    assert not bool(out.loc[1, "repetition_ok"])  # actual repetition

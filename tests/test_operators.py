@@ -949,3 +949,34 @@ def test_fuzzy_empty_vocab_fails_fast():
     ds = rd.from_pandas(pd.DataFrame({"source": ["x"]}))
     with _pytest.raises(ValueError):
         fuzzy_match_vocab(ds, "source", [])
+
+
+def test_langid_and_unigram_survive_null_text():
+    from rdf_extraction_ray.stages.textstats import (
+        LangId,
+        unigram_logprob,
+    )
+    df = pd.DataFrame({"doc_id": [0, 1],
+                       "text": [None, "the cat and the dog sat"]})
+    lang = LangId()(df.copy())
+    assert lang["lang_pred"].tolist()[0] == "und"
+    out = (unigram_logprob(rd.from_pandas(df), vocab_k=4)
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    assert out.loc[0, "n_toks"] == 0 and out.loc[0, "logprob"] == 0.0
+
+
+def test_exact_quantiles_empty_input_returns_empty():
+    from rdf_extraction_ray.stages.textstats import exact_quantiles
+    empty = rd.from_pandas(pd.DataFrame(
+        {"n": pd.Series([], dtype="int64")}))
+    out = exact_quantiles(empty, "n")
+    assert len(out) == 0 and list(out.columns) == ["q", "value"]
+
+
+def test_stratified_sample_small_rate_not_dropped():
+    from rdf_extraction_ray.stages.textstats import stratified_sample
+    df = pd.DataFrame({"doc_id": range(4000), "lang": "en"})
+    out = stratified_sample(df, {"en": 0.029})
+    # round(0.029*1000)=29 of 1000 hash slots; truncation bug gave 28
+    # slots (and 0 for sub-0.001 rates) — just assert a plausible band
+    assert 60 <= len(out) <= 180
