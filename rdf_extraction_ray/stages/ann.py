@@ -46,10 +46,46 @@ Q_SCALE = 10_000
 PLANE_SCALE = 1_000
 
 
+def _matrix(col) -> np.ndarray:
+    """(n, dim) float64 matrix from a list<float> column — built ONCE
+    per batch; both quantization grids derive from it."""
+    return np.asarray([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def _qscale(m: np.ndarray, scale: int) -> np.ndarray:
+    """``floor(x·scale + 0.5)`` int64 per coordinate."""
+    return np.floor(m * scale + 0.5).astype(np.int64)
+
+
 def _q10k(col) -> np.ndarray:
     """(n, dim) int64 matrix: ``floor(x·10⁴ + 0.5)`` per coordinate."""
-    m = np.asarray([np.asarray(v, dtype=np.float64) for v in col])
-    return np.floor(m * Q_SCALE + 0.5).astype(np.int64)
+    return _qscale(_matrix(col), Q_SCALE)
+
+
+def _emit_topk_partials(sims: np.ndarray, ids: np.ndarray,
+                        q_ids: np.ndarray, k: int) -> pd.DataFrame:
+    """Per-batch partial top-k that is DETERMINISTIC under ties: emit
+    every candidate whose similarity reaches the row's k-th largest
+    value (all of a tied cohort survive to the driver merge, where
+    the (cosine desc, neighbor_id asc) order picks the final k — an
+    id-blind argpartition could discard the tied candidate the global
+    order would have kept). Sentinel-masked entries (< -1.5) never
+    emit, so sparse candidate rows don't blow up the partial."""
+    nc = sims.shape[1]
+    kk = min(k, nc)
+    if kk == 0:
+        return pd.DataFrame({
+            "query_id": pd.Series([], dtype=q_ids.dtype),
+            "neighbor_id": pd.Series([], dtype="int64"),
+            "cosine": pd.Series([], dtype="float64")})
+    kth = np.partition(sims, nc - kk, axis=1)[:, nc - kk]
+    keep = (sims >= kth[:, None]) & (sims > -1.5)
+    qrow, cidx = np.nonzero(keep)
+    return pd.DataFrame({
+        "query_id": q_ids[qrow],
+        "neighbor_id": ids[cidx],
+        "cosine": sims[qrow, cidx],
+    })
 
 
 def _norm2(m: np.ndarray) -> np.ndarray:
@@ -101,13 +137,7 @@ def brute_force_topk(corpus: rd.Dataset, queries_df: pd.DataFrame, k: int = 10,
         cn = np.sqrt(_norm2(c).astype(np.float64))
         ids = batch[id_col].to_numpy()
         sims = (qm @ c.T).astype(np.float64) / (qnrm[:, None] * cn[None, :])
-        kk = min(k, sims.shape[1])
-        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        return pd.DataFrame({
-            "query_id": np.repeat(qi, kk),
-            "neighbor_id": ids[idx].ravel(),
-            "cosine": np.take_along_axis(sims, idx, axis=1).ravel(),
-        })
+        return _emit_topk_partials(sims, ids, qi, k)
 
     partials = corpus.map_batches(_partial, batch_format="pandas").to_pandas()
     return _topk_from_partials(partials, k)
@@ -130,9 +160,6 @@ def cosine_threshold_pairs(corpus: rd.Dataset, threshold: float = 0.4,
     :func:`rdf_extraction_ray.stages.dedup_docs.embedding_neardup_pairs`
     (hyperplane LSH, never all-pairs) is the 100-TB path.
     """
-
-    def _matrix(col) -> np.ndarray:
-        return np.asarray([np.asarray(v, dtype=np.float64) for v in col])
 
     def _normalize(m: np.ndarray) -> np.ndarray:
         n = np.linalg.norm(m, axis=1, keepdims=True)
@@ -188,6 +215,7 @@ def ivf_topk(corpus: rd.Dataset, queries_df: pd.DataFrame, k: int = 10,
     Partitioning assumption: cells are roughly balanced — skewed
     embedding distributions need more centroids (same caveat as the
     reference's fuzzy-match hot spots, SURVEY §7.5.4)."""
+    corpus = corpus.materialize()  # fit passes + the scoring pass
     cents = _fit_centroids(corpus, k=n_centroids, n_iter=n_iter,
                            id_col=id_col, vec_col=vec_col)
     q10 = _q10k(queries_df[vec_col])
@@ -203,23 +231,17 @@ def ivf_topk(corpus: rd.Dataset, queries_df: pd.DataFrame, k: int = 10,
 
     def _partial(batch: pd.DataFrame) -> pd.DataFrame:
         qm, qnrm, qi, pr, ce = ray.get(ref)
-        c10 = _q10k(batch[vec_col])
+        m = _matrix(batch[vec_col])  # one conversion, two grids
+        c10 = _qscale(m, Q_SCALE)
         cn = np.sqrt(_norm2(c10).astype(np.float64))
         ids = batch[id_col].to_numpy()
-        cell = _assign(_quantize(batch[vec_col]), ce)
+        cell = _assign(_qscale(m, PLANE_SCALE), ce)
         mask = (pr[:, :, None] == cell[None, None, :]).any(axis=1)  # (nq, nc)
         sims = (qm @ c10.T).astype(np.float64) / (qnrm[:, None] * cn[None, :])
         sims[~mask] = -2.0
-        kk = min(k, sims.shape[1])
-        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        return pd.DataFrame({
-            "query_id": np.repeat(qi, kk),
-            "neighbor_id": ids[idx].ravel(),
-            "cosine": np.take_along_axis(sims, idx, axis=1).ravel(),
-        })
+        return _emit_topk_partials(sims, ids, qi, k)
 
     partials = corpus.map_batches(_partial, batch_format="pandas").to_pandas()
-    partials = partials[partials["cosine"] > -1.5]
     return _topk_from_partials(partials, k)
 
 
@@ -256,14 +278,7 @@ def lsh_topk(corpus: rd.Dataset, queries_df: pd.DataFrame, k: int = 10,
         mask = (qb[:, None, :] == cb[None, :, :]).any(axis=2)  # (nq, nc)
         sims = (qm @ c.T).astype(np.float64) / (qnrm[:, None] * cn[None, :])
         sims[~mask] = -2.0
-        kk = min(k, sims.shape[1])
-        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        return pd.DataFrame({
-            "query_id": np.repeat(qi, kk),
-            "neighbor_id": ids[idx].ravel(),
-            "cosine": np.take_along_axis(sims, idx, axis=1).ravel(),
-        })
+        return _emit_topk_partials(sims, ids, qi, k)
 
     partials = corpus.map_batches(_partial, batch_format="pandas").to_pandas()
-    partials = partials[partials["cosine"] > -1.5]
     return _topk_from_partials(partials, k)

@@ -19,7 +19,10 @@ Scale shape: centroids are tiny (k × dim ints) and ride the object
 store via ``ray.put``; each Lloyd round is one ``map_batches`` pass
 emitting k partial (sum-vector, count) rows per batch — the driver
 reduces only O(batches × k) partials, never touches vectors. The
-vector table itself streams; nothing materializes it.
+multi-pass consumers (``kmeans``, ``semantic_dedup``, IVF) pin the
+vector table with ``materialize()`` once up front so an expensive
+upstream runs exactly once across init + Lloyd rounds + final
+assignment (the object store spills it if large).
 """
 
 from __future__ import annotations
@@ -93,15 +96,16 @@ def _fit_centroids(vecs: rd.Dataset, k: int, n_iter: int,
 
         parts = (vecs.map_batches(_partials, batch_format="pandas")
                  .to_pandas())  # O(batches × k) rows — bounded
+        # one vectorized reduce over the partials (a per-cluster
+        # filter loop would rescan the frame k times — O(k²·batches))
+        cs = np.zeros((k, dim), dtype=np.int64)
+        np.add.at(cs, parts["c"].to_numpy(),
+                  np.asarray(parts["s"].tolist(), dtype=np.int64))
+        cnt = np.zeros(k, dtype=np.int64)
+        np.add.at(cnt, parts["c"].to_numpy(), parts["n"].to_numpy())
         nxt = cents.copy()
-        for c in range(k):
-            rows = parts[parts["c"] == c]
-            n = int(rows["n"].sum())
-            if n == 0:
-                continue  # empty cluster keeps its centroid
-            s = np.sum([np.asarray(v, dtype=np.int64)
-                        for v in rows["s"]], axis=0)
-            nxt[c] = s // n  # floor division, matching the SQL form
+        nz = cnt > 0  # empty clusters keep their previous centroid
+        nxt[nz] = cs[nz] // cnt[nz, None]  # floor div, the SQL form
         cents = nxt
     return cents
 
@@ -111,6 +115,8 @@ def kmeans(vecs: rd.Dataset, k: int = 8, n_iter: int = 2,
            vec_col: str = "embedding") -> rd.Dataset:
     """``n_iter`` Lloyd rounds, then the final assignment as
     (id, cluster, dist_sq)."""
+    # pinned once: init + n_iter rounds + final assignment all rescan
+    vecs = vecs.materialize()
     cents = _fit_centroids(vecs, k, n_iter, id_col, vec_col)
     ref = ray.put(cents)
 
@@ -147,6 +153,7 @@ def semantic_dedup(vecs: rd.Dataset, k: int = 8, n_iter: int = 2,
     cluster size, not corpus size, bounds the quadratic term.
     Output: (id, cluster, kept).
     """
+    vecs = vecs.materialize()  # fit passes + the assignment pass
     cents = _fit_centroids(vecs, k, n_iter, id_col, vec_col)
     ref = ray.put(cents)
     dim = cents.shape[1]

@@ -125,3 +125,24 @@ class TestAnnRecall:
         r = self._recall(approx, exact)
         print(f"ivf recall@10 = {r:.3f}")
         assert r >= 0.9
+
+
+def test_bruteforce_tied_cohort_survives_batch_cutoff():
+    """Deterministic under ties: with more identical vectors than k in
+    ONE batch, the kept neighbors must be the smallest ids — an
+    id-blind per-batch argpartition could discard them before the
+    driver merge."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from rdf_extraction_ray.stages.ann import brute_force_topk
+    base = np.ones(8, dtype=np.float64)
+    df = pd.DataFrame({
+        "vec_id": np.arange(30),
+        "embedding": [(base * (1 if i < 20 else -1)).tolist()
+                      for i in range(30)]})
+    # 20 exact duplicates of the query direction, k=5 → the five
+    # smallest ids of the tied cohort must win
+    out = brute_force_topk(rd.from_pandas(df), df.head(1), k=5)
+    assert sorted(out["neighbor_id"]) == [0, 1, 2, 3, 4]
