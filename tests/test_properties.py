@@ -1,0 +1,70 @@
+"""Property-based tests (hypothesis) for the pure-python/numpy
+kernels whose correctness claims are easy to state against a naive
+reference implementation: the vocab-vectorized Levenshtein matcher
+and the tie-deterministic ANN partial-emit + driver merge."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rdf_extraction_ray.stages.ann import (
+    _emit_topk_partials,
+    _topk_from_partials,
+)
+from rdf_extraction_ray.stages.fuzzy import NO_DIST, NO_MATCH, VocabMatcher
+
+
+def _ref_lev(a: str, b: str) -> int:
+    """Textbook Wagner-Fischer, the naive reference."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (ca != cb))
+        prev = cur
+    return prev[len(b)]
+
+
+@given(st.text(alphabet="abcx", max_size=8),
+       st.lists(st.text(alphabet="abcx", min_size=1, max_size=8),
+                min_size=1, max_size=5, unique=True))
+@settings(max_examples=200, deadline=None)
+def test_vocab_matcher_matches_reference_dp(s, vocab):
+    m = VocabMatcher(vocab, max_dist=2)
+    got = m._best(s)
+    d, v = min((_ref_lev(s, w), w) for w in sorted(vocab))
+    assert got == ((v, d) if d <= 2 else (NO_MATCH, NO_DIST))
+
+
+@given(st.integers(0, 2**31 - 1), st.integers(1, 8),
+       st.integers(2, 25), st.integers(1, 6))
+@settings(max_examples=100, deadline=None)
+def test_ann_partial_plus_merge_equals_reference_topk(seed, nq, nc, k):
+    """partial emit (tie-complete) + driver merge == naive top-k by
+    (cosine desc, neighbor_id asc) — including heavy-tie inputs."""
+    rng = np.random.RandomState(seed)
+    # few distinct values → many exact ties at the cutoff
+    sims = rng.choice([-0.5, 0.0, 0.5, 1.0], size=(nq, nc))
+    ids = rng.permutation(nc).astype("int64")
+    q_ids = np.arange(nq, dtype="int64")
+    got = _topk_from_partials(
+        _emit_topk_partials(sims, ids, q_ids, k), k)
+    for q in range(nq):
+        order = sorted(range(nc), key=lambda j: (-sims[q, j], ids[j]))
+        want = [ids[j] for j in order[:k]]
+        g = got[got["query_id"] == q].sort_values("rank")
+        assert g["neighbor_id"].tolist() == want, (q, sims[q], ids)
+
+
+@given(st.integers(0, 2**31 - 1), st.integers(1, 30))
+@settings(max_examples=100, deadline=None)
+def test_ann_sentinel_rows_never_emit(seed, nc):
+    rng = np.random.RandomState(seed)
+    sims = np.full((2, nc), -2.0)        # fully masked rows
+    sims[1, : max(1, nc // 2)] = 0.5     # row 1 has real candidates
+    ids = np.arange(nc, dtype="int64")
+    out = _emit_topk_partials(sims, ids, np.array([7, 8]), k=5)
+    assert not (out["query_id"] == 7).any()
+    assert (out[out["query_id"] == 8]["cosine"] > -1.5).all()
