@@ -1756,6 +1756,32 @@ def _q_docs_top_tokens(sf_dir: str):
     return top_tokens(docs, k=100)
 
 
+def _q_docs_strip_boilerplate(sf_dir: str):
+    """CCNet/RefinedWeb-style frequent-line boilerplate removal. The
+    corpus has no newline structure, so (like the PII oracle's
+    planted matches) each doc is deterministically augmented with a
+    shared per-source footer line and a unique per-doc line: the
+    distributed frequent-line pass (distinct-doc counts, line-hash
+    buckets, only threshold-clearing lines reach the driver) must
+    find exactly the ~20 footers and strip them everywhere."""
+    from rdf_extraction_ray.stages.curate import strip_boilerplate
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def _aug(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "text": (df["text"].fillna("") + "\nFOOTER "
+                     + df["source"].astype(str) + "\nunique "
+                     + df["doc_id"].astype(str)),
+        })
+
+    out = (strip_boilerplate(docs.map_batches(_aug,
+                                              batch_format="pandas"),
+                             min_df=5)
+           .to_pandas())
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 def _q_docs_train_shards(sf_dir: str):
     """Deterministic pseudo-shuffle into training shards: md5-rank →
     shard + in-shard position. Only (id, rank) pairs ride the
@@ -2403,6 +2429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_tokens": _q_docs_top_tokens,
         "docs_gopher_rules": _q_docs_gopher_rules,
         "docs_train_shards": _q_docs_train_shards,
+        "docs_strip_boilerplate": _q_docs_strip_boilerplate,
         "docs_unigram_logprob": _q_docs_unigram_logprob,
         "docs_vocab_size": _q_docs_vocab_size,
         "docs_length_quantiles": _q_docs_length_quantiles,
@@ -2847,6 +2874,35 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY w
             ORDER BY n DESC, token
             LIMIT 100
+        """,
+        "docs_strip_boilerplate": """
+            WITH aug AS (
+                SELECT doc_id,
+                       coalesce(text, '') || chr(10) || 'FOOTER '
+                           || source || chr(10) || 'unique '
+                           || doc_id AS t
+                FROM documents),
+            ls AS (
+                SELECT doc_id, i, lns[i] AS ln
+                FROM (SELECT doc_id, string_split(t, chr(10)) AS lns
+                      FROM aug),
+                     unnest(generate_series(1, len(lns))) s(i)),
+            freq AS (
+                SELECT ln
+                FROM (SELECT DISTINCT doc_id, ln FROM ls)
+                GROUP BY ln HAVING count(*) >= 5),
+            agg AS (
+                SELECT doc_id, count(*)::BIGINT AS n_lines,
+                       count(*) FILTER (
+                           ln IN (SELECT ln FROM freq))::BIGINT
+                           AS n_removed,
+                       coalesce(string_agg(ln, chr(10) ORDER BY i)
+                                FILTER (ln NOT IN
+                                        (SELECT ln FROM freq)), '')
+                           AS text_clean
+                FROM ls GROUP BY doc_id)
+            SELECT doc_id, n_lines, n_removed, text_clean
+            FROM agg ORDER BY doc_id
         """,
         "docs_train_shards": """
             WITH r AS (

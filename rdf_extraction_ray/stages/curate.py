@@ -400,3 +400,67 @@ def write_train_shards(docs: rd.Dataset, out_dir: str,
 
     (docs.map_batches(_tag, batch_format="pandas")
      .write_parquet(out_dir, partition_cols=["shard"]))
+
+
+def frequent_lines(docs: rd.Dataset, min_df: int = 5,
+                   n_buckets: int = 64, text_col: str = "text"
+                   ) -> "frozenset[str]":
+    """Lines appearing in at least ``min_df`` DISTINCT documents —
+    the boilerplate set of CCNet/RefinedWeb-style line filtering.
+
+    Scale shape: per-batch the (doc, line) pairs dedup locally and
+    collapse to per-line partial doc-counts (the combiner — the
+    exchange carries one row per distinct (batch, line)); a
+    line-hash-bucket groupby sums true document frequencies; only
+    lines CLEARING the threshold reach the driver, which is what
+    bounds the broadcast (web boilerplate is heavy-hitter-shaped).
+    """
+
+    def _local(batch: pd.DataFrame) -> pd.DataFrame:
+        lines = batch[text_col].fillna("").str.split("\n")
+        ex = lines.explode()
+        pairs = pd.DataFrame({"d": ex.index.to_numpy(),
+                              "ln": ex.to_numpy()}).drop_duplicates()
+        vc = pairs.groupby("ln").size()
+        out = pd.DataFrame({"ln": vc.index.to_numpy(),
+                            "n": vc.to_numpy().astype("int64")})
+        out["lbucket"] = (pd.util.hash_pandas_object(
+            out["ln"], index=False) % n_buckets).astype("int64")
+        return out
+
+    def _freq(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("ln", as_index=False)["n"].sum()
+        return g.loc[g["n"] >= min_df, ["ln"]]
+
+    got = (docs.map_batches(_local, batch_format="pandas")
+           .groupby("lbucket").map_groups(_freq, batch_format="pandas")
+           .to_pandas())
+    return frozenset(got["ln"])
+
+
+def strip_boilerplate(docs: rd.Dataset, min_df: int = 5,
+                      id_col: str = "doc_id", text_col: str = "text"
+                      ) -> rd.Dataset:
+    """Remove boilerplate lines (document frequency >= ``min_df``)
+    from every document — two streaming passes: the frequent-line set
+    is computed distributed, broadcast once via ``ray.put``, and each
+    batch filters + reassembles its docs vectorized-with-set-lookups.
+    Output: (id, n_lines, n_removed, text_clean).
+    """
+    freq_ref = ray.put(frequent_lines(docs, min_df=min_df,
+                                      text_col=text_col))
+
+    def _strip(batch: pd.DataFrame) -> pd.DataFrame:
+        freq = _cached_get(freq_ref)
+        lines = batch[text_col].fillna("").str.split("\n")
+        n_lines = lines.str.len().astype("int64")
+        kept = [[l for l in ls if l not in freq] for ls in lines]
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy(),
+            "n_lines": n_lines,
+            "n_removed": n_lines - np.fromiter(
+                (len(k) for k in kept), dtype="int64", count=len(kept)),
+            "text_clean": ["\n".join(k) for k in kept],
+        })
+
+    return docs.map_batches(_strip, batch_format="pandas")

@@ -227,3 +227,20 @@ def test_repetition_short_clean_doc_passes():
     out = repetition_stats(df)
     assert bool(out.loc[0, "repetition_ok"])      # short but clean
     assert not bool(out.loc[1, "repetition_ok"])  # actual repetition
+
+
+def test_strip_boilerplate_planted_footer():
+    from rdf_extraction_ray.stages.curate import strip_boilerplate
+    footer = "(c) example corp - all rights reserved"
+    df = pd.DataFrame({
+        "doc_id": range(6),
+        "text": [f"body text {i}\n{footer}\nunique line {i}"
+                 for i in range(5)] + ["no footer here at all"]})
+    out = (strip_boilerplate(rd.from_pandas(df), min_df=5)
+           .to_pandas().sort_values("doc_id", ignore_index=True))
+    for i in range(5):
+        assert out.loc[i, "n_removed"] == 1
+        assert footer not in out.loc[i, "text_clean"]
+        assert f"unique line {i}" in out.loc[i, "text_clean"]
+    assert out.loc[5, "n_removed"] == 0
+    assert out.loc[5, "text_clean"] == "no footer here at all"
