@@ -58,39 +58,34 @@ def _grouping_sets(ds: rd.Dataset, keys: list[str],
               .groupby(keys).aggregate(*aggs).materialize())
     n_finest = finest.count()
 
-    def _fill(sub: tuple):
-        def inner(df: pd.DataFrame) -> pd.DataFrame:
+    if not n_finest:
+        # on EMPTY input SQL still yields the one grand-total row
+        # (n=0, NULL sums) — mirror it
+        row = {k: ALL for k in keys}
+        row["n"] = 0
+        row.update({c: np.nan for c in sum_cols})
+        df = pd.DataFrame([row]).astype({"n": "int64"})
+        return (df[keys + ["n"] + sum_cols]
+                .sort_values(keys, ignore_index=True))
+
+    # ONE exchange for every coarser grouping set: replicate each
+    # finest aggregate row once per set with the rolled-up key slots
+    # sentinel-filled, then a single groupby over the full key tuple
+    # reduces all sets at once — the barrier count stays constant as
+    # sets grow (a per-set groupby costs CUBE 2^k barriers)
+    def _expand(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for sub in subsets:
             out = df.copy()
             for k in keys:
                 if k not in sub:
                     out[k] = ALL
-            return out
-        return inner
+            outs.append(out)
+        return pd.concat(outs, ignore_index=True)
 
-    def _grand_total() -> rd.Dataset:
-        # on EMPTY input SQL still yields this one row (n=0, NULL
-        # sums) — mirror it instead of subscripting aggregate()'s None
-        row = {k: ALL for k in keys}
-        if n_finest:
-            tot = finest.aggregate(*aggs)
-            row.update({c: tot[c] for c in ["n"] + sum_cols})
-        else:
-            row["n"] = 0
-            row.update({c: np.nan for c in sum_cols})
-        return rd.from_pandas(pd.DataFrame([row]).astype({"n": "int64"}))
-
-    levels = [finest] if n_finest else []
-    for sub in subsets:
-        if not sub:
-            levels.append(_grand_total())
-        elif n_finest:
-            levels.append(finest.groupby(list(sub)).aggregate(*aggs)
-                          .map_batches(_fill(sub),
-                                       batch_format="pandas"))
-    out = levels[0]
-    for lvl in levels[1:]:
-        out = out.union(lvl)
-    df = out.to_pandas()
+    coarser = (finest.map_batches(_expand, batch_format="pandas")
+               .groupby(keys).aggregate(*aggs))
+    df = finest.union(coarser).to_pandas()
     df["n"] = df["n"].astype("int64")
     return (df[keys + ["n"] + sum_cols]
             .sort_values(keys, ignore_index=True))
