@@ -1653,6 +1653,52 @@ def _q_events_interarrival(sf_dir: str):
     return res.sort_values("event_id", ignore_index=True)
 
 
+def _q_users_event_history(sf_dir: str):
+    """Order-sensitive collect (SQL string_agg ... ORDER BY): each
+    user's event types joined in (ts, event_id) order. Bucketed by
+    user hash so each group holds whole users; one sort + one join
+    per group, one output row per user."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def _collect(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"],
+                              kind="stable")
+        agg = g.groupby("user_id")["event_type"].agg(",".join)
+        return pd.DataFrame({"user_id": agg.index.to_numpy(),
+                             "history": agg.to_numpy()})
+
+    res = (ds.map_batches(_bucket_by_user, batch_format="pandas",
+                          batch_size=None)
+           .groupby("bucket").map_groups(_collect,
+                                         batch_format="pandas")
+           .to_pandas())
+    return res.sort_values("user_id", ignore_index=True)
+
+
+def _q_events_distinct_users(sf_dir: str):
+    """EXACT count(DISTINCT user) per event type: per-batch
+    (type, user) dedup is the combiner, a type-keyed groupby counts
+    distinct users group-locally (each type lives in one group), one
+    row per type reaches the driver."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def _local(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["event_type", "user_id"]].drop_duplicates()
+
+    def _count(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": [group["event_type"].iloc[0]],
+            "n_users": pd.array([group["user_id"].nunique()],
+                                dtype="int64")})
+
+    res = (ds.map_batches(_local, batch_format="pandas")
+           .groupby("event_type").map_groups(_count,
+                                             batch_format="pandas")
+           .to_pandas())
+    return res.sort_values("event_type", ignore_index=True)
+
+
 def _q_events_rolling_1h(sf_dir: str):
     """Sliding time window: per event, how many events the same user
     produced in the trailing hour (RANGE window incl. ts-peers).
@@ -2416,6 +2462,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_1h": _q_events_rolling_1h,
         "events_running_total": _q_events_running_total,
         "events_interarrival": _q_events_interarrival,
+        "users_event_history": _q_users_event_history,
+        "events_distinct_users": _q_events_distinct_users,
         "purchase_click_window": _q_purchase_click_window,
         # --- training-data pipeline suite over documents/embeddings
         "docs_exact_dedup": _q_docs_exact_dedup,
@@ -3265,6 +3313,21 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             GROUP BY ROLLUP(event_type, hour)
             ORDER BY event_type, hour
+        """,
+        "users_event_history": """
+            SELECT user_id,
+                   string_agg(event_type, ','
+                              ORDER BY ts, event_id) AS history
+            FROM events
+            GROUP BY user_id
+            ORDER BY user_id
+        """,
+        "events_distinct_users": """
+            SELECT event_type,
+                   count(DISTINCT user_id)::BIGINT AS n_users
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
         """,
         "events_interarrival": """
             SELECT event_id, user_id,

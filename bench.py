@@ -105,7 +105,8 @@ def run_bench() -> dict:
               "docs_source_fuzzy", "events_pivot",
               "events_running_total", "docs_gopher_rules",
               "events_interarrival", "events_cube", "users_top_event",
-              "docs_train_shards", "docs_strip_boilerplate"]
+              "docs_train_shards", "docs_strip_boilerplate",
+              "users_event_history", "events_distinct_users"]
     queries = entrymod.queries()
     qtimes: dict[str, float] = {}
     qerrors: dict[str, str] = {}
