@@ -68,3 +68,26 @@ def test_ann_sentinel_rows_never_emit(seed, nc):
     out = _emit_topk_partials(sims, ids, np.array([7, 8]), k=5)
     assert not (out["query_id"] == 7).any()
     assert (out[out["query_id"] == 8]["cosine"] > -1.5).all()
+
+
+@given(st.lists(st.text(max_size=30), min_size=1, max_size=10))
+@settings(max_examples=150, deadline=None)
+def test_ntriples_literal_escaping_round_trips(texts):
+    """format_ntriples literal escaping matches the canonical
+    escape order for arbitrary object text (backslash first, so no
+    double-escaping), and the emitted line stays single-line."""
+    from rdf_extraction_ray.stages.serialize import format_ntriples
+
+    batch = pd.DataFrame({
+        "subj": "http://s", "pred": "http://p",
+        "obj": pd.Series(texts, dtype=object),
+        "obj_kind": "literal", "obj_lang": "", "obj_datatype": "",
+    })
+    lines = format_ntriples(batch)["line"]
+    for raw, line in zip(texts, lines):
+        assert "\n" not in line and "\r" not in line
+        body = line[line.index('"') + 1: line.rindex('"')]
+        esc = (raw.replace("\\", "\\\\").replace('"', '\\"')
+               .replace("\n", "\\n").replace("\r", "\\r")
+               .replace("\t", "\\t"))
+        assert body == esc, (raw, body)
