@@ -1284,6 +1284,74 @@ def _q_region_customers(sf_dir: str):
     return out
 
 
+def _q_tpch_q3_shipping(sf_dir: str):
+    """TPC-H Q3 shape — the suite's three-table join: filtered
+    customer ⋈ filtered orders ⋈ pre-aggregated lineitem revenue.
+    Lineitem collapses to one revenue row per order BEFORE its join
+    (combiner → groupby sum), both joins are hash-bucket exchanges,
+    and the top-10 is a per-batch partial-top-k merge — no full
+    result ever sorts globally or lands on the driver."""
+    from rdf_extraction_ray.stages.joins import hash_join
+    CUT = pd.Timestamp("1998-06-01")
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .map_batches(lambda df: df.loc[df["c_mktsegment"] == "BUILDING",
+                                       ["c_custkey"]]
+                     .rename(columns={"c_custkey": "o_custkey"}),
+                     batch_format="pandas")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_orderpriority"]) \
+        .map_batches(lambda df: df[df["o_orderdate"] < CUT],
+                     batch_format="pandas")
+    j1 = hash_join(orders, cust, on="o_custkey") \
+        .map_batches(lambda df: df[["o_orderkey", "o_orderdate",
+                                    "o_orderpriority"]]
+                     .rename(columns={"o_orderkey": "l_orderkey"}),
+                     batch_format="pandas")
+
+    def _rev_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[df["l_shipdate"] > CUT]
+        rev = (g["l_extendedprice"] * (1 - g["l_discount"]))
+        out = (pd.DataFrame({"l_orderkey": g["l_orderkey"],
+                             "revenue": rev})
+               .groupby("l_orderkey", as_index=False)["revenue"].sum())
+        # bucket key for the final sum: Ray's groupby().aggregate()
+        # degrades badly at high key cardinality (~130k orderkeys
+        # measured 30s for 295k rows), so the exchange groups on 64
+        # hash buckets and the true groupby runs vectorized in-group
+        out["kbucket"] = (out["l_orderkey"] % 64).astype("int64")
+        return out
+
+    line = (_read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_extendedprice", "l_discount",
+                   "l_shipdate"])
+            .map_batches(_rev_partial, batch_format="pandas")
+            .groupby("kbucket")
+            .map_groups(lambda g: g.groupby("l_orderkey",
+                                            as_index=False)
+                        ["revenue"].sum(), batch_format="pandas"))
+
+    joined = hash_join(line, j1, on="l_orderkey")
+
+    def _local_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["revenue", "l_orderkey"],
+                              ascending=[False, True],
+                              kind="stable").head(10)
+
+    top = (joined.map_batches(_local_top, batch_format="pandas")
+           .to_pandas()
+           .sort_values(["revenue", "l_orderkey"],
+                        ascending=[False, True], kind="stable")
+           .head(10).reset_index(drop=True))
+    return pd.DataFrame({
+        "l_orderkey": top["l_orderkey"].astype("int64"),
+        "o_orderdate": top["o_orderdate"].dt.strftime("%Y-%m-%d"),
+        "o_orderpriority": top["o_orderpriority"],
+        "revenue": top["revenue"].astype("float64").round(_ROUND),
+    })
+
+
 def _q_segment_revenue(sf_dir: str):
     from rdf_extraction_ray.stages.joins import hash_join
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
@@ -2444,6 +2512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders": _q_topk_orders,
         "region_customers": _q_region_customers,
         "segment_revenue": _q_segment_revenue,
+        "tpch_q3_shipping": _q_tpch_q3_shipping,
         "events_hourly": _q_events_hourly,
         "events_props_stats": _q_events_props_stats,
         "events_rollup": _q_events_rollup,
@@ -3300,6 +3369,22 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
                 USING (source)
             ORDER BY d.doc_id
+        """,
+        "tpch_q3_shipping": f"""
+            SELECT l.l_orderkey,
+                   strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o.o_orderpriority,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)),
+                         {_ROUND}) AS revenue
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-06-01'
+              AND l.l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
         """,
         "events_rollup": f"""
             SELECT coalesce(event_type, '__all__') AS event_type,

@@ -106,7 +106,8 @@ def run_bench() -> dict:
               "events_running_total", "docs_gopher_rules",
               "events_interarrival", "events_cube", "users_top_event",
               "docs_train_shards", "docs_strip_boilerplate",
-              "users_event_history", "events_distinct_users"]
+              "users_event_history", "events_distinct_users",
+              "tpch_q3_shipping"]
     queries = entrymod.queries()
     qtimes: dict[str, float] = {}
     qerrors: dict[str, str] = {}
