@@ -1168,10 +1168,11 @@ def _q_kg_works_person_join(sf_dir: str):
         return pd.DataFrame({"person_uri": vc.index,
                              "n_facts": vc.to_numpy()})
 
-    fa = (linked.map_batches(_fa_partial, batch_format="pandas",
-                             batch_size=None)
-          .groupby("person_uri")
-          .aggregate(Sum("n_facts", alias_name="n_facts")))
+    from rdf_extraction_ray.stages.rollup import bucket_sum
+    fa = bucket_sum(linked.map_batches(_fa_partial,
+                                       batch_format="pandas",
+                                       batch_size=None),
+                    ["person_uri"], ["n_facts"])
     wp, _gp = _works_paths(sf_dir)
 
     def _wa_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -1180,12 +1181,12 @@ def _q_kg_works_person_join(sf_dir: str):
         return pd.DataFrame({"person_uri": vc.index,
                              "n_works": vc.to_numpy()})
 
-    wa_small = (rd.read_parquet(wp, columns=["creator"])
-                .map_batches(_wa_partial, batch_format="pandas",
-                             batch_size=None)
-                .groupby("person_uri")
-                .aggregate(Sum("n_works", alias_name="n_works"))
-                .to_pandas())  # one row per creator — broadcast side
+    wa_small = bucket_sum(
+        rd.read_parquet(wp, columns=["creator"])
+        .map_batches(_wa_partial, batch_format="pandas",
+                     batch_size=None),
+        ["person_uri"], ["n_works"]).to_pandas()  # one row per
+    # creator — broadcast side
 
     # broadcast inner join: the works side is one row per distinct
     # creator (dimension-table sized at any corpus scale), so it ships
@@ -1497,12 +1498,10 @@ def _q_events_hourly(sf_dir: str):
         return (out.groupby(["event_type", "hour"], as_index=False)
                 .agg(n=("value", "size"), value_sum=("value", "sum")))
 
-    from ray.data.aggregate import Sum
-    out = (ds.map_batches(_hour, batch_format="pandas", batch_size=None)
-           .groupby(["event_type", "hour"])
-           .aggregate(Sum("n", alias_name="n"),
-                      Sum("value_sum", alias_name="value_sum"))
-           .to_pandas())
+    from rdf_extraction_ray.stages.rollup import bucket_sum
+    out = bucket_sum(
+        ds.map_batches(_hour, batch_format="pandas", batch_size=None),
+        ["event_type", "hour"], ["n", "value_sum"]).to_pandas()
     out["value_sum"] = out["value_sum"].round(_ROUND)
     out["n"] = out["n"].astype("int64")
     return out
