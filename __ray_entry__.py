@@ -1353,6 +1353,70 @@ def _q_tpch_q3_shipping(sf_dir: str):
     })
 
 
+def _q_tpch_q5_local_supplier(sf_dir: str):
+    """TPC-H Q5 shape — the six-table local-supplier-volume join.
+    Dimension sides (region → nation → supplier) collapse to ONE
+    broadcast dict on the driver (dimension-table sized at any
+    corpus scale); the two big fact tables meet in hash-bucket
+    exchanges (orders ⋈ customer, then lineitem ⋈ that), the
+    same-nation filter and revenue combiner run inside map_batches,
+    and only 25 nation rows reach the final aggregate."""
+    import ray
+
+    from rdf_extraction_ray.stages.joins import hash_join
+    from rdf_extraction_ray.stages.rollup import bucket_sum
+    LO, HI = pd.Timestamp("1997-01-01"), pd.Timestamp("1999-01-01")
+
+    nation = _small_df(sf_dir, "nation",
+                       ["n_nationkey", "n_name", "n_regionkey"])
+    region = _small_df(sf_dir, "region", ["r_regionkey", "r_name"])
+    asia = set(region.loc[region["r_name"] == "ASIA", "r_regionkey"])
+    nat = nation[nation["n_regionkey"].isin(asia)]
+    nat_name = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    supp = _small_df(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    supp_nat = dict(zip(
+        supp.loc[supp["s_nationkey"].isin(nat_name), "s_suppkey"],
+        supp.loc[supp["s_nationkey"].isin(nat_name), "s_nationkey"]))
+    dims = ray.put((supp_nat, nat_name))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(lambda df: df[df["c_nationkey"].isin(nat_name)]
+                     .rename(columns={"c_custkey": "o_custkey"}),
+                     batch_format="pandas")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(lambda df: df.loc[(df["o_orderdate"] >= LO)
+                                       & (df["o_orderdate"] < HI),
+                                       ["o_orderkey", "o_custkey"]],
+                     batch_format="pandas")
+    j1 = hash_join(orders, cust, on="o_custkey") \
+        .map_batches(lambda df: df[["o_orderkey", "c_nationkey"]]
+                     .rename(columns={"o_orderkey": "l_orderkey"}),
+                     batch_format="pandas")
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_suppkey", "l_extendedprice",
+                  "l_discount"])
+    j2 = hash_join(line, j1, on="l_orderkey")
+
+    def _local_rev(df: pd.DataFrame) -> pd.DataFrame:
+        sn, names = ray.get(dims)
+        s_nat = df["l_suppkey"].map(sn)
+        keep = s_nat.notna() & (s_nat == df["c_nationkey"])
+        g = df[keep]
+        rev = g["l_extendedprice"] * (1 - g["l_discount"])
+        out = (pd.DataFrame({"n_name": g["c_nationkey"].map(names),
+                             "revenue": rev})
+               .groupby("n_name", as_index=False)["revenue"].sum())
+        return out
+
+    out = (bucket_sum(j2.map_batches(_local_rev,
+                                     batch_format="pandas"),
+                      ["n_name"], ["revenue"], n_buckets=8)
+           .to_pandas())
+    out["revenue"] = out["revenue"].astype("float64").round(_ROUND)
+    return out.sort_values("n_name", ignore_index=True)
+
+
 def _q_segment_revenue(sf_dir: str):
     from rdf_extraction_ray.stages.joins import hash_join
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
@@ -2512,6 +2576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_customers": _q_region_customers,
         "segment_revenue": _q_segment_revenue,
         "tpch_q3_shipping": _q_tpch_q3_shipping,
+        "tpch_q5_local_supplier": _q_tpch_q5_local_supplier,
         "events_hourly": _q_events_hourly,
         "events_props_stats": _q_events_props_stats,
         "events_rollup": _q_events_rollup,
@@ -3368,6 +3433,23 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
                 USING (source)
             ORDER BY d.doc_id
+        """,
+        "tpch_q5_local_supplier": f"""
+            SELECT n.n_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)),
+                         {_ROUND}) AS revenue
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND c.c_nationkey = s.s_nationkey
+              AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o.o_orderdate < TIMESTAMP '1999-01-01'
+            GROUP BY n.n_name
+            ORDER BY n.n_name
         """,
         "tpch_q3_shipping": f"""
             SELECT l.l_orderkey,

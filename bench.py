@@ -107,7 +107,7 @@ def run_bench() -> dict:
               "events_interarrival", "events_cube", "users_top_event",
               "docs_train_shards", "docs_strip_boilerplate",
               "users_event_history", "events_distinct_users",
-              "tpch_q3_shipping"]
+              "tpch_q3_shipping", "tpch_q5_local_supplier"]
     queries = entrymod.queries()
     qtimes: dict[str, float] = {}
     qerrors: dict[str, str] = {}
