@@ -1992,6 +1992,10 @@ def _q_docs_unigram_logprob(sf_dir: str):
     from rdf_extraction_ray.stages.textstats import unigram_logprob
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     out = unigram_logprob(docs, vocab_k=2000).to_pandas()
+    if out.empty:  # schema-less empty: rebuild the typed frame
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "n_toks": pd.Series([], dtype="int64"),
+                             "logprob": pd.Series([], dtype="float64")})
     return out.sort_values("doc_id", ignore_index=True)
 
 

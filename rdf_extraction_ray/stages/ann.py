@@ -108,6 +108,11 @@ def int_planes(n_tables: int, n_bits: int, dim: int,
 
 
 def _topk_from_partials(partials: pd.DataFrame, k: int) -> pd.DataFrame:
+    if partials.empty:  # empty corpus or queries: typed empty result
+        return pd.DataFrame({
+            "query_id": pd.Series([], dtype="int64"),
+            "neighbor_id": pd.Series([], dtype="int64"),
+            "rank": pd.Series([], dtype="int64")})
     partials = partials.sort_values(["query_id", "cosine", "neighbor_id"],
                                     ascending=[True, False, True],
                                     kind="stable")
@@ -126,6 +131,8 @@ def brute_force_topk(corpus: rd.Dataset, queries_df: pd.DataFrame, k: int = 10,
     Returns (query_id, neighbor_id, rank) with rank 0..k-1 by
     descending similarity; ties broken by neighbor_id.
     """
+    if not len(queries_df):
+        return _topk_from_partials(pd.DataFrame(), k)
     q = _q10k(queries_df[vec_col])
     qn = np.sqrt(_norm2(q).astype(np.float64))
     q_ids = queries_df[id_col].to_numpy()
@@ -173,6 +180,10 @@ def cosine_threshold_pairs(corpus: rd.Dataset, threshold: float = 0.4,
         lambda df: pd.DataFrame({id_col: df[id_col],
                                  vec_col: df[vec_col]}),
         batch_format="pandas").to_pandas()
+    if side.empty:
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "cosine": pd.Series([], dtype="float64")})
     ids_full = side[id_col].to_numpy()
     m_full = _normalize(_matrix(side[vec_col]))
     ref = ray.put((ids_full, m_full))
@@ -216,6 +227,8 @@ def ivf_topk(corpus: rd.Dataset, queries_df: pd.DataFrame, k: int = 10,
     embedding distributions need more centroids (same caveat as the
     reference's fuzzy-match hot spots, SURVEY §7.5.4)."""
     corpus = corpus.materialize()  # fit passes + the scoring pass
+    if not len(queries_df) or not corpus.count():
+        return _topk_from_partials(pd.DataFrame(), k)
     cents = _fit_centroids(corpus, k=n_centroids, n_iter=n_iter,
                            id_col=id_col, vec_col=vec_col)
     q10 = _q10k(queries_df[vec_col])
@@ -256,6 +269,8 @@ def lsh_topk(corpus: rd.Dataset, queries_df: pd.DataFrame, k: int = 10,
     candidates sharing a bucket in ANY table. Partitioning assumption:
     bucket population ~ corpus/2^n_bits per table — skewed data needs
     more bits."""
+    if not len(queries_df):
+        return _topk_from_partials(pd.DataFrame(), k)
     if dim is None:
         dim = len(queries_df[vec_col].iloc[0])
     planes = int_planes(n_tables, n_bits, dim, seed)

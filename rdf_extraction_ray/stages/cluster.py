@@ -67,8 +67,12 @@ def init_centroids(vecs: rd.Dataset, k: int, id_col: str = "vec_id",
         return out.sort_values(["h", id_col], kind="stable").head(k)
 
     top = (vecs.map_batches(_local_topk, batch_format="pandas")
-           .to_pandas()
-           .sort_values(["h", id_col], kind="stable").head(k))
+           .to_pandas())
+    if top.empty:
+        raise ValueError("init_centroids: empty input — k-means "
+                         "needs at least one vector (callers return "
+                         "typed empty results before fitting)")
+    top = top.sort_values(["h", id_col], kind="stable").head(k)
     return _quantize(top[vec_col])
 
 
@@ -117,6 +121,11 @@ def kmeans(vecs: rd.Dataset, k: int = 8, n_iter: int = 2,
     (id, cluster, dist_sq)."""
     # pinned once: init + n_iter rounds + final assignment all rescan
     vecs = vecs.materialize()
+    if not vecs.count():  # empty input: typed empty assignment
+        return rd.from_pandas(pd.DataFrame({
+            id_col: pd.Series([], dtype="int64"),
+            "cluster": pd.Series([], dtype="int64"),
+            "dist_sq": pd.Series([], dtype="int64")}))
     cents = _fit_centroids(vecs, k, n_iter, id_col, vec_col)
     ref = ray.put(cents)
 
@@ -154,6 +163,11 @@ def semantic_dedup(vecs: rd.Dataset, k: int = 8, n_iter: int = 2,
     Output: (id, cluster, kept).
     """
     vecs = vecs.materialize()  # fit passes + the assignment pass
+    if not vecs.count():  # empty input: typed empty result
+        return rd.from_pandas(pd.DataFrame({
+            id_col: pd.Series([], dtype="int64"),
+            "cluster": pd.Series([], dtype="int64"),
+            "kept": pd.Series([], dtype=bool)}))
     cents = _fit_centroids(vecs, k, n_iter, id_col, vec_col)
     ref = ray.put(cents)
     dim = cents.shape[1]

@@ -99,7 +99,17 @@ def _arrow_schema(ds: rd.Dataset) -> pa.Schema:
     """The Dataset's schema as a pyarrow schema. Upstream pandas
     blocks report numpy dtypes — convert them (object → string, the
     pandas convention for text columns)."""
-    base = ds.schema().base_schema
+    sch = ds.schema()
+    if sch is None:
+        # a fully-empty upstream (e.g. a filter matching nothing)
+        # carries no schema at all — the join cannot even name its
+        # output columns, so fail with intent instead of an opaque
+        # NoneType crash deep inside
+        raise ValueError(
+            "join input has no schema (zero rows through a "
+            "schema-erasing transform); materialize a typed empty "
+            "block upstream or skip the join on empty input")
+    base = sch.base_schema
     if isinstance(base, pa.Schema):
         return base
     fields = []

@@ -285,6 +285,9 @@ def top_tokens(docs, k: int = 100, n_buckets: int = 64,
              .groupby("tbucket").map_groups(_bucket_topk,
                                             batch_format="pandas")
              .to_pandas())
+    if cands.empty:  # empty corpus: typed empty result, not KeyError
+        return pd.DataFrame({"token": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype="int64")})
     return (cands.sort_values(["n", "token"], ascending=[False, True],
                               kind="stable").head(k)
             .reset_index(drop=True))
@@ -381,7 +384,7 @@ def unigram_logprob(docs, vocab_k: int = 2000, n_buckets: int = 64,
                                            dtype="int64")})
 
     n_total = docs.map_batches(_ntok, batch_format="pandas").sum("n")
-    denom = float(n_total) + float(vocab_k) + 1.0
+    denom = float(n_total or 0) + float(vocab_k) + 1.0
     model_ref = ray.put(dict(zip(vocab["token"].tolist(),
                                  vocab["n"].astype("int64").tolist())))
 
@@ -442,7 +445,7 @@ def distinct_tokens(docs, n_buckets: int = 64,
                                             batch_format="pandas")
              .sum("n"))
     return pd.DataFrame({"n_distinct_tokens":
-                         pd.array([int(total)], dtype="int64")})
+                         pd.array([int(total or 0)], dtype="int64")})
 
 
 def group_quantiles(ds, key: str, col: str,
@@ -498,6 +501,10 @@ def group_quantiles(ds, key: str, col: str,
            .groupby("kbucket").map_groups(_bucket,
                                           batch_format="pandas")
            .to_pandas())
+    if out.empty:  # empty input: typed empty result
+        return pd.DataFrame({key: pd.Series([], dtype=object),
+                             "q": pd.Series([], dtype="float64"),
+                             "value": pd.Series([], dtype="int64")})
     return out.sort_values([key, "q"], ignore_index=True)
 
 

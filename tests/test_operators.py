@@ -980,3 +980,40 @@ def test_stratified_sample_small_rate_not_dropped():
     # round(0.029*1000)=29 of 1000 hash slots; truncation bug gave 28
     # slots (and 0 for sub-0.001 rates) — just assert a plausible band
     assert 60 <= len(out) <= 180
+
+
+def test_stage_family_survives_empty_input():
+    """Empty filtered intermediates are routine at scale: the ANN /
+    cluster / text-stats stages must return typed empty results, not
+    crash in a driver merge."""
+    from rdf_extraction_ray.stages.ann import (
+        brute_force_topk,
+        cosine_threshold_pairs,
+        ivf_topk,
+        lsh_topk,
+    )
+    from rdf_extraction_ray.stages.cluster import kmeans, semantic_dedup
+    from rdf_extraction_ray.stages.textstats import (
+        group_quantiles,
+        top_tokens,
+    )
+    empty_vecs = rd.from_pandas(pd.DataFrame(
+        {"vec_id": pd.Series([], dtype="int64"),
+         "embedding": pd.Series([], dtype=object)}))
+    empty_docs = rd.from_pandas(pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="int64"),
+         "text": pd.Series([], dtype=object),
+         "lang": pd.Series([], dtype=object),
+         "n": pd.Series([], dtype="int64")}))
+    queries = pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                            "embedding": pd.Series([], dtype=object)})
+    assert len(brute_force_topk(empty_vecs, queries, k=3)) == 0
+    assert len(lsh_topk(empty_vecs, queries, k=3, dim=4)) == 0
+    assert len(ivf_topk(empty_vecs, queries, k=3)) == 0
+    assert len(cosine_threshold_pairs(empty_vecs)) == 0
+    assert kmeans(empty_vecs).count() == 0
+    assert semantic_dedup(empty_vecs).count() == 0
+    tt = top_tokens(empty_docs)
+    assert len(tt) == 0 and list(tt.columns) == ["token", "n"]
+    gq = group_quantiles(empty_docs, "lang", "n")
+    assert len(gq) == 0
