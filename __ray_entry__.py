@@ -401,6 +401,8 @@ def entry() -> Any:
 # ------------------------------------------------------- query callables
 
 def _q_kg_triples(sf_dir: str):
+    """End-to-end KG construction: facts linked against fixture maps,
+    templated to subject-predicate-object rows, exactly deduped."""
     from rdf_extraction_ray.pipelines.kg import kg_pipeline
     return kg_pipeline(_turns_path(sf_dir))
 
@@ -414,6 +416,9 @@ _FACT_OUT_COLS = ["conv_id", "turn_idx", "seq", "fact_type", "person",
 
 
 def _q_kg_facts(sf_dir: str):
+    """The flagship extraction surface: raw turns through vectorized
+    rule-based fact detection, conversation-bucket assembly and
+    deterministic seq minting."""
     from rdf_extraction_ray.pipelines.kg import extract_facts, read_turns
     return extract_facts(read_turns(_turns_path(sf_dir))) \
         .select_columns(_FACT_OUT_COLS)
@@ -1071,11 +1076,16 @@ def _triples_view(sf_dir: str):
 
 
 def _q_kg_link_histogram(sf_dir: str):
+    """Link-status histogram over linked facts (hit/fuzzy/miss per slot)
+    — the reference's mapping-failure counters as a distributed
+    aggregate."""
     from rdf_extraction_ray.pipelines.reports import link_status_histogram
     return link_status_histogram(_linked_view(sf_dir))
 
 
 def _q_kg_title_census(sf_dir: str):
+    """Title-mention census across conversations (reference title
+    report)."""
     from rdf_extraction_ray.pipelines.reports import title_census
     out = title_census(_linked_view(sf_dir))
     out["convs"] = out["convs"].map(lambda l: ",".join(l))
@@ -1083,32 +1093,44 @@ def _q_kg_title_census(sf_dir: str):
 
 
 def _q_kg_org_counts(sf_dir: str):
+    """Organization mention counts from linked facts, sorted descending
+    (reference org report)."""
     from rdf_extraction_ray.pipelines.reports import org_mention_counts
     return org_mention_counts(_linked_view(sf_dir))
 
 
 def _q_kg_triples_seeded(sf_dir: str):
+    """KG triples unioned with the seed-triple table before the shared
+    dedup (reference uber-graph + static ttl pattern)."""
     from rdf_extraction_ray.pipelines.kg import read_turns, triples_with_seed
     return triples_with_seed(read_turns(_turns_path(sf_dir)))
 
 
 def _q_kg_unmatched_places(sf_dir: str):
+    """Places that failed gazetteer linking, with counts (reference
+    unmatched-place diagnostics)."""
     from rdf_extraction_ray.pipelines.reports import unmatched_places
     return unmatched_places(_linked_view(sf_dir))
 
 
 def _q_kg_vocab_terms(sf_dir: str):
+    """Distinct vocabulary term URIs used by the linked facts, joined to
+    their labels."""
     from rdf_extraction_ray.pipelines.reports import vocab_terms_used
     return vocab_terms_used(_linked_view(sf_dir))
 
 
 def _q_kg_ntriples(sf_dir: str):
+    """N-Triples serialization of the deduped triple set: vectorized term
+    rendering + escaping, one line per triple."""
     from rdf_extraction_ray.stages.serialize import format_ntriples
     return _triples_view(sf_dir).map_batches(format_ntriples,
                                              batch_format="pandas")
 
 
 def _q_kg_nquads(sf_dir: str):
+    """N-Quads serialization with the conversation node as graph term;
+    distributed text rendering, one line per triple."""
     from rdf_extraction_ray.stages.serialize import format_nquads
     return _triples_view(sf_dir).map_batches(format_nquads,
                                              batch_format="pandas")
@@ -1201,12 +1223,17 @@ def _q_kg_works_person_join(sf_dir: str):
 
 
 def _q_works_triples(sf_dir: str):
+    """MODS-style bibliography migration: writing pass builds the genre
+    map (broadcast), works pass templates CIDOC-ish triples,
+    shared dedup."""
     from rdf_extraction_ray.pipelines.works import works_pipeline
     wp, gp = _works_paths(sf_dir)
     return works_pipeline(wp, gp)
 
 
 def _q_works_genres(sf_dir: str):
+    """Distinct genres used by the works corpus with labels (reference
+    USED_GENRES set)."""
     import ray.data as rd
 
     from rdf_extraction_ray.pipelines.works import genres_used
@@ -1215,6 +1242,8 @@ def _q_works_genres(sf_dir: str):
 
 
 def _q_kg_triples_stats(sf_dir: str):
+    """Min/max/avg triples per conversation (reference per-entry triple-
+    count log lines as one aggregate row)."""
     from rdf_extraction_ray.pipelines.reports import triples_per_conv_stats
     out = triples_per_conv_stats(_triples_view(sf_dir))
     out["avg_triples"] = out["avg_triples"].round(_ROUND)
@@ -1222,6 +1251,8 @@ def _q_kg_triples_stats(sf_dir: str):
 
 
 def _q_tpch_q1(sf_dir: str):
+    """TPC-H Q1 pricing summary: per-batch combiner over (returnflag,
+    linestatus), tiny final aggregate of the six groups."""
     import pyarrow as pa
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
@@ -1263,12 +1294,17 @@ def _q_tpch_q1(sf_dir: str):
 
 
 def _q_topk_orders(sf_dir: str):
+    """Global top-25 orders by totalprice: per-batch partial top-k,
+    bounded driver merge, deterministic (value desc, key asc)
+    order."""
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
     return ds.sort(["o_totalprice", "o_orderkey"],
                    descending=[True, False]).limit(10)
 
 
 def _q_region_customers(sf_dir: str):
+    """Customers per region through a broadcast dimension join (region x
+    nation ships once via ray.put)."""
     from rdf_extraction_ray.stages.joins import broadcast_join
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
     nation = _small_df(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
@@ -1418,6 +1454,8 @@ def _q_tpch_q5_local_supplier(sf_dir: str):
 
 
 def _q_segment_revenue(sf_dir: str):
+    """Revenue per market segment: orders hash-join customers on the
+    bucketed exchange, then a small-key aggregate."""
     from rdf_extraction_ray.stages.joins import hash_join
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
@@ -1550,6 +1588,9 @@ def _q_docs_quantiles_by_lang(sf_dir: str):
 
 
 def _q_events_hourly(sf_dir: str):
+    """Per (event_type, hour) event counts + value sums: per-batch
+    combiner, hash-bucket exchange (not groupby().aggregate — key
+    cardinality)."""
     ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
 
     def _hour(df: pd.DataFrame) -> pd.DataFrame:
@@ -1572,6 +1613,8 @@ def _q_events_hourly(sf_dir: str):
 
 
 def _q_user_sessions(sf_dir: str):
+    """Sessionization: 30-minute-gap session counts per user inside user-
+    hash bucket groups (vectorized gap detection)."""
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
 
     def _sessions(group: pd.DataFrame) -> pd.DataFrame:
@@ -1865,11 +1908,16 @@ def _q_events_rolling_1h(sf_dir: str):
 
 
 def _q_docs_exact_dedup(sf_dir: str):
+    """Exact text dedup: min doc_id per distinct text via md5-key local
+    combiner + hash-bucket merge; returns (text_key, doc_id,
+    n_dups)."""
     from rdf_extraction_ray.stages.dedup_docs import exact_dedup
     return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
 def _q_docs_token_count(sf_dir: str):
+    """Whitespace/word token and BPE-ish sub-token counts per doc
+    (vectorized pandas string kernels)."""
     from rdf_extraction_ray.stages.textstats import token_count
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(token_count, batch_format="pandas") \
@@ -1877,6 +1925,9 @@ def _q_docs_token_count(sf_dir: str):
 
 
 def _q_docs_quality(sf_dir: str):
+    """Integer quality features (chars/words/punct/upper counts) and a
+    boolean gate, all integer comparisons so SQL replays the gate
+    exactly."""
     from rdf_extraction_ray.stages.textstats import quality_score
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(quality_score, batch_format="pandas") \
@@ -1885,6 +1936,8 @@ def _q_docs_quality(sf_dir: str):
 
 
 def _q_docs_lang_counts(sf_dir: str):
+    """Doc counts per declared language (combiner-first groupby over the
+    lang column)."""
     from ray.data.aggregate import Count
     return _read(sf_dir, "documents", ["lang"]) \
         .groupby("lang").aggregate(Count(alias_name="n"))
@@ -2031,6 +2084,9 @@ def _q_docs_pack_windows(sf_dir: str):
 
 
 def _q_docs_fingerprint(sf_dir: str):
+    """Winnowing-style document fingerprint: min of a vectorized
+    polynomial rolling hash over 8-grams of the normalized text,
+    one int64 per doc."""
     from rdf_extraction_ray.stages.textstats import fingerprint
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(fingerprint, batch_format="pandas") \
@@ -2387,12 +2443,19 @@ def _q_docs_curation(sf_dir: str):
 
 
 def _q_docs_simhash(sf_dir: str):
+    """64-bit SimHash per doc from vectorized per-token md5-derived bit
+    votes; Hamming-close hashes mean near-duplicate token
+    distributions."""
     from rdf_extraction_ray.stages.dedup_docs import simhash_batch
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(simhash_batch, batch_format="pandas")
 
 
 def _q_ann_bruteforce(sf_dir: str):
+    """Exact top-10 neighbors per query vector under the shared
+    quantized-cosine metric: broadcast query matrix, per-batch
+    integer matmul + tie-complete partial top-k, bounded driver
+    merge."""
     from rdf_extraction_ray.stages.ann import brute_force_topk
     corpus = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     qdf = _small_df(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -2401,6 +2464,9 @@ def _q_ann_bruteforce(sf_dir: str):
 
 
 def _q_ann_lsh(sf_dir: str):
+    """Random-hyperplane LSH top-10 (approximate): integer sign-dot
+    bucketing on both sides, candidates scored only when sharing a
+    bucket in any table."""
     from rdf_extraction_ray.stages.ann import lsh_topk
     corpus = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     qdf = _small_df(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -2409,6 +2475,9 @@ def _q_ann_lsh(sf_dir: str):
 
 
 def _q_ann_ivf(sf_dir: str):
+    """IVF top-10: integer-exact distributed k-means cells the corpus;
+    each query scores only its nprobe nearest cells.
+    nprobe=n_centroids reproduces brute force exactly."""
     from rdf_extraction_ray.stages.ann import ivf_topk
     corpus = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     qdf = _small_df(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -2444,6 +2513,8 @@ def _q_docs_embed_neardup(sf_dir: str):
 
 
 def _q_part_brand_stats(sf_dir: str):
+    """Per-brand part statistics (counts + retail-price sums) via
+    combiner-first aggregation."""
     from ray.data.aggregate import Count, Sum
     out = (_read(sf_dir, "part", ["p_brand", "p_retailprice"])
            .groupby("p_brand")
@@ -2504,6 +2575,8 @@ def _q_media_features(sf_dir: str):
 
 
 def _q_media_frames(sf_dir: str):
+    """Multimodal frame sampling plumbing: deterministic fake decode over
+    binary payloads, actor-pool stage, one row per sampled frame."""
     import ray.data as rd
 
     from rdf_extraction_ray.stages.multimodal import FrameSampler
