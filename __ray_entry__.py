@@ -383,6 +383,18 @@ def _read(sf_dir: str, table: str, columns=None):
                            columns=columns)
 
 
+def _typed(df: pd.DataFrame, **dtypes) -> pd.DataFrame:
+    """Empty-input shim for driver merges: a zero-row Ray dataset
+    loses its schema through transforms, so ``to_pandas()`` yields a
+    COLUMN-LESS frame and the usual ``sort_values``/``astype`` tail
+    raises KeyError. When that happens, rebuild the declared typed
+    empty frame; pass the result through untouched otherwise."""
+    if df.empty and not set(dtypes) <= set(df.columns):
+        return pd.DataFrame({c: pd.Series([], dtype=t)
+                             for c, t in dtypes.items()})
+    return df
+
+
 def _small_df(sf_dir: str, table: str, columns=None) -> pd.DataFrame:
     import pyarrow.parquet as pq
     return pq.read_table(os.path.join(sf_dir, f"{table}.parquet"),
@@ -1284,7 +1296,10 @@ def _q_tpch_q1(sf_dir: str):
                         Sum("sum_disc", alias_name="sum_disc"),
                         Sum("count_order", alias_name="count_order"))
              .to_pandas())
-    out = parts
+    out = _typed(parts, l_returnflag=object, l_linestatus=object,
+                 sum_qty="float64", sum_base="float64",
+                 sum_disc_price="float64", sum_disc="float64",
+                 count_order="int64")
     out["avg_disc"] = out["sum_disc"] / out["count_order"]
     out = out.drop(columns=["sum_disc"])
     out["count_order"] = out["count_order"].astype("int64")
@@ -1317,6 +1332,8 @@ def _q_region_customers(sf_dir: str):
     out = joined.groupby("r_name").aggregate(
         Count(alias_name="n_customers"),
         Sum("c_acctbal", alias_name="acctbal_sum")).to_pandas()
+    out = _typed(out, r_name=object, n_customers="int64",
+                 acctbal_sum="float64")
     out["acctbal_sum"] = out["acctbal_sum"].round(_ROUND)
     return out
 
@@ -1376,11 +1393,17 @@ def _q_tpch_q3_shipping(sf_dir: str):
                               ascending=[False, True],
                               kind="stable").head(10)
 
-    top = (joined.map_batches(_local_top, batch_format="pandas")
-           .to_pandas()
-           .sort_values(["revenue", "l_orderkey"],
+    top = _typed(
+        joined.map_batches(_local_top, batch_format="pandas")
+        .to_pandas(),
+        l_orderkey="int64", revenue="float64",
+        o_orderdate="datetime64[us]", o_orderpriority=object)
+    top = (top.sort_values(["revenue", "l_orderkey"],
                         ascending=[False, True], kind="stable")
            .head(10).reset_index(drop=True))
+    top = _typed(top, l_orderkey="int64",
+                 o_orderdate="datetime64[us]", o_orderpriority=object,
+                 revenue="float64")
     return pd.DataFrame({
         "l_orderkey": top["l_orderkey"].astype("int64"),
         "o_orderdate": top["o_orderdate"].dt.strftime("%Y-%m-%d"),
@@ -1449,6 +1472,7 @@ def _q_tpch_q5_local_supplier(sf_dir: str):
                                      batch_format="pandas"),
                       ["n_name"], ["revenue"], n_buckets=8)
            .to_pandas())
+    out = _typed(out, n_name=object, revenue="float64")
     out["revenue"] = out["revenue"].astype("float64").round(_ROUND)
     return out.sort_values("n_name", ignore_index=True)
 
@@ -1476,6 +1500,8 @@ def _q_segment_revenue(sf_dir: str):
            .groupby("c_mktsegment")
            .aggregate(Sum("n_orders", alias_name="n_orders"),
                       Sum("revenue", alias_name="revenue")).to_pandas())
+    out = _typed(out, c_mktsegment=object, n_orders="int64",
+                 revenue="float64")
     out["n_orders"] = out["n_orders"].astype("int64")
     out["revenue"] = out["revenue"].astype("float64").round(_ROUND)
     return out
@@ -1488,8 +1514,10 @@ def _q_events_props_stats(sf_dir: str):
     integer n/sum/min/max per event_type, avg derived at merge."""
     from rdf_extraction_ray.stages.jsoncol import json_field_stats
     ds = _read(sf_dir, "events", ["event_type", "props"])
-    return json_field_stats(ds, group_col="event_type",
-                            col="props", path="$.k")
+    out = json_field_stats(ds, group_col="event_type",
+                           col="props", path="$.k")
+    return _typed(out, event_type=object, n="int64", sum_k="int64",
+                  min_k="int64", max_k="int64", avg_k="float64")
 
 
 def _q_docs_source_fuzzy(sf_dir: str):
@@ -1501,7 +1529,10 @@ def _q_docs_source_fuzzy(sf_dir: str):
     from rdf_extraction_ray.stages.fuzzy import fuzzy_match_vocab
     canon = [f"src{i}" for i in range(8)]
     ds = _read(sf_dir, "documents", ["doc_id", "source"])
-    out = fuzzy_match_vocab(ds, "source", canon, max_dist=1).to_pandas()
+    out = _typed(fuzzy_match_vocab(ds, "source", canon,
+                                   max_dist=1).to_pandas(),
+                 doc_id="int64", source=object, match=object,
+                 dist="int64")
     return out.sort_values("doc_id", ignore_index=True)
 
 
@@ -1607,6 +1638,8 @@ def _q_events_hourly(sf_dir: str):
     out = bucket_sum(
         ds.map_batches(_hour, batch_format="pandas", batch_size=None),
         ["event_type", "hour"], ["n", "value_sum"]).to_pandas()
+    out = _typed(out, event_type=object, hour=object, n="int64",
+                 value_sum="float64")
     out["value_sum"] = out["value_sum"].round(_ROUND)
     out["n"] = out["n"].astype("int64")
     return out
@@ -1630,6 +1663,8 @@ def _q_user_sessions(sf_dir: str):
                           batch_size=None)
            .groupby("bucket").map_groups(_sessions, batch_format="pandas")
            .to_pandas())
+    out = _typed(out, user_id="int64", n_events="int64",
+                 n_sessions="int64")
     out["n_sessions"] = out["n_sessions"].astype("int64")
     out["n_events"] = out["n_events"].astype("int64")
     return out
@@ -1654,7 +1689,10 @@ def _q_top_orders_per_segment(sf_dir: str):
                 .groupby("c_mktsegment").head(3)
                 [["c_mktsegment", "o_orderkey", "o_totalprice"]])
 
-    partials = joined.map_batches(_partial, batch_format="pandas").to_pandas()
+    partials = _typed(
+        joined.map_batches(_partial, batch_format="pandas").to_pandas(),
+        c_mktsegment=object, o_orderkey="int64",
+        o_totalprice="float64")
     out = (partials.sort_values(
         ["c_mktsegment", "o_totalprice", "o_orderkey"],
         ascending=[True, False, True], kind="stable")
@@ -1708,8 +1746,10 @@ def _q_distinct_return_status(sf_dir: str):
     def _partial(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(["l_returnflag", "l_linestatus"])
 
-    out = (ds.map_batches(_partial, batch_format="pandas").to_pandas()
-           .drop_duplicates(["l_returnflag", "l_linestatus"])
+    out = _typed(
+        ds.map_batches(_partial, batch_format="pandas").to_pandas(),
+        l_returnflag=object, l_linestatus=object)
+    out = (out.drop_duplicates(["l_returnflag", "l_linestatus"])
            .sort_values(["l_returnflag", "l_linestatus"],
                         ignore_index=True))
     return out
@@ -1732,6 +1772,8 @@ def _q_clicks_last_purchase(sf_dir: str):
     clicks = ev.map_batches(_of_type("click"), batch_format="pyarrow")
     purchases = ev.map_batches(_of_type("purchase"), batch_format="pyarrow")
     out = asof_join(clicks, purchases, by="user_id", on="ts").to_pandas()
+    out = _typed(out, event_id="int64", user_id="int64",
+                 event_id_r="int64", value_r="float64")
     out = out[["event_id", "user_id", "event_id_r", "value_r"]].rename(
         columns={"event_id_r": "purchase_event_id",
                  "value_r": "purchase_value"})
@@ -1760,6 +1802,8 @@ def _q_purchase_click_window(sf_dir: str):
     clicks = ev.map_batches(_of("click"), batch_format="pyarrow")
     out = range_count_join(purchases, clicks, on="user_id",
                            count_col="n_clicks_1h").to_pandas()
+    out = _typed(out, event_id="int64", user_id="int64",
+                 n_clicks_1h="int64")
     return (out[["event_id", "user_id", "n_clicks_1h"]]
             .sort_values("event_id", ignore_index=True))
 
@@ -1796,6 +1840,8 @@ def _q_events_running_total(sf_dir: str):
            .groupby("bucket").map_groups(_running,
                                          batch_format="pandas")
            .to_pandas())
+    res = _typed(res, event_id="int64", user_id="int64",
+                 running_value="float64")
     return res.sort_values("event_id", ignore_index=True)
 
 
@@ -1823,6 +1869,8 @@ def _q_events_interarrival(sf_dir: str):
            .groupby("bucket").map_groups(_lagdiff,
                                          batch_format="pandas")
            .to_pandas())
+    res = _typed(res, event_id="int64", user_id="int64",
+                 gap_us="int64")
     res["gap_us"] = res["gap_us"].astype("int64")
     return res.sort_values("event_id", ignore_index=True)
 
@@ -1847,6 +1895,7 @@ def _q_users_event_history(sf_dir: str):
            .groupby("bucket").map_groups(_collect,
                                          batch_format="pandas")
            .to_pandas())
+    res = _typed(res, user_id="int64", history=object)
     return res.sort_values("user_id", ignore_index=True)
 
 
@@ -1870,6 +1919,7 @@ def _q_events_distinct_users(sf_dir: str):
            .groupby("event_type").map_groups(_count,
                                              batch_format="pandas")
            .to_pandas())
+    res = _typed(res, event_type=object, n_users="int64")
     return res.sort_values("event_type", ignore_index=True)
 
 
@@ -1903,6 +1953,7 @@ def _q_events_rolling_1h(sf_dir: str):
                           batch_size=None)
            .groupby("bucket").map_groups(_rolling, batch_format="pandas")
            .to_pandas())
+    res = _typed(res, event_id="int64", user_id="int64", n_1h="int64")
     res["n_1h"] = res["n_1h"].astype("int64")
     return res.sort_values("event_id", ignore_index=True)
 
@@ -1973,7 +2024,9 @@ def _q_docs_tfidf_terms(sf_dir: str):
     by term hash, never a driver vocabulary)."""
     from rdf_extraction_ray.stages.textstats import tfidf_top_terms
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = tfidf_top_terms(docs, k=3).to_pandas()
+    out = _typed(tfidf_top_terms(docs, k=3).to_pandas(),
+                 doc_id="int64", term=object, tf="int64",
+                 score="int64")
     return out.sort_values(["doc_id", "term"], ignore_index=True)
 
 
@@ -2009,6 +2062,8 @@ def _q_docs_strip_boilerplate(sf_dir: str):
                                               batch_format="pandas"),
                              min_df=5)
            .to_pandas())
+    out = _typed(out, doc_id="int64", n_lines="int64",
+                 n_removed="int64", text_clean=object)
     return out.sort_values("doc_id", ignore_index=True)
 
 
@@ -2020,7 +2075,8 @@ def _q_docs_train_shards(sf_dir: str):
     any shuffle."""
     from rdf_extraction_ray.stages.curate import train_shard_assignment
     docs = _read(sf_dir, "documents", ["doc_id"])
-    out = train_shard_assignment(docs, n_shards=8).to_pandas()
+    out = _typed(train_shard_assignment(docs, n_shards=8).to_pandas(),
+                 doc_id="int64", shard="int64", pos="int64")
     return out.sort_values("doc_id", ignore_index=True)
 
 
@@ -2034,7 +2090,12 @@ def _q_docs_gopher_rules(sf_dir: str):
     from rdf_extraction_ray.stages.textstats import gopher_rules
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     out = (docs.map_batches(gopher_rules, batch_format="pandas")
-           .to_pandas().drop(columns=["text"]))
+           .to_pandas())
+    out = _typed(out, doc_id="int64", text=object,
+                 g_n_words="int64", g_word_chars="int64",
+                 r_nwords=bool, r_meanlen=bool, r_symbols=bool,
+                 r_bullets=bool, r_ellipsis=bool, r_alpha=bool,
+                 r_stops=bool, gopher_ok=bool).drop(columns=["text"])
     return out.sort_values("doc_id", ignore_index=True)
 
 
@@ -2265,7 +2326,9 @@ def _q_docs_minhash_pairs(sf_dir: str):
                                                       verify_jaccard)
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     cands = minhash_lsh_candidates(docs)
-    out = verify_jaccard(cands, docs, threshold=0.5).to_pandas()
+    out = _typed(verify_jaccard(cands, docs,
+                                threshold=0.5).to_pandas(),
+                 a="int64", b="int64", jaccard="float64")
     out["jaccard"] = out["jaccard"].round(_ROUND)
     return out.sort_values(["a", "b"], ignore_index=True)
 
@@ -2293,7 +2356,8 @@ def _q_docs_ngram_jaccard(sf_dir: str):
     index (df-capped; no LSH) — fully SQL-oracled."""
     from rdf_extraction_ray.stages.dedup_docs import ngram_jaccard_pairs
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = ngram_jaccard_pairs(docs, threshold=0.5).to_pandas()
+    out = _typed(ngram_jaccard_pairs(docs, threshold=0.5).to_pandas(),
+                 a="int64", b="int64", jaccard="float64")
     return out.sort_values(["a", "b"], ignore_index=True)
 
 
@@ -2325,7 +2389,8 @@ def _q_docs_simhash_pairs(sf_dir: str):
     ≥1 band intact), xor-popcount verifies. SQL-oracled all-pairs."""
     from rdf_extraction_ray.stages.dedup_docs import simhash_pairs
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = simhash_pairs(docs, max_hamming=3).to_pandas()
+    out = _typed(simhash_pairs(docs, max_hamming=3).to_pandas(),
+                 a="int64", b="int64", hamming="int64")
     return out.sort_values(["a", "b"], ignore_index=True)
 
 
@@ -2341,8 +2406,9 @@ def _q_docs_dedup_keep_best(sf_dir: str):
     from rdf_extraction_ray.stages.dedup_docs import (
         connected_components_ds, ngram_jaccard_pairs)
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    comp = connected_components_ds(
-        ngram_jaccard_pairs(docs, threshold=0.5)).to_pandas()
+    comp = _typed(connected_components_ds(
+        ngram_jaccard_pairs(docs, threshold=0.5)).to_pandas(),
+        doc_id="int64", component="int64")
     comp_ref = ray.put(dict(zip(comp["doc_id"].astype("int64"),
                                 comp["component"].astype("int64"))))
 
@@ -2355,7 +2421,9 @@ def _q_docs_dedup_keep_best(sf_dir: str):
             "doc_id": sub["doc_id"].astype("int64"),
             "n_chars": sub["text"].str.len().astype("int64")})
 
-    scored = docs.map_batches(_score, batch_format="pandas").to_pandas()
+    scored = _typed(
+        docs.map_batches(_score, batch_format="pandas").to_pandas(),
+        component="int64", doc_id="int64", n_chars="int64")
     scored = scored.sort_values(
         ["component", "n_chars", "doc_id"],
         ascending=[True, False, True], ignore_index=True)
@@ -2406,8 +2474,9 @@ def _q_docs_curation(sf_dir: str):
                  .groupby("tbucket")
                  .map_groups(_min_per_text, batch_format="pandas")
                  ).materialize()
-    comp = connected_components_ds(
-        ngram_jaccard_pairs(survivors, threshold=0.5)).to_pandas()
+    comp = _typed(connected_components_ds(
+        ngram_jaccard_pairs(survivors, threshold=0.5)).to_pandas(),
+        doc_id="int64", component="int64")
 
     import ray
     cmap_ref = ray.put(dict(zip(comp["doc_id"].astype("int64"),
@@ -2427,17 +2496,19 @@ def _q_docs_curation(sf_dir: str):
     # keep-best needs only the CLUSTERED rows — bounded by 2·|pairs|,
     # a sliver of the corpus; the anti-filter broadcasts the loser ids
     # while the corpus itself streams
-    clustered = marked.map_batches(
+    clustered = _typed(marked.map_batches(
         lambda df: df[df["component"] >= 0],
-        batch_format="pandas").to_pandas()
+        batch_format="pandas").to_pandas(),
+        doc_id="int64", n_chars="int64", component="int64")
     clustered = clustered.sort_values(
         ["component", "n_chars", "doc_id"],
         ascending=[True, False, True])
     losers = set(clustered.loc[clustered.duplicated("component"),
                                "doc_id"])
     from rdf_extraction_ray.stages.joins import semi_join_filter
-    out = semi_join_filter(marked, losers, "doc_id",
-                           anti=True).to_pandas()
+    out = _typed(semi_join_filter(marked, losers, "doc_id",
+                                  anti=True).to_pandas(),
+                 doc_id="int64", n_chars="int64", component="int64")
     return (out[["doc_id", "n_chars", "component"]]
             .sort_values("doc_id", ignore_index=True))
 
@@ -2521,6 +2592,8 @@ def _q_part_brand_stats(sf_dir: str):
            .aggregate(Count(alias_name="n"),
                       Sum("p_retailprice", alias_name="retail_sum"))
            .to_pandas())
+    out = _typed(out, p_brand=object, n="int64",
+                 retail_sum="float64")
     out["retail_sum"] = out["retail_sum"].round(_ROUND)
     return out
 
@@ -2592,7 +2665,9 @@ def _q_docs_dup_spans(sf_dir: str):
     the shared md5-15-hex gram hash."""
     from rdf_extraction_ray.stages.dedup_docs import dup_span_stats
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = dup_span_stats(docs, n_words=10).to_pandas()
+    out = _typed(dup_span_stats(docs, n_words=10).to_pandas(),
+                 doc_id="int64", n_spans="int64",
+                 n_dup_spans="int64")
     return out.sort_values("doc_id", ignore_index=True)
 
 
@@ -2613,7 +2688,8 @@ def _q_docs_incremental_dedup(sf_dir: str):
                             batch_format="pandas")   # slots 0,1
     new = full.map_batches(_slice(lambda s: s >= 1),
                            batch_format="pandas")    # slots 1,2
-    out = incremental_dedup(new, snap).to_pandas()
+    out = _typed(incremental_dedup(new, snap).to_pandas(),
+                 doc_id="int64", text=object)
     return out.sort_values("doc_id", ignore_index=True)
 
 
@@ -2623,7 +2699,8 @@ def _q_docs_source_cap(sf_dir: str):
     top-k-per-key, SQL-oracled as a window-rank."""
     from rdf_extraction_ray.stages.curate import source_cap
     docs = _read(sf_dir, "documents", ["doc_id", "source"])
-    out = source_cap(docs, cap=16).to_pandas()
+    out = _typed(source_cap(docs, cap=16).to_pandas(),
+                 doc_id="int64", source=object)
     return out.sort_values("doc_id", ignore_index=True)
 
 

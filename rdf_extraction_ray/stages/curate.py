@@ -435,6 +435,8 @@ def frequent_lines(docs: rd.Dataset, min_df: int = 5,
     got = (docs.map_batches(_local, batch_format="pandas")
            .groupby("lbucket").map_groups(_freq, batch_format="pandas")
            .to_pandas())
+    if "ln" not in got.columns:  # empty corpus: nothing is frequent
+        return frozenset()
     return frozenset(got["ln"])
 
 

@@ -344,6 +344,11 @@ def verify_jaccard(pairs: rd.Dataset, docs: rd.Dataset,
     pairs = pairs.materialize()
     cand_ids = set(distinct_values(pairs, "a")) \
         | set(distinct_values(pairs, "b"))
+    if not cand_ids:  # no candidates (e.g. empty corpus): typed empty
+        return rd.from_pandas(pd.DataFrame({
+            "a": pd.Series([], dtype="int64"),
+            "b": pd.Series([], dtype="int64"),
+            "jaccard": pd.Series([], dtype="float64")}))
     cand_docs = semi_join_filter(docs, cand_ids, id_col)
 
     cap = BROADCAST_VERIFY_CAP if broadcast_cap is None else broadcast_cap
@@ -744,6 +749,11 @@ def embedding_neardup_pairs(embeddings: rd.Dataset, threshold: float = 0.9,
 
     if dim is None:
         first = embeddings.limit(1).to_pandas()
+        if first.empty:  # empty corpus: typed empty pair set
+            return pd.DataFrame({
+                "a": pd.Series([], dtype="int64"),
+                "b": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64")})
         dim = len(first[vec_col].iloc[0])
     planes = int_planes(n_tables, n_bits, dim, seed)
     pw = (1 << np.arange(n_bits)).astype(np.int64)

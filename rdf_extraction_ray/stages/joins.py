@@ -183,6 +183,12 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
     One shuffle each side, |left|+|right| rows once, Arrow blocks
     throughout the exchange.
     """
+    if (left_schema or left.schema()) is None \
+            or (right_schema or right.schema()) is None:
+        # a schema-less side is an EMPTY side; the as-of inner match
+        # is then provably empty (callers' typed-empty shims own the
+        # output column contract)
+        return rd.from_pandas(pd.DataFrame())
     rschema = right_schema or _arrow_schema(right)
     all_cols, (left_cols, right_cols), type_of = _union_schema(
         left_schema or _arrow_schema(left), rschema)
@@ -229,6 +235,14 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str | list[str],
     unioned, grouped by bucket, and merged pairwise per bucket. The
     shuffle volume is |left| + |right| rows, once, in Arrow blocks.
     """
+    if (left_schema or left.schema()) is None or (
+            how == "inner"
+            and (right_schema or right.schema()) is None):
+        # schema-less = empty: inner with either side empty (or any
+        # join with an empty LEFT) is provably empty; a LEFT join
+        # with only the right side empty still needs schemas and
+        # falls through to the clear _arrow_schema error
+        return rd.from_pandas(pd.DataFrame())
     on_cols = [on] if isinstance(on, str) else list(on)
     rschema = right_schema or _arrow_schema(right)
     all_cols, (left_cols, right_cols), type_of = _union_schema(
@@ -278,6 +292,9 @@ def range_count_join(left: rd.Dataset, right: rd.Dataset, on: str,
 
     Returns the left rows + ``count_col`` (int64).
     """
+    if left.schema() is None:
+        # schema-less = empty left: nothing to count over
+        return rd.from_pandas(pd.DataFrame())
 
     # both sides are padded to ONE explicit column set before the
     # union, with TYPED Arrow nulls — the exchange moves compact Arrow

@@ -91,4 +91,12 @@ def json_field_stats(events: rd.Dataset, group_col: str = "event_type",
            .groupby(group_col).map_groups(_merge,
                                           batch_format="pandas")
            .to_pandas())
+    if out.empty:  # empty input: typed empty result
+        return pd.DataFrame({
+            group_col: pd.Series([], dtype=object),
+            "n": pd.Series([], dtype="int64"),
+            "sum_k": pd.Series([], dtype="int64"),
+            "min_k": pd.Series([], dtype="int64"),
+            "max_k": pd.Series([], dtype="int64"),
+            "avg_k": pd.Series([], dtype="float64")})
     return out.sort_values(group_col, ignore_index=True)

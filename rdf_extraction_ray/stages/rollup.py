@@ -160,7 +160,10 @@ def pivot_counts(ds: rd.Dataset, index: str, col: str,
         uniq = (ds.map_batches(
             lambda df: pd.DataFrame({col: df[col].unique()}),
             batch_format="pandas").to_pandas())
-        col_values = sorted(map(str, uniq[col].unique()))
+        col_values = (sorted(map(str, uniq[col].unique()))
+                      if col in uniq.columns else [])
+    if not col_values:  # empty input and no declared columns
+        return pd.DataFrame({index: pd.Series([], dtype=object)})
 
     def _partial(df: pd.DataFrame) -> pd.DataFrame:
         ct = pd.crosstab(df[index], df[col].astype(str))
@@ -204,4 +207,8 @@ def group_mode(ds: rd.Dataset, key: str, col: str,
     out = (ds.map_batches(_partial, batch_format="pandas")
            .groupby("kbucket").map_groups(_mode, batch_format="pandas")
            .to_pandas())
+    if out.empty:  # empty input: typed empty result
+        return pd.DataFrame({key: pd.Series([], dtype=object),
+                             "mode": pd.Series([], dtype=object),
+                             "mode_n": pd.Series([], dtype="int64")})
     return out.sort_values(key, ignore_index=True)
