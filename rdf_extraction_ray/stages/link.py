@@ -110,6 +110,10 @@ class EntityLinker:
         match's URI or None."""
         memo_key = (kind, key)
         if memo_key not in self._fuzzy_memo:
+            if len(self._fuzzy_memo) > 100_000:
+                # free-text miss surfaces are unbounded on a
+                # long-lived actor; cap the memo like the gram memo
+                self._fuzzy_memo.clear()
             close = get_close_matches(key, table.keys(), n=1,
                                       cutoff=_FUZZY_CUTOFF)
             self._fuzzy_memo[memo_key] = table[close[0]] if close else None
@@ -164,18 +168,29 @@ class EntityLinker:
                 hit[miss] = close
         return hit, status
 
-    def _person_series(self, surfaces: pd.Series,
-                       slot: str) -> tuple[pd.Series, pd.Series]:
-        hit = surfaces.map(self.people)
-        mint = surfaces.notna() & hit.isna()
+    def _mint_series(self, surfaces: pd.Series, slot: str,
+                     table: dict, mint, keyfn=None
+                     ) -> tuple[pd.Series, pd.Series]:
+        """Shared dict-hit-else-mint slot linker: lookup (optionally
+        through a cleaned key), mint deterministically on miss, and
+        report linked/minted status."""
+        keys = (_map_unique(surfaces, keyfn) if keyfn is not None
+                else surfaces)
+        hit = keys.map(table)
+        mint_mask = surfaces.notna() & hit.isna()
         uri = hit.copy()
-        if mint.any():
-            uri[mint] = _map_unique(surfaces[mint], make_standard_uri)
+        if mint_mask.any():
+            uri[mint_mask] = _map_unique(surfaces[mint_mask], mint)
         status = pd.Series(np.where(
             surfaces.isna(), "",
             np.where(hit.notna(), f"{slot}=linked", f"{slot}=minted")),
             index=surfaces.index)
         return uri, status
+
+    def _person_series(self, surfaces: pd.Series,
+                       slot: str) -> tuple[pd.Series, pd.Series]:
+        return self._mint_series(surfaces, slot, self.people,
+                                 make_standard_uri)
 
     def _place_series(self, surfaces: pd.Series,
                       slot: str) -> tuple[pd.Series, pd.Series]:
@@ -196,8 +211,12 @@ class EntityLinker:
         p_uri, p_status = self._person_series(batch["person"], "person")
         o_uri, o_status = self._person_series(batch["other"], "other")
         pl_uri, pl_status = self._place_series(batch["place"], "place")
-        # place2 is only a place for migration-style rows; education
-        # "degree" reuses it for the subject literal
+        # place2 gazetteer slot: part of the declared linker API for
+        # location rows (pinned by the scalar-ladder differential
+        # test) even though the current extractor only populates
+        # place2 on education "degree" rows, where template.py reads
+        # it as a raw literal — so on extractor output this lookup
+        # sees only nulls
         p2 = batch["place2"].where(ft == "location")
         p2_uri, p2_status = self._place_series(p2, "place2")
 
@@ -228,17 +247,9 @@ class EntityLinker:
                 t_uri[g.index] = u
                 t_status[g.index] = s
 
-        org = batch["org"]
-        org_hit = _map_unique(org, clean_term).map(self.orgs)
-        org_mint = org.notna() & org_hit.isna()
-        org_uri = org_hit.copy()
-        if org_mint.any():
-            org_uri[org_mint] = _map_unique(
-                org[org_mint], lambda s: make_standard_uri(s + " ORG"))
-        org_status = pd.Series(np.where(
-            org.isna(), "",
-            np.where(org_hit.notna(), "org=linked", "org=minted")),
-            index=idx)
+        org_uri, org_status = self._mint_series(
+            batch["org"], "org", self.orgs,
+            lambda s: make_standard_uri(s + " ORG"), keyfn=clean_term)
 
         # link_status: non-empty slot statuses joined with ";" in the
         # fixed slot order person, other, place, place2, term, org
