@@ -7,8 +7,10 @@
 - :func:`verify_jaccard` — exact n-gram Jaccard verification of
   candidate pairs, fully DISTRIBUTED: gram-hash arrays are computed as
   a Dataset over only the docs that appear in candidate pairs, then
-  attached to the pairs with two partitioned hash joins — the driver
-  never holds a gram set or a document, only the candidate id list.
+  attached to the pairs with two partitioned hash joins. On the JOIN
+  path the driver holds only the candidate id list; candidate sets
+  under ``BROADCAST_VERIFY_CAP`` take a faster broadcast path that
+  does collect those candidates' texts onto the driver once.
 - :class:`SimHasher` — 64-bit simhash per doc (vectorized over the
   batch's unique words; per-word md5 so the hash is reproducible in
   SQL for the DuckDB oracle).
@@ -146,6 +148,11 @@ class MinHasher:
     def __init__(self, num_perm: int = 64, n_bands: int = 16,
                  shingle: int = 5, seed: int = 1337,
                  chunk_shingles: int = 262_144):
+        if num_perm % n_bands:
+            raise ValueError(
+                f"num_perm ({num_perm}) must divide evenly into "
+                f"n_bands ({n_bands}) — an indivisible split would "
+                "silently truncate signature rows")
         rng = np.random.RandomState(seed)
         # 32-bit universal-hash arithmetic throughout: numpy's 64-bit
         # integer multiply has no SIMD path (measured ~100x slower on
@@ -818,7 +825,10 @@ def embedding_neardup_pairs(embeddings: rd.Dataset, threshold: float = 0.9,
              .groupby("bucket").map_groups(_pairs, batch_format="pyarrow")
              .to_pandas())
     if not len(pairs):
-        return pd.DataFrame({"a": [], "b": [], "cosine": []})
+        return pd.DataFrame({
+            "a": pd.Series([], dtype="int64"),
+            "b": pd.Series([], dtype="int64"),
+            "cosine": pd.Series([], dtype="float64")})
     return (pairs.sort_values(["a", "b", "cosine"])
             .drop_duplicates(["a", "b"])
             .reset_index(drop=True))

@@ -1017,3 +1017,11 @@ def test_stage_family_survives_empty_input():
     assert len(tt) == 0 and list(tt.columns) == ["token", "n"]
     gq = group_quantiles(empty_docs, "lang", "n")
     assert len(gq) == 0
+
+
+def test_minhasher_rejects_indivisible_bands():
+    import pytest as _pytest
+
+    from rdf_extraction_ray.stages.dedup_docs import MinHasher
+    with _pytest.raises(ValueError):
+        MinHasher(num_perm=64, n_bands=12)
