@@ -1341,12 +1341,20 @@ def _q_region_customers(sf_dir: str):
 def _q_tpch_q3_shipping(sf_dir: str):
     """TPC-H Q3 shape — the suite's three-table join: filtered
     customer ⋈ filtered orders ⋈ pre-aggregated lineitem revenue.
-    Lineitem collapses to one revenue row per order BEFORE its join
-    (combiner → groupby sum), both joins are hash-bucket exchanges,
-    and the top-10 is a per-batch partial-top-k merge — no full
-    result ever sorts globally or lands on the driver."""
+
+    Scale shape (round-3 fusion): the lineitem revenue combiner and
+    the revenue⋈orders join share ONE exchange — both streams carry
+    the same ``kbucket = l_orderkey % 64`` key, union into a single
+    ``groupby(kbucket)``, and each group sums revenue per order,
+    resolves the join, and emits only its local top-10. The round-2
+    version ran the combiner's bucket exchange AND a separate
+    ``hash_join`` exchange over the same key (13.9 s at sf0.1); one
+    fused exchange halves the all-to-all volume. The driver merges
+    64×10 rows."""
     from rdf_extraction_ray.stages.joins import hash_join
     CUT = pd.Timestamp("1998-06-01")
+    _COLS = ["l_orderkey", "revenue", "o_orderdate",
+             "o_orderpriority", "side", "kbucket"]
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
         .map_batches(lambda df: df.loc[df["c_mktsegment"] == "BUILDING",
@@ -1358,52 +1366,66 @@ def _q_tpch_q3_shipping(sf_dir: str):
                     "o_orderpriority"]) \
         .map_batches(lambda df: df[df["o_orderdate"] < CUT],
                      batch_format="pandas")
+
+    def _j1_rows(df: pd.DataFrame) -> pd.DataFrame:
+        # orders side of the fused exchange: join payload + bucket key
+        out = pd.DataFrame({
+            "l_orderkey": df["o_orderkey"].astype("int64"),
+            "revenue": np.float64(0.0),
+            "o_orderdate": df["o_orderdate"].astype("datetime64[us]"),
+            "o_orderpriority": df["o_orderpriority"].astype(object),
+            "side": np.int8(1)})
+        out["kbucket"] = (out["l_orderkey"] % 64).astype("int64")
+        return out[_COLS]
+
     j1 = hash_join(orders, cust, on="o_custkey") \
-        .map_batches(lambda df: df[["o_orderkey", "o_orderdate",
-                                    "o_orderpriority"]]
-                     .rename(columns={"o_orderkey": "l_orderkey"}),
-                     batch_format="pandas")
+        .map_batches(_j1_rows, batch_format="pandas")
 
     def _rev_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # lineitem side: per-batch combiner — one revenue row per
+        # orderkey per batch enters the exchange, never raw lineitems
         g = df[df["l_shipdate"] > CUT]
         rev = (g["l_extendedprice"] * (1 - g["l_discount"]))
         out = (pd.DataFrame({"l_orderkey": g["l_orderkey"],
                              "revenue": rev})
                .groupby("l_orderkey", as_index=False)["revenue"].sum())
-        # bucket key for the final sum: Ray's groupby().aggregate()
-        # degrades badly at high key cardinality (~130k orderkeys
-        # measured 30s for 295k rows), so the exchange groups on 64
-        # hash buckets and the true groupby runs vectorized in-group
+        out["o_orderdate"] = pd.Series(pd.NaT, index=out.index,
+                                       dtype="datetime64[us]")
+        out["o_orderpriority"] = pd.Series(None, index=out.index,
+                                           dtype=object)
+        out["side"] = np.int8(0)
+        # Ray's groupby().aggregate() degrades badly at high key
+        # cardinality (~130k orderkeys measured 30 s for 295k rows):
+        # the exchange groups on 64 hash buckets and the true groupby
+        # runs vectorized in-group
         out["kbucket"] = (out["l_orderkey"] % 64).astype("int64")
-        return out
+        return out[_COLS]
 
-    line = (_read(sf_dir, "lineitem",
-                  ["l_orderkey", "l_extendedprice", "l_discount",
-                   "l_shipdate"])
-            .map_batches(_rev_partial, batch_format="pandas")
-            .groupby("kbucket")
-            .map_groups(lambda g: g.groupby("l_orderkey",
-                                            as_index=False)
-                        ["revenue"].sum(), batch_format="pandas"))
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_extendedprice", "l_discount",
+                  "l_shipdate"]) \
+        .map_batches(_rev_partial, batch_format="pandas")
 
-    joined = hash_join(line, j1, on="l_orderkey")
-
-    def _local_top(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(["revenue", "l_orderkey"],
+    def _bucket_top(g: pd.DataFrame) -> pd.DataFrame:
+        rev = (g.loc[g["side"] == 0, ["l_orderkey", "revenue"]]
+               .groupby("l_orderkey", as_index=False)["revenue"].sum())
+        meta = g.loc[g["side"] == 1,
+                     ["l_orderkey", "o_orderdate", "o_orderpriority"]]
+        out = rev.merge(meta, on="l_orderkey", how="inner")
+        out = out.sort_values(["revenue", "l_orderkey"],
                               ascending=[False, True],
                               kind="stable").head(10)
+        return out[["l_orderkey", "revenue", "o_orderdate",
+                    "o_orderpriority"]]
 
     top = _typed(
-        joined.map_batches(_local_top, batch_format="pandas")
-        .to_pandas(),
+        line.union(j1).groupby("kbucket")
+        .map_groups(_bucket_top, batch_format="pandas").to_pandas(),
         l_orderkey="int64", revenue="float64",
         o_orderdate="datetime64[us]", o_orderpriority=object)
     top = (top.sort_values(["revenue", "l_orderkey"],
-                        ascending=[False, True], kind="stable")
+                           ascending=[False, True], kind="stable")
            .head(10).reset_index(drop=True))
-    top = _typed(top, l_orderkey="int64",
-                 o_orderdate="datetime64[us]", o_orderpriority=object,
-                 revenue="float64")
     return pd.DataFrame({
         "l_orderkey": top["l_orderkey"].astype("int64"),
         "o_orderdate": top["o_orderdate"].dt.strftime("%Y-%m-%d"),
@@ -2576,7 +2598,12 @@ def _q_docs_embed_neardup(sf_dir: str):
         return sub
 
     planted = corpus.map_batches(_dups, batch_format="pandas")
-    out = embedding_neardup_pairs(corpus.union(planted), threshold=0.999)
+    # the operator returns a Dataset (pair dedup is distributed);
+    # the sf-scale pair set here is tiny, so collecting the RESULT
+    # for the oracle compare is fine
+    out = _typed(embedding_neardup_pairs(corpus.union(planted),
+                                         threshold=0.999).to_pandas(),
+                 a="int64", b="int64", cosine="float64")
     out["cosine"] = out["cosine"].round(_ROUND)
     out["a"] = out["a"].astype("int64")
     out["b"] = out["b"].astype("int64")
@@ -2705,18 +2732,54 @@ def _q_docs_source_cap(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """All oracled pipelines, ordered FLAGSHIP-FIRST.
+
+    The driver's correctness gate windows the first N entries of this
+    dict, so ordering is load-bearing: the KG flagship plus the entire
+    LLM-curation family (dedup / ANN / clustering / curation / media)
+    lead, followed by the KG long tail; the relational coverage suite
+    (driver-green in CORRECTNESS_r02.json) closes the dict.
+    """
     return {
-        # --- KG construction pipeline (synthetic transcripts; oracle =
-        #     golden-triple pytest suite, rows-only here)
+        # --- flagships: KG construction + LLM training-data curation
         "kg_triples": _q_kg_triples,
+        "docs_curation": _q_docs_curation,
+        "docs_minhash_pairs": _q_docs_minhash_pairs,
+        "docs_dup_components": _q_docs_dup_components,
+        "ann_ivf": _q_ann_ivf,
+        "embed_semantic_dedup": _q_embed_semantic_dedup,
+        "media_features": _q_media_features,
+        "docs_incremental_dedup": _q_docs_incremental_dedup,
         "kg_facts": _q_kg_facts,
-        "kg_link_histogram": _q_kg_link_histogram,
-        "kg_title_census": _q_kg_title_census,
-        "kg_org_counts": _q_kg_org_counts,
-        "kg_triples_stats": _q_kg_triples_stats,
+        # --- dedup / similarity family
+        "docs_simhash": _q_docs_simhash,
+        "docs_simhash_pairs": _q_docs_simhash_pairs,
+        "docs_ngram_jaccard": _q_docs_ngram_jaccard,
+        "docs_ngram_components": _q_docs_ngram_components,
+        "docs_dedup_keep_best": _q_docs_dedup_keep_best,
+        "docs_embed_neardup": _q_docs_embed_neardup,
+        "embed_cosine_pairs": _q_embed_cosine_pairs,
+        "embed_kmeans": _q_embed_kmeans,
+        "ann_bruteforce": _q_ann_bruteforce,
+        "ann_lsh": _q_ann_lsh,
+        "media_frames": _q_media_frames,
+        # --- curation / text-analysis family
+        "docs_tfidf_terms": _q_docs_tfidf_terms,
+        "docs_top_tokens": _q_docs_top_tokens,
+        "docs_gopher_rules": _q_docs_gopher_rules,
+        "docs_train_shards": _q_docs_train_shards,
+        "docs_strip_boilerplate": _q_docs_strip_boilerplate,
+        "docs_unigram_logprob": _q_docs_unigram_logprob,
+        "docs_vocab_size": _q_docs_vocab_size,
+        "docs_length_quantiles": _q_docs_length_quantiles,
+        "docs_fingerprint": _q_docs_fingerprint,
+        "docs_repetition": _q_docs_repetition,
+        "docs_pii_redact": _q_docs_pii_redact,
+        "docs_decontaminate": _q_docs_decontaminate,
+        "docs_dup_spans": _q_docs_dup_spans,
+        "docs_source_cap": _q_docs_source_cap,
+        # --- KG long tail (serializers, reports, works)
         "kg_triples_seeded": _q_kg_triples_seeded,
-        "kg_unmatched_places": _q_kg_unmatched_places,
-        "kg_vocab_terms": _q_kg_vocab_terms,
         "kg_ntriples": _q_kg_ntriples,
         "kg_nquads": _q_kg_nquads,
         "kg_turtle": _q_kg_turtle,
@@ -2724,13 +2787,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "works_triples": _q_works_triples,
         "works_genres": _q_works_genres,
         "kg_works_person_join": _q_kg_works_person_join,
-        # --- relational operator coverage (SQL-oracled)
+        "kg_link_histogram": _q_kg_link_histogram,
+        "kg_title_census": _q_kg_title_census,
+        "kg_org_counts": _q_kg_org_counts,
+        "kg_triples_stats": _q_kg_triples_stats,
+        "kg_unmatched_places": _q_kg_unmatched_places,
+        "kg_vocab_terms": _q_kg_vocab_terms,
         "tpch_q1_pricing": _q_tpch_q1,
+        "tpch_q3_shipping": _q_tpch_q3_shipping,
+        # --- relational operator coverage (driver-green r02)
+        "tpch_q5_local_supplier": _q_tpch_q5_local_supplier,
         "topk_orders": _q_topk_orders,
         "region_customers": _q_region_customers,
         "segment_revenue": _q_segment_revenue,
-        "tpch_q3_shipping": _q_tpch_q3_shipping,
-        "tpch_q5_local_supplier": _q_tpch_q5_local_supplier,
         "events_hourly": _q_events_hourly,
         "events_props_stats": _q_events_props_stats,
         "events_rollup": _q_events_rollup,
@@ -2752,7 +2821,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_event_history": _q_users_event_history,
         "events_distinct_users": _q_events_distinct_users,
         "purchase_click_window": _q_purchase_click_window,
-        # --- training-data pipeline suite over documents/embeddings
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_token_count": _q_docs_token_count,
         "docs_quality": _q_docs_quality,
@@ -2760,39 +2828,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_langid": _q_docs_langid,
         "docs_stratified_sample": _q_docs_stratified_sample,
         "docs_pack_windows": _q_docs_pack_windows,
-        "docs_tfidf_terms": _q_docs_tfidf_terms,
-        "docs_top_tokens": _q_docs_top_tokens,
-        "docs_gopher_rules": _q_docs_gopher_rules,
-        "docs_train_shards": _q_docs_train_shards,
-        "docs_strip_boilerplate": _q_docs_strip_boilerplate,
-        "docs_unigram_logprob": _q_docs_unigram_logprob,
-        "docs_vocab_size": _q_docs_vocab_size,
-        "docs_length_quantiles": _q_docs_length_quantiles,
-        "docs_fingerprint": _q_docs_fingerprint,
-        "docs_repetition": _q_docs_repetition,
-        "docs_pii_redact": _q_docs_pii_redact,
-        "docs_decontaminate": _q_docs_decontaminate,
-        "docs_dup_spans": _q_docs_dup_spans,
-        "docs_incremental_dedup": _q_docs_incremental_dedup,
-        "docs_source_cap": _q_docs_source_cap,
-        "embed_kmeans": _q_embed_kmeans,
-        "embed_semantic_dedup": _q_embed_semantic_dedup,
-        "docs_minhash_pairs": _q_docs_minhash_pairs,
-        "docs_ngram_jaccard": _q_docs_ngram_jaccard,
-        "docs_ngram_components": _q_docs_ngram_components,
-        "docs_dedup_keep_best": _q_docs_dedup_keep_best,
-        "embed_cosine_pairs": _q_embed_cosine_pairs,
-        "docs_curation": _q_docs_curation,
-        "docs_simhash": _q_docs_simhash,
-        "docs_simhash_pairs": _q_docs_simhash_pairs,
-        "docs_dup_components": _q_docs_dup_components,
-        "ann_bruteforce": _q_ann_bruteforce,
-        "ann_lsh": _q_ann_lsh,
-        "ann_ivf": _q_ann_ivf,
-        "docs_embed_neardup": _q_docs_embed_neardup,
-        # --- multimodal plumbing (stubbed decode, real Ray plumbing)
-        "media_features": _q_media_features,
-        "media_frames": _q_media_frames,
     }
 
 

@@ -204,34 +204,44 @@ def _bloom_positions(h: np.ndarray, m_log2: int, k: int) -> np.ndarray:
     return np.stack([(h1 + np.uint64(j) * h2) & mask for j in range(k)])
 
 
-def snapshot_bloom(snapshot: rd.Dataset, m_log2: int = 23, k: int = 4,
-                   text_col: str = "text") -> "ray.ObjectRef":
-    """Bloom filter over the snapshot corpus' exact text hashes.
-
-    Built distributed: each ``map_batches`` task sets bits into its own
-    fixed-size bitmap (2^``m_log2`` bits — 1 MiB at the default,
-    INDEPENDENT of corpus size); the driver ORs the constant-size
-    partials as they stream and ``ray.put``s the result once for
-    broadcast. The driver never sees a hash, only bitmaps.
-    """
+def _bloom_from_hashes(hashes: rd.Dataset, m_log2: int,
+                       k: int) -> "ray.ObjectRef":
+    """Bloom filter over a Dataset of precomputed int64 hashes (column
+    ``h``). Built distributed: each ``map_batches`` task sets bits into
+    its own fixed-size bitmap (2^``m_log2`` bits — 1 MiB at the
+    default, INDEPENDENT of corpus size); the driver ORs the
+    constant-size partials as they stream and ``ray.put``s the result
+    once for broadcast. The driver never sees a hash, only bitmaps."""
     m = 1 << m_log2
 
     def _partial(batch: pd.DataFrame) -> pd.DataFrame:
         bits = np.zeros(m >> 6, dtype=np.uint64)
         if len(batch):
-            pos = _bloom_positions(_text_keys(batch[text_col]),
+            pos = _bloom_positions(batch["h"].to_numpy(np.int64),
                                    m_log2, k).reshape(-1)
             np.bitwise_or.at(bits, pos >> np.uint64(6),
                              np.uint64(1) << (pos & np.uint64(63)))
         return pd.DataFrame({"bitmap": [bits.tobytes()]})
 
     acc = np.zeros(m >> 6, dtype=np.uint64)
-    parts = snapshot.map_batches(_partial, batch_format="pandas",
-                                 batch_size=8192)
+    parts = hashes.map_batches(_partial, batch_format="pandas",
+                               batch_size=8192)
     for b in parts.iter_batches(batch_format="pandas"):
         for raw in b["bitmap"]:
             acc |= np.frombuffer(raw, dtype=np.uint64)
     return ray.put(acc)
+
+
+def snapshot_bloom(snapshot: rd.Dataset, m_log2: int = 23, k: int = 4,
+                   text_col: str = "text") -> "ray.ObjectRef":
+    """Bloom filter over the snapshot corpus' exact text hashes (see
+    :func:`_bloom_from_hashes` for the distributed build shape)."""
+    def _hash(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"h": _text_keys(batch[text_col])})
+
+    return _bloom_from_hashes(
+        snapshot.map_batches(_hash, batch_format="pandas"),
+        m_log2, k)
 
 
 def incremental_dedup(new_docs: rd.Dataset, snapshot: rd.Dataset,
@@ -252,8 +262,16 @@ def incremental_dedup(new_docs: rd.Dataset, snapshot: rd.Dataset,
     snapshot hash column and bitmap between crawls instead of
     recomputing them.
     """
-    bloom_ref = snapshot_bloom(snapshot, m_log2=m_log2, k=k,
-                               text_col=text_col)
+    # hash the snapshot texts ONCE: the materialized (h,) projection
+    # (8 bytes a doc) feeds BOTH the Bloom build and the anti-join —
+    # round-2 profiling showed the double md5 pass dominated this
+    # operator's wall time
+    def _snap_hash(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"h": _text_keys(batch[text_col])})
+
+    snap_h = snapshot.map_batches(
+        _snap_hash, batch_format="pandas").materialize()
+    bloom_ref = _bloom_from_hashes(snap_h, m_log2, k)
 
     def _probe(batch: pd.DataFrame) -> pd.DataFrame:
         bits = _cached_get(bloom_ref)
@@ -283,7 +301,7 @@ def incremental_dedup(new_docs: rd.Dataset, snapshot: rd.Dataset,
 
     def _snap_rows(batch: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({id_col: np.int64(-1),
-                            "h": _text_keys(batch[text_col]),
+                            "h": batch["h"].astype("int64"),
                             "kind": np.int64(0)})
         out["hbucket"] = (out["h"] % n_buckets).astype("int64")
         return out
@@ -294,7 +312,7 @@ def incremental_dedup(new_docs: rd.Dataset, snapshot: rd.Dataset,
         return keep[[id_col]].astype("int64")
 
     maybes = probed.map_batches(_maybe_rows, batch_format="pandas")
-    snap = snapshot.map_batches(_snap_rows, batch_format="pandas")
+    snap = snap_h.map_batches(_snap_rows, batch_format="pandas")
     confirmed = (maybes.union(snap).groupby("hbucket")
                  .map_groups(_anti, batch_format="pandas"))
     return definite.union(confirmed)

@@ -730,7 +730,7 @@ def embedding_neardup_pairs(embeddings: rd.Dataset, threshold: float = 0.9,
                             n_bits: int = 6, n_tables: int = 4,
                             seed: int = 31, id_col: str = "vec_id",
                             vec_col: str = "embedding",
-                            dim: int | None = None) -> pd.DataFrame:
+                            dim: int | None = None) -> rd.Dataset:
     """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold).
 
     Scale shape: random-hyperplane LSH buckets each vector into
@@ -754,13 +754,12 @@ def embedding_neardup_pairs(embeddings: rd.Dataset, threshold: float = 0.9,
     """
     from .ann import Q_SCALE, int_planes
 
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                             ("cosine", pa.float64())])
     if dim is None:
         first = embeddings.limit(1).to_pandas()
         if first.empty:  # empty corpus: typed empty pair set
-            return pd.DataFrame({
-                "a": pd.Series([], dtype="int64"),
-                "b": pd.Series([], dtype="int64"),
-                "cosine": pd.Series([], dtype="float64")})
+            return rd.from_arrow(pair_schema.empty_table())
         dim = len(first[vec_col].iloc[0])
     planes = int_planes(n_tables, n_bits, dim, seed)
     pw = (1 << np.arange(n_bits)).astype(np.int64)
@@ -790,9 +789,6 @@ def embedding_neardup_pairs(embeddings: rd.Dataset, threshold: float = 0.9,
                 "vec": vec_arr.cast(out_type)}))
         return pa.concat_tables(parts)
 
-    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
-                             ("cosine", pa.float64())])
-
     def _pairs(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy()
         order = np.argsort(ids, kind="stable")
@@ -821,17 +817,33 @@ def embedding_neardup_pairs(embeddings: rd.Dataset, threshold: float = 0.9,
                          "cosine": pa.array(cos[mask],
                                             type=pa.float64())})
 
-    pairs = (embeddings.map_batches(_bucketize, batch_format="pyarrow")
-             .groupby("bucket").map_groups(_pairs, batch_format="pyarrow")
-             .to_pandas())
-    if not len(pairs):
-        return pd.DataFrame({
-            "a": pd.Series([], dtype="int64"),
-            "b": pd.Series([], dtype="int64"),
-            "cosine": pd.Series([], dtype="float64")})
-    return (pairs.sort_values(["a", "b", "cosine"])
-            .drop_duplicates(["a", "b"])
-            .reset_index(drop=True))
+    # a pair found in k tables surfaces k times (identical cosine —
+    # it is computed from the same integers every time); dedup stays
+    # DISTRIBUTED: hash-bucket on `a` so identical pairs co-locate,
+    # then a per-bucket drop_duplicates — the full pair set never
+    # lands on the driver (same shape as the minhash pair dedup).
+    def _pair_bucket(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        pb = pa.array((a % 64).astype(np.int64), type=pa.int64())
+        return t.append_column("pbucket", pb)
+
+    def _dedup(t: pa.Table) -> pa.Table:
+        df = (t.select(["a", "b", "cosine"]).to_pandas()
+              .sort_values(["a", "b"])
+              .drop_duplicates(["a", "b"]))
+        return pa.Table.from_pandas(df, schema=pair_schema,
+                                    preserve_index=False)
+
+    deduped = (embeddings.map_batches(_bucketize, batch_format="pyarrow")
+               .groupby("bucket").map_groups(_pairs,
+                                             batch_format="pyarrow")
+               .map_batches(_pair_bucket, batch_format="pyarrow")
+               .groupby("pbucket").map_groups(_dedup,
+                                              batch_format="pyarrow"))
+    # a groupby over zero rows yields zero blocks (schema lost); a
+    # typed empty seed block keeps the (a, b, cosine) schema on the
+    # no-pairs path without materializing anything
+    return rd.from_arrow(pair_schema.empty_table()).union(deduped)
 
 
 # ------------------------------------------------ connected components

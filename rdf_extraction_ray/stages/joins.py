@@ -262,6 +262,12 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str | list[str],
 
     def _merge_bucket(t: pa.Table) -> pa.Table:
         l, r = _side_frames(t, left_cols, right_cols)
+        # one-sided buckets return a TYPED empty (or, for left joins,
+        # skip the merge) — never let pandas infer a column-less
+        # schema, which trips the executor's schema-unification warning
+        # and is a latent hazard on sparse buckets
+        if not len(l) or (how == "inner" and not len(r)):
+            return out_schema.empty_table()
         out = l.merge(r, on=on_cols, how=how, suffixes=("", suffix))
         return pa.Table.from_pandas(
             out[out_cols], schema=out_schema,

@@ -68,7 +68,11 @@ class TestEmbeddingNearDup:
         dup7 = m[7] + 1e-4
         mat = np.vstack([m, dup0[None, :], dup7[None, :]])
         mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-        pairs = embedding_neardup_pairs(_vec_table(mat), threshold=0.999)
+        out = embedding_neardup_pairs(_vec_table(mat), threshold=0.999)
+        # scale contract: the operator returns a DATASET — the pair
+        # set is deduped distributively, never collected on the driver
+        assert isinstance(out, rd.Dataset)
+        pairs = out.to_pandas()
         got = set(map(tuple, pairs[["a", "b"]].itertuples(index=False)))
         assert (0, 300) in got
         assert (7, 301) in got
@@ -76,8 +80,12 @@ class TestEmbeddingNearDup:
 
     def test_no_false_pairs_on_random(self):
         m = _random_corpus(100, 32, seed=11)
-        pairs = embedding_neardup_pairs(_vec_table(m), threshold=0.99)
-        assert len(pairs) == 0
+        out = embedding_neardup_pairs(_vec_table(m), threshold=0.99)
+        assert out.count() == 0
+        # the DATASET keeps the typed (a, b, cosine) schema even with
+        # zero pairs (Ray's to_pandas drops columns on empty datasets,
+        # so the schema — not the collected frame — is the contract)
+        assert out.schema().names == ["a", "b", "cosine"]
 
 
 class TestAnnRecall:
