@@ -1436,17 +1436,28 @@ def _q_tpch_q3_shipping(sf_dir: str):
 
 def _q_tpch_q5_local_supplier(sf_dir: str):
     """TPC-H Q5 shape — the six-table local-supplier-volume join.
-    Dimension sides (region → nation → supplier) collapse to ONE
-    broadcast dict on the driver (dimension-table sized at any
-    corpus scale); the two big fact tables meet in hash-bucket
-    exchanges (orders ⋈ customer, then lineitem ⋈ that), the
-    same-nation filter and revenue combiner run inside map_batches,
-    and only 25 nation rows reach the final aggregate."""
+
+    Scale shape (round-3 fusion): dimension sides (region → nation →
+    supplier) collapse to ONE broadcast dict on the driver
+    (dimension-table sized at any corpus scale). Lineitem pre-combines
+    to per-(orderkey, supplier-nation) revenue partials BEHIND the
+    broadcast supplier filter, so only Asia-supplied partials — int
+    keys + one float, never raw lineitems or strings — enter the wide
+    exchange. That exchange is FUSED with the revenue⋈(orders⋈customer)
+    join: both streams carry ``kbucket = l_orderkey % 64``, union into
+    one ``groupby(kbucket)``, and each group sums partials, resolves
+    the join on (l_orderkey, nationkey) — which enforces the
+    supplier-nation == customer-nation predicate by construction — and
+    emits ≤25 nation rows. The round-2 version ran the lineitem⋈j1
+    ``hash_join`` exchange AND a separate ``bucket_sum`` exchange
+    (12.0 s at sf0.1); the driver now merges ≤64×25 int-keyed rows and
+    maps nation names locally."""
     import ray
 
+    from rdf_extraction_ray.stages.dedup_docs import _cached_get
     from rdf_extraction_ray.stages.joins import hash_join
-    from rdf_extraction_ray.stages.rollup import bucket_sum
     LO, HI = pd.Timestamp("1997-01-01"), pd.Timestamp("1999-01-01")
+    _COLS = ["l_orderkey", "nkey", "revenue", "side", "kbucket"]
 
     nation = _small_df(sf_dir, "nation",
                        ["n_nationkey", "n_name", "n_regionkey"])
@@ -1458,7 +1469,7 @@ def _q_tpch_q5_local_supplier(sf_dir: str):
     supp_nat = dict(zip(
         supp.loc[supp["s_nationkey"].isin(nat_name), "s_suppkey"],
         supp.loc[supp["s_nationkey"].isin(nat_name), "s_nationkey"]))
-    dims = ray.put((supp_nat, nat_name))
+    dims = ray.put(supp_nat)
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
         .map_batches(lambda df: df[df["c_nationkey"].isin(nat_name)]
@@ -1470,30 +1481,59 @@ def _q_tpch_q5_local_supplier(sf_dir: str):
                                        & (df["o_orderdate"] < HI),
                                        ["o_orderkey", "o_custkey"]],
                      batch_format="pandas")
+
+    def _j1_rows(df: pd.DataFrame) -> pd.DataFrame:
+        # orders⋈customer output becomes the join side of the fused
+        # exchange: (orderkey, customer-nation) int rows + bucket key
+        out = pd.DataFrame({
+            "l_orderkey": df["o_orderkey"].astype("int64"),
+            "nkey": df["c_nationkey"].astype("int64"),
+            "revenue": np.float64(0.0),
+            "side": np.int8(1)})
+        out["kbucket"] = (out["l_orderkey"] % 64).astype("int64")
+        return out[_COLS]
+
     j1 = hash_join(orders, cust, on="o_custkey") \
-        .map_batches(lambda df: df[["o_orderkey", "c_nationkey"]]
-                     .rename(columns={"o_orderkey": "l_orderkey"}),
-                     batch_format="pandas")
+        .map_batches(_j1_rows, batch_format="pandas")
+
+    def _rev_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # lineitem side: broadcast supplier→nation lookup filters to
+        # Asian-supplied rows, then a per-batch combiner — one revenue
+        # row per (orderkey, supplier-nation) per batch
+        sn = _cached_get(dims)
+        s_nat = df["l_suppkey"].map(sn)
+        g = df[s_nat.notna()]
+        rev = g["l_extendedprice"] * (1 - g["l_discount"])
+        out = (pd.DataFrame({"l_orderkey": g["l_orderkey"].astype("int64"),
+                             "nkey": s_nat[s_nat.notna()].astype("int64"),
+                             "revenue": rev})
+               .groupby(["l_orderkey", "nkey"],
+                        as_index=False)["revenue"].sum())
+        out["side"] = np.int8(0)
+        out["kbucket"] = (out["l_orderkey"] % 64).astype("int64")
+        return out[_COLS]
+
     line = _read(sf_dir, "lineitem",
                  ["l_orderkey", "l_suppkey", "l_extendedprice",
-                  "l_discount"])
-    j2 = hash_join(line, j1, on="l_orderkey")
+                  "l_discount"]) \
+        .map_batches(_rev_partial, batch_format="pandas")
 
-    def _local_rev(df: pd.DataFrame) -> pd.DataFrame:
-        sn, names = ray.get(dims)
-        s_nat = df["l_suppkey"].map(sn)
-        keep = s_nat.notna() & (s_nat == df["c_nationkey"])
-        g = df[keep]
-        rev = g["l_extendedprice"] * (1 - g["l_discount"])
-        out = (pd.DataFrame({"n_name": g["c_nationkey"].map(names),
-                             "revenue": rev})
-               .groupby("n_name", as_index=False)["revenue"].sum())
-        return out
+    def _bucket_rev(g: pd.DataFrame) -> pd.DataFrame:
+        rev = (g.loc[g["side"] == 0,
+                     ["l_orderkey", "nkey", "revenue"]]
+               .groupby(["l_orderkey", "nkey"],
+                        as_index=False)["revenue"].sum())
+        meta = g.loc[g["side"] == 1, ["l_orderkey", "nkey"]]
+        out = rev.merge(meta, on=["l_orderkey", "nkey"], how="inner")
+        return out.groupby("nkey", as_index=False)["revenue"].sum()
 
-    out = (bucket_sum(j2.map_batches(_local_rev,
-                                     batch_format="pandas"),
-                      ["n_name"], ["revenue"], n_buckets=8)
-           .to_pandas())
+    parts = _typed(
+        line.union(j1).groupby("kbucket")
+        .map_groups(_bucket_rev, batch_format="pandas").to_pandas(),
+        nkey="int64", revenue="float64")
+    out = parts.groupby("nkey", as_index=False)["revenue"].sum()
+    out["n_name"] = out["nkey"].map(nat_name).astype(object)
+    out = out[["n_name", "revenue"]]
     out = _typed(out, n_name=object, revenue="float64")
     out["revenue"] = out["revenue"].astype("float64").round(_ROUND)
     return out.sort_values("n_name", ignore_index=True)
