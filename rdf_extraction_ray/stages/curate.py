@@ -26,6 +26,7 @@ Scale shapes:
 from __future__ import annotations
 
 import hashlib
+import os
 import re
 
 import numpy as np
@@ -399,25 +400,78 @@ def train_shard_assignment(docs: rd.Dataset, n_shards: int = 8,
                                          batch_format="pandas"))
 
 
+_SHARD_MARKER = "_SHARD.json"
+
+
 def write_train_shards(docs: rd.Dataset, out_dir: str,
                        n_shards: int = 8,
-                       id_col: str = "doc_id") -> None:
-    """Materialize shard-partitioned training parquet (one directory
-    per shard via ``partition_cols`` — the resumable-output layout: a
-    re-run can skip finished shard directories). The shard key is
-    computed per batch; bodies flow straight to the sink without a
-    shuffle, and readers get the deterministic order by sorting each
-    shard on the stored rank."""
+                       id_col: str = "doc_id",
+                       fingerprint: str | None = None,
+                       shards: list[int] | None = None) -> dict:
+    """Materialize shard-partitioned training parquet with RESUMABLE
+    per-shard atomic publish (mirrors ``pipelines/manifest.py``; the
+    reference's per-person overwrite, ``Utils/utilities.py:536-543``,
+    has no such recovery — a crash reruns everything).
+
+    One Dataset job writes every PENDING shard into a tmp dir
+    (``partition_cols=["shard"]`` — bodies flow straight to the sink,
+    no shuffle), then each shard dir is published atomically
+    (``os.replace``) together with a ``_SHARD.json`` marker carrying
+    the optional input ``fingerprint``. A re-run skips shards whose
+    marker matches — published files are never rewritten, so finished
+    shards stay byte-identical across resumes. Readers get the
+    deterministic order by sorting each shard on the stored rank.
+
+    ``shards`` restricts which pending shards get written this call
+    (tests use it to simulate a run killed mid-way). Returns
+    ``{"written": [...], "skipped": [...]}``.
+    """
+    import json
+    import shutil
+
+    os.makedirs(out_dir, exist_ok=True)
+    done: set[int] = set()
+    for d in os.listdir(out_dir):
+        if not d.startswith("shard=") or ".tmp" in d:
+            continue
+        mpath = os.path.join(out_dir, d, _SHARD_MARKER)
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                m = json.load(f)
+            if (m.get("fingerprint") == fingerprint
+                    and m.get("n_shards") == n_shards):
+                done.add(int(d.split("=", 1)[1]))
+    pending = [s for s in range(n_shards)
+               if s not in done and (shards is None or s in shards)]
+    if not pending:
+        return {"written": [], "skipped": sorted(done)}
+
+    want = set(pending)
+    tmp = os.path.join(out_dir, f"_pending.tmp.{os.getpid()}")
+    shutil.rmtree(tmp, ignore_errors=True)
 
     def _tag(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch.copy()
         rk = _id_rank(batch[id_col])
         out["rk"] = rk
         out["shard"] = rk % n_shards
-        return out
+        # resume: rows of already-published (or excluded) shards never
+        # reach the sink — the skip is a filter, not a rewrite
+        return out[out["shard"].isin(want)]
 
     (docs.map_batches(_tag, batch_format="pandas")
-     .write_parquet(out_dir, partition_cols=["shard"]))
+     .write_parquet(tmp, partition_cols=["shard"]))
+    for s in pending:
+        src = os.path.join(tmp, f"shard={s}")
+        os.makedirs(src, exist_ok=True)  # empty shard: marker-only dir
+        with open(os.path.join(src, _SHARD_MARKER), "w") as f:
+            json.dump({"shard": s, "n_shards": n_shards,
+                       "fingerprint": fingerprint}, f, sort_keys=True)
+        final = os.path.join(out_dir, f"shard={s}")
+        shutil.rmtree(final, ignore_errors=True)  # unmarked partial
+        os.replace(src, final)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {"written": pending, "skipped": sorted(done)}
 
 
 def frequent_lines(docs: rd.Dataset, min_df: int = 5,

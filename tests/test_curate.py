@@ -244,3 +244,67 @@ def test_strip_boilerplate_planted_footer():
         assert f"unique line {i}" in out.loc[i, "text_clean"]
     assert out.loc[5, "n_removed"] == 0
     assert out.loc[5, "text_clean"] == "no footer here at all"
+
+
+def test_train_shards_resume_skips_published_and_is_byte_identical(tmp_path):
+    """A run killed after shard 0 resumes: the re-run skips the
+    published shard (its files are never rewritten — byte-identical
+    across resumes) and fills in only the missing shards."""
+    import hashlib
+    import os
+
+    import ray.data as rd
+
+    from rdf_extraction_ray.stages.curate import write_train_shards
+
+    def _files(root):
+        out = {}
+        for dirpath, _, names in os.walk(root):
+            for n in names:
+                p = os.path.join(dirpath, n)
+                with open(p, "rb") as f:
+                    out[os.path.relpath(p, root)] = \
+                        hashlib.md5(f.read()).hexdigest()
+        return out
+
+    df = pd.DataFrame({"doc_id": np.arange(64), "text": "x"})
+    out = str(tmp_path / "shards")
+
+    # simulate a run killed after publishing only shard 0
+    r1 = write_train_shards(rd.from_pandas(df), out, n_shards=4,
+                            fingerprint="fp1", shards=[0])
+    assert r1 == {"written": [0], "skipped": []}
+    assert os.listdir(out) == ["shard=0"]
+    shard0_before = _files(os.path.join(out, "shard=0"))
+    assert "_SHARD.json" in shard0_before
+
+    # resume: shard 0 skipped, 1-3 written; shard 0 byte-identical
+    r2 = write_train_shards(rd.from_pandas(df), out, n_shards=4,
+                            fingerprint="fp1")
+    assert r2 == {"written": [1, 2, 3], "skipped": [0]}
+    assert _files(os.path.join(out, "shard=0")) == shard0_before
+
+    # fully-published output: a further re-run is a no-op
+    all_before = _files(out)
+    r3 = write_train_shards(rd.from_pandas(df), out, n_shards=4,
+                            fingerprint="fp1")
+    assert r3 == {"written": [], "skipped": [0, 1, 2, 3]}
+    assert _files(out) == all_before
+
+    # the full resumed output matches a clean one-shot run row-for-row
+    clean = str(tmp_path / "clean")
+    write_train_shards(rd.from_pandas(df), clean, n_shards=4,
+                       fingerprint="fp1")
+    import pyarrow.parquet as pq
+    for s in range(4):
+        a = pq.read_table(os.path.join(out, f"shard={s}"),
+                          ignore_prefixes=["_"]).to_pandas()
+        b = pq.read_table(os.path.join(clean, f"shard={s}"),
+                          ignore_prefixes=["_"]).to_pandas()
+        assert a.sort_values("doc_id", ignore_index=True).equals(
+            b.sort_values("doc_id", ignore_index=True))
+
+    # a changed input fingerprint invalidates every shard
+    r4 = write_train_shards(rd.from_pandas(df), out, n_shards=4,
+                            fingerprint="fp2")
+    assert r4["skipped"] == [] and r4["written"] == [0, 1, 2, 3]
