@@ -19,7 +19,10 @@ Scale notes (100 TB design):
   ``linker_concurrency`` for heavy state), never per batch;
 - nothing materializes the full input: the pipeline is consumed by
   ``write_parquet`` / aggregates only;
-- giant conversations: see ``stages.extract.extract_facts_salted``.
+- giant conversations: routed AUTOMATICALLY — ``_assembled`` probes
+  per-conversation fact counts on the materialized candidate set and
+  switches to ``stages.extract.salted_assembly`` when any conversation
+  exceeds ``AUTO_SALT_FACTS`` rows (bounded per-group memory).
 
 None of these functions call ``ray.init`` — the caller owns the
 session (driver contract).
@@ -30,7 +33,9 @@ from __future__ import annotations
 import ray.data as rd
 
 from ..stages.dedup import dedup_triples
-from ..stages.extract import detect_facts, finalize_bucket
+from ..stages.extract import (AUTO_SALT_FACTS, detect_facts,
+                              finalize_bucket, max_conv_fact_rows,
+                              salted_assembly)
 from ..stages.link import EntityLinker
 from ..stages.template import build_triples
 
@@ -138,12 +143,47 @@ def triples_from_turns(turns: rd.Dataset,
         dedup_bucket, batch_format="pandas")
 
 
-def _assembled(turns: rd.Dataset) -> rd.Dataset:
+def _link_template_combine(batch):
+    """Unkeyed fused tail for the SALTED route: finalized fact rows →
+    link → template → dedup-combiner, per batch (no conversation
+    grouping needed — the salted assembly already minted seq ids)."""
+    from ..stages.dedup import add_bucket_and_combine
+    from ..stages.template import build_triples_frame
+    if not _LINKER_CACHE:
+        _LINKER_CACHE.append(EntityLinker())
+    return add_bucket_and_combine(
+        build_triples_frame(_LINKER_CACHE[0](batch)))
+
+
+def _assembled(turns: rd.Dataset,
+               salt_threshold: int | None = AUTO_SALT_FACTS
+               ) -> rd.Dataset:
     """detect → fused assembly; output is combined triple rows keyed
-    by the dedup-hash ``bucket`` (ready for the dedup exchange)."""
+    by the dedup-hash ``bucket`` (ready for the dedup exchange).
+
+    Skew routing (SURVEY §7.5.7): the candidate dataset is
+    materialized (fact rows, 1-5% of corpus bytes — and the groupby
+    exchange is a barrier anyway, so the barrier costs ~nothing) and a
+    bounded per-conversation count probe (:func:`max_conv_fact_rows`)
+    decides the plan: below ``salt_threshold`` fact rows per
+    conversation, whole-conversation bucket grouping; above it, the
+    salted-segment assembly whose per-group memory is bounded by
+    ``span_turns`` regardless of conversation size. ``None`` disables
+    the probe (always whole-conversation)."""
     cands = turns.map_batches(detect_facts, batch_format="pyarrow",
                               batch_size=None)
     cands = cands.repartition(_cluster_cpus())
+    if salt_threshold is not None:
+        cands = cands.materialize()
+        # metadata guard: if the WHOLE corpus has fewer fact rows than
+        # the threshold, no conversation can exceed it — skip the probe
+        # job (count() on materialized data is free)
+        if (cands.count() > salt_threshold
+                and max_conv_fact_rows(cands) > salt_threshold):
+            return (salted_assembly(cands)
+                    .map_batches(_link_template_combine,
+                                 batch_format="pandas",
+                                 batch_size=None))
     return cands.groupby("bucket").map_groups(
         _assemble_bucket, batch_format="pandas")
 

@@ -427,14 +427,64 @@ def finalize_bucket(group: pd.DataFrame) -> pd.DataFrame:
 #      driver-side), broadcast; map_batches assigns global dense seq.
 # Output is row-identical to finalize_bucket (pytest-pinned).
 
+# A conversation whose FACT rows exceed this routes the whole corpus
+# through the salted-segment assembly: ~1M fact rows is ~300 MB as a
+# sorted pandas group — comfortably inside a 4 GB worker heap (32
+# workers / 128 GB), while 10x that would not be. Conversations are
+# ~99% below this by construction; the threshold exists for the
+# adversarial tail (a single transcript the size of a small corpus).
+AUTO_SALT_FACTS = 1_000_000
+
+
+def max_conv_fact_rows(cands, n_buckets: int = 64) -> int:
+    """Cheap skew probe: the largest per-conversation candidate-row
+    count. Meant to run on a MATERIALIZED candidate dataset (fact rows
+    are 1-5% of corpus bytes), so the probe never rescans transcripts.
+
+    Shape: per-batch partial counts keyed by a hashed conv key (int64
+    — a hash collision merges two conversations and can only
+    OVER-count, which conservatively routes to the salted path) → a
+    hash-bucket groupby sums true sizes and emits one max row per
+    bucket → the driver reduces ≤``n_buckets`` rows.
+    """
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch.groupby(
+            pd.util.hash_pandas_object(batch["conv_id"], index=False)
+        ).size()
+        key = vc.index.to_numpy().astype("int64")
+        return pd.DataFrame({
+            "k": key, "n": vc.to_numpy().astype("int64"),
+            "kbucket": key % np.int64(n_buckets)})
+
+    def _bucket_max(group: pd.DataFrame) -> pd.DataFrame:
+        m = group.groupby("k")["n"].sum().max()
+        return pd.DataFrame({"mx": [np.int64(m)]})
+
+    got = (cands.map_batches(_partial, batch_format="pandas",
+                             batch_size=None)
+           .groupby("kbucket").map_groups(_bucket_max,
+                                          batch_format="pandas")
+           .to_pandas())
+    return int(got["mx"].max()) if len(got) else 0
+
+
 def extract_facts_salted(turns, span_turns: int = 2048,
                          n_buckets: int = 256):
     """Salted-segment variant of :func:`extract_facts` — identical
     output, bounded per-group memory for mega-conversations."""
-    import ray
-
     cands = turns.map_batches(detect_facts, batch_format="pyarrow",
                               batch_size=None)
+    return salted_assembly(cands, span_turns=span_turns,
+                           n_buckets=n_buckets)
+
+
+def salted_assembly(cands, span_turns: int = 2048,
+                    n_buckets: int = 256):
+    """Stages A-C of the salted path over an already-detected
+    candidate dataset (lets the auto router reuse one detection pass
+    for both the probe and the assembly)."""
+    import ray
 
     def _salt(batch: pd.DataFrame) -> pd.DataFrame:
         b = batch.copy()

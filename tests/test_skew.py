@@ -95,3 +95,39 @@ class TestMegaConversation:
             batch_format="pyarrow").to_pandas()
         n_used = cands["bucket"].nunique()
         assert n_used > N_CONV_BUCKETS * 0.5
+
+    def test_auto_router_picks_salted_and_is_row_identical(self):
+        """_assembled probes per-conv fact counts on the materialized
+        candidate set: a low threshold must route through the salted
+        assembly and still produce triple-identical output; a high
+        threshold keeps the whole-conversation plan."""
+        from rdf_extraction_ray.pipelines.kg import _assembled
+        from rdf_extraction_ray.stages.dedup import dedup_bucket
+        from rdf_extraction_ray.stages.extract import max_conv_fact_rows
+
+        turns, _ = synth.generate(60, seed=11, mega_every=0)
+        mega = _mega_turns(1500)
+        ds = rd.from_arrow(pa.concat_tables([turns, mega])).repartition(8)
+
+        def _triples(salt_threshold):
+            return (_assembled(ds, salt_threshold=salt_threshold)
+                    .groupby("bucket")
+                    .map_groups(dedup_bucket, batch_format="pandas")
+                    .to_pandas())
+
+        whole = _triples(None)            # probe disabled
+        salted = _triples(100)            # mega (1500 facts) trips it
+        cols = sorted(whole.columns)
+        a = whole[cols].sort_values(cols, ignore_index=True).fillna("")
+        b = salted[cols].sort_values(cols, ignore_index=True).fillna("")
+        assert len(whole) == len(b) and a.equals(b)
+
+    def test_probe_counts_cross_block_conversations(self):
+        """max_conv_fact_rows sums a conversation split over many
+        blocks (the partial-count exchange, not per-batch maxima)."""
+        from rdf_extraction_ray.stages.extract import (detect_facts,
+                                                       max_conv_fact_rows)
+        ds = rd.from_arrow(_mega_turns(2000)).repartition(16)
+        cands = ds.map_batches(detect_facts, batch_format="pyarrow")
+        # 2000 place facts + the _subject candidate row
+        assert max_conv_fact_rows(cands) == 2001
