@@ -2771,6 +2771,113 @@ def _q_docs_source_cap(sf_dir: str):
     return out.sort_values("doc_id", ignore_index=True)
 
 
+# ------------------------------------------------ round-3 operators
+
+def _q_docs_norm_dedup(sf_dir: str):
+    """Normalized exact dedup (CCNet-style): lowercase + non-alnum
+    collapse before hashing, so trivial variants dedup together; same
+    combiner + hash-bucket shape as exact dedup — bodies never
+    shuffle."""
+    from rdf_extraction_ray.stages.dedup_docs import normalized_dedup
+    return normalized_dedup(_read(sf_dir, "documents",
+                                  ["doc_id", "text"]))
+
+
+def _plant_urls(batch: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic raw-URL augmentation (the sf documents table has
+    no URL column): four surface variants per page id — mixed-case
+    host + default port + fragment, tracking params, trailing slash —
+    that all canonicalize to the same URL, so the kernel's whole
+    behavior is exercised and the oracle can derive the canonical form
+    directly from (source, doc_id)."""
+    pid = (batch["doc_id"] % 97).astype(str)
+    base = ("https://www." + batch["source"].astype(str)
+            + ".example.com/p/" + pid)
+    v = (batch["doc_id"] % 4).to_numpy()
+    out = batch.copy()
+    raw = base.copy()
+    up = ("HTTPS://WWW." + batch["source"].astype(str).str.upper()
+          + ".EXAMPLE.COM:443/p/" + pid + "#frag")
+    raw[v == 1] = up[v == 1]
+    raw[v == 2] = base[v == 2] + "?utm_source=feed&utm_campaign=x"
+    raw[v == 3] = base[v == 3] + "/"
+    out["url"] = raw
+    return out
+
+
+def _q_docs_url_dedup(sf_dir: str):
+    """URL-level dedup: canonicalize (lowercase host, drop default
+    port / fragment / tracking params / trailing slash), keep the
+    smallest doc_id per canonical URL. Differential oracle: SQL builds
+    the canonical form directly from (source, doc_id); the Ray side
+    must reach it through the real urlparse kernel on planted raw
+    variants."""
+    from rdf_extraction_ray.stages.urlnorm import url_dedup
+    docs = _read(sf_dir, "documents", ["doc_id", "source"]) \
+        .map_batches(_plant_urls, batch_format="pandas")
+    return url_dedup(docs)
+
+
+def _q_docs_quality_model(sf_dir: str):
+    """Batched model scoring: integer linear quality classifier as an
+    ACTOR-POOL stage (weights load once per actor in __init__,
+    vectorized matmul per batch) — the fastText-classifier shape with
+    an exactly-replayable model."""
+    from rdf_extraction_ray.stages.model import QualityModel
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(QualityModel, batch_format="pandas",
+                          batch_size=512, concurrency=2)
+
+
+def _q_docs_token_tertiles(sf_dir: str):
+    """Global order-statistic bucket split (CCNet head/middle/tail):
+    token-count tertile thresholds and per-bucket stats from ONE exact
+    histogram combiner pass — no sort, no second scan."""
+    from rdf_extraction_ray.stages.textstats import (quantile_bucket_stats,
+                                                     token_count)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(token_count, batch_format="pandas")
+    out = quantile_bucket_stats(ds, "n_tokens", n_bins=3)
+    return out.sort_values("bucket", ignore_index=True)
+
+
+def _q_events_funnel(sf_dir: str):
+    """Ordered funnel conversion (view → click ≤1h → purchase ≤1h):
+    per-user stage timestamps inside user-hash bucket groups
+    (vectorized), one tiny partial-count row per bucket to the
+    driver."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    hour = pd.Timedelta(hours=1)
+
+    def _funnel(group: pd.DataFrame) -> pd.DataFrame:
+        g = group
+        vt = g.loc[g["event_type"] == "view"].groupby("user_id")["ts"].min()
+        c = g.loc[g["event_type"] == "click",
+                  ["user_id", "ts"]].assign(vt=lambda d:
+                                            d["user_id"].map(vt))
+        c = c[(c["ts"] > c["vt"]) & (c["ts"] <= c["vt"] + hour)]
+        ct = c.groupby("user_id")["ts"].min()
+        p = g.loc[g["event_type"] == "purchase",
+                  ["user_id", "ts"]].assign(ct=lambda d:
+                                            d["user_id"].map(ct))
+        p = p[(p["ts"] > p["ct"]) & (p["ts"] <= p["ct"] + hour)]
+        pt = p.groupby("user_id")["ts"].min()
+        return pd.DataFrame({"users_view": [np.int64(len(vt))],
+                             "users_click": [np.int64(len(ct))],
+                             "users_purchase": [np.int64(len(pt))]})
+
+    parts = (ds.map_batches(_bucket_by_user, batch_format="pandas",
+                            batch_size=None)
+             .groupby("bucket").map_groups(_funnel, batch_format="pandas")
+             .to_pandas())
+    parts = _typed(parts, users_view="int64", users_click="int64",
+                   users_purchase="int64")
+    return pd.DataFrame({
+        "users_view": [np.int64(parts["users_view"].sum())],
+        "users_click": [np.int64(parts["users_click"].sum())],
+        "users_purchase": [np.int64(parts["users_purchase"].sum())]})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """All oracled pipelines, ordered FLAGSHIP-FIRST.
 
@@ -2790,6 +2897,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_semantic_dedup": _q_embed_semantic_dedup,
         "media_features": _q_media_features,
         "docs_incremental_dedup": _q_docs_incremental_dedup,
+        "docs_norm_dedup": _q_docs_norm_dedup,
+        "docs_url_dedup": _q_docs_url_dedup,
+        "docs_quality_model": _q_docs_quality_model,
+        "docs_token_tertiles": _q_docs_token_tertiles,
+        "events_funnel": _q_events_funnel,
         "kg_facts": _q_kg_facts,
         # --- dedup / similarity family
         "docs_simhash": _q_docs_simhash,
@@ -3839,6 +3951,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS text_key, min(doc_id) AS doc_id,
                    count(*) AS n_dups
             FROM documents GROUP BY text
+        """,
+        "docs_norm_dedup": """
+            SELECT md5(trim(regexp_replace(lower(text),
+                                           '[^a-z0-9]+', ' ', 'g')))
+                       AS norm_key,
+                   min(doc_id) AS doc_id, count(*) AS n_dups
+            FROM documents
+            GROUP BY trim(regexp_replace(lower(text),
+                                         '[^a-z0-9]+', ' ', 'g'))
+        """,
+        "docs_url_dedup": """
+            SELECT 'https://www.' || source || '.example.com/p/'
+                       || CAST(doc_id % 97 AS VARCHAR) AS canonical_url,
+                   min(doc_id) AS doc_id, count(*) AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "docs_quality_model": """
+            SELECT doc_id,
+                   3 * len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                   - 2 * len(regexp_extract_all(text, '[.!?,;:]'))
+                   - len(regexp_extract_all(text, '[A-Z]'))
+                   + length(text) // 10 + 40 AS score,
+                   3 * len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                   - 2 * len(regexp_extract_all(text, '[.!?,;:]'))
+                   - len(regexp_extract_all(text, '[A-Z]'))
+                   + length(text) // 10 + 40 >= 0 AS keep
+            FROM documents
+        """,
+        "docs_token_tertiles": """
+            WITH s AS (SELECT len(regexp_extract_all(
+                                  text, '[A-Za-z0-9_]+')) AS score
+                       FROM documents),
+            r AS (SELECT score,
+                         row_number() OVER (ORDER BY score) AS rn,
+                         count(*) OVER () AS n
+                  FROM s),
+            t AS (SELECT
+                    max(CASE WHEN rn = greatest(1, CAST(ceil(n / 3.0)
+                                 AS BIGINT)) THEN score END) AS t1,
+                    max(CASE WHEN rn = greatest(1, CAST(ceil(2 * n / 3.0)
+                                 AS BIGINT)) THEN score END) AS t2
+                  FROM r)
+            SELECT CASE WHEN score <= t1 THEN 0
+                        WHEN score <= t2 THEN 1 ELSE 2 END AS bucket,
+                   count(*) AS n_docs, min(score) AS min_score,
+                   max(score) AS max_score
+            FROM s, t GROUP BY 1 ORDER BY 1
+        """,
+        "events_funnel": """
+            WITH v AS (SELECT user_id, min(ts) AS vt FROM events
+                       WHERE event_type = 'view' GROUP BY 1),
+            c AS (SELECT e.user_id, min(e.ts) AS ct
+                  FROM events e JOIN v ON e.user_id = v.user_id
+                  WHERE e.event_type = 'click' AND e.ts > v.vt
+                    AND e.ts <= v.vt + INTERVAL 1 HOUR GROUP BY 1),
+            p AS (SELECT e.user_id, min(e.ts) AS pt
+                  FROM events e JOIN c ON e.user_id = c.user_id
+                  WHERE e.event_type = 'purchase' AND e.ts > c.ct
+                    AND e.ts <= c.ct + INTERVAL 1 HOUR GROUP BY 1)
+            SELECT (SELECT count(*) FROM v) AS users_view,
+                   (SELECT count(*) FROM c) AS users_click,
+                   (SELECT count(*) FROM p) AS users_purchase
         """,
         "docs_token_count": """
             SELECT doc_id,

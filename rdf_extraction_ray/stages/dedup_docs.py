@@ -116,6 +116,46 @@ def exact_dedup(ds: rd.Dataset, text_col: str = "text",
             .groupby("bucket").map_groups(_merge, batch_format="pandas"))
 
 
+def normalize_text(s: pd.Series) -> pd.Series:
+    """CCNet-style dedup normalization: lowercase, every non-alnum run
+    collapsed to one space, ends trimmed — so case/punctuation/
+    whitespace variants of a document hash identically. Vectorized
+    pandas string kernels (no Python row loop)."""
+    return (s.fillna("").str.lower()
+            .str.replace(r"[^a-z0-9]+", " ", regex=True)
+            .str.strip())
+
+
+def normalized_dedup(ds: rd.Dataset, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     n_buckets: int = 64) -> rd.Dataset:
+    """Exact dedup AFTER normalization (keep the smallest id per
+    normalized text) — catches the trivial-variant duplicates
+    (case/punct/whitespace) exact dedup misses, at the same cost: the
+    md5 of the normalized text is the combiner key, so only (key, id,
+    count) rows reach the hash-bucket exchange, never document bodies.
+
+    Returns (norm_key=md5hex, doc_id=min id, n_dups=count).
+    """
+
+    def _local(batch: pd.DataFrame) -> pd.DataFrame:
+        key = normalize_text(batch[text_col]).map(
+            lambda t: hashlib.md5(t.encode()).hexdigest())
+        g = (pd.DataFrame({"norm_key": key, id_col: batch[id_col]})
+             .groupby("norm_key", as_index=False)
+             .agg(**{id_col: (id_col, "min"), "n_dups": (id_col, "size")}))
+        g["bucket"] = (pd.util.hash_pandas_object(g["norm_key"], index=False)
+                       % n_buckets).astype("int64")
+        return g
+
+    def _merge(group: pd.DataFrame) -> pd.DataFrame:
+        return (group.groupby("norm_key", as_index=False)
+                .agg(**{id_col: (id_col, "min"), "n_dups": ("n_dups", "sum")}))
+
+    return (ds.map_batches(_local, batch_format="pandas")
+            .groupby("bucket").map_groups(_merge, batch_format="pandas"))
+
+
 # ----------------------------------------------------------- minhash
 
 def _rolling_gram_hashes(text: str, k: int) -> np.ndarray:

@@ -345,6 +345,86 @@ def exact_quantiles(ds, col: str, qs=(0.25, 0.5, 0.75, 0.9, 0.99),
                          "value": pd.array(out_v, dtype="int64")})
 
 
+def quantile_bucket_stats(ds, col: str, n_bins: int = 3,
+                          n_buckets: int = 64):
+    """Global ORDER-STATISTIC bucket assignment (CCNet's head/middle/
+    tail split, generalized): thresholds are the values at sorted
+    1-indexed positions ``ceil(j*n/n_bins)``; doc bucket = number of
+    thresholds strictly below its score. Returns per-bucket
+    (bucket, n_docs, min_score, max_score).
+
+    Scale shape: ONE pass — the same exact global histogram combiner
+    as :func:`exact_quantiles` (one exchanged row per distinct (batch,
+    value); the driver merges one row per distinct value, bounded by
+    the integer score domain, never by corpus size). Both the
+    thresholds AND the per-bucket stats come straight from the merged
+    histogram, so no second scan and no full-corpus shuffle. For
+    per-doc tagging, broadcast the thresholds and apply
+    :func:`assign_quantile_bucket` — a stateless map_batches body.
+    """
+
+    def _local(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch[col].value_counts()
+        out = pd.DataFrame({"v": vc.index.to_numpy().astype("int64"),
+                            "n": vc.to_numpy().astype("int64")})
+        out["vbucket"] = (out["v"] % n_buckets).astype("int64")
+        return out
+
+    def _merge(group: pd.DataFrame) -> pd.DataFrame:
+        return group.groupby("v", as_index=False)["n"].sum()
+
+    hist = (ds.map_batches(_local, batch_format="pandas")
+            .groupby("vbucket").map_groups(_merge, batch_format="pandas")
+            .to_pandas())
+    empty = pd.DataFrame({"bucket": pd.Series([], dtype="int64"),
+                          "n_docs": pd.Series([], dtype="int64"),
+                          "min_score": pd.Series([], dtype="int64"),
+                          "max_score": pd.Series([], dtype="int64")})
+    if not len(hist):
+        return empty
+    hist = hist.sort_values("v", ignore_index=True)
+    total = int(hist["n"].sum())
+    cum = hist["n"].cumsum().to_numpy()
+    vals = hist["v"].to_numpy()
+    thresholds = quantile_thresholds_from_histogram(vals, cum, total,
+                                                    n_bins)
+    # bucket of each distinct value = #thresholds strictly below it
+    vbucket = np.searchsorted(thresholds, vals, side="left")
+    # ties: a value EQUAL to a threshold belongs to that threshold's
+    # bin (score <= t_j → bucket j-1), which searchsorted-left gives
+    g = (pd.DataFrame({"bucket": vbucket, "v": vals, "n": hist["n"]})
+         .groupby("bucket", as_index=False)
+         .agg(n_docs=("n", "sum"), min_score=("v", "min"),
+              max_score=("v", "max")))
+    return g.astype({"bucket": "int64", "n_docs": "int64",
+                     "min_score": "int64", "max_score": "int64"})
+
+
+def quantile_thresholds_from_histogram(vals: np.ndarray, cum: np.ndarray,
+                                       total: int,
+                                       n_bins: int) -> np.ndarray:
+    """Values at sorted 1-indexed positions ``ceil(j*total/n_bins)``
+    for j in 1..n_bins-1, from a merged (value, cumulative-count)
+    histogram."""
+    import math
+    ks = [max(1, math.ceil(j * total / n_bins))
+          for j in range(1, n_bins)]
+    idx = np.searchsorted(cum, np.asarray(ks), side="left")
+    return vals[idx]
+
+
+def assign_quantile_bucket(batch: pd.DataFrame, col: str,
+                           thresholds: np.ndarray) -> pd.DataFrame:
+    """Stateless tagging body: bucket = #broadcast thresholds strictly
+    below the row's score (ties fall in the lower bin — identical to
+    :func:`quantile_bucket_stats`)."""
+    out = batch.copy()
+    out["bucket"] = np.searchsorted(
+        np.asarray(thresholds), batch[col].to_numpy(),
+        side="left").astype("int64")
+    return out
+
+
 def unigram_logprob(docs, vocab_k: int = 2000, n_buckets: int = 64,
                     id_col: str = "doc_id", text_col: str = "text"):
     """CCNet-style unigram-LM quality score: mean negative log

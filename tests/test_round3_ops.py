@@ -1,0 +1,131 @@
+"""Round-3 operators: normalized dedup, URL canonicalization + dedup,
+batched quality-model scoring, global quantile buckets, funnel."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+
+class TestNormalizedDedup:
+    def test_variants_collapse_originals_survive(self):
+        from rdf_extraction_ray.stages.dedup_docs import normalized_dedup
+        df = pd.DataFrame({
+            "doc_id": [5, 1, 2, 3, 4],
+            "text": ["Hello,  World!", "hello world", "HELLO---world",
+                     "a different doc", "hello world?!"]})
+        out = (normalized_dedup(rd.from_pandas(df)).to_pandas()
+               .sort_values("doc_id", ignore_index=True))
+        # the four variants share one normalized key; min id wins
+        assert len(out) == 2
+        assert out.loc[0, "doc_id"] == 1 and out.loc[0, "n_dups"] == 4
+        assert out.loc[1, "doc_id"] == 3 and out.loc[1, "n_dups"] == 1
+
+    def test_normalize_text_kernel(self):
+        from rdf_extraction_ray.stages.dedup_docs import normalize_text
+        s = pd.Series(["  A--b\tC3! ", None, "x"])
+        assert normalize_text(s).tolist() == ["a b c3", "", "x"]
+
+
+class TestCanonicalUrl:
+    def test_variants_canonicalize_identically(self):
+        from rdf_extraction_ray.stages.urlnorm import canonical_url
+        want = "https://www.ex.example.com/p/7"
+        for raw in [
+            "https://www.ex.example.com/p/7",
+            "HTTPS://WWW.EX.EXAMPLE.COM:443/p/7#frag",
+            "https://www.ex.example.com/p/7?utm_source=a&fbclid=b",
+            "https://www.ex.example.com/p/7/",
+        ]:
+            assert canonical_url(raw) == want, raw
+
+    def test_content_params_and_ports_survive(self):
+        from rdf_extraction_ray.stages.urlnorm import canonical_url
+        assert (canonical_url("http://h.co:8080/a?id=3&utm_term=x&q=z")
+                == "http://h.co:8080/a?id=3&q=z")
+        # default port for http is 80, not 443
+        assert canonical_url("http://h.co:443/a") == "http://h.co:443/a"
+        assert canonical_url("http://h.co:80/a") == "http://h.co/a"
+        # root path: the slash stays
+        assert canonical_url("https://h.co/") == "https://h.co/"
+
+    def test_url_dedup_keeps_min_id(self):
+        from rdf_extraction_ray.stages.urlnorm import url_dedup
+        df = pd.DataFrame({
+            "doc_id": [10, 2, 30],
+            "url": ["https://a.co/x?utm_source=1", "https://A.CO/x",
+                    "https://a.co/y"]})
+        out = (url_dedup(rd.from_pandas(df)).to_pandas()
+               .sort_values("doc_id", ignore_index=True))
+        assert out["doc_id"].tolist() == [2, 30]
+        assert out.loc[0, "n_dups"] == 2
+
+
+class TestQualityModel:
+    def test_scores_match_manual_matmul(self):
+        from rdf_extraction_ray.stages.model import (QUALITY_BIAS,
+                                                     QUALITY_WEIGHTS,
+                                                     QualityModel)
+        df = pd.DataFrame({"doc_id": [0, 1],
+                           "text": ["Three simple words here.",
+                                    "!!!???...,,,;;;:::"]})
+        m = QualityModel()
+        out = m(df)
+        x = m.features(df["text"])
+        assert (out["score"].to_numpy()
+                == x @ QUALITY_WEIGHTS + QUALITY_BIAS).all()
+        assert out["keep"].tolist() == [(s >= 0) for s in out["score"]]
+
+    def test_actor_pool_stage_runs(self):
+        from rdf_extraction_ray.stages.model import QualityModel
+        df = pd.DataFrame({"doc_id": np.arange(100),
+                           "text": ["some words here"] * 100})
+        out = (rd.from_pandas(df)
+               .map_batches(QualityModel, batch_format="pandas",
+                            batch_size=32, concurrency=2)
+               .to_pandas())
+        assert len(out) == 100 and out["score"].nunique() == 1
+
+
+class TestQuantileBuckets:
+    def test_tertiles_match_sorted_order_stats(self):
+        from rdf_extraction_ray.stages.textstats import \
+            quantile_bucket_stats
+        rng = np.random.default_rng(5)
+        scores = rng.integers(0, 50, size=301)
+        ds = rd.from_pandas(pd.DataFrame({"s": scores})).repartition(7)
+        out = (quantile_bucket_stats(ds, "s", n_bins=3)
+               .sort_values("bucket", ignore_index=True))
+        v = np.sort(scores)
+        n = len(v)
+        t1, t2 = v[int(np.ceil(n / 3)) - 1], v[int(np.ceil(2 * n / 3)) - 1]
+        want = np.where(scores <= t1, 0, np.where(scores <= t2, 1, 2))
+        got = dict(zip(out["bucket"], out["n_docs"]))
+        for b in range(3):
+            assert got.get(b, 0) == int((want == b).sum())
+        assert int(out["n_docs"].sum()) == n
+
+    def test_assign_matches_stats(self):
+        from rdf_extraction_ray.stages.textstats import (
+            assign_quantile_bucket, quantile_bucket_stats,
+            quantile_thresholds_from_histogram)
+        scores = np.array([1, 1, 2, 3, 3, 3, 9, 9, 10])
+        df = pd.DataFrame({"s": scores})
+        vals, counts = np.unique(scores, return_counts=True)
+        thr = quantile_thresholds_from_histogram(
+            vals, counts.cumsum(), len(scores), 3)
+        tagged = assign_quantile_bucket(df, "s", thr)
+        stats = quantile_bucket_stats(rd.from_pandas(df), "s", n_bins=3)
+        got = dict(zip(stats["bucket"], stats["n_docs"]))
+        vc = tagged["bucket"].value_counts()
+        assert {int(k): int(v) for k, v in vc.items()} == \
+            {int(k): int(v) for k, v in got.items()}
+
+    def test_empty_input_typed_empty(self):
+        from rdf_extraction_ray.stages.textstats import \
+            quantile_bucket_stats
+        ds = rd.from_pandas(pd.DataFrame({"s": pd.Series([],
+                                                         dtype="int64")}))
+        out = quantile_bucket_stats(ds, "s")
+        assert len(out) == 0
+        assert list(out.columns) == ["bucket", "n_docs", "min_score",
+                                     "max_score"]
