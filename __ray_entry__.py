@@ -2841,6 +2841,54 @@ def _q_docs_token_tertiles(sf_dir: str):
     return out.sort_values("bucket", ignore_index=True)
 
 
+def _q_docs_line_dedup(sf_dir: str):
+    """GLOBAL first-occurrence line dedup with reassembly (RefinedWeb
+    exact line dedup). Same deterministic line augmentation as the
+    boilerplate query (shared per-source footer + unique per-doc
+    line), so duplicate-line survival at exactly one occurrence is
+    the discriminating signal; only int64 hash/occurrence rows ride
+    the dedup exchange and bodies move once for reassembly."""
+    from rdf_extraction_ray.stages.curate import line_dedup
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def _aug(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "text": (df["text"].fillna("") + "\nFOOTER "
+                     + df["source"].astype(str) + "\nunique "
+                     + df["doc_id"].astype(str)),
+        })
+
+    out = _typed(line_dedup(docs.map_batches(_aug,
+                                             batch_format="pandas"))
+                 .to_pandas(),
+                 doc_id="int64", n_lines="int64", n_kept="int64",
+                 text_kept=object)
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+def _q_docs_balanced_mix(sf_dir: str):
+    """Balanced source mixture: every source downsampled to the
+    smallest source's size by deterministic md5-rank (the
+    mixture-rebalancing step of a training-data pipeline); counts are
+    a tiny combiner aggregate, the cap reuses the two-level
+    top-k-per-key source_cap machinery. The sf source column is
+    UNIFORM by construction, so skew is planted deterministically
+    (3/4 of docs collapse into one 'big' source) — the operator must
+    crush 'big' down to the smallest surviving source's size."""
+    from rdf_extraction_ray.stages.curate import balanced_sample
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def _skew(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["source"] = out["source"].astype(str).where(
+            out["doc_id"] % 4 == 0, "big")
+        return out
+
+    return balanced_sample(docs.map_batches(_skew,
+                                            batch_format="pandas"))
+
+
 def _q_events_funnel(sf_dir: str):
     """Ordered funnel conversion (view → click ≤1h → purchase ≤1h):
     per-user stage timestamps inside user-hash bucket groups
@@ -2898,6 +2946,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "docs_incremental_dedup": _q_docs_incremental_dedup,
         "docs_norm_dedup": _q_docs_norm_dedup,
+        "docs_line_dedup": _q_docs_line_dedup,
+        "docs_balanced_mix": _q_docs_balanced_mix,
         "docs_url_dedup": _q_docs_url_dedup,
         "docs_quality_model": _q_docs_quality_model,
         "docs_token_tertiles": _q_docs_token_tertiles,
@@ -3960,6 +4010,50 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY trim(regexp_replace(lower(text),
                                          '[^a-z0-9]+', ' ', 'g'))
+        """,
+        "docs_line_dedup": """
+            WITH aug AS (SELECT doc_id,
+                                text || chr(10) || 'FOOTER ' || source
+                                || chr(10) || 'unique '
+                                || CAST(doc_id AS VARCHAR) AS text
+                         FROM documents),
+            ls AS (SELECT doc_id, string_split(text, chr(10)) AS l
+                   FROM aug),
+            ex0 AS (SELECT doc_id,
+                           unnest(list_apply(l, (x, i) ->
+                               struct_pack(ln := x, i := i))) AS u
+                    FROM ls),
+            ex AS (SELECT doc_id, u.i - 1 AS line_idx, u.ln AS ln
+                   FROM ex0),
+            w AS (SELECT ln, min(doc_id * 1048576 + line_idx) AS wmin
+                  FROM ex GROUP BY ln),
+            kept AS (SELECT ex.doc_id, ex.line_idx, ex.ln
+                     FROM ex JOIN w ON ex.ln = w.ln
+                     WHERE ex.doc_id * 1048576 + ex.line_idx = w.wmin)
+            SELECT a.doc_id,
+                   len(string_split(a.text, chr(10))) AS n_lines,
+                   count(k.line_idx) AS n_kept,
+                   coalesce(string_agg(k.ln, chr(10)
+                                       ORDER BY k.line_idx), '')
+                       AS text_kept
+            FROM aug a LEFT JOIN kept k ON a.doc_id = k.doc_id
+            GROUP BY a.doc_id, a.text
+        """,
+        "docs_balanced_mix": """
+            WITH s AS (SELECT doc_id,
+                              CASE WHEN doc_id % 4 = 0 THEN source
+                                   ELSE 'big' END AS source
+                       FROM documents),
+            c AS (SELECT source, count(*) AS n FROM s GROUP BY 1),
+            t AS (SELECT min(n) AS cap FROM c),
+            r AS (SELECT doc_id, source,
+                         row_number() OVER (
+                             PARTITION BY source
+                             ORDER BY ('0x' || substr(
+                                 md5(doc_id::VARCHAR), 1, 8))::BIGINT,
+                                 doc_id) AS rn
+                  FROM s)
+            SELECT doc_id, source FROM r, t WHERE rn <= t.cap
         """,
         "docs_url_dedup": """
             SELECT 'https://www.' || source || '.example.com/p/'

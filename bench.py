@@ -108,7 +108,8 @@ def run_bench() -> dict:
               "docs_train_shards", "docs_strip_boilerplate",
               "users_event_history", "events_distinct_users",
               "docs_norm_dedup", "docs_url_dedup", "docs_quality_model",
-              "docs_token_tertiles", "events_funnel",
+              "docs_token_tertiles", "events_funnel", "docs_line_dedup",
+              "docs_balanced_mix",
               "tpch_q3_shipping", "tpch_q5_local_supplier"]
     queries = entrymod.queries()
     qtimes: dict[str, float] = {}

@@ -367,6 +367,125 @@ def source_cap(docs: rd.Dataset, cap: int = 16, n_buckets: int = 32,
                                            batch_format="pandas"))
 
 
+def balanced_sample(docs: rd.Dataset, id_col: str = "doc_id",
+                    key_col: str = "source",
+                    n_buckets: int = 32) -> rd.Dataset:
+    """Balanced source mixture: downsample every source to the size of
+    the SMALLEST one (the deterministic analogue of mixture-weight
+    rebalancing — per-domain uniform target, the Pile/Dolma data-mix
+    step). Picks per source are the md5-rank smallest (doc-id
+    tie-break), so the sample is reproducible across runs, block
+    orders and cluster sizes.
+
+    Scale shape: the per-source counts are a tiny combiner aggregate
+    (one row per (batch, source) to the driver, bounded by the source
+    domain); the cap is then a plain :func:`source_cap` run — two-level
+    top-k-per-key, exchange bounded at cap × blocks per source.
+    Output: kept (doc_id, source).
+    """
+
+    def _counts(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch[key_col].astype(str).value_counts()
+        return pd.DataFrame({key_col: vc.index.to_numpy(),
+                             "n": vc.to_numpy().astype("int64")})
+
+    counts = (docs.map_batches(_counts, batch_format="pandas")
+              .to_pandas())
+    if not len(counts):
+        return docs.map_batches(
+            lambda b: b[[id_col, key_col]], batch_format="pandas")
+    cap = int(counts.groupby(key_col)["n"].sum().min())
+    return source_cap(docs, cap=cap, n_buckets=n_buckets,
+                      id_col=id_col, key_col=key_col)
+
+
+# line_idx packs into the winner key below doc_id — documents with
+# more lines than this would collide across docs (none exist: a 2^20
+# -line document is not a document)
+_LINE_IDX_BITS = 20
+
+
+def line_dedup(docs: rd.Dataset, n_buckets: int = 64,
+               id_col: str = "doc_id", text_col: str = "text",
+               doc_buckets: int = 32) -> rd.Dataset:
+    """GLOBAL first-occurrence line dedup with document reassembly
+    (RefinedWeb's exact line dedup, distinct from the df-threshold
+    boilerplate strip): every line survives only at its first corpus
+    occurrence — the smallest ``(doc_id, line_idx)`` — and each
+    document is rebuilt from its surviving lines in order.
+
+    Scale shape: the dedup exchange carries ONLY int64 rows (md5-15-hex
+    line hash, packed ``doc_id·2^20 + line_idx`` occurrence key) into a
+    line-hash-bucket groupby that emits the winning occurrences; the
+    reassembly exchange co-locates each doc's body with its surviving
+    line indexes by doc-id bucket — bodies move exactly once, and no
+    line text ever shuffles. Output: (doc_id, n_lines, n_kept,
+    text_kept).
+    """
+
+    def _explode(batch: pd.DataFrame) -> pd.DataFrame:
+        lines = batch[text_col].fillna("").str.split("\n")
+        ex = lines.explode()
+        doc = batch.loc[ex.index, id_col].to_numpy(dtype="int64")
+        idx = np.concatenate([np.arange(k, dtype="int64")
+                              for k in lines.str.len()]) \
+            if len(batch) else np.array([], dtype="int64")
+        h = np.fromiter((_gram_hash(str(l)) for l in ex.to_numpy()),
+                        dtype=np.int64, count=len(ex))
+        out = pd.DataFrame({"h": h, "w": doc * (1 << _LINE_IDX_BITS)
+                            + idx})
+        out["lbucket"] = (out["h"] % n_buckets).astype("int64")
+        return out
+
+    def _winners(group: pd.DataFrame) -> pd.DataFrame:
+        wmin = group.groupby("h")["w"].min().to_numpy()
+        return pd.DataFrame({
+            id_col: (wmin >> _LINE_IDX_BITS).astype("int64"),
+            "line_idx": (wmin & ((1 << _LINE_IDX_BITS) - 1))
+            .astype("int64")})
+
+    kept = (docs.map_batches(_explode, batch_format="pandas")
+            .groupby("lbucket").map_groups(_winners,
+                                           batch_format="pandas"))
+
+    def _tag_kept(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.copy()
+        out["kind"] = np.int64(1)
+        out[text_col] = ""
+        out["dbucket"] = (out[id_col] % doc_buckets).astype("int64")
+        return out
+
+    def _tag_docs(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({id_col: batch[id_col].astype("int64"),
+                            "line_idx": np.int64(-1),
+                            "kind": np.int64(0),
+                            text_col: batch[text_col].fillna("")})
+        out["dbucket"] = (out[id_col] % doc_buckets).astype("int64")
+        return out
+
+    def _reassemble(group: pd.DataFrame) -> pd.DataFrame:
+        d = group[group["kind"] == 0]
+        k = group[group["kind"] == 1]
+        kept_idx = {doc: set(g["line_idx"])
+                    for doc, g in k.groupby(id_col)}
+        rows = []
+        for doc, text in zip(d[id_col], d[text_col]):
+            lines = text.split("\n")
+            keep = kept_idx.get(doc, set())
+            surv = [l for i, l in enumerate(lines) if i in keep]
+            rows.append((doc, len(lines), len(surv), "\n".join(surv)))
+        return pd.DataFrame(rows, columns=[id_col, "n_lines", "n_kept",
+                                           "text_kept"]) \
+            .astype({id_col: "int64", "n_lines": "int64",
+                     "n_kept": "int64"})
+
+    tagged_kept = kept.map_batches(_tag_kept, batch_format="pandas")
+    tagged_docs = docs.map_batches(_tag_docs, batch_format="pandas")
+    return (tagged_docs.union(tagged_kept)
+            .groupby("dbucket").map_groups(_reassemble,
+                                           batch_format="pandas"))
+
+
 def train_shard_assignment(docs: rd.Dataset, n_shards: int = 8,
                            id_col: str = "doc_id") -> rd.Dataset:
     """Deterministic pseudo-shuffle into training shards: each doc's

@@ -129,3 +129,50 @@ class TestQuantileBuckets:
         assert len(out) == 0
         assert list(out.columns) == ["bucket", "n_docs", "min_score",
                                      "max_score"]
+
+
+class TestLineDedup:
+    def test_global_first_occurrence_and_reassembly(self):
+        from rdf_extraction_ray.stages.curate import line_dedup
+        df = pd.DataFrame({
+            "doc_id": [0, 1, 2],
+            "text": ["shared footer\nalpha zero",
+                     "beta one\nshared footer",
+                     "shared footer\ngamma two\nshared footer"]})
+        out = (line_dedup(rd.from_pandas(df).repartition(3))
+               .to_pandas().sort_values("doc_id", ignore_index=True))
+        # the footer survives ONLY at its first corpus occurrence
+        # (doc 0, line 0); unique lines always survive
+        assert out["n_lines"].tolist() == [2, 2, 3]
+        assert out["n_kept"].tolist() == [2, 1, 1]
+        assert out.loc[0, "text_kept"] == "shared footer\nalpha zero"
+        assert out.loc[1, "text_kept"] == "beta one"
+        assert out.loc[2, "text_kept"] == "gamma two"
+
+    def test_duplicate_docs_lose_every_line(self):
+        from rdf_extraction_ray.stages.curate import line_dedup
+        df = pd.DataFrame({"doc_id": [7, 3],
+                           "text": ["same line", "same line"]})
+        out = (line_dedup(rd.from_pandas(df)).to_pandas()
+               .sort_values("doc_id", ignore_index=True))
+        assert out.loc[0, "doc_id"] == 3 and out.loc[0, "n_kept"] == 1
+        assert out.loc[1, "doc_id"] == 7 and out.loc[1, "n_kept"] == 0
+        assert out.loc[1, "text_kept"] == ""
+
+
+class TestBalancedSample:
+    def test_downsamples_to_smallest_source(self):
+        from rdf_extraction_ray.stages.curate import balanced_sample
+        df = pd.DataFrame({
+            "doc_id": np.arange(60),
+            "source": ["big"] * 50 + ["mid"] * 7 + ["tiny"] * 3})
+        out = (balanced_sample(rd.from_pandas(df).repartition(4))
+               .to_pandas())
+        vc = out["source"].value_counts()
+        assert vc["big"] == 3 and vc["mid"] == 3 and vc["tiny"] == 3
+        # deterministic: the same picks on a shuffled input
+        out2 = balanced_sample(
+            rd.from_pandas(df.sample(frac=1.0, random_state=1))).to_pandas()
+        a = out.sort_values("doc_id", ignore_index=True)
+        b = out2.sort_values("doc_id", ignore_index=True)
+        assert a[["doc_id", "source"]].equals(b[["doc_id", "source"]])
