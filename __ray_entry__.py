@@ -2889,6 +2889,51 @@ def _q_docs_balanced_mix(sf_dir: str):
                                             batch_format="pandas"))
 
 
+def _q_segment_revenue_bucketed(sf_dir: str):
+    """segment_revenue through a CO-PARTITIONED storage layout: both
+    tables are hash-bucketed by custkey ONCE (cached layout, atomic
+    publish), then the join runs with ZERO shuffle — one task per
+    bucket reads both sides' bucket files and merges locally. The
+    100-TB pattern for joins that repeat on the same key."""
+    from ray.data.aggregate import Sum
+
+    from rdf_extraction_ray.pipelines.bucketed import (bucketed_join,
+                                                       write_bucketed)
+    base = (f"/tmp/rdf_extraction_ray/bucketed_v1_"
+            f"{os.path.basename(os.path.normpath(sf_dir))}")
+    orders_path = write_bucketed(
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+        f"{base}/orders", key="o_custkey")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .map_batches(lambda t: t.rename_columns(
+            ["o_custkey", "c_mktsegment"]), batch_format="pyarrow")
+    cust_path = write_bucketed(cust, f"{base}/customer",
+                               key="o_custkey")
+    joined = bucketed_join(orders_path, cust_path, key="o_custkey",
+                           columns_a=["o_custkey", "o_totalprice"],
+                           columns_b=["o_custkey", "c_mktsegment"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        if "c_mktsegment" not in df.columns:  # all-empty bucket block
+            return pd.DataFrame({"c_mktsegment": pd.Series([], dtype=object),
+                                 "n_orders": pd.Series([], dtype="int64"),
+                                 "revenue": pd.Series([], dtype="float64")})
+        return (df.groupby("c_mktsegment", as_index=False)
+                .agg(n_orders=("o_totalprice", "size"),
+                     revenue=("o_totalprice", "sum")))
+
+    out = (joined.map_batches(_partial, batch_format="pandas",
+                              batch_size=None)
+           .groupby("c_mktsegment")
+           .aggregate(Sum("n_orders", alias_name="n_orders"),
+                      Sum("revenue", alias_name="revenue")).to_pandas())
+    out = _typed(out, c_mktsegment=object, n_orders="int64",
+                 revenue="float64")
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["revenue"] = out["revenue"].astype("float64").round(_ROUND)
+    return out
+
+
 def _q_events_funnel(sf_dir: str):
     """Ordered funnel conversion (view → click ≤1h → purchase ≤1h):
     per-user stage timestamps inside user-hash bucket groups
@@ -2952,6 +2997,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality_model": _q_docs_quality_model,
         "docs_token_tertiles": _q_docs_token_tertiles,
         "events_funnel": _q_events_funnel,
+        "segment_revenue_bucketed": _q_segment_revenue_bucketed,
         "kg_facts": _q_kg_facts,
         # --- dedup / similarity family
         "docs_simhash": _q_docs_simhash,
@@ -3797,6 +3843,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY r.r_name
         """,
         "segment_revenue": f"""
+            SELECT c.c_mktsegment,
+                   count(*) AS n_orders,
+                   round(sum(o.o_totalprice), {_ROUND}) AS revenue
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "segment_revenue_bucketed": f"""
             SELECT c.c_mktsegment,
                    count(*) AS n_orders,
                    round(sum(o.o_totalprice), {_ROUND}) AS revenue

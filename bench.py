@@ -109,7 +109,7 @@ def run_bench() -> dict:
               "users_event_history", "events_distinct_users",
               "docs_norm_dedup", "docs_url_dedup", "docs_quality_model",
               "docs_token_tertiles", "events_funnel", "docs_line_dedup",
-              "docs_balanced_mix",
+              "docs_balanced_mix", "segment_revenue_bucketed",
               "tpch_q3_shipping", "tpch_q5_local_supplier"]
     queries = entrymod.queries()
     qtimes: dict[str, float] = {}

@@ -176,3 +176,36 @@ class TestBalancedSample:
         a = out.sort_values("doc_id", ignore_index=True)
         b = out2.sort_values("doc_id", ignore_index=True)
         assert a[["doc_id", "source"]].equals(b[["doc_id", "source"]])
+
+
+class TestBucketedLayout:
+    def test_join_equals_pandas_merge(self, tmp_path):
+        from rdf_extraction_ray.pipelines.bucketed import (bucketed_join,
+                                                           write_bucketed)
+        a = pd.DataFrame({"k": np.arange(200) % 37,
+                          "va": np.arange(200)})
+        b = pd.DataFrame({"k": np.arange(0, 74, 2),
+                          "vb": np.arange(37)})
+        pa_ = write_bucketed(rd.from_pandas(a).repartition(5),
+                             str(tmp_path / "a"), key="k", n_buckets=8)
+        pb_ = write_bucketed(rd.from_pandas(b),
+                             str(tmp_path / "b"), key="k", n_buckets=8)
+        got = (bucketed_join(pa_, pb_, key="k", n_buckets=8)
+               .to_pandas().sort_values(["k", "va"], ignore_index=True))
+        want = (a.merge(b, on="k")
+                .sort_values(["k", "va"], ignore_index=True))
+        assert got[["k", "va", "vb"]].equals(want)
+
+    def test_write_is_idempotent_cache(self, tmp_path):
+        import os
+
+        from rdf_extraction_ray.pipelines.bucketed import write_bucketed
+        df = pd.DataFrame({"k": [1, 2], "v": [3, 4]})
+        p = str(tmp_path / "layout")
+        write_bucketed(rd.from_pandas(df), p, key="k", n_buckets=4)
+        before = sorted(os.listdir(p))
+        mt = os.path.getmtime(p)
+        # second call is a no-op (directory existence = done marker)
+        write_bucketed(rd.from_pandas(df), p, key="k", n_buckets=4)
+        assert sorted(os.listdir(p)) == before
+        assert os.path.getmtime(p) == mt
