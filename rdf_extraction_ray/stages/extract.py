@@ -436,16 +436,22 @@ def finalize_bucket(group: pd.DataFrame) -> pd.DataFrame:
 AUTO_SALT_FACTS = 1_000_000
 
 
-def max_conv_fact_rows(cands, n_buckets: int = 64) -> int:
+def max_conv_fact_rows(cands, n_buckets: int = 64,
+                       driver_merge_rows: int = 20_000_000) -> int:
     """Cheap skew probe: the largest per-conversation candidate-row
     count. Meant to run on a MATERIALIZED candidate dataset (fact rows
     are 1-5% of corpus bytes), so the probe never rescans transcripts.
 
     Shape: per-batch partial counts keyed by a hashed conv key (int64
     — a hash collision merges two conversations and can only
-    OVER-count, which conservatively routes to the salted path) → a
-    hash-bucket groupby sums true sizes and emits one max row per
-    bucket → the driver reduces ≤``n_buckets`` rows.
+    OVER-count, which conservatively routes to the salted path). Under
+    ``driver_merge_rows`` total candidates the per-block partials
+    merge on the DRIVER (bounded: partial rows ≤ total rows, in
+    practice ~one row per (block, conv) — a few-ms pandas groupby that
+    saves the exchange's fixed job cost); above it, a hash-bucket
+    groupby sums true sizes and emits one max row per bucket, ≤
+    ``n_buckets`` rows back to the driver. Both paths are
+    pytest-pinned equal.
     """
 
     def _partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -457,15 +463,20 @@ def max_conv_fact_rows(cands, n_buckets: int = 64) -> int:
             "k": key, "n": vc.to_numpy().astype("int64"),
             "kbucket": key % np.int64(n_buckets)})
 
+    partials = cands.map_batches(_partial, batch_format="pandas",
+                                 batch_size=None)
+    if cands.count() <= driver_merge_rows:
+        got = partials.to_pandas()
+        if not len(got):
+            return 0
+        return int(got.groupby("k")["n"].sum().max())
+
     def _bucket_max(group: pd.DataFrame) -> pd.DataFrame:
         m = group.groupby("k")["n"].sum().max()
         return pd.DataFrame({"mx": [np.int64(m)]})
 
-    got = (cands.map_batches(_partial, batch_format="pandas",
-                             batch_size=None)
-           .groupby("kbucket").map_groups(_bucket_max,
-                                          batch_format="pandas")
-           .to_pandas())
+    got = (partials.groupby("kbucket").map_groups(
+        _bucket_max, batch_format="pandas").to_pandas())
     return int(got["mx"].max()) if len(got) else 0
 
 

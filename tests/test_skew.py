@@ -131,3 +131,17 @@ class TestMegaConversation:
         cands = ds.map_batches(detect_facts, batch_format="pyarrow")
         # 2000 place facts + the _subject candidate row
         assert max_conv_fact_rows(cands) == 2001
+
+    def test_probe_driver_and_distributed_paths_agree(self):
+        """The probe's driver-merge fast path and the hash-bucket
+        distributed path must return the same maximum."""
+        from rdf_extraction_ray.stages.extract import (detect_facts,
+                                                       max_conv_fact_rows)
+        turns, _ = synth.generate(50, seed=3, mega_every=0)
+        ds = rd.from_arrow(pa.concat_tables(
+            [turns, _mega_turns(800)])).repartition(12)
+        cands = ds.map_batches(detect_facts,
+                               batch_format="pyarrow").materialize()
+        fast = max_conv_fact_rows(cands, driver_merge_rows=10**9)
+        dist = max_conv_fact_rows(cands, driver_merge_rows=0)
+        assert fast == dist == 801
