@@ -2934,6 +2934,58 @@ def _q_segment_revenue_bucketed(sf_dir: str):
     return out
 
 
+def _q_kg_pagerank(sf_dir: str):
+    """Integer fixed-point PageRank (3 rounds) over the extracted KG's
+    URI-object edge graph — the iterative distributed-algorithm
+    showcase: per round, one hash join (static edge+degree table vs
+    fresh ranks) and one hash-bucket contribution sum; ranks live in
+    the object store between rounds, bit-identical across cluster
+    sizes, and the DuckDB oracle replays the whole power iteration as
+    chained CTEs."""
+    from rdf_extraction_ray.stages.graph import pagerank_int
+    tr = _triples_view(sf_dir)
+
+    def _edges(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[df["obj_kind"] == "uri"]
+        return pd.DataFrame({"s": g["subj"], "d": g["obj"]})
+
+    edges = tr.map_batches(_edges, batch_format="pandas")
+    out = _typed(pagerank_int(edges, n_iter=3).to_pandas(),
+                 node=object, rank="int64")
+    return out.sort_values("node", ignore_index=True)
+
+
+def _pagerank_sql(triples_path: str, n_iter: int = 3,
+                  scale: int = 10**9) -> str:
+    """The oracle twin of stages/graph.pagerank_int: the same integer
+    recurrence unrolled as one CTE per round."""
+    its, prev = "", "r0"
+    for i in range(1, n_iter + 1):
+        its += f""",
+            r{i} AS (SELECT n.v,
+                           (SELECT base FROM b)
+                           + (85 * coalesce(CAST(sum(p.r // dg.dg)
+                                                 AS BIGINT), 0))
+                             // 100 AS r
+                    FROM nodes n
+                    LEFT JOIN e ON e.d = n.v
+                    LEFT JOIN {prev} p ON p.v = e.s
+                    LEFT JOIN deg dg ON dg.s = e.s
+                    GROUP BY n.v)"""
+        prev = f"r{i}"
+    return f"""
+        WITH e AS (SELECT DISTINCT subj AS s, obj AS d
+                   FROM read_parquet('{triples_path}')
+                   WHERE obj_kind = 'uri'),
+        nodes AS (SELECT s AS v FROM e UNION SELECT d FROM e),
+        deg AS (SELECT s, count(*) AS dg FROM e GROUP BY s),
+        b AS (SELECT (15 * ({scale} // count(*))) // 100 AS base,
+                     {scale} // count(*) AS rinit FROM nodes),
+        r0 AS (SELECT v, (SELECT rinit FROM b) AS r FROM nodes){its}
+        SELECT v AS node, CAST(r AS BIGINT) AS "rank" FROM {prev}
+    """
+
+
 def _q_events_funnel(sf_dir: str):
     """Ordered funnel conversion (view → click ≤1h → purchase ≤1h):
     per-user stage timestamps inside user-hash bucket groups
@@ -2998,6 +3050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_tertiles": _q_docs_token_tertiles,
         "events_funnel": _q_events_funnel,
         "segment_revenue_bucketed": _q_segment_revenue_bucketed,
+        "kg_pagerank": _q_kg_pagerank,
         "kg_facts": _q_kg_facts,
         # --- dedup / similarity family
         "docs_simhash": _q_docs_simhash,
@@ -3849,6 +3902,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment
         """,
+        "kg_pagerank": _pagerank_sql(triples),
         "segment_revenue_bucketed": f"""
             SELECT c.c_mktsegment,
                    count(*) AS n_orders,

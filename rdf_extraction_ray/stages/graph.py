@@ -1,0 +1,168 @@
+"""Distributed graph algorithms over the extracted KG edge set.
+
+:func:`pagerank_int` is INTEGER FIXED-POINT PageRank — the iterative
+distributed-algorithm showcase: every quantity is an int64 (ranks in
+units of 1/SCALE, contributions by floor division), so the result is
+bit-identical across block orders, cluster sizes and engines, and a
+DuckDB oracle replays the whole power iteration as chained CTEs.
+
+Scale shape:
+- node URIs hash ONCE to md5-15-hex int64 ids (the engine's shared
+  SQL-replayable hash; a collision over the 2^60 space is ~1e-9 at
+  10^5 nodes and would only merge two nodes' ranks) — every iteration
+  then exchanges PURE INT64 rows, never URI strings;
+- one setup exchange dedups edges and computes out-degrees in the
+  same source-bucket group; the (hs, hd, dg) table is materialized
+  once and re-joined against fresh ranks each round;
+- per round exactly TWO exchanges: union(static edges, current ranks)
+  grouped by source bucket emits contributions (fused join + floor
+  divide in one group body), then union(contributions, per-node zero
+  rows) grouped by destination bucket sums into the new ranks;
+- rank state lives in the object store between rounds (materialized:
+  O(nodes) int rows; without the barrier the lazy lineage would
+  re-run every previous round per consumer). Nothing node- or
+  edge-shaped lands on the driver; URI strings are joined back once
+  at the end.
+
+Declared semantics (documented divergences from textbook PageRank,
+chosen for integer exactness):
+- dangling mass is DROPPED, not redistributed (ranks do not sum to
+  SCALE; relative ordering is what the operator delivers);
+- parallel edges are collapsed (DISTINCT edges) and self-loops kept;
+- all divisions are floor divisions on nonnegative int64.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+SCALE = 10**9  # rank fixed-point unit: 1e-9
+DAMP_NUM, DAMP_DEN = 85, 100
+
+
+def _h15(s: pd.Series) -> np.ndarray:
+    """md5-15-hex int64 of each string (SQL:
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``)."""
+    return np.fromiter(
+        (int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+         for v in s),
+        dtype=np.int64, count=len(s))
+
+
+def pagerank_int(edges: rd.Dataset, n_iter: int = 5,
+                 scale: int = SCALE, n_buckets: int = 64) -> rd.Dataset:
+    """``n_iter`` rounds of integer fixed-point PageRank over an edge
+    Dataset with string columns (s, d). Returns (node, rank) int64.
+
+    base = (15 · (scale // N)) // 100; each round
+    ``rank'(v) = base + 85 · Σ_{u→v}(rank(u) // outdeg(u)) // 100``.
+    """
+    from .joins import hash_join
+
+    B = np.int64(n_buckets)
+
+    def _hash_edges(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"hs": _h15(df["s"]), "hd": _h15(df["d"])})
+        out["sb"] = out["hs"] % B
+        return out.drop_duplicates()
+
+    def _dedup_deg(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[["hs", "hd"]].drop_duplicates()
+        dg = e.groupby("hs")["hd"].transform("size")
+        return pd.DataFrame({
+            "kind": np.int64(0), "hs": e["hs"], "hd": e["hd"],
+            "dg": dg.to_numpy(dtype="int64"), "r": np.int64(0),
+            "sb": e["hs"] % B})
+
+    # ONE setup exchange: distinct edges + out-degrees, co-grouped by
+    # source bucket (a source's edges all land in its bucket, so the
+    # group-local degree is the global one)
+    ed = (edges.map_batches(_hash_edges, batch_format="pandas")
+          .groupby("sb").map_groups(_dedup_deg, batch_format="pandas")
+          ).materialize()
+
+    # distinct (h, node-string) map — used for N and to restore URIs
+    def _node_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "node": pd.concat([df["s"], df["d"]], ignore_index=True)
+            .astype(str)}).drop_duplicates()
+        out["h"] = _h15(out["node"])
+        out["nb"] = out["h"] % B
+        return out
+
+    nodes = (edges.map_batches(_node_rows, batch_format="pandas")
+             .groupby("nb").map_groups(
+                 lambda g: g[["h", "node"]].drop_duplicates("h"),
+                 batch_format="pandas")).materialize()
+    n_nodes = nodes.count()
+    if not n_nodes:
+        import pyarrow as pa
+        return rd.from_arrow(pa.schema(
+            [("node", pa.string()), ("rank", pa.int64())]).empty_table())
+    r0 = scale // n_nodes
+    base = (15 * r0) // 100
+
+    def _rank_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "kind": np.int64(1), "hs": df["h"].astype("int64"),
+            "hd": np.int64(0), "dg": np.int64(0),
+            "r": np.int64(r0), "sb": df["h"].astype("int64") % B})
+
+    ranks = nodes.map_batches(_rank_rows,
+                              batch_format="pandas").materialize()
+
+    def _zero_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"hd": df["h"].astype("int64"),
+                             "c": np.int64(0),
+                             "db": df["h"].astype("int64") % B})
+
+    zeros = nodes.map_batches(_zero_rows,
+                              batch_format="pandas").materialize()
+
+    def _contrib(group: pd.DataFrame) -> pd.DataFrame:
+        e = group[group["kind"] == 0]
+        r = group[group["kind"] == 1]
+        j = e[["hs", "hd", "dg"]].merge(r[["hs", "r"]], on="hs")
+        c = j["r"].to_numpy(dtype="int64") \
+            // j["dg"].to_numpy(dtype="int64")
+        return pd.DataFrame({"hd": j["hd"].to_numpy(dtype="int64"),
+                             "c": c,
+                             "db": j["hd"].to_numpy(dtype="int64") % B})
+
+    def _new_ranks(group: pd.DataFrame) -> pd.DataFrame:
+        s = group.groupby("hd", as_index=False)["c"].sum()
+        h = s["hd"].to_numpy(dtype="int64")
+        r = np.int64(base) + (np.int64(DAMP_NUM)
+                              * s["c"].to_numpy(dtype="int64")) \
+            // np.int64(DAMP_DEN)
+        return pd.DataFrame({"kind": np.int64(1), "hs": h,
+                             "hd": np.int64(0), "dg": np.int64(0),
+                             "r": r, "sb": h % B})
+
+    # Ray's sort-based groupby emits one (often empty) output block
+    # per INPUT block, so without a repartition the rank dataset's
+    # block count would compound each round (64 + 64 → 128 + 64 → …)
+    # and sort cost would grow linearly with the round number —
+    # measured 3.7 s → 7.2 s → 12 s per round at sf0.01. Pinning the
+    # block count keeps every round identical.
+    n_blocks = max(8, n_buckets // 4)
+    for _ in range(n_iter):
+        contribs = (ed.union(ranks).groupby("sb")
+                    .map_groups(_contrib, batch_format="pandas"))
+        ranks = (contribs.union(zeros).groupby("db")
+                 .map_groups(_new_ranks, batch_format="pandas")
+                 .repartition(n_blocks)).materialize()
+
+    final = ranks.map_batches(
+        lambda df: pd.DataFrame({"h": df["hs"].astype("int64"),
+                                 "rank": df["r"].astype("int64")}),
+        batch_format="pandas")
+    out = hash_join(final, nodes.map_batches(
+        lambda df: df[["h", "node"]], batch_format="pandas"), on="h",
+        n_buckets=n_buckets)
+    return out.map_batches(lambda df: df[["node", "rank"]],
+                           batch_format="pandas")

@@ -209,3 +209,49 @@ class TestBucketedLayout:
         write_bucketed(rd.from_pandas(df), p, key="k", n_buckets=4)
         assert sorted(os.listdir(p)) == before
         assert os.path.getmtime(p) == mt
+
+
+class TestPageRank:
+    @staticmethod
+    def _reference(edges, n_iter=5, scale=10**9):
+        es = sorted(set(edges))
+        nodes = sorted({u for u, _ in es} | {v for _, v in es})
+        deg = {}
+        for u, _ in es:
+            deg[u] = deg.get(u, 0) + 1
+        n = len(nodes)
+        r0 = scale // n
+        base = (15 * r0) // 100
+        r = {v: r0 for v in nodes}
+        for _ in range(n_iter):
+            s = {v: 0 for v in nodes}
+            for u, v in es:
+                s[v] += r[u] // deg[u]
+            r = {v: base + (85 * s[v]) // 100 for v in nodes}
+        return r
+
+    def test_matches_reference_recurrence(self):
+        from rdf_extraction_ray.stages.graph import pagerank_int
+        edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
+                 ("d", "c"), ("d", "c"),  # parallel edge collapses
+                 ("e", "e")]              # self-loop kept
+        df = pd.DataFrame(edges, columns=["s", "d"])
+        got = (pagerank_int(rd.from_pandas(df).repartition(3), n_iter=5)
+               .to_pandas().sort_values("node", ignore_index=True))
+        want = self._reference(edges)
+        assert dict(zip(got["node"], got["rank"])) == want
+        # the isolated self-loop 'e' ranks below the connected cycle
+        assert want["e"] < want["c"]
+
+    def test_deterministic_across_partitionings(self):
+        from rdf_extraction_ray.stages.graph import pagerank_int
+        rng = np.random.default_rng(7)
+        df = pd.DataFrame({"s": [f"n{i}" for i in
+                                 rng.integers(0, 40, 300)],
+                           "d": [f"n{i}" for i in
+                                 rng.integers(0, 40, 300)]})
+        a = (pagerank_int(rd.from_pandas(df), n_iter=3).to_pandas()
+             .sort_values("node", ignore_index=True))
+        b = (pagerank_int(rd.from_pandas(df).repartition(11), n_iter=3)
+             .to_pandas().sort_values("node", ignore_index=True))
+        assert a.equals(b)
