@@ -91,3 +91,48 @@ def test_ntriples_literal_escaping_round_trips(texts):
                .replace("\n", "\\n").replace("\r", "\\r")
                .replace("\t", "\\t"))
         assert body == esc, (raw, body)
+
+
+class TestCanonicalUrlProperties:
+    @given(
+        scheme=st.sampled_from(["http", "https"]),
+        host=st.from_regex(r"[a-z][a-z0-9-]{0,10}(\.[a-z]{2,6}){1,2}",
+                           fullmatch=True),
+        path=st.lists(st.from_regex(r"[A-Za-z0-9._~-]{1,8}",
+                                    fullmatch=True), max_size=4),
+        tracking=st.lists(st.sampled_from(
+            ["utm_source=x", "utm_medium=m", "gclid=1", "fbclid=2",
+             "ref=r"]), max_size=3),
+        keep=st.lists(st.from_regex(r"[a-z]{1,6}=[A-Za-z0-9]{0,6}",
+                                    fullmatch=True), max_size=3),
+        frag=st.sampled_from(["", "#top", "#a=b"]),
+        upper_host=st.booleans(),
+        default_port=st.booleans(),
+        trailing=st.booleans(),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_idempotent_and_variant_invariant(self, scheme, host, path,
+                                              tracking, keep, frag,
+                                              upper_host, default_port,
+                                              trailing):
+        from rdf_extraction_ray.stages.urlnorm import (TRACKING_PARAMS,
+                                                       canonical_url)
+        p = "/" + "/".join(path)
+        q = "&".join(keep + tracking)
+        raw_host = host.upper() if upper_host else host
+        port = (":443" if scheme == "https" else ":80") \
+            if default_port else ""
+        raw = (f"{scheme}://{raw_host}{port}{p}"
+               + ("/" if trailing and p != "/" else "")
+               + (f"?{q}" if q else "") + frag)
+        plain = (f"{scheme}://{host}{p}"
+                 + (f"?{'&'.join(keep)}" if keep else ""))
+        c = canonical_url(raw)
+        # every surface variant canonicalizes to the plain form
+        assert c == canonical_url(plain)
+        # idempotence: canonical form is a fixed point
+        assert canonical_url(c) == c
+        # no tracking parameter survives
+        assert not any(t.split("=")[0] in c.split("?")[-1]
+                       for t in tracking if "?" in c)
+        assert TRACKING_PARAMS  # imported constant stays non-empty
