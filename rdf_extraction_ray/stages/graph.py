@@ -54,12 +54,37 @@ def _h15(s: pd.Series) -> np.ndarray:
 
 
 def pagerank_int(edges: rd.Dataset, n_iter: int = 5,
-                 scale: int = SCALE, n_buckets: int = 64) -> rd.Dataset:
+                 scale: int = SCALE, n_buckets: int = 64,
+                 broadcast_max_nodes: int = 4_000_000) -> rd.Dataset:
     """``n_iter`` rounds of integer fixed-point PageRank over an edge
     Dataset with string columns (s, d). Returns (node, rank) int64.
 
     base = (15 · (scale // N)) // 100; each round
     ``rank'(v) = base + 85 · Σ_{u→v}(rank(u) // outdeg(u)) // 100``.
+
+    Two executions of the SAME integer recurrence (bit-identical, both
+    covered by the equality test in tests/test_round3_ops.py):
+
+    - **broadcast path** (N ≤ ``broadcast_max_nodes``): the rank
+      vector is O(N) int64 — tiny next to the edge set — so edges are
+      index-encoded ONCE into static (si, di, dg) int64 blocks and
+      each round is one ``ray.put`` of the rank vector + one
+      ``map_batches`` over those static blocks (dense ``np.add.at``
+      per block, pre-aggregated nonzero (i, c) rows out) + a
+      driver-side dense sum. ZERO per-round exchanges; driver traffic
+      per round is Σ-per-block-distinct-destinations ≤ blocks × N
+      rows, bounded by the threshold (4M nodes × 16 blocks worst-case
+      ≈ 512 MiB, realistically ~N rows for power-law graphs). Measured
+      160 s → ~20 s end-to-end at sf0.1 (846k nodes / 1.4M distinct
+      edges, 3 rounds; ~1 s per round) vs the exchange path. Blocks
+      are consumed WHOLE (``batch_size=None`` throughout): the dense
+      per-task accumulator is allocated once per block, not once per
+      default-size batch.
+    - **exchange path** (N above threshold): the original
+      shuffle-per-round formulation (two hash-bucket exchanges per
+      round, nothing node- or edge-shaped on the driver) — the shape
+      that survives billion-node graphs where no single process may
+      hold the rank vector.
     """
     from .joins import hash_join
 
@@ -78,14 +103,25 @@ def pagerank_int(edges: rd.Dataset, n_iter: int = 5,
             "dg": dg.to_numpy(dtype="int64"), "r": np.int64(0),
             "sb": e["hs"] % B})
 
+    # the edge view is consumed by two lineages (hashed edges + the
+    # node-string map); pin it so the upstream scan runs ONCE —
+    # O(edges) object-store rows, spill-backed
+    edges = edges.materialize()
+
     # ONE setup exchange: distinct edges + out-degrees, co-grouped by
     # source bucket (a source's edges all land in its bucket, so the
-    # group-local degree is the global one)
+    # group-local degree is the global one). Ray's sort-based groupby
+    # emits one output block per INPUT block — thousands of near-empty
+    # blocks whose per-task launch overhead would dominate every
+    # downstream pass — so pin the block count.
+    n_blocks = max(8, n_buckets // 4)
     ed = (edges.map_batches(_hash_edges, batch_format="pandas")
           .groupby("sb").map_groups(_dedup_deg, batch_format="pandas")
-          ).materialize()
+          .repartition(n_blocks)).materialize()
 
-    # distinct (h, node-string) map — used for N and to restore URIs
+    # distinct (h, node-string) map — restores URIs on the way out
+    # (LAZY: the broadcast path only consumes it in the final output
+    # stage, off the iteration critical path)
     def _node_rows(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({
             "node": pd.concat([df["s"], df["d"]], ignore_index=True)
@@ -97,12 +133,39 @@ def pagerank_int(edges: rd.Dataset, n_iter: int = 5,
     nodes = (edges.map_batches(_node_rows, batch_format="pandas")
              .groupby("nb").map_groups(
                  lambda g: g[["h", "node"]].drop_duplicates("h"),
-                 batch_format="pandas")).materialize()
+                 batch_format="pandas").repartition(n_blocks))
+
+    # every node is an endpoint of some deduped edge, so the distinct
+    # node-hash set is derivable from ed's INT columns alone — probe
+    # it with a driver union of per-block uniques, bailing to the
+    # exchange path the moment it exceeds the broadcast threshold
+    # (driver memory stays O(broadcast_max_nodes + one block))
+    H: np.ndarray | None = np.empty(0, dtype=np.int64)
+    for b in (ed.map_batches(
+            lambda df: pd.DataFrame({"h": np.unique(np.concatenate(
+                [df["hs"].to_numpy(dtype="int64"),
+                 df["hd"].to_numpy(dtype="int64")]))}),
+            batch_format="pandas", batch_size=None)
+            .iter_batches(batch_format="numpy", batch_size=None)):
+        H = np.union1d(H, b["h"])
+        if len(H) > broadcast_max_nodes:
+            H = None
+            break
+
+    if H is not None:
+        n_nodes = len(H)
+        if not n_nodes:
+            import pyarrow as pa
+            return rd.from_arrow(pa.schema(
+                [("node", pa.string()),
+                 ("rank", pa.int64())]).empty_table())
+        r0 = scale // n_nodes
+        base = (15 * r0) // 100
+        return _pagerank_broadcast(ed, nodes, H, r0, base,
+                                   n_iter, n_buckets)
+
+    nodes = nodes.materialize()
     n_nodes = nodes.count()
-    if not n_nodes:
-        import pyarrow as pa
-        return rd.from_arrow(pa.schema(
-            [("node", pa.string()), ("rank", pa.int64())]).empty_table())
     r0 = scale // n_nodes
     base = (15 * r0) // 100
 
@@ -149,7 +212,6 @@ def pagerank_int(edges: rd.Dataset, n_iter: int = 5,
     # and sort cost would grow linearly with the round number —
     # measured 3.7 s → 7.2 s → 12 s per round at sf0.01. Pinning the
     # block count keeps every round identical.
-    n_blocks = max(8, n_buckets // 4)
     for _ in range(n_iter):
         contribs = (ed.union(ranks).groupby("sb")
                     .map_groups(_contrib, batch_format="pandas"))
@@ -166,3 +228,69 @@ def pagerank_int(edges: rd.Dataset, n_iter: int = 5,
         n_buckets=n_buckets)
     return out.map_batches(lambda df: df[["node", "rank"]],
                            batch_format="pandas")
+
+
+def _pagerank_broadcast(ed: rd.Dataset, nodes: rd.Dataset,
+                        H: np.ndarray, r0: int, base: int,
+                        n_iter: int, n_buckets: int) -> rd.Dataset:
+    """Broadcast-rank execution of the pagerank_int recurrence.
+
+    ``ed`` is the deduped (hs, hd, dg) edge table (materialized),
+    ``nodes`` the distinct (h, node) string map (LAZY — consumed only
+    by the returned output stage), ``H`` the sorted distinct
+    node-hash array (position == dense node index). Every round
+    touches ONLY static int64 edge blocks plus one broadcast int64
+    vector. See pagerank_int's docstring for the bound that makes the
+    driver merge safe.
+    """
+    import ray
+
+    from .dedup_docs import _cached_get
+
+    n_nodes = len(H)
+    h_ref = ray.put(H)
+
+    def _to_idx(df: pd.DataFrame) -> pd.DataFrame:
+        hh = _cached_get(h_ref)
+        return pd.DataFrame({
+            "si": np.searchsorted(hh, df["hs"].to_numpy(dtype="int64")),
+            "di": np.searchsorted(hh, df["hd"].to_numpy(dtype="int64")),
+            "dg": df["dg"].to_numpy(dtype="int64")})
+
+    # ed's block count is already pinned by the caller; the straight
+    # map preserves it, so no repartition is needed here
+    eidx = ed.map_batches(_to_idx, batch_format="pandas",
+                          batch_size=None).materialize()
+
+    rank = np.full(n_nodes, np.int64(r0), dtype=np.int64)
+    for _ in range(n_iter):
+        r_ref = ray.put(rank)
+
+        def _contrib_partial(df: pd.DataFrame) -> pd.DataFrame:
+            r = _cached_get(r_ref)
+            si = df["si"].to_numpy(dtype="int64")
+            c = r[si] // df["dg"].to_numpy(dtype="int64")
+            dense = np.zeros(len(r), dtype=np.int64)
+            np.add.at(dense, df["di"].to_numpy(dtype="int64"), c)
+            (nz,) = dense.nonzero()
+            return pd.DataFrame({"i": nz, "c": dense[nz]})
+
+        s = np.zeros(n_nodes, dtype=np.int64)
+        for b in (eidx.map_batches(_contrib_partial,
+                                   batch_format="pandas",
+                                   batch_size=None)
+                  .iter_batches(batch_format="numpy",
+                                batch_size=None)):
+            np.add.at(s, b["i"], b["c"])
+        rank = np.int64(base) + (np.int64(85) * s) // np.int64(100)
+
+    rf_ref = ray.put(rank)
+
+    def _restore(df: pd.DataFrame) -> pd.DataFrame:
+        hh, r = _cached_get(h_ref), _cached_get(rf_ref)
+        idx = np.searchsorted(hh, df["h"].to_numpy(dtype="int64"))
+        return pd.DataFrame({"node": df["node"].astype(str),
+                             "rank": r[idx]})
+
+    return nodes.map_batches(_restore, batch_format="pandas",
+                             batch_size=None)

@@ -255,3 +255,19 @@ class TestPageRank:
         b = (pagerank_int(rd.from_pandas(df).repartition(11), n_iter=3)
              .to_pandas().sort_values("node", ignore_index=True))
         assert a.equals(b)
+
+    def test_broadcast_and_exchange_paths_agree(self):
+        # the same integer recurrence has two executions (rank-vector
+        # broadcast vs shuffle-per-round); they must be bit-identical
+        from rdf_extraction_ray.stages.graph import pagerank_int
+        rng = np.random.default_rng(11)
+        df = pd.DataFrame({"s": [f"n{i}" for i in
+                                 rng.integers(0, 60, 400)],
+                           "d": [f"n{i}" for i in
+                                 rng.integers(0, 60, 400)]})
+        a = (pagerank_int(rd.from_pandas(df).repartition(5), n_iter=4)
+             .to_pandas().sort_values("node", ignore_index=True))
+        b = (pagerank_int(rd.from_pandas(df).repartition(5), n_iter=4,
+                          broadcast_max_nodes=0)
+             .to_pandas().sort_values("node", ignore_index=True))
+        assert a.equals(b)
