@@ -2184,6 +2184,26 @@ def _q_docs_vocab_size(sf_dir: str):
     return distinct_tokens(docs)
 
 
+def _q_docs_vocab_kmv(sf_dir: str):
+    """KMV (k-minimum-values) distinct-count SKETCH of the corpus
+    vocabulary — the approximate twin of docs_vocab_size: per-block
+    k-smallest-hash combiner, bounded k×blocks driver merge, integer
+    estimator ((k-1)·2^60) // h_k replayed bit-for-bit in SQL."""
+    from rdf_extraction_ray.stages.sketch import kmv_distinct_tokens
+    docs = _read(sf_dir, "documents", ["text"])
+    return kmv_distinct_tokens(docs, k=1024)
+
+
+def _q_lineitem_orderkeys_kmv(sf_dir: str):
+    """KMV sketch of distinct order keys in lineitem — exercises the
+    SATURATED estimator (14.7k distinct keys ≫ k=1024 at sf0.01,
+    unlike the 31-token docs vocabulary): integer estimate
+    ((k-1)·2^60) // h_k, ~3% standard error, bit-identical in SQL."""
+    from rdf_extraction_ray.stages.sketch import kmv_distinct
+    line = _read(sf_dir, "lineitem", ["l_orderkey"])
+    return kmv_distinct(line, "l_orderkey", k=1024)
+
+
 def _q_docs_length_quantiles(sf_dir: str):
     """EXACT discrete length quantiles: distributed histogram
     (per-batch value_counts combiner → hash-bucket sum), driver
@@ -3072,6 +3092,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_strip_boilerplate": _q_docs_strip_boilerplate,
         "docs_unigram_logprob": _q_docs_unigram_logprob,
         "docs_vocab_size": _q_docs_vocab_size,
+        "docs_vocab_kmv": _q_docs_vocab_kmv,
+        "lineitem_orderkeys_kmv": _q_lineitem_orderkeys_kmv,
         "docs_length_quantiles": _q_docs_length_quantiles,
         "docs_fingerprint": _q_docs_fingerprint,
         "docs_repetition": _q_docs_repetition,
@@ -3670,6 +3692,45 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(regexp_extract_all(lower(text),
                                                    '[a-z0-9]+')) AS w
                   FROM documents)
+        """,
+        "docs_vocab_kmv": """
+            WITH h AS (
+                SELECT DISTINCT
+                       ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+                FROM (SELECT unnest(regexp_extract_all(lower(text),
+                                                       '[a-z0-9]+')) AS w
+                      FROM documents)),
+            sk AS (SELECT h FROM h ORDER BY h LIMIT 1024),
+            agg AS (SELECT count(*)::BIGINT AS n_sketch,
+                           coalesce(max(h), 0)::BIGINT AS kth
+                    FROM sk)
+            SELECT CASE WHEN n_sketch < 1024 THEN n_sketch
+                        ELSE CAST((1023::HUGEINT *
+                                   (1::HUGEINT << 60)) // kth AS BIGINT)
+                   END AS est_distinct,
+                   CASE WHEN n_sketch < 1024 THEN 0::BIGINT
+                        ELSE kth END AS kth_min_hash,
+                   n_sketch
+            FROM agg
+        """,
+        "lineitem_orderkeys_kmv": """
+            WITH h AS (
+                SELECT DISTINCT ('0x' || substr(md5(
+                           CAST(l_orderkey AS VARCHAR)), 1, 15))
+                           ::BIGINT AS h
+                FROM lineitem WHERE l_orderkey IS NOT NULL),
+            sk AS (SELECT h FROM h ORDER BY h LIMIT 1024),
+            agg AS (SELECT count(*)::BIGINT AS n_sketch,
+                           coalesce(max(h), 0)::BIGINT AS kth
+                    FROM sk)
+            SELECT CASE WHEN n_sketch < 1024 THEN n_sketch
+                        ELSE CAST((1023::HUGEINT *
+                                   (1::HUGEINT << 60)) // kth AS BIGINT)
+                   END AS est_distinct,
+                   CASE WHEN n_sketch < 1024 THEN 0::BIGINT
+                        ELSE kth END AS kth_min_hash,
+                   n_sketch
+            FROM agg
         """,
         "docs_length_quantiles": """
             SELECT unnest([0.25,0.5,0.75,0.9,0.99])::DOUBLE AS q,

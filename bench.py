@@ -110,7 +110,7 @@ def run_bench() -> dict:
               "docs_norm_dedup", "docs_url_dedup", "docs_quality_model",
               "docs_token_tertiles", "events_funnel", "docs_line_dedup",
               "docs_balanced_mix", "segment_revenue_bucketed",
-              "kg_pagerank",
+              "kg_pagerank", "docs_vocab_kmv", "lineitem_orderkeys_kmv",
               "tpch_q3_shipping", "tpch_q5_local_supplier"]
     queries = entrymod.queries()
     qtimes: dict[str, float] = {}

@@ -13,16 +13,18 @@ Scale shape:
   then exchanges PURE INT64 rows, never URI strings;
 - one setup exchange dedups edges and computes out-degrees in the
   same source-bucket group; the (hs, hd, dg) table is materialized
-  once and re-joined against fresh ranks each round;
-- per round exactly TWO exchanges: union(static edges, current ranks)
-  grouped by source bucket emits contributions (fused join + floor
-  divide in one group body), then union(contributions, per-node zero
-  rows) grouped by destination bucket sums into the new ranks;
-- rank state lives in the object store between rounds (materialized:
-  O(nodes) int rows; without the barrier the lazy lineage would
-  re-run every previous round per consumer). Nothing node- or
-  edge-shaped lands on the driver; URI strings are joined back once
-  at the end.
+  once with a pinned block count and reused every round;
+- graphs whose node count fits the broadcast threshold iterate with
+  ZERO per-round exchanges (rank vector broadcast over static
+  index-encoded edge blocks, bounded driver merge — see
+  :func:`_pagerank_broadcast`); larger graphs fall back to the
+  shuffle-per-round formulation: per round, union(static edges,
+  current ranks) grouped by source bucket emits contributions (fused
+  join + floor divide in one group body), then union(contributions,
+  per-node zero rows) grouped by destination bucket sums into the
+  new ranks, with rank state living in the object store between
+  rounds and nothing node- or edge-shaped on the driver. URI strings
+  are joined back once at the end in both paths.
 
 Declared semantics (documented divergences from textbook PageRank,
 chosen for integer exactness):

@@ -271,3 +271,46 @@ class TestPageRank:
                           broadcast_max_nodes=0)
              .to_pandas().sort_values("node", ignore_index=True))
         assert a.equals(b)
+
+
+class TestKMVSketch:
+    def test_unsaturated_sketch_is_exact(self):
+        # fewer distinct tokens than k → the sketch saw everything
+        from rdf_extraction_ray.stages.sketch import kmv_distinct_tokens
+        docs = pd.DataFrame({"text": ["alpha beta gamma", "beta Gamma!",
+                                      "delta alpha"]})
+        out = kmv_distinct_tokens(rd.from_pandas(docs).repartition(2),
+                                  k=1024)
+        assert out["est_distinct"].iloc[0] == 4
+        assert out["kth_min_hash"].iloc[0] == 0
+        assert out["n_sketch"].iloc[0] == 4
+
+    def test_estimate_within_error_and_partition_invariant(self):
+        from rdf_extraction_ray.stages.sketch import kmv_distinct_tokens
+        rng = np.random.default_rng(3)
+        vocab = [f"w{i:05d}" for i in range(8000)]
+        docs = pd.DataFrame({"text": [
+            " ".join(rng.choice(vocab, 30)) for _ in range(600)]})
+        exact = len({w for t in docs["text"] for w in t.split()})
+        a = kmv_distinct_tokens(rd.from_pandas(docs), k=1024)
+        b = kmv_distinct_tokens(rd.from_pandas(docs).repartition(7),
+                                k=1024)
+        assert a.equals(b)  # merge order can't change the sketch
+        est = int(a["est_distinct"].iloc[0])
+        # standard error ~3.1% at k=1024; 5 sigma bound
+        assert abs(est - exact) / exact < 0.16, (est, exact)
+        assert a["n_sketch"].iloc[0] == 1024
+
+    def test_empty_corpus(self):
+        from rdf_extraction_ray.stages.sketch import kmv_distinct_tokens
+        docs = pd.DataFrame({"text": pd.Series([], dtype=object)})
+        out = kmv_distinct_tokens(rd.from_pandas(docs), k=64)
+        assert list(out.iloc[0]) == [0, 0, 0]
+
+    def test_column_sketch_saturates(self):
+        from rdf_extraction_ray.stages.sketch import kmv_distinct
+        df = pd.DataFrame({"k": np.arange(50_000, dtype="int64")})
+        out = kmv_distinct(rd.from_pandas(df).repartition(4), "k", k=256)
+        assert out["n_sketch"].iloc[0] == 256
+        est = int(out["est_distinct"].iloc[0])
+        assert abs(est - 50_000) / 50_000 < 0.35  # 5 sigma at k=256
