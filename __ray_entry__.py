@@ -1349,8 +1349,11 @@ def _q_tpch_q3_shipping(sf_dir: str):
     resolves the join, and emits only its local top-10. The round-2
     version ran the combiner's bucket exchange AND a separate
     ``hash_join`` exchange over the same key (13.9 s at sf0.1); one
-    fused exchange halves the all-to-all volume. The driver merges
-    64×10 rows."""
+    fused exchange halves the all-to-all volume. The customer side is
+    a filtered-dimension SEMI-join, resolved by broadcasting the
+    distributed-distinct BUILDING key set (documented 5M-key bound,
+    hash_join fallback past it) instead of a third exchange. The
+    driver merges 64×10 rows."""
     from rdf_extraction_ray.stages.joins import hash_join
     CUT = pd.Timestamp("1998-06-01")
     _COLS = ["l_orderkey", "revenue", "o_orderdate",
@@ -1378,8 +1381,31 @@ def _q_tpch_q3_shipping(sf_dir: str):
         out["kbucket"] = (out["l_orderkey"] % 64).astype("int64")
         return out[_COLS]
 
-    j1 = hash_join(orders, cust, on="o_custkey") \
-        .map_batches(_j1_rows, batch_format="pandas")
+    # orders⋈customer is a SEMI-join on a filtered dimension: the
+    # BUILDING key set is customer-segment-sized, so broadcast it
+    # (distributed filter upstream, only int keys reach the driver)
+    # and filter orders in-stream — one whole exchange removed. The
+    # hash_join fallback keeps the path scale-safe past the
+    # documented 5M-key broadcast bound.
+    import ray as _ray
+    key_parts = [b["o_custkey"] for b in cust.iter_batches(
+        batch_format="numpy", batch_size=None)]
+    ckeys = (np.unique(np.concatenate(key_parts))
+             if key_parts else np.empty(0, dtype=np.int64))
+    if len(ckeys) <= 5_000_000:
+        from rdf_extraction_ray.stages.dedup_docs import _cached_get
+        kref = _ray.put(ckeys)
+
+        def _sel_orders(df: pd.DataFrame) -> pd.DataFrame:
+            keys = _cached_get(kref)
+            ok = df["o_custkey"].to_numpy(dtype="int64")
+            return _j1_rows(df[np.isin(ok, keys,
+                                       assume_unique=False)])
+
+        j1 = orders.map_batches(_sel_orders, batch_format="pandas")
+    else:
+        j1 = hash_join(orders, cust, on="o_custkey") \
+            .map_batches(_j1_rows, batch_format="pandas")
 
     def _rev_partial(df: pd.DataFrame) -> pd.DataFrame:
         # lineitem side: per-batch combiner — one revenue row per
@@ -2079,6 +2105,32 @@ def _q_docs_stratified_sample(sf_dir: str):
         lambda df: stratified_sample(df, _SAMPLE_RATES,
                                      default_rate=0.1),
         batch_format="pandas")
+
+
+def _q_docs_source_overlap(sf_dir: str):
+    """Cross-source word-5-gram overlap matrix (contamination
+    analytics between corpus slices): one row per source pair sharing
+    ≥1 distinct gram, with integer intersection / set sizes. Distinct
+    (gram-hash, source) rows are the only wide exchange; bucket
+    partials bound the driver merge at O(buckets × sources²)."""
+    from rdf_extraction_ray.stages.textstats import source_overlap
+    docs = _read(sf_dir, "documents", ["source", "text"])
+    return _typed(source_overlap(docs), source_a=object,
+                  source_b=object, n_inter="int64", n_a="int64",
+                  n_b="int64")
+
+
+def _q_docs_weighted_sample(sf_dir: str):
+    """Deterministic weighted Bernoulli sampling — keep probability
+    min(n_chars, 2000)/2000 via an integer md5 coin (no RNG state,
+    no shuffle; the mixture-reweighting primitive)."""
+    from rdf_extraction_ray.stages.textstats import weighted_sample
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = _typed(ds.map_batches(
+        lambda df: weighted_sample(df, "n_chars"),
+        batch_format="pandas").to_pandas(),
+        doc_id="int64", n_chars="int64")
+    return out.sort_values("doc_id", ignore_index=True)
 
 
 def _q_docs_tfidf_terms(sf_dir: str):
@@ -3150,6 +3202,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_counts": _q_docs_lang_counts,
         "docs_langid": _q_docs_langid,
         "docs_stratified_sample": _q_docs_stratified_sample,
+        "docs_weighted_sample": _q_docs_weighted_sample,
+        "docs_source_overlap": _q_docs_source_overlap,
         "docs_pack_windows": _q_docs_pack_windows,
     }
 
@@ -3535,6 +3589,39 @@ def oracle_sql() -> dict[str, str]:
                 < CAST(round(1000 * (CASE lang WHEN 'en' THEN 0.5
                                               WHEN 'zh' THEN 0.25
                                               ELSE 0.1 END)) AS BIGINT)
+        """,
+        "docs_source_overlap": """
+            WITH sgrams AS (
+                SELECT DISTINCT source,
+                       ('0x' || substr(md5(ws[i] || ' ' || ws[i+1]
+                            || ' ' || ws[i+2] || ' ' || ws[i+3]
+                            || ' ' || ws[i+4]), 1, 15))::BIGINT AS gram
+                FROM (SELECT source,
+                             regexp_extract_all(lower(text),
+                                                '[a-z0-9]+') AS ws
+                      FROM documents),
+                     unnest(generate_series(1, len(ws) - 4)) s(i)),
+            cnt AS (SELECT source, count(*)::BIGINT AS n
+                    FROM sgrams GROUP BY source),
+            inter AS (
+                SELECT x.source AS source_a, y.source AS source_b,
+                       count(*)::BIGINT AS n_inter
+                FROM sgrams x JOIN sgrams y
+                  ON x.gram = y.gram AND x.source < y.source
+                GROUP BY 1, 2)
+            SELECT i.source_a, i.source_b, i.n_inter,
+                   ca.n AS n_a, cb.n AS n_b
+            FROM inter i
+            JOIN cnt ca ON ca.source = i.source_a
+            JOIN cnt cb ON cb.source = i.source_b
+            ORDER BY source_a, source_b
+        """,
+        "docs_weighted_sample": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                  1, 15))::BIGINT
+                  < LEAST(n_chars, 2000) * 576460752303423
+            ORDER BY doc_id
         """,
         "docs_tfidf_terms": """
             WITH dt AS (

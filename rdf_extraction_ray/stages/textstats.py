@@ -146,6 +146,31 @@ def stratified_sample(batch: pd.DataFrame, rates: dict[str, float],
     return batch[coin < thresh]
 
 
+def weighted_sample(batch: pd.DataFrame, weight_col: str,
+                    id_col: str = "doc_id",
+                    scale: int = 2000) -> pd.DataFrame:
+    """Deterministic WEIGHTED Bernoulli sampling (map_batches body —
+    embarrassingly parallel, no shuffle, no RNG state): a row survives
+    with probability ``min(weight, scale) / scale`` — the
+    mixture-reweighting primitive (upsample long/high-quality docs,
+    downsample short ones) of a training-data pipeline.
+
+    Integer-exact coin: keep iff ``md5_15(id) < min(w, scale) * C``
+    with ``C = 2^60 // scale``. The clip at ``scale`` keeps the
+    product under 2^60 (no int64 overflow) and encodes probability 1;
+    SQL replays the row set exactly with
+    ``('0x'||substr(md5(CAST(id AS VARCHAR)),1,15))::BIGINT <
+    LEAST(w, scale) * C``.
+    """
+    from .graph import _h15
+
+    c = (1 << 60) // int(scale)
+    h = _h15(batch[id_col])
+    w = np.minimum(batch[weight_col].to_numpy(dtype="int64"),
+                   np.int64(scale))
+    return batch[h < w * np.int64(c)]
+
+
 def pack_windows(batch: pd.DataFrame, n_buckets: int = 32,
                  id_col: str = "doc_id") -> pd.DataFrame:
     """Stage 1 of concat-and-split sequence packing: per-doc token
@@ -638,3 +663,81 @@ def gopher_rules(batch: pd.DataFrame,
                         & out["r_ellipsis"] & out["r_alpha"]
                         & out["r_stops"])
     return out
+
+
+def source_overlap(docs, n_words: int = 5, n_buckets: int = 64,
+                   text_col: str = "text",
+                   source_col: str = "source") -> pd.DataFrame:
+    """Cross-SOURCE n-gram overlap matrix — contamination analytics
+    between corpus slices: for every source pair (a < b) that shares
+    at least one distinct word-``n_words``-gram, the intersection size
+    and both set sizes (Jaccard = n_inter / (n_a + n_b - n_inter) is
+    derivable; integer columns keep the oracle exact).
+
+    Scale shape: the only wide exchange is distinct (gram-hash,
+    source) rows — per-batch local dedup is the combiner, the
+    gram-hash bucket groupby makes the dedup global (a gram lives in
+    exactly one bucket). In-bucket work emits BOUNDED partials: one
+    (source, n) row per source per bucket and one (a, b, n) row per
+    co-occurring source pair per bucket, so the driver merge is
+    O(buckets × S²) for S sources — never gram-shaped. Gram
+    convention shared with the ngram-Jaccard family (space-joined
+    ``[a-z0-9]+`` tokens, md5-15 hash) so the DuckDB oracle replays
+    the matrix bit-for-bit.
+    """
+    from .dedup_docs import _gram_hash
+
+    def _local(batch: pd.DataFrame) -> pd.DataFrame:
+        import re as _re
+        word = _re.compile(r"[a-z0-9]+")
+        rows: set = set()
+        for src, t in zip(batch[source_col], batch[text_col]):
+            ws = word.findall(str(t).lower())
+            s = str(src)
+            for i in range(len(ws) - n_words + 1):
+                rows.add((s, _gram_hash(" ".join(ws[i:i + n_words]))))
+        if not rows:
+            return pd.DataFrame({
+                "source": pd.Series(dtype=object),
+                "gram": pd.Series(dtype="int64"),
+                "gb": pd.Series(dtype="int64")})
+        out = pd.DataFrame(rows, columns=["source", "gram"])
+        out["gram"] = out["gram"].astype("int64")
+        out["gb"] = out["gram"] % np.int64(n_buckets)
+        return out
+
+    def _bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group[["source", "gram"]].drop_duplicates()
+        cnt = g.groupby("source", as_index=False).size()
+        j = g.merge(g, on="gram")
+        j = j[j["source_x"] < j["source_y"]]
+        pair = (j.groupby(["source_x", "source_y"], as_index=False)
+                .size())
+        return pd.concat([
+            pd.DataFrame({"kind": np.int64(0), "a": cnt["source"],
+                          "b": "", "n": cnt["size"].astype("int64")}),
+            pd.DataFrame({"kind": np.int64(1), "a": pair["source_x"],
+                          "b": pair["source_y"],
+                          "n": pair["size"].astype("int64")})],
+            ignore_index=True)
+
+    parts = (docs.map_batches(_local, batch_format="pandas")
+             .groupby("gb").map_groups(_bucket, batch_format="pandas")
+             .to_pandas())
+    if not len(parts):
+        return pd.DataFrame({"source_a": pd.Series(dtype=object),
+                             "source_b": pd.Series(dtype=object),
+                             "n_inter": pd.Series(dtype="int64"),
+                             "n_a": pd.Series(dtype="int64"),
+                             "n_b": pd.Series(dtype="int64")})
+    cnt = (parts[parts["kind"] == 0].groupby("a")["n"].sum())
+    pairs = (parts[parts["kind"] == 1]
+             .groupby(["a", "b"], as_index=False)["n"].sum())
+    out = pd.DataFrame({
+        "source_a": pairs["a"].astype(object),
+        "source_b": pairs["b"].astype(object),
+        "n_inter": pairs["n"].astype("int64"),
+        "n_a": pairs["a"].map(cnt).astype("int64"),
+        "n_b": pairs["b"].map(cnt).astype("int64")})
+    return out.sort_values(["source_a", "source_b"],
+                           ignore_index=True)

@@ -314,3 +314,33 @@ class TestKMVSketch:
         assert out["n_sketch"].iloc[0] == 256
         est = int(out["est_distinct"].iloc[0])
         assert abs(est - 50_000) / 50_000 < 0.35  # 5 sigma at k=256
+
+
+class TestWeightedSample:
+    def test_probability_proportional_to_weight(self):
+        from rdf_extraction_ray.stages.textstats import weighted_sample
+        n = 20_000
+        df = pd.DataFrame({"doc_id": np.arange(n, dtype="int64"),
+                           "w": np.where(np.arange(n) % 2 == 0,
+                                         np.int64(200), np.int64(1000))})
+        kept = weighted_sample(df, "w", scale=2000)
+        lo = (kept["w"] == 200).sum() / (n / 2)    # expect ~0.10
+        hi = (kept["w"] == 1000).sum() / (n / 2)   # expect ~0.50
+        assert abs(lo - 0.10) < 0.02, lo
+        assert abs(hi - 0.50) < 0.03, hi
+
+    def test_clip_gives_probability_one_and_no_overflow(self):
+        from rdf_extraction_ray.stages.textstats import weighted_sample
+        df = pd.DataFrame({"doc_id": np.arange(500, dtype="int64"),
+                           "w": np.full(500, 10**12, dtype="int64")})
+        kept = weighted_sample(df, "w", scale=2000)
+        assert len(kept) == 500  # w >= scale → certain keep
+
+    def test_deterministic_and_batch_invariant(self):
+        from rdf_extraction_ray.stages.textstats import weighted_sample
+        df = pd.DataFrame({"doc_id": np.arange(3000, dtype="int64"),
+                           "w": (np.arange(3000) % 700).astype("int64")})
+        whole = weighted_sample(df, "w")
+        halves = pd.concat([weighted_sample(df.iloc[:1500], "w"),
+                            weighted_sample(df.iloc[1500:], "w")])
+        assert whole.equals(halves)
