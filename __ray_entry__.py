@@ -2120,6 +2120,18 @@ def _q_docs_source_overlap(sf_dir: str):
                   n_b="int64")
 
 
+def _q_docs_bm25(sf_dir: str):
+    """BM25 top-10 full-text retrieval for the fixed query
+    'hash join filter' (Lucene idf, k1=1.2, b=0.75): two bounded
+    passes — per-block (n, total-tokens, df) partials, then broadcast
+    stats + per-block top-k — never an inverted-index
+    materialization. Scores rounded to 4 decimals; ordering
+    (score DESC, doc_id) is replayed exactly in SQL."""
+    from rdf_extraction_ray.stages.search import bm25_topk
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(docs, "hash join filter", k=10)
+
+
 def _q_docs_weighted_sample(sf_dir: str):
     """Deterministic weighted Bernoulli sampling — keep probability
     min(n_chars, 2000)/2000 via an integer md5 coin (no RNG state,
@@ -3203,6 +3215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_langid": _q_docs_langid,
         "docs_stratified_sample": _q_docs_stratified_sample,
         "docs_weighted_sample": _q_docs_weighted_sample,
+        "docs_bm25": _q_docs_bm25,
         "docs_source_overlap": _q_docs_source_overlap,
         "docs_pack_windows": _q_docs_pack_windows,
     }
@@ -3589,6 +3602,35 @@ def oracle_sql() -> dict[str, str]:
                 < CAST(round(1000 * (CASE lang WHEN 'en' THEN 0.5
                                               WHEN 'zh' THEN 0.25
                                               ELSE 0.1 END)) AS BIGINT)
+        """,
+        "docs_bm25": """
+            WITH tok AS (
+                SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                                                         '[a-z0-9]+')) AS w
+                FROM documents),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl
+                   FROM tok GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                          (SELECT coalesce(sum(dl), 0) FROM dl)
+                          / (SELECT count(*) FROM documents)::DOUBLE
+                              AS avgdl),
+            tf AS (SELECT doc_id, w, count(*)::DOUBLE AS tf
+                   FROM tok WHERE w IN ('filter', 'hash', 'join')
+                   GROUP BY doc_id, w),
+            df AS (SELECT w, count(*)::DOUBLE AS df FROM tf GROUP BY w),
+            sc AS (SELECT t.doc_id,
+                          sum(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                              * (tf * 2.2)
+                              / (tf + 1.2 * (0.25 + 0.75 * d.dl
+                                             / avgdl))) AS raw
+                   FROM tf t
+                   JOIN df USING (w)
+                   JOIN dl d ON d.doc_id = t.doc_id, st
+                   GROUP BY t.doc_id)
+            SELECT doc_id, round(raw, 4) AS score
+            FROM sc
+            ORDER BY round(raw, 4) DESC, doc_id
+            LIMIT 10
         """,
         "docs_source_overlap": """
             WITH sgrams AS (

@@ -128,7 +128,7 @@ def run_bench() -> dict:
               "docs_token_tertiles", "events_funnel", "docs_line_dedup",
               "docs_balanced_mix", "segment_revenue_bucketed",
               "kg_pagerank", "docs_vocab_kmv", "lineitem_orderkeys_kmv",
-              "docs_weighted_sample", "docs_source_overlap",
+              "docs_weighted_sample", "docs_source_overlap", "docs_bm25",
               "tpch_q3_shipping", "tpch_q5_local_supplier"]
     queries = entrymod.queries()
     qtimes: dict[str, float] = {}

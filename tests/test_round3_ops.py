@@ -344,3 +344,58 @@ class TestWeightedSample:
         halves = pd.concat([weighted_sample(df.iloc[:1500], "w"),
                             weighted_sample(df.iloc[1500:], "w")])
         assert whole.equals(halves)
+
+
+class TestBM25:
+    def _docs(self):
+        return pd.DataFrame({
+            "doc_id": np.arange(6, dtype="int64"),
+            "text": ["hash join filter hash hash",
+                     "join filter",
+                     "nothing relevant here",
+                     "hash " * 30,            # high tf, long doc
+                     "filter join hash",      # all terms, short doc
+                     ""]})
+
+    def _reference(self, docs, terms, k1=1.2, b=0.75):
+        import math, re
+        tok = {i: re.findall(r"[a-z0-9]+", t.lower())
+               for i, t in zip(docs["doc_id"], docs["text"])}
+        n = len(docs)
+        avgdl = sum(map(len, tok.values())) / n
+        df = {t: sum(1 for ws in tok.values() if t in ws)
+              for t in terms}
+        out = {}
+        for i, ws in tok.items():
+            s = 0.0
+            for t in terms:
+                tf = ws.count(t)
+                if tf:
+                    idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5)
+                                   + 1.0)
+                    s += idf * (tf * (k1 + 1)) / (
+                        tf + k1 * (1 - b + b * len(ws) / avgdl))
+            if s > 0:
+                out[i] = round(s, 4)
+        return out
+
+    def test_matches_reference_formula(self):
+        from rdf_extraction_ray.stages.search import bm25_topk
+        docs = self._docs()
+        got = bm25_topk(rd.from_pandas(docs).repartition(3),
+                        "hash join filter", k=10)
+        want = self._reference(docs, ["filter", "hash", "join"])
+        assert dict(zip(got["doc_id"], got["score"])) == want
+        # ordering: rounded score desc, doc_id asc
+        exp = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert list(got["doc_id"]) == [i for i, _ in exp]
+
+    def test_empty_query_and_empty_corpus(self):
+        from rdf_extraction_ray.stages.search import bm25_topk
+        docs = self._docs()
+        assert len(bm25_topk(rd.from_pandas(docs), "!!!")) == 0
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                              "text": pd.Series(dtype=object)})
+        out = bm25_topk(rd.from_pandas(empty), "hash")
+        assert len(out) == 0 and list(out.columns) == ["doc_id",
+                                                       "score"]
