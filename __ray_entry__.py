@@ -359,7 +359,7 @@ def _kg_views(sf_dir: str) -> str:
         tmp = f"{path}.tmp.{os.getpid()}"
         linked = link_facts(extract_facts(read_turns(tp)))
         linked.write_parquet(os.path.join(tmp, "linked_facts"))
-        triples_from_turns(read_turns(tp)).write_parquet(
+        triples_from_turns(read_turns(tp), stats_key=tp).write_parquet(
             os.path.join(tmp, "triples"))
         labels = vocab_labels()
         pq.write_table(pa.table({"term_uri": list(labels),
@@ -2120,6 +2120,24 @@ def _q_docs_source_overlap(sf_dir: str):
                   n_b="int64")
 
 
+def _q_kg_triangles(sf_dir: str):
+    """EXACT triangle count of the KG's URI-object edge graph via
+    degree-ordered wedge closure (one apex per triangle): one
+    bucket-exchange edge dedup, bounded-probe degrees broadcast, wedge
+    emission inside src-bucket groups, closure in one int64 pair-key
+    exchange — only per-bucket scalar counts reach the driver."""
+    from rdf_extraction_ray.stages.graph import triangle_count
+    tr = _triples_view(sf_dir)
+
+    def _edges(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[df["obj_kind"] == "uri"]
+        return pd.DataFrame({"s": g["subj"], "d": g["obj"]})
+
+    edges = tr.map_batches(_edges, batch_format="pandas")
+    return _typed(triangle_count(edges), n_triangles="int64",
+                  n_wedges="int64", n_edges="int64")
+
+
 def _q_docs_bm25(sf_dir: str):
     """BM25 top-10 full-text retrieval for the fixed query
     'hash join filter' (Lucene idf, k1=1.2, b=0.75): two bounded
@@ -3039,6 +3057,38 @@ def _q_kg_pagerank(sf_dir: str):
     return out.sort_values("node", ignore_index=True)
 
 
+def _triangles_sql(triples_path: str) -> str:
+    """Oracle twin of stages/graph.triangle_count over the KG's
+    URI-object edge graph: same md5-15 node hashes, same
+    (degree, hash) orientation (numeric-lo wins degree ties), same
+    degree-ordered wedge closure."""
+    return f"""
+        WITH he AS (
+            SELECT ('0x' || substr(md5(subj), 1, 15))::BIGINT AS hs,
+                   ('0x' || substr(md5(obj), 1, 15))::BIGINT AS hd
+            FROM read_parquet('{triples_path}')
+            WHERE obj_kind = 'uri'),
+        e0 AS (SELECT DISTINCT least(hs, hd) AS lo,
+                               greatest(hs, hd) AS hi
+               FROM he WHERE hs <> hd),
+        deg AS (SELECT n, count(*)::BIGINT AS d
+                FROM (SELECT lo AS n FROM e0
+                      UNION ALL SELECT hi FROM e0) GROUP BY n),
+        o AS (SELECT CASE WHEN dl.d <= dh.d THEN lo ELSE hi END AS src,
+                     CASE WHEN dl.d <= dh.d THEN hi ELSE lo END AS dst
+              FROM e0 JOIN deg dl ON dl.n = lo
+                      JOIN deg dh ON dh.n = hi),
+        w AS (SELECT least(a.dst, b.dst) AS lo,
+                     greatest(a.dst, b.dst) AS hi
+              FROM o a JOIN o b ON a.src = b.src AND a.dst < b.dst),
+        tri AS (SELECT count(*)::BIGINT AS n_triangles
+                FROM w JOIN e0 USING (lo, hi)),
+        wc AS (SELECT count(*)::BIGINT AS n_wedges FROM w),
+        ec AS (SELECT count(*)::BIGINT AS n_edges FROM e0)
+        SELECT n_triangles, n_wedges, n_edges FROM tri, wc, ec
+    """
+
+
 def _pagerank_sql(triples_path: str, n_iter: int = 3,
                   scale: int = 10**9) -> str:
     """The oracle twin of stages/graph.pagerank_int: the same integer
@@ -3135,6 +3185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": _q_events_funnel,
         "segment_revenue_bucketed": _q_segment_revenue_bucketed,
         "kg_pagerank": _q_kg_pagerank,
+        "kg_triangles": _q_kg_triangles,
         "kg_facts": _q_kg_facts,
         # --- dedup / similarity family
         "docs_simhash": _q_docs_simhash,
@@ -4093,6 +4144,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c.c_mktsegment
         """,
         "kg_pagerank": _pagerank_sql(triples),
+        "kg_triangles": _triangles_sql(triples),
         "segment_revenue_bucketed": f"""
             SELECT c.c_mktsegment,
                    count(*) AS n_orders,

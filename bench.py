@@ -75,7 +75,8 @@ def run_bench() -> dict:
     for _ in range(3):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.time()
-        triples = triples_from_turns(read_turns(turns_path))
+        triples = triples_from_turns(read_turns(turns_path),
+                                     stats_key=turns_path)
         triples.write_parquet(out_dir)
         headline_sec = min(headline_sec, time.time() - t0)
     import glob
@@ -127,7 +128,7 @@ def run_bench() -> dict:
               "docs_norm_dedup", "docs_url_dedup", "docs_quality_model",
               "docs_token_tertiles", "events_funnel", "docs_line_dedup",
               "docs_balanced_mix", "segment_revenue_bucketed",
-              "kg_pagerank", "docs_vocab_kmv", "lineitem_orderkeys_kmv",
+              "kg_pagerank", "kg_triangles", "docs_vocab_kmv", "lineitem_orderkeys_kmv",
               "docs_weighted_sample", "docs_source_overlap", "docs_bm25",
               "tpch_q3_shipping", "tpch_q5_local_supplier"]
     queries = entrymod.queries()

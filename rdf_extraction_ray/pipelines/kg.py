@@ -126,12 +126,15 @@ def _assemble_bucket(group):
 
 
 def triples_from_turns(turns: rd.Dataset,
-                       linker_concurrency: int | tuple | None = None) -> rd.Dataset:
+                       linker_concurrency: int | tuple | None = None,
+                       stats_key: str | None = None) -> rd.Dataset:
     """Full transform chain turns → deduped triples (lazy).
 
     Default: the fused assembly path (one pandas pass per bucket).
     With ``linker_concurrency`` the unfused chain runs instead, so the
-    linker can be a bounded actor pool (heavy linker state)."""
+    linker can be a bounded actor pool (heavy linker state).
+    ``stats_key`` (the input's path) enables the skew-probe statistics
+    cache — see :func:`_assembled`."""
     if linker_concurrency is not None:
         facts = extract_facts(turns)
         linked = link_facts(facts, concurrency=linker_concurrency)
@@ -139,8 +142,9 @@ def triples_from_turns(turns: rd.Dataset,
                                      batch_size=None)
         return dedup_triples(triples)
     from ..stages.dedup import dedup_bucket
-    return _assembled(turns).groupby("bucket").map_groups(
-        dedup_bucket, batch_format="pandas")
+    return _assembled(turns, stats_key=stats_key) \
+        .groupby("bucket").map_groups(dedup_bucket,
+                                      batch_format="pandas")
 
 
 def _link_template_combine(batch):
@@ -155,35 +159,124 @@ def _link_template_combine(batch):
         build_triples_frame(_LINKER_CACHE[0](batch)))
 
 
+def _probe_fingerprint(path: str) -> str | None:
+    """Content fingerprint of an input path (file names, sizes,
+    mtimes) — same invalidation basis as the sink manifest."""
+    import glob as _glob
+    import hashlib as _hashlib
+    import os as _os
+    try:
+        if _os.path.isdir(path):
+            files = sorted(_glob.glob(_os.path.join(path, "**", "*"),
+                                      recursive=True))
+        else:
+            files = [path]
+        parts = []
+        for f in files:
+            st = _os.stat(f)
+            parts.append(f"{f}|{st.st_size}|{st.st_mtime_ns}")
+        return _hashlib.md5("\n".join(parts).encode()).hexdigest()
+    except OSError:
+        return None
+
+
+_PROBE_CACHE_DIR = "/tmp/rdf_extraction_ray/probe_cache"
+
+
+def _probe_cache_load(stats_key: str | None) -> dict | None:
+    import hashlib as _hashlib
+    import json as _json
+    import os as _os
+    if not stats_key:
+        return None
+    fp = _probe_fingerprint(stats_key)
+    if fp is None:
+        return None
+    p = _os.path.join(_PROBE_CACHE_DIR,
+                      _hashlib.md5(stats_key.encode()).hexdigest()
+                      + ".json")
+    try:
+        with open(p) as fh:
+            rec = _json.load(fh)
+        return rec if rec.get("fingerprint") == fp else None
+    except (OSError, ValueError):
+        return None
+
+
+def _probe_cache_store(stats_key: str | None, needs_salt: bool,
+                       max_rows: int) -> None:
+    import hashlib as _hashlib
+    import json as _json
+    import os as _os
+    if not stats_key:
+        return
+    fp = _probe_fingerprint(stats_key)
+    if fp is None:
+        return
+    _os.makedirs(_PROBE_CACHE_DIR, exist_ok=True)
+    p = _os.path.join(_PROBE_CACHE_DIR,
+                      _hashlib.md5(stats_key.encode()).hexdigest()
+                      + ".json")
+    tmp = p + f".tmp{_os.getpid()}"
+    with open(tmp, "w") as fh:
+        _json.dump({"fingerprint": fp, "needs_salt": needs_salt,
+                    "max_conv_fact_rows": int(max_rows)}, fh)
+    _os.replace(tmp, p)
+
+
 def _assembled(turns: rd.Dataset,
-               salt_threshold: int | None = AUTO_SALT_FACTS
-               ) -> rd.Dataset:
+               salt_threshold: int | None = AUTO_SALT_FACTS,
+               stats_key: str | None = None) -> rd.Dataset:
     """detect → fused assembly; output is combined triple rows keyed
     by the dedup-hash ``bucket`` (ready for the dedup exchange).
 
     Skew routing (SURVEY §7.5.7): the candidate dataset is
-    materialized (fact rows, 1-5% of corpus bytes — and the groupby
-    exchange is a barrier anyway, so the barrier costs ~nothing) and a
-    bounded per-conversation count probe (:func:`max_conv_fact_rows`)
-    decides the plan: below ``salt_threshold`` fact rows per
-    conversation, whole-conversation bucket grouping; above it, the
-    salted-segment assembly whose per-group memory is bounded by
-    ``span_turns`` regardless of conversation size. ``None`` disables
-    the probe (always whole-conversation)."""
+    materialized (fact rows, 1-5% of corpus bytes) and a bounded
+    per-conversation count probe (:func:`max_conv_fact_rows`) decides
+    the plan: below ``salt_threshold`` fact rows per conversation,
+    whole-conversation bucket grouping; above it, the salted-segment
+    assembly whose per-group memory is bounded by ``span_turns``
+    regardless of conversation size. ``None`` disables the probe
+    (always whole-conversation).
+
+    Statistics cache: the probe's materialize is a real barrier —
+    measured ~3 s of lost detect↔sort overlap at 3× sf0.1 / 32 CPUs —
+    and its verdict is a property of the INPUT, so when the caller
+    passes ``stats_key`` (the input path) the verdict is cached under
+    a (file names, sizes, mtimes) fingerprint, exactly the sink
+    manifest's invalidation basis. Re-runs over an unchanged input
+    skip the probe entirely and STREAM detect straight into the
+    assembly exchange; any change to the input files invalidates the
+    cache and the next run re-probes. This is the statistics-reuse
+    pattern of mature engines (cached table stats driving plan
+    choice), applied to skew routing."""
     cands = turns.map_batches(detect_facts, batch_format="pyarrow",
                               batch_size=None)
     cands = cands.repartition(_cluster_cpus())
     if salt_threshold is not None:
-        cands = cands.materialize()
-        # metadata guard: if the WHOLE corpus has fewer fact rows than
-        # the threshold, no conversation can exceed it — skip the probe
-        # job (count() on materialized data is free)
-        if (cands.count() > salt_threshold
-                and max_conv_fact_rows(cands) > salt_threshold):
-            return (salted_assembly(cands)
-                    .map_batches(_link_template_combine,
-                                 batch_format="pandas",
-                                 batch_size=None))
+        cached = _probe_cache_load(stats_key)
+        if cached is not None:
+            if cached["needs_salt"]:
+                return (salted_assembly(cands)
+                        .map_batches(_link_template_combine,
+                                     batch_format="pandas",
+                                     batch_size=None))
+        else:
+            cands = cands.materialize()
+            # metadata guard: if the WHOLE corpus has fewer fact rows
+            # than the threshold, no conversation can exceed it — skip
+            # the probe job (count() on materialized data is free)
+            max_rows = 0
+            needs = cands.count() > salt_threshold
+            if needs:
+                max_rows = max_conv_fact_rows(cands)
+                needs = max_rows > salt_threshold
+            _probe_cache_store(stats_key, needs, max_rows)
+            if needs:
+                return (salted_assembly(cands)
+                        .map_batches(_link_template_combine,
+                                     batch_format="pandas",
+                                     batch_size=None))
     return cands.groupby("bucket").map_groups(
         _assemble_bucket, batch_format="pandas")
 
@@ -218,7 +311,8 @@ def kg_pipeline(turns_path: str, out_dir: str | None = None,
                 linker_concurrency: int | tuple | None = None) -> rd.Dataset:
     """Read → extract → link → template → dedup (→ optional sink)."""
     triples = triples_from_turns(read_turns(turns_path),
-                                 linker_concurrency=linker_concurrency)
+                                 linker_concurrency=linker_concurrency,
+                                 stats_key=turns_path)
     if out_dir is not None:
         triples.write_parquet(out_dir)
         return rd.read_parquet(out_dir)

@@ -142,6 +142,11 @@ def pagerank_int(edges: rd.Dataset, n_iter: int = 5,
     # it with a driver union of per-block uniques, bailing to the
     # exchange path the moment it exceeds the broadcast threshold
     # (driver memory stays O(broadcast_max_nodes + one block))
+    # NOTE the loop always DRAINS the iterator: abandoning a
+    # partially-consumed iter_batches mid-stream corrupts the next
+    # execution on the same dataset (observed: a later hash_join
+    # emitted blocks with missing columns) — so past the threshold we
+    # stop accumulating but keep consuming
     H: np.ndarray | None = np.empty(0, dtype=np.int64)
     for b in (ed.map_batches(
             lambda df: pd.DataFrame({"h": np.unique(np.concatenate(
@@ -149,10 +154,11 @@ def pagerank_int(edges: rd.Dataset, n_iter: int = 5,
                  df["hd"].to_numpy(dtype="int64")]))}),
             batch_format="pandas", batch_size=None)
             .iter_batches(batch_format="numpy", batch_size=None)):
+        if H is None:
+            continue  # drain (see note above)
         H = np.union1d(H, b["h"])
         if len(H) > broadcast_max_nodes:
             H = None
-            break
 
     if H is not None:
         n_nodes = len(H)
@@ -296,3 +302,198 @@ def _pagerank_broadcast(ed: rd.Dataset, nodes: rd.Dataset,
 
     return nodes.map_batches(_restore, batch_format="pandas",
                              batch_size=None)
+
+
+def triangle_count(edges: rd.Dataset, n_buckets: int = 64,
+                   broadcast_max_nodes: int = 4_000_000) -> pd.DataFrame:
+    """EXACT triangle count of the undirected simple graph induced by
+    an (s, d) edge Dataset (parallel edges collapsed, self-loops
+    dropped). Returns ONE row: (n_triangles, n_wedges, n_edges).
+
+    Algorithm: degree-ordered wedge closure (the MapReduce-classic
+    node-iterator++ / Cohen 2009): orient every edge from its
+    (degree, hash)-smaller endpoint to the larger; each triangle then
+    has exactly ONE apex with both out-edges, so counting wedges
+    (v, w) from a shared apex that close against the undirected edge
+    set counts each triangle once. The orientation bounds per-node
+    out-degree by O(sqrt(m)), so wedge volume is O(m^1.5) worst-case
+    and ~O(m·avg_deg) on hub-heavy KG graphs (hubs get IN-edges, so
+    their wedge fan-out collapses).
+
+    Scale shape:
+    - one bucket exchange dedups undirected (lo, hi) int64 edges;
+    - degrees via the pagerank-style bounded driver probe when the
+      node count fits ``broadcast_max_nodes`` (dense int64 vector,
+      broadcast once), else a (node)-bucket exchange + two
+      ``hash_join``s — both paths equality-tested;
+    - wedges are emitted per apex inside the src-bucket groupby
+      (never materialized on the driver) and closed against the edge
+      set in ONE key-bucket exchange of int64 pair-keys; only
+      per-bucket scalar counts reach the driver.
+    """
+    from .joins import hash_join
+
+    B = np.int64(n_buckets)
+
+    def _hash_und(df: pd.DataFrame) -> pd.DataFrame:
+        hs, hd = _h15(df["s"]), _h15(df["d"])
+        lo, hi = np.minimum(hs, hd), np.maximum(hs, hd)
+        keep = lo != hi
+        out = pd.DataFrame({"lo": lo[keep], "hi": hi[keep]})
+        out["lb"] = out["lo"] % B
+        return out.drop_duplicates()
+
+    n_blocks = max(8, n_buckets // 4)
+    und = (edges.map_batches(_hash_und, batch_format="pandas")
+           .groupby("lb").map_groups(
+               lambda g: g[["lo", "hi"]].drop_duplicates(),
+               batch_format="pandas")
+           .repartition(n_blocks)).materialize()
+    n_edges = und.count()
+    if not n_edges:
+        return pd.DataFrame({"n_triangles": pd.array([0], dtype="int64"),
+                             "n_wedges": pd.array([0], dtype="int64"),
+                             "n_edges": pd.array([0], dtype="int64")})
+
+    # --- degrees: bounded driver probe (pagerank pattern) ----------
+    # drained, never abandoned mid-stream — see the pagerank probe note
+    H: np.ndarray | None = np.empty(0, dtype=np.int64)
+    for b in (und.map_batches(
+            lambda df: pd.DataFrame({"h": np.unique(np.concatenate(
+                [df["lo"].to_numpy(dtype="int64"),
+                 df["hi"].to_numpy(dtype="int64")]))}),
+            batch_format="pandas", batch_size=None)
+            .iter_batches(batch_format="numpy", batch_size=None)):
+        if H is None:
+            continue
+        H = np.union1d(H, b["h"])
+        if len(H) > broadcast_max_nodes:
+            H = None
+
+    if H is not None:
+        import ray
+
+        from .dedup_docs import _cached_get
+        deg = np.zeros(len(H), dtype=np.int64)
+        for b in und.iter_batches(batch_format="numpy",
+                                  batch_size=None):
+            np.add.at(deg, np.searchsorted(H, b["lo"]), 1)
+            np.add.at(deg, np.searchsorted(H, b["hi"]), 1)
+        h_ref, d_ref = ray.put(H), ray.put(deg)
+
+        def _orient(df: pd.DataFrame) -> pd.DataFrame:
+            hh, dd = _cached_get(h_ref), _cached_get(d_ref)
+            lo = df["lo"].to_numpy(dtype="int64")
+            hi = df["hi"].to_numpy(dtype="int64")
+            dl, dh = dd[np.searchsorted(hh, lo)], \
+                dd[np.searchsorted(hh, hi)]
+            # src = (deg, hash)-smaller endpoint (lo wins deg ties)
+            lo_first = (dl < dh) | (dl == dh)
+            src = np.where(lo_first, lo, hi)
+            dst = np.where(lo_first, hi, lo)
+            return pd.DataFrame({"src": src, "dst": dst,
+                                 "sb": src % B})
+
+        oriented = und.map_batches(_orient, batch_format="pandas",
+                                   batch_size=None)
+    else:
+        def _deg_rows(df: pd.DataFrame) -> pd.DataFrame:
+            n = np.concatenate([df["lo"].to_numpy(dtype="int64"),
+                                df["hi"].to_numpy(dtype="int64")])
+            out = (pd.DataFrame({"h": n}).groupby("h", as_index=False)
+                   .size().rename(columns={"size": "dpart"}))
+            out["nb"] = out["h"] % B
+            return out
+
+        # MATERIALIZED: deg_ds is consumed by BOTH joins, and
+        # re-executing a shared lazy groupby lineage after a driver
+        # iter_batches pass has produced corrupted blocks (wrong
+        # column values) in Ray 2.49 — one O(nodes) int-row
+        # materialization removes the re-execution entirely
+        deg_ds = (und.map_batches(_deg_rows, batch_format="pandas")
+                  .groupby("nb").map_groups(
+                      lambda g: g.groupby("h", as_index=False)["dpart"]
+                      .sum().rename(columns={"dpart": "d"}),
+                      batch_format="pandas")
+                  .repartition(n_blocks)).materialize()
+        # schemas passed explicitly: a LAZY hash_join output reports
+        # schema None before execution, and hash_join treats a
+        # schema-less side as provably empty
+        import pyarrow as pa
+        i64 = pa.int64()
+        j = hash_join(
+            und,
+            deg_ds.map_batches(
+                lambda df: df.rename(columns={"h": "lo", "d": "dlo"}),
+                batch_format="pandas"),
+            on="lo", n_buckets=n_buckets,
+            left_schema=pa.schema([("lo", i64), ("hi", i64)]),
+            right_schema=pa.schema([("lo", i64), ("dlo", i64)]))
+        j = hash_join(
+            j,
+            deg_ds.map_batches(
+                lambda df: df.rename(columns={"h": "hi", "d": "dhi"}),
+                batch_format="pandas"),
+            on="hi", n_buckets=n_buckets,
+            left_schema=pa.schema([("lo", i64), ("hi", i64),
+                                   ("dlo", i64)]),
+            right_schema=pa.schema([("hi", i64), ("dhi", i64)]))
+
+        def _orient_j(df: pd.DataFrame) -> pd.DataFrame:
+            lo = df["lo"].to_numpy(dtype="int64")
+            hi = df["hi"].to_numpy(dtype="int64")
+            dl = df["dlo"].to_numpy(dtype="int64")
+            dh = df["dhi"].to_numpy(dtype="int64")
+            lo_first = (dl < dh) | (dl == dh)
+            src = np.where(lo_first, lo, hi)
+            dst = np.where(lo_first, hi, lo)
+            return pd.DataFrame({"src": src, "dst": dst,
+                                 "sb": src % B})
+
+        oriented = j.map_batches(_orient_j, batch_format="pandas")
+
+    # --- wedges from each apex, closed against the edge set --------
+    def _wedges(group: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in group.groupby("src"):
+            d = np.sort(g["dst"].to_numpy(dtype="int64"))
+            if len(d) < 2:
+                continue
+            i, k = np.triu_indices(len(d), k=1)
+            outs.append(pd.DataFrame({"lo": d[i], "hi": d[k]}))
+        if not outs:
+            return pd.DataFrame({"lo": pd.Series(dtype="int64"),
+                                 "hi": pd.Series(dtype="int64"),
+                                 "kind": pd.Series(dtype="int64"),
+                                 "kb": pd.Series(dtype="int64")})
+        w = pd.concat(outs, ignore_index=True)
+        w["kind"] = np.int64(1)
+        w["kb"] = (w["lo"] ^ w["hi"]) % B
+        return w
+
+    wedges = (oriented.groupby("sb")
+              .map_groups(_wedges, batch_format="pandas"))
+    eset = und.map_batches(
+        lambda df: pd.DataFrame({
+            "lo": df["lo"].astype("int64"),
+            "hi": df["hi"].astype("int64"),
+            "kind": np.int64(0),
+            "kb": (df["lo"].astype("int64")
+                   ^ df["hi"].astype("int64")) % B}),
+        batch_format="pandas")
+
+    def _close(group: pd.DataFrame) -> pd.DataFrame:
+        e = group.loc[group["kind"] == 0, ["lo", "hi"]]
+        w = group.loc[group["kind"] == 1, ["lo", "hi"]]
+        tri = len(w.merge(e, on=["lo", "hi"])) if len(e) and len(w) \
+            else 0
+        return pd.DataFrame({"tri": pd.array([tri], dtype="int64"),
+                             "wed": pd.array([len(w)], dtype="int64")})
+
+    parts = (wedges.union(eset).groupby("kb")
+             .map_groups(_close, batch_format="pandas").to_pandas())
+    return pd.DataFrame({
+        "n_triangles": pd.array([int(parts["tri"].sum())],
+                                dtype="int64"),
+        "n_wedges": pd.array([int(parts["wed"].sum())], dtype="int64"),
+        "n_edges": pd.array([int(n_edges)], dtype="int64")})

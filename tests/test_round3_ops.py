@@ -399,3 +399,65 @@ class TestBM25:
         out = bm25_topk(rd.from_pandas(empty), "hash")
         assert len(out) == 0 and list(out.columns) == ["doc_id",
                                                        "score"]
+
+
+class TestProbeStatsCache:
+    def test_cache_roundtrip_and_invalidation(self, tmp_path):
+        import os
+        import time as _time
+
+        from rdf_extraction_ray import synth
+        from rdf_extraction_ray.pipelines.kg import (
+            _probe_cache_load, read_turns, triples_from_turns)
+        path = synth.write_turns(str(tmp_path / "turns"), 40, seed=7)
+        key = path
+        assert _probe_cache_load(key) is None  # fresh input: no entry
+        a = (triples_from_turns(read_turns(path), stats_key=key)
+             .to_pandas().sort_values(["subj", "pred", "obj"],
+                                      ignore_index=True))
+        rec = _probe_cache_load(key)
+        assert rec is not None and rec["needs_salt"] is False
+        # cached re-run (no probe barrier) must be row-identical
+        b = (triples_from_turns(read_turns(path), stats_key=key)
+             .to_pandas().sort_values(["subj", "pred", "obj"],
+                                      ignore_index=True))
+        assert a.equals(b)
+        # touching any input file invalidates the fingerprint
+        f = next(os.path.join(path, p) for p in os.listdir(path))
+        _time.sleep(0.01)
+        os.utime(f)
+        assert _probe_cache_load(key) is None
+
+
+class TestTriangles:
+    def test_known_graph(self):
+        from rdf_extraction_ray.stages.graph import triangle_count
+        # K4 has 4 triangles; plus a pendant edge and a parallel+self
+        # loop that must not change the count
+        edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+                 ("b", "d"), ("c", "d"),          # K4
+                 ("d", "e"),                       # pendant
+                 ("b", "a"), ("c", "c")]           # dup + self-loop
+        df = pd.DataFrame(edges, columns=["s", "d"])
+        out = triangle_count(rd.from_pandas(df).repartition(3))
+        assert int(out["n_triangles"].iloc[0]) == 4
+        assert int(out["n_edges"].iloc[0]) == 7
+
+    def test_paths_agree(self):
+        from rdf_extraction_ray.stages.graph import triangle_count
+        rng = np.random.default_rng(5)
+        df = pd.DataFrame({"s": [f"n{i}" for i in
+                                 rng.integers(0, 30, 250)],
+                           "d": [f"n{i}" for i in
+                                 rng.integers(0, 30, 250)]})
+        a = triangle_count(rd.from_pandas(df).repartition(4))
+        b = triangle_count(rd.from_pandas(df).repartition(4),
+                           broadcast_max_nodes=0)
+        assert a.equals(b)
+
+    def test_empty(self):
+        from rdf_extraction_ray.stages.graph import triangle_count
+        df = pd.DataFrame({"s": pd.Series(dtype=object),
+                           "d": pd.Series(dtype=object)})
+        out = triangle_count(rd.from_pandas(df))
+        assert list(out.iloc[0]) == [0, 0, 0]
