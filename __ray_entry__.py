@@ -1383,16 +1383,25 @@ def _q_tpch_q3_shipping(sf_dir: str):
 
     # orders⋈customer is a SEMI-join on a filtered dimension: the
     # BUILDING key set is customer-segment-sized, so broadcast it
-    # (distributed filter upstream, only int keys reach the driver)
-    # and filter orders in-stream — one whole exchange removed. The
-    # hash_join fallback keeps the path scale-safe past the
-    # documented 5M-key broadcast bound.
+    # (per-block unique keys only reach the driver, accumulation
+    # bails — but keeps DRAINING the stream, never abandoning it —
+    # the moment the 5M bound is crossed) and filter orders
+    # in-stream: one whole exchange removed. The hash_join fallback
+    # keeps the path scale-safe past the bound; it rebuilds the
+    # customer stream from the source read rather than re-executing
+    # the drained lazy lineage.
     import ray as _ray
-    key_parts = [b["o_custkey"] for b in cust.iter_batches(
-        batch_format="numpy", batch_size=None)]
-    ckeys = (np.unique(np.concatenate(key_parts))
-             if key_parts else np.empty(0, dtype=np.int64))
-    if len(ckeys) <= 5_000_000:
+    ckeys: np.ndarray | None = np.empty(0, dtype=np.int64)
+    for b in cust.map_batches(
+            lambda df: df.drop_duplicates("o_custkey"),
+            batch_format="pandas", batch_size=None).iter_batches(
+            batch_format="numpy", batch_size=None):
+        if ckeys is None:
+            continue  # drain
+        ckeys = np.union1d(ckeys, b["o_custkey"])
+        if len(ckeys) > 5_000_000:
+            ckeys = None
+    if ckeys is not None:
         from rdf_extraction_ray.stages.dedup_docs import _cached_get
         kref = _ray.put(ckeys)
 
@@ -1404,7 +1413,14 @@ def _q_tpch_q3_shipping(sf_dir: str):
 
         j1 = orders.map_batches(_sel_orders, batch_format="pandas")
     else:
-        j1 = hash_join(orders, cust, on="o_custkey") \
+        cust2 = _read(sf_dir, "customer",
+                      ["c_custkey", "c_mktsegment"]) \
+            .map_batches(
+                lambda df: df.loc[df["c_mktsegment"] == "BUILDING",
+                                  ["c_custkey"]]
+                .rename(columns={"c_custkey": "o_custkey"}),
+                batch_format="pandas")
+        j1 = hash_join(orders, cust2, on="o_custkey") \
             .map_batches(_j1_rows, batch_format="pandas")
 
     def _rev_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -3711,9 +3727,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_weighted_sample": """
             SELECT doc_id, n_chars FROM documents
-            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+            WHERE n_chars >= 2000
+               OR ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
                                   1, 15))::BIGINT
-                  < LEAST(n_chars, 2000) * 576460752303423
+                  < n_chars * 576460752303423
             ORDER BY doc_id
         """,
         "docs_tfidf_terms": """

@@ -204,7 +204,7 @@ def _probe_cache_load(stats_key: str | None) -> dict | None:
 
 
 def _probe_cache_store(stats_key: str | None, needs_salt: bool,
-                       max_rows: int) -> None:
+                       max_rows: int, threshold: int) -> None:
     import hashlib as _hashlib
     import json as _json
     import os as _os
@@ -213,15 +213,19 @@ def _probe_cache_store(stats_key: str | None, needs_salt: bool,
     fp = _probe_fingerprint(stats_key)
     if fp is None:
         return
-    _os.makedirs(_PROBE_CACHE_DIR, exist_ok=True)
-    p = _os.path.join(_PROBE_CACHE_DIR,
-                      _hashlib.md5(stats_key.encode()).hexdigest()
-                      + ".json")
-    tmp = p + f".tmp{_os.getpid()}"
-    with open(tmp, "w") as fh:
-        _json.dump({"fingerprint": fp, "needs_salt": needs_salt,
-                    "max_conv_fact_rows": int(max_rows)}, fh)
-    _os.replace(tmp, p)
+    try:
+        _os.makedirs(_PROBE_CACHE_DIR, exist_ok=True)
+        p = _os.path.join(_PROBE_CACHE_DIR,
+                          _hashlib.md5(stats_key.encode()).hexdigest()
+                          + ".json")
+        tmp = p + f".tmp{_os.getpid()}"
+        with open(tmp, "w") as fh:
+            _json.dump({"fingerprint": fp, "needs_salt": needs_salt,
+                        "max_conv_fact_rows": int(max_rows),
+                        "threshold": int(threshold)}, fh)
+        _os.replace(tmp, p)
+    except OSError:
+        pass  # best-effort cache: a write failure must not fail the job
 
 
 def _assembled(turns: rd.Dataset,
@@ -255,6 +259,10 @@ def _assembled(turns: rd.Dataset,
     cands = cands.repartition(_cluster_cpus())
     if salt_threshold is not None:
         cached = _probe_cache_load(stats_key)
+        # a verdict is only valid for the threshold it was probed
+        # under — a caller asking for a stricter bound must re-probe
+        if cached is not None and cached.get("threshold") != salt_threshold:
+            cached = None
         if cached is not None:
             if cached["needs_salt"]:
                 return (salted_assembly(cands)
@@ -271,7 +279,8 @@ def _assembled(turns: rd.Dataset,
             if needs:
                 max_rows = max_conv_fact_rows(cands)
                 needs = max_rows > salt_threshold
-            _probe_cache_store(stats_key, needs, max_rows)
+            _probe_cache_store(stats_key, needs, max_rows,
+                               salt_threshold)
             if needs:
                 return (salted_assembly(cands)
                         .map_batches(_link_template_combine,

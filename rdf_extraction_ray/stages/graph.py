@@ -292,10 +292,13 @@ def _pagerank_broadcast(ed: rd.Dataset, nodes: rd.Dataset,
             np.add.at(s, b["i"], b["c"])
         rank = np.int64(base) + (np.int64(85) * s) // np.int64(100)
 
-    rf_ref = ray.put(rank)
+    # ONE (H, rank) tuple ref: _cached_get holds a single slot per
+    # worker, so fetching two refs per batch would evict each other
+    # and re-deserialize both arrays every call
+    hr_ref = ray.put((H, rank))
 
     def _restore(df: pd.DataFrame) -> pd.DataFrame:
-        hh, r = _cached_get(h_ref), _cached_get(rf_ref)
+        hh, r = _cached_get(hr_ref)
         idx = np.searchsorted(hh, df["h"].to_numpy(dtype="int64"))
         return pd.DataFrame({"node": df["node"].astype(str),
                              "rank": r[idx]})
@@ -374,21 +377,34 @@ def triangle_count(edges: rd.Dataset, n_buckets: int = 64,
         import ray
 
         from .dedup_docs import _cached_get
+        def _deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+            n = np.concatenate([df["lo"].to_numpy(dtype="int64"),
+                                df["hi"].to_numpy(dtype="int64")])
+            out = (pd.DataFrame({"h": n}).groupby("h", as_index=False)
+                   .size().rename(columns={"size": "dpart"}))
+            return out
+
+        # driver pull bounded at per-block-distinct-nodes ≤ N rows per
+        # block (the same combiner shape as the node probe) — never
+        # the raw edge stream
         deg = np.zeros(len(H), dtype=np.int64)
-        for b in und.iter_batches(batch_format="numpy",
-                                  batch_size=None):
-            np.add.at(deg, np.searchsorted(H, b["lo"]), 1)
-            np.add.at(deg, np.searchsorted(H, b["hi"]), 1)
-        h_ref, d_ref = ray.put(H), ray.put(deg)
+        for b in (und.map_batches(_deg_partial, batch_format="pandas",
+                                  batch_size=None)
+                  .iter_batches(batch_format="numpy",
+                                batch_size=None)):
+            np.add.at(deg, np.searchsorted(H, b["h"]), b["dpart"])
+        # ONE (H, deg) tuple ref — see the pagerank restore note
+        hd_ref = ray.put((H, deg))
 
         def _orient(df: pd.DataFrame) -> pd.DataFrame:
-            hh, dd = _cached_get(h_ref), _cached_get(d_ref)
+            hh, dd = _cached_get(hd_ref)
             lo = df["lo"].to_numpy(dtype="int64")
             hi = df["hi"].to_numpy(dtype="int64")
             dl, dh = dd[np.searchsorted(hh, lo)], \
                 dd[np.searchsorted(hh, hi)]
-            # src = (deg, hash)-smaller endpoint (lo wins deg ties)
-            lo_first = (dl < dh) | (dl == dh)
+            # src = (deg, hash)-smaller endpoint (lo wins deg ties);
+            # matches the SQL oracle's `dl.d <= dh.d`
+            lo_first = dl <= dh
             src = np.where(lo_first, lo, hi)
             dst = np.where(lo_first, hi, lo)
             return pd.DataFrame({"src": src, "dst": dst,
@@ -444,7 +460,7 @@ def triangle_count(edges: rd.Dataset, n_buckets: int = 64,
             hi = df["hi"].to_numpy(dtype="int64")
             dl = df["dlo"].to_numpy(dtype="int64")
             dh = df["dhi"].to_numpy(dtype="int64")
-            lo_first = (dl < dh) | (dl == dh)
+            lo_first = dl <= dh  # matches the SQL `dl.d <= dh.d`
             src = np.where(lo_first, lo, hi)
             dst = np.where(lo_first, hi, lo)
             return pd.DataFrame({"src": src, "dst": dst,

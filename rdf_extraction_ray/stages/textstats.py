@@ -155,20 +155,23 @@ def weighted_sample(batch: pd.DataFrame, weight_col: str,
     mixture-reweighting primitive (upsample long/high-quality docs,
     downsample short ones) of a training-data pipeline.
 
-    Integer-exact coin: keep iff ``md5_15(id) < min(w, scale) * C``
-    with ``C = 2^60 // scale``. The clip at ``scale`` keeps the
-    product under 2^60 (no int64 overflow) and encodes probability 1;
-    SQL replays the row set exactly with
-    ``('0x'||substr(md5(CAST(id AS VARCHAR)),1,15))::BIGINT <
-    LEAST(w, scale) * C``.
+    Integer-exact coin: keep iff ``w >= scale`` (certain keep) or
+    ``md5_15(id) < w * C`` with ``C = 2^60 // scale`` (the explicit
+    w >= scale short-circuit is needed because 2^60 is not divisible
+    by ``scale``, so ``scale * C < 2^60`` and the threshold test alone
+    would drop ~1e-15 of the certain-keep rows). ``w < scale`` keeps
+    the product under 2^60 (no int64 overflow). SQL replays the row
+    set exactly with ``w >= scale OR
+    ('0x'||substr(md5(CAST(id AS VARCHAR)),1,15))::BIGINT < w * C``.
     """
     from .graph import _h15
 
     c = (1 << 60) // int(scale)
     h = _h15(batch[id_col])
-    w = np.minimum(batch[weight_col].to_numpy(dtype="int64"),
-                   np.int64(scale))
-    return batch[h < w * np.int64(c)]
+    w = batch[weight_col].to_numpy(dtype="int64")
+    certain = w >= np.int64(scale)
+    wc = np.minimum(w, np.int64(scale))  # bound the product
+    return batch[certain | (h < wc * np.int64(c))]
 
 
 def pack_windows(batch: pd.DataFrame, n_buckets: int = 32,
