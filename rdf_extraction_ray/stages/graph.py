@@ -470,22 +470,37 @@ def triangle_count(edges: rd.Dataset, n_buckets: int = 64,
 
     # --- wedges from each apex, closed against the edge set --------
     def _wedges(group: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for _, g in group.groupby("src"):
-            d = np.sort(g["dst"].to_numpy(dtype="int64"))
-            if len(d) < 2:
+        # vectorized pair emission: sort once, find per-apex runs,
+        # then emit each out-degree class in ONE broadcasted
+        # triu-index expansion (no Python loop over apexes — the
+        # loop below is over DISTINCT out-degrees, a few dozen)
+        g = group.sort_values(["src", "dst"], kind="stable")
+        src = g["src"].to_numpy(dtype="int64")
+        dst = g["dst"].to_numpy(dtype="int64")
+        empty = pd.DataFrame({"lo": pd.Series(dtype="int64"),
+                              "hi": pd.Series(dtype="int64"),
+                              "kind": pd.Series(dtype="int64"),
+                              "kb": pd.Series(dtype="int64")})
+        if not len(src):
+            return empty
+        change = np.flatnonzero(np.diff(src)) + 1
+        starts = np.concatenate([[0], change])
+        cnt = np.diff(np.concatenate([starts, [len(src)]]))
+        los, his = [], []
+        for c in np.unique(cnt):
+            if c < 2:
                 continue
-            i, k = np.triu_indices(len(d), k=1)
-            outs.append(pd.DataFrame({"lo": d[i], "hi": d[k]}))
-        if not outs:
-            return pd.DataFrame({"lo": pd.Series(dtype="int64"),
-                                 "hi": pd.Series(dtype="int64"),
-                                 "kind": pd.Series(dtype="int64"),
-                                 "kb": pd.Series(dtype="int64")})
-        w = pd.concat(outs, ignore_index=True)
-        w["kind"] = np.int64(1)
-        w["kb"] = (w["lo"] ^ w["hi"]) % B
-        return w
+            runs = starts[cnt == c]
+            ti, tj = np.triu_indices(int(c), k=1)
+            los.append(dst[(runs[:, None] + ti[None, :]).ravel()])
+            his.append(dst[(runs[:, None] + tj[None, :]).ravel()])
+        if not los:
+            return empty
+        lo = np.concatenate(los)
+        hi = np.concatenate(his)  # dst sorted within run → lo < hi
+        return pd.DataFrame({"lo": lo, "hi": hi,
+                             "kind": np.int64(1),
+                             "kb": (lo ^ hi) % B})
 
     wedges = (oriented.groupby("sb")
               .map_groups(_wedges, batch_format="pandas"))
