@@ -3225,6 +3225,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_vocab_size": _q_docs_vocab_size,
         "docs_vocab_kmv": _q_docs_vocab_kmv,
         "lineitem_orderkeys_kmv": _q_lineitem_orderkeys_kmv,
+        "docs_bm25": _q_docs_bm25,
+        "docs_weighted_sample": _q_docs_weighted_sample,
+        "docs_source_overlap": _q_docs_source_overlap,
         "docs_length_quantiles": _q_docs_length_quantiles,
         "docs_fingerprint": _q_docs_fingerprint,
         "docs_repetition": _q_docs_repetition,
@@ -3281,9 +3284,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_counts": _q_docs_lang_counts,
         "docs_langid": _q_docs_langid,
         "docs_stratified_sample": _q_docs_stratified_sample,
-        "docs_weighted_sample": _q_docs_weighted_sample,
-        "docs_bm25": _q_docs_bm25,
-        "docs_source_overlap": _q_docs_source_overlap,
         "docs_pack_windows": _q_docs_pack_windows,
     }
 
