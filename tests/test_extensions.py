@@ -376,7 +376,14 @@ class TestEmptyCorpus:
                  "docs_minhash_pairs", "docs_curation",
                  "docs_embed_neardup", "ann_ivf", "embed_kmeans",
                  "docs_train_shards", "events_pivot",
-                 "docs_unigram_logprob"]
+                 "docs_unigram_logprob",
+                 # round-3 families over the sf tables: sketches,
+                 # retrieval, sampling, overlap (the kg_* graph ops
+                 # read the synthesized turns corpus, not these
+                 # tables, so they are out of scope here — their
+                 # empty-edge-set behavior is pinned by unit tests)
+                 "docs_vocab_kmv", "docs_bm25",
+                 "docs_weighted_sample", "docs_source_overlap"]
         failures = []
         qs = entrymod.queries()
         for name in names:
