@@ -2136,6 +2136,58 @@ def _q_docs_source_overlap(sf_dir: str):
                   n_b="int64")
 
 
+def _q_kg_components(sf_dir: str):
+    """Connected components of the KG's URI-object edge graph
+    (undirected): node URIs hash once to int64, the shared
+    large-star/small-star contraction rounds label every node with
+    its component's minimum hash, and strings are joined back once at
+    the end. The SQL oracle unrolls min-label propagation + pointer
+    jumping as chained CTEs (same canonical fixpoint)."""
+    from rdf_extraction_ray.stages.dedup_docs import (
+        connected_components_ds)
+    from rdf_extraction_ray.stages.graph import _h15
+    from rdf_extraction_ray.stages.joins import hash_join
+    tr = _triples_view(sf_dir)
+
+    def _hedges(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[df["obj_kind"] == "uri"]
+        return pd.DataFrame({"a": _h15(g["subj"]),
+                             "b": _h15(g["obj"])}).drop_duplicates()
+
+    edges = tr.map_batches(_hedges, batch_format="pandas") \
+        .materialize()
+    comp = connected_components_ds(edges).map_batches(
+        lambda df: df.rename(columns={"doc_id": "h"}),
+        batch_format="pandas")
+
+    def _node_rows(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[df["obj_kind"] == "uri"]
+        out = pd.DataFrame({"node": pd.concat(
+            [g["subj"], g["obj"]],
+            ignore_index=True).astype(str)}).drop_duplicates()
+        out["h"] = _h15(out["node"])
+        out["nb"] = out["h"] % np.int64(64)
+        return out
+
+    # min(node) per hash mirrors the oracle's collision tie-break
+    nodes = (tr.map_batches(_node_rows, batch_format="pandas")
+             .groupby("nb").map_groups(
+                 lambda g: g.groupby("h", as_index=False)["node"]
+                 .min(), batch_format="pandas"))
+    import pyarrow as pa
+    out = hash_join(
+        comp, nodes, on="h", n_buckets=64,
+        left_schema=pa.schema([("h", pa.int64()),
+                               ("component", pa.int64())]),
+        right_schema=pa.schema([("h", pa.int64()),
+                                ("node", pa.string())]))
+    res = _typed(out.map_batches(
+        lambda df: df[["node", "component"]],
+        batch_format="pandas").to_pandas(),
+        node=object, component="int64")
+    return res.sort_values("node", ignore_index=True)
+
+
 def _q_kg_triangles(sf_dir: str):
     """EXACT triangle count of the KG's URI-object edge graph via
     degree-ordered wedge closure (one apex per triangle): one
@@ -3073,6 +3125,61 @@ def _q_kg_pagerank(sf_dir: str):
     return out.sort_values("node", ignore_index=True)
 
 
+def _kg_components_sql(triples_path: str, n_rounds: int = 20) -> str:
+    """Oracle twin of the KG connected components: min-label
+    propagation + pointer jumping unrolled as chained CTEs
+    (``n_rounds`` = 20 covers diameter 2^20 — the fixpoint is the
+    canonical per-component minimum hash, so extra rounds are
+    idempotent)."""
+    # every CTE is MATERIALIZED: each round references the previous
+    # one multiple times, and DuckDB's default CTE inlining would
+    # duplicate the whole upstream plan ~4x per round (exponential —
+    # observed as a bogus IO error past ~8 unrolled rounds)
+    its, prev = "", "l0"
+    for i in range(1, n_rounds + 1):
+        its += f""",
+            p{i} AS MATERIALIZED (
+                    SELECT e.a AS n, min({prev}.l) AS nl
+                    FROM e JOIN {prev} ON {prev}.n = e.b
+                    GROUP BY e.a),
+            m{i} AS MATERIALIZED (
+                    SELECT {prev}.n,
+                           least({prev}.l, coalesce(p{i}.nl,
+                                                    {prev}.l)) AS l
+                    FROM {prev} LEFT JOIN p{i} USING (n)),
+            l{i} AS MATERIALIZED (
+                    SELECT m.n, least(m.l, m2.l) AS l
+                    FROM m{i} m JOIN m{i} m2 ON m2.n = m.l)"""
+        prev = f"l{i}"
+    return f"""
+        WITH he AS MATERIALIZED (
+            SELECT DISTINCT
+                   ('0x' || substr(md5(subj), 1, 15))::BIGINT AS a,
+                   ('0x' || substr(md5(obj), 1, 15))::BIGINT AS b
+            FROM read_parquet('{triples_path}')
+            WHERE obj_kind = 'uri'),
+        e AS MATERIALIZED (
+              SELECT a, b FROM he UNION SELECT b, a FROM he
+              UNION SELECT a, a FROM he),
+        nodes AS (SELECT DISTINCT a AS n FROM e),
+        l0 AS MATERIALIZED (SELECT n, n AS l FROM nodes){its},
+        nm AS (SELECT h, min(node) AS node FROM (
+                   SELECT DISTINCT node,
+                          ('0x' || substr(md5(node), 1, 15))
+                              ::BIGINT AS h
+                   FROM (SELECT subj AS node
+                         FROM read_parquet('{triples_path}')
+                         WHERE obj_kind = 'uri'
+                         UNION
+                         SELECT obj FROM read_parquet('{triples_path}')
+                         WHERE obj_kind = 'uri'))
+               GROUP BY h)
+        SELECT nm.node, f.l AS component
+        FROM {prev} f JOIN nm ON nm.h = f.n
+        ORDER BY node
+    """
+
+
 def _triangles_sql(triples_path: str) -> str:
     """Oracle twin of stages/graph.triangle_count over the KG's
     URI-object edge graph: same md5-15 node hashes, same
@@ -3202,6 +3309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_revenue_bucketed": _q_segment_revenue_bucketed,
         "kg_pagerank": _q_kg_pagerank,
         "kg_triangles": _q_kg_triangles,
+        "kg_components": _q_kg_components,
         "kg_facts": _q_kg_facts,
         # --- dedup / similarity family
         "docs_simhash": _q_docs_simhash,
@@ -4162,6 +4270,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_pagerank": _pagerank_sql(triples),
         "kg_triangles": _triangles_sql(triples),
+        "kg_components": _kg_components_sql(triples),
         "segment_revenue_bucketed": f"""
             SELECT c.c_mktsegment,
                    count(*) AS n_orders,

@@ -461,3 +461,38 @@ class TestTriangles:
                            "d": pd.Series(dtype=object)})
         out = triangle_count(rd.from_pandas(df))
         assert list(out.iloc[0]) == [0, 0, 0]
+
+
+class TestKGComponents:
+    def test_matches_brute_force_on_kg_slice(self):
+        import __ray_entry__ as E
+        out = E.queries()["kg_components"]("/root/testdata/sf0.001")
+        # every component label is the min hash of its member set →
+        # labels are a subset of member hashes and stable under
+        # reordering; sanity: multiple components, all nodes labeled
+        assert len(out) > 100
+        assert out["component"].nunique() > 1
+        assert out["node"].is_unique
+        # brute-force union-find over the same hashed edge set
+        from rdf_extraction_ray.stages.graph import _h15
+        import pandas as pd
+        tr = E._triples_view("/root/testdata/sf0.001").to_pandas()
+        g = tr[tr["obj_kind"] == "uri"]
+        a, b = _h15(g["subj"]), _h15(g["obj"])
+        parent = {}
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for x, y in zip(a, b):
+            rx, ry = find(int(x)), find(int(y))
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+        want = {}
+        for n in parent:
+            want[n] = find(n)
+        got_h = dict(zip(_h15(out["node"]), out["component"]))
+        mismatch = sum(1 for n, c in want.items()
+                       if got_h.get(n) != c)
+        assert mismatch == 0, mismatch
