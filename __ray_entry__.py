@@ -2206,6 +2206,96 @@ def _q_kg_triangles(sf_dir: str):
                   n_wedges="int64", n_edges="int64")
 
 
+def _q_kg_degree_stats(sf_dir: str):
+    """Degree distribution of the KG's URI-object edge graph: one row
+    per distinct degree with the node count at that degree. Edge dedup
+    and per-node counting are hash-bucket exchanges; the per-degree
+    histogram partial is combined inside the node-bucket group body,
+    so only (degree, partial) rows reach the driver."""
+    from rdf_extraction_ray.stages.graph import degree_histogram
+    tr = _triples_view(sf_dir)
+
+    def _edges(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[df["obj_kind"] == "uri"]
+        return pd.DataFrame({"s": g["subj"], "d": g["obj"]})
+
+    edges = tr.map_batches(_edges, batch_format="pandas")
+    return _typed(degree_histogram(edges), degree="int64",
+                  n_nodes="int64")
+
+
+def _q_kg_kcore(sf_dir: str):
+    """2-core of the KG's URI-object edge graph by iterative peeling
+    (drop degree-<2 nodes among survivors until fixpoint): the
+    broadcast path iterates an alive bitmask over static index-encoded
+    edge blocks with zero per-round exchanges; graphs past the
+    threshold peel with per-round semi-join + degree exchanges. The
+    SQL oracle unrolls the same monotone recurrence (extra rounds are
+    idempotent at the fixpoint)."""
+    from rdf_extraction_ray.stages.graph import kcore_nodes
+    tr = _triples_view(sf_dir)
+
+    def _edges(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[df["obj_kind"] == "uri"]
+        return pd.DataFrame({"s": g["subj"], "d": g["obj"]})
+
+    edges = tr.map_batches(_edges, batch_format="pandas")
+    out = kcore_nodes(edges, k=2).to_pandas()
+    out = _typed(out, node=object)
+    return out.sort_values("node", ignore_index=True)
+
+
+def _q_kg_copredicate_pairs(sf_dir: str):
+    """Entity-resolution blocking: subject pairs sharing ≥2
+    (predicate, object) values, with stop-keys (> 64 subjects) dropped
+    — the ER guard that bounds per-key pair volume. Distinct
+    (subj, key) rows ride one key-bucket exchange, pairs are emitted
+    vectorized inside the group body, and a pair-bucket exchange
+    counts shared keys globally."""
+    from rdf_extraction_ray.stages.graph import copredicate_pairs
+    tr = _triples_view(sf_dir)
+    return _typed(copredicate_pairs(tr, min_shared=2, max_df=64),
+                  subj_a=object, subj_b=object, n_shared="int64")
+
+
+def _q_events_markov_transitions(sf_dir: str):
+    """Per-user event-type transition (Markov bigram) counts: events
+    ordered by (ts, event_id) within each user, consecutive
+    event-type pairs counted corpus-wide. User-bucket co-location
+    makes the per-group vectorized shift exact; per-group partial
+    counts are the only driver traffic (bounded by event-type² ×
+    buckets)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def _bigram_partial(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"],
+                              kind="stable")
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy(dtype=object)
+        if len(g) < 2:
+            return pd.DataFrame({
+                "from_event": pd.Series(dtype=object),
+                "to_event": pd.Series(dtype=object),
+                "n_part": pd.Series(dtype="int64")})
+        same = uid[1:] == uid[:-1]
+        out = pd.DataFrame({"from_event": et[:-1][same],
+                            "to_event": et[1:][same]})
+        return (out.groupby(["from_event", "to_event"], as_index=False)
+                .size().rename(columns={"size": "n_part"}))
+
+    parts = (ds.map_batches(_bucket_by_user, batch_format="pandas",
+                            batch_size=None)
+             .groupby("bucket").map_groups(_bigram_partial,
+                                           batch_format="pandas")
+             .to_pandas())
+    res = (parts.groupby(["from_event", "to_event"], as_index=False)
+           ["n_part"].sum().rename(columns={"n_part": "n"}))
+    res = _typed(res, from_event=object, to_event=object, n="int64")
+    return res.sort_values(["from_event", "to_event"],
+                           ignore_index=True)
+
+
 def _q_docs_bm25(sf_dir: str):
     """BM25 top-10 full-text retrieval for the fixed query
     'hash join filter' (Lucene idf, k1=1.2, b=0.75): two bounded
@@ -3180,6 +3270,96 @@ def _kg_components_sql(triples_path: str, n_rounds: int = 20) -> str:
     """
 
 
+def _kg_degree_stats_sql(triples_path: str) -> str:
+    """Oracle twin of stages/graph.degree_histogram over the KG's
+    URI-object edge graph: same md5-15 node hashes, same undirected
+    simple-graph edge dedup, per-node degree, then the degree
+    histogram."""
+    return f"""
+        WITH he AS (
+            SELECT ('0x' || substr(md5(subj), 1, 15))::BIGINT AS hs,
+                   ('0x' || substr(md5(obj), 1, 15))::BIGINT AS hd
+            FROM read_parquet('{triples_path}')
+            WHERE obj_kind = 'uri'),
+        e0 AS (SELECT DISTINCT least(hs, hd) AS lo,
+                               greatest(hs, hd) AS hi
+               FROM he WHERE hs <> hd),
+        deg AS (SELECT n, count(*)::BIGINT AS d
+                FROM (SELECT lo AS n FROM e0
+                      UNION ALL SELECT hi FROM e0) GROUP BY n)
+        SELECT d AS degree, count(*)::BIGINT AS n_nodes
+        FROM deg GROUP BY d ORDER BY degree
+    """
+
+
+def _kg_kcore_sql(triples_path: str, k: int = 2,
+                  n_rounds: int = 24) -> str:
+    """Oracle twin of stages/graph.kcore_nodes: the same monotone peel
+    recurrence unrolled as ``n_rounds`` chained CTE rounds (peeling is
+    idempotent at the fixpoint, so n_rounds past convergence is safe;
+    CTEs are MATERIALIZED — see _kg_components_sql for why)."""
+    its, prev = "", "a0"
+    for i in range(1, n_rounds + 1):
+        its += f""",
+            d{i} AS MATERIALIZED (
+                    SELECT e.a AS n, count(*) AS d
+                    FROM e JOIN {prev} x ON x.n = e.a
+                           JOIN {prev} y ON y.n = e.b
+                    GROUP BY e.a),
+            a{i} AS MATERIALIZED (
+                    SELECT n FROM d{i} WHERE d >= {k})"""
+        prev = f"a{i}"
+    return f"""
+        WITH he AS MATERIALIZED (
+            SELECT ('0x' || substr(md5(subj), 1, 15))::BIGINT AS hs,
+                   ('0x' || substr(md5(obj), 1, 15))::BIGINT AS hd
+            FROM read_parquet('{triples_path}')
+            WHERE obj_kind = 'uri'),
+        e0 AS MATERIALIZED (
+               SELECT DISTINCT least(hs, hd) AS lo,
+                               greatest(hs, hd) AS hi
+               FROM he WHERE hs <> hd),
+        e AS MATERIALIZED (
+              SELECT lo AS a, hi AS b FROM e0
+              UNION ALL SELECT hi, lo FROM e0),
+        a0 AS MATERIALIZED (SELECT DISTINCT a AS n FROM e){its},
+        nm AS (SELECT h, min(node) AS node FROM (
+                   SELECT DISTINCT node,
+                          ('0x' || substr(md5(node), 1, 15))
+                              ::BIGINT AS h
+                   FROM (SELECT subj AS node
+                         FROM read_parquet('{triples_path}')
+                         WHERE obj_kind = 'uri'
+                         UNION
+                         SELECT obj FROM read_parquet('{triples_path}')
+                         WHERE obj_kind = 'uri'))
+               GROUP BY h)
+        SELECT nm.node
+        FROM {prev} f JOIN nm ON nm.h = f.n
+        ORDER BY node
+    """
+
+
+def _kg_copredicate_sql(triples_path: str, min_shared: int = 2,
+                        max_df: int = 64) -> str:
+    """Oracle twin of stages/graph.copredicate_pairs: distinct
+    (subj, pred||'|'||obj) rows, stop-keys above ``max_df`` subjects
+    dropped, subject pairs sharing ≥ ``min_shared`` keys."""
+    return f"""
+        WITH t AS (SELECT DISTINCT subj, pred || '|' || obj AS key
+                   FROM read_parquet('{triples_path}')),
+        k AS (SELECT key FROM t
+              GROUP BY key HAVING count(*) BETWEEN 2 AND {max_df})
+        SELECT a.subj AS subj_a, b.subj AS subj_b,
+               count(*)::BIGINT AS n_shared
+        FROM t a JOIN t b USING (key) JOIN k USING (key)
+        WHERE a.subj < b.subj
+        GROUP BY 1, 2
+        HAVING count(*) >= {min_shared}
+        ORDER BY subj_a, subj_b
+    """
+
+
 def _triangles_sql(triples_path: str) -> str:
     """Oracle twin of stages/graph.triangle_count over the KG's
     URI-object edge graph: same md5-15 node hashes, same
@@ -3310,6 +3490,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": _q_kg_pagerank,
         "kg_triangles": _q_kg_triangles,
         "kg_components": _q_kg_components,
+        "kg_kcore": _q_kg_kcore,
+        "kg_degree_stats": _q_kg_degree_stats,
+        "kg_copredicate_pairs": _q_kg_copredicate_pairs,
+        "events_markov_transitions": _q_events_markov_transitions,
         "kg_facts": _q_kg_facts,
         # --- dedup / similarity family
         "docs_simhash": _q_docs_simhash,
@@ -4271,6 +4455,20 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": _pagerank_sql(triples),
         "kg_triangles": _triangles_sql(triples),
         "kg_components": _kg_components_sql(triples),
+        "kg_kcore": _kg_kcore_sql(triples),
+        "kg_degree_stats": _kg_degree_stats_sql(triples),
+        "kg_copredicate_pairs": _kg_copredicate_sql(triples),
+        "events_markov_transitions": """
+            SELECT from_event, to_event, count(*)::BIGINT AS n
+            FROM (SELECT event_type AS from_event,
+                         lead(event_type) OVER (
+                             PARTITION BY user_id
+                             ORDER BY ts, event_id) AS to_event
+                  FROM events)
+            WHERE to_event IS NOT NULL
+            GROUP BY from_event, to_event
+            ORDER BY from_event, to_event
+        """,
         "segment_revenue_bucketed": f"""
             SELECT c.c_mktsegment,
                    count(*) AS n_orders,

@@ -130,6 +130,8 @@ def run_bench() -> dict:
               "docs_balanced_mix", "segment_revenue_bucketed",
               "kg_pagerank", "kg_triangles", "docs_vocab_kmv", "lineitem_orderkeys_kmv",
               "docs_weighted_sample", "docs_source_overlap", "docs_bm25",
+              "kg_components", "kg_kcore", "kg_degree_stats",
+              "kg_copredicate_pairs", "events_markov_transitions",
               "tpch_q3_shipping", "tpch_q5_local_supplier"]
     queries = entrymod.queries()
     qtimes: dict[str, float] = {}

@@ -528,3 +528,347 @@ def triangle_count(edges: rd.Dataset, n_buckets: int = 64,
                                 dtype="int64"),
         "n_wedges": pd.array([int(parts["wed"].sum())], dtype="int64"),
         "n_edges": pd.array([int(n_edges)], dtype="int64")})
+
+
+def degree_histogram(edges: rd.Dataset,
+                     n_buckets: int = 64) -> pd.DataFrame:
+    """Degree distribution of the undirected simple graph induced by an
+    (s, d) edge Dataset: one row per distinct degree value with the
+    number of nodes having it. Returns (degree, n_nodes), degree-sorted.
+
+    Scale shape: one lo-bucket exchange dedups undirected int64 edges
+    (same kernel as :func:`triangle_count`); endpoint rows then take
+    ONE node-bucket exchange, and the per-node count AND the
+    per-degree histogram partial are both computed inside the same
+    group body (bucketing by node hash makes the group-local count the
+    global one), so only (degree, partial_count) rows — bounded by
+    distinct degrees × buckets, thousands at any corpus size — ever
+    reach the driver. Mirrors the reference's triples-per-person count
+    reports (cwrc/RDF-extraction Utils/utilities.py graph stats) as a
+    graph-wide histogram.
+    """
+    B = np.int64(n_buckets)
+
+    def _hash_und(df: pd.DataFrame) -> pd.DataFrame:
+        hs, hd = _h15(df["s"]), _h15(df["d"])
+        lo, hi = np.minimum(hs, hd), np.maximum(hs, hd)
+        keep = lo != hi
+        out = pd.DataFrame({"lo": lo[keep], "hi": hi[keep]})
+        out["lb"] = out["lo"] % B
+        return out.drop_duplicates()
+
+    und = (edges.map_batches(_hash_und, batch_format="pandas")
+           .groupby("lb").map_groups(
+               lambda g: g[["lo", "hi"]].drop_duplicates(),
+               batch_format="pandas"))
+
+    def _endpoint_rows(df: pd.DataFrame) -> pd.DataFrame:
+        n = np.concatenate([df["lo"].to_numpy(dtype="int64"),
+                            df["hi"].to_numpy(dtype="int64")])
+        out = (pd.DataFrame({"h": n}).groupby("h", as_index=False)
+               .size().rename(columns={"size": "dpart"}))
+        out["nb"] = out["h"] % B
+        return out
+
+    def _hist_partial(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.groupby("h")["dpart"].sum()
+        vc = d.value_counts()
+        return pd.DataFrame({"degree": vc.index.to_numpy(dtype="int64"),
+                             "n_part": vc.to_numpy(dtype="int64")})
+
+    parts = (und.map_batches(_endpoint_rows, batch_format="pandas")
+             .groupby("nb").map_groups(_hist_partial,
+                                       batch_format="pandas")
+             .to_pandas())
+    if parts.empty:
+        return pd.DataFrame({"degree": pd.Series(dtype="int64"),
+                             "n_nodes": pd.Series(dtype="int64")})
+    out = (parts.groupby("degree", as_index=False)["n_part"].sum()
+           .rename(columns={"n_part": "n_nodes"})
+           .sort_values("degree", ignore_index=True))
+    return out.astype({"degree": "int64", "n_nodes": "int64"})
+
+
+def kcore_nodes(edges: rd.Dataset, k: int = 2, n_buckets: int = 64,
+                max_rounds: int = 24,
+                broadcast_max_nodes: int = 4_000_000) -> rd.Dataset:
+    """Nodes of the k-CORE of the undirected simple graph induced by an
+    (s, d) edge Dataset: the maximal subgraph in which every node has
+    degree ≥ k, computed by iterative peeling (drop nodes with degree
+    < k among surviving nodes, repeat to fixpoint). Returns a (node,)
+    string Dataset. Peeling is monotone, so extra rounds past the
+    fixpoint are idempotent — the DuckDB oracle replays the same
+    recurrence as ``max_rounds`` unrolled CTE rounds.
+
+    Two executions of the same recurrence (both equality-tested):
+
+    - **broadcast path** (N ≤ ``broadcast_max_nodes``): edges are
+      index-encoded ONCE into static (li, ri) int64 blocks; each round
+      is one ``ray.put`` of the alive bitmask + one ``map_batches``
+      over those blocks (mask both endpoints, ``np.add.at`` degree
+      partials) + a bounded driver sum — ZERO per-round exchanges,
+      early exit the round the mask stops changing.
+    - **exchange path** (N above threshold): per round, two
+      ``hash_join`` semi-joins keep edges whose endpoints both
+      survive, then one node-bucket groupby recounts degrees —
+      3 bounded exchanges per round, int64 rows only, nothing
+      node- or edge-shaped on the driver.
+    """
+    import pyarrow as pa
+
+    from .joins import hash_join
+
+    B = np.int64(n_buckets)
+    out_schema = pa.schema([("node", pa.string())])
+
+    def _hash_und(df: pd.DataFrame) -> pd.DataFrame:
+        hs, hd = _h15(df["s"]), _h15(df["d"])
+        lo, hi = np.minimum(hs, hd), np.maximum(hs, hd)
+        keep = lo != hi
+        out = pd.DataFrame({"lo": lo[keep], "hi": hi[keep]})
+        out["lb"] = out["lo"] % B
+        return out.drop_duplicates()
+
+    n_blocks = max(8, n_buckets // 4)
+    edges = edges.materialize()  # consumed by und + the node-string map
+    und = (edges.map_batches(_hash_und, batch_format="pandas")
+           .groupby("lb").map_groups(
+               lambda g: g[["lo", "hi"]].drop_duplicates(),
+               batch_format="pandas")
+           .repartition(n_blocks)).materialize()
+
+    def _node_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "node": pd.concat([df["s"], df["d"]], ignore_index=True)
+            .astype(str)}).drop_duplicates()
+        out["h"] = _h15(out["node"])
+        out["nb"] = out["h"] % B
+        return out
+
+    # min(node) per hash mirrors the oracle's collision tie-break
+    nodes = (edges.map_batches(_node_rows, batch_format="pandas")
+             .groupby("nb").map_groups(
+                 lambda g: g.groupby("h", as_index=False)["node"].min(),
+                 batch_format="pandas").repartition(n_blocks))
+
+    # bounded node-hash probe (drained, never abandoned — see the
+    # pagerank probe note)
+    H: np.ndarray | None = np.empty(0, dtype=np.int64)
+    for b in (und.map_batches(
+            lambda df: pd.DataFrame({"h": np.unique(np.concatenate(
+                [df["lo"].to_numpy(dtype="int64"),
+                 df["hi"].to_numpy(dtype="int64")]))}),
+            batch_format="pandas", batch_size=None)
+            .iter_batches(batch_format="numpy", batch_size=None)):
+        if H is None:
+            continue
+        H = np.union1d(H, b["h"])
+        if len(H) > broadcast_max_nodes:
+            H = None
+
+    if H is not None:
+        if not len(H):
+            return rd.from_arrow(out_schema.empty_table())
+        alive_h = _kcore_broadcast(und, H, k, max_rounds)
+        if not len(alive_h):
+            return rd.from_arrow(out_schema.empty_table())
+        import ray
+
+        from .dedup_docs import _cached_get
+        a_ref = ray.put(alive_h)
+
+        def _filter_nodes(df: pd.DataFrame) -> pd.DataFrame:
+            if "node" not in df.columns:  # schema-less empty block
+                # (sort-based groupby emits one per empty partition)
+                return pd.DataFrame({"node": pd.Series(dtype=object)})
+            core = _cached_get(a_ref)
+            h = df["h"].to_numpy(dtype="int64")
+            idx = np.searchsorted(core, h)
+            idx[idx == len(core)] = 0
+            keep = core[idx] == h
+            return pd.DataFrame({"node": df["node"].astype(str)[keep]})
+
+        return nodes.map_batches(_filter_nodes, batch_format="pandas",
+                                 batch_size=None)
+
+    # ---- exchange path --------------------------------------------
+    i64 = pa.int64()
+
+    def _deg_rows(df: pd.DataFrame) -> pd.DataFrame:
+        n = np.concatenate([df["lo"].to_numpy(dtype="int64"),
+                            df["hi"].to_numpy(dtype="int64")])
+        out = (pd.DataFrame({"h": n}).groupby("h", as_index=False)
+               .size().rename(columns={"size": "dpart"}))
+        out["nb"] = out["h"] % B
+        return out
+
+    def _alive_of(e: rd.Dataset) -> rd.Dataset:
+        return (e.map_batches(_deg_rows, batch_format="pandas")
+                .groupby("nb").map_groups(
+                    lambda g: g.groupby("h", as_index=False)["dpart"]
+                    .sum().loc[lambda d: d["dpart"] >= k, ["h"]],
+                    batch_format="pandas")
+                .repartition(n_blocks)).materialize()
+
+    live = und
+    alive = _alive_of(live)
+    n_alive = alive.count()
+    for _ in range(max_rounds):
+        live = hash_join(
+            live, alive.map_batches(
+                lambda df: df.rename(columns={"h": "lo"}),
+                batch_format="pandas"),
+            on="lo", n_buckets=n_buckets,
+            left_schema=pa.schema([("lo", i64), ("hi", i64)]),
+            right_schema=pa.schema([("lo", i64)]))
+        live = hash_join(
+            live, alive.map_batches(
+                lambda df: df.rename(columns={"h": "hi"}),
+                batch_format="pandas"),
+            on="hi", n_buckets=n_buckets,
+            left_schema=pa.schema([("lo", i64), ("hi", i64)]),
+            right_schema=pa.schema([("hi", i64)])) \
+            .repartition(n_blocks).materialize()
+        alive = _alive_of(live)
+        n_new = alive.count()
+        if n_new == n_alive:  # monotone ⇒ equal count = fixpoint
+            break
+        n_alive = n_new
+    if not n_alive:
+        return rd.from_arrow(out_schema.empty_table())
+    out = hash_join(
+        alive, nodes, on="h", n_buckets=n_buckets,
+        left_schema=pa.schema([("h", i64)]),
+        right_schema=pa.schema([("h", i64), ("node", pa.string())]))
+
+    def _project(df: pd.DataFrame) -> pd.DataFrame:
+        if "node" not in df.columns:  # schema-less empty block
+            return pd.DataFrame({"node": pd.Series(dtype=object)})
+        return df[["node"]]
+
+    return out.map_batches(_project, batch_format="pandas")
+
+
+def _kcore_broadcast(und: rd.Dataset, H: np.ndarray, k: int,
+                     max_rounds: int) -> np.ndarray:
+    """Broadcast-mask execution of the k-core peel: returns the sorted
+    node-hash array of the core (possibly empty). ``und`` is the
+    deduped (lo, hi) edge table, ``H`` the sorted distinct node-hash
+    array (position == dense index)."""
+    import ray
+
+    from .dedup_docs import _cached_get
+
+    def _to_idx(df: pd.DataFrame) -> pd.DataFrame:
+        hh = _cached_get(h_ref)
+        return pd.DataFrame({
+            "li": np.searchsorted(hh, df["lo"].to_numpy(dtype="int64")),
+            "ri": np.searchsorted(hh, df["hi"].to_numpy(dtype="int64"))})
+
+    h_ref = ray.put(H)
+    eidx = und.map_batches(_to_idx, batch_format="pandas",
+                           batch_size=None).materialize()
+
+    alive = np.ones(len(H), dtype=bool)
+    for _ in range(max_rounds):
+        a_ref = ray.put(alive)
+
+        def _deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+            a = _cached_get(a_ref)
+            li = df["li"].to_numpy(dtype="int64")
+            ri = df["ri"].to_numpy(dtype="int64")
+            m = a[li] & a[ri]
+            dense = np.zeros(len(a), dtype=np.int64)
+            np.add.at(dense, li[m], 1)
+            np.add.at(dense, ri[m], 1)
+            (nz,) = dense.nonzero()
+            return pd.DataFrame({"i": nz, "c": dense[nz]})
+
+        deg = np.zeros(len(H), dtype=np.int64)
+        for b in (eidx.map_batches(_deg_partial, batch_format="pandas",
+                                   batch_size=None)
+                  .iter_batches(batch_format="numpy", batch_size=None)):
+            np.add.at(deg, b["i"], b["c"])
+        new_alive = alive & (deg >= k)
+        if (new_alive == alive).all():
+            break
+        alive = new_alive
+    return H[alive]
+
+
+def copredicate_pairs(triples: rd.Dataset, min_shared: int = 2,
+                      max_df: int = 64,
+                      n_buckets: int = 64) -> pd.DataFrame:
+    """Entity-resolution BLOCKING over the triple table: pairs of
+    subjects sharing at least ``min_shared`` (predicate, object)
+    values, with blocking keys held by more than ``max_df`` subjects
+    dropped as stop-keys (the standard ER guard — a key shared by
+    everyone carries no resolution signal AND would emit O(n²) pairs).
+    Returns (subj_a, subj_b, n_shared), pair-sorted. Mirrors the
+    reference's same-person heuristics (shared birth place / death
+    date across extraction runs) as a corpus-wide operator.
+
+    Scale shape: distinct (subj, key) rows ride ONE key-bucket
+    exchange (keys are md5-15 int64 — a 2^60-space collision, ~1e-9 at
+    10^5 keys, would merge two blocking keys); each key's subject list
+    co-locates, so the df-filter and the vectorized triu pair emission
+    happen inside the group body with per-key pair volume capped at
+    ``max_df``²/2; emitted string pairs then take ONE pair-bucket
+    exchange where the group-local count is the global ``n_shared``.
+    Only threshold-clearing pairs reach the driver.
+    """
+    B = np.int64(n_buckets)
+
+    def _subj_key(df: pd.DataFrame) -> pd.DataFrame:
+        key = _h15(df["pred"].astype(str) + "|" + df["obj"].astype(str))
+        out = pd.DataFrame({"subj": df["subj"].astype(str), "key": key})
+        out = out.drop_duplicates()
+        out["kb"] = out["key"] % B
+        return out
+
+    def _emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"subj_a": pd.Series(dtype=object),
+                              "subj_b": pd.Series(dtype=object),
+                              "pb": pd.Series(dtype="int64")})
+        g = group.drop_duplicates(["subj", "key"]) \
+            .sort_values(["key", "subj"], kind="stable")
+        key = g["key"].to_numpy(dtype="int64")
+        subj = g["subj"].to_numpy(dtype=object)
+        if not len(key):
+            return empty
+        change = np.flatnonzero(np.diff(key)) + 1
+        starts = np.concatenate([[0], change])
+        cnt = np.diff(np.concatenate([starts, [len(key)]]))
+        aa, bb = [], []
+        for c in np.unique(cnt):
+            if c < 2 or c > max_df:
+                continue
+            runs = starts[cnt == c]
+            ti, tj = np.triu_indices(int(c), k=1)
+            aa.append(subj[(runs[:, None] + ti[None, :]).ravel()])
+            bb.append(subj[(runs[:, None] + tj[None, :]).ravel()])
+        if not aa:
+            return empty
+        a = np.concatenate(aa)
+        b = np.concatenate(bb)
+        out = pd.DataFrame({"subj_a": a, "subj_b": b})
+        out["pb"] = _h15(out["subj_a"] + "|" + out["subj_b"]) % B
+        return out
+
+    def _count_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        c = (group.groupby(["subj_a", "subj_b"], as_index=False)
+             .size().rename(columns={"size": "n_shared"}))
+        return c[c["n_shared"] >= min_shared]
+
+    res = (triples.map_batches(_subj_key, batch_format="pandas")
+           .groupby("kb").map_groups(_emit_pairs, batch_format="pandas")
+           .groupby("pb").map_groups(_count_pairs,
+                                     batch_format="pandas")
+           .to_pandas())
+    if res.empty:
+        return pd.DataFrame({"subj_a": pd.Series(dtype=object),
+                             "subj_b": pd.Series(dtype=object),
+                             "n_shared": pd.Series(dtype="int64")})
+    res = res[["subj_a", "subj_b", "n_shared"]] \
+        .astype({"n_shared": "int64"})
+    return res.sort_values(["subj_a", "subj_b"], ignore_index=True)

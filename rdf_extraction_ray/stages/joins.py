@@ -134,10 +134,28 @@ def _union_schema(left_schema: pa.Schema, right_schema: pa.Schema
     return all_cols, (left_cols, right_cols), type_of
 
 
+def _pad_column(n: int, t: pa.DataType) -> pa.Array:
+    """Padding for the other side's columns in the tagged union.
+
+    Integer columns pad with ZEROS, not nulls: datasets that went
+    through a groupby carry schema-less empty pandas partitions
+    (map_groups is never called on an empty partition), and their
+    presence makes Ray's sort exchange fall back to PANDAS blocks —
+    where an int64 column with nulls becomes float64 and silently
+    rounds every value above 2^53 (observed corrupting md5-15 hash
+    keys). The padding is never read — ``_side_frames`` selects each
+    side's own columns only — so any non-null sentinel is safe.
+    """
+    if pa.types.is_integer(t):
+        return pa.array(np.zeros(n, dtype=t.to_pandas_dtype()), type=t)
+    return pa.nulls(n, type=t)
+
+
 def _tagger(side: int, own_cols: list[str], all_cols: list[str],
             type_of: dict, on_cols: list[str], n_buckets: int):
     """Arrow map_batches body: pad to the union schema with typed
-    nulls, add ``__bucket``/``__side``."""
+    non-null sentinels (see ``_pad_column``), add
+    ``__bucket``/``__side``."""
 
     def inner(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -147,7 +165,7 @@ def _tagger(side: int, own_cols: list[str], all_cols: list[str],
         cols = {}
         for c in all_cols:
             cols[c] = t.column(c) if c in own_cols \
-                else pa.nulls(n, type=type_of[c])
+                else _pad_column(n, type_of[c])
         cols["__bucket"] = pa.array(_bucket_of(key, n_buckets),
                                     type=pa.int64())
         cols["__side"] = pa.array(np.full(n, side, dtype=np.int8()))

@@ -1025,3 +1025,39 @@ def test_minhasher_rejects_indivisible_bands():
     from rdf_extraction_ray.stages.dedup_docs import MinHasher
     with _pytest.raises(ValueError):
         MinHasher(num_perm=64, n_bands=12)
+
+
+class TestJoinBigIntExact:
+    def test_hash_join_preserves_int64_beyond_2_53(self):
+        """Regression: inputs that went through a groupby carry
+        schema-less empty pandas partitions, which push Ray's sort
+        exchange into pandas blocks; null-padded int64 union columns
+        then became float64 and rounded md5-15 hash values (> 2^53).
+        The tagger now pads integers with typed zero sentinels."""
+        import pyarrow as pa
+
+        from rdf_extraction_ray.stages.joins import hash_join
+        big = 661666306091311870  # needs 60 bits; float64 ulp here is 128
+        left = pd.DataFrame({"lo": [1, 2, 3, 4, 5],
+                             "hi": [big, big + 3, big + 7, big + 11,
+                                    big + 13],
+                             "lb": [1, 2, 3, 4, 5]})
+        und = (rd.from_pandas(left).groupby("lb")
+               .map_groups(lambda g: g[["lo", "hi"]],
+                           batch_format="pandas")
+               .repartition(8)).materialize()
+        right = (rd.from_pandas(pd.DataFrame({"h": [1, 2, 3, 4, 5],
+                                              "nb": [1, 2, 3, 4, 5]}))
+                 .groupby("nb")
+                 .map_groups(lambda g: g[["h"]], batch_format="pandas")
+                 .repartition(8)).materialize()
+        i64 = pa.int64()
+        out = hash_join(
+            und,
+            right.map_batches(lambda df: df.rename(columns={"h": "lo"}),
+                              batch_format="pandas"),
+            on="lo", n_buckets=64,
+            left_schema=pa.schema([("lo", i64), ("hi", i64)]),
+            right_schema=pa.schema([("lo", i64)]))
+        got = sorted(out.to_pandas()["hi"] - big)
+        assert got == [0, 3, 7, 11, 13], got

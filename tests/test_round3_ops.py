@@ -496,3 +496,91 @@ class TestKGComponents:
         mismatch = sum(1 for n, c in want.items()
                        if got_h.get(n) != c)
         assert mismatch == 0, mismatch
+
+
+class TestDegreeHistogram:
+    def test_known_graph(self):
+        from rdf_extraction_ray.stages.graph import degree_histogram
+        # star a-{b,c,d} plus edge b-c, parallel + self-loop noise
+        df = pd.DataFrame({
+            "s": ["a", "a", "a", "b", "a", "c"],
+            "d": ["b", "c", "d", "c", "b", "c"]})
+        out = degree_histogram(rd.from_pandas(df))
+        # degrees: a=3, b=2, c=2 (self-loop dropped), d=1
+        assert out["degree"].tolist() == [1, 2, 3]
+        assert out["n_nodes"].tolist() == [1, 2, 1]
+
+    def test_empty(self):
+        from rdf_extraction_ray.stages.graph import degree_histogram
+        df = pd.DataFrame({"s": pd.Series(dtype=object),
+                           "d": pd.Series(dtype=object)})
+        out = degree_histogram(rd.from_pandas(df))
+        assert len(out) == 0
+        assert list(out.columns) == ["degree", "n_nodes"]
+
+
+class TestKCore:
+    @staticmethod
+    def _graph():
+        # triangle {a,b,c} (the 2-core) with a pendant chain c-d-e
+        return pd.DataFrame({
+            "s": ["a", "b", "c", "c", "d"],
+            "d": ["b", "c", "a", "d", "e"]})
+
+    def test_broadcast_path_peels_chain(self):
+        from rdf_extraction_ray.stages.graph import kcore_nodes
+        out = kcore_nodes(rd.from_pandas(self._graph()), k=2) \
+            .to_pandas()
+        assert sorted(out["node"]) == ["a", "b", "c"]
+
+    def test_exchange_path_equals_broadcast(self):
+        from rdf_extraction_ray.stages.graph import kcore_nodes
+        b = kcore_nodes(rd.from_pandas(self._graph()), k=2).to_pandas()
+        e = kcore_nodes(rd.from_pandas(self._graph()), k=2,
+                        broadcast_max_nodes=0).to_pandas()
+        assert sorted(b["node"]) == sorted(e["node"])
+
+    def test_whole_graph_survives_when_core(self):
+        from rdf_extraction_ray.stages.graph import kcore_nodes
+        # 4-cycle: every node has degree 2 → all in the 2-core
+        df = pd.DataFrame({"s": ["a", "b", "c", "d"],
+                           "d": ["b", "c", "d", "a"]})
+        out = kcore_nodes(rd.from_pandas(df), k=2).to_pandas()
+        assert sorted(out["node"]) == ["a", "b", "c", "d"]
+        # k=3 empties it
+        out3 = kcore_nodes(rd.from_pandas(df), k=3).to_pandas()
+        assert len(out3) == 0
+
+    def test_empty(self):
+        from rdf_extraction_ray.stages.graph import kcore_nodes
+        df = pd.DataFrame({"s": pd.Series(dtype=object),
+                           "d": pd.Series(dtype=object)})
+        out = kcore_nodes(rd.from_pandas(df), k=2).to_pandas()
+        assert len(out) == 0
+
+
+class TestCopredicatePairs:
+    def test_shared_keys_counted(self):
+        from rdf_extraction_ray.stages.graph import copredicate_pairs
+        df = pd.DataFrame({
+            "subj": ["s1", "s1", "s2", "s2", "s3", "s3", "s1"],
+            "pred": ["p", "q", "p", "q", "p", "r", "p"],
+            "obj": ["x", "y", "x", "y", "x", "z", "x"]})
+        out = copredicate_pairs(rd.from_pandas(df), min_shared=2)
+        # s1/s2 share p|x and q|y (2 keys); s3 shares only p|x with each
+        assert out[["subj_a", "subj_b"]].values.tolist() == [["s1", "s2"]]
+        assert out["n_shared"].tolist() == [2]
+
+    def test_stop_key_dropped(self):
+        from rdf_extraction_ray.stages.graph import copredicate_pairs
+        # one key shared by 5 subjects: with max_df=4 it is a stop-key
+        df = pd.DataFrame({
+            "subj": [f"s{i}" for i in range(5)] * 2,
+            "pred": ["p"] * 5 + ["q"] * 5,
+            "obj": ["x"] * 5 + [f"y{i}" for i in range(5)]})
+        out = copredicate_pairs(rd.from_pandas(df), min_shared=1,
+                                max_df=4)
+        assert len(out) == 0
+        out2 = copredicate_pairs(rd.from_pandas(df), min_shared=1,
+                                 max_df=5)
+        assert len(out2) == 10  # C(5,2) pairs via the p|x key
