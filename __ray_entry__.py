@@ -2138,53 +2138,71 @@ def _q_docs_source_overlap(sf_dir: str):
 
 def _q_kg_components(sf_dir: str):
     """Connected components of the KG's URI-object edge graph
-    (undirected): node URIs hash once to int64, the shared
-    large-star/small-star contraction rounds label every node with
-    its component's minimum hash, and strings are joined back once at
-    the end. The SQL oracle unrolls min-label propagation + pointer
-    jumping as chained CTEs (same canonical fixpoint)."""
+    (undirected): node URIs hash ONCE per row occurrence in a single
+    scan (the same pass emits both the int64 edge rows and the
+    (hash, node-string) map rows), the contraction rounds label every
+    node with its component's minimum hash, and strings resolve in
+    ONE hash-bucket exchange — component rows and node rows union
+    into the same groupby, so no separate node-dedup exchange and no
+    join exchange. The SQL oracle unrolls min-label propagation +
+    pointer jumping as chained CTEs (same canonical fixpoint)."""
     from rdf_extraction_ray.stages.dedup_docs import (
         connected_components_ds)
     from rdf_extraction_ray.stages.graph import _h15
-    from rdf_extraction_ray.stages.joins import hash_join
     tr = _triples_view(sf_dir)
+    B = np.int64(64)
 
-    def _hedges(df: pd.DataFrame) -> pd.DataFrame:
+    def _scan(df: pd.DataFrame) -> pd.DataFrame:
         g = df[df["obj_kind"] == "uri"]
-        return pd.DataFrame({"a": _h15(g["subj"]),
-                             "b": _h15(g["obj"])}).drop_duplicates()
+        hs, hd = _h15(g["subj"]), _h15(g["obj"])
+        e = pd.DataFrame({"a": hs, "b": hd}).drop_duplicates()
+        e["node"] = ""
+        e["kind"] = np.int64(0)
+        n = pd.DataFrame({
+            "a": np.concatenate([hs, hd]),
+            "b": np.int64(0),
+            "node": pd.concat([g["subj"], g["obj"]],
+                              ignore_index=True).astype(str),
+            "kind": np.int64(1)}).drop_duplicates("node")
+        return pd.concat([e, n], ignore_index=True)
 
-    edges = tr.map_batches(_hedges, batch_format="pandas") \
-        .materialize()
-    comp = connected_components_ds(edges).map_batches(
-        lambda df: df.rename(columns={"doc_id": "h"}),
+    base = tr.map_batches(_scan, batch_format="pandas").materialize()
+    edges = base.map_batches(
+        lambda df: df.loc[df["kind"] == 0, ["a", "b"]],
         batch_format="pandas")
+    comp = connected_components_ds(edges)
+
+    def _comp_rows(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["doc_id"].astype("int64")
+        return pd.DataFrame({"h": h,
+                             "component": df["component"].astype("int64"),
+                             "node": "", "kind": np.int64(0),
+                             "hb": h % B})
 
     def _node_rows(df: pd.DataFrame) -> pd.DataFrame:
-        g = df[df["obj_kind"] == "uri"]
-        out = pd.DataFrame({"node": pd.concat(
-            [g["subj"], g["obj"]],
-            ignore_index=True).astype(str)}).drop_duplicates()
-        out["h"] = _h15(out["node"])
-        out["nb"] = out["h"] % np.int64(64)
-        return out
+        g = df[df["kind"] == 1]
+        h = g["a"].astype("int64")
+        return pd.DataFrame({"h": h, "component": np.int64(0),
+                             "node": g["node"].astype(str),
+                             "kind": np.int64(1), "hb": h % B})
 
-    # min(node) per hash mirrors the oracle's collision tie-break
-    nodes = (tr.map_batches(_node_rows, batch_format="pandas")
-             .groupby("nb").map_groups(
-                 lambda g: g.groupby("h", as_index=False)["node"]
-                 .min(), batch_format="pandas"))
-    import pyarrow as pa
-    out = hash_join(
-        comp, nodes, on="h", n_buckets=64,
-        left_schema=pa.schema([("h", pa.int64()),
-                               ("component", pa.int64())]),
-        right_schema=pa.schema([("h", pa.int64()),
-                                ("node", pa.string())]))
-    res = _typed(out.map_batches(
-        lambda df: df[["node", "component"]],
-        batch_format="pandas").to_pandas(),
-        node=object, component="int64")
+    def _resolve(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.loc[g["kind"] == 0, ["h", "component"]] \
+            .drop_duplicates("h")
+        # min(node) per hash mirrors the oracle's collision tie-break
+        n = (g[g["kind"] == 1].groupby("h", as_index=False)["node"]
+             .min())
+        j = n.merge(c, on="h")
+        return j[["node", "component"]]
+
+    out = (comp.map_batches(_comp_rows, batch_format="pandas")
+           .union(base.map_batches(_node_rows, batch_format="pandas"))
+           .groupby("hb").map_groups(_resolve, batch_format="pandas"))
+    res = out.to_pandas()
+    if "node" not in res.columns:  # empty corpus: typed empty
+        return pd.DataFrame({"node": pd.Series(dtype=object),
+                             "component": pd.Series(dtype="int64")})
+    res = _typed(res, node=object, component="int64")
     return res.sort_values("node", ignore_index=True)
 
 
@@ -2294,6 +2312,36 @@ def _q_events_markov_transitions(sf_dir: str):
     res = _typed(res, from_event=object, to_event=object, n="int64")
     return res.sort_values(["from_event", "to_event"],
                            ignore_index=True)
+
+
+def _q_docs_embedding_labels(sf_dir: str):
+    """LEFT OUTER hash join: every document keeps its row whether or
+    not an (even-label) embedding exists for it — unmatched rows carry
+    label -1. Exercises the join's unmatched-row path, which pads
+    right columns with typed Arrow nulls instead of letting pandas
+    promote them to float64 (the >2^53 int corruption guard)."""
+    import pyarrow as pa
+
+    from rdf_extraction_ray.stages.joins import hash_join
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    emb = _read(sf_dir, "embeddings", ["vec_id", "label"])
+
+    def _even(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[df["label"] % 2 == 0]
+        return pd.DataFrame({"doc_id": g["vec_id"].astype("int64"),
+                             "label": g["label"].astype("int64")})
+
+    right = emb.map_batches(_even, batch_format="pandas")
+    out = hash_join(
+        docs, right, on="doc_id", how="left", n_buckets=32,
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("lang", pa.string())]),
+        right_schema=pa.schema([("doc_id", pa.int64()),
+                                ("label", pa.int64())]))
+    res = out.to_pandas()
+    res["label"] = res["label"].fillna(-1).astype("int64")
+    res = _typed(res, doc_id="int64", lang=object, label="int64")
+    return res.sort_values("doc_id", ignore_index=True)
 
 
 def _q_docs_bm25(sf_dir: str):
@@ -3577,6 +3625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_langid": _q_docs_langid,
         "docs_stratified_sample": _q_docs_stratified_sample,
         "docs_pack_windows": _q_docs_pack_windows,
+        "docs_embedding_labels": _q_docs_embedding_labels,
     }
 
 
@@ -4458,6 +4507,15 @@ def oracle_sql() -> dict[str, str]:
         "kg_kcore": _kg_kcore_sql(triples),
         "kg_degree_stats": _kg_degree_stats_sql(triples),
         "kg_copredicate_pairs": _kg_copredicate_sql(triples),
+        "docs_embedding_labels": """
+            SELECT d.doc_id, d.lang,
+                   coalesce(e.label, -1)::BIGINT AS label
+            FROM documents d
+            LEFT JOIN (SELECT vec_id AS doc_id, label::BIGINT AS label
+                       FROM embeddings WHERE label % 2 = 0) e
+                USING (doc_id)
+            ORDER BY doc_id
+        """,
         "events_markov_transitions": """
             SELECT from_event, to_event, count(*)::BIGINT AS n
             FROM (SELECT event_type AS from_event,

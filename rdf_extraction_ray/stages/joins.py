@@ -252,6 +252,14 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str | list[str],
     Both sides are tagged (``__side``), bucketed on the key hash,
     unioned, grouped by bucket, and merged pairwise per bucket. The
     shuffle volume is |left| + |right| rows, once, in Arrow blocks.
+
+    ``how="left"``: unmatched left rows survive with typed Arrow
+    NULLs in the right columns (matched/unmatched are built as
+    separate Arrow tables, so no value ever round-trips through a
+    NaN-promoted float64 frame). Consumers that need exact int64
+    right values above 2^53 must coalesce the nulls IN-PIPELINE
+    (``pyarrow.compute.fill_null`` in a map_batches) — a driver
+    ``to_pandas()`` of int64-with-nulls converts via float64.
     """
     if (left_schema or left.schema()) is None or (
             how == "inner"
@@ -278,14 +286,43 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str | list[str],
             _tagger(1, right_cols, all_cols, type_of, on_cols, n_buckets),
             batch_format="pyarrow"))
 
+    def _left_pad(unmatched: pd.DataFrame) -> pa.Table:
+        """Unmatched left rows with typed NULL right columns — built
+        column-by-column so left dtypes never round-trip through a
+        NaN-promoted float64 frame (which would corrupt int64 values
+        above 2^53)."""
+        cols = []
+        for f in out_schema:
+            if f.name in unmatched.columns:
+                cols.append(pa.Array.from_pandas(unmatched[f.name],
+                                                 type=f.type))
+            else:
+                cols.append(pa.nulls(len(unmatched), type=f.type))
+        return pa.Table.from_arrays(cols, schema=out_schema)
+
     def _merge_bucket(t: pa.Table) -> pa.Table:
         l, r = _side_frames(t, left_cols, right_cols)
         # one-sided buckets return a TYPED empty (or, for left joins,
-        # skip the merge) — never let pandas infer a column-less
-        # schema, which trips the executor's schema-unification warning
-        # and is a latent hazard on sparse buckets
+        # pad the whole left side) — never let pandas infer a
+        # column-less schema, which trips the executor's
+        # schema-unification warning and is a latent hazard on sparse
+        # buckets
         if not len(l) or (how == "inner" and not len(r)):
             return out_schema.empty_table()
+        if how == "left":
+            # split matched/unmatched explicitly: pandas' how="left"
+            # merge promotes missing right ints to float64, silently
+            # rounding values above 2^53
+            if not len(r):
+                return _left_pad(l)
+            m = l.merge(r, on=on_cols, how="inner", suffixes=("", suffix))
+            keyed = l.merge(r[on_cols].drop_duplicates(), on=on_cols,
+                            how="left", indicator=True)
+            unmatched = l[(keyed["_merge"] == "left_only").to_numpy()]
+            matched = pa.Table.from_pandas(
+                m[out_cols], schema=out_schema,
+                preserve_index=False).replace_schema_metadata(None)
+            return pa.concat_tables([matched, _left_pad(unmatched)])
         out = l.merge(r, on=on_cols, how=how, suffixes=("", suffix))
         return pa.Table.from_pandas(
             out[out_cols], schema=out_schema,

@@ -1061,3 +1061,53 @@ class TestJoinBigIntExact:
             right_schema=pa.schema([("lo", i64)]))
         got = sorted(out.to_pandas()["hi"] - big)
         assert got == [0, 3, 7, 11, 13], got
+
+    def test_left_join_unmatched_rows_typed(self):
+        """LEFT join: unmatched left rows survive with typed-null right
+        columns, matched big-int values stay exact (no float64
+        round-trip on either path)."""
+        import pyarrow as pa
+
+        from rdf_extraction_ray.stages.joins import hash_join
+        big = 661666306091311870
+        left = pd.DataFrame({"k": [1, 2, 3, 4],
+                             "lv": [big, big + 3, big + 7, big + 11]})
+        right = pd.DataFrame({"k": [2, 4], "rv": [big + 1, big + 5]})
+        i64 = pa.int64()
+        out = hash_join(
+            rd.from_pandas(left), rd.from_pandas(right), on="k",
+            how="left", n_buckets=8,
+            left_schema=pa.schema([("k", i64), ("lv", i64)]),
+            right_schema=pa.schema([("k", i64), ("rv", i64)]))
+
+        # unmatched rows carry Arrow NULLs; coalesce IN-PIPELINE —
+        # a driver to_pandas() of int64-with-nulls goes through
+        # float64 and would round >2^53 values
+        def _coalesce(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return t.set_column(
+                t.schema.get_field_index("rv"), "rv",
+                pc.fill_null(t.column("rv"), -1))
+
+        df = (out.map_batches(_coalesce, batch_format="pyarrow")
+              .to_pandas().sort_values("k", ignore_index=True))
+        assert df["k"].tolist() == [1, 2, 3, 4]
+        assert (df["lv"] - big).tolist() == [0, 3, 7, 11]
+        assert df["rv"].tolist() == [-1, big + 1, -1, big + 5]
+
+    def test_left_join_duplicate_right_keys_expand(self):
+        import pyarrow as pa
+
+        from rdf_extraction_ray.stages.joins import hash_join
+        left = pd.DataFrame({"k": [1, 2]})
+        right = pd.DataFrame({"k": [2, 2], "rv": [10, 20]})
+        i64 = pa.int64()
+        out = hash_join(
+            rd.from_pandas(left), rd.from_pandas(right), on="k",
+            how="left", n_buckets=4,
+            left_schema=pa.schema([("k", i64)]),
+            right_schema=pa.schema([("k", i64), ("rv", i64)]))
+        df = out.to_pandas().sort_values(["k", "rv"],
+                                         ignore_index=True)
+        assert df["k"].tolist() == [1, 2, 2]
+        assert df.loc[1:, "rv"].astype("int64").tolist() == [10, 20]
