@@ -621,35 +621,41 @@ def kcore_nodes(edges: rd.Dataset, k: int = 2, n_buckets: int = 64,
     B = np.int64(n_buckets)
     out_schema = pa.schema([("node", pa.string())])
 
-    def _hash_und(df: pd.DataFrame) -> pd.DataFrame:
+    def _scan(df: pd.DataFrame) -> pd.DataFrame:
+        # ONE md5 pass per row occurrence: the same batch emits both
+        # the int64 edge rows and the (hash, node-string) map rows —
+        # node strings are never hashed a second time
         hs, hd = _h15(df["s"]), _h15(df["d"])
         lo, hi = np.minimum(hs, hd), np.maximum(hs, hd)
         keep = lo != hi
-        out = pd.DataFrame({"lo": lo[keep], "hi": hi[keep]})
-        out["lb"] = out["lo"] % B
-        return out.drop_duplicates()
+        e = pd.DataFrame({"lo": lo[keep],
+                          "hi": hi[keep]}).drop_duplicates()
+        e["node"] = ""
+        e["kind"] = np.int64(0)
+        n = pd.DataFrame({
+            "lo": np.concatenate([hs, hd]),
+            "hi": np.int64(0),
+            "node": pd.concat([df["s"], df["d"]],
+                              ignore_index=True).astype(str),
+            "kind": np.int64(1)}).drop_duplicates("node")
+        return pd.concat([e, n], ignore_index=True)
 
     n_blocks = max(8, n_buckets // 4)
-    edges = edges.materialize()  # consumed by und + the node-string map
-    und = (edges.map_batches(_hash_und, batch_format="pandas")
+    base = edges.map_batches(_scan, batch_format="pandas") \
+        .materialize()
+
+    def _und_rows(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.loc[df["kind"] == 0, ["lo", "hi"]]
+        out = pd.DataFrame({"lo": g["lo"].astype("int64"),
+                            "hi": g["hi"].astype("int64")})
+        out["lb"] = out["lo"] % B
+        return out
+
+    und = (base.map_batches(_und_rows, batch_format="pandas")
            .groupby("lb").map_groups(
                lambda g: g[["lo", "hi"]].drop_duplicates(),
                batch_format="pandas")
            .repartition(n_blocks)).materialize()
-
-    def _node_rows(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({
-            "node": pd.concat([df["s"], df["d"]], ignore_index=True)
-            .astype(str)}).drop_duplicates()
-        out["h"] = _h15(out["node"])
-        out["nb"] = out["h"] % B
-        return out
-
-    # min(node) per hash mirrors the oracle's collision tie-break
-    nodes = (edges.map_batches(_node_rows, batch_format="pandas")
-             .groupby("nb").map_groups(
-                 lambda g: g.groupby("h", as_index=False)["node"].min(),
-                 batch_format="pandas").repartition(n_blocks))
 
     # bounded node-hash probe (drained, never abandoned — see the
     # pagerank probe note)
@@ -677,19 +683,25 @@ def kcore_nodes(edges: rd.Dataset, k: int = 2, n_buckets: int = 64,
         from .dedup_docs import _cached_get
         a_ref = ray.put(alive_h)
 
-        def _filter_nodes(df: pd.DataFrame) -> pd.DataFrame:
-            if "node" not in df.columns:  # schema-less empty block
-                # (sort-based groupby emits one per empty partition)
-                return pd.DataFrame({"node": pd.Series(dtype=object)})
+        def _resolve(df: pd.DataFrame) -> pd.DataFrame:
+            # filter the map rows against the broadcast core BEFORE
+            # the dedup exchange — only core members' strings move
             core = _cached_get(a_ref)
-            h = df["h"].to_numpy(dtype="int64")
+            g = df[df["kind"] == 1]
+            h = g["lo"].to_numpy(dtype="int64")
             idx = np.searchsorted(core, h)
             idx[idx == len(core)] = 0
             keep = core[idx] == h
-            return pd.DataFrame({"node": df["node"].astype(str)[keep]})
+            out = pd.DataFrame({"h": h[keep],
+                                "node": g["node"].astype(str)[keep]})
+            out["nb"] = out["h"] % B
+            return out
 
-        return nodes.map_batches(_filter_nodes, batch_format="pandas",
-                                 batch_size=None)
+        # min(node) per hash mirrors the oracle's collision tie-break
+        return (base.map_batches(_resolve, batch_format="pandas")
+                .groupby("nb").map_groups(
+                    lambda g: g.groupby("h", as_index=False)["node"]
+                    .min()[["node"]], batch_format="pandas"))
 
     # ---- exchange path --------------------------------------------
     i64 = pa.int64()
@@ -736,6 +748,19 @@ def kcore_nodes(edges: rd.Dataset, k: int = 2, n_buckets: int = 64,
         n_alive = n_new
     if not n_alive:
         return rd.from_arrow(out_schema.empty_table())
+
+    def _map_rows(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[df["kind"] == 1]
+        out = pd.DataFrame({"h": g["lo"].astype("int64"),
+                            "node": g["node"].astype(str)})
+        out["nb"] = out["h"] % B
+        return out
+
+    # min(node) per hash mirrors the oracle's collision tie-break
+    nodes = (base.map_batches(_map_rows, batch_format="pandas")
+             .groupby("nb").map_groups(
+                 lambda g: g.groupby("h", as_index=False)["node"]
+                 .min(), batch_format="pandas").repartition(n_blocks))
     out = hash_join(
         alive, nodes, on="h", n_buckets=n_buckets,
         left_schema=pa.schema([("h", i64)]),
@@ -808,32 +833,52 @@ def copredicate_pairs(triples: rd.Dataset, min_shared: int = 2,
     reference's same-person heuristics (shared birth place / death
     date across extraction runs) as a corpus-wide operator.
 
-    Scale shape: distinct (subj, key) rows ride ONE key-bucket
-    exchange (keys are md5-15 int64 — a 2^60-space collision, ~1e-9 at
-    10^5 keys, would merge two blocking keys); each key's subject list
-    co-locates, so the df-filter and the vectorized triu pair emission
-    happen inside the group body with per-key pair volume capped at
-    ``max_df``²/2; emitted string pairs then take ONE pair-bucket
-    exchange where the group-local count is the global ``n_shared``.
-    Only threshold-clearing pairs reach the driver.
+    Scale shape — strings cross ZERO wide exchanges:
+
+    - one scan emits per-batch-distinct (subj-hash, key-hash) rows
+      AND per-batch-distinct (subj-hash, subj-string) map rows into
+      the same materialized base (both hashes are internal
+      co-location state, NOT SQL-replayed — the oracle groups by the
+      exact strings — so they use the vectorized C siphash
+      ``pd.util.hash_pandas_object``, fixed-key, deterministic; a
+      64-bit collision, ~1e-9 at 10^5 keys, would merge two blocking
+      keys or two subjects);
+    - the key-bucket exchange co-locates each key's subject-hash
+      list, so the df-filter and the vectorized triu pair emission
+      run inside the group body with per-key pair volume capped at
+      ``max_df``²/2 — int64 pairs out, never strings;
+    - the pair-bucket exchange counts shared keys globally
+      (group-local = global) and drops pairs under ``min_shared``;
+    - string resolution is RESULT-SIZED: the surviving pair hashes
+      (the operator's output, pruned by ``min_shared``) broadcast as
+      a needed-set, map rows filter against it per batch, and only
+      matching (hash, subject) rows — O(output) — reach the driver
+      merge. Output ordering (subj_a < subj_b) is restored by string
+      comparison at the end, matching the SQL oracle.
     """
+    import ray
+
     B = np.int64(n_buckets)
 
-    def _subj_key(df: pd.DataFrame) -> pd.DataFrame:
-        key = _h15(df["pred"].astype(str) + "|" + df["obj"].astype(str))
-        out = pd.DataFrame({"subj": df["subj"].astype(str), "key": key})
-        out = out.drop_duplicates()
+    def _scan(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df["subj"].astype(str),
+                                       index=False).astype("int64")
+        key = pd.util.hash_pandas_object(
+            df["pred"].astype(str) + "|" + df["obj"].astype(str),
+            index=False).astype("int64")
+        out = pd.DataFrame({"h": h, "key": key}) \
+            .drop_duplicates(["h", "key"])
         out["kb"] = out["key"] % B
         return out
 
     def _emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"subj_a": pd.Series(dtype=object),
-                              "subj_b": pd.Series(dtype=object),
+        empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                              "b": pd.Series(dtype="int64"),
                               "pb": pd.Series(dtype="int64")})
-        g = group.drop_duplicates(["subj", "key"]) \
-            .sort_values(["key", "subj"], kind="stable")
+        g = group.drop_duplicates(["h", "key"]) \
+            .sort_values(["key", "h"], kind="stable")
         key = g["key"].to_numpy(dtype="int64")
-        subj = g["subj"].to_numpy(dtype=object)
+        h = g["h"].to_numpy(dtype="int64")
         if not len(key):
             return empty
         change = np.flatnonzero(np.diff(key)) + 1
@@ -845,30 +890,58 @@ def copredicate_pairs(triples: rd.Dataset, min_shared: int = 2,
                 continue
             runs = starts[cnt == c]
             ti, tj = np.triu_indices(int(c), k=1)
-            aa.append(subj[(runs[:, None] + ti[None, :]).ravel()])
-            bb.append(subj[(runs[:, None] + tj[None, :]).ravel()])
+            aa.append(h[(runs[:, None] + ti[None, :]).ravel()])
+            bb.append(h[(runs[:, None] + tj[None, :]).ravel()])
         if not aa:
             return empty
-        a = np.concatenate(aa)
-        b = np.concatenate(bb)
-        out = pd.DataFrame({"subj_a": a, "subj_b": b})
-        out["pb"] = _h15(out["subj_a"] + "|" + out["subj_b"]) % B
+        # h sorted within each run → a < b, one canonical direction
+        out = pd.DataFrame({"a": np.concatenate(aa),
+                            "b": np.concatenate(bb)})
+        out["pb"] = (out["a"] ^ out["b"]) % B
         return out
 
     def _count_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        c = (group.groupby(["subj_a", "subj_b"], as_index=False)
+        c = (group.groupby(["a", "b"], as_index=False)
              .size().rename(columns={"size": "n_shared"}))
         return c[c["n_shared"] >= min_shared]
 
-    res = (triples.map_batches(_subj_key, batch_format="pandas")
-           .groupby("kb").map_groups(_emit_pairs, batch_format="pandas")
-           .groupby("pb").map_groups(_count_pairs,
-                                     batch_format="pandas")
-           .to_pandas())
-    if res.empty:
-        return pd.DataFrame({"subj_a": pd.Series(dtype=object),
-                             "subj_b": pd.Series(dtype=object),
-                             "n_shared": pd.Series(dtype="int64")})
+    empty = pd.DataFrame({"subj_a": pd.Series(dtype=object),
+                          "subj_b": pd.Series(dtype=object),
+                          "n_shared": pd.Series(dtype="int64")})
+    pairs = (triples.map_batches(_scan, batch_format="pandas")
+             .groupby("kb").map_groups(_emit_pairs,
+                                       batch_format="pandas")
+             .groupby("pb").map_groups(_count_pairs,
+                                       batch_format="pandas")
+             .to_pandas())
+    if pairs.empty:
+        return empty
+    need_ref = ray.put(frozenset(
+        np.union1d(pairs["a"].to_numpy(dtype="int64"),
+                   pairs["b"].to_numpy(dtype="int64")).tolist()))
+
+    def _needed_names(df: pd.DataFrame) -> pd.DataFrame:
+        from .dedup_docs import _cached_get
+        need = _cached_get(need_ref)
+        subj = df["subj"].astype(str)
+        h = pd.util.hash_pandas_object(subj, index=False) \
+            .astype("int64")
+        keep = h.isin(need).to_numpy()
+        return pd.DataFrame({"h": h[keep],
+                             "node": subj[keep]}).drop_duplicates("h")
+
+    names = triples.map_batches(_needed_names, batch_format="pandas") \
+        .to_pandas().drop_duplicates("h")
+    res = (pairs.merge(names.rename(columns={"h": "a",
+                                             "node": "subj_a"}),
+                       on="a")
+           .merge(names.rename(columns={"h": "b", "node": "subj_b"}),
+                  on="b"))
+    # canonical hash order != string order; restore the oracle's
+    # subj_a < subj_b string ordering
+    swap = res["subj_a"] > res["subj_b"]
+    res.loc[swap, ["subj_a", "subj_b"]] = \
+        res.loc[swap, ["subj_b", "subj_a"]].to_numpy()
     res = res[["subj_a", "subj_b", "n_shared"]] \
         .astype({"n_shared": "int64"})
     return res.sort_values(["subj_a", "subj_b"], ignore_index=True)
