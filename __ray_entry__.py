@@ -2307,6 +2307,10 @@ def _q_events_markov_transitions(sf_dir: str):
              .groupby("bucket").map_groups(_bigram_partial,
                                            batch_format="pandas")
              .to_pandas())
+    if "from_event" not in parts.columns:  # empty corpus
+        return pd.DataFrame({"from_event": pd.Series(dtype=object),
+                             "to_event": pd.Series(dtype=object),
+                             "n": pd.Series(dtype="int64")})
     res = (parts.groupby(["from_event", "to_event"], as_index=False)
            ["n_part"].sum().rename(columns={"n_part": "n"}))
     res = _typed(res, from_event=object, to_event=object, n="int64")
@@ -2339,6 +2343,10 @@ def _q_docs_embedding_labels(sf_dir: str):
         right_schema=pa.schema([("doc_id", pa.int64()),
                                 ("label", pa.int64())]))
     res = out.to_pandas()
+    if "doc_id" not in res.columns:  # empty corpus: typed empty
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "lang": pd.Series(dtype=object),
+                             "label": pd.Series(dtype="int64")})
     res["label"] = res["label"].fillna(-1).astype("int64")
     res = _typed(res, doc_id="int64", lang=object, label="int64")
     return res.sort_values("doc_id", ignore_index=True)

@@ -383,7 +383,8 @@ class TestEmptyCorpus:
                  # tables, so they are out of scope here — their
                  # empty-edge-set behavior is pinned by unit tests)
                  "docs_vocab_kmv", "docs_bm25",
-                 "docs_weighted_sample", "docs_source_overlap"]
+                 "docs_weighted_sample", "docs_source_overlap",
+                 "events_markov_transitions", "docs_embedding_labels"]
         failures = []
         qs = entrymod.queries()
         for name in names:
