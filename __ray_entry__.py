@@ -2318,6 +2318,44 @@ def _q_events_markov_transitions(sf_dir: str):
                            ignore_index=True)
 
 
+def _q_events_retention_cohorts(sf_dir: str):
+    """Weekly cohort retention: users grouped by first-event week
+    (Monday-truncated), counted per distinct activity week — the
+    classic warehouse cohort matrix. One user-hash bucket exchange:
+    each group holds whole users, so the cohort assignment, the
+    per-user distinct-week set and the (cohort, week) partial counts
+    all combine inside the group body; driver traffic is bounded by
+    weeks² × buckets."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def _partial(group: pd.DataFrame) -> pd.DataFrame:
+        monday = (group["ts"].dt.normalize()
+                  - pd.to_timedelta(group["ts"].dt.dayofweek,
+                                    unit="D")).dt.strftime("%Y-%m-%d")
+        t = pd.DataFrame({"user_id": group["user_id"],
+                          "week": monday})
+        # min ISO-week string == week of the user's first event
+        cohort = t.groupby("user_id")["week"].min()
+        uw = t.drop_duplicates()
+        uw = uw.assign(cohort=uw["user_id"].map(cohort))
+        return (uw.groupby(["cohort", "week"], as_index=False)
+                .size().rename(columns={"size": "n_part"}))
+
+    parts = (ds.map_batches(_bucket_by_user, batch_format="pandas",
+                            batch_size=None)
+             .groupby("bucket").map_groups(_partial,
+                                           batch_format="pandas")
+             .to_pandas())
+    if "cohort" not in parts.columns:  # empty corpus
+        return pd.DataFrame({"cohort": pd.Series(dtype=object),
+                             "week": pd.Series(dtype=object),
+                             "n_users": pd.Series(dtype="int64")})
+    res = (parts.groupby(["cohort", "week"], as_index=False)
+           ["n_part"].sum().rename(columns={"n_part": "n_users"}))
+    res = _typed(res, cohort=object, week=object, n_users="int64")
+    return res.sort_values(["cohort", "week"], ignore_index=True)
+
+
 def _q_docs_embedding_labels(sf_dir: str):
     """LEFT OUTER hash join: every document keeps its row whether or
     not an (even-label) embedding exists for it — unmatched rows carry
@@ -3634,6 +3672,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_sample": _q_docs_stratified_sample,
         "docs_pack_windows": _q_docs_pack_windows,
         "docs_embedding_labels": _q_docs_embedding_labels,
+        "events_retention_cohorts": _q_events_retention_cohorts,
     }
 
 
@@ -4523,6 +4562,19 @@ def oracle_sql() -> dict[str, str]:
                        FROM embeddings WHERE label % 2 = 0) e
                 USING (doc_id)
             ORDER BY doc_id
+        """,
+        "events_retention_cohorts": """
+            WITH t AS (SELECT user_id,
+                              strftime(date_trunc('week', ts),
+                                       '%Y-%m-%d') AS week
+                       FROM events),
+            f AS (SELECT user_id, min(week) AS cohort
+                  FROM t GROUP BY user_id),
+            a AS (SELECT DISTINCT user_id, week FROM t)
+            SELECT f.cohort, a.week, count(*)::BIGINT AS n_users
+            FROM a JOIN f USING (user_id)
+            GROUP BY 1, 2
+            ORDER BY cohort, week
         """,
         "events_markov_transitions": """
             SELECT from_event, to_event, count(*)::BIGINT AS n

@@ -384,7 +384,8 @@ class TestEmptyCorpus:
                  # empty-edge-set behavior is pinned by unit tests)
                  "docs_vocab_kmv", "docs_bm25",
                  "docs_weighted_sample", "docs_source_overlap",
-                 "events_markov_transitions", "docs_embedding_labels"]
+                 "events_markov_transitions", "docs_embedding_labels",
+                 "events_retention_cohorts"]
         failures = []
         qs = entrymod.queries()
         for name in names:
