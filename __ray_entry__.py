@@ -2318,6 +2318,31 @@ def _q_events_markov_transitions(sf_dir: str):
                            ignore_index=True)
 
 
+def _q_media_dedup(sf_dir: str):
+    """Exact binary-content dedup over the media corpus — the
+    multimodal twin of docs_exact_dedup. Duplicates are planted
+    deterministically (every 5th payload re-enters under
+    media_id + 10^6, the docs_embed_neardup planting pattern), so the
+    keep-min-id and count paths are both exercised. Payload bytes
+    never shuffle: the per-batch combiner reduces to (content-hash,
+    min-id, count) rows before the exchange."""
+    import ray.data as rd
+
+    from rdf_extraction_ray.stages.multimodal import media_exact_dedup
+    media = rd.read_parquet(_media_path(sf_dir),
+                            columns=["media_id", "payload"])
+
+    def _plant(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[df["media_id"] % 5 == 0].copy()
+        g["media_id"] = g["media_id"] + 1_000_000
+        return g
+
+    dupes = media.map_batches(_plant, batch_format="pandas")
+    out = media_exact_dedup(media.union(dupes)).to_pandas()
+    out = _typed(out, ph=object, keep_id="int64", n_dups="int64")
+    return out.sort_values("ph", ignore_index=True)
+
+
 def _q_events_retention_cohorts(sf_dir: str):
     """Weekly cohort retention: users grouped by first-event week
     (Monday-truncated), counted per distinct activity week — the
@@ -3673,6 +3698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pack_windows": _q_docs_pack_windows,
         "docs_embedding_labels": _q_docs_embedding_labels,
         "events_retention_cohorts": _q_events_retention_cohorts,
+        "media_dedup": _q_media_dedup,
     }
 
 
@@ -4498,6 +4524,18 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN cjk c USING (doc_id)
             LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b
                 USING (doc_id)
+        """,
+        "media_dedup": f"""
+            WITH m0 AS (SELECT media_id, payload
+                        FROM read_parquet('{media_pq}')),
+            u AS (SELECT media_id, payload FROM m0
+                  UNION ALL
+                  SELECT media_id + 1000000, payload FROM m0
+                  WHERE media_id % 5 = 0)
+            SELECT md5(lower(hex(payload))) AS ph,
+                   min(media_id) AS keep_id,
+                   count(*)::BIGINT AS n_dups
+            FROM u GROUP BY ph ORDER BY ph
         """,
         "media_features": f"""
             SELECT media_id, kind, j AS dim_idx,

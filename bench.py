@@ -132,7 +132,7 @@ def run_bench() -> dict:
               "docs_weighted_sample", "docs_source_overlap", "docs_bm25",
               "kg_components", "kg_kcore", "kg_degree_stats",
               "kg_copredicate_pairs", "events_markov_transitions",
-              "docs_embedding_labels", "events_retention_cohorts",
+              "docs_embedding_labels", "events_retention_cohorts", "media_dedup",
               "tpch_q3_shipping", "tpch_q5_local_supplier"]
     queries = entrymod.queries()
     qtimes: dict[str, float] = {}

@@ -120,3 +120,42 @@ def synth_media_table(n: int, seed: int = 21) -> pa.Table:
         rows["duration_ms"].append(int(rng.randint(1000, 60000))
                                    if kind != "image" else None)
     return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+def media_exact_dedup(media, n_buckets: int = 32):
+    """EXACT binary-content dedup over a media Dataset: one row per
+    distinct payload with the minimum ``media_id`` (the keeper) and
+    the duplicate count. Returns (ph, keep_id, n_dups).
+
+    The content key is ``md5(lower(hex(payload)))`` — hex because
+    DuckDB has no md5(BLOB) overload; lowercase to match Python's
+    ``bytes.hex()``, the convention the other media oracles share. Scale shape mirrors
+    docs_exact_dedup: the per-batch combiner collapses to one row per
+    distinct content hash BEFORE the exchange, so payload bytes never
+    shuffle — only (hash, min-id, count) rows ride the hash-bucket
+    groupby, and the group-local merge is the global answer.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    def _partial(t: pa.Table) -> pa.Table:
+        ids = t.column("media_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ph = [hashlib.md5(p.hex().encode()).hexdigest()
+              for p in t.column("payload").to_pylist()]
+        g = (pd.DataFrame({"ph": ph, "media_id": ids})
+             .groupby("ph", as_index=False)
+             .agg(keep_id=("media_id", "min"),
+                  n_dups=("media_id", "size")))
+        g["pb"] = (pd.util.hash_pandas_object(g["ph"], index=False)
+                   % n_buckets).astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("ph", as_index=False)
+               .agg(keep_id=("keep_id", "min"),
+                    n_dups=("n_dups", "sum")))
+        return out.astype({"keep_id": "int64", "n_dups": "int64"})
+
+    return (media.map_batches(_partial, batch_format="pyarrow")
+            .groupby("pb").map_groups(_merge, batch_format="pandas"))

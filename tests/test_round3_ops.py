@@ -584,3 +584,17 @@ class TestCopredicatePairs:
         out2 = copredicate_pairs(rd.from_pandas(df), min_shared=1,
                                  max_df=5)
         assert len(out2) == 10  # C(5,2) pairs via the p|x key
+
+
+class TestMediaDedup:
+    def test_keep_min_id_and_counts(self):
+        import pyarrow as pa
+
+        from rdf_extraction_ray.stages.multimodal import media_exact_dedup
+        t = pa.table({"media_id": pa.array([7, 3, 9, 1], pa.int64()),
+                      "payload": pa.array([b"xx", b"xx", b"yy", b"xx"],
+                                          pa.binary())})
+        out = (media_exact_dedup(rd.from_arrow(t)).to_pandas()
+               .sort_values("keep_id", ignore_index=True))
+        assert out["keep_id"].tolist() == [1, 9]
+        assert out["n_dups"].tolist() == [3, 1]
