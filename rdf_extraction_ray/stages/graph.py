@@ -543,9 +543,10 @@ def degree_histogram(edges: rd.Dataset,
     group body (bucketing by node hash makes the group-local count the
     global one), so only (degree, partial_count) rows — bounded by
     distinct degrees × buckets, thousands at any corpus size — ever
-    reach the driver. Mirrors the reference's triples-per-person count
-    reports (cwrc/RDF-extraction Utils/utilities.py graph stats) as a
-    graph-wide histogram.
+    reach the driver. Generalizes the reference's per-entry
+    triple-count min/max tracking
+    (cwrc/RDF-extraction Biography/bio_extraction.py:65-70) into a
+    graph-wide degree histogram.
     """
     B = np.int64(n_buckets)
 
@@ -829,9 +830,10 @@ def copredicate_pairs(triples: rd.Dataset, min_shared: int = 2,
     values, with blocking keys held by more than ``max_df`` subjects
     dropped as stop-keys (the standard ER guard — a key shared by
     everyone carries no resolution signal AND would emit O(n²) pairs).
-    Returns (subj_a, subj_b, n_shared), pair-sorted. Mirrors the
-    reference's same-person heuristics (shared birth place / death
-    date across extraction runs) as a corpus-wide operator.
+    Returns (subj_a, subj_b, n_shared), pair-sorted. The corpus-wide
+    candidate generator for the identity links the reference mints
+    point-wise from its mapping CSVs (``owl:sameAs`` at
+    cwrc/RDF-extraction Biography/biography.py:215-222).
 
     Scale shape — strings cross ZERO wide exchanges:
 
