@@ -2192,8 +2192,17 @@ def _q_kg_components(sf_dir: str):
         # min(node) per hash mirrors the oracle's collision tie-break
         n = (g[g["kind"] == 1].groupby("h", as_index=False)["node"]
              .min())
-        j = n.merge(c, on="h")
-        return j[["node", "component"]]
+        # a self-loop-only node has a name row but no component row
+        # (contraction drops self-loops): it is its own component —
+        # the oracle's `UNION SELECT a, a FROM he` keeps it in l0.
+        # Split instead of left-merge+fillna: a merged int64 column
+        # with any NaN goes float64 and rounds >2^53 hashes.
+        has = n["h"].isin(c["h"])
+        inner = n[has].merge(c, on="h")
+        iso = n[~has].assign(component=lambda d: d["h"])
+        return pd.concat([inner[["node", "component"]],
+                          iso[["node", "component"]]],
+                         ignore_index=True)
 
     out = (comp.map_batches(_comp_rows, batch_format="pandas")
            .union(base.map_batches(_node_rows, batch_format="pandas"))

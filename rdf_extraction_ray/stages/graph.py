@@ -307,6 +307,31 @@ def _pagerank_broadcast(ed: rd.Dataset, nodes: rd.Dataset,
                              batch_size=None)
 
 
+def _und_edge_batch(df: pd.DataFrame, B: np.int64) -> pd.DataFrame:
+    """Per-batch kernel shared by the undirected-graph operators:
+    md5-15 endpoint hashes, (lo, hi) canonical orientation, self-loops
+    dropped, lo-bucket column for the dedup exchange, per-batch
+    distinct."""
+    hs, hd = _h15(df["s"]), _h15(df["d"])
+    lo, hi = np.minimum(hs, hd), np.maximum(hs, hd)
+    keep = lo != hi
+    out = pd.DataFrame({"lo": lo[keep], "hi": hi[keep]})
+    out["lb"] = out["lo"] % B
+    return out.drop_duplicates()
+
+
+def _deg_partial_batch(df: pd.DataFrame, B: np.int64) -> pd.DataFrame:
+    """Per-batch endpoint-degree combiner shared by the
+    undirected-graph operators: one (h, dpart, nb) row per distinct
+    endpoint in the batch."""
+    n = np.concatenate([df["lo"].to_numpy(dtype="int64"),
+                        df["hi"].to_numpy(dtype="int64")])
+    out = (pd.DataFrame({"h": n}).groupby("h", as_index=False)
+           .size().rename(columns={"size": "dpart"}))
+    out["nb"] = out["h"] % B
+    return out
+
+
 def triangle_count(edges: rd.Dataset, n_buckets: int = 64,
                    broadcast_max_nodes: int = 4_000_000) -> pd.DataFrame:
     """EXACT triangle count of the undirected simple graph induced by
@@ -338,16 +363,9 @@ def triangle_count(edges: rd.Dataset, n_buckets: int = 64,
 
     B = np.int64(n_buckets)
 
-    def _hash_und(df: pd.DataFrame) -> pd.DataFrame:
-        hs, hd = _h15(df["s"]), _h15(df["d"])
-        lo, hi = np.minimum(hs, hd), np.maximum(hs, hd)
-        keep = lo != hi
-        out = pd.DataFrame({"lo": lo[keep], "hi": hi[keep]})
-        out["lb"] = out["lo"] % B
-        return out.drop_duplicates()
-
     n_blocks = max(8, n_buckets // 4)
-    und = (edges.map_batches(_hash_und, batch_format="pandas")
+    und = (edges.map_batches(lambda df: _und_edge_batch(df, B),
+                             batch_format="pandas")
            .groupby("lb").map_groups(
                lambda g: g[["lo", "hi"]].drop_duplicates(),
                batch_format="pandas")
@@ -378,11 +396,7 @@ def triangle_count(edges: rd.Dataset, n_buckets: int = 64,
 
         from .dedup_docs import _cached_get
         def _deg_partial(df: pd.DataFrame) -> pd.DataFrame:
-            n = np.concatenate([df["lo"].to_numpy(dtype="int64"),
-                                df["hi"].to_numpy(dtype="int64")])
-            out = (pd.DataFrame({"h": n}).groupby("h", as_index=False)
-                   .size().rename(columns={"size": "dpart"}))
-            return out
+            return _deg_partial_batch(df, B)
 
         # driver pull bounded at per-block-distinct-nodes ≤ N rows per
         # block (the same combiner shape as the node probe) — never
@@ -414,12 +428,7 @@ def triangle_count(edges: rd.Dataset, n_buckets: int = 64,
                                    batch_size=None)
     else:
         def _deg_rows(df: pd.DataFrame) -> pd.DataFrame:
-            n = np.concatenate([df["lo"].to_numpy(dtype="int64"),
-                                df["hi"].to_numpy(dtype="int64")])
-            out = (pd.DataFrame({"h": n}).groupby("h", as_index=False)
-                   .size().rename(columns={"size": "dpart"}))
-            out["nb"] = out["h"] % B
-            return out
+            return _deg_partial_batch(df, B)
 
         # MATERIALIZED: deg_ds is consumed by BOTH joins, and
         # re-executing a shared lazy groupby lineage after a driver
@@ -550,26 +559,14 @@ def degree_histogram(edges: rd.Dataset,
     """
     B = np.int64(n_buckets)
 
-    def _hash_und(df: pd.DataFrame) -> pd.DataFrame:
-        hs, hd = _h15(df["s"]), _h15(df["d"])
-        lo, hi = np.minimum(hs, hd), np.maximum(hs, hd)
-        keep = lo != hi
-        out = pd.DataFrame({"lo": lo[keep], "hi": hi[keep]})
-        out["lb"] = out["lo"] % B
-        return out.drop_duplicates()
-
-    und = (edges.map_batches(_hash_und, batch_format="pandas")
+    und = (edges.map_batches(lambda df: _und_edge_batch(df, B),
+                             batch_format="pandas")
            .groupby("lb").map_groups(
                lambda g: g[["lo", "hi"]].drop_duplicates(),
                batch_format="pandas"))
 
     def _endpoint_rows(df: pd.DataFrame) -> pd.DataFrame:
-        n = np.concatenate([df["lo"].to_numpy(dtype="int64"),
-                            df["hi"].to_numpy(dtype="int64")])
-        out = (pd.DataFrame({"h": n}).groupby("h", as_index=False)
-               .size().rename(columns={"size": "dpart"}))
-        out["nb"] = out["h"] % B
-        return out
+        return _deg_partial_batch(df, B)
 
     def _hist_partial(g: pd.DataFrame) -> pd.DataFrame:
         d = g.groupby("h")["dpart"].sum()
@@ -708,12 +705,7 @@ def kcore_nodes(edges: rd.Dataset, k: int = 2, n_buckets: int = 64,
     i64 = pa.int64()
 
     def _deg_rows(df: pd.DataFrame) -> pd.DataFrame:
-        n = np.concatenate([df["lo"].to_numpy(dtype="int64"),
-                            df["hi"].to_numpy(dtype="int64")])
-        out = (pd.DataFrame({"h": n}).groupby("h", as_index=False)
-               .size().rename(columns={"size": "dpart"}))
-        out["nb"] = out["h"] % B
-        return out
+        return _deg_partial_batch(df, B)
 
     def _alive_of(e: rd.Dataset) -> rd.Dataset:
         return (e.map_batches(_deg_rows, batch_format="pandas")
@@ -724,9 +716,13 @@ def kcore_nodes(edges: rd.Dataset, k: int = 2, n_buckets: int = 64,
                 .repartition(n_blocks)).materialize()
 
     live = und
-    alive = _alive_of(live)
+    alive = _alive_of(live)  # this IS peel round 1 (oracle a1)
     n_alive = alive.count()
-    for _ in range(max_rounds):
+    # max_rounds - 1 further rounds so BOTH paths and the oracle stop
+    # at exactly a_{max_rounds} when the peel hasn't converged
+    # (idempotent past the fixpoint, so converged graphs are
+    # unaffected)
+    for _ in range(max_rounds - 1):
         live = hash_join(
             live, alive.map_batches(
                 lambda df: df.rename(columns={"h": "lo"}),

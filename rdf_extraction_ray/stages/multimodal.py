@@ -141,10 +141,13 @@ def media_exact_dedup(media, n_buckets: int = 32):
     def _partial(t: pa.Table) -> pa.Table:
         ids = t.column("media_id").cast(pa.int64()) \
             .to_numpy(zero_copy_only=False)
-        ph = [hashlib.md5(p.hex().encode()).hexdigest()
+        # NULL payloads group under a NULL key, matching the oracle's
+        # md5(lower(hex(NULL))) = NULL (dropna=False keeps the group)
+        ph = [None if p is None
+              else hashlib.md5(p.hex().encode()).hexdigest()
               for p in t.column("payload").to_pylist()]
         g = (pd.DataFrame({"ph": ph, "media_id": ids})
-             .groupby("ph", as_index=False)
+             .groupby("ph", as_index=False, dropna=False)
              .agg(keep_id=("media_id", "min"),
                   n_dups=("media_id", "size")))
         g["pb"] = (pd.util.hash_pandas_object(g["ph"], index=False)
@@ -152,7 +155,7 @@ def media_exact_dedup(media, n_buckets: int = 32):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     def _merge(g: pd.DataFrame) -> pd.DataFrame:
-        out = (g.groupby("ph", as_index=False)
+        out = (g.groupby("ph", as_index=False, dropna=False)
                .agg(keep_id=("keep_id", "min"),
                     n_dups=("n_dups", "sum")))
         return out.astype({"keep_id": "int64", "n_dups": "int64"})

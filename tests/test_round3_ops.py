@@ -598,3 +598,51 @@ class TestMediaDedup:
                .sort_values("keep_id", ignore_index=True))
         assert out["keep_id"].tolist() == [1, 9]
         assert out["n_dups"].tolist() == [3, 1]
+
+
+class TestKGComponentsSelfLoop:
+    def test_self_loop_only_node_is_its_own_component(self, tmp_path,
+                                                      monkeypatch):
+        """A node whose ONLY URI edge is a self-loop must appear as
+        its own component (the oracle's `UNION SELECT a, a` keeps it);
+        the contraction drops self-loop edges, so the resolve step
+        must emit it from its name row alone."""
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import __ray_entry__ as E
+        t = pa.table({
+            "subj": ["n:a", "n:b", "n:loner", "n:c"],
+            "pred": ["p"] * 4,
+            "obj": ["n:b", "n:c", "n:loner", "n:a"],
+            "obj_kind": ["uri"] * 4})
+        pq.write_table(t, tmp_path / "triples.parquet")
+        monkeypatch.setattr(
+            E, "_triples_view",
+            lambda sf_dir: rd.read_parquet(str(tmp_path)))
+        got = E.queries()["kg_components"]("ignored")
+        want = duckdb.sql(E._kg_components_sql(
+            str(tmp_path / "triples.parquet"))).df()
+        assert got["node"].tolist() == want["node"].tolist()
+        assert got["component"].tolist() == want["component"].tolist()
+        # the loner is present and alone
+        loner = got[got["node"] == "n:loner"]
+        assert len(loner) == 1
+        assert (got["component"] == loner["component"].iloc[0]).sum() == 1
+
+
+class TestMediaDedupNullPayload:
+    def test_null_payloads_group_under_null_key(self):
+        import pyarrow as pa
+
+        from rdf_extraction_ray.stages.multimodal import media_exact_dedup
+        t = pa.table({"media_id": pa.array([5, 2, 8], pa.int64()),
+                      "payload": pa.array([None, b"zz", None],
+                                          pa.binary())})
+        out = (media_exact_dedup(rd.from_arrow(t)).to_pandas()
+               .sort_values("keep_id", ignore_index=True))
+        # NULL payloads form one group (oracle: md5(hex(NULL)) = NULL)
+        assert out["keep_id"].tolist() == [2, 5]
+        assert out["n_dups"].tolist() == [1, 2]
+        assert out.loc[1, "ph"] is None or pd.isna(out.loc[1, "ph"])
