@@ -92,10 +92,32 @@ def pagerank_int(edges: rd.Dataset, n_iter: int = 5,
 
     B = np.int64(n_buckets)
 
-    def _hash_edges(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({"hs": _h15(df["s"]), "hd": _h15(df["d"])})
+    def _scan(df: pd.DataFrame) -> pd.DataFrame:
+        # ONE md5 pass per row occurrence: the same batch emits both
+        # the int64 edge rows and the (hash, node-string) map rows —
+        # node strings are never hashed a second time (the kcore /
+        # components single-scan pattern)
+        hs, hd = _h15(df["s"]), _h15(df["d"])
+        e = pd.DataFrame({"hs": hs, "hd": hd}).drop_duplicates()
+        e["node"] = ""
+        e["kind"] = np.int64(0)
+        n = pd.DataFrame({
+            "hs": np.concatenate([hs, hd]),
+            "hd": np.int64(0),
+            "node": pd.concat([df["s"], df["d"]],
+                              ignore_index=True).astype(str),
+            "kind": np.int64(1)}).drop_duplicates("node")
+        return pd.concat([e, n], ignore_index=True)
+
+    base = edges.map_batches(_scan, batch_format="pandas") \
+        .materialize()
+
+    def _edge_rows(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[df["kind"] == 0]
+        out = pd.DataFrame({"hs": g["hs"].astype("int64"),
+                            "hd": g["hd"].astype("int64")})
         out["sb"] = out["hs"] % B
-        return out.drop_duplicates()
+        return out
 
     def _dedup_deg(g: pd.DataFrame) -> pd.DataFrame:
         e = g[["hs", "hd"]].drop_duplicates()
@@ -105,11 +127,6 @@ def pagerank_int(edges: rd.Dataset, n_iter: int = 5,
             "dg": dg.to_numpy(dtype="int64"), "r": np.int64(0),
             "sb": e["hs"] % B})
 
-    # the edge view is consumed by two lineages (hashed edges + the
-    # node-string map); pin it so the upstream scan runs ONCE —
-    # O(edges) object-store rows, spill-backed
-    edges = edges.materialize()
-
     # ONE setup exchange: distinct edges + out-degrees, co-grouped by
     # source bucket (a source's edges all land in its bucket, so the
     # group-local degree is the global one). Ray's sort-based groupby
@@ -117,22 +134,21 @@ def pagerank_int(edges: rd.Dataset, n_iter: int = 5,
     # blocks whose per-task launch overhead would dominate every
     # downstream pass — so pin the block count.
     n_blocks = max(8, n_buckets // 4)
-    ed = (edges.map_batches(_hash_edges, batch_format="pandas")
+    ed = (base.map_batches(_edge_rows, batch_format="pandas")
           .groupby("sb").map_groups(_dedup_deg, batch_format="pandas")
           .repartition(n_blocks)).materialize()
 
     # distinct (h, node-string) map — restores URIs on the way out
     # (LAZY: the broadcast path only consumes it in the final output
     # stage, off the iteration critical path)
-    def _node_rows(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({
-            "node": pd.concat([df["s"], df["d"]], ignore_index=True)
-            .astype(str)}).drop_duplicates()
-        out["h"] = _h15(out["node"])
+    def _map_rows(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[df["kind"] == 1]
+        out = pd.DataFrame({"h": g["hs"].astype("int64"),
+                            "node": g["node"].astype(str)})
         out["nb"] = out["h"] % B
         return out
 
-    nodes = (edges.map_batches(_node_rows, batch_format="pandas")
+    nodes = (base.map_batches(_map_rows, batch_format="pandas")
              .groupby("nb").map_groups(
                  lambda g: g[["h", "node"]].drop_duplicates("h"),
                  batch_format="pandas").repartition(n_blocks))
