@@ -646,3 +646,22 @@ class TestMediaDedupNullPayload:
         assert out["keep_id"].tolist() == [2, 5]
         assert out["n_dups"].tolist() == [1, 2]
         assert out.loc[1, "ph"] is None or pd.isna(out.loc[1, "ph"])
+
+
+class TestKCoreRoundParity:
+    def test_unconverged_peel_caps_identically_on_both_paths(self):
+        """A 60-node pendant chain needs ~30 peel rounds to dissolve;
+        with max_rounds=6 BOTH paths must stop at exactly a6 (the
+        oracle's unrolled depth) — the exchange path used to run one
+        extra round."""
+        from rdf_extraction_ray.stages.graph import kcore_nodes
+        n = 60
+        df = pd.DataFrame({"s": [f"c{i:02d}" for i in range(n - 1)],
+                           "d": [f"c{i + 1:02d}" for i in range(n - 1)]})
+        b = kcore_nodes(rd.from_pandas(df), k=2, max_rounds=6) \
+            .to_pandas()
+        e = kcore_nodes(rd.from_pandas(df), k=2, max_rounds=6,
+                        broadcast_max_nodes=0).to_pandas()
+        assert sorted(b["node"]) == sorted(e["node"])
+        # after 6 rounds the chain has lost exactly 6 nodes per end
+        assert len(b) == n - 12
