@@ -2153,18 +2153,10 @@ def _q_kg_components(sf_dir: str):
     B = np.int64(64)
 
     def _scan(df: pd.DataFrame) -> pd.DataFrame:
+        from rdf_extraction_ray.stages.graph import tagged_graph_scan
         g = df[df["obj_kind"] == "uri"]
-        hs, hd = _h15(g["subj"]), _h15(g["obj"])
-        e = pd.DataFrame({"a": hs, "b": hd}).drop_duplicates()
-        e["node"] = ""
-        e["kind"] = np.int64(0)
-        n = pd.DataFrame({
-            "a": np.concatenate([hs, hd]),
-            "b": np.int64(0),
-            "node": pd.concat([g["subj"], g["obj"]],
-                              ignore_index=True).astype(str),
-            "kind": np.int64(1)}).drop_duplicates("node")
-        return pd.concat([e, n], ignore_index=True)
+        return tagged_graph_scan(pd.DataFrame({"s": g["subj"],
+                                               "d": g["obj"]}))
 
     base = tr.map_batches(_scan, batch_format="pandas").materialize()
     edges = base.map_batches(

@@ -55,6 +55,34 @@ def _h15(s: pd.Series) -> np.ndarray:
         dtype=np.int64, count=len(s))
 
 
+def tagged_graph_scan(df: pd.DataFrame,
+                      undirected: bool = False) -> pd.DataFrame:
+    """ONE md5 pass per row occurrence over an (s, d) string-edge
+    batch: emits kind-0 int64 edge rows (a, b) — (lo, hi) canonical
+    with self-loops dropped when ``undirected`` — and kind-1
+    (a=node-hash, node=string) map rows, so node strings are never
+    hashed a second time. Shared by pagerank, k-core and the
+    connected-components query; consumers project and bucket their
+    own views of the tagged union."""
+    hs, hd = _h15(df["s"]), _h15(df["d"])
+    if undirected:
+        lo, hi = np.minimum(hs, hd), np.maximum(hs, hd)
+        keep = lo != hi
+        e = pd.DataFrame({"a": lo[keep],
+                          "b": hi[keep]}).drop_duplicates()
+    else:
+        e = pd.DataFrame({"a": hs, "b": hd}).drop_duplicates()
+    e["node"] = ""
+    e["kind"] = np.int64(0)
+    n = pd.DataFrame({
+        "a": np.concatenate([hs, hd]),
+        "b": np.int64(0),
+        "node": pd.concat([df["s"], df["d"]],
+                          ignore_index=True).astype(str),
+        "kind": np.int64(1)}).drop_duplicates("node")
+    return pd.concat([e, n], ignore_index=True)
+
+
 def pagerank_int(edges: rd.Dataset, n_iter: int = 5,
                  scale: int = SCALE, n_buckets: int = 64,
                  broadcast_max_nodes: int = 4_000_000) -> rd.Dataset:
@@ -92,30 +120,14 @@ def pagerank_int(edges: rd.Dataset, n_iter: int = 5,
 
     B = np.int64(n_buckets)
 
-    def _scan(df: pd.DataFrame) -> pd.DataFrame:
-        # ONE md5 pass per row occurrence: the same batch emits both
-        # the int64 edge rows and the (hash, node-string) map rows —
-        # node strings are never hashed a second time (the kcore /
-        # components single-scan pattern)
-        hs, hd = _h15(df["s"]), _h15(df["d"])
-        e = pd.DataFrame({"hs": hs, "hd": hd}).drop_duplicates()
-        e["node"] = ""
-        e["kind"] = np.int64(0)
-        n = pd.DataFrame({
-            "hs": np.concatenate([hs, hd]),
-            "hd": np.int64(0),
-            "node": pd.concat([df["s"], df["d"]],
-                              ignore_index=True).astype(str),
-            "kind": np.int64(1)}).drop_duplicates("node")
-        return pd.concat([e, n], ignore_index=True)
-
-    base = edges.map_batches(_scan, batch_format="pandas") \
-        .materialize()
+    scan_ds = edges.map_batches(
+        lambda df: tagged_graph_scan(df),
+        batch_format="pandas").materialize()
 
     def _edge_rows(df: pd.DataFrame) -> pd.DataFrame:
         g = df[df["kind"] == 0]
-        out = pd.DataFrame({"hs": g["hs"].astype("int64"),
-                            "hd": g["hd"].astype("int64")})
+        out = pd.DataFrame({"hs": g["a"].astype("int64"),
+                            "hd": g["b"].astype("int64")})
         out["sb"] = out["hs"] % B
         return out
 
@@ -134,7 +146,7 @@ def pagerank_int(edges: rd.Dataset, n_iter: int = 5,
     # blocks whose per-task launch overhead would dominate every
     # downstream pass — so pin the block count.
     n_blocks = max(8, n_buckets // 4)
-    ed = (base.map_batches(_edge_rows, batch_format="pandas")
+    ed = (scan_ds.map_batches(_edge_rows, batch_format="pandas")
           .groupby("sb").map_groups(_dedup_deg, batch_format="pandas")
           .repartition(n_blocks)).materialize()
 
@@ -143,12 +155,12 @@ def pagerank_int(edges: rd.Dataset, n_iter: int = 5,
     # stage, off the iteration critical path)
     def _map_rows(df: pd.DataFrame) -> pd.DataFrame:
         g = df[df["kind"] == 1]
-        out = pd.DataFrame({"h": g["hs"].astype("int64"),
+        out = pd.DataFrame({"h": g["a"].astype("int64"),
                             "node": g["node"].astype(str)})
         out["nb"] = out["h"] % B
         return out
 
-    nodes = (base.map_batches(_map_rows, batch_format="pandas")
+    nodes = (scan_ds.map_batches(_map_rows, batch_format="pandas")
              .groupby("nb").map_groups(
                  lambda g: g[["h", "node"]].drop_duplicates("h"),
                  batch_format="pandas").repartition(n_blocks))
@@ -412,7 +424,9 @@ def triangle_count(edges: rd.Dataset, n_buckets: int = 64,
 
         from .dedup_docs import _cached_get
         def _deg_partial(df: pd.DataFrame) -> pd.DataFrame:
-            return _deg_partial_batch(df, B)
+            # the driver sum reads (h, dpart) only; don't ship the
+            # exchange path's bucket column
+            return _deg_partial_batch(df, B).drop(columns=["nb"])
 
         # driver pull bounded at per-block-distinct-nodes ≤ N rows per
         # block (the same combiner shape as the node probe) — never
@@ -635,33 +649,17 @@ def kcore_nodes(edges: rd.Dataset, k: int = 2, n_buckets: int = 64,
     B = np.int64(n_buckets)
     out_schema = pa.schema([("node", pa.string())])
 
-    def _scan(df: pd.DataFrame) -> pd.DataFrame:
-        # ONE md5 pass per row occurrence: the same batch emits both
-        # the int64 edge rows and the (hash, node-string) map rows —
-        # node strings are never hashed a second time
-        hs, hd = _h15(df["s"]), _h15(df["d"])
-        lo, hi = np.minimum(hs, hd), np.maximum(hs, hd)
-        keep = lo != hi
-        e = pd.DataFrame({"lo": lo[keep],
-                          "hi": hi[keep]}).drop_duplicates()
-        e["node"] = ""
-        e["kind"] = np.int64(0)
-        n = pd.DataFrame({
-            "lo": np.concatenate([hs, hd]),
-            "hi": np.int64(0),
-            "node": pd.concat([df["s"], df["d"]],
-                              ignore_index=True).astype(str),
-            "kind": np.int64(1)}).drop_duplicates("node")
-        return pd.concat([e, n], ignore_index=True)
-
+    max_rounds = max(1, max_rounds)  # the exchange path's pre-loop
+    # degree pass is always round 1; <1 would desync the two paths
     n_blocks = max(8, n_buckets // 4)
-    base = edges.map_batches(_scan, batch_format="pandas") \
-        .materialize()
+    base = edges.map_batches(
+        lambda df: tagged_graph_scan(df, undirected=True),
+        batch_format="pandas").materialize()
 
     def _und_rows(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.loc[df["kind"] == 0, ["lo", "hi"]]
-        out = pd.DataFrame({"lo": g["lo"].astype("int64"),
-                            "hi": g["hi"].astype("int64")})
+        g = df.loc[df["kind"] == 0, ["a", "b"]]
+        out = pd.DataFrame({"lo": g["a"].astype("int64"),
+                            "hi": g["b"].astype("int64")})
         out["lb"] = out["lo"] % B
         return out
 
@@ -702,7 +700,7 @@ def kcore_nodes(edges: rd.Dataset, k: int = 2, n_buckets: int = 64,
             # the dedup exchange — only core members' strings move
             core = _cached_get(a_ref)
             g = df[df["kind"] == 1]
-            h = g["lo"].to_numpy(dtype="int64")
+            h = g["a"].to_numpy(dtype="int64")
             idx = np.searchsorted(core, h)
             idx[idx == len(core)] = 0
             keep = core[idx] == h
@@ -764,7 +762,7 @@ def kcore_nodes(edges: rd.Dataset, k: int = 2, n_buckets: int = 64,
 
     def _map_rows(df: pd.DataFrame) -> pd.DataFrame:
         g = df[df["kind"] == 1]
-        out = pd.DataFrame({"h": g["lo"].astype("int64"),
+        out = pd.DataFrame({"h": g["a"].astype("int64"),
                             "node": g["node"].astype(str)})
         out["nb"] = out["h"] % B
         return out
