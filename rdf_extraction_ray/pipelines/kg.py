@@ -41,9 +41,41 @@ from ..stages.template import build_triples
 
 
 def read_turns(path: str) -> rd.Dataset:
-    """Read the transcript table, pruning to the needed columns."""
+    """Read the transcript table, pruning to the needed columns.
+
+    Blocks are sized AT THE SOURCE (``override_num_blocks``) so the
+    assembly sort sees ~one block per core: the former
+    ``repartition(cpus)`` coalesce was a full extra all-to-all that
+    measured ~2.5-5 s at 3x sf0.1 / 32 CPUs. The count scales with
+    input bytes (bounded block size) and is clamped below at cluster
+    cores, so at 100 TB the sort partition count grows with data
+    instead of pinning 3 TB in one partition."""
     return rd.read_parquet(
-        path, columns=["conv_id", "turn_idx", "role", "text"])
+        path, columns=["conv_id", "turn_idx", "role", "text"],
+        override_num_blocks=_read_num_blocks(path))
+
+
+def _read_num_blocks(path: str) -> int | None:
+    """Block count for a transcript read: max(cluster cores,
+    est. in-memory bytes / target block size). None (Ray's default
+    splitting) when the path can't be stat'd."""
+    import os
+
+    from ray.data import DataContext
+    try:
+        if os.path.isdir(path):
+            total = sum(e.stat().st_size for e in os.scandir(path)
+                        if e.name.endswith(".parquet"))
+        else:
+            total = os.stat(path).st_size
+    except OSError:
+        return None
+    if total <= 0:
+        return None
+    target = int(DataContext.get_current().target_max_block_size
+                 or (128 << 20))
+    # ~4x parquet->Arrow expansion for short-string transcript tables
+    return max(_cluster_cpus(), -(-total * 4 // target))
 
 
 def _cluster_cpus(default: int = 32) -> int:
@@ -61,13 +93,12 @@ def extract_facts(turns: rd.Dataset) -> rd.Dataset:
     """
     # batch_size=None → one batch per block: full-block vectorization
     # without coalescing blocks away from idle cores (a fixed 32k batch
-    # halved task parallelism at 32 CPUs on ~8k-row blocks)
+    # halved task parallelism at 32 CPUs on ~8k-row blocks). Blocks are
+    # already core-sized by read_turns (override_num_blocks), so no
+    # repartition: fact rows flow straight into the sort, whose
+    # partition count follows the input blocking.
     cands = turns.map_batches(detect_facts, batch_format="pyarrow",
                               batch_size=None)
-    # fact rows are ~1-5% of input bytes: coalescing them to ~1 block
-    # per core before the sort exchange cuts the shuffle's fixed
-    # per-partition overhead ~2.5x (72→32 partitions measured 2.2s→0.9s)
-    cands = cands.repartition(_cluster_cpus())
     return cands.groupby("bucket").map_groups(
         finalize_bucket, batch_format="pandas")
 
@@ -256,7 +287,6 @@ def _assembled(turns: rd.Dataset,
     choice), applied to skew routing."""
     cands = turns.map_batches(detect_facts, batch_format="pyarrow",
                               batch_size=None)
-    cands = cands.repartition(_cluster_cpus())
     if salt_threshold is not None:
         cached = _probe_cache_load(stats_key)
         # a verdict is only valid for the threshold it was probed
