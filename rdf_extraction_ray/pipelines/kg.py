@@ -58,10 +58,15 @@ def read_turns(path: str) -> rd.Dataset:
 def _read_num_blocks(path: str) -> int | None:
     """Block count for a transcript read: max(cluster cores,
     est. in-memory bytes / target block size). None (Ray's default
-    splitting) when the path can't be stat'd."""
+    splitting) when the path can't be stat'd. ``RDF_READ_BLOCKS``
+    overrides (ops tuning knob; the assembly sort's reducer count
+    follows this blocking)."""
     import os
 
     from ray.data import DataContext
+    env = os.environ.get("RDF_READ_BLOCKS")
+    if env:
+        return max(1, int(env))
     try:
         if os.path.isdir(path):
             total = sum(e.stat().st_size for e in os.scandir(path)
