@@ -202,7 +202,11 @@ def run_scaling() -> None:
         return best
 
     ran_any = [False]
-    lo, hi = 8, 32
+    # Default legs 8→32; GRAFT_SCALING_LO/HI pick a different N→4N
+    # pairing (e.g. 4→16 measures the same criterion away from the
+    # single-socket memory-bandwidth saturation the 32-core leg hits).
+    lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALING_HI", "32"))
     r_lo = best_of(lo)
     r_hi = best_of(hi)
     tput_lo = r_lo["turns_per_sec"]
