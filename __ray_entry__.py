@@ -1079,12 +1079,24 @@ FROM dedup WHERE rn = 1
 
 def _linked_view(sf_dir: str):
     import ray.data as rd
-    return rd.read_parquet(os.path.join(_kg_views(sf_dir), "linked_facts"))
+    from rdf_extraction_ray.pipelines.kg import _read_num_blocks
+    path = os.path.join(_kg_views(sf_dir), "linked_facts")
+    return rd.read_parquet(path,
+                           override_num_blocks=_read_num_blocks(path))
 
 
 def _triples_view(sf_dir: str):
+    """Cached triples parquet, block count sized like the transcript
+    read (max(cores, bytes/target)) rather than Ray's per-file
+    default: the KG-graph queries chain hash-bucket exchanges off
+    this read, and a pull-based sort's cost grows with input-block
+    count squared (224 inherited blocks measured 4.6 s for a 1.4M-row
+    int64 exchange vs 1.1 s at 32 blocks)."""
     import ray.data as rd
-    return rd.read_parquet(os.path.join(_kg_views(sf_dir), "triples"))
+    from rdf_extraction_ray.pipelines.kg import _read_num_blocks
+    path = os.path.join(_kg_views(sf_dir), "triples")
+    return rd.read_parquet(path,
+                           override_num_blocks=_read_num_blocks(path))
 
 
 def _q_kg_link_histogram(sf_dir: str):
