@@ -1099,6 +1099,121 @@ def _triples_view(sf_dir: str):
                            override_num_blocks=_read_num_blocks(path))
 
 
+_KG_GRAPH_VERSION = 1
+
+
+def _graph_view_read(gv: str, name: str):
+    import ray.data as rd
+
+    from rdf_extraction_ray.pipelines.kg import _read_num_blocks
+    p = os.path.join(gv, name)
+    return rd.read_parquet(p, override_num_blocks=_read_num_blocks(p))
+
+
+def _kg_graph_views(sf_dir: str) -> str:
+    """Materialized int64 GRAPH PROJECTION of the KG triples, cached
+    beside the triples view: ``nodes/`` (distinct (h, node), min(node)
+    per md5-15 hash — the oracle collision tie-break), ``edges_deg/``
+    (distinct directed (hs, hd) with source out-degree, self-loops
+    kept — pagerank semantics) and ``edges_und/`` (distinct canonical
+    (lo, hi), self-loops dropped). Built with ONE string scan + three
+    int64 exchanges, paid once per corpus; every KG-graph query
+    (pagerank, components, k-core, degree stats, triangles) then
+    consumes int64 edges directly instead of re-hashing the URI
+    strings and re-deduping the edge set per query — at 100 TB the
+    graph projection is the materialization you'd build exactly once
+    next to the triples themselves."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rdf_extraction_ray.stages.graph import tagged_graph_scan
+    tr = _triples_view(sf_dir)
+    # cache key = fingerprint of the triples view's actual input
+    # files (path, size, mtime): a regenerated or substituted triples
+    # source (tests monkeypatch _triples_view) invalidates the cache
+    sig = hashlib.md5()
+    for f in sorted(tr.input_files()):
+        st = os.stat(f)
+        sig.update(f"{f}:{st.st_size}:{st.st_mtime_ns}".encode())
+    path = (f"/tmp/rdf_extraction_ray/kggraph_v{_KG_GRAPH_VERSION}"
+            f"_{sig.hexdigest()[:16]}")
+    if os.path.exists(path):
+        return path
+    tmp = f"{path}.tmp.{os.getpid()}"
+    B = np.int64(64)
+
+    def _scan(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[df["obj_kind"] == "uri"]
+        return tagged_graph_scan(pd.DataFrame({"s": g["subj"],
+                                               "d": g["obj"]}))
+
+    base = tr.map_batches(_scan, batch_format="pandas").materialize()
+
+    def _node_rows(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[df["kind"] == 1]
+        h = g["a"].astype("int64")
+        return pd.DataFrame({"h": h, "node": g["node"].astype(str),
+                             "nb": h % B})
+
+    (base.map_batches(_node_rows, batch_format="pandas")
+     .groupby("nb").map_groups(
+         lambda g: g.groupby("h", as_index=False)["node"].min(),
+         batch_format="pandas")
+     .write_parquet(os.path.join(tmp, "nodes")))
+
+    def _edge_rows(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[df["kind"] == 0]
+        hs = g["a"].astype("int64")
+        return pd.DataFrame({"hs": hs, "hd": g["b"].astype("int64"),
+                             "sb": hs % B})
+
+    def _dedup_deg(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[["hs", "hd"]].drop_duplicates()
+        dg = e.groupby("hs")["hd"].transform("size")
+        return pd.DataFrame({"hs": e["hs"], "hd": e["hd"],
+                             "dg": dg.to_numpy(dtype="int64")})
+
+    deg = (base.map_batches(_edge_rows, batch_format="pandas")
+           .groupby("sb").map_groups(_dedup_deg,
+                                     batch_format="pandas")).materialize()
+    deg.write_parquet(os.path.join(tmp, "edges_deg"))
+
+    def _canon(df: pd.DataFrame) -> pd.DataFrame:
+        hs = df["hs"].to_numpy(dtype="int64")
+        hd = df["hd"].to_numpy(dtype="int64")
+        lo, hi = np.minimum(hs, hd), np.maximum(hs, hd)
+        keep = lo != hi
+        out = pd.DataFrame({"lo": lo[keep], "hi": hi[keep]})
+        out["lb"] = out["lo"] % B
+        return out.drop_duplicates()
+
+    (deg.map_batches(_canon, batch_format="pandas")
+     .groupby("lb").map_groups(
+         lambda g: g[["lo", "hi"]].drop_duplicates(),
+         batch_format="pandas")
+     .write_parquet(os.path.join(tmp, "edges_und")))
+
+    # an edge-less corpus writes no files; pin each view's schema so
+    # read_parquet on the published dir never sees an empty directory
+    for name, schema in (
+            ("nodes", pa.schema([("h", pa.int64()),
+                                 ("node", pa.string())])),
+            ("edges_deg", pa.schema([("hs", pa.int64()),
+                                     ("hd", pa.int64()),
+                                     ("dg", pa.int64())])),
+            ("edges_und", pa.schema([("lo", pa.int64()),
+                                     ("hi", pa.int64())]))):
+        d = os.path.join(tmp, name)
+        os.makedirs(d, exist_ok=True)
+        if not any(f.endswith(".parquet") for f in os.listdir(d)):
+            pq.write_table(schema.empty_table(),
+                           os.path.join(d, "empty.parquet"))
+    _publish_dir(tmp, path)
+    return path
+
+
 def _q_kg_link_histogram(sf_dir: str):
     """Link-status histogram over linked facts (hit/fuzzy/miss per slot)
     — the reference's mapping-failure counters as a distributed
@@ -2150,68 +2265,90 @@ def _q_docs_source_overlap(sf_dir: str):
 
 def _q_kg_components(sf_dir: str):
     """Connected components of the KG's URI-object edge graph
-    (undirected): node URIs hash ONCE per row occurrence in a single
-    scan (the same pass emits both the int64 edge rows and the
-    (hash, node-string) map rows), the contraction rounds label every
-    node with its component's minimum hash, and strings resolve in
-    ONE hash-bucket exchange — component rows and node rows union
-    into the same groupby, so no separate node-dedup exchange and no
-    join exchange. The SQL oracle unrolls min-label propagation +
-    pointer jumping as chained CTEs (same canonical fixpoint)."""
+    (undirected): consumes the cached graph-projection views (distinct
+    int64 (lo, hi) edges + distinct (h, node) map — see
+    :func:`_kg_graph_views`), contraction rounds label every node with
+    its component's minimum hash, and strings resolve with ZERO
+    exchanges: the (h → component) map is O(non-isolated nodes) int64
+    pairs, pulled to the driver under the graph family's shared
+    4M-node broadcast bound and applied as a searchsorted lookup over
+    the streaming nodes view (self-loop-only nodes have no component
+    row — contraction drops self-loops — and stay their own
+    component); past the bound it falls back to one hash-bucket
+    exchange. The SQL oracle unrolls min-label propagation + pointer
+    jumping as chained CTEs (same canonical fixpoint)."""
+    import ray
+
     from rdf_extraction_ray.stages.dedup_docs import (
-        connected_components_ds)
-    from rdf_extraction_ray.stages.graph import _h15
-    tr = _triples_view(sf_dir)
-    B = np.int64(64)
-
-    def _scan(df: pd.DataFrame) -> pd.DataFrame:
-        from rdf_extraction_ray.stages.graph import tagged_graph_scan
-        g = df[df["obj_kind"] == "uri"]
-        return tagged_graph_scan(pd.DataFrame({"s": g["subj"],
-                                               "d": g["obj"]}))
-
-    base = tr.map_batches(_scan, batch_format="pandas").materialize()
-    edges = base.map_batches(
-        lambda df: df.loc[df["kind"] == 0, ["a", "b"]],
+        _cached_get, connected_components_ds)
+    gv = _kg_graph_views(sf_dir)
+    nodes = _graph_view_read(gv, "nodes")
+    edges = _graph_view_read(gv, "edges_und").map_batches(
+        lambda df: df.rename(columns={"lo": "a", "hi": "b"}),
         batch_format="pandas")
-    comp = connected_components_ds(edges)
+    comp = connected_components_ds(edges).materialize()
 
-    def _comp_rows(df: pd.DataFrame) -> pd.DataFrame:
-        h = df["doc_id"].astype("int64")
-        return pd.DataFrame({"h": h,
-                             "component": df["component"].astype("int64"),
-                             "node": "", "kind": np.int64(0),
-                             "hb": h % B})
+    cap = 4_000_000
+    if comp.count() <= cap:
+        hs, cs = [], []
+        for b in comp.iter_batches(batch_format="numpy",
+                                   batch_size=None):
+            hs.append(np.asarray(b["doc_id"], dtype=np.int64))
+            cs.append(np.asarray(b["component"], dtype=np.int64))
+        H = np.concatenate(hs) if hs else np.empty(0, dtype=np.int64)
+        C = np.concatenate(cs) if cs else np.empty(0, dtype=np.int64)
+        order = np.argsort(H)
+        hc_ref = ray.put((H[order], C[order]))
 
-    def _node_rows(df: pd.DataFrame) -> pd.DataFrame:
-        g = df[df["kind"] == 1]
-        h = g["a"].astype("int64")
-        return pd.DataFrame({"h": h, "component": np.int64(0),
-                             "node": g["node"].astype(str),
-                             "kind": np.int64(1), "hb": h % B})
+        def _lookup(df: pd.DataFrame) -> pd.DataFrame:
+            hh, cc = _cached_get(hc_ref)
+            h = df["h"].to_numpy(dtype="int64")
+            if not len(hh):
+                return pd.DataFrame({"node": df["node"].astype(str),
+                                     "component": h})
+            idx = np.searchsorted(hh, h)
+            idx[idx == len(hh)] = 0
+            matched = hh[idx] == h
+            out = np.where(matched, cc[idx], h)
+            return pd.DataFrame({"node": df["node"].astype(str),
+                                 "component": out})
 
-    def _resolve(g: pd.DataFrame) -> pd.DataFrame:
-        c = g.loc[g["kind"] == 0, ["h", "component"]] \
-            .drop_duplicates("h")
-        # min(node) per hash mirrors the oracle's collision tie-break
-        n = (g[g["kind"] == 1].groupby("h", as_index=False)["node"]
-             .min())
-        # a self-loop-only node has a name row but no component row
-        # (contraction drops self-loops): it is its own component —
-        # the oracle's `UNION SELECT a, a FROM he` keeps it in l0.
-        # Split instead of left-merge+fillna: a merged int64 column
-        # with any NaN goes float64 and rounds >2^53 hashes.
-        has = n["h"].isin(c["h"])
-        inner = n[has].merge(c, on="h")
-        iso = n[~has].assign(component=lambda d: d["h"])
-        return pd.concat([inner[["node", "component"]],
-                          iso[["node", "component"]]],
-                         ignore_index=True)
+        res = nodes.map_batches(_lookup,
+                                batch_format="pandas").to_pandas()
+    else:  # exchange fallback: join map rows to the nodes view
+        B = np.int64(64)
 
-    out = (comp.map_batches(_comp_rows, batch_format="pandas")
-           .union(base.map_batches(_node_rows, batch_format="pandas"))
-           .groupby("hb").map_groups(_resolve, batch_format="pandas"))
-    res = out.to_pandas()
+        def _comp_rows(df: pd.DataFrame) -> pd.DataFrame:
+            h = df["doc_id"].astype("int64")
+            return pd.DataFrame({
+                "h": h, "component": df["component"].astype("int64"),
+                "node": "", "kind": np.int64(0), "hb": h % B})
+
+        def _node_rows(df: pd.DataFrame) -> pd.DataFrame:
+            h = df["h"].astype("int64")
+            return pd.DataFrame({"h": h, "component": np.int64(0),
+                                 "node": df["node"].astype(str),
+                                 "kind": np.int64(1), "hb": h % B})
+
+        def _resolve(g: pd.DataFrame) -> pd.DataFrame:
+            c = g.loc[g["kind"] == 0, ["h", "component"]] \
+                .drop_duplicates("h")
+            n = g.loc[g["kind"] == 1, ["h", "node"]]
+            # split instead of left-merge+fillna: a merged int64
+            # column with any NaN goes float64 and rounds >2^53
+            has = n["h"].isin(c["h"])
+            inner = n[has].merge(c, on="h")
+            iso = n[~has].assign(component=lambda d: d["h"])
+            return pd.concat([inner[["node", "component"]],
+                              iso[["node", "component"]]],
+                             ignore_index=True)
+
+        out = (comp.map_batches(_comp_rows, batch_format="pandas")
+               .union(nodes.map_batches(_node_rows,
+                                        batch_format="pandas"))
+               .groupby("hb").map_groups(_resolve,
+                                         batch_format="pandas"))
+        res = out.to_pandas()
     if "node" not in res.columns:  # empty corpus: typed empty
         return pd.DataFrame({"node": pd.Series(dtype=object),
                              "component": pd.Series(dtype="int64")})
@@ -2224,17 +2361,14 @@ def _q_kg_triangles(sf_dir: str):
     degree-ordered wedge closure (one apex per triangle): one
     bucket-exchange edge dedup, bounded-probe degrees broadcast, wedge
     emission inside src-bucket groups, closure in one int64 pair-key
-    exchange — only per-bucket scalar counts reach the driver."""
+    exchange — only per-bucket scalar counts reach the driver.
+    Consumes the cached graph-projection's distinct undirected edge
+    view (see :func:`_kg_graph_views`)."""
     from rdf_extraction_ray.stages.graph import triangle_count
-    tr = _triples_view(sf_dir)
-
-    def _edges(df: pd.DataFrame) -> pd.DataFrame:
-        g = df[df["obj_kind"] == "uri"]
-        return pd.DataFrame({"s": g["subj"], "d": g["obj"]})
-
-    edges = tr.map_batches(_edges, batch_format="pandas")
-    return _typed(triangle_count(edges), n_triangles="int64",
-                  n_wedges="int64", n_edges="int64")
+    gv = _kg_graph_views(sf_dir)
+    return _typed(
+        triangle_count(None, und_pre=_graph_view_read(gv, "edges_und")),
+        n_triangles="int64", n_wedges="int64", n_edges="int64")
 
 
 def _q_kg_degree_stats(sf_dir: str):
@@ -2242,17 +2376,15 @@ def _q_kg_degree_stats(sf_dir: str):
     per distinct degree with the node count at that degree. Edge dedup
     and per-node counting are hash-bucket exchanges; the per-degree
     histogram partial is combined inside the node-bucket group body,
-    so only (degree, partial) rows reach the driver."""
+    so only (degree, partial) rows reach the driver. Consumes the
+    cached graph-projection's distinct undirected edge view (see
+    :func:`_kg_graph_views`)."""
     from rdf_extraction_ray.stages.graph import degree_histogram
-    tr = _triples_view(sf_dir)
-
-    def _edges(df: pd.DataFrame) -> pd.DataFrame:
-        g = df[df["obj_kind"] == "uri"]
-        return pd.DataFrame({"s": g["subj"], "d": g["obj"]})
-
-    edges = tr.map_batches(_edges, batch_format="pandas")
-    return _typed(degree_histogram(edges), degree="int64",
-                  n_nodes="int64")
+    gv = _kg_graph_views(sf_dir)
+    return _typed(
+        degree_histogram(None,
+                         und_pre=_graph_view_read(gv, "edges_und")),
+        degree="int64", n_nodes="int64")
 
 
 def _q_kg_kcore(sf_dir: str):
@@ -2262,16 +2394,13 @@ def _q_kg_kcore(sf_dir: str):
     edge blocks with zero per-round exchanges; graphs past the
     threshold peel with per-round semi-join + degree exchanges. The
     SQL oracle unrolls the same monotone recurrence (extra rounds are
-    idempotent at the fixpoint)."""
+    idempotent at the fixpoint). Consumes the cached graph-projection
+    views (see :func:`_kg_graph_views`)."""
     from rdf_extraction_ray.stages.graph import kcore_nodes
-    tr = _triples_view(sf_dir)
-
-    def _edges(df: pd.DataFrame) -> pd.DataFrame:
-        g = df[df["obj_kind"] == "uri"]
-        return pd.DataFrame({"s": g["subj"], "d": g["obj"]})
-
-    edges = tr.map_batches(_edges, batch_format="pandas")
-    out = kcore_nodes(edges, k=2).to_pandas()
+    gv = _kg_graph_views(sf_dir)
+    out = kcore_nodes(None, k=2,
+                      und_pre=_graph_view_read(gv, "edges_und"),
+                      nodes_pre=_graph_view_read(gv, "nodes")).to_pandas()
     out = _typed(out, node=object)
     return out.sort_values("node", ignore_index=True)
 
@@ -3333,17 +3462,16 @@ def _q_kg_pagerank(sf_dir: str):
     fresh ranks) and one hash-bucket contribution sum; ranks live in
     the object store between rounds, bit-identical across cluster
     sizes, and the DuckDB oracle replays the whole power iteration as
-    chained CTEs."""
+    chained CTEs. Consumes the cached graph-projection views
+    (int64 edges + out-degrees, distinct node map) — see
+    :func:`_kg_graph_views`."""
     from rdf_extraction_ray.stages.graph import pagerank_int
-    tr = _triples_view(sf_dir)
-
-    def _edges(df: pd.DataFrame) -> pd.DataFrame:
-        g = df[df["obj_kind"] == "uri"]
-        return pd.DataFrame({"s": g["subj"], "d": g["obj"]})
-
-    edges = tr.map_batches(_edges, batch_format="pandas")
-    out = _typed(pagerank_int(edges, n_iter=3).to_pandas(),
-                 node=object, rank="int64")
+    gv = _kg_graph_views(sf_dir)
+    out = _typed(pagerank_int(
+        None, n_iter=3,
+        deg_pre=_graph_view_read(gv, "edges_deg"),
+        nodes_pre=_graph_view_read(gv, "nodes")).to_pandas(),
+        node=object, rank="int64")
     return out.sort_values("node", ignore_index=True)
 
 

@@ -59,6 +59,11 @@ def run_bench() -> dict:
     entrymod._works_paths(sf_dir)
     entrymod._titles_csv(sf_dir)
     entrymod._kg_views(sf_dir)
+    # the KG-graph family's materialized graph projection (int64
+    # edges + node map) — built once per corpus like the triples
+    # views themselves; per-query timings measure the algorithms,
+    # not repeated re-projection of the same graph
+    entrymod._kg_graph_views(sf_dir)
     if mult != 1:
         entrymod._turns_path(sf_dir, 1)  # used by per-query timings
     # warm the OS page cache with a REAL full read (Dataset.count()

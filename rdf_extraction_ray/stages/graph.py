@@ -83,9 +83,11 @@ def tagged_graph_scan(df: pd.DataFrame,
     return pd.concat([e, n], ignore_index=True)
 
 
-def pagerank_int(edges: rd.Dataset, n_iter: int = 5,
+def pagerank_int(edges: rd.Dataset | None, n_iter: int = 5,
                  scale: int = SCALE, n_buckets: int = 64,
-                 broadcast_max_nodes: int = 4_000_000) -> rd.Dataset:
+                 broadcast_max_nodes: int = 4_000_000,
+                 deg_pre: rd.Dataset | None = None,
+                 nodes_pre: rd.Dataset | None = None) -> rd.Dataset:
     """``n_iter`` rounds of integer fixed-point PageRank over an edge
     Dataset with string columns (s, d). Returns (node, rank) int64.
 
@@ -119,51 +121,71 @@ def pagerank_int(edges: rd.Dataset, n_iter: int = 5,
     from .joins import hash_join
 
     B = np.int64(n_buckets)
-
-    scan_ds = edges.map_batches(
-        lambda df: tagged_graph_scan(df),
-        batch_format="pandas").materialize()
-
-    def _edge_rows(df: pd.DataFrame) -> pd.DataFrame:
-        g = df[df["kind"] == 0]
-        out = pd.DataFrame({"hs": g["a"].astype("int64"),
-                            "hd": g["b"].astype("int64")})
-        out["sb"] = out["hs"] % B
-        return out
-
-    def _dedup_deg(g: pd.DataFrame) -> pd.DataFrame:
-        e = g[["hs", "hd"]].drop_duplicates()
-        dg = e.groupby("hs")["hd"].transform("size")
-        return pd.DataFrame({
-            "kind": np.int64(0), "hs": e["hs"], "hd": e["hd"],
-            "dg": dg.to_numpy(dtype="int64"), "r": np.int64(0),
-            "sb": e["hs"] % B})
-
-    # ONE setup exchange: distinct edges + out-degrees, co-grouped by
-    # source bucket (a source's edges all land in its bucket, so the
-    # group-local degree is the global one). Ray's sort-based groupby
-    # emits one output block per INPUT block — thousands of near-empty
-    # blocks whose per-task launch overhead would dominate every
-    # downstream pass — so pin the block count.
     n_blocks = max(8, n_buckets // 4)
-    ed = (scan_ds.map_batches(_edge_rows, batch_format="pandas")
-          .groupby("sb").map_groups(_dedup_deg, batch_format="pandas")
-          .repartition(n_blocks)).materialize()
 
-    # distinct (h, node-string) map — restores URIs on the way out
-    # (LAZY: the broadcast path only consumes it in the final output
-    # stage, off the iteration critical path)
-    def _map_rows(df: pd.DataFrame) -> pd.DataFrame:
-        g = df[df["kind"] == 1]
-        out = pd.DataFrame({"h": g["a"].astype("int64"),
-                            "node": g["node"].astype(str)})
-        out["nb"] = out["h"] % B
-        return out
+    if deg_pre is not None:
+        # pre-projected graph (cached (hs, hd, dg) + distinct
+        # (h, node) views): skip the string scan and the setup
+        # exchange — just decorate with the iteration's tag columns
+        # and pin the block count
+        assert nodes_pre is not None
+        def _ed_pre(df: pd.DataFrame) -> pd.DataFrame:
+            hs = df["hs"].astype("int64")
+            return pd.DataFrame({
+                "kind": np.int64(0), "hs": hs,
+                "hd": df["hd"].astype("int64"),
+                "dg": df["dg"].astype("int64"), "r": np.int64(0),
+                "sb": hs % B})
+        ed = (deg_pre.map_batches(_ed_pre, batch_format="pandas")
+              .repartition(n_blocks)).materialize()
+        nodes = nodes_pre
+    else:
+        scan_ds = edges.map_batches(
+            lambda df: tagged_graph_scan(df),
+            batch_format="pandas").materialize()
 
-    nodes = (scan_ds.map_batches(_map_rows, batch_format="pandas")
-             .groupby("nb").map_groups(
-                 lambda g: g[["h", "node"]].drop_duplicates("h"),
-                 batch_format="pandas").repartition(n_blocks))
+        def _edge_rows(df: pd.DataFrame) -> pd.DataFrame:
+            g = df[df["kind"] == 0]
+            out = pd.DataFrame({"hs": g["a"].astype("int64"),
+                                "hd": g["b"].astype("int64")})
+            out["sb"] = out["hs"] % B
+            return out
+
+        def _dedup_deg(g: pd.DataFrame) -> pd.DataFrame:
+            e = g[["hs", "hd"]].drop_duplicates()
+            dg = e.groupby("hs")["hd"].transform("size")
+            return pd.DataFrame({
+                "kind": np.int64(0), "hs": e["hs"], "hd": e["hd"],
+                "dg": dg.to_numpy(dtype="int64"), "r": np.int64(0),
+                "sb": e["hs"] % B})
+
+        # ONE setup exchange: distinct edges + out-degrees, co-grouped
+        # by source bucket (a source's edges all land in its bucket,
+        # so the group-local degree is the global one). Ray's
+        # sort-based groupby emits one output block per INPUT block —
+        # thousands of near-empty blocks whose per-task launch
+        # overhead would dominate every downstream pass — so pin the
+        # block count.
+        ed = (scan_ds.map_batches(_edge_rows, batch_format="pandas")
+              .groupby("sb").map_groups(_dedup_deg,
+                                        batch_format="pandas")
+              .repartition(n_blocks)).materialize()
+
+    if deg_pre is None:
+        # distinct (h, node-string) map — restores URIs on the way
+        # out (LAZY: the broadcast path only consumes it in the final
+        # output stage, off the iteration critical path)
+        def _map_rows(df: pd.DataFrame) -> pd.DataFrame:
+            g = df[df["kind"] == 1]
+            out = pd.DataFrame({"h": g["a"].astype("int64"),
+                                "node": g["node"].astype(str)})
+            out["nb"] = out["h"] % B
+            return out
+
+        nodes = (scan_ds.map_batches(_map_rows, batch_format="pandas")
+                 .groupby("nb").map_groups(
+                     lambda g: g[["h", "node"]].drop_duplicates("h"),
+                     batch_format="pandas").repartition(n_blocks))
 
     # every node is an endpoint of some deduped edge, so the distinct
     # node-hash set is derivable from ed's INT columns alone — probe
@@ -360,8 +382,9 @@ def _deg_partial_batch(df: pd.DataFrame, B: np.int64) -> pd.DataFrame:
     return out
 
 
-def triangle_count(edges: rd.Dataset, n_buckets: int = 64,
-                   broadcast_max_nodes: int = 4_000_000) -> pd.DataFrame:
+def triangle_count(edges: rd.Dataset | None, n_buckets: int = 64,
+                   broadcast_max_nodes: int = 4_000_000,
+                   und_pre: rd.Dataset | None = None) -> pd.DataFrame:
     """EXACT triangle count of the undirected simple graph induced by
     an (s, d) edge Dataset (parallel edges collapsed, self-loops
     dropped). Returns ONE row: (n_triangles, n_wedges, n_edges).
@@ -392,12 +415,17 @@ def triangle_count(edges: rd.Dataset, n_buckets: int = 64,
     B = np.int64(n_buckets)
 
     n_blocks = max(8, n_buckets // 4)
-    und = (edges.map_batches(lambda df: _und_edge_batch(df, B),
-                             batch_format="pandas")
-           .groupby("lb").map_groups(
-               lambda g: g[["lo", "hi"]].drop_duplicates(),
-               batch_format="pandas")
-           .repartition(n_blocks)).materialize()
+    if und_pre is not None:
+        # pre-projected view: globally-distinct (lo, hi) — the dedup
+        # exchange is already paid
+        und = und_pre.repartition(n_blocks).materialize()
+    else:
+        und = (edges.map_batches(lambda df: _und_edge_batch(df, B),
+                                 batch_format="pandas")
+               .groupby("lb").map_groups(
+                   lambda g: g[["lo", "hi"]].drop_duplicates(),
+                   batch_format="pandas")
+               .repartition(n_blocks)).materialize()
     n_edges = und.count()
     if not n_edges:
         return pd.DataFrame({"n_triangles": pd.array([0], dtype="int64"),
@@ -569,8 +597,9 @@ def triangle_count(edges: rd.Dataset, n_buckets: int = 64,
         "n_edges": pd.array([int(n_edges)], dtype="int64")})
 
 
-def degree_histogram(edges: rd.Dataset,
-                     n_buckets: int = 64) -> pd.DataFrame:
+def degree_histogram(edges: rd.Dataset | None,
+                     n_buckets: int = 64,
+                     und_pre: rd.Dataset | None = None) -> pd.DataFrame:
     """Degree distribution of the undirected simple graph induced by an
     (s, d) edge Dataset: one row per distinct degree value with the
     number of nodes having it. Returns (degree, n_nodes), degree-sorted.
@@ -589,11 +618,16 @@ def degree_histogram(edges: rd.Dataset,
     """
     B = np.int64(n_buckets)
 
-    und = (edges.map_batches(lambda df: _und_edge_batch(df, B),
-                             batch_format="pandas")
-           .groupby("lb").map_groups(
-               lambda g: g[["lo", "hi"]].drop_duplicates(),
-               batch_format="pandas"))
+    if und_pre is not None:
+        # pre-projected view: globally-distinct (lo, hi) — the dedup
+        # exchange is already paid
+        und = und_pre
+    else:
+        und = (edges.map_batches(lambda df: _und_edge_batch(df, B),
+                                 batch_format="pandas")
+               .groupby("lb").map_groups(
+                   lambda g: g[["lo", "hi"]].drop_duplicates(),
+                   batch_format="pandas"))
 
     def _endpoint_rows(df: pd.DataFrame) -> pd.DataFrame:
         return _deg_partial_batch(df, B)
@@ -617,9 +651,11 @@ def degree_histogram(edges: rd.Dataset,
     return out.astype({"degree": "int64", "n_nodes": "int64"})
 
 
-def kcore_nodes(edges: rd.Dataset, k: int = 2, n_buckets: int = 64,
-                max_rounds: int = 24,
-                broadcast_max_nodes: int = 4_000_000) -> rd.Dataset:
+def kcore_nodes(edges: rd.Dataset | None, k: int = 2,
+                n_buckets: int = 64, max_rounds: int = 24,
+                broadcast_max_nodes: int = 4_000_000,
+                und_pre: rd.Dataset | None = None,
+                nodes_pre: rd.Dataset | None = None) -> rd.Dataset:
     """Nodes of the k-CORE of the undirected simple graph induced by an
     (s, d) edge Dataset: the maximal subgraph in which every node has
     degree ≥ k, computed by iterative peeling (drop nodes with degree
@@ -652,22 +688,30 @@ def kcore_nodes(edges: rd.Dataset, k: int = 2, n_buckets: int = 64,
     max_rounds = max(1, max_rounds)  # the exchange path's pre-loop
     # degree pass is always round 1; <1 would desync the two paths
     n_blocks = max(8, n_buckets // 4)
-    base = edges.map_batches(
-        lambda df: tagged_graph_scan(df, undirected=True),
-        batch_format="pandas").materialize()
+    if und_pre is not None:
+        # pre-projected graph views: globally-distinct (lo, hi)
+        # undirected edges and a distinct (h, node) string map — skip
+        # the string scan and the edge-dedup exchange entirely
+        assert nodes_pre is not None
+        base = None
+        und = und_pre.repartition(n_blocks).materialize()
+    else:
+        base = edges.map_batches(
+            lambda df: tagged_graph_scan(df, undirected=True),
+            batch_format="pandas").materialize()
 
-    def _und_rows(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.loc[df["kind"] == 0, ["a", "b"]]
-        out = pd.DataFrame({"lo": g["a"].astype("int64"),
-                            "hi": g["b"].astype("int64")})
-        out["lb"] = out["lo"] % B
-        return out
+        def _und_rows(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.loc[df["kind"] == 0, ["a", "b"]]
+            out = pd.DataFrame({"lo": g["a"].astype("int64"),
+                                "hi": g["b"].astype("int64")})
+            out["lb"] = out["lo"] % B
+            return out
 
-    und = (base.map_batches(_und_rows, batch_format="pandas")
-           .groupby("lb").map_groups(
-               lambda g: g[["lo", "hi"]].drop_duplicates(),
-               batch_format="pandas")
-           .repartition(n_blocks)).materialize()
+        und = (base.map_batches(_und_rows, batch_format="pandas")
+               .groupby("lb").map_groups(
+                   lambda g: g[["lo", "hi"]].drop_duplicates(),
+                   batch_format="pandas")
+               .repartition(n_blocks)).materialize()
 
     # bounded node-hash probe (drained, never abandoned — see the
     # pagerank probe note)
@@ -694,6 +738,22 @@ def kcore_nodes(edges: rd.Dataset, k: int = 2, n_buckets: int = 64,
 
         from .dedup_docs import _cached_get
         a_ref = ray.put(alive_h)
+
+        if base is None:
+            # the nodes view is already globally distinct with the
+            # min(node)-per-hash tie-break applied, so resolution is
+            # a pure broadcast filter — ZERO exchanges
+            def _resolve_pre(df: pd.DataFrame) -> pd.DataFrame:
+                core = _cached_get(a_ref)
+                h = df["h"].to_numpy(dtype="int64")
+                idx = np.searchsorted(core, h)
+                idx[idx == len(core)] = 0
+                keep = core[idx] == h
+                return pd.DataFrame(
+                    {"node": df["node"].astype(str)[keep]})
+
+            return nodes_pre.map_batches(_resolve_pre,
+                                         batch_format="pandas")
 
         def _resolve(df: pd.DataFrame) -> pd.DataFrame:
             # filter the map rows against the broadcast core BEFORE
@@ -768,10 +828,15 @@ def kcore_nodes(edges: rd.Dataset, k: int = 2, n_buckets: int = 64,
         return out
 
     # min(node) per hash mirrors the oracle's collision tie-break
-    nodes = (base.map_batches(_map_rows, batch_format="pandas")
-             .groupby("nb").map_groups(
-                 lambda g: g.groupby("h", as_index=False)["node"]
-                 .min(), batch_format="pandas").repartition(n_blocks))
+    # (the pre-built nodes view already carries it)
+    if base is None:
+        nodes = nodes_pre.repartition(n_blocks)
+    else:
+        nodes = (base.map_batches(_map_rows, batch_format="pandas")
+                 .groupby("nb").map_groups(
+                     lambda g: g.groupby("h", as_index=False)["node"]
+                     .min(), batch_format="pandas")
+                 .repartition(n_blocks))
     out = hash_join(
         alive, nodes, on="h", n_buckets=n_buckets,
         left_schema=pa.schema([("h", i64)]),
