@@ -2277,18 +2277,28 @@ def _q_kg_components(sf_dir: str):
     component); past the bound it falls back to one hash-bucket
     exchange. The SQL oracle unrolls min-label propagation + pointer
     jumping as chained CTEs (same canonical fixpoint)."""
-    import ray
-
     from rdf_extraction_ray.stages.dedup_docs import (
-        _cached_get, connected_components_ds)
+        connected_components_ds)
     gv = _kg_graph_views(sf_dir)
     nodes = _graph_view_read(gv, "nodes")
     edges = _graph_view_read(gv, "edges_und").map_batches(
         lambda df: df.rename(columns={"lo": "a", "hi": "b"}),
         batch_format="pandas")
     comp = connected_components_ds(edges).materialize()
+    return _components_resolve(comp, nodes)
 
-    cap = 4_000_000
+
+def _components_resolve(comp, nodes,
+                        cap: int = 4_000_000) -> pd.DataFrame:
+    """Attach node strings to a (doc_id, component) label Dataset:
+    broadcast-lookup under ``cap`` label rows, one hash-bucket
+    exchange past it (both paths equality-tested; nodes absent from
+    the label set — self-loop-only/isolated — become their own
+    component)."""
+    import ray
+
+    from rdf_extraction_ray.stages.dedup_docs import _cached_get
+
     if comp.count() <= cap:
         hs, cs = [], []
         for b in comp.iter_batches(batch_format="numpy",

@@ -632,6 +632,30 @@ class TestKGComponentsSelfLoop:
         assert (got["component"] == loner["component"].iloc[0]).sum() == 1
 
 
+class TestComponentsResolveDualPath:
+    def test_broadcast_and_exchange_paths_identical(self):
+        """_components_resolve's broadcast-lookup and hash-bucket
+        exchange executions of the string attach must agree row for
+        row, including an isolated node absent from the label set
+        (its own component)."""
+        import pandas as pd
+
+        import __ray_entry__ as E
+        comp = rd.from_pandas(pd.DataFrame({
+            "doc_id": pd.array([11, 22, 33], dtype="int64"),
+            "component": pd.array([11, 11, 33], dtype="int64")}))
+        nodes = rd.from_pandas(pd.DataFrame({
+            "h": pd.array([11, 22, 33, 44], dtype="int64"),
+            "node": ["n:a", "n:b", "n:c", "n:loner"]}))
+        via_bcast = E._components_resolve(comp, nodes, cap=10**9)
+        via_exch = E._components_resolve(comp, nodes, cap=0)
+        assert via_bcast["node"].tolist() == via_exch["node"].tolist()
+        assert (via_bcast["component"].tolist()
+                == via_exch["component"].tolist())
+        got = dict(zip(via_bcast["node"], via_bcast["component"]))
+        assert got == {"n:a": 11, "n:b": 11, "n:c": 33, "n:loner": 44}
+
+
 class TestMediaDedupNullPayload:
     def test_null_payloads_group_under_null_key(self):
         import pyarrow as pa
