@@ -1077,37 +1077,35 @@ FROM dedup WHERE rn = 1
 """
 
 
-def _linked_view(sf_dir: str):
+def _view_read(base: str, name: str):
+    """Cached-view parquet read, block count sized by
+    max(cores, bytes/target) rather than Ray's per-file default: the
+    KG report/graph queries chain hash-bucket exchanges off these
+    reads, and a pull-based sort's cost grows with input-block count
+    squared (224 inherited blocks measured 4.6 s for a 1.4M-row int64
+    exchange vs 1.1 s at 32 blocks). env_override=False: the
+    RDF_READ_BLOCKS transcript knob must not repin view reads."""
     import ray.data as rd
     from rdf_extraction_ray.pipelines.kg import _read_num_blocks
-    path = os.path.join(_kg_views(sf_dir), "linked_facts")
-    return rd.read_parquet(path,
-                           override_num_blocks=_read_num_blocks(path))
+    path = os.path.join(base, name)
+    return rd.read_parquet(
+        path,
+        override_num_blocks=_read_num_blocks(path, env_override=False))
+
+
+def _linked_view(sf_dir: str):
+    return _view_read(_kg_views(sf_dir), "linked_facts")
 
 
 def _triples_view(sf_dir: str):
-    """Cached triples parquet, block count sized like the transcript
-    read (max(cores, bytes/target)) rather than Ray's per-file
-    default: the KG-graph queries chain hash-bucket exchanges off
-    this read, and a pull-based sort's cost grows with input-block
-    count squared (224 inherited blocks measured 4.6 s for a 1.4M-row
-    int64 exchange vs 1.1 s at 32 blocks)."""
-    import ray.data as rd
-    from rdf_extraction_ray.pipelines.kg import _read_num_blocks
-    path = os.path.join(_kg_views(sf_dir), "triples")
-    return rd.read_parquet(path,
-                           override_num_blocks=_read_num_blocks(path))
+    return _view_read(_kg_views(sf_dir), "triples")
 
 
 _KG_GRAPH_VERSION = 1
 
 
 def _graph_view_read(gv: str, name: str):
-    import ray.data as rd
-
-    from rdf_extraction_ray.pipelines.kg import _read_num_blocks
-    p = os.path.join(gv, name)
-    return rd.read_parquet(p, override_num_blocks=_read_num_blocks(p))
+    return _view_read(gv, name)
 
 
 def _kg_graph_views(sf_dir: str) -> str:
@@ -1133,12 +1131,21 @@ def _kg_graph_views(sf_dir: str) -> str:
     # cache key = fingerprint of the triples view's actual input
     # files (path, size, mtime): a regenerated or substituted triples
     # source (tests monkeypatch _triples_view) invalidates the cache
-    sig = hashlib.md5()
-    for f in sorted(tr.input_files()):
-        st = os.stat(f)
-        sig.update(f"{f}:{st.st_size}:{st.st_mtime_ns}".encode())
-    path = (f"/tmp/rdf_extraction_ray/kggraph_v{_KG_GRAPH_VERSION}"
-            f"_{sig.hexdigest()[:16]}")
+    files = sorted(tr.input_files())
+    if files:
+        sig = hashlib.md5()
+        for f in files:
+            st = os.stat(f)
+            sig.update(f"{f}:{st.st_size}:{st.st_mtime_ns}".encode())
+        path = (f"/tmp/rdf_extraction_ray/kggraph_v{_KG_GRAPH_VERSION}"
+                f"_{sig.hexdigest()[:16]}")
+    else:
+        # a non-file-backed source (e.g. from_pandas in a test) has
+        # nothing to fingerprint — build uncached rather than let two
+        # different in-memory corpora share one constant-key cache
+        import uuid
+        path = (f"/tmp/rdf_extraction_ray/kggraph_v{_KG_GRAPH_VERSION}"
+                f"_nocache_{uuid.uuid4().hex[:12]}")
     if os.path.exists(path):
         return path
     tmp = f"{path}.tmp.{os.getpid()}"
@@ -1163,31 +1170,23 @@ def _kg_graph_views(sf_dir: str) -> str:
          batch_format="pandas")
      .write_parquet(os.path.join(tmp, "nodes")))
 
+    from rdf_extraction_ray.stages.graph import (canon_und_batch,
+                                                 dedup_deg_group)
+
     def _edge_rows(df: pd.DataFrame) -> pd.DataFrame:
         g = df[df["kind"] == 0]
         hs = g["a"].astype("int64")
         return pd.DataFrame({"hs": hs, "hd": g["b"].astype("int64"),
                              "sb": hs % B})
 
-    def _dedup_deg(g: pd.DataFrame) -> pd.DataFrame:
-        e = g[["hs", "hd"]].drop_duplicates()
-        dg = e.groupby("hs")["hd"].transform("size")
-        return pd.DataFrame({"hs": e["hs"], "hd": e["hd"],
-                             "dg": dg.to_numpy(dtype="int64")})
-
     deg = (base.map_batches(_edge_rows, batch_format="pandas")
-           .groupby("sb").map_groups(_dedup_deg,
+           .groupby("sb").map_groups(dedup_deg_group,
                                      batch_format="pandas")).materialize()
     deg.write_parquet(os.path.join(tmp, "edges_deg"))
 
     def _canon(df: pd.DataFrame) -> pd.DataFrame:
-        hs = df["hs"].to_numpy(dtype="int64")
-        hd = df["hd"].to_numpy(dtype="int64")
-        lo, hi = np.minimum(hs, hd), np.maximum(hs, hd)
-        keep = lo != hi
-        out = pd.DataFrame({"lo": lo[keep], "hi": hi[keep]})
-        out["lb"] = out["lo"] % B
-        return out.drop_duplicates()
+        return canon_und_batch(df["hs"].to_numpy(dtype="int64"),
+                               df["hd"].to_numpy(dtype="int64"), B)
 
     (deg.map_batches(_canon, batch_format="pandas")
      .groupby("lb").map_groups(

@@ -55,17 +55,19 @@ def read_turns(path: str) -> rd.Dataset:
         override_num_blocks=_read_num_blocks(path))
 
 
-def _read_num_blocks(path: str) -> int | None:
-    """Block count for a transcript read: max(cluster cores,
+def _read_num_blocks(path: str, env_override: bool = True) -> int | None:
+    """Block count for a parquet read: max(cluster cores,
     est. in-memory bytes / target block size). None (Ray's default
     splitting) when the path can't be stat'd. ``RDF_READ_BLOCKS``
-    overrides (ops tuning knob; the assembly sort's reducer count
-    follows this blocking)."""
+    overrides when ``env_override`` (the TRANSCRIPT-read ops knob —
+    the assembly sort's reducer count follows that blocking); cached
+    view readers pass False so the knob cannot re-introduce their
+    blocks²-cost pull-sort regression."""
     import os
 
     from ray.data import DataContext
     env = os.environ.get("RDF_READ_BLOCKS")
-    if env:
+    if env and env_override:
         return max(1, int(env))
     try:
         if os.path.isdir(path):

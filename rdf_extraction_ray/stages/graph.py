@@ -152,11 +152,10 @@ def pagerank_int(edges: rd.Dataset | None, n_iter: int = 5,
             return out
 
         def _dedup_deg(g: pd.DataFrame) -> pd.DataFrame:
-            e = g[["hs", "hd"]].drop_duplicates()
-            dg = e.groupby("hs")["hd"].transform("size")
+            e = dedup_deg_group(g)
             return pd.DataFrame({
                 "kind": np.int64(0), "hs": e["hs"], "hd": e["hd"],
-                "dg": dg.to_numpy(dtype="int64"), "r": np.int64(0),
+                "dg": e["dg"], "r": np.int64(0),
                 "sb": e["hs"] % B})
 
         # ONE setup exchange: distinct edges + out-degrees, co-grouped
@@ -357,17 +356,34 @@ def _pagerank_broadcast(ed: rd.Dataset, nodes: rd.Dataset,
                              batch_size=None)
 
 
-def _und_edge_batch(df: pd.DataFrame, B: np.int64) -> pd.DataFrame:
-    """Per-batch kernel shared by the undirected-graph operators:
-    md5-15 endpoint hashes, (lo, hi) canonical orientation, self-loops
-    dropped, lo-bucket column for the dedup exchange, per-batch
-    distinct."""
-    hs, hd = _h15(df["s"]), _h15(df["d"])
+def canon_und_batch(hs: np.ndarray, hd: np.ndarray,
+                    B: np.int64) -> pd.DataFrame:
+    """(lo, hi) canonical orientation of int64 endpoint arrays with
+    self-loops dropped, a lo-bucket column for the dedup exchange and
+    per-batch distinct — the kernel shared by :func:`_und_edge_batch`
+    and the cached ``edges_und`` graph-projection view."""
     lo, hi = np.minimum(hs, hd), np.maximum(hs, hd)
     keep = lo != hi
     out = pd.DataFrame({"lo": lo[keep], "hi": hi[keep]})
     out["lb"] = out["lo"] % B
     return out.drop_duplicates()
+
+
+def dedup_deg_group(g: pd.DataFrame) -> pd.DataFrame:
+    """Distinct directed (hs, hd) edges of one source-bucket group
+    with each source's out-degree over those distinct edges
+    (self-loops kept) — the kernel shared by pagerank_int's setup
+    exchange and the cached ``edges_deg`` graph-projection view."""
+    e = g[["hs", "hd"]].drop_duplicates()
+    dg = e.groupby("hs")["hd"].transform("size")
+    return pd.DataFrame({"hs": e["hs"], "hd": e["hd"],
+                         "dg": dg.to_numpy(dtype="int64")})
+
+
+def _und_edge_batch(df: pd.DataFrame, B: np.int64) -> pd.DataFrame:
+    """Per-batch kernel shared by the undirected-graph operators:
+    md5-15 endpoint hashes, then :func:`canon_und_batch`."""
+    return canon_und_batch(_h15(df["s"]), _h15(df["d"]), B)
 
 
 def _deg_partial_batch(df: pd.DataFrame, B: np.int64) -> pd.DataFrame:

@@ -632,6 +632,66 @@ class TestKGComponentsSelfLoop:
         assert (got["component"] == loner["component"].iloc[0]).sum() == 1
 
 
+class TestGraphPreVsScanEquality:
+    def test_view_fed_operators_match_string_scan(self, tmp_path,
+                                                  monkeypatch):
+        """pagerank/k-core/degree-histogram/triangles fed the cached
+        graph-projection views must equal the same operators run from
+        raw string edges — pins the builder's kernels (shared with
+        graph.py) against the scan path. Fixture plants parallel
+        edges, a reverse duplicate and a self-loop."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import __ray_entry__ as E
+        from rdf_extraction_ray.stages import graph as G
+        subj = ["n:a", "n:a", "n:b", "n:c", "n:d", "n:d", "n:b",
+                "n:e"]
+        obj = ["n:b", "n:b", "n:a", "n:a", "n:a", "n:c", "n:c",
+               "n:e"]
+        t = pa.table({"subj": subj, "pred": ["p"] * len(subj),
+                      "obj": obj, "obj_kind": ["uri"] * len(subj)})
+        pq.write_table(t, tmp_path / "triples.parquet")
+        monkeypatch.setattr(
+            E, "_triples_view",
+            lambda sf_dir: rd.read_parquet(str(tmp_path)))
+        gv = E._kg_graph_views("ignored")
+        und = E._graph_view_read(gv, "edges_und")
+        deg = E._graph_view_read(gv, "edges_deg")
+        nodes = E._graph_view_read(gv, "nodes")
+        edges = rd.read_parquet(str(tmp_path)).map_batches(
+            lambda df: pd.DataFrame({"s": df["subj"],
+                                     "d": df["obj"]}),
+            batch_format="pandas")
+
+        dh_scan = G.degree_histogram(edges)
+        dh_pre = G.degree_histogram(None, und_pre=und)
+        pd.testing.assert_frame_equal(dh_scan, dh_pre)
+
+        tc_scan = G.triangle_count(edges)
+        tc_pre = G.triangle_count(None, und_pre=und)
+        pd.testing.assert_frame_equal(tc_scan, tc_pre)
+
+        def _sorted(ds, cols):
+            return (ds.to_pandas()[cols]
+                    .sort_values(cols, ignore_index=True))
+
+        kc_scan = _sorted(G.kcore_nodes(edges, k=2), ["node"])
+        kc_pre = _sorted(G.kcore_nodes(None, k=2, und_pre=und,
+                                       nodes_pre=nodes), ["node"])
+        pd.testing.assert_frame_equal(kc_scan, kc_pre)
+        assert len(kc_scan)  # the a-b-c triangle is a 2-core
+
+        pr_scan = _sorted(G.pagerank_int(edges, n_iter=3),
+                          ["node", "rank"])
+        pr_pre = _sorted(G.pagerank_int(None, n_iter=3, deg_pre=deg,
+                                        nodes_pre=nodes),
+                         ["node", "rank"])
+        pd.testing.assert_frame_equal(pr_scan, pr_pre)
+        assert len(pr_scan) == 5
+
+
 class TestComponentsResolveDualPath:
     def test_broadcast_and_exchange_paths_identical(self):
         """_components_resolve's broadcast-lookup and hash-bucket
