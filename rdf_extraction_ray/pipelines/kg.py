@@ -281,33 +281,38 @@ def _assembled(turns: rd.Dataset,
     regardless of conversation size. ``None`` disables the probe
     (always whole-conversation).
 
-    Statistics cache: the probe's materialize is a real barrier —
-    measured ~3 s of lost detect↔sort overlap at 3× sf0.1 / 32 CPUs —
-    and its verdict is a property of the INPUT, so when the caller
-    passes ``stats_key`` (the input path) the verdict is cached under
-    a (file names, sizes, mtimes) fingerprint, exactly the sink
-    manifest's invalidation basis. Re-runs over an unchanged input
-    skip the probe entirely and STREAM detect straight into the
-    assembly exchange; any change to the input files invalidates the
-    cache and the next run re-probes. This is the statistics-reuse
-    pattern of mature engines (cached table stats driving plan
-    choice), applied to skew routing."""
+    Statistics cache: the probe's verdict is a property of the INPUT,
+    so when the caller passes ``stats_key`` (the input path) the
+    verdict is cached under a (file names, sizes, mtimes)
+    fingerprint, exactly the sink manifest's invalidation basis.
+    Re-runs over an unchanged input skip the probe JOBS (the count
+    and the per-conversation max groupby); any change to the input
+    files invalidates the cache and the next run re-probes. This is
+    the statistics-reuse pattern of mature engines (cached table
+    stats driving plan choice), applied to skew routing.
+
+    The candidate materialize stays UNCONDITIONAL (cache hit or not):
+    an earlier revision streamed detect straight into the assembly
+    sort on cache hits, and at low slot counts the fused plan starves
+    the detect stage — the push-based shuffle's merge tasks compete
+    with the map tasks for the same slots (8 CPUs, 3× sf0.1: 65 s
+    fused vs 38 s with the barrier), while at 32 CPUs the barrier
+    measures free (14.49 s vs 14.56 s fused; the ~3 s overlap win
+    once attributed to streaming was host noise). Fact rows are 1-5%
+    of corpus bytes, so the barrier's storage cost is negligible at
+    any scale."""
     cands = turns.map_batches(detect_facts, batch_format="pyarrow",
                               batch_size=None)
     if salt_threshold is not None:
+        cands = cands.materialize()
         cached = _probe_cache_load(stats_key)
         # a verdict is only valid for the threshold it was probed
         # under — a caller asking for a stricter bound must re-probe
         if cached is not None and cached.get("threshold") != salt_threshold:
             cached = None
         if cached is not None:
-            if cached["needs_salt"]:
-                return (salted_assembly(cands)
-                        .map_batches(_link_template_combine,
-                                     batch_format="pandas",
-                                     batch_size=None))
+            needs = cached["needs_salt"]
         else:
-            cands = cands.materialize()
             # metadata guard: if the WHOLE corpus has fewer fact rows
             # than the threshold, no conversation can exceed it — skip
             # the probe job (count() on materialized data is free)
@@ -318,11 +323,11 @@ def _assembled(turns: rd.Dataset,
                 needs = max_rows > salt_threshold
             _probe_cache_store(stats_key, needs, max_rows,
                                salt_threshold)
-            if needs:
-                return (salted_assembly(cands)
-                        .map_batches(_link_template_combine,
-                                     batch_format="pandas",
-                                     batch_size=None))
+        if needs:
+            return (salted_assembly(cands)
+                    .map_batches(_link_template_combine,
+                                 batch_format="pandas",
+                                 batch_size=None))
     return cands.groupby("bucket").map_groups(
         _assemble_bucket, batch_format="pandas")
 
