@@ -81,8 +81,17 @@ def _read_num_blocks(path: str, env_override: bool = True) -> int | None:
         return None
     target = int(DataContext.get_current().target_max_block_size
                  or (128 << 20))
+    # Load-balance floor: at narrow widths a one-wave map stage is
+    # straggler-bound — two blocks per slot measured 35.1→28.0 s at
+    # 8 CPUs and 82.6→64.5 s at 4 (3× sf0.1) — while at 32 slots the
+    # extra shuffle waves cost more than they balance (9.2→12.7 s),
+    # so wide clusters keep one block per slot. The bytes term
+    # dominates at real scale either way, where blocks are sized by
+    # data, not cores.
+    cores = _cluster_cpus()
+    floor = cores * 2 if cores <= 16 else cores
     # ~4x parquet->Arrow expansion for short-string transcript tables
-    return max(_cluster_cpus(), -(-total * 4 // target))
+    return max(floor, -(-total * 4 // target))
 
 
 def _cluster_cpus(default: int = 32) -> int:
