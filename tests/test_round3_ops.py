@@ -429,6 +429,29 @@ class TestProbeStatsCache:
         assert _probe_cache_load(key) is None
 
 
+class TestReadBlockFloor:
+    def test_narrow_widths_get_two_blocks_per_slot(self, tmp_path,
+                                                   monkeypatch):
+        # bytes-based term is ~0 for a tiny file, so the floor decides:
+        # two waves per slot at <=16 cores (map-stage load balance),
+        # one wave above (extra shuffle waves cost more than they
+        # balance — measured on the 3x sf0.1 corpus, see BASELINE.md)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from rdf_extraction_ray.pipelines import kg
+        p = str(tmp_path / "t.parquet")
+        pq.write_table(pa.table({"a": [1, 2, 3]}), p)
+        monkeypatch.setattr(kg, "_cluster_cpus", lambda default=32: 8)
+        assert kg._read_num_blocks(p) == 16
+        monkeypatch.setattr(kg, "_cluster_cpus", lambda default=32: 32)
+        assert kg._read_num_blocks(p) == 32
+        # the env knob still overrides the transcript read only
+        monkeypatch.setenv("RDF_READ_BLOCKS", "5")
+        assert kg._read_num_blocks(p) == 5
+        assert kg._read_num_blocks(p, env_override=False) == 32
+
+
 class TestTriangles:
     def test_known_graph(self):
         from rdf_extraction_ray.stages.graph import triangle_count
