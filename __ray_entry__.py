@@ -2427,6 +2427,26 @@ def _q_kg_copredicate_pairs(sf_dir: str):
                   subj_a=object, subj_b=object, n_shared="int64")
 
 
+_BGP_PATTERNS = [
+    ("birth_place", "http://kg.example.org/ontology#hasBirthPlace"),
+    ("death_place", "http://kg.example.org/ontology#hasDeathPlace"),
+    ("cause_of_death", "http://kg.example.org/ontology#hasCauseOfDeath"),
+]
+
+
+def _q_kg_bgp_match(sf_dir: str):
+    """SPARQL-core star BGP over the constructed KG: every binding of
+    ?person hasBirthPlace ?bp . ?person hasDeathPlace ?dp .
+    ?person hasCauseOfDeath ?cod — the natural join of three
+    per-predicate relations on the shared subject. One scan + ONE
+    subject-bucket exchange resolves the whole star (the SQL oracle
+    pays two self-joins); bindings cross-product inside the bucket
+    bodies."""
+    from rdf_extraction_ray.stages.graph import star_bgp_match
+    tr = _triples_view(sf_dir)
+    return star_bgp_match(tr, _BGP_PATTERNS)
+
+
 def _q_events_markov_transitions(sf_dir: str):
     """Per-user event-type transition (Markov bigram) counts: events
     ordered by (ts, event_id) within each user, consecutive
@@ -3762,6 +3782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kcore": _q_kg_kcore,
         "kg_degree_stats": _q_kg_degree_stats,
         "kg_copredicate_pairs": _q_kg_copredicate_pairs,
+        "kg_bgp_match": _q_kg_bgp_match,
         "events_markov_transitions": _q_events_markov_transitions,
         "kg_facts": _q_kg_facts,
         # --- dedup / similarity family
@@ -4742,6 +4763,18 @@ def oracle_sql() -> dict[str, str]:
         "kg_kcore": _kg_kcore_sql(triples),
         "kg_degree_stats": _kg_degree_stats_sql(triples),
         "kg_copredicate_pairs": _kg_copredicate_sql(triples),
+        "kg_bgp_match": f"""
+            SELECT a.subj AS subj,
+                   a.obj AS birth_place,
+                   b.obj AS death_place,
+                   c.obj AS cause_of_death
+            FROM read_parquet('{triples}') a
+            JOIN read_parquet('{triples}') b ON a.subj = b.subj
+            JOIN read_parquet('{triples}') c ON a.subj = c.subj
+            WHERE a.pred = '{_BGP_PATTERNS[0][1]}'
+              AND b.pred = '{_BGP_PATTERNS[1][1]}'
+              AND c.pred = '{_BGP_PATTERNS[2][1]}'
+        """,
         "docs_embedding_labels": """
             SELECT d.doc_id, d.lang,
                    coalesce(e.label, -1)::BIGINT AS label

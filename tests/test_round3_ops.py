@@ -452,6 +452,40 @@ class TestReadBlockFloor:
         assert kg._read_num_blocks(p, env_override=False) == 32
 
 
+class TestStarBGP:
+    def test_cross_product_bindings_and_missing_pattern(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from rdf_extraction_ray.stages.graph import star_bgp_match
+        rows = [
+            # s1 binds: 2 occupations x 1 place -> 2 bindings
+            ("s1", "occ", "farmer"), ("s1", "occ", "weaver"),
+            ("s1", "place", "york"),
+            # s2 lacks the place pattern -> no bindings
+            ("s2", "occ", "smith"),
+            # s3 binds 1x1; unrelated predicates never leak in
+            ("s3", "occ", "clerk"), ("s3", "place", "leeds"),
+            ("s3", "other", "x"),
+        ]
+        tr = rd.from_pandas(pd.DataFrame(
+            rows, columns=["subj", "pred", "obj"]))
+        out = star_bgp_match(
+            tr, [("job", "occ"), ("loc", "place")]).to_pandas()
+        out = out.sort_values(["subj", "job"], ignore_index=True)
+        exp = pd.DataFrame({
+            "subj": ["s1", "s1", "s3"],
+            "job": ["farmer", "weaver", "clerk"],
+            "loc": ["york", "york", "leeds"]})
+        pd.testing.assert_frame_equal(out, exp)
+        # a pattern matching nothing -> typed empty, not a crash
+        # (Ray's to_pandas drops names on an all-empty dataset, so
+        # the binding schema is pinned at the Dataset level)
+        none = star_bgp_match(tr, [("job", "occ"), ("nope", "absent")])
+        assert none.schema().names == ["subj", "job", "nope"]
+        assert none.count() == 0
+
+
 class TestTriangles:
     def test_known_graph(self):
         from rdf_extraction_ray.stages.graph import triangle_count
