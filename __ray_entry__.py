@@ -2447,6 +2447,28 @@ def _q_kg_bgp_match(sf_dir: str):
     return star_bgp_match(tr, _BGP_PATTERNS)
 
 
+_P100 = "http://www.cidoc-crm.org/cidoc-crm/P100_was_death_of"
+
+
+def _q_kg_bgp_chain(sf_dir: str):
+    """SPARQL chain BGP with the DISTINCT solution modifier: SELECT
+    DISTINCT ?person ?death_place WHERE { ?ev crm:P100_was_death_of
+    ?person . ?person kg:hasDeathPlace ?death_place } — a two-hop
+    path through the minted death-event nodes. The general
+    ``bgp_match`` plans it as one left-deep hash join (join variable
+    ?person) off a single shared scan; hot persons fan the
+    intermediate to ~424k rows at sf0.1, which the combiner-first
+    DISTINCT collapses to ~1.5k bindings before anything reaches the
+    driver."""
+    from rdf_extraction_ray.stages.graph import bgp_match
+    tr = _triples_view(sf_dir)
+    return bgp_match(
+        tr,
+        [("?ev", _P100, "?person"),
+         ("?person", _BGP_PATTERNS[1][1], "?death_place")],
+        select=["person", "death_place"], distinct=True)
+
+
 def _q_events_markov_transitions(sf_dir: str):
     """Per-user event-type transition (Markov bigram) counts: events
     ordered by (ts, event_id) within each user, consecutive
@@ -3783,6 +3805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degree_stats": _q_kg_degree_stats,
         "kg_copredicate_pairs": _q_kg_copredicate_pairs,
         "kg_bgp_match": _q_kg_bgp_match,
+        "kg_bgp_chain": _q_kg_bgp_chain,
         "events_markov_transitions": _q_events_markov_transitions,
         "kg_facts": _q_kg_facts,
         # --- dedup / similarity family
@@ -4774,6 +4797,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.pred = '{_BGP_PATTERNS[0][1]}'
               AND b.pred = '{_BGP_PATTERNS[1][1]}'
               AND c.pred = '{_BGP_PATTERNS[2][1]}'
+        """,
+        "kg_bgp_chain": f"""
+            SELECT DISTINCT a.obj AS person, b.obj AS death_place
+            FROM read_parquet('{triples}') a
+            JOIN read_parquet('{triples}') b ON a.obj = b.subj
+            WHERE a.pred = '{_P100}'
+              AND b.pred = '{_BGP_PATTERNS[1][1]}'
         """,
         "docs_embedding_labels": """
             SELECT d.doc_id, d.lang,

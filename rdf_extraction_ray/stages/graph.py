@@ -1109,3 +1109,190 @@ def star_bgp_match(triples: rd.Dataset,
     # typed empty seed: a star with zero matching rows anywhere must
     # still carry the binding schema out of the (never-run) group body
     return rd.from_arrow(schema.empty_table()).union(out)
+
+
+def _is_var(term: str) -> bool:
+    return isinstance(term, str) and term.startswith("?")
+
+
+def bgp_match(triples: rd.Dataset,
+              patterns: list[tuple[str, str, str]],
+              select: list[str] | None = None,
+              distinct: bool = False,
+              n_buckets: int = 64) -> rd.Dataset:
+    """General SPARQL basic-graph-pattern match over the triple set.
+
+    Each pattern is ``(s, p, o)`` where ``s``/``o`` are either a
+    ``"?var"`` or a constant term and ``p`` must be a constant
+    predicate URI (variable predicates are out of scope). Returns the
+    bindings of ``select`` (default: every variable, in
+    first-appearance order) as a lazy Dataset of string columns;
+    ``distinct=True`` applies the SPARQL DISTINCT solution modifier.
+
+    Complements :func:`star_bgp_match` (the single-exchange kernel
+    for the all-same-subject special case): here patterns may chain
+    through ARBITRARY join variables, so the plan is a left-deep
+    sequence of partitioned hash joins — one |acc| + |rel| exchange
+    per join step, joined on ALL variables shared between the
+    accumulated bindings and the next pattern (natural-join
+    semantics). The join order is greedy-connected in user order
+    (each step must share a variable with the bindings so far — a
+    cartesian pattern set is rejected). Pattern relations are
+    filtered projections of ONE shared scan, materialized once at
+    output-input size (only rows matching some pattern's constants
+    ever leave the scan). Dead variables — bound, not selected, and
+    not needed by any later join — are projected away after every
+    step, so intermediate width never exceeds live-variable width.
+    DISTINCT dedups per-batch (combiner) before its single
+    row-hash-bucket exchange. Constants-only patterns act as
+    existence gates (SPARQL ASK semantics): zero matches anywhere
+    empties the result.
+
+    The reference answers such queries by loading the whole corpus
+    into one in-RAM rdflib graph and walking it pattern by pattern
+    (the uber-graph at cwrc/RDF-extraction Utils/utilities.py:552-556
+    is the queried artifact); here the graph never exists in one
+    place — bindings stream through partitioned exchanges.
+    """
+    import pyarrow as pa
+
+    from .joins import hash_join
+
+    parsed = [tuple(p) for p in patterns]
+    for s, p, o in parsed:
+        if _is_var(p):
+            raise ValueError("variable predicates are not supported")
+    all_vars: list[str] = []
+    for s, _, o in parsed:
+        for t in (s, o):
+            if _is_var(t) and t[1:] not in all_vars:
+                all_vars.append(t[1:])
+    if not all_vars:
+        raise ValueError("at least one pattern must bind a variable")
+    if select is None:
+        select = list(all_vars)
+    bad = [v for v in select if v not in all_vars]
+    if bad:
+        raise ValueError(f"selected vars bound by no pattern: {bad}")
+
+    def _pvars(i: int) -> list[str]:
+        s, _, o = parsed[i]
+        vs = [s[1:]] if _is_var(s) else []
+        if _is_var(o) and o[1:] not in vs:
+            vs.append(o[1:])
+        return vs
+
+    # ONE shared scan: a row matching pattern i's constants emits one
+    # (pi=i, subj, obj) row; everything else never leaves the scan.
+    def _scan(df: pd.DataFrame) -> pd.DataFrame:
+        pred = df["pred"].to_numpy()
+        subj = df["subj"].to_numpy()
+        obj = df["obj"].to_numpy()
+        outs = []
+        for i, (s, p, o) in enumerate(parsed):
+            m = pred == p
+            if not _is_var(s):
+                m &= subj == s
+            if not _is_var(o):
+                m &= obj == o
+            if m.any():
+                outs.append(pd.DataFrame({
+                    "pi": np.full(int(m.sum()), i, dtype=np.int64),
+                    "subj": subj[m].astype(str),
+                    "obj": obj[m].astype(str)}))
+        if not outs:
+            return pd.DataFrame({"pi": pd.Series(dtype="int64"),
+                                 "subj": pd.Series(dtype=object),
+                                 "obj": pd.Series(dtype=object)})
+        return pd.concat(outs, ignore_index=True)
+
+    tagged = triples.map_batches(_scan,
+                                 batch_format="pandas").materialize()
+
+    def _rel(i: int) -> rd.Dataset:
+        """Pattern i's binding relation: var-named string columns."""
+        s, _, o = parsed[i]
+        same = _is_var(s) and s == o
+
+        def _proj(df: pd.DataFrame) -> pd.DataFrame:
+            part = df[df["pi"].to_numpy() == i]
+            if same:  # ?x p ?x — one column, subj == obj rows only
+                part = part[part["subj"].to_numpy()
+                            == part["obj"].to_numpy()]
+                return pd.DataFrame({s[1:]: part["subj"].to_numpy()})
+            out = {}
+            if _is_var(s):
+                out[s[1:]] = part["subj"].to_numpy()
+            if _is_var(o):
+                out[o[1:]] = part["obj"].to_numpy()
+            return pd.DataFrame(out)
+
+        return tagged.map_batches(_proj, batch_format="pandas")
+
+    out_schema = pa.schema([(v, pa.string()) for v in select])
+
+    # constants-only patterns gate the whole result (SPARQL ASK)
+    gates = [i for i in range(len(parsed)) if not _pvars(i)]
+    for i in gates:
+        n = tagged.map_batches(
+            lambda df, i=i: pd.DataFrame(
+                {"n": [int((df["pi"].to_numpy() == i).sum())]}),
+            batch_format="pandas").sum("n")
+        if not n:
+            return rd.from_arrow(out_schema.empty_table())
+
+    # greedy-connected left-deep join plan, user order as tie-break
+    remaining = [i for i in range(len(parsed)) if _pvars(i)]
+    first = remaining.pop(0)
+    acc = _rel(first)
+    acc_vars = _pvars(first)
+    while remaining:
+        nxt = next((j for j in remaining
+                    if set(_pvars(j)) & set(acc_vars)), None)
+        if nxt is None:
+            raise ValueError(
+                "patterns do not form a connected graph "
+                "(cartesian products are not supported)")
+        remaining.remove(nxt)
+        shared = [v for v in acc_vars if v in _pvars(nxt)]
+        acc = hash_join(
+            acc, _rel(nxt), on=shared, n_buckets=n_buckets,
+            left_schema=pa.schema([(v, pa.string()) for v in acc_vars]),
+            right_schema=pa.schema([(v, pa.string())
+                                    for v in _pvars(nxt)]))
+        acc_vars = acc_vars + [v for v in _pvars(nxt)
+                               if v not in shared]
+        live = set(select) | {v for j in remaining for v in _pvars(j)}
+        if any(v not in live for v in acc_vars):
+            acc_vars = [v for v in acc_vars if v in live]
+            acc = acc.select_columns(acc_vars)
+
+    if list(acc_vars) != list(select):
+        acc = acc.select_columns(select)
+
+    if distinct:
+        B = np.int64(n_buckets)
+        bucketed_schema = pa.schema(list(out_schema)
+                                    + [("__bucket", pa.int64())])
+
+        def _local(t: pa.Table) -> pa.Table:
+            df = t.to_pandas().drop_duplicates()
+            df["__bucket"] = pd.util.hash_pandas_object(
+                df[select], index=False) \
+                .to_numpy().astype("int64") % B
+            return pa.Table.from_pandas(
+                df, schema=bucketed_schema,
+                preserve_index=False).replace_schema_metadata(None)
+
+        def _dd(t: pa.Table) -> pa.Table:
+            g = t.to_pandas().drop(columns="__bucket").drop_duplicates()
+            return pa.Table.from_pandas(
+                g[select], schema=out_schema,
+                preserve_index=False).replace_schema_metadata(None)
+
+        acc = (acc.map_batches(_local, batch_format="pyarrow")
+               .groupby("__bucket")
+               .map_groups(_dd, batch_format="pyarrow"))
+
+    # typed empty seed: zero bindings must still carry the schema
+    return rd.from_arrow(out_schema.empty_table()).union(acc)

@@ -486,6 +486,67 @@ class TestStarBGP:
         assert none.count() == 0
 
 
+class TestGeneralBGP:
+    def _triples(self):
+        import pandas as pd
+        import ray.data as rd
+        rows = [
+            ("ev1", "died", "alice"), ("ev2", "died", "alice"),
+            ("alice", "dplace", "york"),
+            ("ev3", "died", "bob"),            # bob: no dplace
+            ("carol", "dplace", "leeds"),       # carol: no death event
+            ("alice", "loops", "alice"),
+        ]
+        return rd.from_pandas(pd.DataFrame(
+            rows, columns=["subj", "pred", "obj"]))
+
+    def test_chain_join_and_distinct(self):
+        import pandas as pd
+
+        from rdf_extraction_ray.stages.graph import bgp_match
+        tr = self._triples()
+        pats = [("?ev", "died", "?p"), ("?p", "dplace", "?dp")]
+        full = bgp_match(tr, pats).to_pandas() \
+            .sort_values(["ev"], ignore_index=True)
+        exp = pd.DataFrame({"ev": ["ev1", "ev2"],
+                            "p": ["alice", "alice"],
+                            "dp": ["york", "york"]})
+        pd.testing.assert_frame_equal(full, exp)
+        # DISTINCT projection collapses the two events to one binding
+        dd = bgp_match(tr, pats, select=["p", "dp"],
+                       distinct=True).to_pandas()
+        pd.testing.assert_frame_equal(
+            dd, pd.DataFrame({"p": ["alice"], "dp": ["york"]}))
+
+    def test_constants_gate_and_same_var(self):
+        import pandas as pd
+        import pytest
+
+        from rdf_extraction_ray.stages.graph import bgp_match
+        tr = self._triples()
+        # constants-only pattern gates: present -> pass through
+        ok = bgp_match(tr, [("?ev", "died", "?p"),
+                            ("alice", "dplace", "york")]).to_pandas()
+        assert len(ok) == 3
+        # absent -> typed empty result
+        none = bgp_match(tr, [("?ev", "died", "?p"),
+                              ("alice", "dplace", "paris")])
+        assert none.schema().names == ["ev", "p"]
+        assert none.count() == 0
+        # constant OBJECT narrows the relation
+        con = bgp_match(tr, [("?ev", "died", "bob")]).to_pandas()
+        pd.testing.assert_frame_equal(
+            con, pd.DataFrame({"ev": ["ev3"]}))
+        # ?x p ?x binds only self-referential rows
+        loop = bgp_match(tr, [("?x", "loops", "?x")]).to_pandas()
+        pd.testing.assert_frame_equal(
+            loop, pd.DataFrame({"x": ["alice"]}))
+        # disconnected patterns are a planning error, not a product
+        with pytest.raises(ValueError, match="connected"):
+            bgp_match(tr, [("?a", "died", "?b"),
+                           ("?c", "dplace", "?d")])
+
+
 class TestTriangles:
     def test_known_graph(self):
         from rdf_extraction_ray.stages.graph import triangle_count
