@@ -2469,6 +2469,25 @@ def _q_kg_bgp_chain(sf_dir: str):
         select=["person", "death_place"], distinct=True)
 
 
+_SEM_TS = "http://semanticweb.cs.vu.nl/2009/11/sem/hasTimeStamp"
+
+
+def _q_kg_bgp_optional(sf_dir: str):
+    """SPARQL OPTIONAL over the KG: SELECT DISTINCT ?person ?death_ts
+    WHERE { ?ev crm:P100_was_death_of ?person . OPTIONAL { ?ev
+    sem:hasTimeStamp ?death_ts } } — every person with a death event,
+    with the event timestamp where dated (~92% of death events at
+    sf0.01) and a typed NULL where not. The OPTIONAL clause is a
+    partitioned LEFT hash join (unmatched bindings survive with Arrow
+    NULL columns, never NaN-promoted frames)."""
+    from rdf_extraction_ray.stages.graph import bgp_match
+    tr = _triples_view(sf_dir)
+    return bgp_match(
+        tr, [("?ev", _P100, "?person")],
+        optional=[("?ev", _SEM_TS, "?death_ts")],
+        select=["person", "death_ts"], distinct=True)
+
+
 def _q_events_markov_transitions(sf_dir: str):
     """Per-user event-type transition (Markov bigram) counts: events
     ordered by (ts, event_id) within each user, consecutive
@@ -3806,6 +3825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_copredicate_pairs": _q_kg_copredicate_pairs,
         "kg_bgp_match": _q_kg_bgp_match,
         "kg_bgp_chain": _q_kg_bgp_chain,
+        "kg_bgp_optional": _q_kg_bgp_optional,
         "events_markov_transitions": _q_events_markov_transitions,
         "kg_facts": _q_kg_facts,
         # --- dedup / similarity family
@@ -4804,6 +4824,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN read_parquet('{triples}') b ON a.obj = b.subj
             WHERE a.pred = '{_P100}'
               AND b.pred = '{_BGP_PATTERNS[1][1]}'
+        """,
+        "kg_bgp_optional": f"""
+            SELECT DISTINCT a.obj AS person, b.obj AS death_ts
+            FROM read_parquet('{triples}') a
+            LEFT JOIN (SELECT subj, obj FROM read_parquet('{triples}')
+                       WHERE pred = '{_SEM_TS}') b
+              ON a.subj = b.subj
+            WHERE a.pred = '{_P100}'
         """,
         "docs_embedding_labels": """
             SELECT d.doc_id, d.lang,

@@ -136,7 +136,7 @@ def run_bench() -> dict:
               "kg_pagerank", "kg_triangles", "docs_vocab_kmv", "lineitem_orderkeys_kmv",
               "docs_weighted_sample", "docs_source_overlap", "docs_bm25",
               "kg_components", "kg_kcore", "kg_degree_stats",
-              "kg_copredicate_pairs", "kg_bgp_match", "kg_bgp_chain",
+              "kg_copredicate_pairs", "kg_bgp_match", "kg_bgp_chain", "kg_bgp_optional",
               "events_markov_transitions",
               "docs_embedding_labels", "events_retention_cohorts", "media_dedup",
               "tpch_q3_shipping", "tpch_q5_local_supplier"]

@@ -1119,6 +1119,7 @@ def bgp_match(triples: rd.Dataset,
               patterns: list[tuple[str, str, str]],
               select: list[str] | None = None,
               distinct: bool = False,
+              optional: list[tuple[str, str, str]] | None = None,
               n_buckets: int = 64) -> rd.Dataset:
     """General SPARQL basic-graph-pattern match over the triple set.
 
@@ -1128,6 +1129,13 @@ def bgp_match(triples: rd.Dataset,
     bindings of ``select`` (default: every variable, in
     first-appearance order) as a lazy Dataset of string columns;
     ``distinct=True`` applies the SPARQL DISTINCT solution modifier.
+    ``optional`` patterns are SPARQL OPTIONAL clauses: each is
+    LEFT-joined after the required plan (in list order, so an
+    optional may chain on variables a previous optional introduced) —
+    bindings extend where the pattern matches and survive with typed
+    NULL columns where it does not. Every optional pattern must bind
+    at least one variable and share one with the bindings built so
+    far.
 
     Complements :func:`star_bgp_match` (the single-exchange kernel
     for the all-same-subject special case): here patterns may chain
@@ -1158,7 +1166,9 @@ def bgp_match(triples: rd.Dataset,
 
     from .joins import hash_join
 
-    parsed = [tuple(p) for p in patterns]
+    n_req = len(patterns)
+    parsed = [tuple(p) for p in patterns] \
+        + [tuple(p) for p in (optional or [])]
     for s, p, o in parsed:
         if _is_var(p):
             raise ValueError("variable predicates are not supported")
@@ -1231,9 +1241,8 @@ def bgp_match(triples: rd.Dataset,
 
     out_schema = pa.schema([(v, pa.string()) for v in select])
 
-    # constants-only patterns gate the whole result (SPARQL ASK)
-    gates = [i for i in range(len(parsed)) if not _pvars(i)]
-    for i in gates:
+    # constants-only REQUIRED patterns gate the result (SPARQL ASK)
+    for i in [i for i in range(n_req) if not _pvars(i)]:
         n = tagged.map_batches(
             lambda df, i=i: pd.DataFrame(
                 {"n": [int((df["pi"].to_numpy() == i).sum())]}),
@@ -1241,11 +1250,27 @@ def bgp_match(triples: rd.Dataset,
         if not n:
             return rd.from_arrow(out_schema.empty_table())
 
+    opt_idx = list(range(n_req, len(parsed)))
+    if any(not _pvars(j) for j in opt_idx):
+        raise ValueError("optional patterns must bind a variable")
+    opt_vars = {v for j in opt_idx for v in _pvars(j)}
+
     # greedy-connected left-deep join plan, user order as tie-break
-    remaining = [i for i in range(len(parsed)) if _pvars(i)]
+    remaining = [i for i in range(n_req) if _pvars(i)]
+    if not remaining:
+        raise ValueError(
+            "at least one required pattern must bind a variable")
     first = remaining.pop(0)
     acc = _rel(first)
     acc_vars = _pvars(first)
+
+    def _prune(acc, acc_vars, later_vars):
+        live = set(select) | later_vars
+        if any(v not in live for v in acc_vars):
+            acc_vars = [v for v in acc_vars if v in live]
+            acc = acc.select_columns(acc_vars)
+        return acc, acc_vars
+
     while remaining:
         nxt = next((j for j in remaining
                     if set(_pvars(j)) & set(acc_vars)), None)
@@ -1262,10 +1287,27 @@ def bgp_match(triples: rd.Dataset,
                                     for v in _pvars(nxt)]))
         acc_vars = acc_vars + [v for v in _pvars(nxt)
                                if v not in shared]
-        live = set(select) | {v for j in remaining for v in _pvars(j)}
-        if any(v not in live for v in acc_vars):
-            acc_vars = [v for v in acc_vars if v in live]
-            acc = acc.select_columns(acc_vars)
+        acc, acc_vars = _prune(
+            acc, acc_vars,
+            {v for j in remaining for v in _pvars(j)} | opt_vars)
+
+    # OPTIONAL clauses: LEFT joins in list order (each may chain on
+    # variables a previous optional introduced)
+    for j in opt_idx:
+        vs = _pvars(j)
+        shared = [v for v in acc_vars if v in vs]
+        if not shared:
+            raise ValueError(
+                "optional pattern shares no variable with the "
+                "bindings built before it")
+        acc = hash_join(
+            acc, _rel(j), on=shared, how="left", n_buckets=n_buckets,
+            left_schema=pa.schema([(v, pa.string()) for v in acc_vars]),
+            right_schema=pa.schema([(v, pa.string()) for v in vs]))
+        acc_vars = acc_vars + [v for v in vs if v not in shared]
+        acc, acc_vars = _prune(
+            acc, acc_vars,
+            {v for k in opt_idx if k > j for v in _pvars(k)})
 
     if list(acc_vars) != list(select):
         acc = acc.select_columns(select)

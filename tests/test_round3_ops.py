@@ -518,6 +518,27 @@ class TestGeneralBGP:
         pd.testing.assert_frame_equal(
             dd, pd.DataFrame({"p": ["alice"], "dp": ["york"]}))
 
+    def test_optional_left_join(self):
+        import pandas as pd
+
+        from rdf_extraction_ray.stages.graph import bgp_match
+        tr = self._triples()
+        out = bgp_match(tr, [("?ev", "died", "?p")],
+                        optional=[("?p", "dplace", "?dp")]).to_pandas()
+        out = out.sort_values("ev", ignore_index=True)
+        exp = pd.DataFrame({"ev": ["ev1", "ev2", "ev3"],
+                            "p": ["alice", "alice", "bob"],
+                            "dp": ["york", "york", None]})
+        pd.testing.assert_frame_equal(out, exp)
+        # optional chaining on an optional-introduced var + DISTINCT
+        dd = bgp_match(tr, [("?ev", "died", "?p")],
+                       optional=[("?p", "dplace", "?dp")],
+                       select=["p", "dp"], distinct=True).to_pandas()
+        dd = dd.sort_values("p", ignore_index=True)
+        pd.testing.assert_frame_equal(
+            dd, pd.DataFrame({"p": ["alice", "bob"],
+                              "dp": ["york", None]}))
+
     def test_constants_gate_and_same_var(self):
         import pandas as pd
         import pytest
