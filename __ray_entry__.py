@@ -2488,6 +2488,26 @@ def _q_kg_bgp_optional(sf_dir: str):
         select=["person", "death_ts"], distinct=True)
 
 
+def _q_kg_bgp_construct(sf_dir: str):
+    """SPARQL CONSTRUCT — graph-to-graph transformation: CONSTRUCT {
+    ?person kg:deceasedOn ?ts . ?person rdf:type kg:DeceasedPerson }
+    WHERE { ?ev crm:P100_was_death_of ?person . OPTIONAL { ?ev
+    sem:hasTimeStamp ?ts } } — derives a compact deceased-persons
+    subgraph from the event-reified death structure. Template triples
+    with an unbound OPTIONAL slot are skipped per SPARQL; the output
+    triple set is exactly deduped (set semantics) with the engine's
+    combiner-first exchange."""
+    from rdf_extraction_ray.stages.graph import bgp_construct
+    tr = _triples_view(sf_dir)
+    kg = "http://kg.example.org/ontology#"
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    return bgp_construct(
+        tr, [("?ev", _P100, "?person")],
+        optional=[("?ev", _SEM_TS, "?ts")],
+        template=[("?person", kg + "deceasedOn", "?ts"),
+                  ("?person", rdf_type, kg + "DeceasedPerson")])
+
+
 def _q_events_markov_transitions(sf_dir: str):
     """Per-user event-type transition (Markov bigram) counts: events
     ordered by (ts, event_id) within each user, consecutive
@@ -3826,6 +3846,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_match": _q_kg_bgp_match,
         "kg_bgp_chain": _q_kg_bgp_chain,
         "kg_bgp_optional": _q_kg_bgp_optional,
+        "kg_bgp_construct": _q_kg_bgp_construct,
         "events_markov_transitions": _q_events_markov_transitions,
         "kg_facts": _q_kg_facts,
         # --- dedup / similarity family
@@ -4832,6 +4853,29 @@ def oracle_sql() -> dict[str, str]:
                        WHERE pred = '{_SEM_TS}') b
               ON a.subj = b.subj
             WHERE a.pred = '{_P100}'
+        """,
+        "kg_bgp_construct": f"""
+            WITH b AS (
+                SELECT a.obj AS person, t.obj AS ts
+                FROM read_parquet('{triples}') a
+                LEFT JOIN (SELECT subj, obj
+                           FROM read_parquet('{triples}')
+                           WHERE pred = '{_SEM_TS}') t
+                  ON a.subj = t.subj
+                WHERE a.pred = '{_P100}')
+            SELECT DISTINCT * FROM (
+                SELECT person AS subj,
+                       'http://kg.example.org/ontology#deceasedOn'
+                           AS pred,
+                       ts AS obj
+                FROM b WHERE ts IS NOT NULL
+                UNION ALL
+                SELECT person AS subj,
+                       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+                           AS pred,
+                       'http://kg.example.org/ontology#DeceasedPerson'
+                           AS obj
+                FROM b)
         """,
         "docs_embedding_labels": """
             SELECT d.doc_id, d.lang,

@@ -1313,28 +1313,100 @@ def bgp_match(triples: rd.Dataset,
         acc = acc.select_columns(select)
 
     if distinct:
-        B = np.int64(n_buckets)
-        bucketed_schema = pa.schema(list(out_schema)
-                                    + [("__bucket", pa.int64())])
-
-        def _local(t: pa.Table) -> pa.Table:
-            df = t.to_pandas().drop_duplicates()
-            df["__bucket"] = pd.util.hash_pandas_object(
-                df[select], index=False) \
-                .to_numpy().astype("int64") % B
-            return pa.Table.from_pandas(
-                df, schema=bucketed_schema,
-                preserve_index=False).replace_schema_metadata(None)
-
-        def _dd(t: pa.Table) -> pa.Table:
-            g = t.to_pandas().drop(columns="__bucket").drop_duplicates()
-            return pa.Table.from_pandas(
-                g[select], schema=out_schema,
-                preserve_index=False).replace_schema_metadata(None)
-
-        acc = (acc.map_batches(_local, batch_format="pyarrow")
-               .groupby("__bucket")
-               .map_groups(_dd, batch_format="pyarrow"))
+        acc = distinct_rows(acc, out_schema, n_buckets)
 
     # typed empty seed: zero bindings must still carry the schema
     return rd.from_arrow(out_schema.empty_table()).union(acc)
+
+
+def distinct_rows(ds: rd.Dataset, out_schema,
+                  n_buckets: int = 64) -> rd.Dataset:
+    """Exact distinct over whole rows, combiner-first: per-batch
+    ``drop_duplicates`` (bounds the exchange at
+    distinct-rows-per-batch), then one row-hash bucket exchange with
+    a per-group final dedup. Blocks stay typed Arrow throughout
+    (``out_schema`` pins names, order and types)."""
+    import pyarrow as pa
+
+    cols = list(out_schema.names)
+    B = np.int64(n_buckets)
+    bucketed_schema = pa.schema(list(out_schema)
+                                + [("__bucket", pa.int64())])
+
+    def _local(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates()
+        df["__bucket"] = pd.util.hash_pandas_object(
+            df[cols], index=False).to_numpy().astype("int64") % B
+        return pa.Table.from_pandas(
+            df, schema=bucketed_schema,
+            preserve_index=False).replace_schema_metadata(None)
+
+    def _dd(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().drop(columns="__bucket").drop_duplicates()
+        return pa.Table.from_pandas(
+            g[cols], schema=out_schema,
+            preserve_index=False).replace_schema_metadata(None)
+
+    return (ds.map_batches(_local, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(_dd, batch_format="pyarrow"))
+
+
+def bgp_construct(triples: rd.Dataset,
+                  patterns: list[tuple[str, str, str]],
+                  template: list[tuple[str, str, str]],
+                  optional: list[tuple[str, str, str]] | None = None,
+                  n_buckets: int = 64) -> rd.Dataset:
+    """SPARQL CONSTRUCT: graph-to-graph transformation. Matches the
+    basic graph pattern (``patterns`` + ``optional``, exactly as in
+    :func:`bgp_match`) and instantiates every ``template`` triple —
+    terms are ``"?var"`` or constants — once per binding, returning a
+    NEW deduplicated (set-semantics) triple Dataset with columns
+    (subj, pred, obj). Per SPARQL, a template triple with any UNBOUND
+    slot (an OPTIONAL var that did not match) is skipped for that
+    binding, not emitted with a NULL.
+
+    Scale shape: bindings stream out of the bgp_match plan,
+    instantiation is a vectorized per-batch column shuffle (k template
+    rows per binding, emitted batch-local), and the output set
+    semantics cost ONE combiner-first exact-dedup exchange
+    (:func:`distinct_rows`) — the same shape as the engine's own
+    triple dedup stage. The reference's extraction pipeline is this
+    operation in the large: match context, emit templated triples
+    into the uber-graph (cwrc/RDF-extraction
+    Biography/bio_extraction.py:62-78).
+    """
+    import pyarrow as pa
+
+    tvars = sorted({t[1:] for tri in template for t in tri
+                    if _is_var(t)})
+    if not tvars:
+        raise ValueError("template binds no variables")
+    bindings = bgp_match(triples, patterns, select=tvars,
+                         optional=optional, n_buckets=n_buckets)
+    out_schema = pa.schema([("subj", pa.string()),
+                            ("pred", pa.string()),
+                            ("obj", pa.string())])
+
+    def _instantiate(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        outs = []
+        for s, p, o in template:
+            cols = {}
+            for name, term in (("subj", s), ("pred", p), ("obj", o)):
+                cols[name] = (df[term[1:]].to_numpy() if _is_var(term)
+                              else np.full(len(df), term, dtype=object))
+            tri = pd.DataFrame(cols)
+            # SPARQL: unbound slots drop the instantiated triple
+            tri = tri[tri["subj"].notna() & tri["pred"].notna()
+                      & tri["obj"].notna()]
+            outs.append(tri)
+        out = pd.concat(outs, ignore_index=True) if outs else \
+            pd.DataFrame(columns=["subj", "pred", "obj"])
+        return pa.Table.from_pandas(
+            out, schema=out_schema,
+            preserve_index=False).replace_schema_metadata(None)
+
+    made = bindings.map_batches(_instantiate, batch_format="pyarrow")
+    return rd.from_arrow(out_schema.empty_table()).union(
+        distinct_rows(made, out_schema, n_buckets))

@@ -539,6 +539,26 @@ class TestGeneralBGP:
             dd, pd.DataFrame({"p": ["alice", "bob"],
                               "dp": ["york", None]}))
 
+    def test_construct_templates_skip_unbound(self):
+        import pandas as pd
+
+        from rdf_extraction_ray.stages.graph import bgp_construct
+        tr = self._triples()
+        out = bgp_construct(
+            tr, [("?ev", "died", "?p")],
+            optional=[("?p", "dplace", "?dp")],
+            template=[("?p", "diedAt", "?dp"),
+                      ("?p", "a", "Deceased")]).to_pandas()
+        out = out.sort_values(["pred", "subj"], ignore_index=True)
+        exp = pd.DataFrame({
+            # alice's unbound-free triple + both type triples; bob's
+            # diedAt is SKIPPED (unbound ?dp), never NULL-emitted;
+            # alice's two death events collapse under set semantics
+            "subj": ["alice", "bob", "alice"],
+            "pred": ["a", "a", "diedAt"],
+            "obj": ["Deceased", "Deceased", "york"]})
+        pd.testing.assert_frame_equal(out, exp)
+
     def test_constants_gate_and_same_var(self):
         import pandas as pd
         import pytest
