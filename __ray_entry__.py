@@ -2508,6 +2508,86 @@ def _q_kg_bgp_construct(sf_dir: str):
                   ("?person", rdf_type, kg + "DeceasedPerson")])
 
 
+_KG_REL = "http://kg.example.org/ontology#interpersonalRelationshipWith"
+
+
+def _q_kg_path_closure(sf_dir: str):
+    """SPARQL property path ``kg:interpersonalRelationshipWith+``:
+    every (start, node) pair connected by a 1..n-hop relationship
+    chain. The relationship graph's edge set is tiny relative to the
+    corpus (the predicate filter projects it out of the scan), so the
+    broadcast path runs — one distributed distinct-edges exchange,
+    then C-speed frontier BFS; the distributed semi-naive path (one
+    Δ⋈E hash exchange + one tag-union anti-join exchange per round)
+    is equality-tested against it in pytest and takes over past the
+    2M-edge cap. Oracle: DuckDB recursive CTE."""
+    from rdf_extraction_ray.stages.graph import path_closure
+    return path_closure(_triples_view(sf_dir), _KG_REL)
+
+
+def _q_kg_bgp_filter(sf_dir: str):
+    """SPARQL FILTER pushdown: SELECT DISTINCT ?person ?ts WHERE {
+    ?ev crm:P100_was_death_of ?person . ?ev sem:hasTimeStamp ?ts
+    FILTER (?ts >= '1870-01-01T00:00:00' && STRSTARTS(?person,
+    'http://kg.example.org/data/')) } — both constraints apply the
+    moment their variable binds (the ?ts filter runs on the
+    timestamp relation before the ?person join), so the join
+    exchange only carries post-1870 events."""
+    from rdf_extraction_ray.stages.graph import bgp_match
+    tr = _triples_view(sf_dir)
+    return bgp_match(
+        tr, [("?ev", _P100, "?person"), ("?ev", _SEM_TS, "?ts")],
+        filters=[("?ts", ">=", "1870-01-01T00:00:00"),
+                 ("?person", "strstarts", "http://kg.example.org/data/")],
+        select=["person", "ts"], distinct=True)
+
+
+def _q_kg_bgp_union(sf_dir: str):
+    """SPARQL UNION with branch-local unbound padding: SELECT
+    DISTINCT ?person ?place WHERE { { ?person kg:hasBurialPlace
+    ?place } UNION { ?ev crm:P100_was_death_of ?person } } — the
+    second branch never binds ?place, so its solutions carry a typed
+    NULL there (SPARQL: the variable is simply unbound in that
+    branch). Branches match independently; DISTINCT costs one
+    combiner-first exchange over the concatenated stream."""
+    from rdf_extraction_ray.stages.graph import bgp_union
+    tr = _triples_view(sf_dir)
+    burial = "http://kg.example.org/ontology#hasBurialPlace"
+    return bgp_union(
+        tr,
+        [[("?person", burial, "?place")],
+         [("?ev", _P100, "?person")]],
+        select=["person", "place"])
+
+
+def _q_kg_bgp_ask(sf_dir: str):
+    """SPARQL ASK: one row, one boolean — { ?ev P100 ?p . ?ev
+    sem:hasTimeStamp ?ts } exists (true on every corpus the
+    generator emits) and a gated variant whose FILTER can never
+    match (false) — both short-circuit via limit(1) on the streaming
+    plan, so a hit stops the scan early."""
+    from rdf_extraction_ray.stages.graph import bgp_ask
+    tr = _triples_view(sf_dir)
+    yes = bgp_ask(tr, [("?ev", _P100, "?p"), ("?ev", _SEM_TS, "?ts")])
+    no = bgp_ask(tr, [("?ev", _SEM_TS, "?ts")],
+                 filters=[("?ts", "<", "0000")])
+    return pd.DataFrame({"q": ["dated_death_exists", "pre_epoch_event"],
+                         "ask": [yes, no]})
+
+
+def _q_kg_describe(sf_dir: str):
+    """SPARQL DESCRIBE ?p WHERE { ?p kg:hasBurialPlace ?bp }: the
+    full triple rows (all 8 source columns) of every subject with a
+    burial place. The distinct subject set reduces through a
+    bucketed unique and broadcasts once into a semi-join filter over
+    the streaming triple scan — the triples themselves never
+    shuffle."""
+    from rdf_extraction_ray.stages.graph import describe_subjects
+    tr = _triples_view(sf_dir)
+    burial = "http://kg.example.org/ontology#hasBurialPlace"
+    return describe_subjects(tr, [("?p", burial, "?bp")], "?p")
+
+
 def _q_events_markov_transitions(sf_dir: str):
     """Per-user event-type transition (Markov bigram) counts: events
     ordered by (ts, event_id) within each user, consecutive
@@ -3847,6 +3927,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_chain": _q_kg_bgp_chain,
         "kg_bgp_optional": _q_kg_bgp_optional,
         "kg_bgp_construct": _q_kg_bgp_construct,
+        "kg_path_closure": _q_kg_path_closure,
+        "kg_bgp_filter": _q_kg_bgp_filter,
+        "kg_bgp_union": _q_kg_bgp_union,
+        "kg_bgp_ask": _q_kg_bgp_ask,
+        "kg_describe": _q_kg_describe,
         "events_markov_transitions": _q_events_markov_transitions,
         "kg_facts": _q_kg_facts,
         # --- dedup / similarity family
@@ -4876,6 +4961,59 @@ def oracle_sql() -> dict[str, str]:
                        'http://kg.example.org/ontology#DeceasedPerson'
                            AS obj
                 FROM b)
+        """,
+        "kg_path_closure": f"""
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT subj AS s, obj AS o
+                FROM read_parquet('{triples}')
+                WHERE pred = '{_KG_REL}'),
+            c(start, node) AS (
+                SELECT s, o FROM e
+                UNION
+                SELECT c.start, e.o FROM c JOIN e ON c.node = e.s)
+            SELECT start, node FROM c
+        """,
+        "kg_bgp_filter": f"""
+            SELECT DISTINCT a.obj AS person, t.obj AS ts
+            FROM read_parquet('{triples}') a
+            JOIN read_parquet('{triples}') t ON a.subj = t.subj
+            WHERE a.pred = '{_P100}'
+              AND t.pred = '{_SEM_TS}'
+              AND t.obj >= '1870-01-01T00:00:00'
+              AND a.obj LIKE 'http://kg.example.org/data/%'
+        """,
+        "kg_bgp_union": f"""
+            SELECT DISTINCT * FROM (
+                SELECT subj AS person, obj AS place
+                FROM read_parquet('{triples}')
+                WHERE pred =
+                    'http://kg.example.org/ontology#hasBurialPlace'
+                UNION ALL
+                SELECT obj AS person, NULL AS place
+                FROM read_parquet('{triples}')
+                WHERE pred = '{_P100}')
+        """,
+        "kg_bgp_ask": f"""
+            SELECT 'dated_death_exists' AS q,
+                   EXISTS (SELECT 1
+                           FROM read_parquet('{triples}') a
+                           JOIN read_parquet('{triples}') t
+                             ON a.subj = t.subj
+                           WHERE a.pred = '{_P100}'
+                             AND t.pred = '{_SEM_TS}') AS ask
+            UNION ALL
+            SELECT 'pre_epoch_event' AS q,
+                   EXISTS (SELECT 1
+                           FROM read_parquet('{triples}') t
+                           WHERE t.pred = '{_SEM_TS}'
+                             AND t.obj < '0000') AS ask
+        """,
+        "kg_describe": f"""
+            SELECT * FROM read_parquet('{triples}')
+            WHERE subj IN (
+                SELECT DISTINCT subj FROM read_parquet('{triples}')
+                WHERE pred =
+                    'http://kg.example.org/ontology#hasBurialPlace')
         """,
         "docs_embedding_labels": """
             SELECT d.doc_id, d.lang,

@@ -1115,11 +1115,29 @@ def _is_var(term: str) -> bool:
     return isinstance(term, str) and term.startswith("?")
 
 
+#: SPARQL FILTER operators — each maps (lhs Series, rhs Series-or-str)
+#: to a boolean mask. Comparisons where either side is unbound (NULL)
+#: are SPARQL type errors and drop the row (masks below are combined
+#: with explicit notna() guards, because pandas ``ne`` would otherwise
+#: pass NULL != x).
+_FILTER_OPS = {
+    "==": lambda a, b: a.eq(b),
+    "!=": lambda a, b: a.ne(b),
+    "<": lambda a, b: a.lt(b),
+    "<=": lambda a, b: a.le(b),
+    ">": lambda a, b: a.gt(b),
+    ">=": lambda a, b: a.ge(b),
+    "contains": lambda a, b: a.str.contains(b, regex=False, na=False),
+    "strstarts": lambda a, b: a.str.startswith(b, na=False),
+}
+
+
 def bgp_match(triples: rd.Dataset,
               patterns: list[tuple[str, str, str]],
               select: list[str] | None = None,
               distinct: bool = False,
               optional: list[tuple[str, str, str]] | None = None,
+              filters: list[tuple[str, str, str]] | None = None,
               n_buckets: int = 64) -> rd.Dataset:
     """General SPARQL basic-graph-pattern match over the triple set.
 
@@ -1136,6 +1154,17 @@ def bgp_match(triples: rd.Dataset,
     NULL columns where it does not. Every optional pattern must bind
     at least one variable and share one with the bindings built so
     far.
+
+    ``filters`` are SPARQL FILTER constraints ``(lhs, op, rhs)`` with
+    ``lhs``/``rhs`` a ``"?var"`` or a constant string and ``op`` one
+    of ``== != < <= > >= contains strstarts`` (string ops take a
+    constant rhs). Comparisons are lexicographic over the string
+    terms (ISO timestamps order correctly); a comparison touching an
+    UNBOUND (NULL, from OPTIONAL) variable is a SPARQL type error and
+    drops the row. Each filter is pushed down to the earliest plan
+    point where all its variables are bound — filtering the
+    accumulated bindings before later joins shrinks every subsequent
+    exchange.
 
     Complements :func:`star_bgp_match` (the single-exchange kernel
     for the all-same-subject special case): here patterns may chain
@@ -1184,6 +1213,46 @@ def bgp_match(triples: rd.Dataset,
     bad = [v for v in select if v not in all_vars]
     if bad:
         raise ValueError(f"selected vars bound by no pattern: {bad}")
+
+    def _fvars(f) -> list[str]:
+        return [t[1:] for t in (f[0], f[2]) if _is_var(t)]
+
+    pending = [tuple(f) for f in (filters or [])]
+    for lhs, op, rhs in pending:
+        if op not in _FILTER_OPS:
+            raise ValueError(f"unknown filter op {op!r}")
+        if not (_is_var(lhs) or _is_var(rhs)):
+            raise ValueError("filter must reference a variable")
+        if op in ("contains", "strstarts") and _is_var(rhs):
+            raise ValueError(f"{op} needs a constant rhs")
+        for t in (lhs, rhs):
+            if _is_var(t) and t[1:] not in all_vars:
+                raise ValueError(
+                    f"filter var ?{t[1:]} bound by no pattern")
+
+    def _apply_filters(acc: rd.Dataset, acc_vars: list[str]) -> rd.Dataset:
+        """Push down every pending filter whose vars are all bound."""
+        ready = [f for f in pending if set(_fvars(f)) <= set(acc_vars)]
+        if not ready:
+            return acc
+        for f in ready:
+            pending.remove(f)
+
+        def _filt(df: pd.DataFrame) -> pd.DataFrame:
+            m = pd.Series(True, index=df.index)
+            for lhs, op, rhs in ready:
+                a = (df[lhs[1:]] if _is_var(lhs)
+                     else pd.Series(lhs, index=df.index))
+                if _is_var(rhs):
+                    b = df[rhs[1:]]
+                    mask = _FILTER_OPS[op](a, b) \
+                        & a.notna() & b.notna()
+                else:
+                    mask = _FILTER_OPS[op](a, rhs) & a.notna()
+                m &= mask.astype(bool)
+            return df[m.to_numpy()].reset_index(drop=True)
+
+        return acc.map_batches(_filt, batch_format="pandas")
 
     def _pvars(i: int) -> list[str]:
         s, _, o = parsed[i]
@@ -1263,6 +1332,10 @@ def bgp_match(triples: rd.Dataset,
     first = remaining.pop(0)
     acc = _rel(first)
     acc_vars = _pvars(first)
+    acc = _apply_filters(acc, acc_vars)
+
+    def _pend_vars() -> set[str]:
+        return {v for f in pending for v in _fvars(f)}
 
     def _prune(acc, acc_vars, later_vars):
         live = set(select) | later_vars
@@ -1287,9 +1360,11 @@ def bgp_match(triples: rd.Dataset,
                                     for v in _pvars(nxt)]))
         acc_vars = acc_vars + [v for v in _pvars(nxt)
                                if v not in shared]
+        acc = _apply_filters(acc, acc_vars)
         acc, acc_vars = _prune(
             acc, acc_vars,
-            {v for j in remaining for v in _pvars(j)} | opt_vars)
+            {v for j in remaining for v in _pvars(j)}
+            | opt_vars | _pend_vars())
 
     # OPTIONAL clauses: LEFT joins in list order (each may chain on
     # variables a previous optional introduced)
@@ -1305,10 +1380,13 @@ def bgp_match(triples: rd.Dataset,
             left_schema=pa.schema([(v, pa.string()) for v in acc_vars]),
             right_schema=pa.schema([(v, pa.string()) for v in vs]))
         acc_vars = acc_vars + [v for v in vs if v not in shared]
+        acc = _apply_filters(acc, acc_vars)
         acc, acc_vars = _prune(
             acc, acc_vars,
-            {v for k in opt_idx if k > j for v in _pvars(k)})
+            {v for k in opt_idx if k > j for v in _pvars(k)}
+            | _pend_vars())
 
+    assert not pending, "every filter var is bound by the full plan"
     if list(acc_vars) != list(select):
         acc = acc.select_columns(select)
 
@@ -1410,3 +1488,238 @@ def bgp_construct(triples: rd.Dataset,
     made = bindings.map_batches(_instantiate, batch_format="pyarrow")
     return rd.from_arrow(out_schema.empty_table()).union(
         distinct_rows(made, out_schema, n_buckets))
+
+
+def path_closure(triples: rd.Dataset, pred: str,
+                 starts: list[str] | None = None,
+                 max_rounds: int = 32, n_buckets: int = 64,
+                 broadcast_cap: int = 2_000_000) -> rd.Dataset:
+    """SPARQL property path ``pred+``: every (start, node) pair where
+    ``node`` is reachable from ``start`` via 1..n hops of ``pred``
+    edges. ``starts`` optionally restricts the origin set (the common
+    SPARQL shape ``<x> pred+ ?y``); cycles terminate naturally under
+    the set semantics.
+
+    Two paths, equality-tested against each other:
+
+    - **broadcast** (distinct edge count ≤ ``broadcast_cap``): the
+      deduped (src, dst) edge list — already projected down from the
+      corpus by the predicate filter — collects once to the driver
+      and a C-speed frontier BFS per origin computes the closure.
+      Right whenever the EDGE SET (not the corpus) fits one machine,
+      which for a single predicate of a trillion-triple KG it
+      usually does.
+    - **distributed semi-naive**: per round, the frontier Δ joins the
+      static edge relation in one partitioned hash exchange
+      (Δ ⋈ E on node = src), then ONE tag-union row-hash exchange
+      both dedups the candidate pairs and anti-joins them against
+      the visited set; only genuinely new pairs re-enter the loop.
+      Rounds = the reachability radius of the graph; ``max_rounds``
+      caps runaway inputs and raises rather than return a silently
+      truncated closure.
+
+    The reference walks such chains pointer-by-pointer inside its
+    in-RAM rdflib uber-graph (cwrc/RDF-extraction
+    Utils/utilities.py:552-556); here the closure is a dataflow whose
+    every round exchanges only (start, node) string pairs.
+    """
+    import pyarrow as pa
+
+    import ray
+
+    from .joins import hash_join
+
+    pair_schema = pa.schema([("start", pa.string()),
+                             ("node", pa.string())])
+    edge_schema = pa.schema([("src", pa.string()),
+                             ("dst", pa.string())])
+
+    def _edges(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["pred"].to_numpy() == pred
+        return pd.DataFrame({"src": df["subj"].to_numpy()[m].astype(str),
+                             "dst": df["obj"].to_numpy()[m].astype(str)})
+
+    edges = distinct_rows(
+        triples.map_batches(_edges, batch_format="pandas"),
+        edge_schema, n_buckets).materialize()
+
+    n_edges = edges.count()
+    if n_edges == 0:  # no pred edges at all -> typed empty closure
+        return rd.from_arrow(pair_schema.empty_table())
+    if n_edges <= broadcast_cap:
+        # driver BFS over the (bounded) edge list
+        ed = edges.to_pandas()
+        nxt: dict[str, list[str]] = {}
+        for s, d in zip(ed["src"].to_numpy(), ed["dst"].to_numpy()):
+            nxt.setdefault(s, []).append(d)
+        origins = (sorted(set(starts) & nxt.keys())
+                   if starts is not None else sorted(nxt.keys()))
+        rows_s: list[str] = []
+        rows_n: list[str] = []
+        for o in origins:
+            seen: set[str] = set()
+            frontier = set(nxt.get(o, ()))
+            while frontier:
+                seen |= frontier
+                frontier = {d for n in frontier
+                            for d in nxt.get(n, ())} - seen
+            rows_s.extend([o] * len(seen))
+            rows_n.extend(sorted(seen))
+        out = pa.Table.from_pydict(
+            {"start": rows_s, "node": rows_n}, schema=pair_schema)
+        return rd.from_arrow(out)
+
+    # distributed semi-naive expansion
+    if starts is not None:
+        sref = ray.put(frozenset(starts))
+
+        def _seed(df: pd.DataFrame) -> pd.DataFrame:
+            keep = df[df["src"].isin(ray.get(sref))]
+            return pd.DataFrame({"start": keep["src"].to_numpy(),
+                                 "node": keep["dst"].to_numpy()})
+    else:
+        def _seed(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"start": df["src"].to_numpy(),
+                                 "node": df["dst"].to_numpy()})
+
+    erel = edges.map_batches(
+        lambda df: pd.DataFrame({"node": df["src"].to_numpy(),
+                                 "nxt": df["dst"].to_numpy()}),
+        batch_format="pandas").materialize()
+    visited = edges.map_batches(_seed,
+                                batch_format="pandas").materialize()
+    frontier = visited
+    B = np.int64(n_buckets)
+
+    def _tag(flag: int):
+        def _t(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[["start", "node"]].copy()
+            if flag:  # candidate side: local pre-dedup (combiner)
+                out = out.drop_duplicates()
+            out["__tag"] = np.int64(flag)
+            out["__bucket"] = pd.util.hash_pandas_object(
+                out[["start", "node"]], index=False) \
+                .to_numpy().astype("int64") % B
+            return out
+        return _t
+
+    def _fresh(g: pd.DataFrame) -> pd.DataFrame:
+        tag = g["__tag"].to_numpy()
+        new = g[tag == 1][["start", "node"]].drop_duplicates()
+        old = g[tag == 0][["start", "node"]]
+        m = new.merge(old, on=["start", "node"], how="left",
+                      indicator=True)
+        return m[m["_merge"] == "left_only"][["start", "node"]]
+
+    for _ in range(max_rounds):
+        stepped = hash_join(
+            frontier, erel, on="node",
+            left_schema=pair_schema,
+            right_schema=pa.schema([("node", pa.string()),
+                                    ("nxt", pa.string())]))
+        cand = stepped.map_batches(
+            lambda df: pd.DataFrame({"start": df["start"].to_numpy(),
+                                     "node": df["nxt"].to_numpy()}),
+            batch_format="pandas")
+        new = (visited.map_batches(_tag(0), batch_format="pandas")
+               .union(cand.map_batches(_tag(1), batch_format="pandas"))
+               .groupby("__bucket")
+               .map_groups(_fresh, batch_format="pandas")
+               .materialize())
+        if new.count() == 0:
+            return rd.from_arrow(pair_schema.empty_table()) \
+                .union(visited)
+        visited = visited.union(new).materialize()
+        frontier = new
+    raise RuntimeError(
+        f"path_closure did not converge within {max_rounds} rounds; "
+        "raise max_rounds (rounds track the graph's reachability "
+        "radius)")
+
+
+def bgp_union(triples: rd.Dataset,
+              groups: list, select: list[str],
+              distinct: bool = True,
+              n_buckets: int = 64) -> rd.Dataset:
+    """SPARQL UNION of basic graph patterns: each group is a pattern
+    list (or a ``(patterns, optional)`` tuple) matched independently
+    with :func:`bgp_match`; solution sequences concatenate. A branch
+    that does not bind some ``select`` variable pads it with typed
+    NULL (SPARQL: the variable is unbound in that branch's
+    solutions). ``distinct=True`` applies the DISTINCT modifier with
+    one combiner-first row-hash exchange over the concatenated
+    stream; the branches themselves never exchange against each
+    other."""
+    import pyarrow as pa
+
+    out_schema = pa.schema([(v, pa.string()) for v in select])
+    parts = []
+    for g in groups:
+        pats, opt = g if isinstance(g, tuple) else (g, None)
+        bound: list[str] = []
+        for s, _, o in list(pats) + list(opt or []):
+            for t in (s, o):
+                if _is_var(t) and t[1:] not in bound:
+                    bound.append(t[1:])
+        sel = [v for v in select if v in bound]
+        if not sel:
+            raise ValueError("a UNION branch binds no selected var")
+        part = bgp_match(triples, pats, select=sel, optional=opt,
+                         n_buckets=n_buckets)
+        missing = [v for v in select if v not in bound]
+
+        def _pad(t, missing=missing, sel=sel):
+            cols = {v: t.column(v) for v in sel}
+            n = t.num_rows
+            for v in missing:
+                cols[v] = pa.nulls(n, pa.string())
+            return pa.table(
+                {v: cols[v] for v in select}, schema=out_schema)
+
+        parts.append(part.map_batches(_pad, batch_format="pyarrow"))
+    acc = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+    if distinct:
+        acc = distinct_rows(acc, out_schema, n_buckets)
+    return rd.from_arrow(out_schema.empty_table()).union(acc)
+
+
+def bgp_ask(triples: rd.Dataset,
+            patterns: list[tuple[str, str, str]],
+            optional: list[tuple[str, str, str]] | None = None,
+            filters: list[tuple[str, str, str]] | None = None,
+            n_buckets: int = 64) -> bool:
+    """SPARQL ASK: does at least one solution of the graph pattern
+    exist? Runs the :func:`bgp_match` plan with ``limit(1)`` so the
+    streaming executor stops pulling blocks as soon as one binding
+    materializes — the closest Ray Data gets to EXISTS
+    short-circuiting."""
+    m = bgp_match(triples, patterns, optional=optional,
+                  filters=filters, n_buckets=n_buckets)
+    return m.limit(1).count() > 0
+
+
+def describe_subjects(triples: rd.Dataset,
+                      patterns: list[tuple[str, str, str]],
+                      var: str,
+                      optional: list[tuple[str, str, str]] | None = None,
+                      n_buckets: int = 64,
+                      broadcast_cap: int = 5_000_000) -> rd.Dataset:
+    """SPARQL DESCRIBE ?var: every triple (full source rows, all
+    columns) whose SUBJECT is a binding of ``?var`` in the graph
+    pattern. The distinct binding set reduces through a bucketed
+    unique (never the raw binding stream) and broadcasts once via the
+    object store into a semi-join filter over the streaming triple
+    scan — DESCRIBE sets are query results, small by construction;
+    ``broadcast_cap`` guards the assumption and fails loudly rather
+    than ship an unbounded set to every task."""
+    from .joins import distinct_values, semi_join_filter
+
+    v = var[1:] if var.startswith("?") else var
+    bindings = bgp_match(triples, patterns, select=[v],
+                         optional=optional, n_buckets=n_buckets)
+    vals = distinct_values(bindings, v, n_buckets=n_buckets)
+    if len(vals) > broadcast_cap:
+        raise ValueError(
+            f"DESCRIBE set ({len(vals)} subjects) exceeds the "
+            f"{broadcast_cap} broadcast cap; narrow the pattern")
+    return semi_join_filter(triples, vals.to_numpy(), "subj")

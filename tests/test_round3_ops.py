@@ -908,3 +908,133 @@ class TestKCoreRoundParity:
         assert sorted(b["node"]) == sorted(e["node"])
         # after 6 rounds the chain has lost exactly 6 nodes per end
         assert len(b) == n - 12
+
+
+class TestSparqlForms:
+    """FILTER / UNION / ASK / DESCRIBE / property-path closure."""
+
+    def _triples(self):
+        import pandas as pd
+        import ray.data as rd
+        rows = [
+            ("ev1", "died", "alice"), ("ev2", "died", "alice"),
+            ("alice", "dplace", "york"),
+            ("ev3", "died", "bob"),            # bob: no dplace
+            ("carol", "dplace", "leeds"),       # carol: no death event
+        ]
+        return rd.from_pandas(pd.DataFrame(
+            rows, columns=["subj", "pred", "obj"]))
+
+    def test_filters_pushdown_and_unbound_drop(self):
+        import pandas as pd
+        import pytest
+
+        from rdf_extraction_ray.stages.graph import bgp_match
+        tr = self._triples()
+        # constant compare, filter var bound by the first pattern
+        out = bgp_match(tr, [("?ev", "died", "?p")],
+                        filters=[("?p", "==", "bob")]).to_pandas()
+        pd.testing.assert_frame_equal(
+            out, pd.DataFrame({"ev": ["ev3"], "p": ["bob"]}))
+        # var-var compare across two patterns
+        out = bgp_match(
+            tr, [("?ev", "died", "?p"), ("?p", "dplace", "?dp")],
+            filters=[("?p", "<", "?dp")],
+            select=["p", "dp"], distinct=True).to_pandas()
+        pd.testing.assert_frame_equal(
+            out, pd.DataFrame({"p": ["alice"], "dp": ["york"]}))
+        # a filter on an OPTIONAL var drops UNBOUND rows (SPARQL type
+        # error) for EVERY op, != included
+        for op, want in (("==", ["alice", "alice"]),
+                         ("!=", [])):
+            ds = bgp_match(
+                tr, [("?ev", "died", "?p")],
+                optional=[("?p", "dplace", "?dp")],
+                filters=[("?dp", op, "york")])
+            if want:  # (to_pandas drops names on all-empty datasets)
+                assert sorted(ds.to_pandas()["p"]) == want, op
+            else:
+                assert ds.count() == 0, op
+        # string ops
+        out = bgp_match(tr, [("?ev", "died", "?p")],
+                        filters=[("?p", "strstarts", "al")],
+                        select=["p"], distinct=True).to_pandas()
+        assert list(out["p"]) == ["alice"]
+        with pytest.raises(ValueError):
+            bgp_match(tr, [("?ev", "died", "?p")],
+                      filters=[("?p", "~", "x")])
+        with pytest.raises(ValueError):
+            bgp_match(tr, [("?ev", "died", "?p")],
+                      filters=[("a", "==", "b")])
+        with pytest.raises(ValueError):
+            bgp_match(tr, [("?ev", "died", "?p")],
+                      filters=[("?nope", "==", "b")])
+
+    def test_path_closure_both_paths_agree_on_cycles(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from rdf_extraction_ray.stages.graph import path_closure
+        rows = [("a", "rel", "b"), ("b", "rel", "c"),
+                ("c", "rel", "a"), ("d", "rel", "b"),
+                ("x", "other", "y")]
+        tr = rd.from_pandas(pd.DataFrame(
+            rows, columns=["subj", "pred", "obj"]))
+
+        def _canon(ds):
+            return ds.to_pandas().sort_values(
+                ["start", "node"], ignore_index=True)
+
+        bc = _canon(path_closure(tr, "rel"))
+        dist = _canon(path_closure(tr, "rel", broadcast_cap=0))
+        pd.testing.assert_frame_equal(bc, dist)
+        # the 3-cycle closes over itself (a reaches a), d reaches all
+        exp = {(s, n) for s in "abc" for n in "abc"} \
+            | {("d", n) for n in "abc"}
+        assert set(zip(bc["start"], bc["node"])) == exp
+        # restricted origin set, on both paths
+        one = _canon(path_closure(tr, "rel", starts=["d"]))
+        one_d = _canon(path_closure(tr, "rel", starts=["d"],
+                                    broadcast_cap=0))
+        pd.testing.assert_frame_equal(one, one_d)
+        assert set(zip(one["start"], one["node"])) == \
+            {("d", n) for n in "abc"}
+        # a predicate with no edges -> typed empty closure
+        none = path_closure(tr, "absent")
+        assert none.schema().names == ["start", "node"]
+        assert none.count() == 0
+
+    def test_bgp_union_pads_unbound_and_dedups(self):
+        import pandas as pd
+
+        from rdf_extraction_ray.stages.graph import bgp_union
+        tr = self._triples()
+        out = bgp_union(
+            tr,
+            [[("?p", "dplace", "?place")],   # binds both vars
+             [("?ev", "died", "?p")]],       # place unbound -> NULL
+            select=["p", "place"]).to_pandas()
+        out = out.sort_values(["p", "place"],
+                              ignore_index=True, na_position="last")
+        exp = pd.DataFrame({
+            # alice's two death events collapse under DISTINCT
+            "p": ["alice", "alice", "bob", "carol"],
+            "place": ["york", None, None, "leeds"]})
+        pd.testing.assert_frame_equal(out, exp)
+
+    def test_bgp_ask(self):
+        from rdf_extraction_ray.stages.graph import bgp_ask
+        tr = self._triples()
+        assert bgp_ask(tr, [("?ev", "died", "?p"),
+                            ("?p", "dplace", "?dp")]) is True
+        assert bgp_ask(tr, [("?p", "dplace", "?dp")],
+                       filters=[("?dp", "==", "gotham")]) is False
+
+    def test_describe_subjects_returns_full_rows(self):
+        from rdf_extraction_ray.stages.graph import describe_subjects
+        tr = self._triples()
+        out = describe_subjects(
+            tr, [("?p", "dplace", "?dp")], "?p").to_pandas()
+        # alice and carol are described: every triple they SUBJECT
+        assert sorted(out["subj"]) == ["alice", "carol"]
+        assert list(out.columns) == ["subj", "pred", "obj"]
