@@ -3909,14 +3909,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_semantic_dedup": _q_embed_semantic_dedup,
         "media_features": _q_media_features,
         "docs_incremental_dedup": _q_docs_incremental_dedup,
-        "docs_norm_dedup": _q_docs_norm_dedup,
-        "docs_line_dedup": _q_docs_line_dedup,
+        # --- one never-driver-green representative per family
+        #     (window slots are scarce: a sibling that shares the
+        #     family's code path yields its slot — see the post-window
+        #     section — and every name here is still oracle-checked
+        #     locally by tools/check_oracles.py regardless of window)
         "docs_balanced_mix": _q_docs_balanced_mix,
-        "docs_url_dedup": _q_docs_url_dedup,
         "docs_quality_model": _q_docs_quality_model,
-        "docs_token_tertiles": _q_docs_token_tertiles,
         "events_funnel": _q_events_funnel,
         "segment_revenue_bucketed": _q_segment_revenue_bucketed,
+        "docs_bm25": _q_docs_bm25,
+        "docs_vocab_kmv": _q_docs_vocab_kmv,
+        "docs_weighted_sample": _q_docs_weighted_sample,
+        "docs_source_overlap": _q_docs_source_overlap,
         "kg_pagerank": _q_kg_pagerank,
         "kg_triangles": _q_kg_triangles,
         "kg_components": _q_kg_components,
@@ -3935,35 +3940,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_markov_transitions": _q_events_markov_transitions,
         "kg_facts": _q_kg_facts,
         # --- dedup / similarity family
-        "docs_simhash": _q_docs_simhash,
         "docs_simhash_pairs": _q_docs_simhash_pairs,
         "docs_ngram_jaccard": _q_docs_ngram_jaccard,
-        "docs_ngram_components": _q_docs_ngram_components,
         "docs_dedup_keep_best": _q_docs_dedup_keep_best,
         "docs_embed_neardup": _q_docs_embed_neardup,
-        "embed_cosine_pairs": _q_embed_cosine_pairs,
         "embed_kmeans": _q_embed_kmeans,
-        "ann_bruteforce": _q_ann_bruteforce,
         "ann_lsh": _q_ann_lsh,
         "media_frames": _q_media_frames,
+        "media_dedup": _q_media_dedup,
         # --- curation / text-analysis family
         "docs_tfidf_terms": _q_docs_tfidf_terms,
-        "docs_top_tokens": _q_docs_top_tokens,
         "docs_gopher_rules": _q_docs_gopher_rules,
         "docs_train_shards": _q_docs_train_shards,
         "docs_strip_boilerplate": _q_docs_strip_boilerplate,
         "docs_unigram_logprob": _q_docs_unigram_logprob,
-        "docs_vocab_size": _q_docs_vocab_size,
-        "docs_vocab_kmv": _q_docs_vocab_kmv,
-        "lineitem_orderkeys_kmv": _q_lineitem_orderkeys_kmv,
-        "docs_bm25": _q_docs_bm25,
-        "docs_weighted_sample": _q_docs_weighted_sample,
-        "docs_source_overlap": _q_docs_source_overlap,
-        "docs_length_quantiles": _q_docs_length_quantiles,
-        "docs_fingerprint": _q_docs_fingerprint,
-        "docs_repetition": _q_docs_repetition,
         "docs_pii_redact": _q_docs_pii_redact,
         "docs_decontaminate": _q_docs_decontaminate,
+        "docs_fingerprint": _q_docs_fingerprint,
+        "events_retention_cohorts": _q_events_retention_cohorts,
+        # ---------------- window boundary (~50) ----------------
+        # siblings whose family is represented above; all remain
+        # oracle-gated locally and in pytest
+        "docs_norm_dedup": _q_docs_norm_dedup,
+        "docs_line_dedup": _q_docs_line_dedup,
+        "docs_url_dedup": _q_docs_url_dedup,
+        "docs_token_tertiles": _q_docs_token_tertiles,
+        "docs_simhash": _q_docs_simhash,
+        "docs_ngram_components": _q_docs_ngram_components,
+        "embed_cosine_pairs": _q_embed_cosine_pairs,
+        "ann_bruteforce": _q_ann_bruteforce,
+        "docs_top_tokens": _q_docs_top_tokens,
+        "docs_vocab_size": _q_docs_vocab_size,
+        "lineitem_orderkeys_kmv": _q_lineitem_orderkeys_kmv,
+        "docs_length_quantiles": _q_docs_length_quantiles,
+        "docs_repetition": _q_docs_repetition,
         "docs_dup_spans": _q_docs_dup_spans,
         "docs_source_cap": _q_docs_source_cap,
         # --- KG long tail (serializers, reports, works)
@@ -4017,8 +4027,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_sample": _q_docs_stratified_sample,
         "docs_pack_windows": _q_docs_pack_windows,
         "docs_embedding_labels": _q_docs_embedding_labels,
-        "events_retention_cohorts": _q_events_retention_cohorts,
-        "media_dedup": _q_media_dedup,
     }
 
 
