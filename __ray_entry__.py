@@ -2588,6 +2588,47 @@ def _q_kg_describe(sf_dir: str):
     return describe_subjects(tr, [("?p", burial, "?bp")], "?p")
 
 
+def _q_kg_bgp_aggregate(sf_dir: str):
+    """SPARQL GROUP BY aggregates: SELECT ?place (COUNT(*) AS
+    n_deaths) (COUNT(DISTINCT ?person) AS n_persons) (COUNT(?ts) AS
+    n_dated) (MIN(?ts) AS first_ts) (MAX(?ts) AS last_ts) WHERE {
+    ?ev crm:P100_was_death_of ?person . ?person kg:hasDeathPlace
+    ?place . OPTIONAL { ?ev sem:hasTimeStamp ?ts } } GROUP BY ?place
+    — per-place death-event census exercising COUNT(*) vs COUNT(var)
+    over an OPTIONAL (unbound skipped), COUNT DISTINCT, and
+    lexicographic MIN/MAX, all through one group-key hash-bucket
+    exchange over the binding stream."""
+    from rdf_extraction_ray.stages.graph import bgp_aggregate
+    tr = _triples_view(sf_dir)
+    return bgp_aggregate(
+        tr,
+        [("?ev", _P100, "?person"),
+         ("?person", _BGP_PATTERNS[1][1], "?place")],
+        group_by=["place"],
+        aggs=[("count", "*", "n_deaths"),
+              ("count_distinct", "person", "n_persons"),
+              ("count", "ts", "n_dated"),
+              ("min", "ts", "first_ts"),
+              ("max", "ts", "last_ts")],
+        optional=[("?ev", _SEM_TS, "?ts")])
+
+
+def _q_kg_bgp_minus(sf_dir: str):
+    """SPARQL negation: SELECT DISTINCT ?ev ?person WHERE { ?ev
+    crm:P100_was_death_of ?person MINUS { ?ev sem:hasTimeStamp ?ts }
+    } — UNDATED death events (~7.5% of death events at sf0.01; the
+    shared variable ?ev is required-bound on both sides, the regime
+    where MINUS = FILTER NOT EXISTS = SQL NOT-EXISTS anti-join). One
+    partitioned hash ANTI exchange over the binding stream against
+    the DISTINCT negation keys."""
+    from rdf_extraction_ray.stages.graph import bgp_minus
+    tr = _triples_view(sf_dir)
+    return bgp_minus(
+        tr, [("?ev", _P100, "?person")],
+        [("?ev", _SEM_TS, "?ts")],
+        select=["ev", "person"], distinct=True)
+
+
 def _q_events_markov_transitions(sf_dir: str):
     """Per-user event-type transition (Markov bigram) counts: events
     ordered by (ts, event_id) within each user, consecutive
@@ -3961,6 +4002,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---------------- window boundary (~50) ----------------
         # siblings whose family is represented above; all remain
         # oracle-gated locally and in pytest
+        "kg_bgp_aggregate": _q_kg_bgp_aggregate,
+        "kg_bgp_minus": _q_kg_bgp_minus,
         "docs_norm_dedup": _q_docs_norm_dedup,
         "docs_line_dedup": _q_docs_line_dedup,
         "docs_url_dedup": _q_docs_url_dedup,
@@ -5022,6 +5065,31 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT subj FROM read_parquet('{triples}')
                 WHERE pred =
                     'http://kg.example.org/ontology#hasBurialPlace')
+        """,
+        "kg_bgp_aggregate": f"""
+            SELECT b.obj AS place,
+                   COUNT(*) AS n_deaths,
+                   COUNT(DISTINCT a.obj) AS n_persons,
+                   COUNT(t.obj) AS n_dated,
+                   MIN(t.obj) AS first_ts,
+                   MAX(t.obj) AS last_ts
+            FROM read_parquet('{triples}') a
+            JOIN read_parquet('{triples}') b ON a.obj = b.subj
+            LEFT JOIN (SELECT subj, obj FROM read_parquet('{triples}')
+                       WHERE pred = '{_SEM_TS}') t
+              ON a.subj = t.subj
+            WHERE a.pred = '{_P100}'
+              AND b.pred = '{_BGP_PATTERNS[1][1]}'
+            GROUP BY b.obj
+        """,
+        "kg_bgp_minus": f"""
+            SELECT DISTINCT a.subj AS ev, a.obj AS person
+            FROM read_parquet('{triples}') a
+            WHERE a.pred = '{_P100}'
+              AND NOT EXISTS (
+                  SELECT 1 FROM read_parquet('{triples}') t
+                  WHERE t.pred = '{_SEM_TS}'
+                    AND t.subj = a.subj)
         """,
         "docs_embedding_labels": """
             SELECT d.doc_id, d.lang,

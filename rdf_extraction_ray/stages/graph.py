@@ -1723,3 +1723,231 @@ def describe_subjects(triples: rd.Dataset,
             f"DESCRIBE set ({len(vals)} subjects) exceeds the "
             f"{broadcast_cap} broadcast cap; narrow the pattern")
     return semi_join_filter(triples, vals.to_numpy(), "subj")
+
+
+def bgp_minus(triples: rd.Dataset,
+              patterns: list[tuple[str, str, str]],
+              minus: list[tuple[str, str, str]],
+              select: list[str] | None = None,
+              distinct: bool = False,
+              optional: list[tuple[str, str, str]] | None = None,
+              filters: list[tuple[str, str, str]] | None = None,
+              n_buckets: int = 64) -> rd.Dataset:
+    """SPARQL negation: ``patterns MINUS { minus }`` (equivalently
+    ``FILTER NOT EXISTS`` under the restriction below) — solutions of
+    the main graph pattern are removed when the negation pattern has
+    a solution agreeing on every shared variable.
+
+    Restriction (checked): the negation patterns must share at least
+    one variable with the REQUIRED main patterns, and only
+    required-bound variables participate in the anti-join — shared
+    bindings are therefore never NULL, which is exactly the regime
+    where SPARQL MINUS and FILTER NOT EXISTS coincide and both equal
+    the SQL ``NOT EXISTS`` equality anti-join the oracle replays.
+
+    Scale shape: both sides are independent :func:`bgp_match` plans
+    off the shared predicate-filtered scan; the negation side reduces
+    to its DISTINCT shared-variable projection (combiner-first)
+    before one partitioned hash ANTI-join exchange
+    (:func:`~rdf_extraction_ray.stages.joins.hash_join` with
+    ``how="anti"``) — the exchange carries |main bindings| + |distinct
+    negation keys| rows, never a cross product. The reference answers
+    such queries by set-difference walks over the in-RAM uber-graph
+    (cwrc/RDF-extraction Utils/utilities.py:552-556).
+    """
+    import pyarrow as pa
+
+    from .joins import hash_join
+
+    req_vars: list[str] = []
+    for s, _, o in patterns:
+        for t in (s, o):
+            if _is_var(t) and t[1:] not in req_vars:
+                req_vars.append(t[1:])
+    minus_vars = {t[1:] for tri in minus for t in tri if _is_var(t)}
+    shared = [v for v in req_vars if v in minus_vars]
+    if not shared:
+        raise ValueError(
+            "MINUS patterns share no variable with the required "
+            "main patterns")
+    all_vars = list(req_vars)
+    for s, _, o in (optional or []):
+        for t in (s, o):
+            if _is_var(t) and t[1:] not in all_vars:
+                all_vars.append(t[1:])
+    if select is None:
+        select = list(all_vars)
+    main_sel = list(dict.fromkeys(list(select) + shared))
+    main = bgp_match(triples, patterns, select=main_sel,
+                     optional=optional, filters=filters,
+                     n_buckets=n_buckets)
+    neg = bgp_match(triples, minus, select=shared, distinct=True,
+                    n_buckets=n_buckets)
+    out_schema = pa.schema([(v, pa.string()) for v in select])
+    kept = hash_join(main, neg, on=shared, how="anti",
+                     n_buckets=n_buckets)
+    if kept.schema() is None:
+        return rd.from_arrow(out_schema.empty_table())
+    if list(select) != main_sel:
+        kept = kept.map_batches(
+            lambda t: t.select(list(select)).cast(out_schema),
+            batch_format="pyarrow")
+    if distinct:
+        kept = distinct_rows(kept, out_schema, n_buckets)
+    return rd.from_arrow(out_schema.empty_table()).union(kept)
+
+
+_BGP_AGG_FNS = ("count", "count_distinct", "min", "max")
+
+
+def bgp_aggregate(triples: rd.Dataset,
+                  patterns: list[tuple[str, str, str]],
+                  group_by: list[str],
+                  aggs: list[tuple[str, str, str]],
+                  optional: list[tuple[str, str, str]] | None = None,
+                  filters: list[tuple[str, str, str]] | None = None,
+                  having: list[tuple[str, str, float]] | None = None,
+                  n_buckets: int = 64) -> rd.Dataset:
+    """SPARQL GROUP BY + aggregates over BGP bindings: ``SELECT
+    ?g1 ?g2 (AGG(?v) AS alias) ... WHERE { ... } GROUP BY ?g1 ?g2
+    [HAVING ...]``.
+
+    ``aggs`` entries are ``(fn, var, alias)`` with ``fn`` one of
+    ``count`` (``var="*"`` counts solutions; a variable counts its
+    BOUND values, per SPARQL/SQL), ``count_distinct``, ``min``,
+    ``max`` (lexicographic over the string terms, = SQL VARCHAR
+    min/max; a group with no bound value yields NULL). ``having``
+    entries are ``(alias, op, value)`` filters over the aggregated
+    rows (``op`` in ``== != < <= > >=``).
+
+    Scale shape: bindings stream out of the :func:`bgp_match` plan
+    and aggregate through ONE group-key hash-bucket exchange. When no
+    ``count_distinct`` is requested the exchange carries per-batch
+    COMBINER partials (count/min/max all pre-combine, so exchange
+    rows are bounded by groups-per-batch × batches); with
+    ``count_distinct`` the projected binding rows themselves exchange
+    (exact per-group nunique needs the group co-located — the same
+    contract as the engine's other bucketed aggregations). HAVING
+    filters the already-aggregated stream, so it is always cheap.
+    The reference computes such reports by Counter walks over the
+    in-RAM graph (cwrc/RDF-extraction Utils/utilities.py:552-556).
+    """
+    import pyarrow as pa
+
+    if not group_by:
+        raise ValueError("group_by must name at least one variable")
+    for fn, v, alias in aggs:
+        if fn not in _BGP_AGG_FNS:
+            raise ValueError(f"unknown aggregate fn {fn!r}")
+        if v == "*" and fn != "count":
+            raise ValueError(f"{fn}(*) is not defined")
+    agg_vars = [v for _, v, _ in aggs if v != "*"]
+    needed = list(dict.fromkeys(list(group_by) + agg_vars))
+    bindings = bgp_match(triples, patterns, select=needed,
+                         optional=optional, filters=filters,
+                         n_buckets=n_buckets)
+    gcols = list(group_by)
+    B = np.int64(n_buckets)
+    out_fields = [(g, pa.string()) for g in gcols]
+    for fn, _, alias in aggs:
+        out_fields.append(
+            (alias, pa.int64() if fn.startswith("count")
+             else pa.string()))
+    out_schema = pa.schema(out_fields)
+    exact = any(fn == "count_distinct" for fn, _, _ in aggs)
+
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = (pd.util.hash_pandas_object(
+            df[gcols], index=False).to_numpy().astype("int64") % B)
+        return df
+
+    def _minmax_col(df: pd.DataFrame, out: pd.DataFrame, v: str,
+                    fn: str) -> pd.Series:
+        """Per-group min/max over the BOUND values only (pandas'
+        cython groupby min/max raises on object columns mixing str
+        and None, and SPARQL/SQL aggregates skip unbound anyway);
+        groups with no bound value come back NULL via the left
+        merge."""
+        nn = df[df[v].notna()]
+        if not len(nn):
+            return pd.Series([None] * len(out), dtype=object)
+        s = (nn.groupby(gcols, dropna=False, sort=False)[v].agg(fn)
+             .rename("__mm").reset_index())
+        return out[gcols].merge(s, on=gcols, how="left")["__mm"]
+
+    if exact:
+        # projected binding rows exchange; every aggregate computed
+        # exactly per co-located group
+        def _final(g: pd.DataFrame) -> pa.Table:
+            gb = g.groupby(gcols, dropna=False, sort=False)
+            out = gb.size().rename("__n").reset_index()
+            for fn, v, alias in aggs:
+                if fn == "count" and v == "*":
+                    out[alias] = out["__n"]
+                elif fn == "count":
+                    out[alias] = gb[v].count().to_numpy()
+                elif fn == "count_distinct":
+                    out[alias] = gb[v].nunique(dropna=True).to_numpy()
+                else:
+                    out[alias] = _minmax_col(g, out, v, fn).to_numpy()
+            return pa.Table.from_pandas(
+                out[out_schema.names], schema=out_schema,
+                preserve_index=False).replace_schema_metadata(None)
+
+        agg = (bindings.map_batches(_bucket, batch_format="pandas")
+               .groupby("__bucket")
+               .map_groups(_final, batch_format="pandas"))
+    else:
+        # combiner path: per-batch partials, then a partial-merge
+        # exchange — count partials SUM, min/max partials re-min/max
+        def _partial(df: pd.DataFrame) -> pd.DataFrame:
+            gb = df.groupby(gcols, dropna=False, sort=False)
+            out = gb.size().rename("__n").reset_index()
+            for fn, v, alias in aggs:
+                if fn == "count" and v == "*":
+                    out[alias] = out["__n"]
+                elif fn == "count":
+                    out[alias] = gb[v].count().to_numpy()
+                else:
+                    out[alias] = _minmax_col(df, out, v, fn).to_numpy()
+            return _bucket(out.drop(columns="__n"))
+
+        def _merge(g: pd.DataFrame) -> pa.Table:
+            gb = g.groupby(gcols, dropna=False, sort=False)
+            out = gb.size().rename("__n").reset_index()
+            for fn, v, alias in aggs:
+                if fn == "count":
+                    out[alias] = gb[alias].sum().to_numpy()
+                else:
+                    # re-min/max the partials, skipping NULL partials
+                    # (a batch whose group had no bound value)
+                    out[alias] = _minmax_col(g, out, alias,
+                                             fn).to_numpy()
+            return pa.Table.from_pandas(
+                out[out_schema.names], schema=out_schema,
+                preserve_index=False).replace_schema_metadata(None)
+
+        agg = (bindings.map_batches(_partial, batch_format="pandas")
+               .groupby("__bucket")
+               .map_groups(_merge, batch_format="pandas"))
+
+    if having:
+        import operator as _op
+        ops = {"==": _op.eq, "!=": _op.ne, "<": _op.lt,
+               "<=": _op.le, ">": _op.gt, ">=": _op.ge}
+        for alias, op, _ in having:
+            if op not in ops:
+                raise ValueError(f"unknown HAVING op {op!r}")
+            if alias not in out_schema.names:
+                raise ValueError(f"HAVING references unknown {alias!r}")
+
+        def _having(df: pd.DataFrame) -> pd.DataFrame:
+            m = pd.Series(True, index=df.index)
+            for alias, op, val in having:
+                col = df[alias]
+                m &= ops[op](col, val) & col.notna()
+            return df[m.to_numpy()].reset_index(drop=True)
+
+        agg = agg.map_batches(_having, batch_format="pandas")
+    return rd.from_arrow(out_schema.empty_table()).union(agg)

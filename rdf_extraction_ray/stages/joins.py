@@ -260,16 +260,31 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str | list[str],
     right values above 2^53 must coalesce the nulls IN-PIPELINE
     (``pyarrow.compute.fill_null`` in a map_batches) — a driver
     ``to_pandas()`` of int64-with-nulls converts via float64.
+
+    ``how="anti"``: left rows with NO key match on the right (SQL
+    ``NOT EXISTS`` with equality — a NULL key never matches, so
+    null-keyed left rows always survive and null-keyed right rows
+    never eliminate). The right side is projected to its key columns
+    before the exchange, so the shuffle carries |left| + |right keys|
+    rows and the output schema is exactly the left schema.
     """
-    if (left_schema or left.schema()) is None or (
-            how == "inner"
-            and (right_schema or right.schema()) is None):
-        # schema-less = empty: inner with either side empty (or any
-        # join with an empty LEFT) is provably empty; a LEFT join
-        # with only the right side empty still needs schemas and
-        # falls through to the clear _arrow_schema error
+    if (left_schema or left.schema()) is None:
+        # schema-less = empty LEFT: every join flavor is empty
         return rd.from_pandas(pd.DataFrame())
     on_cols = [on] if isinstance(on, str) else list(on)
+    if how == "anti":
+        if (right_schema or right.schema()) is None:
+            return left  # anti vs an empty right keeps every left row
+        rs = right_schema or _arrow_schema(right)
+        right = right.map_batches(lambda t: t.select(on_cols),
+                                  batch_format="pyarrow")
+        right_schema = pa.schema(
+            [(c, rs.field(c).type) for c in on_cols])
+    elif how == "inner" and (right_schema or right.schema()) is None:
+        # inner with an empty right side is provably empty; a LEFT
+        # join with only the right side empty still needs schemas and
+        # falls through to the clear _arrow_schema error
+        return rd.from_pandas(pd.DataFrame())
     rschema = right_schema or _arrow_schema(right)
     all_cols, (left_cols, right_cols), type_of = _union_schema(
         left_schema or _arrow_schema(left), rschema)
@@ -309,6 +324,19 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str | list[str],
         # buckets
         if not len(l) or (how == "inner" and not len(r)):
             return out_schema.empty_table()
+        if how == "anti":
+            if len(r):
+                # NOT-EXISTS equality semantics: null keys never
+                # match, so null-keyed probe rows survive untouched
+                # and null-keyed right keys are dropped (pandas merge
+                # would otherwise pair NaN with NaN)
+                rk = r[on_cols].dropna().drop_duplicates()
+                keyed = l.merge(rk, on=on_cols, how="left",
+                                indicator=True)
+                l = l[(keyed["_merge"] == "left_only").to_numpy()]
+            return pa.Table.from_pandas(
+                l[out_cols], schema=out_schema,
+                preserve_index=False).replace_schema_metadata(None)
         if how == "left":
             # split matched/unmatched explicitly: pandas' how="left"
             # merge promotes missing right ints to float64, silently

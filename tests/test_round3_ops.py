@@ -1038,3 +1038,168 @@ class TestSparqlForms:
         # alice and carol are described: every triple they SUBJECT
         assert sorted(out["subj"]) == ["alice", "carol"]
         assert list(out.columns) == ["subj", "pred", "obj"]
+
+
+class TestSparqlNegationAndAggregates:
+    """MINUS (anti-join) and GROUP BY aggregates over BGP bindings."""
+
+    def _triples(self):
+        import pandas as pd
+        import ray.data as rd
+        rows = [
+            ("ev1", "died", "alice"), ("ev2", "died", "alice"),
+            ("ev3", "died", "bob"), ("ev4", "died", "carol"),
+            ("ev5", "died", "dan"),
+            ("alice", "dplace", "york"), ("carol", "dplace", "york"),
+            ("dan", "dplace", "leeds"),
+            ("ev1", "ts", "1880"), ("ev2", "ts", "1885"),
+            ("ev5", "ts", "1900"),
+            ("bob", "buried", "crypt"),
+        ]
+        return rd.from_pandas(pd.DataFrame(
+            rows, columns=["subj", "pred", "obj"]))
+
+    def test_minus_removes_compatible_solutions(self):
+        from rdf_extraction_ray.stages.graph import bgp_minus
+        tr = self._triples()
+        # undated death events: ev3, ev4
+        out = bgp_minus(tr, [("?ev", "died", "?p")],
+                        [("?ev", "ts", "?t")],
+                        select=["ev", "p"]).to_pandas()
+        out = out.sort_values("ev", ignore_index=True)
+        pd.testing.assert_frame_equal(
+            out, pd.DataFrame({"ev": ["ev3", "ev4"],
+                               "p": ["bob", "carol"]}))
+        # negation on a different shared var + distinct projection
+        dd = bgp_minus(tr, [("?ev", "died", "?p")],
+                       [("?p", "buried", "?bp")],
+                       select=["p"], distinct=True).to_pandas()
+        assert sorted(dd["p"]) == ["alice", "carol", "dan"]
+
+    def test_minus_empty_negation_keeps_all(self):
+        from rdf_extraction_ray.stages.graph import bgp_minus
+        tr = self._triples()
+        out = bgp_minus(tr, [("?ev", "died", "?p")],
+                        [("?p", "nopred", "?x")],
+                        select=["p"], distinct=True).to_pandas()
+        assert sorted(out["p"]) == ["alice", "bob", "carol", "dan"]
+        # full negation -> typed empty, not a crash
+        none = bgp_minus(tr, [("?p", "dplace", "?dp")],
+                         [("?x", "died", "?p")], select=["p", "dp"])
+        assert none.schema().names == ["p", "dp"]
+        assert none.count() == 0
+
+    def test_minus_requires_shared_required_var(self):
+        import pytest
+
+        from rdf_extraction_ray.stages.graph import bgp_minus
+        tr = self._triples()
+        with pytest.raises(ValueError, match="share"):
+            bgp_minus(tr, [("?ev", "died", "?p")],
+                      [("?a", "dplace", "?b")])
+
+    def test_aggregate_exact_and_combiner_paths_agree(self):
+        from rdf_extraction_ray.stages.graph import bgp_aggregate
+        tr = self._triples()
+        pats = [("?ev", "died", "?p"), ("?p", "dplace", "?place")]
+        opt = [("?ev", "ts", "?t")]
+        # exact path (count_distinct forces binding-row exchange)
+        a = bgp_aggregate(
+            tr, pats, group_by=["place"],
+            aggs=[("count", "*", "n_events"),
+                  ("count_distinct", "p", "n_persons"),
+                  ("count", "t", "n_dated"),
+                  ("min", "t", "first_ts"),
+                  ("max", "t", "last_ts")],
+            optional=opt).to_pandas().sort_values(
+                "place", ignore_index=True)
+        assert list(a["place"]) == ["leeds", "york"]
+        assert list(a["n_events"]) == [1, 3]
+        assert list(a["n_persons"]) == [1, 2]
+        # COUNT(?t) counts only BOUND values (york: ev1+ev2 dated,
+        # ev4 not); MIN/MAX skip unbound
+        assert list(a["n_dated"]) == [1, 2]
+        assert list(a["first_ts"]) == ["1900", "1880"]
+        assert list(a["last_ts"]) == ["1900", "1885"]
+        # combiner path must agree on the shared aggregates
+        b = bgp_aggregate(
+            tr, pats, group_by=["place"],
+            aggs=[("count", "*", "n_events"),
+                  ("count", "t", "n_dated"),
+                  ("min", "t", "first_ts"),
+                  ("max", "t", "last_ts")],
+            optional=opt).to_pandas().sort_values(
+                "place", ignore_index=True)
+        pd.testing.assert_frame_equal(
+            a.drop(columns="n_persons"), b)
+
+    def test_aggregate_all_unbound_group_and_having(self):
+        from rdf_extraction_ray.stages.graph import bgp_aggregate
+        tr = self._triples()
+        # group with NO bound optional value anywhere -> NULL min/max
+        out = bgp_aggregate(
+            tr, [("?p", "dplace", "?place")], group_by=["place"],
+            aggs=[("count", "*", "n"), ("min", "t", "first_ts")],
+            optional=[("?p", "buried", "?t")]).to_pandas()
+        out = out.sort_values("place", ignore_index=True)
+        assert list(out["n"]) == [1, 2]
+        assert out["first_ts"].isna().all()
+        # HAVING filters aggregated rows
+        h = bgp_aggregate(
+            tr, [("?ev", "died", "?p"), ("?p", "dplace", "?place")],
+            group_by=["place"], aggs=[("count", "*", "n")],
+            having=[("n", ">=", 3)]).to_pandas()
+        assert list(h["place"]) == ["york"]
+        assert list(h["n"]) == [3]
+
+    def test_aggregate_validation(self):
+        import pytest
+
+        from rdf_extraction_ray.stages.graph import bgp_aggregate
+        tr = self._triples()
+        with pytest.raises(ValueError, match="unknown aggregate"):
+            bgp_aggregate(tr, [("?ev", "died", "?p")],
+                          group_by=["p"], aggs=[("sum", "p", "s")])
+        with pytest.raises(ValueError, match="not defined"):
+            bgp_aggregate(tr, [("?ev", "died", "?p")],
+                          group_by=["p"], aggs=[("min", "*", "m")])
+        with pytest.raises(ValueError, match="group_by"):
+            bgp_aggregate(tr, [("?ev", "died", "?p")],
+                          group_by=[], aggs=[("count", "*", "n")])
+        with pytest.raises(ValueError, match="HAVING"):
+            bgp_aggregate(tr, [("?ev", "died", "?p")],
+                          group_by=["p"], aggs=[("count", "*", "n")],
+                          having=[("nope", ">", 1)])
+
+
+class TestAntiJoin:
+    def test_anti_semantics_and_null_keys(self):
+        import ray.data as rd
+
+        from rdf_extraction_ray.stages.joins import hash_join
+        l = pd.DataFrame({"k": ["a", "b", None, "c"],
+                          "v": [1, 2, 3, 4]})
+        r = pd.DataFrame({"k": ["b", None], "x": [9, 9]})
+        out = hash_join(rd.from_pandas(l), rd.from_pandas(r),
+                        on="k", how="anti").to_pandas()
+        out = out.sort_values("v", ignore_index=True)
+        # b removed; NULL left key survives (NULL = NULL is false in
+        # NOT EXISTS); NULL right key eliminates nothing
+        assert list(out["v"]) == [1, 3, 4]
+        assert list(out.columns) == ["k", "v"]
+
+    def test_anti_empty_sides(self):
+        import ray.data as rd
+
+        from rdf_extraction_ray.stages.joins import hash_join
+        l = pd.DataFrame({"k": ["a", "b"], "v": [1, 2]})
+        empty = pd.DataFrame({"k": pd.Series(dtype=object),
+                              "x": pd.Series(dtype="int64")})
+        # empty right -> left unchanged
+        out = hash_join(rd.from_pandas(l), rd.from_pandas(empty),
+                        on="k", how="anti").to_pandas()
+        assert sorted(out["v"]) == [1, 2]
+        # empty left -> empty
+        out2 = hash_join(rd.from_pandas(empty.rename(columns={"x": "v"})),
+                         rd.from_pandas(l), on="k", how="anti")
+        assert out2.count() == 0
