@@ -2629,6 +2629,63 @@ def _q_kg_bgp_minus(sf_dir: str):
         select=["ev", "person"], distinct=True)
 
 
+def _q_kg_bgp_topk(sf_dir: str):
+    """SPARQL ORDER BY + LIMIT solution modifiers: SELECT ?ev ?person
+    ?ts WHERE { ?ev crm:P100_was_death_of ?person . ?ev
+    sem:hasTimeStamp ?ts } ORDER BY DESC(?ts) LIMIT 20 — the 20 most
+    recent dated death events, as a distributed TOP-K (per-batch
+    combiner keeps its own 20, the ≤ 20 × blocks survivors coalesce
+    once; the full binding set never converges anywhere). Ties break
+    by the remaining selected vars ascending (?ev then ?person), so
+    the SQL replay is ORDER BY ts DESC, ev, person LIMIT 20."""
+    from rdf_extraction_ray.stages.graph import bgp_match
+    tr = _triples_view(sf_dir)
+    return bgp_match(
+        tr, [("?ev", _P100, "?person"), ("?ev", _SEM_TS, "?ts")],
+        select=["ev", "person", "ts"],
+        order_by=[("?ts", "desc")], limit=20)
+
+
+def _q_kg_bgp_values(sf_dir: str):
+    """SPARQL VALUES inline data: SELECT DISTINCT ?person ?place
+    WHERE { ?person kg:hasDeathPlace ?place . VALUES ?place { <g1>
+    <g2> 'Oswestry, Shropshire' } } — death-place bindings restricted
+    to an inline three-term list. The clause pushes down onto the
+    pattern relation itself (an IN-list equality filter applied the
+    moment ?place binds), so only matching rows ever reach the
+    DISTINCT exchange."""
+    from rdf_extraction_ray.stages.graph import bgp_match
+    tr = _triples_view(sf_dir)
+    return bgp_match(
+        tr, [("?person", _BGP_PATTERNS[1][1], "?place")],
+        values=(["?place"], list(_BGP_VALUES_PLACES)),
+        select=["person", "place"], distinct=True)
+
+
+_BGP_VALUES_PLACES = ("https://sws.geonames.org/3000289/",
+                      "https://sws.geonames.org/3000323/",
+                      "Oswestry, Shropshire")
+
+
+def _q_kg_bgp_group_concat(sf_dir: str):
+    """SPARQL GROUP_CONCAT: SELECT ?person (GROUP_CONCAT(?occ; '|')
+    AS occs) (COUNT(?occ) AS n_occs) WHERE { ?person
+    kg:hasPaidOccupation ?occ } GROUP BY ?person — each person's paid
+    occupations as one sorted-joined string (SPARQL leaves the
+    concatenation order undefined; the engine pins LEXICOGRAPHIC, so
+    DuckDB replays it as string_agg(obj, '|' ORDER BY obj)). The
+    concat aggregate needs its group co-located, so the binding rows
+    ride the group-key bucket exchange (same contract as COUNT
+    DISTINCT)."""
+    from rdf_extraction_ray.stages.graph import bgp_aggregate
+    tr = _triples_view(sf_dir)
+    occ = "http://kg.example.org/ontology#hasPaidOccupation"
+    return bgp_aggregate(
+        tr, [("?person", occ, "?occ")], group_by=["person"],
+        aggs=[("group_concat", "occ", "occs"),
+              ("count", "occ", "n_occs")])
+
+
 def _q_events_markov_transitions(sf_dir: str):
     """Per-user event-type transition (Markov bigram) counts: events
     ordered by (ts, event_id) within each user, consecutive
@@ -4004,6 +4061,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle-gated locally and in pytest
         "kg_bgp_aggregate": _q_kg_bgp_aggregate,
         "kg_bgp_minus": _q_kg_bgp_minus,
+        "kg_bgp_topk": _q_kg_bgp_topk,
+        "kg_bgp_values": _q_kg_bgp_values,
+        "kg_bgp_group_concat": _q_kg_bgp_group_concat,
         "docs_norm_dedup": _q_docs_norm_dedup,
         "docs_line_dedup": _q_docs_line_dedup,
         "docs_url_dedup": _q_docs_url_dedup,
@@ -5090,6 +5150,31 @@ def oracle_sql() -> dict[str, str]:
                   SELECT 1 FROM read_parquet('{triples}') t
                   WHERE t.pred = '{_SEM_TS}'
                     AND t.subj = a.subj)
+        """,
+        "kg_bgp_topk": f"""
+            SELECT a.subj AS ev, a.obj AS person, t.obj AS ts
+            FROM read_parquet('{triples}') a
+            JOIN read_parquet('{triples}') t ON a.subj = t.subj
+            WHERE a.pred = '{_P100}' AND t.pred = '{_SEM_TS}'
+            ORDER BY ts DESC, ev ASC, person ASC
+            LIMIT 20
+        """,
+        "kg_bgp_values": f"""
+            SELECT DISTINCT subj AS person, obj AS place
+            FROM read_parquet('{triples}')
+            WHERE pred = '{_BGP_PATTERNS[1][1]}'
+              AND obj IN ('{_BGP_VALUES_PLACES[0]}',
+                          '{_BGP_VALUES_PLACES[1]}',
+                          '{_BGP_VALUES_PLACES[2]}')
+        """,
+        "kg_bgp_group_concat": f"""
+            SELECT subj AS person,
+                   string_agg(obj, '|' ORDER BY obj) AS occs,
+                   COUNT(obj) AS n_occs
+            FROM read_parquet('{triples}')
+            WHERE pred =
+                'http://kg.example.org/ontology#hasPaidOccupation'
+            GROUP BY subj
         """,
         "docs_embedding_labels": """
             SELECT d.doc_id, d.lang,

@@ -1138,6 +1138,9 @@ def bgp_match(triples: rd.Dataset,
               distinct: bool = False,
               optional: list[tuple[str, str, str]] | None = None,
               filters: list[tuple[str, str, str]] | None = None,
+              values: tuple[list[str], list] | None = None,
+              order_by: list[tuple[str, str]] | None = None,
+              limit: int | None = None,
               n_buckets: int = 64) -> rd.Dataset:
     """General SPARQL basic-graph-pattern match over the triple set.
 
@@ -1154,6 +1157,28 @@ def bgp_match(triples: rd.Dataset,
     NULL columns where it does not. Every optional pattern must bind
     at least one variable and share one with the bindings built so
     far.
+
+    ``values`` is the SPARQL VALUES clause ``([?v1, ...], [row,
+    ...])``: inline data joined into the solutions (a solution
+    survives iff some inline row agrees on every VALUES variable;
+    duplicate inline rows are deduped — semi-join multiplicity).
+    UNDEF is not supported, and the VALUES variables must be
+    REQUIRED-bound (never only optional-introduced), so the join is
+    the plain SQL ``(v1, ...) IN (VALUES ...)`` equality filter. Like
+    filters, the clause pushes down to the earliest plan point where
+    all its variables are bound, shrinking later exchanges.
+
+    ``order_by`` (list of ``(var, "asc" | "desc")``, vars must be
+    selected) + ``limit`` apply the SPARQL solution modifiers. With
+    both, the result is a distributed TOP-K: each batch keeps its
+    own k (combiner), the ≤ k × blocks survivors coalesce to one
+    block for the final cut — the full binding set never converges
+    anywhere. Ties break deterministically by the remaining selected
+    variables ascending, and unbound (NULL) keys sort LAST under
+    either direction (state ``NULLS LAST`` in a SQL replay).
+    ``order_by`` alone is a full distributed sort; ``limit`` alone
+    truncates the streaming plan (arbitrary-but-fast first-k, per
+    SPARQL's unordered-LIMIT semantics).
 
     ``filters`` are SPARQL FILTER constraints ``(lhs, op, rhs)`` with
     ``lhs``/``rhs`` a ``"?var"`` or a constant string and ``op`` one
@@ -1230,29 +1255,73 @@ def bgp_match(triples: rd.Dataset,
                 raise ValueError(
                     f"filter var ?{t[1:]} bound by no pattern")
 
+    req_bound: list[str] = []
+    for s, _, o in parsed[:n_req]:
+        for t in (s, o):
+            if _is_var(t) and t[1:] not in req_bound:
+                req_bound.append(t[1:])
+    pending_vals: list[tuple[list[str], pd.DataFrame]] = []
+    if values is not None:
+        vvars_raw, vrows = values
+        vvars = [t[1:] if _is_var(t) else t for t in vvars_raw]
+        bad_v = [v for v in vvars if v not in req_bound]
+        if bad_v:
+            raise ValueError(
+                f"VALUES vars must be required-bound: {bad_v}")
+        vrows = [(r,) if isinstance(r, str) or r is None
+                 else tuple(r) for r in vrows]
+        vtab = pd.DataFrame(vrows, columns=vvars).drop_duplicates()
+        if vtab.isna().any().any():
+            raise ValueError("UNDEF (None) in VALUES is not supported")
+        pending_vals.append((vvars, vtab.astype(str)))
+
+    if order_by:
+        if limit is not None and limit <= 0:
+            raise ValueError("limit must be positive")
+        for v, d in order_by:
+            name = v[1:] if _is_var(v) else v
+            if name not in select:
+                raise ValueError(
+                    f"order_by var ?{name} is not selected")
+            if d not in ("asc", "desc"):
+                raise ValueError(f"order direction {d!r} not in "
+                                 "('asc', 'desc')")
+
     def _apply_filters(acc: rd.Dataset, acc_vars: list[str]) -> rd.Dataset:
-        """Push down every pending filter whose vars are all bound."""
+        """Push down every pending filter / VALUES clause whose vars
+        are all bound."""
         ready = [f for f in pending if set(_fvars(f)) <= set(acc_vars)]
-        if not ready:
-            return acc
         for f in ready:
             pending.remove(f)
+        ready_v = [x for x in pending_vals
+                   if set(x[0]) <= set(acc_vars)]
+        for x in ready_v:
+            pending_vals.remove(x)
+        if ready:
+            def _filt(df: pd.DataFrame) -> pd.DataFrame:
+                m = pd.Series(True, index=df.index)
+                for lhs, op, rhs in ready:
+                    a = (df[lhs[1:]] if _is_var(lhs)
+                         else pd.Series(lhs, index=df.index))
+                    if _is_var(rhs):
+                        b = df[rhs[1:]]
+                        mask = _FILTER_OPS[op](a, b) \
+                            & a.notna() & b.notna()
+                    else:
+                        mask = _FILTER_OPS[op](a, rhs) & a.notna()
+                    m &= mask.astype(bool)
+                return df[m.to_numpy()].reset_index(drop=True)
 
-        def _filt(df: pd.DataFrame) -> pd.DataFrame:
-            m = pd.Series(True, index=df.index)
-            for lhs, op, rhs in ready:
-                a = (df[lhs[1:]] if _is_var(lhs)
-                     else pd.Series(lhs, index=df.index))
-                if _is_var(rhs):
-                    b = df[rhs[1:]]
-                    mask = _FILTER_OPS[op](a, b) \
-                        & a.notna() & b.notna()
-                else:
-                    mask = _FILTER_OPS[op](a, rhs) & a.notna()
-                m &= mask.astype(bool)
-            return df[m.to_numpy()].reset_index(drop=True)
+            acc = acc.map_batches(_filt, batch_format="pandas")
+        for vvars, vtab in ready_v:
+            def _vals(df: pd.DataFrame, vvars=vvars,
+                      vtab=vtab) -> pd.DataFrame:
+                cols = list(df.columns)
+                return (df.merge(vtab, on=vvars, how="inner")[cols]
+                        .reset_index(drop=True))
 
-        return acc.map_batches(_filt, batch_format="pandas")
+            acc = acc.map_batches(_vals, batch_format="pandas")
+        return acc
 
     def _pvars(i: int) -> list[str]:
         s, _, o = parsed[i]
@@ -1387,11 +1456,41 @@ def bgp_match(triples: rd.Dataset,
             | _pend_vars())
 
     assert not pending, "every filter var is bound by the full plan"
+    assert not pending_vals, \
+        "every VALUES var is bound by the full plan"
     if list(acc_vars) != list(select):
         acc = acc.select_columns(select)
 
     if distinct:
         acc = distinct_rows(acc, out_schema, n_buckets)
+
+    if order_by:
+        keys = [v[1:] if _is_var(v) else v for v, _ in order_by]
+        asc = [d == "asc" for _, d in order_by]
+        tie = [v for v in select if v not in keys]
+        sort_cols, sort_asc = keys + tie, asc + [True] * len(tie)
+        if limit is not None:
+            k = int(limit)
+
+            def _topk(df: pd.DataFrame) -> pd.DataFrame:
+                if not len(df):
+                    return df
+                return (df.sort_values(sort_cols, ascending=sort_asc,
+                                       kind="stable",
+                                       na_position="last")
+                        .head(k).reset_index(drop=True))
+
+            # combiner top-k per batch, then ONE coalesced final cut
+            # over the <= k x blocks survivors
+            acc = (acc.map_batches(_topk, batch_format="pandas")
+                   .repartition(1)
+                   .map_batches(_topk, batch_format="pandas",
+                                batch_size=None))
+        else:
+            acc = acc.sort(sort_cols,
+                           descending=[not a for a in sort_asc])
+    elif limit is not None:
+        acc = acc.limit(int(limit))
 
     # typed empty seed: zero bindings must still carry the schema
     return rd.from_arrow(out_schema.empty_table()).union(acc)
@@ -1797,7 +1896,9 @@ def bgp_minus(triples: rd.Dataset,
     return rd.from_arrow(out_schema.empty_table()).union(kept)
 
 
-_BGP_AGG_FNS = ("count", "count_distinct", "min", "max")
+_BGP_AGG_FNS = ("count", "count_distinct", "min", "max",
+                "group_concat")
+_GC_SEP = "|"
 
 
 def bgp_aggregate(triples: rd.Dataset,
@@ -1816,7 +1917,12 @@ def bgp_aggregate(triples: rd.Dataset,
     ``count`` (``var="*"`` counts solutions; a variable counts its
     BOUND values, per SPARQL/SQL), ``count_distinct``, ``min``,
     ``max`` (lexicographic over the string terms, = SQL VARCHAR
-    min/max; a group with no bound value yields NULL). ``having``
+    min/max; a group with no bound value yields NULL), or
+    ``group_concat`` (SPARQL GROUP_CONCAT: the group's bound values
+    joined with ``"|"``; SPARQL leaves the concatenation order
+    undefined, so this engine pins it LEXICOGRAPHIC — a SQL replay is
+    ``string_agg(v, '|' ORDER BY v)`` — and a group with no bound
+    value yields NULL). ``having``
     entries are ``(alias, op, value)`` filters over the aggregated
     rows (``op`` in ``== != < <= > >=``).
 
@@ -1851,10 +1957,11 @@ def bgp_aggregate(triples: rd.Dataset,
     out_fields = [(g, pa.string()) for g in gcols]
     for fn, _, alias in aggs:
         out_fields.append(
-            (alias, pa.int64() if fn.startswith("count")
+            (alias, pa.int64() if fn in ("count", "count_distinct")
              else pa.string()))
     out_schema = pa.schema(out_fields)
-    exact = any(fn == "count_distinct" for fn, _, _ in aggs)
+    exact = any(fn in ("count_distinct", "group_concat")
+                for fn, _, _ in aggs)
 
     def _bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -1889,6 +1996,10 @@ def bgp_aggregate(triples: rd.Dataset,
                     out[alias] = gb[v].count().to_numpy()
                 elif fn == "count_distinct":
                     out[alias] = gb[v].nunique(dropna=True).to_numpy()
+                elif fn == "group_concat":
+                    out[alias] = gb[v].agg(
+                        lambda s: _GC_SEP.join(sorted(s.dropna()))
+                        if s.notna().any() else None).to_numpy()
                 else:
                     out[alias] = _minmax_col(g, out, v, fn).to_numpy()
             return pa.Table.from_pandas(

@@ -1203,3 +1203,97 @@ class TestAntiJoin:
         out2 = hash_join(rd.from_pandas(empty.rename(columns={"x": "v"})),
                          rd.from_pandas(l), on="k", how="anti")
         assert out2.count() == 0
+
+
+class TestSparqlSolutionModifiers:
+    """VALUES inline data, ORDER BY + LIMIT top-k, GROUP_CONCAT."""
+
+    def _triples(self):
+        import pandas as pd
+        import ray.data as rd
+        rows = [
+            ("ev1", "died", "alice"), ("ev2", "died", "alice"),
+            ("ev3", "died", "bob"), ("ev4", "died", "carol"),
+            ("ev5", "died", "dan"),
+            ("alice", "dplace", "york"), ("carol", "dplace", "york"),
+            ("dan", "dplace", "leeds"),
+            ("ev1", "ts", "1880"), ("ev2", "ts", "1885"),
+            ("ev5", "ts", "1900"),
+            ("alice", "occ", "weaver"), ("alice", "occ", "farmer"),
+            ("bob", "occ", "smith"),
+        ]
+        return rd.from_pandas(pd.DataFrame(
+            rows, columns=["subj", "pred", "obj"])).repartition(3)
+
+    def test_values_single_and_multi_var(self):
+        import pytest
+
+        from rdf_extraction_ray.stages.graph import bgp_match
+        tr = self._triples()
+        v = bgp_match(tr, [("?ev", "died", "?p"),
+                           ("?p", "dplace", "?dp")],
+                      values=(["?dp"], ["york"]),
+                      select=["p", "dp"], distinct=True).to_pandas()
+        assert sorted(v["p"]) == ["alice", "carol"]
+        # multi-var rows must agree on EVERY values var; duplicate
+        # inline rows never duplicate solutions
+        v2 = bgp_match(tr, [("?ev", "died", "?p"),
+                            ("?p", "dplace", "?dp")],
+                       values=(["?p", "?dp"],
+                               [("alice", "york"), ("alice", "york"),
+                                ("dan", "paris")]),
+                       select=["ev", "p"]).to_pandas()
+        assert sorted(v2["ev"]) == ["ev1", "ev2"]
+        with pytest.raises(ValueError, match="required-bound"):
+            bgp_match(tr, [("?ev", "died", "?p")],
+                      optional=[("?p", "dplace", "?dp")],
+                      values=(["?dp"], ["york"]))
+        with pytest.raises(ValueError, match="UNDEF"):
+            bgp_match(tr, [("?ev", "died", "?p")],
+                      values=(["?p"], [None]))
+
+    def test_order_by_limit_topk_and_nulls_last(self):
+        import pytest
+
+        from rdf_extraction_ray.stages.graph import bgp_match
+        tr = self._triples()
+        t = bgp_match(tr, [("?ev", "died", "?p")],
+                      optional=[("?ev", "ts", "?t")],
+                      select=["ev", "p", "t"],
+                      order_by=[("?t", "desc")], limit=3).to_pandas()
+        # unbound (?t NULL for ev3/ev4) sorts LAST, never into the top
+        assert list(t["ev"]) == ["ev5", "ev2", "ev1"]
+        assert list(t["t"]) == ["1900", "1885", "1880"]
+        # ascending full sort (no limit) returns every binding ordered
+        s = bgp_match(tr, [("?ev", "died", "?p")],
+                      select=["ev"], order_by=[("?ev", "asc")])
+        assert list(s.to_pandas()["ev"]) == [
+            "ev1", "ev2", "ev3", "ev4", "ev5"]
+        # limit alone truncates the stream
+        assert bgp_match(tr, [("?ev", "died", "?p")],
+                         select=["ev"], limit=2).count() == 2
+        with pytest.raises(ValueError, match="not selected"):
+            bgp_match(tr, [("?ev", "died", "?p")], select=["p"],
+                      order_by=[("?ev", "asc")], limit=1)
+        with pytest.raises(ValueError, match="direction"):
+            bgp_match(tr, [("?ev", "died", "?p")],
+                      order_by=[("?ev", "up")], limit=1)
+
+    def test_group_concat_sorted_and_null_group(self):
+        from rdf_extraction_ray.stages.graph import bgp_aggregate
+        tr = self._triples()
+        g = bgp_aggregate(tr, [("?p", "occ", "?o")], group_by=["p"],
+                          aggs=[("group_concat", "o", "occs"),
+                                ("count", "o", "n")]).to_pandas()
+        g = g.sort_values("p", ignore_index=True)
+        assert list(g["p"]) == ["alice", "bob"]
+        assert list(g["occs"]) == ["farmer|weaver", "smith"]
+        # group with no bound value -> NULL concat
+        h = bgp_aggregate(
+            tr, [("?p", "dplace", "?place")], group_by=["place"],
+            aggs=[("group_concat", "t", "all_t")],
+            optional=[("?p", "occ", "?t")]).to_pandas()
+        h = h.sort_values("place", ignore_index=True)
+        assert h.loc[h["place"] == "leeds", "all_t"].isna().all()
+        assert list(h.loc[h["place"] == "york", "all_t"]) == [
+            "farmer|weaver"]
