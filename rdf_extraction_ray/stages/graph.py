@@ -1831,7 +1831,8 @@ def bgp_minus(triples: rd.Dataset,
               distinct: bool = False,
               optional: list[tuple[str, str, str]] | None = None,
               filters: list[tuple[str, str, str]] | None = None,
-              n_buckets: int = 64) -> rd.Dataset:
+              n_buckets: int = 64,
+              _force_anti: bool = False) -> rd.Dataset:
     """SPARQL negation: ``patterns MINUS { minus }`` (equivalently
     ``FILTER NOT EXISTS`` under the restriction below) — solutions of
     the main graph pattern are removed when the negation pattern has
@@ -1853,6 +1854,17 @@ def bgp_minus(triples: rd.Dataset,
     negation keys| rows, never a cross product. The reference answers
     such queries by set-difference walks over the in-RAM uber-graph
     (cwrc/RDF-extraction Utils/utilities.py:552-556).
+
+    Fast path (equality-tested against the anti-join plan): a
+    SINGLE-pattern negation that binds a variable outside the main
+    pattern rewrites as the classic ``OPTIONAL { P } FILTER
+    (!BOUND(marker))`` — ONE shared scan and one LEFT-join exchange
+    instead of two scans plus the anti exchange. It engages only when
+    the caller passes no ``optional`` of their own (their optionals
+    would have to left-join BEFORE the negation probe) and the
+    rewrite is observation-equivalent: unmatched left rows appear
+    exactly once in a left join, and matched rows are dropped
+    wholesale by the unbound test, so join multiplicity never leaks.
     """
     import pyarrow as pa
 
@@ -1876,13 +1888,37 @@ def bgp_minus(triples: rd.Dataset,
                 all_vars.append(t[1:])
     if select is None:
         select = list(all_vars)
+    out_schema = pa.schema([(v, pa.string()) for v in select])
+
+    if optional is None and len(minus) == 1 and not _force_anti:
+        mvars = [t[1:] for t in (minus[0][0], minus[0][2])
+                 if _is_var(t)]
+        cand = [v for v in mvars
+                if v not in all_vars and v not in select]
+        if cand:
+            # one-scan rewrite: OPTIONAL { P } + keep-unbound(marker)
+            marker = cand[0]
+            ext = bgp_match(
+                triples, patterns,
+                select=list(dict.fromkeys(list(select) + [marker])),
+                optional=[tuple(minus[0])], filters=filters,
+                n_buckets=n_buckets)
+
+            def _unbound(df: pd.DataFrame) -> pd.DataFrame:
+                return (df[df[marker].isna()][list(select)]
+                        .reset_index(drop=True))
+
+            kept = ext.map_batches(_unbound, batch_format="pandas")
+            if distinct:
+                kept = distinct_rows(kept, out_schema, n_buckets)
+            return rd.from_arrow(out_schema.empty_table()).union(kept)
+
     main_sel = list(dict.fromkeys(list(select) + shared))
     main = bgp_match(triples, patterns, select=main_sel,
                      optional=optional, filters=filters,
                      n_buckets=n_buckets)
     neg = bgp_match(triples, minus, select=shared, distinct=True,
                     n_buckets=n_buckets)
-    out_schema = pa.schema([(v, pa.string()) for v in select])
     kept = hash_join(main, neg, on=shared, how="anti",
                      n_buckets=n_buckets)
     if kept.schema() is None:

@@ -1297,3 +1297,45 @@ class TestSparqlSolutionModifiers:
         assert h.loc[h["place"] == "leeds", "all_t"].isna().all()
         assert list(h.loc[h["place"] == "york", "all_t"]) == [
             "farmer|weaver"]
+
+
+class TestMinusPathEquality:
+    def test_fast_and_anti_paths_agree(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from rdf_extraction_ray.stages.graph import bgp_minus
+        rows = [
+            ("ev1", "died", "alice"), ("ev2", "died", "alice"),
+            ("ev3", "died", "bob"), ("ev4", "died", "carol"),
+            ("ev1", "ts", "1880"), ("ev2", "ts", "1885"),
+            ("alice", "dplace", "york"),
+        ]
+        tr = rd.from_pandas(pd.DataFrame(
+            rows, columns=["subj", "pred", "obj"])).repartition(3)
+
+        def _canon(ds):
+            return (ds.to_pandas()
+                    .sort_values(["ev", "p"], ignore_index=True))
+
+        kw = dict(select=["ev", "p"])
+        fast = _canon(bgp_minus(tr, [("?ev", "died", "?p")],
+                                [("?ev", "ts", "?t")], **kw))
+        anti = _canon(bgp_minus(tr, [("?ev", "died", "?p")],
+                                [("?ev", "ts", "?t")],
+                                _force_anti=True, **kw))
+        pd.testing.assert_frame_equal(fast, anti)
+        assert list(fast["ev"]) == ["ev3", "ev4"]
+        # multi-pattern negations always take the anti plan; a
+        # negation whose vars are ALL shared has no marker and must
+        # also fall through to anti
+        both = bgp_minus(tr, [("?ev", "died", "?p")],
+                         [("?p", "dplace", "?dp"),
+                          ("?dp", "nope", "?x")],
+                         select=["p"], distinct=True).to_pandas()
+        assert sorted(both["p"]) == ["alice", "bob", "carol"]
+        noshared_marker = bgp_minus(
+            tr, [("?ev", "died", "?p"), ("?p", "dplace", "?dp")],
+            [("?p", "dplace", "?dp")], select=["p"],
+            distinct=True)
+        assert noshared_marker.count() == 0
