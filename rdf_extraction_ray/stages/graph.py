@@ -1963,13 +1963,16 @@ def bgp_aggregate(triples: rd.Dataset,
     rows (``op`` in ``== != < <= > >=``).
 
     Scale shape: bindings stream out of the :func:`bgp_match` plan
-    and aggregate through ONE group-key hash-bucket exchange. When no
-    ``count_distinct`` is requested the exchange carries per-batch
-    COMBINER partials (count/min/max all pre-combine, so exchange
-    rows are bounded by groups-per-batch × batches); with
-    ``count_distinct`` the projected binding rows themselves exchange
-    (exact per-group nunique needs the group co-located — the same
-    contract as the engine's other bucketed aggregations). HAVING
+    and EVERY aggregate pre-combines before its group-key hash-bucket
+    exchange. count/min/max ship per-batch partials (exchange rows
+    bounded by groups-per-batch × batches); ``count_distinct`` ships
+    per-batch DISTINCT (group, value) pairs into its own bucketed
+    exact-nunique exchange, then LEFT-joins the (tiny, one row per
+    group) result back onto the partial-merge output — the raw
+    binding stream never exchanges. The one exception is
+    ``group_concat``, which needs every value of its group
+    (duplicates included) co-located, so requesting it routes the
+    projected binding rows through the exchange (exact path). HAVING
     filters the already-aggregated stream, so it is always cheap.
     The reference computes such reports by Counter walks over the
     in-RAM graph (cwrc/RDF-extraction Utils/utilities.py:552-556).
@@ -1983,6 +1986,9 @@ def bgp_aggregate(triples: rd.Dataset,
             raise ValueError(f"unknown aggregate fn {fn!r}")
         if v == "*" and fn != "count":
             raise ValueError(f"{fn}(*) is not defined")
+    aliases = [a for _, _, a in aggs]
+    if len(set(aliases)) != len(aliases):
+        raise ValueError("duplicate aggregate aliases")
     agg_vars = [v for _, v, _ in aggs if v != "*"]
     needed = list(dict.fromkeys(list(group_by) + agg_vars))
     bindings = bgp_match(triples, patterns, select=needed,
@@ -1996,8 +2002,16 @@ def bgp_aggregate(triples: rd.Dataset,
             (alias, pa.int64() if fn in ("count", "count_distinct")
              else pa.string()))
     out_schema = pa.schema(out_fields)
-    exact = any(fn in ("count_distinct", "group_concat")
-                for fn, _, _ in aggs)
+    # group_concat is the only aggregate that genuinely needs every
+    # binding row of its group co-located (all values, duplicates
+    # included); count_distinct pre-combines as per-batch DISTINCT
+    # (group, value) pairs, and count/min/max pre-combine as plain
+    # partials — so the binding stream itself only exchanges when a
+    # group_concat is requested
+    exact = any(fn == "group_concat" for fn, _, _ in aggs)
+    cd = [(v, alias) for fn, v, alias in aggs
+          if fn == "count_distinct"]
+    rest = [a for a in aggs if a[0] != "count_distinct"]
 
     def _bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -2046,38 +2060,90 @@ def bgp_aggregate(triples: rd.Dataset,
                .groupby("__bucket")
                .map_groups(_final, batch_format="pandas"))
     else:
-        # combiner path: per-batch partials, then a partial-merge
-        # exchange — count partials SUM, min/max partials re-min/max
-        def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        # combiner path, ONE consumer of the binding stream and ONE
+        # group-key exchange: each batch emits a tagged union of
+        # (a) kind-0 partial rows for count/min/max (one per group)
+        # and (b) kind-i per-batch DISTINCT (group, value) pair rows
+        # per count_distinct aggregate; the per-bucket finalizer
+        # merges partials and counts exact nuniques side by side.
+        # Exchange rows are bounded by (groups + distinct pairs) per
+        # batch — the raw binding stream never exchanges.
+        base_schema = pa.schema(
+            [(g, pa.string()) for g in gcols]
+            + [(alias, pa.int64() if fn == "count" else pa.string())
+               for fn, _, alias in rest])
+        union_schema = pa.schema(
+            list(base_schema)
+            + [(f"__cd_{alias}", pa.string()) for _, alias in cd]
+            + [("__kind", pa.int8()), ("__bucket", pa.int64())])
+
+        def _pad(df: pd.DataFrame) -> pa.Table:
+            arrs = []
+            for f in union_schema:
+                if f.name in df.columns:
+                    arrs.append(pa.Array.from_pandas(df[f.name],
+                                                     type=f.type))
+                else:
+                    arrs.append(pa.nulls(len(df), f.type))
+            return pa.Table.from_arrays(arrs, schema=union_schema)
+
+        def _partial(df: pd.DataFrame) -> pa.Table:
             gb = df.groupby(gcols, dropna=False, sort=False)
             out = gb.size().rename("__n").reset_index()
-            for fn, v, alias in aggs:
+            for fn, v, alias in rest:
                 if fn == "count" and v == "*":
                     out[alias] = out["__n"]
                 elif fn == "count":
                     out[alias] = gb[v].count().to_numpy()
                 else:
                     out[alias] = _minmax_col(df, out, v, fn).to_numpy()
-            return _bucket(out.drop(columns="__n"))
+            out = _bucket(out.drop(columns="__n"))
+            out["__kind"] = np.int8(0)
+            parts = [_pad(out)]
+            for i, (v, alias) in enumerate(cd, 1):
+                p = (df[df[v].notna()][gcols + [v]].drop_duplicates()
+                     .rename(columns={v: f"__cd_{alias}"}))
+                p = _bucket(p)
+                p["__kind"] = np.int8(i)
+                parts.append(_pad(p))
+            return pa.concat_tables(parts)
 
-        def _merge(g: pd.DataFrame) -> pa.Table:
-            gb = g.groupby(gcols, dropna=False, sort=False)
+        def _final(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            kind = t.column("__kind")
+            # each side selects its OWN columns before to_pandas, so
+            # padding nulls never NaN-promote the int64 partials
+            p = (t.filter(pc.equal(kind, 0))
+                 .select(base_schema.names).to_pandas())
+            gb = p.groupby(gcols, dropna=False, sort=False)
             out = gb.size().rename("__n").reset_index()
-            for fn, v, alias in aggs:
+            for fn, v, alias in rest:
                 if fn == "count":
                     out[alias] = gb[alias].sum().to_numpy()
                 else:
                     # re-min/max the partials, skipping NULL partials
                     # (a batch whose group had no bound value)
-                    out[alias] = _minmax_col(g, out, alias,
+                    out[alias] = _minmax_col(p, out, alias,
                                              fn).to_numpy()
+            for i, (v, alias) in enumerate(cd, 1):
+                col = f"__cd_{alias}"
+                d = (t.filter(pc.equal(kind, np.int8(i)))
+                     .select(gcols + [col]).to_pandas()
+                     .drop_duplicates())
+                nn = (d.groupby(gcols, dropna=False, sort=False)[col]
+                      .nunique(dropna=True).rename(alias)
+                      .reset_index())
+                out = out.merge(nn, on=gcols, how="left")
+                # a group whose distinct var never binds has no pair
+                # row: COUNT(DISTINCT) of nothing = 0, never NULL
+                out[alias] = (out[alias].fillna(0).astype("int64"))
             return pa.Table.from_pandas(
                 out[out_schema.names], schema=out_schema,
                 preserve_index=False).replace_schema_metadata(None)
 
         agg = (bindings.map_batches(_partial, batch_format="pandas")
                .groupby("__bucket")
-               .map_groups(_merge, batch_format="pandas"))
+               .map_groups(_final, batch_format="pyarrow"))
 
     if having:
         import operator as _op

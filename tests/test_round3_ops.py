@@ -1339,3 +1339,42 @@ class TestMinusPathEquality:
             [("?p", "dplace", "?dp")], select=["p"],
             distinct=True)
         assert noshared_marker.count() == 0
+
+
+class TestCountDistinctCombiner:
+    def test_zero_bound_group_and_null_group_key(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from rdf_extraction_ray.stages.graph import bgp_aggregate
+        rows = [
+            ("ev1", "died", "alice"), ("ev2", "died", "alice"),
+            ("ev3", "died", "bob"),
+            ("alice", "dplace", "york"),
+            # bob has a place but NO occupation anywhere
+            ("bob", "dplace", "leeds"),
+            ("alice", "occ", "weaver"), ("alice", "occ", "farmer"),
+        ]
+        tr = rd.from_pandas(pd.DataFrame(
+            rows, columns=["subj", "pred", "obj"])).repartition(3)
+        out = bgp_aggregate(
+            tr, [("?p", "dplace", "?place")], group_by=["place"],
+            aggs=[("count_distinct", "o", "n_occ"),
+                  ("count", "*", "n")],
+            optional=[("?p", "occ", "?o")]).to_pandas()
+        out = out.sort_values("place", ignore_index=True)
+        # leeds: bob, zero bound ?o -> COUNT(DISTINCT) = 0, never NULL
+        assert list(out["place"]) == ["leeds", "york"]
+        assert list(out["n_occ"]) == [0, 2]
+        assert list(out["n"]) == [1, 2]
+        # NULL group key (optional-introduced group var) groups its
+        # own bucket on both the partial and the pair exchanges
+        g2 = bgp_aggregate(
+            tr, [("?ev", "died", "?p")], group_by=["place"],
+            aggs=[("count_distinct", "p", "n_p")],
+            optional=[("?p", "dplace", "?place"),
+                      ("?p", "occ", "?o")]).to_pandas()
+        # alice->york (1 person), bob->leeds (1 person)
+        g2 = g2.sort_values("place", ignore_index=True)
+        assert list(g2["place"]) == ["leeds", "york"]
+        assert list(g2["n_p"]) == [1, 1]
