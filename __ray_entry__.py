@@ -2973,6 +2973,20 @@ def _q_lineitem_orderkeys_kmv(sf_dir: str):
     return kmv_distinct(line, "l_orderkey", k=1024)
 
 
+def _q_events_users_hll(sf_dir: str):
+    """HyperLogLog distinct-user sketch over events — the
+    register-based sibling of the KMV sketches, with INTEGER-EXACT
+    state: (bucket, max leading-zero rank) registers and the exact
+    int64 power sum Σ 2^(R - M_j) both replay bit-for-bit in SQL
+    (rho via the binary-string bit length); only the one-line float
+    estimate (raw HLL with the standard linear-counting small-range
+    correction) derives from that integer, textually identical on
+    both sides. The exact twin is `events_distinct_users`."""
+    from rdf_extraction_ray.stages.sketch import hll_distinct
+    ev = _read(sf_dir, "events", ["user_id"])
+    return hll_distinct(ev, "user_id", b=10)
+
+
 def _q_docs_length_quantiles(sf_dir: str):
     """EXACT discrete length quantiles: distributed histogram
     (per-batch value_counts combiner → hash-bucket sum), driver
@@ -4075,6 +4089,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_tokens": _q_docs_top_tokens,
         "docs_vocab_size": _q_docs_vocab_size,
         "lineitem_orderkeys_kmv": _q_lineitem_orderkeys_kmv,
+        "events_users_hll": _q_events_users_hll,
         "docs_length_quantiles": _q_docs_length_quantiles,
         "docs_repetition": _q_docs_repetition,
         "docs_dup_spans": _q_docs_dup_spans,
@@ -4773,6 +4788,47 @@ def oracle_sql() -> dict[str, str]:
                         ELSE kth END AS kth_min_hash,
                    n_sketch
             FROM agg
+        """,
+        "events_users_hll": """
+            WITH h AS (
+                SELECT DISTINCT ('0x' || substr(md5(
+                           CAST(user_id AS VARCHAR)), 1, 15))
+                           ::BIGINT AS hv
+                FROM events WHERE user_id IS NOT NULL),
+            b AS (
+                SELECT hv >> 50 AS bucket,
+                       hv & ((1::BIGINT << 50) - 1) AS rem
+                FROM h),
+            r AS (
+                SELECT bucket,
+                       MAX(CASE WHEN rem = 0 THEN 51
+                           ELSE 51 - length(ltrim(bin(rem), '0'))
+                           END) AS max_rho
+                FROM b GROUP BY bucket),
+            s AS (
+                SELECT COUNT(*)::BIGINT AS present,
+                       COALESCE(SUM(1::BIGINT << (51 - max_rho)),
+                                0)::BIGINT AS s_used
+                FROM r)
+            SELECT 1024::BIGINT AS m,
+                   present AS n_buckets,
+                   (s_used + (1024 - present) *
+                    (1::BIGINT << 51))::BIGINT AS s_int,
+                   (CASE WHEN (0.7213 / (1 + 1.079 / 1024)) * 1024
+                              * 1024 * ((1::BIGINT << 51)::DOUBLE)
+                              / ((s_used + (1024 - present) *
+                                  (1::BIGINT << 51))::DOUBLE)
+                              <= 2.5 * 1024 AND present < 1024
+                         THEN FLOOR(1024 * LN(1024.0 /
+                                    (1024 - present)) + 0.5)
+                         ELSE FLOOR((0.7213 / (1 + 1.079 / 1024))
+                              * 1024 * 1024
+                              * ((1::BIGINT << 51)::DOUBLE)
+                              / ((s_used + (1024 - present) *
+                                  (1::BIGINT << 51))::DOUBLE)
+                              + 0.5)
+                    END)::BIGINT AS est_distinct
+            FROM s
         """,
         "docs_length_quantiles": """
             SELECT unnest([0.25,0.5,0.75,0.9,0.99])::DOUBLE AS q,

@@ -4,11 +4,16 @@ The reference engine has no sketches (it counts small vocabularies in
 RAM, e.g. the title census in ``Utils/utilities.py``); at 100 TB the
 cardinality questions it answers exactly become sketch territory.
 KMV (Bar-Yossef et al. 2002, "Counting distinct elements in a data
-stream") is the sketch chosen here because — unlike HyperLogLog's
-leading-zero registers — it is INTEGER-EXACT and fully SQL-replayable:
-the sketch state is literally "the k smallest distinct md5-15 hashes",
-an ``ORDER BY h LIMIT k`` in DuckDB, and the estimator is one integer
-floor division, so the oracle reproduces the Ray result bit-for-bit.
+stream") is the primary sketch because it is INTEGER-EXACT and fully
+SQL-replayable: the sketch state is literally "the k smallest
+distinct md5-15 hashes", an ``ORDER BY h LIMIT k`` in DuckDB, and the
+estimator is one integer floor division, so the oracle reproduces the
+Ray result bit-for-bit. :func:`hll_distinct` adds HyperLogLog with
+the SAME property: its leading-zero registers and power sum are
+carried as exact int64s (``rho`` via bit length, the sum as
+``Σ 2^(R-M_j)``), so the register table and estimator input are also
+SQL-replayable; only the final one-line float estimate is derived —
+identically on both sides — from that exact integer.
 
 Scale shape:
 - per-BLOCK combiner: local distinct tokens → md5-15 int64 hashes →
@@ -108,3 +113,78 @@ def kmv_distinct_tokens(docs, k: int = 1024,
         return pd.DataFrame({"h": h[:kk]})
 
     return _kmv_estimate(docs, _local_kmin, kk)
+
+
+def hll_distinct(ds, col: str, b: int = 10) -> pd.DataFrame:
+    """HyperLogLog distinct-count sketch (Flajolet et al. 2007,
+    "HyperLogLog: the analysis of a near-optimal cardinality
+    estimation algorithm") with INTEGER-EXACT registers, the KMV
+    sketch's register-based sibling.
+
+    The md5-15 hash splits into a top-``b``-bit bucket and a
+    ``60-b``-bit remainder; the register is the leading-zero rank
+    ``rho = R - bit_length(rem)`` with ``R = 60-b+1`` (``rem == 0``
+    → ``R``). Every piece of sketch state is an int64, and the
+    estimator input is the EXACT integer power sum
+    ``s_int = Σ_j 2^(R - M_j)`` over all ``m = 2^b`` buckets
+    (``M_j = 0`` for empty buckets; max ``m·2^R = 2^61`` at b=10,
+    no overflow) — so a DuckDB oracle replays bucket, register and
+    ``s_int`` bit-for-bit (``rho`` via ``length(bin(rem))``, the
+    binary-string bit length). The float estimate derives from that
+    exact integer with one textual formula on both sides: raw HLL
+    ``alpha_m · m² · 2^R / s_int``, with the standard small-range
+    linear-counting correction ``m · ln(m / V)`` (V = empty buckets)
+    when the raw estimate ≤ 2.5·m, rounded half-up.
+
+    Scale shape (same bounded-partial pattern as KMV): per-block
+    combiner reduces a block to ≤ m (bucket, max rho) int64 rows;
+    the driver merge is bounded by m × blocks. Returns ONE row:
+    ``m``, ``n_buckets`` (non-empty), ``s_int``, ``est_distinct``.
+    Standard error ≈ 1.04/sqrt(m) ≈ 3.3% at b=10.
+    """
+    import math
+
+    bb = int(b)
+    m = 1 << bb
+    rem_bits = HASH_SPACE_BITS - bb
+    R = rem_bits + 1
+
+    def _local_regs(batch: pd.DataFrame) -> pd.DataFrame:
+        vals = batch[col].dropna().astype(str).drop_duplicates()
+        if not len(vals):
+            return pd.DataFrame({
+                "bucket": pd.array([], dtype="int64"),
+                "rho": pd.array([], dtype="int64")})
+        h = _h15(vals)
+        bucket = h >> rem_bits
+        rem = h & ((np.int64(1) << rem_bits) - 1)
+        # exact bit_length: frexp's exponent (rem < 2^53 converts to
+        # float64 losslessly)
+        bl = np.frexp(rem.astype("float64"))[1]
+        rho = np.where(rem > 0, R - bl, R).astype("int64")
+        return (pd.DataFrame({"bucket": bucket, "rho": rho})
+                .groupby("bucket", as_index=False)["rho"].max())
+
+    parts = [pd.DataFrame(p) for p in ds.map_batches(
+        _local_regs, batch_format="pandas", batch_size=None)
+        .iter_batches(batch_format="pandas", batch_size=None)]
+    merged = (pd.concat(parts, ignore_index=True) if parts
+              else pd.DataFrame({"bucket": pd.array([], dtype="int64"),
+                                 "rho": pd.array([], dtype="int64")}))
+    regs = (merged.groupby("bucket")["rho"].max().to_numpy()
+            if len(merged) else np.empty(0, dtype="int64"))
+    present = int(len(regs))
+    s_used = sum(1 << (R - int(r)) for r in regs)  # python ints, exact
+    s_int = int(s_used + (m - present) * (1 << R))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    raw = alpha * m * m * float(1 << R) / float(s_int)
+    v_empty = m - present
+    if raw <= 2.5 * m and v_empty > 0:
+        est = int(math.floor(m * math.log(m / v_empty) + 0.5))
+    else:
+        est = int(math.floor(raw + 0.5))
+    return pd.DataFrame({
+        "m": pd.array([m], dtype="int64"),
+        "n_buckets": pd.array([present], dtype="int64"),
+        "s_int": pd.array([s_int], dtype="int64"),
+        "est_distinct": pd.array([est], dtype="int64")})

@@ -1378,3 +1378,44 @@ class TestCountDistinctCombiner:
         g2 = g2.sort_values("place", ignore_index=True)
         assert list(g2["place"]) == ["leeds", "york"]
         assert list(g2["n_p"]) == [1, 1]
+
+
+class TestHLLSketch:
+    def test_exact_small_range_and_empty(self):
+        from rdf_extraction_ray.stages.sketch import hll_distinct
+        df = pd.DataFrame({"k": np.arange(200, dtype="int64")})
+        out = hll_distinct(rd.from_pandas(df).repartition(3), "k")
+        # n << m: linear-counting branch, tight (~few %) at n=200
+        est = int(out["est_distinct"].iloc[0])
+        assert abs(est - 200) <= 25, est
+        assert int(out["m"].iloc[0]) == 1024
+        empty = pd.DataFrame({"k": pd.Series(dtype="int64")})
+        e = hll_distinct(rd.from_pandas(empty), "k")
+        assert int(e["est_distinct"].iloc[0]) == 0
+        assert int(e["n_buckets"].iloc[0]) == 0
+        assert int(e["s_int"].iloc[0]) == 1024 * (1 << 51)
+
+    def test_estimate_within_error_and_partition_invariant(self):
+        from rdf_extraction_ray.stages.sketch import hll_distinct
+        n = 50_000
+        df = pd.DataFrame({"k": np.arange(n, dtype="int64")})
+        a = hll_distinct(rd.from_pandas(df), "k")
+        b2 = hll_distinct(rd.from_pandas(df).repartition(7), "k")
+        assert a.equals(b2)  # register merge is order-free
+        est = int(a["est_distinct"].iloc[0])
+        # sigma ~ 1.04/sqrt(1024) = 3.25%; 5-sigma bound
+        assert abs(est - n) / n < 0.17, est
+
+    def test_register_semantics(self):
+        from rdf_extraction_ray.stages.sketch import hll_distinct
+        import hashlib
+        # one value: exactly one bucket present, rho computed from
+        # the md5-15 remainder's bit length
+        df = pd.DataFrame({"k": ["solo"]})
+        out = hll_distinct(rd.from_pandas(df), "k")
+        h = int(hashlib.md5(b"solo").hexdigest()[:15], 16)
+        rem = h & ((1 << 50) - 1)
+        rho = 51 - rem.bit_length() if rem else 51
+        assert int(out["n_buckets"].iloc[0]) == 1
+        expect_s = (1 << (51 - rho)) + 1023 * (1 << 51)
+        assert int(out["s_int"].iloc[0]) == expect_s
