@@ -2686,6 +2686,28 @@ def _q_kg_bgp_group_concat(sf_dir: str):
               ("count", "occ", "n_occs")])
 
 
+def _q_kg_bgp_global_agg(sf_dir: str):
+    """SPARQL GLOBAL aggregate (no GROUP BY): SELECT (COUNT(*) AS
+    n_death_events) (COUNT(DISTINCT ?person) AS n_persons)
+    (COUNT(?ts) AS n_dated) (MIN(?ts) AS first_ts) (MAX(?ts) AS
+    last_ts) WHERE { ?ev crm:P100_was_death_of ?person . OPTIONAL {
+    ?ev sem:hasTimeStamp ?ts } } — one corpus-wide row. The whole
+    solution sequence is one group; per SPARQL the result is exactly
+    one row even over zero solutions. Same pre-combined exchange as
+    the grouped form; the one-row result is a bounded driver
+    materialization by construction."""
+    from rdf_extraction_ray.stages.graph import bgp_aggregate
+    tr = _triples_view(sf_dir)
+    return bgp_aggregate(
+        tr, [("?ev", _P100, "?person")], group_by=[],
+        aggs=[("count", "*", "n_death_events"),
+              ("count_distinct", "person", "n_persons"),
+              ("count", "ts", "n_dated"),
+              ("min", "ts", "first_ts"),
+              ("max", "ts", "last_ts")],
+        optional=[("?ev", _SEM_TS, "?ts")])
+
+
 def _q_events_markov_transitions(sf_dir: str):
     """Per-user event-type transition (Markov bigram) counts: events
     ordered by (ts, event_id) within each user, consecutive
@@ -4076,6 +4098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_aggregate": _q_kg_bgp_aggregate,
         "kg_bgp_minus": _q_kg_bgp_minus,
         "kg_bgp_topk": _q_kg_bgp_topk,
+        "kg_bgp_global_agg": _q_kg_bgp_global_agg,
         "kg_bgp_values": _q_kg_bgp_values,
         "kg_bgp_group_concat": _q_kg_bgp_group_concat,
         "docs_norm_dedup": _q_docs_norm_dedup,
@@ -5206,6 +5229,18 @@ def oracle_sql() -> dict[str, str]:
                   SELECT 1 FROM read_parquet('{triples}') t
                   WHERE t.pred = '{_SEM_TS}'
                     AND t.subj = a.subj)
+        """,
+        "kg_bgp_global_agg": f"""
+            SELECT COUNT(*) AS n_death_events,
+                   COUNT(DISTINCT a.obj) AS n_persons,
+                   COUNT(t.obj) AS n_dated,
+                   MIN(t.obj) AS first_ts,
+                   MAX(t.obj) AS last_ts
+            FROM read_parquet('{triples}') a
+            LEFT JOIN (SELECT subj, obj FROM read_parquet('{triples}')
+                       WHERE pred = '{_SEM_TS}') t
+              ON a.subj = t.subj
+            WHERE a.pred = '{_P100}'
         """,
         "kg_bgp_topk": f"""
             SELECT a.subj AS ev, a.obj AS person, t.obj AS ts

@@ -1947,7 +1947,10 @@ def bgp_aggregate(triples: rd.Dataset,
                   n_buckets: int = 64) -> rd.Dataset:
     """SPARQL GROUP BY + aggregates over BGP bindings: ``SELECT
     ?g1 ?g2 (AGG(?v) AS alias) ... WHERE { ... } GROUP BY ?g1 ?g2
-    [HAVING ...]``.
+    [HAVING ...]``. An EMPTY ``group_by`` is the SPARQL global
+    aggregate (no GROUP BY): the whole solution sequence is one
+    group and the result is exactly one row — even over zero
+    solutions (counts 0, min/max/concat NULL), per SPARQL/SQL.
 
     ``aggs`` entries are ``(fn, var, alias)`` with ``fn`` one of
     ``count`` (``var="*"`` counts solutions; a variable counts its
@@ -1979,8 +1982,16 @@ def bgp_aggregate(triples: rd.Dataset,
     """
     import pyarrow as pa
 
-    if not group_by:
-        raise ValueError("group_by must name at least one variable")
+    global_agg = not group_by
+    if global_agg:
+        # SPARQL allows aggregates with no GROUP BY: the whole
+        # solution sequence is one group, the result is exactly one
+        # row (even over zero solutions: counts 0, min/max/concat
+        # NULL — then HAVING, if any, filters that row like SQL).
+        # Internally a constant synthetic key reuses the grouped
+        # machinery; the (<= 1 row) result is built eagerly, which is
+        # a bounded driver materialization by construction.
+        group_by = ["__g"]
     for fn, v, alias in aggs:
         if fn not in _BGP_AGG_FNS:
             raise ValueError(f"unknown aggregate fn {fn!r}")
@@ -1990,10 +2001,25 @@ def bgp_aggregate(triples: rd.Dataset,
     if len(set(aliases)) != len(aliases):
         raise ValueError("duplicate aggregate aliases")
     agg_vars = [v for _, v, _ in aggs if v != "*"]
-    needed = list(dict.fromkeys(list(group_by) + agg_vars))
+    needed = list(dict.fromkeys(
+        ([] if global_agg else list(group_by)) + agg_vars))
+    if not needed:
+        # global COUNT(*) with no var aggregates: carry one pattern
+        # variable so the solution stream keeps a row shape
+        needed = [t[1:] for s_, _, o_ in patterns for t in (s_, o_)
+                  if _is_var(t)][:1]
+        if not needed:
+            raise ValueError("patterns bind no variable")
     bindings = bgp_match(triples, patterns, select=needed,
                          optional=optional, filters=filters,
                          n_buckets=n_buckets)
+    if global_agg:
+        def _addg(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["__g"] = ""
+            return df
+
+        bindings = bindings.map_batches(_addg, batch_format="pandas")
     gcols = list(group_by)
     B = np.int64(n_buckets)
     out_fields = [(g, pa.string()) for g in gcols]
@@ -2163,4 +2189,32 @@ def bgp_aggregate(triples: rd.Dataset,
             return df[m.to_numpy()].reset_index(drop=True)
 
         agg = agg.map_batches(_having, batch_format="pandas")
+
+    if global_agg:
+        # <= 1 row by construction: materializing is bounded. Over an
+        # EMPTY solution sequence SPARQL/SQL still yield one aggregate
+        # row (counts 0, min/max/concat NULL) — synthesize it, then
+        # re-apply HAVING so a filtered-out row stays filtered.
+        res_schema = pa.schema([f for f in out_schema
+                                if f.name != "__g"])
+        df = agg.to_pandas()
+        if "__g" in df.columns:
+            df = df.drop(columns="__g")
+        if not len(df):
+            row = {alias: (0 if fn in ("count", "count_distinct")
+                           else None) for fn, _, alias in aggs}
+            df = pd.DataFrame([row])
+            if having:
+                import operator as _op
+                ops = {"==": _op.eq, "!=": _op.ne, "<": _op.lt,
+                       "<=": _op.le, ">": _op.gt, ">=": _op.ge}
+                for alias, op, val in having:
+                    col = df[alias]
+                    df = df[(ops[op](col, val) & col.notna())
+                            .to_numpy()]
+        return rd.from_arrow(pa.Table.from_pandas(
+            df[res_schema.names].reset_index(drop=True),
+            schema=res_schema,
+            preserve_index=False).replace_schema_metadata(None))
+
     return rd.from_arrow(out_schema.empty_table()).union(agg)

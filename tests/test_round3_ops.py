@@ -1163,9 +1163,11 @@ class TestSparqlNegationAndAggregates:
         with pytest.raises(ValueError, match="not defined"):
             bgp_aggregate(tr, [("?ev", "died", "?p")],
                           group_by=["p"], aggs=[("min", "*", "m")])
-        with pytest.raises(ValueError, match="group_by"):
-            bgp_aggregate(tr, [("?ev", "died", "?p")],
-                          group_by=[], aggs=[("count", "*", "n")])
+        # empty group_by is the GLOBAL aggregate, not an error
+        g = bgp_aggregate(tr, [("?ev", "died", "?p")],
+                          group_by=[],
+                          aggs=[("count", "*", "n")]).to_pandas()
+        assert g["n"].tolist() == [5]
         with pytest.raises(ValueError, match="HAVING"):
             bgp_aggregate(tr, [("?ev", "died", "?p")],
                           group_by=["p"], aggs=[("count", "*", "n")],
@@ -1419,3 +1421,41 @@ class TestHLLSketch:
         assert int(out["n_buckets"].iloc[0]) == 1
         expect_s = (1 << (51 - rho)) + 1023 * (1 << 51)
         assert int(out["s_int"].iloc[0]) == expect_s
+
+
+class TestGlobalAggregate:
+    def test_global_one_row_and_empty_sequence(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from rdf_extraction_ray.stages.graph import bgp_aggregate
+        rows = [("ev1", "died", "alice"), ("ev2", "died", "alice"),
+                ("ev3", "died", "bob"),
+                ("ev1", "ts", "1880"), ("ev2", "ts", "1885")]
+        tr = rd.from_pandas(pd.DataFrame(
+            rows, columns=["subj", "pred", "obj"])).repartition(3)
+        g = bgp_aggregate(
+            tr, [("?ev", "died", "?p")], group_by=[],
+            aggs=[("count", "*", "n"), ("count_distinct", "p", "np"),
+                  ("min", "ts", "lo"), ("max", "ts", "hi")],
+            optional=[("?ev", "ts", "?ts")]).to_pandas()
+        assert g.to_dict("records") == [
+            {"n": 3, "np": 2, "lo": "1880", "hi": "1885"}]
+        # empty solution sequence still yields ONE row (SQL/SPARQL)
+        e = bgp_aggregate(
+            tr, [("?ev", "nopred", "?p")], group_by=[],
+            aggs=[("count", "*", "n"), ("min", "p", "lo")]).to_pandas()
+        assert e["n"].tolist() == [0]
+        assert e["lo"].isna().all()
+        # HAVING can filter the single row away
+        h = bgp_aggregate(
+            tr, [("?ev", "died", "?p")], group_by=[],
+            aggs=[("count", "*", "n")],
+            having=[("n", ">", 10)]).to_pandas()
+        assert len(h) == 0
+        # ...including the synthesized empty-sequence row
+        h2 = bgp_aggregate(
+            tr, [("?ev", "nopred", "?p")], group_by=[],
+            aggs=[("count", "*", "n")],
+            having=[("n", ">", 0)]).to_pandas()
+        assert len(h2) == 0
