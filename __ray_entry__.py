@@ -2708,6 +2708,25 @@ def _q_kg_bgp_global_agg(sf_dir: str):
         optional=[("?ev", _SEM_TS, "?ts")])
 
 
+def _q_kg_bgp_path_alt(sf_dir: str):
+    """SPARQL property-path ALTERNATION + INVERSE: SELECT DISTINCT
+    ?child ?mother WHERE { ?child (kg:hasMother | ^kg:hasDaughter)
+    ?mother } — the mother relation unified from BOTH encodings (a
+    child's hasMother edge, or the mother's own hasDaughter edge
+    traversed inverse), the classic schema-heterogeneity repair a
+    reference corpus needs before entity resolution. Alternatives
+    match in the same single shared scan (bag-union, SQL UNION ALL);
+    DISTINCT collapses pairs encoded both ways."""
+    from rdf_extraction_ray.stages.graph import bgp_match
+    tr = _triples_view(sf_dir)
+    kg = "http://kg.example.org/ontology#"
+    return bgp_match(
+        tr,
+        [("?child", (kg + "hasMother", "^" + kg + "hasDaughter"),
+          "?mother")],
+        select=["child", "mother"], distinct=True)
+
+
 def _q_events_markov_transitions(sf_dir: str):
     """Per-user event-type transition (Markov bigram) counts: events
     ordered by (ts, event_id) within each user, consecutive
@@ -4101,6 +4120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_global_agg": _q_kg_bgp_global_agg,
         "kg_bgp_values": _q_kg_bgp_values,
         "kg_bgp_group_concat": _q_kg_bgp_group_concat,
+        "kg_bgp_path_alt": _q_kg_bgp_path_alt,
         "docs_norm_dedup": _q_docs_norm_dedup,
         "docs_line_dedup": _q_docs_line_dedup,
         "docs_url_dedup": _q_docs_url_dedup,
@@ -5229,6 +5249,18 @@ def oracle_sql() -> dict[str, str]:
                   SELECT 1 FROM read_parquet('{triples}') t
                   WHERE t.pred = '{_SEM_TS}'
                     AND t.subj = a.subj)
+        """,
+        "kg_bgp_path_alt": f"""
+            SELECT DISTINCT * FROM (
+                SELECT subj AS child, obj AS mother
+                FROM read_parquet('{triples}')
+                WHERE pred =
+                    'http://kg.example.org/ontology#hasMother'
+                UNION ALL
+                SELECT obj AS child, subj AS mother
+                FROM read_parquet('{triples}')
+                WHERE pred =
+                    'http://kg.example.org/ontology#hasDaughter')
         """,
         "kg_bgp_global_agg": f"""
             SELECT COUNT(*) AS n_death_events,

@@ -1145,8 +1145,11 @@ def bgp_match(triples: rd.Dataset,
     """General SPARQL basic-graph-pattern match over the triple set.
 
     Each pattern is ``(s, p, o)`` where ``s``/``o`` are either a
-    ``"?var"`` or a constant term and ``p`` must be a constant
-    predicate URI (variable predicates are out of scope). Returns the
+    ``"?var"`` or a constant term and ``p`` is a constant predicate
+    path: a URI, a ``"^uri"`` INVERSE path (the s-slot binds the
+    triple's object), or a tuple of either — SPARQL ALTERNATION
+    ``p1|p2``, whose solutions are the bag-union over alternatives
+    (SQL: UNION ALL). Variable predicates are out of scope. Returns the
     bindings of ``select`` (default: every variable, in
     first-appearance order) as a lazy Dataset of string columns;
     ``distinct=True`` applies the SPARQL DISTINCT solution modifier.
@@ -1223,9 +1226,27 @@ def bgp_match(triples: rd.Dataset,
     n_req = len(patterns)
     parsed = [tuple(p) for p in patterns] \
         + [tuple(p) for p in (optional or [])]
-    for s, p, o in parsed:
-        if _is_var(p):
-            raise ValueError("variable predicates are not supported")
+
+    def _alts(p) -> list[tuple[str, bool]]:
+        """Predicate term → [(base_uri, inverse)] alternatives: a
+        plain URI, a ``"^uri"`` inverse path, or a tuple/list of
+        either (SPARQL alternation ``p1|p2``; solutions are the
+        bag-union over alternatives, replayed in SQL as UNION ALL)."""
+        alts = list(p) if isinstance(p, (tuple, list)) else [p]
+        if not alts:
+            raise ValueError("empty predicate alternation")
+        out = []
+        for a in alts:
+            if not isinstance(a, str) or _is_var(a) or a in ("", "^"):
+                raise ValueError(
+                    "predicates must be constant URIs (optionally "
+                    "'^'-inverted, or a tuple of alternatives); "
+                    "variable predicates are not supported")
+            out.append((a[1:], True) if a.startswith("^")
+                       else (a, False))
+        return out
+
+    alt_of = [_alts(p) for (_, p, _) in parsed]
     all_vars: list[str] = []
     for s, _, o in parsed:
         for t in (s, o):
@@ -1337,17 +1358,22 @@ def bgp_match(triples: rd.Dataset,
         subj = df["subj"].to_numpy()
         obj = df["obj"].to_numpy()
         outs = []
-        for i, (s, p, o) in enumerate(parsed):
-            m = pred == p
-            if not _is_var(s):
-                m &= subj == s
-            if not _is_var(o):
-                m &= obj == o
-            if m.any():
-                outs.append(pd.DataFrame({
-                    "pi": np.full(int(m.sum()), i, dtype=np.int64),
-                    "subj": subj[m].astype(str),
-                    "obj": obj[m].astype(str)}))
+        for i, (s, _, o) in enumerate(parsed):
+            for base, inv in alt_of[i]:
+                # an inverse alternative binds the pattern's s-slot
+                # from the triple's OBJECT (x ^p y  ≡  y p x)
+                t_s, t_o = (obj, subj) if inv else (subj, obj)
+                m = pred == base
+                if not _is_var(s):
+                    m &= t_s == s
+                if not _is_var(o):
+                    m &= t_o == o
+                if m.any():
+                    outs.append(pd.DataFrame({
+                        "pi": np.full(int(m.sum()), i,
+                                      dtype=np.int64),
+                        "subj": t_s[m].astype(str),
+                        "obj": t_o[m].astype(str)}))
         if not outs:
             return pd.DataFrame({"pi": pd.Series(dtype="int64"),
                                  "subj": pd.Series(dtype=object),

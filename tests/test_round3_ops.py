@@ -1459,3 +1459,50 @@ class TestGlobalAggregate:
             aggs=[("count", "*", "n")],
             having=[("n", ">", 0)]).to_pandas()
         assert len(h2) == 0
+
+
+class TestPredicatePaths:
+    """Inverse (^pred) and alternation (tuple) predicate paths."""
+
+    def _triples(self):
+        import pandas as pd
+        import ray.data as rd
+        rows = [
+            ("c1", "hasMother", "m1"),
+            ("m2", "hasDaughter", "c2"),       # inverse encoding
+            ("c3", "hasMother", "m3"),
+            ("m3", "hasDaughter", "c3"),        # both encodings
+            ("c1", "other", "x"),
+        ]
+        return rd.from_pandas(pd.DataFrame(
+            rows, columns=["subj", "pred", "obj"])).repartition(2)
+
+    def test_inverse_and_alternation(self):
+        import pandas as pd
+        import pytest
+
+        from rdf_extraction_ray.stages.graph import bgp_match
+        tr = self._triples()
+        inv = bgp_match(tr, [("?c", "^hasDaughter", "?m")]).to_pandas()
+        inv = inv.sort_values("c", ignore_index=True)
+        pd.testing.assert_frame_equal(
+            inv, pd.DataFrame({"c": ["c2", "c3"],
+                               "m": ["m2", "m3"]}))
+        # alternation: bag-union (c3/m3 twice), DISTINCT collapses
+        alt = bgp_match(tr, [("?c", ("hasMother", "^hasDaughter"),
+                              "?m")]).to_pandas()
+        assert len(alt) == 4
+        dd = bgp_match(tr, [("?c", ("hasMother", "^hasDaughter"),
+                             "?m")], distinct=True).to_pandas()
+        dd = dd.sort_values("c", ignore_index=True)
+        pd.testing.assert_frame_equal(
+            dd, pd.DataFrame({"c": ["c1", "c2", "c3"],
+                              "m": ["m1", "m2", "m3"]}))
+        # constants respect the swapped roles on inverse alternatives
+        con = bgp_match(tr, [("?c", "^hasDaughter", "m2")]).to_pandas()
+        pd.testing.assert_frame_equal(
+            con, pd.DataFrame({"c": ["c2"]}))
+        with pytest.raises(ValueError, match="constant URIs"):
+            bgp_match(tr, [("?c", ("hasMother", "?p"), "?m")])
+        with pytest.raises(ValueError, match="alternation"):
+            bgp_match(tr, [("?c", (), "?m")])
