@@ -2686,6 +2686,72 @@ def _q_kg_bgp_group_concat(sf_dir: str):
               ("count", "occ", "n_occs")])
 
 
+def _q_kg_bgp_exists(sf_dir: str):
+    """SPARQL FILTER EXISTS (positive twin of MINUS): SELECT ?ev
+    ?person WHERE { ?ev crm:P100_was_death_of ?person . FILTER EXISTS
+    { ?person kg:hasPaidOccupation ?occ } } — death events of persons
+    with >= 1 paid occupation. SEMI-join multiplicity is the
+    discriminating semantics: persons average ~8 occupations at
+    sf0.01, so a plain join would fan each event out 8x, while EXISTS
+    keeps each surviving event exactly once. One partitioned hash
+    exchange of the binding stream against the DISTINCT witness keys
+    (combiner-first)."""
+    from rdf_extraction_ray.stages.graph import bgp_exists
+    tr = _triples_view(sf_dir)
+    occ = "http://kg.example.org/ontology#hasPaidOccupation"
+    return bgp_exists(
+        tr, [("?ev", _P100, "?person")],
+        [("?person", occ, "?occ")],
+        select=["ev", "person"])
+
+
+def _q_kg_bgp_bind(sf_dir: str):
+    """SPARQL BIND expressions: SELECT ?person ?trade ?tlen ?tag
+    WHERE { ?person kg:hasPaidOccupation ?occ .
+    BIND(STRAFTER(STR(?occ), "/occupation/") AS ?trade)
+    BIND(STRLEN(?trade) AS ?tlen) BIND(UCASE(?trade) AS ?utrade)
+    BIND(CONCAT(?person, "#", ?utrade) AS ?tag)
+    FILTER(CONTAINS(?trade, "er")) } — vocabulary-URI slug
+    extraction with derived columns, all evaluated in ONE vectorized
+    pandas-string pass per batch after the (single-pattern) plan; the
+    CONTAINS filter references a BIND output, so it applies right
+    after the binds instead of pushing into the plan. Bag semantics
+    (no DISTINCT): one row per matching triple, like the SQL
+    replay."""
+    from rdf_extraction_ray.stages.graph import bgp_match
+    tr = _triples_view(sf_dir)
+    occ = "http://kg.example.org/ontology#hasPaidOccupation"
+    return bgp_match(
+        tr, [("?person", occ, "?occ")],
+        binds=[(("strafter", "?occ", "/occupation/"), "?trade"),
+               (("strlen", "?trade"), "?tlen"),
+               (("ucase", "?trade"), "?utrade"),
+               (("concat", "?person", "#", "?utrade"), "?tag")],
+        filters=[("?trade", "contains", "er")],
+        select=["person", "trade", "tlen", "tag"])
+
+
+def _q_kg_bgp_sum_avg(sf_dir: str):
+    """SPARQL numeric aggregates: SELECT ?person (SUM(?inc) AS
+    total_income) (AVG(?inc) AS avg_income) (COUNT(*) AS n_inc)
+    WHERE { ?person kg:hasIncome ?inc } GROUP BY ?person — per-person
+    income totals over the xsd:int-typed income literals. SUM/AVG
+    parse the lexical form under a pinned integer regex (the SQL
+    replay guards its CAST with the same regexp_matches), sum exactly
+    in int64, and AVG is the float64 quotient of the exact integer
+    sum and count — bit-identical to CAST(s AS DOUBLE)/n in DuckDB.
+    Combiner path: each batch ships one null-free (sum, n) int64
+    partial per group; the binding stream never exchanges."""
+    from rdf_extraction_ray.stages.graph import bgp_aggregate
+    tr = _triples_view(sf_dir)
+    inc = "http://kg.example.org/ontology#hasIncome"
+    return bgp_aggregate(
+        tr, [("?person", inc, "?inc")], group_by=["person"],
+        aggs=[("sum", "inc", "total_income"),
+              ("avg", "inc", "avg_income"),
+              ("count", "*", "n_inc")])
+
+
 def _q_kg_bgp_global_agg(sf_dir: str):
     """SPARQL GLOBAL aggregate (no GROUP BY): SELECT (COUNT(*) AS
     n_death_events) (COUNT(DISTINCT ?person) AS n_persons)
@@ -4188,6 +4254,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_sample": _q_docs_stratified_sample,
         "docs_pack_windows": _q_docs_pack_windows,
         "docs_embedding_labels": _q_docs_embedding_labels,
+        "kg_bgp_exists": _q_kg_bgp_exists,
+        "kg_bgp_bind": _q_kg_bgp_bind,
+        "kg_bgp_sum_avg": _q_kg_bgp_sum_avg,
     }
 
 
@@ -5297,6 +5366,51 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{triples}')
             WHERE pred =
                 'http://kg.example.org/ontology#hasPaidOccupation'
+            GROUP BY subj
+        """,
+        "kg_bgp_exists": f"""
+            SELECT a.subj AS ev, a.obj AS person
+            FROM read_parquet('{triples}') a
+            WHERE a.pred = '{_P100}'
+              AND EXISTS (
+                  SELECT 1 FROM read_parquet('{triples}') t
+                  WHERE t.pred =
+                      'http://kg.example.org/ontology#hasPaidOccupation'
+                    AND t.subj = a.obj)
+        """,
+        "kg_bgp_bind": f"""
+            SELECT person, trade,
+                   CAST(length(trade) AS VARCHAR) AS tlen,
+                   person || '#' || upper(trade) AS tag
+            FROM (
+                SELECT subj AS person,
+                       CASE WHEN strpos(obj, '/occupation/') > 0
+                            THEN substr(obj,
+                                        strpos(obj, '/occupation/')
+                                        + 12)
+                            ELSE '' END AS trade
+                FROM read_parquet('{triples}')
+                WHERE pred =
+                    'http://kg.example.org/ontology#hasPaidOccupation'
+            )
+            WHERE strpos(trade, 'er') > 0
+        """,
+        "kg_bgp_sum_avg": f"""
+            SELECT subj AS person,
+                   CAST(SUM(CASE WHEN regexp_matches(obj,
+                                                     '^-?[0-9]+$')
+                            THEN CAST(obj AS BIGINT) END) AS BIGINT)
+                       AS total_income,
+                   CAST(SUM(CASE WHEN regexp_matches(obj,
+                                                     '^-?[0-9]+$')
+                                 THEN CAST(obj AS BIGINT) END)
+                        AS DOUBLE)
+                       / COUNT(CASE WHEN regexp_matches(obj,
+                                                        '^-?[0-9]+$')
+                               THEN 1 END) AS avg_income,
+                   COUNT(*) AS n_inc
+            FROM read_parquet('{triples}')
+            WHERE pred = 'http://kg.example.org/ontology#hasIncome'
             GROUP BY subj
         """,
         "docs_embedding_labels": """

@@ -1131,6 +1131,75 @@ _FILTER_OPS = {
     "strstarts": lambda a, b: a.str.startswith(b, na=False),
 }
 
+#: SPARQL BIND expression operators (each expr is a tuple AST whose
+#: head names the op; arguments are "?var" references or constant
+#: strings). All results are string terms — STRLEN renders its
+#: integer as a decimal string, so downstream aggregates (sum/avg)
+#: parse it back numerically, like a SQL replay via CAST.
+_BIND_OPS = ("strlen", "lcase", "ucase", "concat", "substr",
+             "strbefore", "strafter")
+
+
+def _bind_expr_vars(expr) -> list[str]:
+    """Variables referenced by a BIND expression tuple."""
+    op = expr[0]
+    if op in ("strlen", "lcase", "ucase", "substr",
+              "strbefore", "strafter"):
+        return [expr[1][1:]] if _is_var(expr[1]) else []
+    if op == "concat":
+        return [t[1:] for t in expr[1:] if _is_var(t)]
+    raise ValueError(f"unknown BIND op {expr[0]!r}")
+
+
+def _eval_bind(df: pd.DataFrame, expr) -> pd.Series:
+    """Vectorized BIND expression evaluation over a binding batch.
+
+    SPARQL error semantics: an expression over an UNBOUND argument is
+    an evaluation error, which BIND maps to leaving the target
+    variable unbound — so NULL inputs propagate to a NULL result
+    (exactly SQL's NULL propagation, which the oracle replays).
+    STRBEFORE/STRAFTER return '' when the needle does not occur, per
+    the SPARQL spec."""
+    op = expr[0]
+    if op == "strlen":
+        s = df[expr[1][1:]]
+        n = s.str.len()
+        return pd.Series(
+            np.where(s.notna(),
+                     n.fillna(0).astype(np.int64).astype(str), None),
+            index=df.index, dtype=object)
+    if op in ("lcase", "ucase"):
+        s = df[expr[1][1:]]
+        return s.str.lower() if op == "lcase" else s.str.upper()
+    if op == "substr":
+        # SPARQL SUBSTR is 1-based; length optional (to end)
+        s = df[expr[1][1:]]
+        start = int(expr[2]) - 1
+        stop = None if len(expr) < 4 else start + int(expr[3])
+        return s.str.slice(start, stop)
+    if op in ("strbefore", "strafter"):
+        s, needle = df[expr[1][1:]], expr[2]
+        if _is_var(needle):
+            raise ValueError(f"{op} needs a constant needle")
+        parts = s.str.partition(needle)
+        found = parts[1].eq(needle)
+        out = pd.Series(
+            np.where(found, parts[0 if op == "strbefore" else 2], ""),
+            index=df.index, dtype=object)
+        return out.where(s.notna(), None)
+    if op == "concat":
+        res = pd.Series("", index=df.index, dtype=object)
+        mask = pd.Series(True, index=df.index)
+        for t in expr[1:]:
+            if _is_var(t):
+                col = df[t[1:]]
+                mask &= col.notna()
+                res = res + col.fillna("")
+            else:
+                res = res + t
+        return res.where(mask, None)
+    raise ValueError(f"unknown BIND op {op!r}")
+
 
 def bgp_match(triples: rd.Dataset,
               patterns: list[tuple[str, str, str]],
@@ -1141,6 +1210,7 @@ def bgp_match(triples: rd.Dataset,
               values: tuple[list[str], list] | None = None,
               order_by: list[tuple[str, str]] | None = None,
               limit: int | None = None,
+              binds: list[tuple[tuple, str]] | None = None,
               n_buckets: int = 64) -> rd.Dataset:
     """General SPARQL basic-graph-pattern match over the triple set.
 
@@ -1170,6 +1240,20 @@ def bgp_match(triples: rd.Dataset,
     the plain SQL ``(v1, ...) IN (VALUES ...)`` equality filter. Like
     filters, the clause pushes down to the earliest plan point where
     all its variables are bound, shrinking later exchanges.
+
+    ``binds`` are SPARQL BIND clauses ``(expr, "?out")`` evaluated in
+    list order over the COMPLETED solution sequence (after every join
+    and OPTIONAL — each may reference pattern variables and earlier
+    bind outputs). ``expr`` is a tuple AST over :data:`_BIND_OPS`:
+    ``("strlen", "?v")`` (decimal string), ``("lcase"|"ucase",
+    "?v")``, ``("substr", "?v", start[, len])`` (1-based, per
+    SPARQL), ``("strbefore"|"strafter", "?v", const)`` ('' when the
+    needle is absent, per spec) and ``("concat", part, ...)`` with
+    var or constant parts. An unbound argument leaves the output
+    unbound (SPARQL error → unbound = SQL NULL propagation).
+    Evaluation is one vectorized pandas-string pass per batch — no
+    exchange; a FILTER that references a bind output applies right
+    after the binds instead of pushing into the plan.
 
     ``order_by`` (list of ``(var, "asc" | "desc")``, vars must be
     selected) + ``limit`` apply the SPARQL solution modifiers. With
@@ -1254,9 +1338,28 @@ def bgp_match(triples: rd.Dataset,
                 all_vars.append(t[1:])
     if not all_vars:
         raise ValueError("at least one pattern must bind a variable")
+    bind_list: list[tuple[tuple, str]] = []
+    bind_outs: list[str] = []
+    for expr, out in (binds or []):
+        name = out[1:] if _is_var(out) else out
+        if expr[0] not in _BIND_OPS:
+            raise ValueError(f"unknown BIND op {expr[0]!r}")
+        if name in all_vars or name in bind_outs:
+            raise ValueError(f"BIND target ?{name} already bound")
+        for v in _bind_expr_vars(expr):
+            if v not in all_vars and v not in bind_outs:
+                raise ValueError(f"BIND references unbound ?{v}")
+        bind_list.append((tuple(expr), name))
+        bind_outs.append(name)
+    # pattern vars a bind expression consumes stay live until the
+    # binds evaluate (the prune below would otherwise project them
+    # away as dead once their joins are done)
+    bind_needed = {v for e, _ in bind_list
+                   for v in _bind_expr_vars(e) if v in all_vars}
+    bindable = all_vars + bind_outs
     if select is None:
-        select = list(all_vars)
-    bad = [v for v in select if v not in all_vars]
+        select = list(bindable)
+    bad = [v for v in select if v not in bindable]
     if bad:
         raise ValueError(f"selected vars bound by no pattern: {bad}")
 
@@ -1272,9 +1375,15 @@ def bgp_match(triples: rd.Dataset,
         if op in ("contains", "strstarts") and _is_var(rhs):
             raise ValueError(f"{op} needs a constant rhs")
         for t in (lhs, rhs):
-            if _is_var(t) and t[1:] not in all_vars:
+            if _is_var(t) and t[1:] not in bindable:
                 raise ValueError(
                     f"filter var ?{t[1:]} bound by no pattern")
+    # a filter touching a BIND output cannot push into the plan — it
+    # waits for the binds and applies right after them
+    post_filters = [f for f in pending
+                    if set(_fvars(f)) & set(bind_outs)]
+    for f in post_filters:
+        pending.remove(f)
 
     req_bound: list[str] = []
     for s, _, o in parsed[:n_req]:
@@ -1459,7 +1568,7 @@ def bgp_match(triples: rd.Dataset,
         acc, acc_vars = _prune(
             acc, acc_vars,
             {v for j in remaining for v in _pvars(j)}
-            | opt_vars | _pend_vars())
+            | opt_vars | _pend_vars() | bind_needed)
 
     # OPTIONAL clauses: LEFT joins in list order (each may chain on
     # variables a previous optional introduced)
@@ -1479,11 +1588,35 @@ def bgp_match(triples: rd.Dataset,
         acc, acc_vars = _prune(
             acc, acc_vars,
             {v for k in opt_idx if k > j for v in _pvars(k)}
-            | _pend_vars())
+            | _pend_vars() | bind_needed)
 
     assert not pending, "every filter var is bound by the full plan"
     assert not pending_vals, \
         "every VALUES var is bound by the full plan"
+
+    if bind_list:
+        def _bind(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            for expr, name in bind_list:
+                df[name] = _eval_bind(df, expr)
+            if post_filters:
+                m = pd.Series(True, index=df.index)
+                for lhs, op, rhs in post_filters:
+                    a = (df[lhs[1:]] if _is_var(lhs)
+                         else pd.Series(lhs, index=df.index))
+                    if _is_var(rhs):
+                        b = df[rhs[1:]]
+                        mask = _FILTER_OPS[op](a, b) \
+                            & a.notna() & b.notna()
+                    else:
+                        mask = _FILTER_OPS[op](a, rhs) & a.notna()
+                    m &= mask.astype(bool)
+                df = df[m.to_numpy()].reset_index(drop=True)
+            return df
+
+        acc = acc.map_batches(_bind, batch_format="pandas")
+        acc_vars = list(acc_vars) + bind_outs
+
     if list(acc_vars) != list(select):
         acc = acc.select_columns(select)
 
@@ -1958,9 +2091,110 @@ def bgp_minus(triples: rd.Dataset,
     return rd.from_arrow(out_schema.empty_table()).union(kept)
 
 
+def bgp_exists(triples: rd.Dataset,
+               patterns: list[tuple[str, str, str]],
+               exists: list[tuple[str, str, str]],
+               select: list[str] | None = None,
+               distinct: bool = False,
+               optional: list[tuple[str, str, str]] | None = None,
+               filters: list[tuple[str, str, str]] | None = None,
+               n_buckets: int = 64) -> rd.Dataset:
+    """SPARQL ``FILTER EXISTS { exists }`` — the positive twin of
+    :func:`bgp_minus`: a solution of the main pattern survives iff
+    the EXISTS pattern has a solution agreeing on every shared
+    variable. Surviving solutions keep their exact multiplicity (a
+    semi-join, NOT a join: however many EXISTS witnesses a solution
+    has, it appears once).
+
+    Restriction (checked, same as MINUS): the EXISTS patterns must
+    share at least one variable with the REQUIRED main patterns, and
+    only required-bound variables participate in the probe — shared
+    bindings are never NULL, which is the regime where the SPARQL
+    substitution semantics coincide with the SQL ``EXISTS`` equality
+    semi-join the oracle replays.
+
+    Scale shape: both sides are independent :func:`bgp_match` plans
+    off the shared predicate-filtered scan; the EXISTS side reduces
+    to its DISTINCT shared-variable projection (combiner-first)
+    before ONE partitioned hash join — joining against DISTINCT keys
+    is exactly the semi-join (left multiplicity preserved, no fan
+    out), so the exchange carries |main bindings| + |distinct witness
+    keys| rows. The reference answers such queries by membership
+    walks over the in-RAM uber-graph (cwrc/RDF-extraction
+    Utils/utilities.py:552-556)."""
+    import pyarrow as pa
+
+    from .joins import hash_join
+
+    req_vars: list[str] = []
+    for s, _, o in patterns:
+        for t in (s, o):
+            if _is_var(t) and t[1:] not in req_vars:
+                req_vars.append(t[1:])
+    ex_vars = {t[1:] for tri in exists for t in tri if _is_var(t)}
+    shared = [v for v in req_vars if v in ex_vars]
+    if not shared:
+        raise ValueError(
+            "EXISTS patterns share no variable with the required "
+            "main patterns")
+    all_vars = list(req_vars)
+    for s, _, o in (optional or []):
+        for t in (s, o):
+            if _is_var(t) and t[1:] not in all_vars:
+                all_vars.append(t[1:])
+    if select is None:
+        select = list(all_vars)
+    out_schema = pa.schema([(v, pa.string()) for v in select])
+
+    main_sel = list(dict.fromkeys(list(select) + shared))
+    main = bgp_match(triples, patterns, select=main_sel,
+                     optional=optional, filters=filters,
+                     n_buckets=n_buckets)
+    keys = bgp_match(triples, exists, select=shared, distinct=True,
+                     n_buckets=n_buckets)
+    kept = hash_join(main, keys, on=shared, n_buckets=n_buckets,
+                     left_schema=pa.schema([(v, pa.string())
+                                            for v in main_sel]),
+                     right_schema=pa.schema([(v, pa.string())
+                                             for v in shared]))
+    if list(select) != main_sel:
+        kept = kept.map_batches(
+            lambda t: t.select(list(select)).cast(out_schema),
+            batch_format="pyarrow")
+    if distinct:
+        kept = distinct_rows(kept, out_schema, n_buckets)
+    return rd.from_arrow(out_schema.empty_table()).union(kept)
+
+
 _BGP_AGG_FNS = ("count", "count_distinct", "min", "max",
-                "group_concat")
+                "group_concat", "sum", "avg")
 _GC_SEP = "|"
+#: lexical forms SUM/AVG treat as numeric — integer literals only,
+#: pinned by regex on BOTH sides (the SQL replay guards its CAST with
+#: the same regexp_matches), so no locale/float parsing ambiguity
+_NUM_RE = r"-?\d+"
+
+
+def _sum_n(df: pd.DataFrame, out: pd.DataFrame, gcols: list[str],
+           v: str) -> tuple[np.ndarray, np.ndarray]:
+    """Per-group ``(sum, n)`` over the values of ``v`` whose lexical
+    form is an integer (:data:`_NUM_RE`); non-numeric and unbound
+    values are skipped like SQL aggregates skip NULL. Aligned to
+    ``out``'s group rows; a group with no numeric value gets
+    ``(0, 0)`` — the finalizer turns ``n == 0`` into NULL (SQL SUM
+    semantics) so partials stay null-free int64 on the exchange."""
+    s = df[v]
+    m = s.notna() & s.str.fullmatch(_NUM_RE, na=False)
+    if not m.any():
+        z = np.zeros(len(out), dtype=np.int64)
+        return z, z.copy()
+    nn = df.loc[m, gcols].copy()
+    nn["__v"] = s[m].astype(np.int64)
+    agg = (nn.groupby(gcols, dropna=False, sort=False)["__v"]
+           .agg(["sum", "count"]).reset_index())
+    mg = out[gcols].merge(agg, on=gcols, how="left")
+    return (mg["sum"].fillna(0).astype(np.int64).to_numpy(),
+            mg["count"].fillna(0).astype(np.int64).to_numpy())
 
 
 def bgp_aggregate(triples: rd.Dataset,
@@ -1970,6 +2204,7 @@ def bgp_aggregate(triples: rd.Dataset,
                   optional: list[tuple[str, str, str]] | None = None,
                   filters: list[tuple[str, str, str]] | None = None,
                   having: list[tuple[str, str, float]] | None = None,
+                  binds: list[tuple[tuple, str]] | None = None,
                   n_buckets: int = 64) -> rd.Dataset:
     """SPARQL GROUP BY + aggregates over BGP bindings: ``SELECT
     ?g1 ?g2 (AGG(?v) AS alias) ... WHERE { ... } GROUP BY ?g1 ?g2
@@ -1987,7 +2222,16 @@ def bgp_aggregate(triples: rd.Dataset,
     joined with ``"|"``; SPARQL leaves the concatenation order
     undefined, so this engine pins it LEXICOGRAPHIC — a SQL replay is
     ``string_agg(v, '|' ORDER BY v)`` — and a group with no bound
-    value yields NULL). ``having``
+    value yields NULL), ``sum`` (int64) or ``avg`` (float64) — both
+    numeric aggregates parse the variable's LEXICAL form under the
+    integer regex :data:`_NUM_RE` and skip unbound/non-numeric values
+    (SQL: ``CASE WHEN regexp_matches(v, '^-?[0-9]+$') THEN CAST(v AS
+    BIGINT) END`` under SUM/AVG); a group with no numeric value
+    yields NULL, and AVG is the float64 quotient of the exact integer
+    sum and count — bit-identical to the SQL
+    ``CAST(s AS DOUBLE) / n``. ``binds`` pass through to
+    :func:`bgp_match`, so an aggregate variable may be a BIND output
+    (e.g. ``SUM(STRLEN(?x))``). ``having``
     entries are ``(alias, op, value)`` filters over the aggregated
     rows (``op`` in ``== != < <= > >=``).
 
@@ -2038,7 +2282,7 @@ def bgp_aggregate(triples: rd.Dataset,
             raise ValueError("patterns bind no variable")
     bindings = bgp_match(triples, patterns, select=needed,
                          optional=optional, filters=filters,
-                         n_buckets=n_buckets)
+                         binds=binds, n_buckets=n_buckets)
     if global_agg:
         def _addg(df: pd.DataFrame) -> pd.DataFrame:
             df = df.copy()
@@ -2050,9 +2294,13 @@ def bgp_aggregate(triples: rd.Dataset,
     B = np.int64(n_buckets)
     out_fields = [(g, pa.string()) for g in gcols]
     for fn, _, alias in aggs:
-        out_fields.append(
-            (alias, pa.int64() if fn in ("count", "count_distinct")
-             else pa.string()))
+        if fn in ("count", "count_distinct", "sum"):
+            t = pa.int64()
+        elif fn == "avg":
+            t = pa.float64()
+        else:
+            t = pa.string()
+        out_fields.append((alias, t))
     out_schema = pa.schema(out_fields)
     # group_concat is the only aggregate that genuinely needs every
     # binding row of its group co-located (all values, duplicates
@@ -2102,6 +2350,17 @@ def bgp_aggregate(triples: rd.Dataset,
                     out[alias] = gb[v].agg(
                         lambda s: _GC_SEP.join(sorted(s.dropna()))
                         if s.notna().any() else None).to_numpy()
+                elif fn in ("sum", "avg"):
+                    s_, n_ = _sum_n(g, out, gcols, v)
+                    if fn == "sum":
+                        sv = pd.array(s_, dtype="Int64")
+                        sv[n_ == 0] = pd.NA
+                        out[alias] = sv
+                    else:
+                        out[alias] = np.where(
+                            n_ > 0,
+                            s_.astype(np.float64) / np.maximum(n_, 1),
+                            np.nan)
                 else:
                     out[alias] = _minmax_col(g, out, v, fn).to_numpy()
             return pa.Table.from_pandas(
@@ -2120,10 +2379,18 @@ def bgp_aggregate(triples: rd.Dataset,
         # merges partials and counts exact nuniques side by side.
         # Exchange rows are bounded by (groups + distinct pairs) per
         # batch — the raw binding stream never exchanges.
-        base_schema = pa.schema(
-            [(g, pa.string()) for g in gcols]
-            + [(alias, pa.int64() if fn == "count" else pa.string())
-               for fn, _, alias in rest])
+        base_fields = [(g, pa.string()) for g in gcols]
+        for fn, _, alias in rest:
+            if fn == "count":
+                base_fields.append((alias, pa.int64()))
+            elif fn in ("sum", "avg"):
+                # null-free int64 (sum, n) partials per group — the
+                # finalizer derives NULL (n == 0) and the float AVG
+                base_fields.append((f"__s_{alias}", pa.int64()))
+                base_fields.append((f"__n_{alias}", pa.int64()))
+            else:
+                base_fields.append((alias, pa.string()))
+        base_schema = pa.schema(base_fields)
         union_schema = pa.schema(
             list(base_schema)
             + [(f"__cd_{alias}", pa.string()) for _, alias in cd]
@@ -2147,6 +2414,10 @@ def bgp_aggregate(triples: rd.Dataset,
                     out[alias] = out["__n"]
                 elif fn == "count":
                     out[alias] = gb[v].count().to_numpy()
+                elif fn in ("sum", "avg"):
+                    s_, n_ = _sum_n(df, out, gcols, v)
+                    out[f"__s_{alias}"] = s_
+                    out[f"__n_{alias}"] = n_
                 else:
                     out[alias] = _minmax_col(df, out, v, fn).to_numpy()
             out = _bucket(out.drop(columns="__n"))
@@ -2172,6 +2443,18 @@ def bgp_aggregate(triples: rd.Dataset,
             for fn, v, alias in rest:
                 if fn == "count":
                     out[alias] = gb[alias].sum().to_numpy()
+                elif fn in ("sum", "avg"):
+                    s_ = gb[f"__s_{alias}"].sum().to_numpy()
+                    n_ = gb[f"__n_{alias}"].sum().to_numpy()
+                    if fn == "sum":
+                        sv = pd.array(s_, dtype="Int64")
+                        sv[n_ == 0] = pd.NA
+                        out[alias] = sv
+                    else:
+                        out[alias] = np.where(
+                            n_ > 0,
+                            s_.astype(np.float64) / np.maximum(n_, 1),
+                            np.nan)
                 else:
                     # re-min/max the partials, skipping NULL partials
                     # (a batch whose group had no bound value)

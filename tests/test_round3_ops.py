@@ -1506,3 +1506,136 @@ class TestPredicatePaths:
             bgp_match(tr, [("?c", ("hasMother", "?p"), "?m")])
         with pytest.raises(ValueError, match="alternation"):
             bgp_match(tr, [("?c", (), "?m")])
+
+
+class TestSparqlBindSumAvgExists:
+    """BIND expressions, SUM/AVG numeric aggregates, FILTER EXISTS."""
+
+    def _triples(self):
+        rows = [
+            ("p1", "inc", "100"), ("p1", "inc", "250"),
+            ("p1", "inc", "junk"),           # non-numeric: skipped
+            ("p2", "inc", "7"), ("p2", "inc", "-3"),
+            ("p3", "inc", "zero"),           # NO numeric value at all
+            ("e1", "died", "p1"), ("e2", "died", "p1"),
+            ("e3", "died", "p2"), ("e4", "died", "p9"),
+            ("p1", "occ", "vocab/occupation/brewer"),
+            ("p1", "occ", "vocab/occupation/baker"),
+            ("p2", "occ", "vocab/occupation/clerk"),
+        ]
+        return rd.from_pandas(pd.DataFrame(
+            rows, columns=["subj", "pred", "obj"]))
+
+    def test_bind_ops_and_post_bind_filter(self):
+        from rdf_extraction_ray.stages.graph import bgp_match
+        out = bgp_match(
+            self._triples(), [("?p", "occ", "?o")],
+            binds=[(("strafter", "?o", "occupation/"), "?trade"),
+                   (("strlen", "?trade"), "?tlen"),
+                   (("ucase", "?trade"), "?up"),
+                   (("substr", "?trade", 1, 3), "?pre"),
+                   (("strbefore", "?o", "/occ"), "?ns"),
+                   (("concat", "?p", "#", "?up"), "?tag")],
+            filters=[("?trade", "strstarts", "b")],
+            select=["p", "trade", "tlen", "pre", "ns", "tag"],
+        ).to_pandas().sort_values("trade", ignore_index=True)
+        assert out["trade"].tolist() == ["baker", "brewer"]
+        assert out["tlen"].tolist() == ["5", "6"]
+        assert out["pre"].tolist() == ["bak", "bre"]
+        assert out["ns"].tolist() == ["vocab", "vocab"]
+        assert out["tag"].tolist() == ["p1#BAKER", "p1#BREWER"]
+
+    def test_bind_null_propagates_from_optional(self):
+        from rdf_extraction_ray.stages.graph import bgp_match
+        out = bgp_match(
+            self._triples(), [("?ev", "died", "?p")],
+            optional=[("?p", "occ", "?o")],
+            binds=[(("concat", "?p", "/", "?o"), "?po"),
+                   (("strlen", "?o"), "?olen"),
+                   (("strafter", "?o", "/"), "?rest")],
+            select=["ev", "po", "olen", "rest"]).to_pandas()
+        # p9 (e4) has no occ binding: every bind output is NULL
+        e4 = out[out["ev"] == "e4"]
+        assert len(e4) == 1
+        assert e4[["po", "olen", "rest"]].isna().all().all()
+        matched = out[out["ev"] == "e3"]
+        assert matched["po"].tolist() == ["p2/vocab/occupation/clerk"]
+
+    def test_bind_errors(self):
+        import pytest
+
+        from rdf_extraction_ray.stages.graph import bgp_match
+        tr = self._triples()
+        with pytest.raises(ValueError, match="unknown BIND op"):
+            bgp_match(tr, [("?p", "occ", "?o")],
+                      binds=[(("nope", "?o"), "?x")])
+        with pytest.raises(ValueError, match="already bound"):
+            bgp_match(tr, [("?p", "occ", "?o")],
+                      binds=[(("ucase", "?o"), "?p")])
+        with pytest.raises(ValueError, match="unbound"):
+            bgp_match(tr, [("?p", "occ", "?o")],
+                      binds=[(("ucase", "?zzz"), "?x")])
+
+    def test_sum_avg_combiner_path(self):
+        from rdf_extraction_ray.stages.graph import bgp_aggregate
+        out = (bgp_aggregate(
+            self._triples(), [("?p", "inc", "?v")], group_by=["p"],
+            aggs=[("sum", "v", "total"), ("avg", "v", "mean"),
+                  ("count", "*", "n")])
+            .to_pandas().sort_values("p", ignore_index=True))
+        assert out["p"].tolist() == ["p1", "p2", "p3"]
+        assert out["total"].tolist()[:2] == [350, 4]
+        assert pd.isna(out["total"].iloc[2])     # no numeric value
+        assert out["mean"].tolist()[:2] == [175.0, 2.0]
+        assert pd.isna(out["mean"].iloc[2])
+        assert out["n"].tolist() == [3, 2, 1]
+
+    def test_sum_avg_exact_path_matches_combiner(self):
+        # group_concat forces the exact co-located path; sum/avg must
+        # agree with the combiner path's answer
+        from rdf_extraction_ray.stages.graph import bgp_aggregate
+        out = (bgp_aggregate(
+            self._triples(), [("?p", "inc", "?v")], group_by=["p"],
+            aggs=[("sum", "v", "total"), ("avg", "v", "mean"),
+                  ("group_concat", "v", "vals")])
+            .to_pandas().sort_values("p", ignore_index=True))
+        assert out["total"].tolist()[:2] == [350, 4]
+        assert pd.isna(out["total"].iloc[2])
+        assert out["mean"].tolist()[:2] == [175.0, 2.0]
+        assert out["vals"].tolist() == ["100|250|junk", "-3|7", "zero"]
+
+    def test_sum_avg_global_and_over_bind(self):
+        from rdf_extraction_ray.stages.graph import bgp_aggregate
+        # global aggregate + aggregating a BIND output (STRLEN)
+        out = bgp_aggregate(
+            self._triples(), [("?p", "occ", "?o")], group_by=[],
+            binds=[(("strafter", "?o", "occupation/"), "?t"),
+                   (("strlen", "?t"), "?tl")],
+            aggs=[("sum", "tl", "total_len"),
+                  ("avg", "tl", "avg_len")]).to_pandas()
+        # brewer(6) + baker(5) + clerk(5) = 16
+        assert out["total_len"].tolist() == [16]
+        assert out["avg_len"].tolist() == [16 / 3]
+
+    def test_exists_semi_multiplicity_and_distinct(self):
+        from rdf_extraction_ray.stages.graph import bgp_exists
+        tr = self._triples()
+        out = (bgp_exists(tr, [("?ev", "died", "?p")],
+                          [("?p", "occ", "?w")])
+               .to_pandas().sort_values("ev", ignore_index=True))
+        # p1 has TWO occ witnesses: e1/e2 still appear exactly once;
+        # p9 has none: e4 dropped
+        assert out["ev"].tolist() == ["e1", "e2", "e3"]
+        assert out["p"].tolist() == ["p1", "p1", "p2"]
+        dis = bgp_exists(tr, [("?ev", "died", "?p")],
+                         [("?p", "occ", "?w")], select=["p"],
+                         distinct=True).to_pandas()
+        assert sorted(dis["p"]) == ["p1", "p2"]
+
+    def test_exists_requires_shared_var(self):
+        import pytest
+
+        from rdf_extraction_ray.stages.graph import bgp_exists
+        with pytest.raises(ValueError, match="share no variable"):
+            bgp_exists(self._triples(), [("?ev", "died", "?p")],
+                       [("?x", "occ", "?w")])
