@@ -2977,6 +2977,24 @@ def _q_docs_top_tokens(sf_dir: str):
     return top_tokens(docs, k=100)
 
 
+def _q_docs_token_cms(sf_dir: str):
+    """Count-Min sketch token-frequency estimates probed at the exact
+    top-20 corpus tokens (frequency sibling of the KMV/HLL
+    cardinality sketches; integer-exact, SQL-replayable counters).
+    The sketch pass is the scale path — per-batch sparse (row, cell,
+    count) partials bounded at d×w rows, a 4×1024 int64 matrix at the
+    driver; the exact top-k pass here only SELECTS the probes (in
+    production you'd probe a fixed vocabulary without it). n_cms >=
+    n_exact always (one-sided collision overestimate), bit-equal in
+    DuckDB via the shared row-salted md5-15 cell hash."""
+    from rdf_extraction_ray.stages.sketch import cms_token_counts
+    from rdf_extraction_ray.stages.textstats import top_tokens
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    top = top_tokens(docs, k=20).rename(columns={"n": "n_exact"})
+    est = cms_token_counts(docs, top["token"].tolist())
+    return top.merge(est, on="token")
+
+
 def _q_docs_strip_boilerplate(sf_dir: str):
     """CCNet/RefinedWeb-style frequent-line boilerplate removal. The
     corpus has no newline structure, so (like the PII oracle's
@@ -4257,6 +4275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_exists": _q_kg_bgp_exists,
         "kg_bgp_bind": _q_kg_bgp_bind,
         "kg_bgp_sum_avg": _q_kg_bgp_sum_avg,
+        "docs_token_cms": _q_docs_token_cms,
     }
 
 
@@ -4736,6 +4755,36 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY w
             ORDER BY n DESC, token
             LIMIT 100
+        """,
+        "docs_token_cms": """
+            WITH toks AS (
+                SELECT unnest(regexp_extract_all(lower(text),
+                                                 '[a-z0-9]+')) AS t
+                FROM documents),
+            top AS (
+                SELECT t AS token, count(*)::BIGINT AS n_exact
+                FROM toks GROUP BY t
+                ORDER BY n_exact DESC, token LIMIT 20),
+            rows_ AS (SELECT range AS r FROM range(4)),
+            cells AS (
+                SELECT rows_.r,
+                       ('0x' || substr(md5(rows_.r::VARCHAR || '|'
+                                           || toks.t),
+                                       1, 15))::BIGINT % 1024 AS c,
+                       count(*)::BIGINT AS cnt
+                FROM toks, rows_
+                GROUP BY 1, 2),
+            probe AS (
+                SELECT top.token, top.n_exact, rows_.r,
+                       ('0x' || substr(md5(rows_.r::VARCHAR || '|'
+                                           || top.token),
+                                       1, 15))::BIGINT % 1024 AS c
+                FROM top, rows_)
+            SELECT probe.token, probe.n_exact,
+                   CAST(MIN(cells.cnt) AS BIGINT) AS n_cms
+            FROM probe
+            JOIN cells ON cells.r = probe.r AND cells.c = probe.c
+            GROUP BY 1, 2
         """,
         "docs_strip_boilerplate": """
             WITH aug AS (

@@ -115,6 +115,85 @@ def kmv_distinct_tokens(docs, k: int = 1024,
     return _kmv_estimate(docs, _local_kmin, kk)
 
 
+def cms_token_counts(docs, probes: list[str], d: int = 4,
+                     w: int = 1024,
+                     text_col: str = "text") -> pd.DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005, "An improved
+    data stream summary: the count-min sketch and its applications")
+    over the corpus TOKEN FREQUENCY distribution — the frequency
+    sibling of the KMV/HLL cardinality sketches, and like them
+    INTEGER-EXACT and fully SQL-replayable: every counter is the
+    exact int64 occurrence count of the tokens hashing into its cell
+    (``('0x' || substr(md5(r || '|' || token), 1, 15))::BIGINT % w``
+    in DuckDB), and the estimate for a probe token is the exact
+    integer MIN over its ``d`` cells — a one-sided overestimate
+    (``n_cms >= n_exact`` always; equality when no collision lands in
+    the probe's lightest cell).
+
+    Scale shape (the same bounded-partial pattern as HLL): the
+    per-batch combiner tokenizes (engine-wide ``[a-z0-9]+`` over
+    lowercase), counts locally, hashes only the batch's DISTINCT
+    tokens ``d`` times with a row-salted md5-15, and accumulates into
+    a local sparse (row, cell, count) partial of ≤ d×w rows
+    regardless of batch size; the driver merge is bounded by
+    d × w × blocks int64 rows and the finished sketch is one d×w
+    int64 matrix. Probing is a driver-side array lookup.
+
+    Returns one row per probe token (input order): ``token``,
+    ``n_cms`` (int64 min-over-rows estimate).
+    """
+    import re as _re
+
+    word = _re.compile(r"[a-z0-9]+")
+    dd, ww = int(d), int(w)
+
+    def _cells(tokens: pd.Series) -> np.ndarray:
+        """(len(tokens), d) int64 cell indices, row-salted md5-15."""
+        return np.stack(
+            [_h15(pd.Series([f"{r}|{t}" for t in tokens])) % ww
+             for r in range(dd)], axis=1)
+
+    def _local(batch: pd.DataFrame) -> pd.DataFrame:
+        toks: list = []
+        for t in batch[text_col]:
+            toks.extend(word.findall(str(t).lower()))
+        if not toks:
+            return pd.DataFrame({
+                "r": pd.array([], dtype="int64"),
+                "c": pd.array([], dtype="int64"),
+                "cnt": pd.array([], dtype="int64")})
+        vc = pd.Series(toks).value_counts()
+        cells = _cells(vc.index)              # (n_distinct, d)
+        cnt = vc.to_numpy()
+        m = np.zeros((dd, ww), dtype=np.int64)
+        for r in range(dd):
+            np.add.at(m[r], cells[:, r], cnt)
+        r_idx, c_idx = np.nonzero(m)
+        return pd.DataFrame({"r": r_idx.astype(np.int64),
+                             "c": c_idx.astype(np.int64),
+                             "cnt": m[r_idx, c_idx]})
+
+    sketch = np.zeros((dd, ww), dtype=np.int64)
+    for b in docs.map_batches(_local, batch_format="pandas",
+                              batch_size=None).iter_batches(
+                                  batch_format="numpy",
+                                  batch_size=None):
+        if len(b["r"]):
+            np.add.at(sketch, (b["r"], b["c"]), b["cnt"])
+
+    probe_list = [str(t) for t in probes]
+    if probe_list:
+        pc = _cells(pd.Series(probe_list))    # (n_probes, d)
+        est = np.min(
+            np.stack([sketch[r, pc[:, r]] for r in range(dd)],
+                     axis=1), axis=1)
+    else:
+        est = np.empty(0, dtype=np.int64)
+    return pd.DataFrame({
+        "token": pd.Series(probe_list, dtype=object),
+        "n_cms": pd.array(est, dtype="int64")})
+
+
 def hll_distinct(ds, col: str, b: int = 10) -> pd.DataFrame:
     """HyperLogLog distinct-count sketch (Flajolet et al. 2007,
     "HyperLogLog: the analysis of a near-optimal cardinality

@@ -1639,3 +1639,44 @@ class TestSparqlBindSumAvgExists:
         with pytest.raises(ValueError, match="share no variable"):
             bgp_exists(self._triples(), [("?ev", "died", "?p")],
                        [("?x", "occ", "?w")])
+
+
+class TestCMSSketch:
+    def _docs(self, texts):
+        return rd.from_pandas(pd.DataFrame(
+            {"doc_id": range(len(texts)), "text": texts}))
+
+    def test_overestimates_and_exact_without_collision(self):
+        from rdf_extraction_ray.stages.sketch import cms_token_counts
+        docs = self._docs(["aa bb aa", "bb cc", "aa"])
+        out = cms_token_counts(docs, ["aa", "bb", "cc", "zz"])
+        est = dict(zip(out["token"], out["n_cms"]))
+        exact = {"aa": 3, "bb": 2, "cc": 1, "zz": 0}
+        # one-sided error: never under; tiny vocab in w=1024 cells
+        # means no collision, so exact here
+        for t, n in exact.items():
+            assert est[t] == n, t
+
+    def test_partition_invariant(self):
+        from rdf_extraction_ray.stages.sketch import cms_token_counts
+        texts = [f"tok{i % 7} tok{i % 3} filler" for i in range(50)]
+        a = cms_token_counts(self._docs(texts).repartition(1),
+                             ["tok0", "tok1", "filler"])
+        b = cms_token_counts(self._docs(texts).repartition(8),
+                             ["tok0", "tok1", "filler"])
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_collision_overestimates_never_under(self):
+        from rdf_extraction_ray.stages.sketch import cms_token_counts
+        # tiny width forces collisions: estimates must be >= exact
+        texts = [" ".join(f"w{i}" for i in range(40))] * 3
+        probes = [f"w{i}" for i in range(40)]
+        out = cms_token_counts(self._docs(texts), probes, d=2, w=8)
+        assert (out["n_cms"] >= 3).all()
+
+    def test_empty_corpus_and_empty_probes(self):
+        from rdf_extraction_ray.stages.sketch import cms_token_counts
+        out = cms_token_counts(self._docs([""]), ["x"])
+        assert out["n_cms"].tolist() == [0]
+        out = cms_token_counts(self._docs(["a b"]), [])
+        assert len(out) == 0
