@@ -2075,6 +2075,88 @@ def _q_events_running_total(sf_dir: str):
     return res.sort_values("event_id", ignore_index=True)
 
 
+def _q_events_rank_window(sf_dir: str):
+    """SQL ranking-window functions per partition, all four at once:
+    RANK() / DENSE_RANK() OVER (PARTITION BY user ORDER BY
+    event_type) (low-cardinality key, so tie groups are real and the
+    gap/compact semantics differ), ROW_NUMBER() and NTILE(4) OVER
+    (PARTITION BY user ORDER BY ts, event_id) (a TOTAL order, because
+    NTILE over ties is nondeterministic). Bucketed by user hash so
+    each group holds whole users; ranks are computed in two
+    vectorized in-group passes (boundary flags + cumulative tricks —
+    no per-row Python, no window library), and the result streams
+    back as a Dataset without any driver-side materialization."""
+    import numpy as np
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "event_type"])
+
+    def _ranks(group: pd.DataFrame) -> pd.DataFrame:
+        # pass 1: (user, event_type, event_id) order → RANK/DENSE_RANK
+        g = group.sort_values(["user_id", "event_type", "event_id"],
+                              kind="stable").reset_index(drop=True)
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        n = len(g)
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        new_tie = new_user | np.r_[True, et[1:] != et[:-1]]
+        idx = np.arange(n, dtype=np.int64)
+        ustart = np.maximum.accumulate(np.where(new_user, idx, 0))
+        # RANK: 1 + in-user position of the tie group's first row.
+        # Forward-fill via the GLOBAL index (strictly increasing at
+        # tie starts, so maximum.accumulate is a correct ffill even
+        # across user boundaries — the in-user position is not)
+        tie_start = np.maximum.accumulate(np.where(new_tie, idx, 0))
+        rank = tie_start - ustart + 1
+        # DENSE_RANK: tie groups seen so far within the user
+        cum_ties = np.cumsum(new_tie)
+        dense = cum_ties - np.maximum.accumulate(
+            np.where(new_user, cum_ties - 1, 0))
+        out = pd.DataFrame({"event_id": g["event_id"],
+                            "user_id": uid,
+                            "rank_by_type": rank,
+                            "dense_by_type": dense})
+        # pass 2: total (user, ts, event_id) order → ROW_NUMBER/NTILE
+        g2 = group.sort_values(["user_id", "ts", "event_id"],
+                               kind="stable").reset_index(drop=True)
+        uid2 = g2["user_id"].to_numpy()
+        n2 = len(g2)
+        new_user2 = np.r_[True, uid2[1:] != uid2[:-1]]
+        idx2 = np.arange(n2, dtype=np.int64)
+        ustart2 = np.maximum.accumulate(np.where(new_user2, idx2, 0))
+        rn0 = idx2 - ustart2                      # 0-based row number
+        # per-user row count, broadcast to rows: next user start - start
+        uend = np.r_[ustart2[1:][new_user2[1:]], n2]
+        cnt = np.repeat(uend - ustart2[new_user2],
+                        uend - ustart2[new_user2])
+        # SQL NTILE(k): first (cnt % k) tiles hold cnt//k + 1 rows
+        k = 4
+        q, r = cnt // k, cnt % k
+        big = r * (q + 1)
+        tile = np.where(rn0 < big,
+                        rn0 // np.maximum(q + 1, 1),
+                        r + (rn0 - big) // np.maximum(q, 1)) + 1
+        o2 = pd.DataFrame({"event_id": g2["event_id"],
+                           "rn": rn0 + 1, "quartile": tile})
+        return out.merge(o2, on="event_id")
+
+    res = (ds.map_batches(_bucket_by_user, batch_format="pandas",
+                          batch_size=None)
+           .groupby("bucket").map_groups(_ranks,
+                                         batch_format="pandas"))
+
+    def _cast(t):
+        import pyarrow as pa
+        want = pa.schema([("event_id", pa.int64()),
+                          ("user_id", pa.int64()),
+                          ("rank_by_type", pa.int64()),
+                          ("dense_by_type", pa.int64()),
+                          ("rn", pa.int64()),
+                          ("quartile", pa.int64())])
+        return t.select(want.names).cast(want)
+
+    return res.map_batches(_cast, batch_format="pyarrow")
+
+
 def _q_events_interarrival(sf_dir: str):
     """LAG window: microseconds since the same user's previous event
     in (ts, event_id) order (-1 for the user's first event). Bucketed
@@ -4276,6 +4358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_bind": _q_kg_bgp_bind,
         "kg_bgp_sum_avg": _q_kg_bgp_sum_avg,
         "docs_token_cms": _q_docs_token_cms,
+        "events_rank_window": _q_events_rank_window,
     }
 
 
@@ -5584,6 +5667,19 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY event_type
             ORDER BY event_type
+        """,
+        "events_rank_window": """
+            SELECT event_id, user_id,
+                   RANK() OVER (PARTITION BY user_id
+                                ORDER BY event_type) AS rank_by_type,
+                   DENSE_RANK() OVER (PARTITION BY user_id
+                                      ORDER BY event_type)
+                       AS dense_by_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn,
+                   NTILE(4) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS quartile
+            FROM events
         """,
         "events_interarrival": """
             SELECT event_id, user_id,

@@ -1680,3 +1680,44 @@ class TestCMSSketch:
         assert out["n_cms"].tolist() == [0]
         out = cms_token_counts(self._docs(["a b"]), [])
         assert len(out) == 0
+
+
+class TestRankWindow:
+    def test_matches_duckdb_windows_and_is_batch_invariant(self):
+        import duckdb
+
+        import __ray_entry__ as em
+        df = pd.DataFrame({
+            "event_id": range(10),
+            "user_id": [1, 1, 1, 1, 1, 2, 2, 2, 3, 3],
+            "ts": pd.to_datetime([
+                "2024-01-01 00:00:00", "2024-01-01 00:01:00",
+                "2024-01-01 00:02:00", "2024-01-01 00:03:00",
+                "2024-01-01 00:04:00", "2024-01-01 00:00:30",
+                "2024-01-01 00:01:30", "2024-01-01 00:02:30",
+                "2024-01-01 00:03:30", "2024-01-01 00:04:30"]),
+            "event_type": ["view", "view", "click", "purchase",
+                           "click", "view", "view", "view",
+                           "click", "view"]})
+        import os
+        import tempfile
+        with tempfile.TemporaryDirectory() as d:
+            df.to_parquet(os.path.join(d, "events.parquet"))
+            mine = (em.queries()["events_rank_window"](d).to_pandas()
+                    .sort_values("event_id", ignore_index=True))
+        ref = duckdb.sql("""
+            SELECT event_id, user_id,
+                   RANK() OVER (PARTITION BY user_id
+                                ORDER BY event_type) AS rank_by_type,
+                   DENSE_RANK() OVER (PARTITION BY user_id
+                                      ORDER BY event_type)
+                       AS dense_by_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn,
+                   NTILE(4) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS quartile
+            FROM df ORDER BY event_id
+        """).df()
+        for c in mine.columns:
+            assert mine[c].astype("int64").tolist() == \
+                ref[c].astype("int64").tolist(), c
