@@ -1159,7 +1159,7 @@ class TestSparqlNegationAndAggregates:
         tr = self._triples()
         with pytest.raises(ValueError, match="unknown aggregate"):
             bgp_aggregate(tr, [("?ev", "died", "?p")],
-                          group_by=["p"], aggs=[("sum", "p", "s")])
+                          group_by=["p"], aggs=[("median", "p", "s")])
         with pytest.raises(ValueError, match="not defined"):
             bgp_aggregate(tr, [("?ev", "died", "?p")],
                           group_by=["p"], aggs=[("min", "*", "m")])
