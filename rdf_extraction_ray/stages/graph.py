@@ -1526,7 +1526,29 @@ def bgp_match(triples: rd.Dataset,
     opt_idx = list(range(n_req, len(parsed)))
     if any(not _pvars(j) for j in opt_idx):
         raise ValueError("optional patterns must bind a variable")
-    opt_vars = {v for j in opt_idx for v in _pvars(j)}
+
+    # Each optional's FULL shared-variable set — its variables bound
+    # by any REQUIRED pattern or any EARLIER optional (list-order
+    # chaining): exactly the keys the end-of-plan left join would
+    # use. Computing these upfront lets an optional LEFT-join at the
+    # EARLIEST plan point where all its keys are bound: a left join
+    # introducing only fresh variables commutes with later inner
+    # joins (a row's witnesses depend only on its key columns, which
+    # later joins preserve), and joining BEFORE a fan-out step keeps
+    # the fanned stream out of the optional's exchange — e.g. a
+    # per-event timestamp OPTIONAL joins the 164k event bindings, not
+    # the 2.6M rows after the person→places fan-out.
+    bound_so_far = set(req_bound)
+    opt_shared: dict[int, list[str]] = {}
+    for j in opt_idx:
+        vs = _pvars(j)
+        opt_shared[j] = [v for v in vs if v in bound_so_far]
+        if not opt_shared[j]:
+            raise ValueError(
+                "optional pattern shares no variable with the "
+                "bindings built before it")
+        bound_so_far |= set(vs)
+    opt_queue = list(opt_idx)
 
     # greedy-connected left-deep join plan, user order as tie-break
     remaining = [i for i in range(n_req) if _pvars(i)]
@@ -1541,12 +1563,41 @@ def bgp_match(triples: rd.Dataset,
     def _pend_vars() -> set[str]:
         return {v for f in pending for v in _fvars(f)}
 
+    def _opt_vars_left() -> set[str]:
+        return {v for j in opt_queue for v in _pvars(j)}
+
     def _prune(acc, acc_vars, later_vars):
         live = set(select) | later_vars
         if any(v not in live for v in acc_vars):
             acc_vars = [v for v in acc_vars if v in live]
             acc = acc.select_columns(acc_vars)
         return acc, acc_vars
+
+    def _flush_opts(acc, acc_vars):
+        """LEFT-join every queued optional whose full key set is
+        bound, in list order (an optional never jumps an earlier one
+        — it may chain on variables that one introduces)."""
+        while opt_queue and \
+                set(opt_shared[opt_queue[0]]) <= set(acc_vars):
+            j = opt_queue.pop(0)
+            vs = _pvars(j)
+            shared = [v for v in acc_vars if v in opt_shared[j]]
+            acc = hash_join(
+                acc, _rel(j), on=shared, how="left",
+                n_buckets=n_buckets,
+                left_schema=pa.schema([(v, pa.string())
+                                       for v in acc_vars]),
+                right_schema=pa.schema([(v, pa.string())
+                                        for v in vs]))
+            acc_vars = acc_vars + [v for v in vs if v not in shared]
+            acc = _apply_filters(acc, acc_vars)
+            acc, acc_vars = _prune(
+                acc, acc_vars,
+                {v for i in remaining for v in _pvars(i)}
+                | _opt_vars_left() | _pend_vars() | bind_needed)
+        return acc, acc_vars
+
+    acc, acc_vars = _flush_opts(acc, acc_vars)
 
     while remaining:
         nxt = next((j for j in remaining
@@ -1568,28 +1619,11 @@ def bgp_match(triples: rd.Dataset,
         acc, acc_vars = _prune(
             acc, acc_vars,
             {v for j in remaining for v in _pvars(j)}
-            | opt_vars | _pend_vars() | bind_needed)
+            | _opt_vars_left() | _pend_vars() | bind_needed)
+        acc, acc_vars = _flush_opts(acc, acc_vars)
 
-    # OPTIONAL clauses: LEFT joins in list order (each may chain on
-    # variables a previous optional introduced)
-    for j in opt_idx:
-        vs = _pvars(j)
-        shared = [v for v in acc_vars if v in vs]
-        if not shared:
-            raise ValueError(
-                "optional pattern shares no variable with the "
-                "bindings built before it")
-        acc = hash_join(
-            acc, _rel(j), on=shared, how="left", n_buckets=n_buckets,
-            left_schema=pa.schema([(v, pa.string()) for v in acc_vars]),
-            right_schema=pa.schema([(v, pa.string()) for v in vs]))
-        acc_vars = acc_vars + [v for v in vs if v not in shared]
-        acc = _apply_filters(acc, acc_vars)
-        acc, acc_vars = _prune(
-            acc, acc_vars,
-            {v for k in opt_idx if k > j for v in _pvars(k)}
-            | _pend_vars() | bind_needed)
-
+    assert not opt_queue, \
+        "every optional key set is bound by the full required plan"
     assert not pending, "every filter var is bound by the full plan"
     assert not pending_vals, \
         "every VALUES var is bound by the full plan"
