@@ -1602,6 +1602,14 @@ def _q_tpch_q3_shipping(sf_dir: str):
     })
 
 
+#: Broadcast cap for Q5's region-filtered customer side (rows). Under
+#: it the custkey→nationkey map ships once via ray.put (~2M × 16 B ≈
+#: 32 MB, dimension-broadcast territory); above it the partitioned
+#: hash join runs. Same dual-path contract as the exact-Jaccard
+#: verify's candidate cap.
+_Q5_CUST_BROADCAST_CAP = 2_000_000
+
+
 def _q_tpch_q5_local_supplier(sf_dir: str):
     """TPC-H Q5 shape — the six-table local-supplier-volume join.
 
@@ -1661,8 +1669,34 @@ def _q_tpch_q5_local_supplier(sf_dir: str):
         out["kbucket"] = (out["l_orderkey"] % 64).astype("int64")
         return out[_COLS]
 
-    j1 = hash_join(orders, cust, on="o_custkey") \
-        .map_batches(_j1_rows, batch_format="pandas")
+    # orders⋈customer: the REGION-FILTERED customer side is ~1/5 of a
+    # dimension that scales linearly with SF — under the documented
+    # cap it broadcasts as one custkey→nationkey dict (ray.put once,
+    # per-batch .map in the orders scan: ZERO exchange), above it the
+    # partitioned hash join runs (same dual-path contract as the
+    # exact-Jaccard verify's 200k-candidate cap; both paths tested).
+    n_cust = cust.count()
+    if n_cust <= _Q5_CUST_BROADCAST_CAP:
+        cd = cust.to_pandas()
+        cmap = ray.put(dict(zip(cd["o_custkey"].astype("int64"),
+                                cd["c_nationkey"].astype("int64"))))
+
+        def _orders_map(df: pd.DataFrame) -> pd.DataFrame:
+            cm = _cached_get(cmap)
+            nk = df["o_custkey"].map(cm)
+            g = df[nk.notna()]
+            out = pd.DataFrame({
+                "l_orderkey": g["o_orderkey"].astype("int64"),
+                "nkey": nk[nk.notna()].astype("int64"),
+                "revenue": np.float64(0.0),
+                "side": np.int8(1)})
+            out["kbucket"] = (out["l_orderkey"] % 64).astype("int64")
+            return out[_COLS]
+
+        j1 = orders.map_batches(_orders_map, batch_format="pandas")
+    else:
+        j1 = hash_join(orders, cust, on="o_custkey") \
+            .map_batches(_j1_rows, batch_format="pandas")
 
     def _rev_partial(df: pd.DataFrame) -> pd.DataFrame:
         # lineitem side: broadcast supplier→nation lookup filters to

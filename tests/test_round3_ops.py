@@ -1721,3 +1721,13 @@ class TestRankWindow:
         for c in mine.columns:
             assert mine[c].astype("int64").tolist() == \
                 ref[c].astype("int64").tolist(), c
+
+
+class TestQ5BroadcastDualPath:
+    def test_broadcast_and_hash_join_paths_agree(self, monkeypatch):
+        import __ray_entry__ as em
+        sf = "/root/testdata/sf0.001"
+        fast = em.queries()["tpch_q5_local_supplier"](sf)
+        monkeypatch.setattr(em, "_Q5_CUST_BROADCAST_CAP", 0)
+        slow = em.queries()["tpch_q5_local_supplier"](sf)
+        pd.testing.assert_frame_equal(fast, slow)
