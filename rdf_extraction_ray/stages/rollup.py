@@ -31,6 +31,14 @@ from ray.data.aggregate import Sum
 
 ALL = "__all__"
 
+#: Rows at which the finest grouping-set aggregate finishes on the
+#: driver (replicate + one pandas groupby) instead of paying a second
+#: distributed bucket_sum exchange. The finest level is one row per
+#: distinct full-key tuple, already reduced — 1M rows × a few columns
+#: is tens of MB, comfortably driver-sized; past the cap the
+#: distributed coarser path runs unchanged.
+DRIVER_FINISH_CAP = 1_000_000
+
 
 def bucket_sum(ds: rd.Dataset, keys: list[str], sum_cols: list[str],
                n_buckets: int = 64) -> rd.Dataset:
@@ -95,11 +103,6 @@ def _grouping_sets(ds: rd.Dataset, keys: list[str],
         return (df[keys + ["n"] + sum_cols]
                 .sort_values(keys, ignore_index=True))
 
-    # ONE exchange for every coarser grouping set: replicate each
-    # finest aggregate row once per set with the rolled-up key slots
-    # sentinel-filled, then a single groupby over the full key tuple
-    # reduces all sets at once — the barrier count stays constant as
-    # sets grow (a per-set groupby costs CUBE 2^k barriers)
     def _expand(df: pd.DataFrame) -> pd.DataFrame:
         outs = []
         for sub in subsets:
@@ -110,6 +113,23 @@ def _grouping_sets(ds: rd.Dataset, keys: list[str],
             outs.append(out)
         return pd.concat(outs, ignore_index=True)
 
+    if n_finest <= DRIVER_FINISH_CAP:
+        # the finest aggregate is small enough to finish on the
+        # driver: replicate + one pandas groupby, ZERO further
+        # exchanges (the distributed path below pays a second
+        # bucket_sum barrier that is pure overhead at this size)
+        fdf = finest.to_pandas()
+        df = (pd.concat([fdf, _expand(fdf)], ignore_index=True)
+              .groupby(keys, as_index=False)[["n"] + sum_cols].sum())
+        df["n"] = df["n"].astype("int64")
+        return (df[keys + ["n"] + sum_cols]
+                .sort_values(keys, ignore_index=True))
+
+    # ONE exchange for every coarser grouping set: replicate each
+    # finest aggregate row once per set with the rolled-up key slots
+    # sentinel-filled, then a single groupby over the full key tuple
+    # reduces all sets at once — the barrier count stays constant as
+    # sets grow (a per-set groupby costs CUBE 2^k barriers)
     coarser = bucket_sum(finest.map_batches(_expand,
                                             batch_format="pandas"),
                          keys, ["n"] + sum_cols)

@@ -1731,3 +1731,18 @@ class TestQ5BroadcastDualPath:
         monkeypatch.setattr(em, "_Q5_CUST_BROADCAST_CAP", 0)
         slow = em.queries()["tpch_q5_local_supplier"](sf)
         pd.testing.assert_frame_equal(fast, slow)
+
+
+class TestGroupingSetsDriverFinish:
+    def test_driver_and_distributed_paths_agree(self, monkeypatch):
+        from rdf_extraction_ray.stages import rollup as rmod
+        df = pd.DataFrame({
+            "a": ["x", "x", "y", "y", "z"],
+            "b": ["1", "2", "1", "1", "3"],
+            "v": [1.0, 2.0, 3.0, 4.0, 5.0]})
+        ds = rd.from_pandas(df).repartition(3)
+        fast = rmod.cube_sum(ds, ["a", "b"], ["v"])
+        monkeypatch.setattr(rmod, "DRIVER_FINISH_CAP", 0)
+        slow = rmod.cube_sum(rd.from_pandas(df).repartition(3),
+                             ["a", "b"], ["v"])
+        pd.testing.assert_frame_equal(fast, slow)
