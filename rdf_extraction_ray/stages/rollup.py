@@ -176,25 +176,33 @@ def pivot_counts(ds: rd.Dataset, index: str, col: str,
     small — it is schema.
     """
 
-    if col_values is None:
-        uniq = (ds.map_batches(
-            lambda df: pd.DataFrame({col: df[col].unique()}),
-            batch_format="pandas").to_pandas())
-        col_values = (sorted(map(str, uniq[col].unique()))
-                      if col in uniq.columns else [])
-    if not col_values:  # empty input and no declared columns
-        return pd.DataFrame({index: pd.Series([], dtype=object)})
-
     def _partial(df: pd.DataFrame) -> pd.DataFrame:
-        ct = pd.crosstab(df[index], df[col].astype(str))
-        ct = ct.reindex(columns=col_values, fill_value=0)
-        return (ct.astype("int64").reset_index()
-                .rename(columns=str))
+        g = (df[[index, col]].assign(**{col: df[col].astype(str)})
+             .groupby([index, col], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        return g.astype({"n": "int64"})
 
-    wide = bucket_sum(ds.map_batches(_partial, batch_format="pandas"),
-                      [index], col_values).to_pandas()
-    for v in col_values:
-        wide[v] = wide[v].astype("int64")
+    # ONE pass: per-batch LONG (index, col, n) combiner partials need
+    # no upfront column-universe scan (the old shape paid a second
+    # full read just to discover the columns before it could
+    # crosstab); one bucket exchange reduces to |index|×|col| rows
+    # and the driver widens that bounded aggregate
+    long = bucket_sum(ds.map_batches(_partial, batch_format="pandas"),
+                      [index, col], ["n"]).to_pandas()
+    if long.empty:
+        if not col_values:
+            return pd.DataFrame({index: pd.Series([], dtype=object)})
+        return pd.DataFrame(
+            {index: pd.Series([], dtype=object),
+             **{str(v): pd.Series([], dtype="int64")
+                for v in col_values}})
+    wide = long.pivot_table(index=index, columns=col, values="n",
+                            fill_value=0, aggfunc="sum")
+    if col_values is None:
+        col_values = sorted(map(str, wide.columns))
+    wide = (wide.reindex(columns=col_values, fill_value=0)
+            .astype("int64").reset_index().rename(columns=str))
+    wide.columns.name = None
     return wide.sort_values(index, ignore_index=True)
 
 
