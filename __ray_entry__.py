@@ -2641,6 +2641,29 @@ def _q_kg_path_closure(sf_dir: str):
     return path_closure(_triples_view(sf_dir), _KG_REL)
 
 
+def _q_kg_bfs_levels(sf_dir: str):
+    """Multi-source BFS hop distance over the relationship graph:
+    (node, level) where level = min hops from the seed set, seeds
+    at 0 — the shortest-path complement to `kg_path_closure`'s
+    reachability. Seeds: the 5 lexicographically smallest subjects
+    of the relationship edge set, computed with a per-batch min-5
+    combiner (the driver merges ≤ 5×blocks candidate strings, never
+    the subject column). Oracle: DuckDB recursive CTE accumulating
+    (node, level) pairs under UNION set semantics with a level<32
+    cycle cap, then MIN(level) per node."""
+    from rdf_extraction_ray.stages.graph import bfs_levels
+    tr = _triples_view(sf_dir)
+
+    def _min5(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["pred"].to_numpy() == _KG_REL
+        s = np.unique(df["subj"].to_numpy()[m].astype(str))
+        return pd.DataFrame({"s": s[:5]})
+
+    parts = tr.map_batches(_min5, batch_format="pandas").to_pandas()
+    seeds = sorted(set(parts["s"]))[:5]
+    return bfs_levels(tr, _KG_REL, seeds)
+
+
 def _q_kg_bgp_filter(sf_dir: str):
     """SPARQL FILTER pushdown: SELECT DISTINCT ?person ?ts WHERE {
     ?ev crm:P100_was_death_of ?person . ?ev sem:hasTimeStamp ?ts
@@ -4321,6 +4344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_values": _q_kg_bgp_values,
         "kg_bgp_group_concat": _q_kg_bgp_group_concat,
         "kg_bgp_path_alt": _q_kg_bgp_path_alt,
+        "kg_bfs_levels": _q_kg_bfs_levels,
         "docs_norm_dedup": _q_docs_norm_dedup,
         "docs_line_dedup": _q_docs_line_dedup,
         "docs_url_dedup": _q_docs_url_dedup,
@@ -5417,6 +5441,21 @@ def oracle_sql() -> dict[str, str]:
                 UNION
                 SELECT c.start, e.o FROM c JOIN e ON c.node = e.s)
             SELECT start, node FROM c
+        """,
+        "kg_bfs_levels": f"""
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT subj AS s, obj AS o
+                FROM read_parquet('{triples}')
+                WHERE pred = '{_KG_REL}'),
+            seeds AS (
+                SELECT DISTINCT s FROM e ORDER BY s LIMIT 5),
+            lv(node, level) AS (
+                SELECT s, 0::BIGINT FROM seeds
+                UNION
+                SELECT e.o, lv.level + 1 FROM lv
+                JOIN e ON lv.node = e.s
+                WHERE lv.level < 32)
+            SELECT node, MIN(level) AS level FROM lv GROUP BY node
         """,
         "kg_bgp_filter": f"""
             SELECT DISTINCT a.obj AS person, t.obj AS ts

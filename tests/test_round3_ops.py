@@ -1004,6 +1004,42 @@ class TestSparqlForms:
         assert none.schema().names == ["start", "node"]
         assert none.count() == 0
 
+    def test_bfs_levels_min_hop_semantics_both_paths(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from rdf_extraction_ray.stages.graph import bfs_levels
+        # diamond + cycle + a short-cut: a→b→c→d, a→d (so d is 1 hop,
+        # not 3), c→a closes a cycle, e is unreachable from a
+        rows = [("a", "rel", "b"), ("b", "rel", "c"),
+                ("c", "rel", "d"), ("a", "rel", "d"),
+                ("c", "rel", "a"), ("e", "rel", "b"),
+                ("x", "other", "y")]
+        tr = rd.from_pandas(pd.DataFrame(
+            rows, columns=["subj", "pred", "obj"]))
+
+        def _canon(ds):
+            return ds.to_pandas().sort_values(
+                "node", ignore_index=True)
+
+        bc = _canon(bfs_levels(tr, "rel", ["a"]))
+        dist = _canon(bfs_levels(tr, "rel", ["a"], broadcast_cap=0))
+        pd.testing.assert_frame_equal(bc, dist)
+        assert dict(zip(bc["node"], bc["level"])) == \
+            {"a": 0, "b": 1, "c": 2, "d": 1}
+        # multi-source: min over seeds; a seed with no out-edges
+        # still appears at level 0
+        ms = _canon(bfs_levels(tr, "rel", ["e", "d"]))
+        ms_d = _canon(bfs_levels(tr, "rel", ["e", "d"],
+                                 broadcast_cap=0))
+        pd.testing.assert_frame_equal(ms, ms_d)
+        assert dict(zip(ms["node"], ms["level"])) == \
+            {"e": 0, "d": 0, "b": 1, "c": 2, "a": 3}
+        # no edges for the predicate -> just the seeds at level 0
+        none = bfs_levels(tr, "absent", ["q"])
+        assert none.to_pandas().to_dict("list") == \
+            {"node": ["q"], "level": [0]}
+
     def test_bgp_union_pads_unbound_and_dedups(self):
         import pandas as pd
 
