@@ -1211,7 +1211,8 @@ def bgp_match(triples: rd.Dataset,
               order_by: list[tuple[str, str]] | None = None,
               limit: int | None = None,
               binds: list[tuple[tuple, str]] | None = None,
-              n_buckets: int = 64) -> rd.Dataset:
+              n_buckets: int = 64,
+              broadcast_rows: int = 1_000_000) -> rd.Dataset:
     """General SPARQL basic-graph-pattern match over the triple set.
 
     Each pattern is ``(s, p, o)`` where ``s``/``o`` are either a
@@ -1284,7 +1285,19 @@ def bgp_match(triples: rd.Dataset,
     sequence of partitioned hash joins — one |acc| + |rel| exchange
     per join step, joined on ALL variables shared between the
     accumulated bindings and the next pattern (natural-join
-    semantics). The join order is greedy-connected in user order
+    semantics). A pattern relation whose row count (known exactly
+    from the materialized scan, before any join executes) is ≤
+    ``broadcast_rows`` skips its exchange entirely: the relation is
+    collected once, put in the object store, and merged map-side
+    into every binding batch (inner and left joins alike — all
+    columns are string terms, so pandas' NaN padding converts
+    losslessly to typed Arrow NULLs). Predicate-filtered relations
+    of even a trillion-triple corpus are usually far below the cap
+    (the default 1M rows ≈ 120 MB of URI strings, one object-store
+    copy per node); the BINDING stream itself never collects, so a
+    plan whose every pattern fits the cap runs with ZERO all-to-all
+    exchanges. Relations above the cap keep the partitioned
+    hash-join path. The join order is greedy-connected in user order
     (each step must share a variable with the bindings so far — a
     cartesian pattern set is rejected). Pattern relations are
     filtered projections of ONE shared scan, materialized once at
@@ -1492,6 +1505,17 @@ def bgp_match(triples: rd.Dataset,
     tagged = triples.map_batches(_scan,
                                  batch_format="pandas").materialize()
 
+    # exact per-pattern row counts off the (materialized, already
+    # pattern-pruned) scan — one cheap combiner pass; these drive the
+    # broadcast-vs-exchange decision per join step
+    _cnt_parts = tagged.map_batches(
+        lambda df: df["pi"].value_counts().rename_axis("pi")
+        .reset_index(name="n"),
+        batch_format="pandas").to_pandas()
+    pat_count: dict[int, int] = (
+        _cnt_parts.groupby("pi")["n"].sum().to_dict()
+        if len(_cnt_parts) else {})
+
     def _rel(i: int) -> rd.Dataset:
         """Pattern i's binding relation: var-named string columns."""
         s, _, o = parsed[i]
@@ -1513,6 +1537,40 @@ def bgp_match(triples: rd.Dataset,
         return tagged.map_batches(_proj, batch_format="pandas")
 
     out_schema = pa.schema([(v, pa.string()) for v in select])
+
+    def _join_rel(acc: rd.Dataset, acc_vars: list[str], j: int,
+                  shared: list[str], how: str) -> rd.Dataset:
+        """One join step: acc ⋈ _rel(j) on ``shared``. Relations at
+        or under ``broadcast_rows`` merge map-side off one
+        object-store copy; larger ones take the partitioned
+        hash-join exchange."""
+        vs = _pvars(j)
+        if pat_count.get(j, 0) > broadcast_rows:
+            return hash_join(
+                acc, _rel(j), on=shared, how=how,
+                n_buckets=n_buckets,
+                left_schema=pa.schema([(v, pa.string())
+                                       for v in acc_vars]),
+                right_schema=pa.schema([(v, pa.string())
+                                        for v in vs]))
+        import ray
+
+        from .dedup_docs import _cached_get
+        rel_df = _rel(j).to_pandas()
+        if not len(rel_df.columns):  # zero matches lose the schema
+            rel_df = pd.DataFrame({v: pd.Series(dtype=object)
+                                   for v in vs})
+        ref = ray.put(rel_df)
+        cols = list(acc_vars) + [v for v in vs if v not in shared]
+        schema = pa.schema([(c, pa.string()) for c in cols])
+
+        def _m(df: pd.DataFrame) -> pa.Table:
+            out = df.merge(_cached_get(ref), on=shared, how=how)
+            return pa.Table.from_pandas(
+                out[cols], schema=schema,
+                preserve_index=False).replace_schema_metadata(None)
+
+        return acc.map_batches(_m, batch_format="pandas")
 
     # constants-only REQUIRED patterns gate the result (SPARQL ASK)
     for i in [i for i in range(n_req) if not _pvars(i)]:
@@ -1582,13 +1640,7 @@ def bgp_match(triples: rd.Dataset,
             j = opt_queue.pop(0)
             vs = _pvars(j)
             shared = [v for v in acc_vars if v in opt_shared[j]]
-            acc = hash_join(
-                acc, _rel(j), on=shared, how="left",
-                n_buckets=n_buckets,
-                left_schema=pa.schema([(v, pa.string())
-                                       for v in acc_vars]),
-                right_schema=pa.schema([(v, pa.string())
-                                        for v in vs]))
+            acc = _join_rel(acc, acc_vars, j, shared, "left")
             acc_vars = acc_vars + [v for v in vs if v not in shared]
             acc = _apply_filters(acc, acc_vars)
             acc, acc_vars = _prune(
@@ -1608,11 +1660,7 @@ def bgp_match(triples: rd.Dataset,
                 "(cartesian products are not supported)")
         remaining.remove(nxt)
         shared = [v for v in acc_vars if v in _pvars(nxt)]
-        acc = hash_join(
-            acc, _rel(nxt), on=shared, n_buckets=n_buckets,
-            left_schema=pa.schema([(v, pa.string()) for v in acc_vars]),
-            right_schema=pa.schema([(v, pa.string())
-                                    for v in _pvars(nxt)]))
+        acc = _join_rel(acc, acc_vars, nxt, shared, "inner")
         acc_vars = acc_vars + [v for v in _pvars(nxt)
                                if v not in shared]
         acc = _apply_filters(acc, acc_vars)

@@ -1004,6 +1004,35 @@ class TestSparqlForms:
         assert none.schema().names == ["start", "node"]
         assert none.count() == 0
 
+    def test_bgp_join_broadcast_and_exchange_paths_agree(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from rdf_extraction_ray.stages.graph import bgp_match
+        rows = [("e1", "died", "alice"), ("e2", "died", "bob"),
+                ("e3", "died", "bob"),
+                ("alice", "at", "york"), ("bob", "at", "leeds"),
+                ("bob", "at", "york"),
+                ("e1", "ts", "1901"), ("e3", "ts", "1903")]
+        tr = rd.from_pandas(pd.DataFrame(
+            rows, columns=["subj", "pred", "obj"]))
+        kw = dict(
+            patterns=[("?ev", "died", "?p"), ("?p", "at", "?w")],
+            optional=[("?ev", "ts", "?t")],
+            select=["p", "w", "t"])
+
+        def _canon(ds):
+            return (ds.to_pandas().fillna("~")
+                    .sort_values(["p", "w", "t"], ignore_index=True))
+
+        bc = _canon(bgp_match(tr, **kw))            # broadcast path
+        ex = _canon(bgp_match(tr, broadcast_rows=0, **kw))  # exchange
+        pd.testing.assert_frame_equal(bc, ex)
+        # inner multiplicity ×2 for bob (two places), optional NULL
+        # where no ts exists — e2's binding survives unmatched
+        assert len(bc) == 5
+        assert (bc["t"] == "~").sum() == 2  # e2 rows (bob×2 places)
+
     def test_bfs_levels_min_hop_semantics_both_paths(self):
         import pandas as pd
         import ray.data as rd
