@@ -850,36 +850,34 @@ def embedding_neardup_pairs(embeddings: rd.Dataset, threshold: float = 0.9,
         nb = n2[ju].astype(object)
         mask = (d > 0) & np.asarray(
             do * do * 1_000_000 >= tau * tau * na * nb, dtype=bool)
+        # CANONICAL-TABLE dedup, map-side: a pair sharing a bucket in
+        # k tables would surface k times (identical cosine — same
+        # integers every time). Each group knows its own table index
+        # (bucket >> n_bits) and holds the quantized vectors, so it
+        # can recompute both vectors' signatures under every EARLIER
+        # table's hyperplanes and emit the pair only if this is the
+        # FIRST table where they collide — exact global dedup with
+        # ZERO extra exchange (replacing the pbucket pair shuffle the
+        # round-2 version needed). The signature recompute is
+        # tab × (group_n × n_bits) integer matmuls, paid only by
+        # groups that found candidate pairs.
+        idx = np.flatnonzero(mask)
+        tab = int(t.column("bucket")[0].as_py()) >> n_bits
+        if tab > 0 and len(idx):
+            sig = np.stack([((m @ planes[t2].T) > 0) @ pw
+                            for t2 in range(tab)])
+            earlier = (sig[:, iu[idx]] == sig[:, ju[idx]]).any(axis=0)
+            idx = idx[~earlier]
         rn = np.sqrt(n2.astype(np.float64))
         cos = d.astype(np.float64) / (rn[iu] * rn[ju])
-        return pa.table({"a": pa.array(ids[iu[mask]], type=pa.int64()),
-                         "b": pa.array(ids[ju[mask]], type=pa.int64()),
-                         "cosine": pa.array(cos[mask],
+        return pa.table({"a": pa.array(ids[iu[idx]], type=pa.int64()),
+                         "b": pa.array(ids[ju[idx]], type=pa.int64()),
+                         "cosine": pa.array(cos[idx],
                                             type=pa.float64())})
-
-    # a pair found in k tables surfaces k times (identical cosine —
-    # it is computed from the same integers every time); dedup stays
-    # DISTRIBUTED: hash-bucket on `a` so identical pairs co-locate,
-    # then a per-bucket drop_duplicates — the full pair set never
-    # lands on the driver (same shape as the minhash pair dedup).
-    def _pair_bucket(t: pa.Table) -> pa.Table:
-        a = t.column("a").to_numpy(zero_copy_only=False)
-        pb = pa.array((a % 64).astype(np.int64), type=pa.int64())
-        return t.append_column("pbucket", pb)
-
-    def _dedup(t: pa.Table) -> pa.Table:
-        df = (t.select(["a", "b", "cosine"]).to_pandas()
-              .sort_values(["a", "b"])
-              .drop_duplicates(["a", "b"]))
-        return pa.Table.from_pandas(df, schema=pair_schema,
-                                    preserve_index=False)
 
     deduped = (embeddings.map_batches(_bucketize, batch_format="pyarrow")
                .groupby("bucket").map_groups(_pairs,
-                                             batch_format="pyarrow")
-               .map_batches(_pair_bucket, batch_format="pyarrow")
-               .groupby("pbucket").map_groups(_dedup,
-                                              batch_format="pyarrow"))
+                                             batch_format="pyarrow"))
     # a groupby over zero rows yields zero blocks (schema lost); a
     # typed empty seed block keeps the (a, b, cosine) schema on the
     # no-pairs path without materializing anything
