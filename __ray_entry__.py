@@ -1742,15 +1742,22 @@ def _q_tpch_q5_local_supplier(sf_dir: str):
 
 
 def _q_segment_revenue(sf_dir: str):
-    """Revenue per market segment: orders hash-join customers on the
-    bucketed exchange, then a small-key aggregate."""
-    from rdf_extraction_ray.stages.joins import hash_join
+    """Revenue per market segment — the classic fact ⋈ dimension:
+    the customer (custkey → segment) map broadcasts once when it is
+    ≤ 5M rows (one object-store copy per node, the orders stream
+    never exchanges); above the cap it falls back to the partitioned
+    hash join. Then a ≤5-segment combiner aggregate."""
+    from rdf_extraction_ray.stages.joins import broadcast_join, hash_join
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    cust = cust.map_batches(
+    cust_raw = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust = cust_raw.map_batches(
         lambda t: t.rename_columns(["o_custkey", "c_mktsegment"]),
         batch_format="pyarrow")
-    joined = hash_join(orders, cust, on="o_custkey")
+    if cust_raw.count() <= 5_000_000:  # parquet metadata, no read
+        joined = broadcast_join(orders, cust.to_pandas(),
+                                on="o_custkey")
+    else:
+        joined = hash_join(orders, cust, on="o_custkey")
     from ray.data.aggregate import Sum
 
     def _partial(df: pd.DataFrame) -> pd.DataFrame:

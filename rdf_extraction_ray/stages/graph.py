@@ -1517,22 +1517,29 @@ def bgp_match(triples: rd.Dataset,
         if len(_cnt_parts) else {})
 
     def _rel(i: int) -> rd.Dataset:
-        """Pattern i's binding relation: var-named string columns."""
+        """Pattern i's binding relation: var-named string columns.
+        Emits TYPED Arrow blocks — most tagged blocks hold only other
+        patterns' rows, so empty outputs are the common case and must
+        carry the schema (object-dtype pandas empties also trip the
+        executor's per-column size sampler into log spam)."""
         s, _, o = parsed[i]
         same = _is_var(s) and s == o
 
-        def _proj(df: pd.DataFrame) -> pd.DataFrame:
+        def _proj(df: pd.DataFrame) -> pa.Table:
             part = df[df["pi"].to_numpy() == i]
             if same:  # ?x p ?x — one column, subj == obj rows only
                 part = part[part["subj"].to_numpy()
                             == part["obj"].to_numpy()]
-                return pd.DataFrame({s[1:]: part["subj"].to_numpy()})
+                return pa.table({s[1:]: pa.array(
+                    part["subj"].to_numpy(), type=pa.string())})
             out = {}
             if _is_var(s):
-                out[s[1:]] = part["subj"].to_numpy()
+                out[s[1:]] = pa.array(part["subj"].to_numpy(),
+                                      type=pa.string())
             if _is_var(o):
-                out[o[1:]] = part["obj"].to_numpy()
-            return pd.DataFrame(out)
+                out[o[1:]] = pa.array(part["obj"].to_numpy(),
+                                      type=pa.string())
+            return pa.table(out)
 
         return tagged.map_batches(_proj, batch_format="pandas")
 
