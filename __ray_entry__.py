@@ -2648,6 +2648,29 @@ def _q_kg_path_closure(sf_dir: str):
     return path_closure(_triples_view(sf_dir), _KG_REL)
 
 
+def _q_kg_bgp_subquery(sf_dir: str):
+    """SPARQL subquery: SELECT DISTINCT ?person ?place ?n_deaths
+    WHERE { ?ev crm:P100_was_death_of ?person . ?person
+    kg:hasDeathPlace ?place . { SELECT ?place (COUNT(*) AS ?n_deaths)
+    WHERE { ?ev2 crm:P100_was_death_of ?p2 . ?p2 kg:hasDeathPlace
+    ?place } GROUP BY ?place HAVING (COUNT(*) >= 40) } } — persons
+    who died in high-mortality places, annotated with the place's
+    death count. Bottom-up evaluation per SPARQL: the inner aggregate
+    (one row per surviving place) computes first and — being
+    aggregate-small — broadcasts into the outer binding stream
+    map-side; no exchange joins the two."""
+    from rdf_extraction_ray.stages.graph import bgp_aggregate, bgp_subquery
+    tr = _triples_view(sf_dir)
+    pats = [("?ev", _P100, "?person"),
+            ("?person", _BGP_PATTERNS[1][1], "?place")]
+    inner = bgp_aggregate(tr, pats, group_by=["place"],
+                          aggs=[("count", "*", "n_deaths")],
+                          having=[("n_deaths", ">=", 40)])
+    return bgp_subquery(tr, pats, inner, on=["place"],
+                        select=["person", "place", "n_deaths"],
+                        distinct=True)
+
+
 def _q_kg_bfs_levels(sf_dir: str):
     """Multi-source BFS hop distance over the relationship graph:
     (node, level) where level = min hops from the seed set, seeds
@@ -4028,6 +4051,33 @@ def _q_kg_pagerank(sf_dir: str):
     return out.sort_values("node", ignore_index=True)
 
 
+def _q_kg_pagerank_personalized(sf_dir: str):
+    """PERSONALIZED PageRank (3 rounds) from a 5-node seed set — the
+    seeded-relatedness variant: teleport mass goes only to the seeds
+    (the 5 lexicographically smallest graph nodes, found by a
+    per-batch min-5 combiner over the cached node view), every other
+    node starts at 0, same integer recurrence as `kg_pagerank`
+    otherwise. Ranks measure proximity to the seed neighborhood.
+    Oracle: the same chained-CTE power iteration with a CASE base
+    term."""
+    from rdf_extraction_ray.stages.graph import pagerank_int
+    gv = _kg_graph_views(sf_dir)
+    nodes = _graph_view_read(gv, "nodes")
+
+    def _min5(df: pd.DataFrame) -> pd.DataFrame:
+        s = np.unique(df["node"].to_numpy().astype(str))
+        return pd.DataFrame({"s": s[:5]})
+
+    parts = nodes.map_batches(_min5, batch_format="pandas").to_pandas()
+    seeds = sorted(set(parts["s"]))[:5]
+    out = _typed(pagerank_int(
+        None, n_iter=3,
+        deg_pre=_graph_view_read(gv, "edges_deg"),
+        nodes_pre=nodes, seeds=seeds).to_pandas(),
+        node=object, rank="int64")
+    return out.sort_values("node", ignore_index=True)
+
+
 def _kg_components_sql(triples_path: str, n_rounds: int = 20) -> str:
     """Oracle twin of the KG connected components: min-label
     propagation + pointer jumping unrolled as chained CTEs
@@ -4206,14 +4256,23 @@ def _triangles_sql(triples_path: str) -> str:
 
 
 def _pagerank_sql(triples_path: str, n_iter: int = 3,
-                  scale: int = 10**9) -> str:
+                  scale: int = 10**9,
+                  personalized_seeds: int | None = None) -> str:
     """The oracle twin of stages/graph.pagerank_int: the same integer
-    recurrence unrolled as one CTE per round."""
+    recurrence unrolled as one CTE per round. With
+    ``personalized_seeds=k``, replays the PERSONALIZED variant — the
+    teleport mass splits over the k lexicographically smallest nodes
+    (the engine query's seed rule); every other node starts at 0 and
+    gets no base term."""
+    seeded = personalized_seeds is not None
+    base_term = ("""CASE WHEN n.v IN (SELECT v FROM seeds)
+                         THEN (SELECT base FROM b) ELSE 0 END"""
+                 if seeded else "(SELECT base FROM b)")
     its, prev = "", "r0"
     for i in range(1, n_iter + 1):
         its += f""",
             r{i} AS (SELECT n.v,
-                           (SELECT base FROM b)
+                           {base_term}
                            + (85 * coalesce(CAST(sum(p.r // dg.dg)
                                                  AS BIGINT), 0))
                              // 100 AS r
@@ -4223,15 +4282,26 @@ def _pagerank_sql(triples_path: str, n_iter: int = 3,
                     LEFT JOIN deg dg ON dg.s = e.s
                     GROUP BY n.v)"""
         prev = f"r{i}"
+    if seeded:
+        mass = f"""
+        seeds AS (SELECT v FROM nodes
+                  ORDER BY v LIMIT {int(personalized_seeds)}),
+        b AS (SELECT (15 * ({scale} // count(*))) // 100 AS base,
+                     {scale} // count(*) AS rinit FROM seeds),
+        r0 AS (SELECT v, CASE WHEN v IN (SELECT v FROM seeds)
+                              THEN (SELECT rinit FROM b)
+                              ELSE 0 END AS r FROM nodes)"""
+    else:
+        mass = f"""
+        b AS (SELECT (15 * ({scale} // count(*))) // 100 AS base,
+                     {scale} // count(*) AS rinit FROM nodes),
+        r0 AS (SELECT v, (SELECT rinit FROM b) AS r FROM nodes)"""
     return f"""
         WITH e AS (SELECT DISTINCT subj AS s, obj AS d
                    FROM read_parquet('{triples_path}')
                    WHERE obj_kind = 'uri'),
         nodes AS (SELECT s AS v FROM e UNION SELECT d FROM e),
-        deg AS (SELECT s, count(*) AS dg FROM e GROUP BY s),
-        b AS (SELECT (15 * ({scale} // count(*))) // 100 AS base,
-                     {scale} // count(*) AS rinit FROM nodes),
-        r0 AS (SELECT v, (SELECT rinit FROM b) AS r FROM nodes){its}
+        deg AS (SELECT s, count(*) AS dg FROM e GROUP BY s),{mass}{its}
         SELECT v AS node, CAST(r AS BIGINT) AS "rank" FROM {prev}
     """
 
@@ -4352,6 +4422,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_group_concat": _q_kg_bgp_group_concat,
         "kg_bgp_path_alt": _q_kg_bgp_path_alt,
         "kg_bfs_levels": _q_kg_bfs_levels,
+        "kg_bgp_subquery": _q_kg_bgp_subquery,
+        "kg_pagerank_personalized": _q_kg_pagerank_personalized,
         "docs_norm_dedup": _q_docs_norm_dedup,
         "docs_line_dedup": _q_docs_line_dedup,
         "docs_url_dedup": _q_docs_url_dedup,
@@ -5383,6 +5455,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c.c_mktsegment
         """,
         "kg_pagerank": _pagerank_sql(triples),
+        "kg_pagerank_personalized": _pagerank_sql(
+            triples, personalized_seeds=5),
         "kg_triangles": _triangles_sql(triples),
         "kg_components": _kg_components_sql(triples),
         "kg_kcore": _kg_kcore_sql(triples),
@@ -5448,6 +5522,20 @@ def oracle_sql() -> dict[str, str]:
                 UNION
                 SELECT c.start, e.o FROM c JOIN e ON c.node = e.s)
             SELECT start, node FROM c
+        """,
+        "kg_bgp_subquery": f"""
+            WITH bind AS (
+                SELECT a.obj AS person, b.obj AS place
+                FROM read_parquet('{triples}') a
+                JOIN read_parquet('{triples}') b ON a.obj = b.subj
+                WHERE a.pred = '{_P100}'
+                  AND b.pred = '{_BGP_PATTERNS[1][1]}'),
+            inner_q AS (
+                SELECT place, COUNT(*) AS n_deaths
+                FROM bind GROUP BY place
+                HAVING COUNT(*) >= 40)
+            SELECT DISTINCT o.person, o.place, i.n_deaths
+            FROM bind o JOIN inner_q i ON o.place = i.place
         """,
         "kg_bfs_levels": f"""
             WITH RECURSIVE e AS (

@@ -133,12 +133,12 @@ def run_bench() -> dict:
               "docs_norm_dedup", "docs_url_dedup", "docs_quality_model",
               "docs_token_tertiles", "events_funnel", "docs_line_dedup",
               "docs_balanced_mix", "segment_revenue_bucketed",
-              "kg_pagerank", "kg_triangles", "docs_vocab_kmv", "lineitem_orderkeys_kmv", "events_users_hll",
+              "kg_pagerank", "kg_pagerank_personalized", "kg_triangles", "docs_vocab_kmv", "lineitem_orderkeys_kmv", "events_users_hll",
               "docs_weighted_sample", "docs_source_overlap", "docs_bm25",
               "kg_components", "kg_kcore", "kg_degree_stats",
               "kg_copredicate_pairs", "kg_bgp_match", "kg_bgp_chain", "kg_bgp_optional",
               "kg_bgp_construct", "kg_path_closure", "kg_bfs_levels",
-              "kg_bgp_filter",
+              "kg_bgp_subquery", "kg_bgp_filter",
               "kg_bgp_aggregate", "kg_bgp_minus", "kg_bgp_topk",
               "kg_bgp_values", "kg_bgp_group_concat",
               "events_markov_transitions",

@@ -87,12 +87,21 @@ def pagerank_int(edges: rd.Dataset | None, n_iter: int = 5,
                  scale: int = SCALE, n_buckets: int = 64,
                  broadcast_max_nodes: int = 4_000_000,
                  deg_pre: rd.Dataset | None = None,
-                 nodes_pre: rd.Dataset | None = None) -> rd.Dataset:
+                 nodes_pre: rd.Dataset | None = None,
+                 seeds: list[str] | None = None) -> rd.Dataset:
     """``n_iter`` rounds of integer fixed-point PageRank over an edge
     Dataset with string columns (s, d). Returns (node, rank) int64.
 
     base = (15 · (scale // N)) // 100; each round
     ``rank'(v) = base + 85 · Σ_{u→v}(rank(u) // outdeg(u)) // 100``.
+
+    ``seeds`` switches to PERSONALIZED PageRank: the teleport mass
+    goes only to the seed nodes — ``N`` becomes the count of seeds
+    PRESENT in the graph, non-seed nodes start at 0 and receive no
+    base term, and the recurrence is otherwise identical (so ranks
+    measure relatedness to the seed set). The seed set must be small
+    (it ships in task closures — thousands, not millions; raises if
+    no seed is in the graph). Both execution paths below honor it.
 
     Two executions of the SAME integer recurrence (bit-identical, both
     covered by the equality test in tests/test_round3_ops.py):
@@ -122,6 +131,12 @@ def pagerank_int(edges: rd.Dataset | None, n_iter: int = 5,
 
     B = np.int64(n_buckets)
     n_blocks = max(8, n_buckets // 4)
+    seed_h: np.ndarray | None = None
+    if seeds is not None:
+        ss = sorted(set(seeds))
+        if not ss:
+            raise ValueError("personalized PageRank needs ≥1 seed")
+        seed_h = np.unique(_h15(pd.Series(ss)))
 
     if deg_pre is not None:
         # pre-projected graph (cached (hs, hd, dg) + distinct
@@ -216,21 +231,53 @@ def pagerank_int(edges: rd.Dataset | None, n_iter: int = 5,
             return rd.from_arrow(pa.schema(
                 [("node", pa.string()),
                  ("rank", pa.int64())]).empty_table())
-        r0 = scale // n_nodes
+        seed_idx: np.ndarray | None = None
+        if seed_h is not None:
+            present = np.intersect1d(H, seed_h)
+            if not len(present):
+                raise ValueError("no seed node is in the graph")
+            seed_idx = np.searchsorted(H, present)
+            n_src = len(present)
+        else:
+            n_src = n_nodes
+        r0 = scale // n_src
         base = (15 * r0) // 100
         return _pagerank_broadcast(ed, nodes, H, r0, base,
-                                   n_iter, n_buckets)
+                                   n_iter, n_buckets,
+                                   seed_idx=seed_idx)
 
     nodes = nodes.materialize()
     n_nodes = nodes.count()
-    r0 = scale // n_nodes
+    if seed_h is not None:
+        # count seeds present in the (too-big-to-collect) node set:
+        # only the tiny seed∩batch intersections reach the driver
+        sh = seed_h
+        pres = np.empty(0, dtype=np.int64)
+        for b in (nodes.map_batches(
+                lambda df: pd.DataFrame({"h": np.intersect1d(
+                    sh, df["h"].to_numpy(dtype="int64"))}),
+                batch_format="pandas", batch_size=None)
+                .iter_batches(batch_format="numpy",
+                              batch_size=None)):
+            pres = np.union1d(pres, b["h"])
+        if not len(pres):
+            raise ValueError("no seed node is in the graph")
+        n_src = len(pres)
+        seed_h = pres
+    else:
+        n_src = n_nodes
+    r0 = scale // n_src
     base = (15 * r0) // 100
 
     def _rank_rows(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["h"].astype("int64")
+        r = (np.full(len(df), np.int64(r0)) if seed_h is None
+             else np.where(np.isin(h.to_numpy(), seed_h),
+                           np.int64(r0), np.int64(0)))
         return pd.DataFrame({
-            "kind": np.int64(1), "hs": df["h"].astype("int64"),
+            "kind": np.int64(1), "hs": h,
             "hd": np.int64(0), "dg": np.int64(0),
-            "r": np.int64(r0), "sb": df["h"].astype("int64") % B})
+            "r": r, "sb": h % B})
 
     ranks = nodes.map_batches(_rank_rows,
                               batch_format="pandas").materialize()
@@ -256,8 +303,11 @@ def pagerank_int(edges: rd.Dataset | None, n_iter: int = 5,
     def _new_ranks(group: pd.DataFrame) -> pd.DataFrame:
         s = group.groupby("hd", as_index=False)["c"].sum()
         h = s["hd"].to_numpy(dtype="int64")
-        r = np.int64(base) + (np.int64(DAMP_NUM)
-                              * s["c"].to_numpy(dtype="int64")) \
+        b0 = (np.int64(base) if seed_h is None
+              else np.where(np.isin(h, seed_h),
+                            np.int64(base), np.int64(0)))
+        r = b0 + (np.int64(DAMP_NUM)
+                  * s["c"].to_numpy(dtype="int64")) \
             // np.int64(DAMP_DEN)
         return pd.DataFrame({"kind": np.int64(1), "hs": h,
                              "hd": np.int64(0), "dg": np.int64(0),
@@ -289,7 +339,9 @@ def pagerank_int(edges: rd.Dataset | None, n_iter: int = 5,
 
 def _pagerank_broadcast(ed: rd.Dataset, nodes: rd.Dataset,
                         H: np.ndarray, r0: int, base: int,
-                        n_iter: int, n_buckets: int) -> rd.Dataset:
+                        n_iter: int, n_buckets: int,
+                        seed_idx: np.ndarray | None = None
+                        ) -> rd.Dataset:
     """Broadcast-rank execution of the pagerank_int recurrence.
 
     ``ed`` is the deduped (hs, hd, dg) edge table (materialized),
@@ -319,7 +371,11 @@ def _pagerank_broadcast(ed: rd.Dataset, nodes: rd.Dataset,
     eidx = ed.map_batches(_to_idx, batch_format="pandas",
                           batch_size=None).materialize()
 
-    rank = np.full(n_nodes, np.int64(r0), dtype=np.int64)
+    if seed_idx is None:
+        rank = np.full(n_nodes, np.int64(r0), dtype=np.int64)
+    else:  # personalized: teleport mass only at the seeds
+        rank = np.zeros(n_nodes, dtype=np.int64)
+        rank[seed_idx] = np.int64(r0)
     for _ in range(n_iter):
         r_ref = ray.put(rank)
 
@@ -339,7 +395,11 @@ def _pagerank_broadcast(ed: rd.Dataset, nodes: rd.Dataset,
                   .iter_batches(batch_format="numpy",
                                 batch_size=None)):
             np.add.at(s, b["i"], b["c"])
-        rank = np.int64(base) + (np.int64(85) * s) // np.int64(100)
+        rank = (np.int64(85) * s) // np.int64(100)
+        if seed_idx is None:
+            rank += np.int64(base)
+        else:
+            rank[seed_idx] += np.int64(base)
 
     # ONE (H, rank) tuple ref: _cached_get holds a single slot per
     # worker, so fetching two refs per batch would evict each other
@@ -2120,6 +2180,112 @@ def bfs_levels(triples: rd.Dataset, pred: str, starts: list[str],
         f"bfs_levels frontier still live after {max_rounds} rounds; "
         "raise max_rounds (rounds track the graph's eccentricity "
         "from the seed set)")
+
+
+def bgp_subquery(triples: rd.Dataset,
+                 patterns: list[tuple[str, str, str]],
+                 sub: rd.Dataset,
+                 on: list[str],
+                 select: list[str] | None = None,
+                 distinct: bool = False,
+                 optional: list[tuple[str, str, str]] | None = None,
+                 filters: list[tuple[str, str, str]] | None = None,
+                 n_buckets: int = 64,
+                 broadcast_rows: int = 1_000_000) -> rd.Dataset:
+    """SPARQL subquery: ``SELECT ... WHERE { <patterns> { SELECT ...
+    } }`` — the inner SELECT's solution sequence (``sub``, typically
+    a :func:`bgp_aggregate` result) joins the outer BGP's solutions
+    on the shared variables ``on``, per SPARQL's bottom-up subquery
+    evaluation. The inner sequence's non-key columns (aggregate
+    aliases) extend the outer bindings.
+
+    Scale shape: the outer plan is a full :func:`bgp_match`; the
+    inner sequence is usually AGGREGATE-SMALL (one row per group), so
+    at or under ``broadcast_rows`` it collects once and merges
+    map-side into every outer batch — no exchange; above the cap it
+    takes the partitioned hash join. ``select`` defaults to the outer
+    variables plus every inner column.
+    """
+    import pyarrow as pa
+
+    from .joins import hash_join
+
+    outer_vars: list[str] = []
+    for s, _, o in list(patterns) + list(optional or []):
+        for t in (s, o):
+            if _is_var(t) and t[1:] not in outer_vars:
+                outer_vars.append(t[1:])
+    sub = sub.materialize()  # count + collect must not re-execute
+    sub_schema = sub.schema()
+    if sub_schema is None:
+        raise ValueError("subquery result has no schema")
+    sub_cols = list(sub_schema.names)
+    bad = [v for v in on if v not in outer_vars or v not in sub_cols]
+    if bad:
+        raise ValueError(
+            f"join vars must be bound on both sides: {bad}")
+    if select is None:
+        select = list(dict.fromkeys(
+            outer_vars + [c for c in sub_cols if c not in on]))
+    outer_sel = list(dict.fromkeys(
+        [v for v in select if v in outer_vars] + list(on)))
+    outer = bgp_match(triples, patterns, select=outer_sel,
+                      optional=optional, filters=filters,
+                      n_buckets=n_buckets,
+                      broadcast_rows=broadcast_rows)
+
+    def _pa_type(t) -> pa.DataType:
+        if isinstance(t, pa.DataType):
+            return t
+        try:  # pandas-block schemas carry numpy dtypes
+            if t == object:
+                return pa.string()
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError):
+            return pa.string()
+
+    sub_types = {n: _pa_type(t) for n, t in
+                 zip(sub_schema.names,
+                     getattr(sub_schema, "types", None)
+                     or [pa.string()] * len(sub_cols))}
+    out_fields = []
+    for c in select:
+        if c in outer_sel and c not in on:
+            out_fields.append((c, pa.string()))
+        elif c in on:
+            out_fields.append((c, pa.string()))
+        else:
+            out_fields.append((c, sub_types.get(c, pa.string())))
+    out_schema = pa.schema(out_fields)
+
+    if sub.count() <= broadcast_rows:
+        import ray
+
+        from .dedup_docs import _cached_get
+        sub_df = sub.to_pandas()
+        if not len(sub_df.columns):
+            sub_df = pd.DataFrame({c: pd.Series(dtype=object)
+                                   for c in sub_cols})
+        ref = ray.put(sub_df)
+
+        def _m(df: pd.DataFrame) -> pa.Table:
+            out = df.merge(_cached_get(ref), on=list(on), how="inner")
+            return pa.Table.from_pandas(
+                out[list(select)], schema=out_schema,
+                preserve_index=False).replace_schema_metadata(None)
+
+        joined = outer.map_batches(_m, batch_format="pandas")
+    else:
+        joined = hash_join(
+            outer, sub, on=list(on), n_buckets=n_buckets,
+            left_schema=pa.schema([(v, pa.string())
+                                   for v in outer_sel]))
+        joined = joined.map_batches(
+            lambda t: t.select(list(select)).cast(out_schema),
+            batch_format="pyarrow")
+    if distinct:
+        joined = distinct_rows(joined, out_schema, n_buckets)
+    return rd.from_arrow(out_schema.empty_table()).union(joined)
 
 
 def bgp_union(triples: rd.Dataset,

@@ -272,6 +272,44 @@ class TestPageRank:
              .to_pandas().sort_values("node", ignore_index=True))
         assert a.equals(b)
 
+    def test_personalized_seeds_both_paths(self):
+        import pytest
+
+        from rdf_extraction_ray.stages.graph import pagerank_int
+        edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
+                 ("d", "c"), ("z", "d")]
+        df = pd.DataFrame(edges, columns=["s", "d"])
+        seeds = ["a", "ghost"]  # absent seeds carry no mass
+
+        def _run(**kw):
+            out = pagerank_int(rd.from_pandas(df).repartition(3),
+                               n_iter=4, seeds=seeds, **kw)
+            return (out.to_pandas()
+                    .sort_values("node", ignore_index=True))
+
+        bc = _run()
+        ex = _run(broadcast_max_nodes=0)
+        assert bc.equals(ex)
+        r = dict(zip(bc["node"], bc["rank"]))
+        # reference recurrence with teleport mass only at 'a'
+        # (1 present seed): r0_a = 10^9, others 0
+        nodes = sorted({v for e in edges for v in e})
+        deg = {"a": 2, "b": 1, "c": 1, "d": 1, "z": 1}
+        rr = {v: (10**9 if v == "a" else 0) for v in nodes}
+        base = (15 * 10**9) // 100
+        for _ in range(4):
+            s = {v: 0 for v in nodes}
+            for u, v in edges:
+                s[v] += rr[u] // deg[u]
+            rr = {v: (base if v == "a" else 0)
+                  + (85 * s[v]) // 100 for v in nodes}
+        assert r == rr
+        # z never receives mass from the seed's neighborhood
+        assert r["z"] == 0 and r["a"] > 0 and r["c"] > 0
+        with pytest.raises(ValueError):
+            pagerank_int(rd.from_pandas(df), n_iter=1,
+                         seeds=["ghost"])
+
 
 class TestKMVSketch:
     def test_unsaturated_sketch_is_exact(self):
@@ -1032,6 +1070,36 @@ class TestSparqlForms:
         # where no ts exists — e2's binding survives unmatched
         assert len(bc) == 5
         assert (bc["t"] == "~").sum() == 2  # e2 rows (bob×2 places)
+
+    def test_bgp_subquery_joins_inner_aggregate(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from rdf_extraction_ray.stages.graph import (bgp_aggregate,
+                                                     bgp_subquery)
+        rows = [("e1", "died", "alice"), ("alice", "at", "york"),
+                ("e2", "died", "bob"), ("bob", "at", "york"),
+                ("e3", "died", "cara"), ("cara", "at", "leeds")]
+        tr = rd.from_pandas(pd.DataFrame(
+            rows, columns=["subj", "pred", "obj"]))
+        pats = [("?ev", "died", "?p"), ("?p", "at", "?w")]
+        inner = bgp_aggregate(tr, pats, group_by=["w"],
+                              aggs=[("count", "*", "n")],
+                              having=[("n", ">=", 2)])
+        out = bgp_subquery(tr, pats, inner, on=["w"],
+                           select=["p", "w", "n"], distinct=True)
+        df = out.to_pandas().sort_values("p", ignore_index=True)
+        # only york clears HAVING n>=2; cara/leeds is filtered out
+        assert df.to_dict("list") == {
+            "p": ["alice", "bob"], "w": ["york", "york"],
+            "n": [2, 2]}
+        assert str(df["n"].dtype) == "int64"
+        # hash-join fallback path (cap 0) agrees
+        out2 = bgp_subquery(tr, pats, inner, on=["w"],
+                            select=["p", "w", "n"], distinct=True,
+                            broadcast_rows=0)
+        df2 = out2.to_pandas().sort_values("p", ignore_index=True)
+        pd.testing.assert_frame_equal(df, df2)
 
     def test_bfs_levels_min_hop_semantics_both_paths(self):
         import pandas as pd
