@@ -2757,6 +2757,43 @@ def _q_kg_describe(sf_dir: str):
     return describe_subjects(tr, [("?p", burial, "?bp")], "?p")
 
 
+_UPD_OLD = "http://kg.example.org/ontology#hasBirthPlace"
+_UPD_NEW = "http://kg.example.org/ontology#v2_birthPlace"
+_UPD_MARK = "http://kg.example.org/ontology#schemaVersion"
+_UPD_COD = "http://kg.example.org/ontology#hasCauseOfDeath"
+
+
+def _q_kg_update_migrate(sf_dir: str):
+    """SPARQL 1.1 Update as a graph→graph transform — the schema
+    migration `DELETE { ?p kg:hasBirthPlace ?o } INSERT { ?p
+    kg:v2_birthPlace ?o . ?p kg:schemaVersion "v2" } WHERE { ?p
+    kg:hasBirthPlace ?o }` applied to the whole store (the
+    reference's per-person endpoint DELETE/INSERT bodies,
+    Utils/utilities.py:446-490, replayed in-engine). Store and deltas
+    meet in ONE shared (s,p,o) row-hash bucket exchange; the binding
+    stream instantiates both template sets in a single pass."""
+    from rdf_extraction_ray.stages.graph import sparql_update
+    tr = _triples_view(sf_dir)
+    return sparql_update(
+        tr, [("?p", _UPD_OLD, "?o")],
+        delete=[("?p", _UPD_OLD, "?o")],
+        insert=[("?p", _UPD_NEW, "?o"), ("?p", _UPD_MARK, "v2")])
+
+
+def _q_kg_update_retract(sf_dir: str):
+    """DELETE-only update with a join WHERE: `DELETE { ?p
+    kg:hasCauseOfDeath ?c } WHERE { ?p kg:hasCauseOfDeath ?c . ?p
+    kg:hasBirthPlace ?b }` — retract the cause-of-death of every
+    person whose birthplace is also asserted. The delete set is
+    instantiated from the two-pattern BGP bindings and anti-joined
+    against the streaming store inside the same bucketed exchange."""
+    from rdf_extraction_ray.stages.graph import sparql_update
+    tr = _triples_view(sf_dir)
+    return sparql_update(
+        tr, [("?p", _UPD_COD, "?c"), ("?p", _UPD_OLD, "?b")],
+        delete=[("?p", _UPD_COD, "?c")])
+
+
 def _q_kg_bgp_aggregate(sf_dir: str):
     """SPARQL GROUP BY aggregates: SELECT ?place (COUNT(*) AS
     n_deaths) (COUNT(DISTINCT ?person) AS n_persons) (COUNT(?ts) AS
@@ -4496,6 +4533,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_sum_avg": _q_kg_bgp_sum_avg,
         "docs_token_cms": _q_docs_token_cms,
         "events_rank_window": _q_events_rank_window,
+        "kg_update_migrate": _q_kg_update_migrate,
+        "kg_update_retract": _q_kg_update_retract,
     }
 
 
@@ -5835,6 +5874,37 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY event_type
             ORDER BY event_type
+        """,
+        "kg_update_migrate": f"""
+            WITH b AS (SELECT subj AS p, obj AS o
+                       FROM read_parquet('{triples}')
+                       WHERE pred = '{_UPD_OLD}'),
+                 del AS (SELECT DISTINCT p AS subj, '{_UPD_OLD}' AS pred,
+                                o AS obj FROM b),
+                 ins AS (SELECT DISTINCT p AS subj, '{_UPD_NEW}' AS pred,
+                                o AS obj FROM b
+                         UNION
+                         SELECT DISTINCT p, '{_UPD_MARK}', 'v2' FROM b)
+            SELECT subj, pred, obj FROM (
+                SELECT subj, pred, obj FROM read_parquet('{triples}')
+                EXCEPT
+                SELECT subj, pred, obj FROM del)
+            UNION
+            SELECT subj, pred, obj FROM ins
+        """,
+        "kg_update_retract": f"""
+            WITH b AS (SELECT c.subj AS p, c.obj AS c
+                       FROM read_parquet('{triples}') c
+                       JOIN read_parquet('{triples}') bp
+                         ON c.subj = bp.subj
+                       WHERE c.pred = '{_UPD_COD}'
+                         AND bp.pred = '{_UPD_OLD}'),
+                 del AS (SELECT DISTINCT p AS subj, '{_UPD_COD}' AS pred,
+                                c AS obj FROM b)
+            SELECT subj, pred, obj FROM (
+                SELECT subj, pred, obj FROM read_parquet('{triples}')
+                EXCEPT
+                SELECT subj, pred, obj FROM del)
         """,
         "events_rank_window": """
             SELECT event_id, user_id,

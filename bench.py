@@ -143,6 +143,7 @@ def run_bench() -> dict:
               "kg_bgp_values", "kg_bgp_group_concat",
               "events_markov_transitions",
               "docs_embedding_labels", "events_retention_cohorts", "media_dedup",
+              "kg_update_migrate", "kg_update_retract",
               "tpch_q3_shipping", "tpch_q5_local_supplier"]
     queries = entrymod.queries()
     qtimes: dict[str, float] = {}

@@ -1874,27 +1874,137 @@ def bgp_construct(triples: rd.Dataset,
                             ("obj", pa.string())])
 
     def _instantiate(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        outs = []
-        for s, p, o in template:
-            cols = {}
-            for name, term in (("subj", s), ("pred", p), ("obj", o)):
-                cols[name] = (df[term[1:]].to_numpy() if _is_var(term)
-                              else np.full(len(df), term, dtype=object))
-            tri = pd.DataFrame(cols)
-            # SPARQL: unbound slots drop the instantiated triple
-            tri = tri[tri["subj"].notna() & tri["pred"].notna()
-                      & tri["obj"].notna()]
-            outs.append(tri)
-        out = pd.concat(outs, ignore_index=True) if outs else \
-            pd.DataFrame(columns=["subj", "pred", "obj"])
         return pa.Table.from_pandas(
-            out, schema=out_schema,
+            _instantiate_templates(t.to_pandas(), template),
+            schema=out_schema,
             preserve_index=False).replace_schema_metadata(None)
 
     made = bindings.map_batches(_instantiate, batch_format="pyarrow")
     return rd.from_arrow(out_schema.empty_table()).union(
         distinct_rows(made, out_schema, n_buckets))
+
+
+def _instantiate_templates(df: pd.DataFrame,
+                           template: list[tuple[str, str, str]],
+                           ) -> pd.DataFrame:
+    """Instantiate every template triple once per binding row —
+    vectorized column shuffles, k template rows per binding. Per
+    SPARQL, a template triple with any UNBOUND slot (an OPTIONAL var
+    that did not match) is skipped for that binding, not emitted with
+    a NULL. Shared by CONSTRUCT and DELETE/INSERT WHERE."""
+    outs = []
+    for s, p, o in template:
+        cols = {}
+        for name, term in (("subj", s), ("pred", p), ("obj", o)):
+            cols[name] = (df[term[1:]].to_numpy() if _is_var(term)
+                          else np.full(len(df), term, dtype=object))
+        tri = pd.DataFrame(cols)
+        tri = tri[tri["subj"].notna() & tri["pred"].notna()
+                  & tri["obj"].notna()]
+        outs.append(tri)
+    return (pd.concat(outs, ignore_index=True) if outs
+            else pd.DataFrame(columns=["subj", "pred", "obj"]))
+
+
+def sparql_update(triples: rd.Dataset,
+                  patterns: list[tuple[str, str, str]],
+                  delete: list[tuple[str, str, str]] | None = None,
+                  insert: list[tuple[str, str, str]] | None = None,
+                  optional: list[tuple[str, str, str]] | None = None,
+                  n_buckets: int = 64) -> rd.Dataset:
+    """SPARQL 1.1 Update ``DELETE {...} INSERT {...} WHERE {...}`` as
+    a pure graph→graph transform over the triple store: the engine's
+    in-pipeline stand-in for the reference's SPARQL-endpoint updates
+    (cwrc/RDF-extraction Utils/utilities.py:446-490 POSTs per-person
+    DELETE/INSERT bodies to a Stardog endpoint — network-external per
+    SURVEY §7.6, but the graph semantics are replayed here exactly).
+
+    Result = (store ∖ Δdel) ∪ Δins under RDF set semantics, where
+    Δdel / Δins instantiate the ``delete`` / ``insert`` templates
+    once per WHERE binding (:func:`_instantiate_templates`; template
+    triples with an unbound slot are skipped, per spec). The deltas
+    are evaluated against the ORIGINAL store, as the spec requires —
+    a binding matched before the delete still drives an insert.
+
+    Scale shape: the WHERE bindings stream out of the
+    :func:`bgp_match` plan and BOTH template sets instantiate in the
+    same per-batch pass (the binding stream is consumed once, never
+    re-executed); the store streams through once; the only all-to-all
+    is ONE shared (subj, pred, obj) row-hash bucket exchange over
+    store + delta rows, inside which every bucket resolves membership
+    locally — emit a triple iff (in-store ∧ ¬deleted) ∨ inserted.
+    Per-batch ``drop_duplicates`` combiners bound the exchange, and
+    nothing materializes on the driver.
+    """
+    import pyarrow as pa
+
+    delete = list(delete or ())
+    insert = list(insert or ())
+    if not delete and not insert:
+        raise ValueError("update needs a delete or insert template")
+    tvars = sorted({t[1:] for tri in delete + insert for t in tri
+                    if _is_var(t)})
+    if not tvars:
+        raise ValueError(
+            "templates bind no variables — ground INSERT/DELETE DATA "
+            "is a plain union / anti-join, not an update pattern")
+    bindings = bgp_match(triples, patterns, select=tvars,
+                         optional=optional, n_buckets=n_buckets)
+
+    cols = ["subj", "pred", "obj"]
+    out_schema = pa.schema([(c, pa.string()) for c in cols])
+    tag_schema = pa.schema(list(out_schema)
+                           + [("__tag", pa.int8()),
+                              ("__bucket", pa.int64())])
+    B = np.int64(n_buckets)
+
+    def _bucketed(df: pd.DataFrame, tag: int) -> pd.DataFrame:
+        df = df.drop_duplicates()  # combiner: bounds the exchange
+        df["__tag"] = np.int8(tag)
+        df["__bucket"] = pd.util.hash_pandas_object(
+            df[cols], index=False).to_numpy().astype("int64") % B
+        return df
+
+    def _store(t: pa.Table) -> pa.Table:
+        out = _bucketed(t.to_pandas()[cols], 0)
+        return pa.Table.from_pandas(
+            out, schema=tag_schema,
+            preserve_index=False).replace_schema_metadata(None)
+
+    def _deltas(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        parts = [_bucketed(_instantiate_templates(df, tpl), tag)
+                 for tag, tpl in ((1, delete), (2, insert)) if tpl]
+        out = pd.concat(parts, ignore_index=True)
+        return pa.Table.from_pandas(
+            out, schema=tag_schema,
+            preserve_index=False).replace_schema_metadata(None)
+
+    tagged = (triples.map_batches(_store, batch_format="pyarrow")
+              .union(bindings.map_batches(_deltas,
+                                          batch_format="pyarrow")))
+
+    def _resolve(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop(columns="__bucket")
+        df["__bit"] = np.left_shift(
+            np.int64(1), df.pop("__tag").to_numpy().astype("int64"))
+        # combiners dedup within a source batch, not across batches:
+        # dedup (triple, bit) rows so the per-key sum below is a
+        # true bitwise OR (a repeated tag must not carry into the
+        # next bit)
+        d = df.drop_duplicates()
+        bits = d.groupby(cols, sort=False)["__bit"].sum()
+        keep = bits[((bits & 1).astype(bool)
+                     & ~(bits & 2).astype(bool))
+                    | (bits & 4).astype(bool)]
+        out = keep.reset_index()[cols]
+        return pa.Table.from_pandas(
+            out, schema=out_schema,
+            preserve_index=False).replace_schema_metadata(None)
+
+    return rd.from_arrow(out_schema.empty_table()).union(
+        tagged.groupby("__bucket").map_groups(_resolve,
+                                              batch_format="pyarrow"))
 
 
 def path_closure(triples: rd.Dataset, pred: str,

@@ -1879,3 +1879,101 @@ class TestGroupingSetsDriverFinish:
         slow = rmod.cube_sum(rd.from_pandas(df).repartition(3),
                              ["a", "b"], ["v"])
         pd.testing.assert_frame_equal(fast, slow)
+
+
+class TestSparqlUpdate:
+    """DELETE/INSERT ... WHERE graph-store update (SPARQL 1.1 Update;
+    mirrors the endpoint updates of cwrc/RDF-extraction
+    Utils/utilities.py:446-490 as an in-engine transform)."""
+
+    def _store(self, rows):
+        return rd.from_pandas(pd.DataFrame(
+            rows, columns=["subj", "pred", "obj"]))
+
+    @staticmethod
+    def _canon(ds):
+        return (ds.to_pandas()
+                .sort_values(["subj", "pred", "obj"],
+                             ignore_index=True))
+
+    def test_rename_predicate_delete_plus_insert(self):
+        from rdf_extraction_ray.stages.graph import sparql_update
+        tr = self._store([
+            ("a", "old", "x"), ("b", "old", "y"), ("c", "keep", "z")])
+        out = self._canon(sparql_update(
+            tr, [("?p", "old", "?o")],
+            delete=[("?p", "old", "?o")],
+            insert=[("?p", "new", "?o"), ("?p", "mark", "migrated")]))
+        exp = pd.DataFrame(
+            [("a", "mark", "migrated"), ("a", "new", "x"),
+             ("b", "mark", "migrated"), ("b", "new", "y"),
+             ("c", "keep", "z")],
+            columns=["subj", "pred", "obj"]).sort_values(
+                ["subj", "pred", "obj"], ignore_index=True)
+        pd.testing.assert_frame_equal(out, exp)
+
+    def test_set_semantics_insert_existing_and_dup_store_rows(self):
+        from rdf_extraction_ray.stages.graph import sparql_update
+        # duplicate store rows collapse; inserting an existing triple
+        # does not duplicate it
+        tr = self._store([("a", "p", "x"), ("a", "p", "x"),
+                          ("a", "q", "x")])
+        out = self._canon(sparql_update(
+            tr, [("?s", "p", "?o")], insert=[("?s", "q", "?o")]))
+        exp = pd.DataFrame(
+            [("a", "p", "x"), ("a", "q", "x")],
+            columns=["subj", "pred", "obj"])
+        pd.testing.assert_frame_equal(out, exp)
+
+    def test_delete_only_with_join_where(self):
+        from rdf_extraction_ray.stages.graph import sparql_update
+        # retract cod ONLY for subjects that also have a birthplace
+        tr = self._store([
+            ("a", "cod", "fever"), ("a", "bp", "york"),
+            ("b", "cod", "age"),                       # no bp: kept
+            ("c", "bp", "leeds")])
+        out = self._canon(sparql_update(
+            tr, [("?p", "cod", "?c"), ("?p", "bp", "?b")],
+            delete=[("?p", "cod", "?c")]))
+        exp = pd.DataFrame(
+            [("a", "bp", "york"), ("b", "cod", "age"),
+             ("c", "bp", "leeds")],
+            columns=["subj", "pred", "obj"])
+        pd.testing.assert_frame_equal(out, exp)
+
+    def test_unbound_optional_var_skips_that_template_only(self):
+        from rdf_extraction_ray.stages.graph import sparql_update
+        tr = self._store([
+            ("a", "cod", "fever"), ("a", "bp", "york"),
+            ("b", "cod", "age")])                      # no bp
+        out = self._canon(sparql_update(
+            tr, [("?p", "cod", "?c")],
+            optional=[("?p", "bp", "?b")],
+            insert=[("?p", "died", "yes"), ("?p", "diedat", "?b")]))
+        # ?b unbound for b: only the diedat template is skipped
+        assert ("b", "died", "yes") in set(map(tuple, out.to_numpy()))
+        assert ("a", "diedat", "york") in set(map(tuple,
+                                                  out.to_numpy()))
+        assert not ((out["subj"] == "b")
+                    & (out["pred"] == "diedat")).any()
+
+    def test_delete_sees_original_store_and_insert_wins(self):
+        from rdf_extraction_ray.stages.graph import sparql_update
+        # deleting and re-inserting the SAME triple keeps it
+        # ((store - del) UNION ins, per spec)
+        tr = self._store([("a", "p", "x")])
+        out = self._canon(sparql_update(
+            tr, [("?s", "p", "?o")],
+            delete=[("?s", "p", "?o")], insert=[("?s", "p", "?o")]))
+        assert out.values.tolist() == [["a", "p", "x"]]
+
+    def test_rejects_empty_and_ground_templates(self):
+        import pytest
+
+        from rdf_extraction_ray.stages.graph import sparql_update
+        tr = self._store([("a", "p", "x")])
+        with pytest.raises(ValueError):
+            sparql_update(tr, [("?s", "p", "?o")])
+        with pytest.raises(ValueError):
+            sparql_update(tr, [("?s", "p", "?o")],
+                          insert=[("g", "ground", "only")])
