@@ -3284,6 +3284,25 @@ def _q_docs_vocab_size(sf_dir: str):
     return distinct_tokens(docs)
 
 
+def _q_turns_edit1_pairs(sf_dir: str):
+    """Edit-distance-1 vocabulary self-join (typo/variant mining)
+    over the transcript corpus: every token pair at Levenshtein
+    distance EXACTLY 1, found by exact FastSS deletion-neighborhood
+    blocking — substitution pairs share a unique wildcard key, indel
+    pairs join identity keys to deletion keys, so the whole join is
+    one key-hash bucket exchange with alphabet-bounded group bodies.
+    No all-pairs stage, no verification pass, no pair-dedup exchange
+    (one discovery key per pair). Scalable analogue of the
+    reference's difflib vocabulary fallback
+    (Utils/utilities.py:618-636). The transcript corpus is the input
+    (1.5k distinct tokens at sf0.01, 971 true pairs); the documents
+    table's 31-token synthetic vocabulary contains zero."""
+    from rdf_extraction_ray.pipelines.kg import read_turns
+    from rdf_extraction_ray.stages.editjoin import edit1_token_pairs
+    turns = read_turns(_turns_path(sf_dir)).select_columns(["text"])
+    return edit1_token_pairs(turns)
+
+
 def _q_docs_vocab_kmv(sf_dir: str):
     """KMV (k-minimum-values) distinct-count SKETCH of the corpus
     vocabulary — the approximate twin of docs_vocab_size: per-block
@@ -4535,6 +4554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rank_window": _q_events_rank_window,
         "kg_update_migrate": _q_kg_update_migrate,
         "kg_update_retract": _q_kg_update_retract,
+        "turns_edit1_pairs": _q_turns_edit1_pairs,
     }
 
 
@@ -5874,6 +5894,35 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY event_type
             ORDER BY event_type
+        """,
+        "turns_edit1_pairs": f"""
+            WITH tok AS (
+                SELECT w AS tok FROM (
+                    SELECT unnest(regexp_extract_all(lower(text),
+                                                     '[a-z0-9]+')) AS w
+                    FROM read_parquet('{turns_glob}'))
+                GROUP BY w
+                HAVING count(*) >= 3
+                   AND length(w) BETWEEN 4 AND 24),
+            pos AS (SELECT i FROM generate_series(1, 24) t(i)),
+            subkeys AS (
+                SELECT tok, substr(tok, 1, i - 1) || chr(1)
+                            || substr(tok, i + 1) AS key
+                FROM tok, pos WHERE i <= length(tok)),
+            delkeys AS (
+                SELECT tok, substr(tok, 1, i - 1)
+                            || substr(tok, i + 1) AS key
+                FROM tok, pos WHERE i <= length(tok)),
+            cand AS (
+                SELECT a.tok AS tok_a, b.tok AS tok_b
+                FROM subkeys a JOIN subkeys b
+                  ON a.key = b.key AND a.tok < b.tok
+                UNION
+                SELECT least(s.tok, l.tok) AS tok_a,
+                       greatest(s.tok, l.tok) AS tok_b
+                FROM tok s JOIN delkeys l ON s.tok = l.key)
+            SELECT tok_a, tok_b FROM cand
+            WHERE levenshtein(tok_a, tok_b) = 1
         """,
         "kg_update_migrate": f"""
             WITH b AS (SELECT subj AS p, obj AS o

@@ -144,6 +144,7 @@ def run_bench() -> dict:
               "events_markov_transitions",
               "docs_embedding_labels", "events_retention_cohorts", "media_dedup",
               "kg_update_migrate", "kg_update_retract",
+              "turns_edit1_pairs",
               "tpch_q3_shipping", "tpch_q5_local_supplier"]
     queries = entrymod.queries()
     qtimes: dict[str, float] = {}

@@ -1977,3 +1977,68 @@ class TestSparqlUpdate:
         with pytest.raises(ValueError):
             sparql_update(tr, [("?s", "p", "?o")],
                           insert=[("g", "ground", "only")])
+
+
+class TestEdit1Pairs:
+    """Edit-distance-1 vocabulary self-join (FastSS deletion
+    neighborhoods, exact at distance 1)."""
+
+    @staticmethod
+    def _docs(tokens_with_counts):
+        rows = []
+        for tok, n in tokens_with_counts:
+            rows += [tok] * n
+        return rd.from_pandas(pd.DataFrame(
+            {"doc_id": range(len(rows)), "text": rows}))
+
+    @staticmethod
+    def _canon(ds):
+        return sorted(map(tuple, ds.to_pandas()
+                          [["tok_a", "tok_b"]].to_numpy()))
+
+    def test_known_sub_and_indel_pairs(self):
+        from rdf_extraction_ray.stages.editjoin import edit1_token_pairs
+        docs = self._docs([
+            ("hello", 3), ("hallo", 3), ("hell", 3), ("help", 3),
+            ("world", 3), ("word", 3), ("wording", 3),
+            ("helo", 1),   # below min_count: excluded
+            ("he", 5),     # below min_len: excluded
+        ])
+        got = self._canon(edit1_token_pairs(docs))
+        assert got == [("hallo", "hello"), ("hell", "hello"),
+                       ("hell", "help"), ("word", "world")]
+
+    def test_matches_bruteforce_levenshtein(self):
+        import itertools
+        import random
+
+        from rdf_extraction_ray.stages.editjoin import edit1_token_pairs
+
+        def lev(a, b):
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[-1] + 1,
+                                   prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        rng = random.Random(7)
+        vocab = {"".join(rng.choice("ab") for _ in
+                         range(rng.randint(1, 6)))
+                 for _ in range(120)}
+        vocab = sorted(vocab)
+        want = sorted((a, b) for a, b in
+                      itertools.combinations(vocab, 2)
+                      if lev(a, b) == 1)
+        docs = self._docs([(t, 1) for t in vocab])
+        got = self._canon(edit1_token_pairs(
+            docs, min_count=1, min_len=1, max_len=6))
+        assert got == want
+
+    def test_no_pairs_is_typed_empty(self):
+        from rdf_extraction_ray.stages.editjoin import edit1_token_pairs
+        docs = self._docs([("alpha", 3), ("zzzzz", 3)])
+        out = edit1_token_pairs(docs)
+        assert out.count() == 0
