@@ -2757,6 +2757,48 @@ def _q_kg_describe(sf_dir: str):
     return describe_subjects(tr, [("?p", burial, "?bp")], "?p")
 
 
+_SPARQL_SELECT_TEXT = """
+PREFIX kg: <http://kg.example.org/ontology#>
+SELECT ?person ?bp ?dp WHERE {
+  ?person kg:hasBirthPlace ?bp .
+  ?person kg:hasDeathPlace ?dp .
+  FILTER (?bp != ?dp)
+} ORDER BY DESC(?person) LIMIT 400
+"""
+
+_SPARQL_AGG_TEXT = """
+PREFIX kg: <http://kg.example.org/ontology#>
+SELECT ?cod (COUNT(DISTINCT ?person) AS ?n_persons) (COUNT(*) AS ?n)
+WHERE {
+  ?person kg:hasCauseOfDeath ?cod .
+  ?person kg:hasBirthPlace ?bp .
+} GROUP BY ?cod HAVING (COUNT(*) >= 5)
+"""
+
+
+def _q_kg_sparql_select(sf_dir: str):
+    """The textual-SPARQL surface end to end: a query STRING (two-way
+    join + var-to-var FILTER + ORDER BY DESC + LIMIT) parsed by
+    stages/sparql.py and dispatched onto the bgp_match planner — the
+    user-facing front door the reference exposes through rdflib /
+    Stardog (Utils/utilities.py:446-490). Parsing is driver-side and
+    O(text); execution is the same combiner top-k plan as
+    kg_bgp_topk. Ties under the DESC key break by the remaining
+    selected vars ascending, so the SQL replay is ORDER BY person
+    DESC, bp, dp."""
+    from rdf_extraction_ray.stages.sparql import run_sparql
+    return run_sparql(_triples_view(sf_dir), _SPARQL_SELECT_TEXT)
+
+
+def _q_kg_sparql_aggregate(sf_dir: str):
+    """Textual SPARQL GROUP BY: COUNT(DISTINCT ?v) + COUNT(*) with a
+    HAVING clause that names the aggregate expression (resolved to
+    its SELECT alias at parse time), dispatched onto bgp_aggregate's
+    pre-combining exchange."""
+    from rdf_extraction_ray.stages.sparql import run_sparql
+    return run_sparql(_triples_view(sf_dir), _SPARQL_AGG_TEXT)
+
+
 _UPD_OLD = "http://kg.example.org/ontology#hasBirthPlace"
 _UPD_NEW = "http://kg.example.org/ontology#v2_birthPlace"
 _UPD_MARK = "http://kg.example.org/ontology#schemaVersion"
@@ -4555,6 +4597,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_update_migrate": _q_kg_update_migrate,
         "kg_update_retract": _q_kg_update_retract,
         "turns_edit1_pairs": _q_turns_edit1_pairs,
+        "kg_sparql_select": _q_kg_sparql_select,
+        "kg_sparql_aggregate": _q_kg_sparql_aggregate,
     }
 
 
@@ -5923,6 +5967,27 @@ def oracle_sql() -> dict[str, str]:
                 FROM tok s JOIN delkeys l ON s.tok = l.key)
             SELECT tok_a, tok_b FROM cand
             WHERE levenshtein(tok_a, tok_b) = 1
+        """,
+        "kg_sparql_select": f"""
+            SELECT a.subj AS person, a.obj AS bp, b.obj AS dp
+            FROM read_parquet('{triples}') a
+            JOIN read_parquet('{triples}') b ON a.subj = b.subj
+            WHERE a.pred = '{_UPD_OLD}'
+              AND b.pred = 'http://kg.example.org/ontology#hasDeathPlace'
+              AND a.obj <> b.obj
+            ORDER BY person DESC, bp, dp
+            LIMIT 400
+        """,
+        "kg_sparql_aggregate": f"""
+            SELECT a.obj AS cod,
+                   count(DISTINCT a.subj)::BIGINT AS n_persons,
+                   count(*)::BIGINT AS n
+            FROM read_parquet('{triples}') a
+            JOIN read_parquet('{triples}') b ON a.subj = b.subj
+            WHERE a.pred = '{_UPD_COD}'
+              AND b.pred = '{_UPD_OLD}'
+            GROUP BY a.obj
+            HAVING count(*) >= 5
         """,
         "kg_update_migrate": f"""
             WITH b AS (SELECT subj AS p, obj AS o

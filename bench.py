@@ -145,6 +145,7 @@ def run_bench() -> dict:
               "docs_embedding_labels", "events_retention_cohorts", "media_dedup",
               "kg_update_migrate", "kg_update_retract",
               "turns_edit1_pairs",
+              "kg_sparql_select", "kg_sparql_aggregate",
               "tpch_q3_shipping", "tpch_q5_local_supplier"]
     queries = entrymod.queries()
     qtimes: dict[str, float] = {}

@@ -13,6 +13,8 @@ format) with one subcommand interface over the same capabilities:
                                            [--kind links|orgs|titles|places]
     python -m rdf_extraction_ray works     --works F --writing F --out DIR
     python -m rdf_extraction_ray curate    --input DIR --out DIR [--shards N]
+    python -m rdf_extraction_ray sparql    --triples DIR --query 'SELECT...'
+                                           [--out DIR | --head N]
 
 On a cluster: ``ray job submit --working-dir . -- python -m
 rdf_extraction_ray run --input s3://...`` — the guarded ``ray.init``
@@ -149,6 +151,49 @@ def cmd_report(args) -> int:
     return 0
 
 
+def cmd_sparql(args) -> int:
+    """Run a textual SPARQL query over a triples parquet directory
+    (the engine's own ``run`` output, or any (subj, pred, obj)
+    parquet). SELECT/CONSTRUCT/DESCRIBE/update results stream to
+    ``--out`` as parquet (or print the first ``--head`` rows); ASK
+    prints its boolean. The text layer parses driver-side and
+    dispatches to the oracled plan operators — see
+    stages/sparql.py for the supported grammar subset."""
+    _ensure_ray()
+    import ray.data as rd
+
+    from .stages.sparql import run_sparql
+
+    query = args.query
+    if query.startswith("@"):
+        with open(query[1:], encoding="utf-8") as fh:
+            query = fh.read()
+    triples = rd.read_parquet(args.triples)
+    res = run_sparql(triples, query)
+    if isinstance(res, bool):
+        print(json.dumps({"ask": res}))
+        return 0
+    if args.out:
+        res.write_parquet(args.out)
+        print(json.dumps({"out": args.out}))
+    else:
+        # no res.limit(): Ray's limit pushdown trips an assertion on
+        # the typed-empty-seed unions the planner operators emit
+        # (plan_union_op requires >= 2 children after the split)
+        import pandas as pd
+        parts, seen = [], 0
+        for b in res.iter_batches(batch_size=args.head,
+                                  batch_format="pandas"):
+            parts.append(b)
+            seen += len(b)
+            if seen >= args.head:
+                break
+        df = (pd.concat(parts, ignore_index=True).head(args.head)
+              if parts else pd.DataFrame())
+        print(df.to_string(index=False))
+    return 0
+
+
 def cmd_works(args) -> int:
     _ensure_ray()
     from .pipelines.works import works_pipeline
@@ -250,6 +295,19 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--out", required=True)
     s.add_argument("--shards", type=int, default=8)
     s.set_defaults(fn=cmd_curate)
+
+    s = sub.add_parser("sparql", help="textual SPARQL over a triples "
+                       "parquet (SELECT/ASK/CONSTRUCT/DESCRIBE/"
+                       "DELETE-INSERT)")
+    s.add_argument("--triples", required=True,
+                   help="triples parquet dir (subj/pred/obj columns)")
+    s.add_argument("--query", required=True,
+                   help="SPARQL text, or @path/to/query.rq")
+    s.add_argument("--out", default=None,
+                   help="write result parquet here (default: print)")
+    s.add_argument("--head", type=int, default=20,
+                   help="rows to print when --out is absent")
+    s.set_defaults(fn=cmd_sparql)
 
     s = sub.add_parser("works", help="bibliography migration pipeline")
     s.add_argument("--works", required=True)

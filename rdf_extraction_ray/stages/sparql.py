@@ -1,0 +1,778 @@
+"""SPARQL text front-end: parse a SPARQL query string into the
+engine's BGP planner calls and run it over a triple Dataset.
+
+The reference drives its graph through rdflib / a Stardog endpoint
+with textual SPARQL (cwrc/RDF-extraction Utils/utilities.py:446-490;
+extraction_validation/verify_terms.py issues SELECTs); this module
+gives the Ray engine the same user surface — a string in, a streaming
+Dataset out — on top of the already-oracled plan operators
+(:mod:`rdf_extraction_ray.stages.graph`). Parsing is driver-side and
+O(query text); ALL data movement remains in the planner operators, so
+the text layer adds zero exchanges.
+
+Supported grammar (the subset the planner implements — every form
+raises a precise error outside it):
+
+* ``PREFIX ns: <uri>`` declarations, ``a`` for rdf:type.
+* ``SELECT [DISTINCT] (?v | (AGG(?v) AS ?alias) | (EXPR AS ?v))* | *``
+  with aggregates COUNT(*) / COUNT(?v) / COUNT(DISTINCT ?v) / SUM /
+  AVG / MIN / MAX / GROUP_CONCAT(?v; SEPARATOR="|") and BIND-style
+  projection expressions (STRLEN LCASE UCASE CONCAT SUBSTR STRBEFORE
+  STRAFTER).
+* WHERE groups: triple patterns with ``;`` / ``,`` abbreviation,
+  predicate paths ``^p`` (inverse) and ``p1|p2`` (alternation),
+  OPTIONAL { }, FILTER (comparisons ``= != < <= > >=`` chained with
+  ``&&``, plus CONTAINS/STRSTARTS), FILTER [NOT] EXISTS { },
+  MINUS { }, VALUES, BIND (expr AS ?v), and a top-level
+  ``{ g } UNION { g }``.
+* Solution modifiers GROUP BY / HAVING / ORDER BY [ASC|DESC] / LIMIT.
+* Query forms SELECT, ASK, CONSTRUCT, DESCRIBE ?v, and the update
+  form ``DELETE { } INSERT { } WHERE { }`` (either template optional;
+  ``DELETE WHERE { }`` shorthand).
+
+Out of scope (documented, loud errors): transitive paths ``p+``/``p*``
+inside groups (use :func:`graph.path_closure` directly), subqueries
+(use :func:`graph.bgp_subquery`), variable predicates, named graphs,
+OFFSET, and non-"|" GROUP_CONCAT separators (the engine pins "|").
+"""
+
+from __future__ import annotations
+
+import re
+
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+_TOKEN_RE = re.compile(r"""
+    (?P<comment>\#[^\n]*)
+  | (?P<iri><[^<>\s]*>)
+  | (?P<literal>"(?:[^"\\]|\\.)*"(?:@[A-Za-z][A-Za-z0-9-]*|\^\^<[^>]*>)?)
+  | (?P<var>\?[A-Za-z_]\w*)
+  | (?P<num>-?\d+(?:\.\d+)?)
+  | (?P<pname>[A-Za-z_][\w-]*:\w(?:[\w.-]*[\w-])?|[A-Za-z_][\w-]*:(?=\s)|:\w(?:[\w.-]*[\w-])?)
+  | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<punct>&&|!=|<=|>=|[{}().;,|^=<>:*+])
+  | (?P<bad>\S)
+""", re.X)
+
+_AGG_FNS = {"count", "sum", "avg", "min", "max", "group_concat"}
+_BIND_FNS = {"strlen", "lcase", "ucase", "concat", "substr",
+             "strbefore", "strafter"}
+_FILTER_FNS = {"contains", "strstarts"}
+_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "\\": "\\"}
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    out = []
+    pos = 0
+    for m in _TOKEN_RE.finditer(text):
+        gap = text[pos:m.start()]
+        if gap.strip():
+            raise SyntaxError(f"cannot tokenize {gap.strip()[:20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "comment":
+            continue
+        if kind == "bad":
+            raise SyntaxError(f"unexpected character {m.group()!r}")
+        out.append((kind, m.group()))
+    if text[pos:].strip():
+        raise SyntaxError(f"cannot tokenize {text[pos:].strip()[:20]!r}")
+    return out
+
+
+def _unquote(lit: str) -> str:
+    body = lit[1:lit.rindex('"')]
+    return re.sub(r"\\(.)",
+                  lambda m: _ESCAPES.get(m.group(1), m.group(1)), body)
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.toks = _tokenize(text)
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+
+    # ---------------------------------------------------- primitives
+    def _peek(self, k: int = 0):
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else ("eof", "")
+
+    def _next(self):
+        t = self._peek()
+        self.i += 1
+        return t
+
+    def _kw(self, k: int = 0) -> str:
+        kind, val = self._peek(k)
+        return val.lower() if kind == "word" else ""
+
+    def _expect(self, val: str):
+        kind, got = self._next()
+        ok = got == val or (kind == "word" and got.lower() == val)
+        if not ok:
+            raise SyntaxError(f"expected {val!r}, got {got!r}")
+
+    def _expand(self, pname: str) -> str:
+        pre, _, local = pname.partition(":")
+        if pre not in self.prefixes:
+            raise SyntaxError(f"undeclared prefix {pre!r}:")
+        return self.prefixes[pre] + local
+
+    def _term(self) -> str:
+        kind, val = self._next()
+        if kind == "var":
+            return val
+        if kind == "iri":
+            return val[1:-1]
+        if kind == "pname":
+            return self._expand(val)
+        if kind == "literal":
+            return _unquote(val)
+        if kind == "num":
+            return val
+        if kind == "word" and val == "a":
+            return _RDF_TYPE
+        raise SyntaxError(f"expected term, got {val!r}")
+
+    def _path(self):
+        """Predicate path: iri, ^iri, or a |-alternation of those."""
+        def one():
+            if self._peek()[1] == "^":
+                self._next()
+                return "^" + self._const_iri()
+            return self._const_iri()
+
+        alts = [one()]
+        while self._peek()[1] == "|":
+            self._next()
+            alts.append(one())
+        if self._peek()[1] in ("+", "*"):
+            raise NotImplementedError(
+                "transitive property paths (p+/p*) are not supported "
+                "in text queries — call graph.path_closure directly")
+        return alts[0] if len(alts) == 1 else tuple(alts)
+
+    def _const_iri(self) -> str:
+        kind, val = self._next()
+        if kind == "iri":
+            return val[1:-1]
+        if kind == "pname":
+            return self._expand(val)
+        if kind == "word" and val == "a":
+            return _RDF_TYPE
+        if kind == "var":
+            raise NotImplementedError(
+                "variable predicates are not supported")
+        raise SyntaxError(f"expected predicate, got {val!r}")
+
+    # ------------------------------------------------------- prologue
+    def parse_prologue(self):
+        while self._kw() == "prefix":
+            self._next()
+            kind, val = self._next()
+            if kind == "pname" or (kind == "punct" and val == ":"):
+                pre = val[:-1] if val.endswith(":") else \
+                    val.partition(":")[0]
+                if kind == "punct":
+                    pre = ""
+            elif kind == "word":
+                pre = val
+                self._expect(":")
+            else:
+                raise SyntaxError(f"bad PREFIX name {val!r}")
+            kind, iri = self._next()
+            if kind != "iri":
+                raise SyntaxError("PREFIX needs an <iri>")
+            self.prefixes[pre] = iri[1:-1]
+
+    # ------------------------------------------------- group contents
+    def parse_group(self) -> dict:
+        """One { ... } group body -> plan fragment dict."""
+        g: dict = {"patterns": [], "optional": [], "filters": [],
+                   "minus": None, "exists": None, "not_exists": None,
+                   "values": None, "binds": [], "union": None,
+                   "subquery": None}
+        self._expect("{")
+        # top-level UNION: { {g1} UNION {g2} [UNION {g3}] }
+        if self._peek()[1] == "{" and self._kw(1) != "select":
+            branches = [self.parse_group()]
+            while self._kw() == "union":
+                self._next()
+                branches.append(self.parse_group())
+            self._expect("}")
+            if len(branches) == 1:  # plain nested group: inline it
+                branches[0].setdefault("patterns", [])
+                return branches[0]
+            for b in branches:
+                if (b["filters"] or b["minus"] or b["exists"]
+                        or b["not_exists"] or b["values"] or b["binds"]
+                        or b["union"]):
+                    raise NotImplementedError(
+                        "UNION branches support only triple patterns "
+                        "and OPTIONAL")
+            g["union"] = [(b["patterns"], b["optional"] or None)
+                          for b in branches]
+            return g
+        while self._peek()[1] != "}":
+            kw = self._kw()
+            if kw == "optional":
+                self._next()
+                sub = self.parse_group()
+                if any(sub[k] for k in sub if k != "patterns"):
+                    raise NotImplementedError(
+                        "OPTIONAL groups support only triple patterns")
+                g["optional"].extend(sub["patterns"])
+            elif kw == "filter":
+                self._next()
+                self._parse_filter(g)
+            elif kw == "minus":
+                self._next()
+                sub = self.parse_group()
+                if g["minus"] is not None:
+                    raise NotImplementedError("one MINUS per group")
+                g["minus"] = sub["patterns"]
+            elif kw == "values":
+                self._next()
+                g["values"] = self._parse_values()
+            elif kw == "bind":
+                self._next()
+                self._expect("(")
+                expr = self._parse_expr()
+                self._expect("as")
+                kind, var = self._next()
+                if kind != "var":
+                    raise SyntaxError("BIND needs (expr AS ?var)")
+                self._expect(")")
+                g["binds"].append((expr, var))
+            elif self._peek()[1] == "{":
+                if self._kw(1) != "select":
+                    raise NotImplementedError(
+                        "nested groups are supported as UNION "
+                        "branches or { SELECT ... } subqueries only")
+                if g["subquery"] is not None:
+                    raise NotImplementedError("one subquery per group")
+                self._next()  # {
+                g["subquery"] = self._parse_subselect()
+                self._expect("}")
+            else:
+                self._parse_triples_block(g["patterns"])
+        self._expect("}")
+        return g
+
+    def _parse_triples_block(self, out: list):
+        """subject (path obj-list (';' path obj-list)*) '.'?"""
+        subj = self._term()
+        while True:
+            path = self._path()
+            while True:
+                obj = self._term()
+                out.append((subj, path, obj))
+                if self._peek()[1] == ",":
+                    self._next()
+                    continue
+                break
+            if self._peek()[1] == ";":
+                self._next()
+                if self._peek()[1] in ("}", "."):  # trailing ;
+                    break
+                continue
+            break
+        if self._peek()[1] == ".":
+            self._next()
+
+    def _parse_filter(self, g: dict):
+        kw = self._kw()
+        if kw in ("exists", "not"):
+            negated = kw == "not"
+            self._next()
+            if negated:
+                self._expect("exists")
+            sub = self.parse_group()
+            key = "not_exists" if negated else "exists"
+            if g[key] is not None:
+                raise NotImplementedError(f"one FILTER {key} per group")
+            g[key] = sub["patterns"]
+            return
+        self._expect("(")
+        while True:
+            g["filters"].append(self._parse_comparison())
+            if self._peek()[1] == "&&":
+                self._next()
+                continue
+            break
+        self._expect(")")
+
+    def _parse_comparison(self):
+        if self._kw() in _FILTER_FNS:
+            fn = self._kw()
+            self._next()
+            self._expect("(")
+            var = self._term()
+            self._expect(",")
+            const = self._term()
+            self._expect(")")
+            return (var, fn, const)
+        lhs = self._term()
+        kind, op = self._next()
+        if op not in ("=", "!=", "<", "<=", ">", ">="):
+            raise SyntaxError(f"bad FILTER operator {op!r}")
+        rhs = self._term()
+        return (lhs, "==" if op == "=" else op, rhs)
+
+    def _parse_values(self):
+        kind, val = self._peek()
+        if kind == "var":           # VALUES ?v { c1 c2 } -> scalar rows
+            self._next()
+            self._expect("{")
+            rows = []
+            while self._peek()[1] != "}":
+                rows.append(self._term())
+            self._expect("}")
+            return ([val], rows)
+        self._expect("(")           # VALUES (?a ?b) { (c d) ... }
+        vs = []
+        while self._peek()[0] == "var":
+            vs.append(self._next()[1])
+        self._expect(")")
+        self._expect("{")
+        rows = []
+        while self._peek()[1] == "(":
+            self._next()
+            row = tuple(self._term() for _ in vs)
+            self._expect(")")
+            rows.append(row)
+        self._expect("}")
+        return (vs, rows)
+
+    def _parse_expr(self):
+        """BIND / projection expression -> planner tuple AST."""
+        fn = self._kw()
+        if fn not in _BIND_FNS:
+            raise NotImplementedError(
+                f"unsupported expression function {fn!r} (supported: "
+                f"{sorted(_BIND_FNS)})")
+        self._next()
+        self._expect("(")
+        args = []
+        while self._peek()[1] != ")":
+            kind, val = self._peek()
+            if kind == "num":
+                self._next()
+                args.append(int(float(val)))
+            else:
+                args.append(self._term())
+            if self._peek()[1] == ",":
+                self._next()
+        self._expect(")")
+        return (fn, *args)
+
+    # ------------------------------------------------------ SELECT
+    def _parse_projection(self, q: dict):
+        if self._peek()[1] == "*":
+            self._next()
+            q["select"] = None
+            return
+        sel: list[str] = []
+        while True:
+            kind, val = self._peek()
+            if kind == "var":
+                self._next()
+                sel.append(val[1:])
+            elif val == "(":
+                self._next()
+                if self._kw() in _AGG_FNS:
+                    q["aggs"].append(self._parse_agg())
+                else:
+                    expr = self._parse_expr()
+                    self._expect("as")
+                    kind, var = self._next()
+                    if kind != "var":
+                        raise SyntaxError("projection needs AS ?var")
+                    self._expect(")")
+                    q["binds"].append((expr, var))
+                    sel.append(var[1:])
+            else:
+                break
+        q["select"] = sel or None
+
+    def _parse_agg(self):
+        fn = self._kw()
+        self._next()
+        self._expect("(")
+        distinct = False
+        if self._kw() == "distinct":
+            distinct = True
+            self._next()
+        kind, val = self._next()
+        if val == "*":
+            var = "*"
+        elif kind == "var":
+            var = val[1:]
+        else:
+            raise SyntaxError(f"aggregate needs ?var or *, got {val!r}")
+        if fn == "group_concat" and self._peek()[1] == ";":
+            self._next()
+            self._expect("separator")
+            self._expect("=")
+            kind, sep = self._next()
+            if kind != "literal" or _unquote(sep) != "|":
+                raise NotImplementedError(
+                    'the engine pins GROUP_CONCAT SEPARATOR="|"')
+        self._expect(")")
+        self._expect("as")
+        kind, alias = self._next()
+        if kind != "var":
+            raise SyntaxError("aggregate needs AS ?alias")
+        self._expect(")")
+        if distinct:
+            if fn != "count":
+                raise NotImplementedError(
+                    "DISTINCT is supported for COUNT only")
+            fn = "count_distinct"
+        return (fn, var, alias[1:])
+
+    # ---------------------------------------------------- modifiers
+    def _parse_modifiers(self, q: dict):
+        while True:
+            kw = self._kw()
+            if kw == "group":
+                self._next()
+                self._expect("by")
+                while self._peek()[0] == "var":
+                    q["group_by"].append(self._next()[1][1:])
+            elif kw == "having":
+                self._next()
+                self._expect("(")
+                while True:
+                    q["having"].append(self._parse_having_clause(q))
+                    if self._peek()[1] == "&&":
+                        self._next()
+                        continue
+                    break
+                self._expect(")")
+            elif kw == "order":
+                self._next()
+                self._expect("by")
+                while True:
+                    kind, val = self._peek()
+                    if kind == "var":
+                        self._next()
+                        q["order_by"].append((val, "asc"))
+                    elif kind == "word" and val.lower() in ("asc",
+                                                            "desc"):
+                        self._next()
+                        self._expect("(")
+                        kind, var = self._next()
+                        if kind != "var":
+                            raise SyntaxError("ORDER BY ASC/DESC(?v)")
+                        self._expect(")")
+                        q["order_by"].append((var, val.lower()))
+                    else:
+                        break
+            elif kw == "limit":
+                self._next()
+                kind, n = self._next()
+                if kind != "num":
+                    raise SyntaxError("LIMIT needs a number")
+                q["limit"] = int(n)
+            elif kw == "offset":
+                raise NotImplementedError("OFFSET is not supported")
+            else:
+                break
+
+    def _parse_having_clause(self, q: dict):
+        """HAVING(COUNT(?v) > 3) or HAVING(?alias > 3): resolve the
+        aggregate expression to its SELECT alias."""
+        kind, val = self._peek()
+        if kind == "var":
+            self._next()
+            alias = val[1:]
+        elif self._kw() in _AGG_FNS:
+            fn = self._kw()
+            self._next()
+            self._expect("(")
+            distinct = self._kw() == "distinct"
+            if distinct:
+                self._next()
+            kind, v = self._next()
+            var = "*" if v == "*" else v[1:]
+            self._expect(")")
+            if distinct:
+                fn = "count_distinct"
+            match = [a for a in q["aggs"]
+                     if a[0] == fn and a[1] == var]
+            if not match:
+                raise SyntaxError(
+                    "HAVING aggregate must also appear in SELECT")
+            alias = match[0][2]
+        else:
+            raise SyntaxError("HAVING needs ?alias or AGG(?v)")
+        kind, op = self._next()
+        if op not in ("=", "!=", "<", "<=", ">", ">="):
+            raise SyntaxError(f"bad HAVING operator {op!r}")
+        kind, n = self._next()
+        if kind != "num":
+            raise SyntaxError("HAVING compares against a number")
+        return (alias, "==" if op == "=" else op, float(n))
+
+    # ------------------------------------------------------- queries
+    @staticmethod
+    def _new_q() -> dict:
+        return {"form": None, "distinct": False, "select": None,
+                "aggs": [], "binds": [], "group_by": [],
+                "having": [], "order_by": [], "limit": None,
+                "template": None, "describe_var": None,
+                "delete": None, "insert": None, "group": None}
+
+    def _parse_subselect(self) -> dict:
+        """SELECT header + group + modifiers (shared by the top-level
+        SELECT form and { SELECT ... } subqueries)."""
+        q = self._new_q()
+        self._expect("select")
+        q["form"] = "select"
+        if self._kw() == "distinct":
+            q["distinct"] = True
+            self._next()
+        self._parse_projection(q)
+        if self._kw() == "where":
+            self._next()
+        q["group"] = self.parse_group()
+        q["binds"] = q["group"]["binds"] + q["binds"]
+        self._parse_modifiers(q)
+        return q
+
+    def parse(self) -> dict:
+        self.parse_prologue()
+        q: dict = self._new_q()
+        kw = self._kw()
+        if kw == "select":
+            q = self._parse_subselect()
+        elif kw == "ask":
+            self._next()
+            q["form"] = "ask"
+            if self._kw() == "where":
+                self._next()
+            q["group"] = self.parse_group()
+        elif kw == "construct":
+            self._next()
+            q["form"] = "construct"
+            tpl: list = []
+            self._expect("{")
+            while self._peek()[1] != "}":
+                self._parse_triples_block(tpl)
+            self._expect("}")
+            q["template"] = tpl
+            self._expect("where")
+            q["group"] = self.parse_group()
+        elif kw == "describe":
+            self._next()
+            q["form"] = "describe"
+            kind, var = self._next()
+            if kind != "var":
+                raise NotImplementedError(
+                    "DESCRIBE supports a single ?var")
+            q["describe_var"] = var
+            self._expect("where")
+            q["group"] = self.parse_group()
+        elif kw in ("delete", "insert"):
+            q["form"] = "update"
+            if kw == "delete":
+                self._next()
+                if self._kw() == "where":  # DELETE WHERE { } shorthand
+                    self._next()
+                    q["group"] = self.parse_group()
+                    q["delete"] = list(q["group"]["patterns"])
+                else:
+                    tpl = []
+                    self._expect("{")
+                    while self._peek()[1] != "}":
+                        self._parse_triples_block(tpl)
+                    self._expect("}")
+                    q["delete"] = tpl
+            if self._kw() == "insert":
+                self._next()
+                tpl = []
+                self._expect("{")
+                while self._peek()[1] != "}":
+                    self._parse_triples_block(tpl)
+                self._expect("}")
+                q["insert"] = tpl
+            if q["group"] is None:
+                self._expect("where")
+                q["group"] = self.parse_group()
+        else:
+            raise SyntaxError(f"unknown query form {kw!r}")
+        if self._peek()[0] != "eof":
+            raise SyntaxError(
+                f"trailing tokens from {self._peek()[1]!r}")
+        return q
+
+
+def parse_sparql(text: str) -> dict:
+    """Parse a SPARQL string into the engine's plan dict (see module
+    docstring for the supported subset)."""
+    return _Parser(text).parse()
+
+
+def run_sparql(triples, text: str, n_buckets: int = 64):
+    """Parse ``text`` and execute it over the ``triples`` Dataset
+    (columns subj/pred/obj[, provenance]) — a Dataset out for
+    SELECT/CONSTRUCT/DESCRIBE/update, a bool for ASK. Dispatches to
+    the oracled plan operators; the text layer itself moves no
+    data."""
+    from rdf_extraction_ray.stages import graph as G
+
+    q = parse_sparql(text)
+    g = q["group"]
+
+    if q["form"] == "ask":
+        if g["union"] or g["minus"] or g["exists"] or g["not_exists"] \
+                or g["values"] or g["binds"] or g["subquery"]:
+            raise NotImplementedError(
+                "ASK supports patterns + OPTIONAL + FILTER")
+        return G.bgp_ask(triples, g["patterns"],
+                         optional=g["optional"] or None,
+                         filters=g["filters"] or None,
+                         n_buckets=n_buckets)
+
+    if q["form"] == "construct":
+        if g["filters"] or g["union"] or g["minus"] or g["values"] \
+                or g["subquery"] or g["binds"]:
+            raise NotImplementedError(
+                "CONSTRUCT supports patterns + OPTIONAL")
+        return G.bgp_construct(triples, g["patterns"], q["template"],
+                               optional=g["optional"] or None,
+                               n_buckets=n_buckets)
+
+    if q["form"] == "describe":
+        if g["filters"] or g["union"] or g["minus"] or g["values"] \
+                or g["subquery"] or g["binds"]:
+            raise NotImplementedError(
+                "DESCRIBE supports patterns + OPTIONAL")
+        return G.describe_subjects(triples, g["patterns"],
+                                   q["describe_var"],
+                                   optional=g["optional"] or None,
+                                   n_buckets=n_buckets)
+
+    if q["form"] == "update":
+        if g["filters"] or g["union"] or g["minus"] or g["values"] \
+                or g["subquery"] or g["binds"]:
+            raise NotImplementedError(
+                "updates support patterns + OPTIONAL in WHERE")
+        return G.sparql_update(triples, g["patterns"],
+                               delete=q["delete"], insert=q["insert"],
+                               optional=g["optional"] or None,
+                               n_buckets=n_buckets)
+
+    # ---- SELECT
+    if g["union"] is not None:
+        if q["aggs"] or q["binds"] or q["order_by"] or q["limit"] \
+                or q["group_by"]:
+            raise NotImplementedError(
+                "UNION composes with DISTINCT only")
+        select = q["select"]
+        if select is None:  # SELECT *: vars in first-appearance order
+            select = []
+            for pats, opt in g["union"]:
+                for s, _, o in list(pats) + list(opt or []):
+                    for t in (s, o):
+                        if t.startswith("?") and t[1:] not in select:
+                            select.append(t[1:])
+        return G.bgp_union(triples, g["union"], select,
+                           distinct=q["distinct"], n_buckets=n_buckets)
+
+    if g["subquery"] is not None:
+        inner = g["subquery"]
+        ig = inner["group"]
+        if not inner["aggs"]:
+            raise NotImplementedError(
+                "subqueries must be aggregate SELECTs (the planner "
+                "joins an aggregate-small inner sequence)")
+        if ig["union"] or ig["minus"] or ig["exists"] \
+                or ig["not_exists"] or ig["values"] or ig["subquery"] \
+                or inner["order_by"] or inner["limit"]:
+            raise NotImplementedError(
+                "subquery bodies support patterns, OPTIONAL, FILTER "
+                "and BIND")
+        if q["aggs"] or q["binds"] or q["order_by"] or q["limit"] \
+                or g["minus"] or g["exists"] or g["not_exists"] \
+                or g["values"]:
+            raise NotImplementedError(
+                "the outer query of a subquery supports patterns, "
+                "OPTIONAL, FILTER and DISTINCT")
+        sub = G.bgp_aggregate(triples, ig["patterns"],
+                              inner["group_by"], inner["aggs"],
+                              optional=ig["optional"] or None,
+                              filters=ig["filters"] or None,
+                              having=inner["having"] or None,
+                              binds=inner["binds"] or None,
+                              n_buckets=n_buckets)
+        outer_vars = []
+        for s, _, o in list(g["patterns"]) + list(g["optional"]):
+            for t in (s, o):
+                if t.startswith("?") and t[1:] not in outer_vars:
+                    outer_vars.append(t[1:])
+        inner_cols = inner["group_by"] + [a[2] for a in inner["aggs"]]
+        on = [v for v in inner_cols if v in outer_vars]
+        if not on:
+            raise ValueError(
+                "subquery shares no variable with the outer pattern")
+        return G.bgp_subquery(triples, g["patterns"], sub, on,
+                              select=q["select"],
+                              distinct=q["distinct"],
+                              optional=g["optional"] or None,
+                              filters=g["filters"] or None,
+                              n_buckets=n_buckets)
+
+    if q["aggs"] or q["group_by"]:
+        if not q["aggs"]:
+            raise NotImplementedError("GROUP BY needs aggregates")
+        if g["minus"] or g["exists"] or g["not_exists"] or g["values"]:
+            raise NotImplementedError(
+                "aggregates compose with patterns/OPTIONAL/FILTER/BIND")
+        if q["order_by"] or q["limit"]:
+            raise NotImplementedError(
+                "ORDER BY / LIMIT over aggregates is not supported")
+        return G.bgp_aggregate(triples, g["patterns"], q["group_by"],
+                               q["aggs"],
+                               optional=g["optional"] or None,
+                               filters=g["filters"] or None,
+                               having=q["having"] or None,
+                               binds=q["binds"] or None,
+                               n_buckets=n_buckets)
+    if q["having"]:
+        raise NotImplementedError("HAVING needs GROUP BY aggregates")
+
+    if g["minus"] is not None or g["not_exists"] is not None:
+        if g["values"] or q["binds"] or q["order_by"] or q["limit"] \
+                or g["exists"] is not None:
+            raise NotImplementedError(
+                "MINUS / NOT EXISTS compose with patterns, OPTIONAL, "
+                "FILTER and DISTINCT")
+        return G.bgp_minus(triples, g["patterns"],
+                           g["minus"] if g["minus"] is not None
+                           else g["not_exists"],
+                           select=q["select"], distinct=q["distinct"],
+                           optional=g["optional"] or None,
+                           filters=g["filters"] or None,
+                           n_buckets=n_buckets)
+
+    if g["exists"] is not None:
+        if g["values"] or q["binds"] or q["order_by"] or q["limit"]:
+            raise NotImplementedError(
+                "FILTER EXISTS composes with patterns, OPTIONAL, "
+                "FILTER and DISTINCT")
+        return G.bgp_exists(triples, g["patterns"], g["exists"],
+                            select=q["select"], distinct=q["distinct"],
+                            optional=g["optional"] or None,
+                            filters=g["filters"] or None,
+                            n_buckets=n_buckets)
+
+    return G.bgp_match(triples, g["patterns"], select=q["select"],
+                       distinct=q["distinct"],
+                       optional=g["optional"] or None,
+                       filters=g["filters"] or None,
+                       values=g["values"],
+                       order_by=q["order_by"] or None,
+                       limit=q["limit"], binds=q["binds"] or None,
+                       n_buckets=n_buckets)

@@ -1,0 +1,216 @@
+"""SPARQL text front-end: the parsed-and-dispatched result of each
+query form must equal the hand-built planner call it maps to."""
+
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from rdf_extraction_ray.stages.sparql import parse_sparql, run_sparql
+
+PRE = "PREFIX ex: <http://ex.org/> "
+
+
+def _triples():
+    rows = [
+        ("ev1", "http://ex.org/died", "alice"),
+        ("ev2", "http://ex.org/died", "alice"),
+        ("ev3", "http://ex.org/died", "bob"),
+        ("alice", "http://ex.org/dplace", "york"),
+        ("alice", "http://ex.org/bplace", "leeds"),
+        ("bob", "http://ex.org/bplace", "hull"),
+        ("carol", "http://ex.org/dplace", "york"),
+        ("alice", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+         "Person"),
+    ]
+    return rd.from_pandas(pd.DataFrame(
+        rows, columns=["subj", "pred", "obj"]))
+
+
+def _canon(ds):
+    df = ds.to_pandas() if hasattr(ds, "to_pandas") else ds
+    return (df.reindex(sorted(df.columns), axis=1)
+            .sort_values(sorted(df.columns), ignore_index=True))
+
+
+class TestSelect:
+    def test_basic_join_optional_filter(self):
+        tr = _triples()
+        got = run_sparql(tr, PRE + """
+            SELECT ?ev ?p ?bp WHERE {
+              ?ev ex:died ?p .
+              OPTIONAL { ?p ex:dplace ?dp }
+              ?p ex:bplace ?bp .
+              FILTER (?bp != "hull")
+            }""")
+        df = _canon(got)
+        assert df["p"].unique().tolist() == ["alice"]
+        assert len(df) == 2  # ev1, ev2
+
+    def test_select_star_and_distinct(self):
+        tr = _triples()
+        got = _canon(run_sparql(
+            tr, PRE + "SELECT DISTINCT ?p WHERE { ?ev ex:died ?p }"))
+        assert got["p"].tolist() == ["alice", "bob"]
+
+    def test_rdf_type_a_and_semicolon_comma(self):
+        tr = _triples()
+        got = _canon(run_sparql(tr, PRE + """
+            SELECT ?s WHERE { ?s a "Person" ; ex:bplace "leeds" . }"""))
+        assert got["s"].tolist() == ["alice"]
+
+    def test_order_by_limit(self):
+        tr = _triples()
+        got = run_sparql(tr, PRE + """
+            SELECT ?ev ?p WHERE { ?ev ex:died ?p }
+            ORDER BY DESC(?ev) LIMIT 2""").to_pandas()
+        assert got["ev"].tolist() == ["ev3", "ev2"]
+
+    def test_values_and_bind(self):
+        tr = _triples()
+        got = _canon(run_sparql(tr, PRE + """
+            SELECT ?p ?up WHERE {
+              ?ev ex:died ?p .
+              VALUES ?p { "alice" }
+              BIND (UCASE(?p) AS ?up)
+            }"""))
+        assert set(got["up"]) == {"ALICE"}
+
+    def test_projection_expression(self):
+        tr = _triples()
+        got = _canon(run_sparql(tr, PRE + """
+            SELECT ?p (STRLEN(?p) AS ?n) WHERE {
+              ?ev ex:died ?p }"""))
+        assert dict(zip(got["p"], got["n"]))["alice"] == "5"
+
+    def test_inverse_and_alternation_paths(self):
+        tr = _triples()
+        # ?p ^ex:died ?ev  ==  ?ev ex:died ?p
+        got = _canon(run_sparql(tr, PRE + """
+            SELECT DISTINCT ?p WHERE { ?p ^ex:died ?ev }"""))
+        assert got["p"].tolist() == ["alice", "bob"]
+        got = _canon(run_sparql(tr, PRE + """
+            SELECT DISTINCT ?place WHERE {
+              ?p ex:dplace|ex:bplace ?place }"""))
+        assert got["place"].tolist() == ["hull", "leeds", "york"]
+
+
+class TestOtherForms:
+    def test_ask(self):
+        tr = _triples()
+        assert run_sparql(
+            tr, PRE + 'ASK { ?ev ex:died "alice" }') is True
+        assert run_sparql(
+            tr, PRE + 'ASK { ?ev ex:died "nobody" }') is False
+
+    def test_construct(self):
+        tr = _triples()
+        got = _canon(run_sparql(tr, PRE + """
+            CONSTRUCT { ?p ex:deceased "yes" }
+            WHERE { ?ev ex:died ?p }"""))
+        assert got["subj"].tolist() == ["alice", "bob"]
+        assert set(got["pred"]) == {"http://ex.org/deceased"}
+
+    def test_describe(self):
+        tr = _triples()
+        got = run_sparql(tr, PRE + """
+            DESCRIBE ?p WHERE { ?p ex:dplace "york" }""").to_pandas()
+        assert set(got["subj"]) == {"alice", "carol"}
+
+    def test_union(self):
+        tr = _triples()
+        got = _canon(run_sparql(tr, PRE + """
+            SELECT DISTINCT ?place WHERE {
+              { ?p ex:dplace ?place } UNION { ?p ex:bplace ?place }
+            }"""))
+        assert got["place"].tolist() == ["hull", "leeds", "york"]
+
+    def test_minus_and_not_exists_and_exists(self):
+        tr = _triples()
+        q = """
+            SELECT DISTINCT ?p WHERE {
+              ?ev ex:died ?p . %s { ?p ex:dplace ?dp }
+            }"""
+        for clause, want in [("MINUS", ["bob"]),
+                             ("FILTER NOT EXISTS", ["bob"]),
+                             ("FILTER EXISTS", ["alice"])]:
+            got = _canon(run_sparql(tr, PRE + q % clause))
+            assert got["p"].tolist() == want, clause
+
+    def test_aggregate_group_by_having(self):
+        tr = _triples()
+        got = run_sparql(tr, PRE + """
+            SELECT ?p (COUNT(*) AS ?n) WHERE { ?ev ex:died ?p }
+            GROUP BY ?p HAVING (COUNT(*) >= 2)""").to_pandas()
+        assert got[["p", "n"]].values.tolist() == [["alice", 2]]
+
+    def test_update_delete_insert(self):
+        tr = _triples()
+        got = run_sparql(tr, PRE + """
+            DELETE { ?ev ex:died ?p }
+            INSERT { ?p ex:diedIn ?dp }
+            WHERE { ?ev ex:died ?p . ?p ex:dplace ?dp }""").to_pandas()
+        tups = set(map(tuple, got[["subj", "pred", "obj"]].to_numpy()))
+        assert ("alice", "http://ex.org/diedIn", "york") in tups
+        # ev1/ev2 retracted; ev3 (bob, no dplace binding) kept
+        assert ("ev1", "http://ex.org/died", "alice") not in tups
+        assert ("ev3", "http://ex.org/died", "bob") in tups
+
+    def test_delete_where_shorthand(self):
+        tr = _triples()
+        got = _canon(run_sparql(
+            tr, PRE + "DELETE WHERE { ?ev ex:died ?p }"))
+        assert "http://ex.org/died" not in set(got["pred"])
+
+
+class TestParserErrors:
+    @pytest.mark.parametrize("q,err", [
+        ("SELECT ?x WHERE { ?x <p>+ ?y }", NotImplementedError),
+        ("SELECT ?x WHERE { ?x ?p ?y }", NotImplementedError),
+        ("SELECT ?x WHERE { ?x <p> ?y } OFFSET 5", NotImplementedError),
+        ("SELECT ?x WHERE { ?x <p> ?y } LIMIT x", SyntaxError),
+        ("FROB ?x WHERE { }", SyntaxError),
+        ("SELECT ?x WHERE { ?x ex:p ?y }", SyntaxError),  # no PREFIX
+        ('SELECT (GROUP_CONCAT(?v; SEPARATOR=";") AS ?a) '
+         'WHERE { ?x <p> ?v }', NotImplementedError),
+    ])
+    def test_loud_errors(self, q, err):
+        with pytest.raises(err):
+            run_sparql(_triples(), q)
+
+    def test_comments_and_literals_tokenize(self):
+        q = parse_sparql("""# find alice
+            SELECT ?x WHERE { ?x <http://ex.org/died> "ali\\"ce" }""")
+        assert q["group"]["patterns"] == [
+            ("?x", "http://ex.org/died", 'ali"ce')]
+
+    def test_prefix_expansion_and_typed_literal(self):
+        q = parse_sparql(PRE + """SELECT ?x WHERE {
+            ?x ex:age "42"^^<http://www.w3.org/2001/XMLSchema#int> }""")
+        assert q["group"]["patterns"] == [
+            ("?x", "http://ex.org/age", "42")]
+
+
+class TestSubquery:
+    def test_nested_aggregate_select_joins_outer(self):
+        tr = _triples()
+        got = run_sparql(tr, PRE + """
+            SELECT ?ev ?p ?n WHERE {
+              ?ev ex:died ?p .
+              { SELECT ?p (COUNT(*) AS ?n) WHERE { ?e2 ex:died ?p }
+                GROUP BY ?p HAVING (COUNT(*) >= 2) }
+            }""").to_pandas().sort_values("ev", ignore_index=True)
+        assert got[["ev", "p"]].values.tolist() == [
+            ["ev1", "alice"], ["ev2", "alice"]]
+        assert set(got["n"]) == {2}
+
+    def test_subquery_must_share_a_var_and_aggregate(self):
+        tr = _triples()
+        with pytest.raises(ValueError):
+            run_sparql(tr, PRE + """
+                SELECT ?s WHERE { ?s ex:bplace ?b .
+                  { SELECT ?p (COUNT(*) AS ?n)
+                    WHERE { ?e ex:died ?p } GROUP BY ?p } }""")
+        with pytest.raises(NotImplementedError):
+            run_sparql(tr, PRE + """
+                SELECT ?s WHERE { ?s ex:bplace ?b .
+                  { SELECT ?b WHERE { ?e ex:dplace ?b } } }""")
