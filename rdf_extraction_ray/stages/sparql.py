@@ -26,13 +26,17 @@ raises a precise error outside it):
   MINUS { }, VALUES, BIND (expr AS ?v), and a top-level
   ``{ g } UNION { g }``.
 * Solution modifiers GROUP BY / HAVING / ORDER BY [ASC|DESC] / LIMIT.
+* ``{ SELECT ... }`` subqueries (aggregate inner sequences, joined on
+  the shared variables via :func:`graph.bgp_subquery`).
+* ``p+`` as the single pattern of a plain SELECT (dispatched to
+  :func:`graph.path_closure`; constant subject/object slots restrict
+  the origin set / filter the closure end).
 * Query forms SELECT, ASK, CONSTRUCT, DESCRIBE ?v, and the update
   form ``DELETE { } INSERT { } WHERE { }`` (either template optional;
   ``DELETE WHERE { }`` shorthand).
 
-Out of scope (documented, loud errors): transitive paths ``p+``/``p*``
-inside groups (use :func:`graph.path_closure` directly), subqueries
-(use :func:`graph.bgp_subquery`), variable predicates, named graphs,
+Out of scope (documented, loud errors): ``p*`` (zero-or-more), ``p+``
+composed with other patterns, variable predicates, named graphs,
 OFFSET, and non-"|" GROUP_CONCAT separators (the engine pins "|").
 """
 
@@ -146,10 +150,15 @@ class _Parser:
         while self._peek()[1] == "|":
             self._next()
             alts.append(one())
-        if self._peek()[1] in ("+", "*"):
+        if self._peek()[1] == "*":
             raise NotImplementedError(
-                "transitive property paths (p+/p*) are not supported "
-                "in text queries — call graph.path_closure directly")
+                "p* (zero-or-more) is not supported; p+ is")
+        if self._peek()[1] == "+":
+            self._next()
+            if len(alts) > 1 or alts[0].startswith("^"):
+                raise NotImplementedError(
+                    "p+ supports a single forward predicate")
+            return ("__closure__", alts[0])
         return alts[0] if len(alts) == 1 else tuple(alts)
 
     def _const_iri(self) -> str:
@@ -624,6 +633,40 @@ def run_sparql(triples, text: str, n_buckets: int = 64):
 
     q = parse_sparql(text)
     g = q["group"]
+
+    closures = [p for p in (g["patterns"] or [])
+                if isinstance(p[1], tuple) and p[1][0] == "__closure__"]
+    if closures:
+        if q["form"] != "select" or len(g["patterns"]) != 1 \
+                or any(g[k] for k in ("optional", "filters", "binds")) \
+                or g["union"] or g["minus"] or g["exists"] \
+                or g["not_exists"] or g["values"] or g["subquery"] \
+                or q["aggs"] or q["order_by"] or q["limit"]:
+            raise NotImplementedError(
+                "p+ is supported as the single pattern of a plain "
+                "SELECT — compose further with graph.path_closure")
+        s, (_, pred), o = g["patterns"][0]
+        out = G.path_closure(
+            triples, pred,
+            starts=[s] if not s.startswith("?") else None,
+            n_buckets=n_buckets)
+        # closure columns are (start, node); map them to the
+        # pattern's variables (a constant slot filters instead) —
+        # one zero-copy Arrow pass does filter + rename + project
+        names = {"start": s[1:] if s.startswith("?") else None,
+                 "node": o[1:] if o.startswith("?") else None}
+        keep = q["select"] or [v for v in names.values() if v]
+        keep = [v for v in keep if v in names.values()]
+
+        def _shape(t, o=o, names=names, keep=keep):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            if names["node"] is None:  # ?x p+ <const o>
+                t = t.filter(pc.equal(t.column("node"), o))
+            cols = {v: t.column(c) for c, v in names.items() if v}
+            return pa.table({v: cols[v] for v in keep})
+
+        return out.map_batches(_shape, batch_format="pyarrow")
 
     if q["form"] == "ask":
         if g["union"] or g["minus"] or g["exists"] or g["not_exists"] \

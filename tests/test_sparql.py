@@ -164,7 +164,7 @@ class TestOtherForms:
 
 class TestParserErrors:
     @pytest.mark.parametrize("q,err", [
-        ("SELECT ?x WHERE { ?x <p>+ ?y }", NotImplementedError),
+        ("SELECT ?x WHERE { ?x <p>* ?y }", NotImplementedError),
         ("SELECT ?x WHERE { ?x ?p ?y }", NotImplementedError),
         ("SELECT ?x WHERE { ?x <p> ?y } OFFSET 5", NotImplementedError),
         ("SELECT ?x WHERE { ?x <p> ?y } LIMIT x", SyntaxError),
@@ -214,3 +214,33 @@ class TestSubquery:
             run_sparql(tr, PRE + """
                 SELECT ?s WHERE { ?s ex:bplace ?b .
                   { SELECT ?b WHERE { ?e ex:dplace ?b } } }""")
+
+
+class TestClosurePath:
+    def test_transitive_path_forms(self):
+        tr = rd.from_pandas(pd.DataFrame(
+            [("a", "http://ex.org/p", "b"),
+             ("b", "http://ex.org/p", "c"),
+             ("x", "http://ex.org/q", "y")],
+            columns=["subj", "pred", "obj"]))
+        got = _canon(run_sparql(tr, PRE + """
+            SELECT ?s ?t WHERE { ?s ex:p+ ?t }"""))
+        assert list(map(tuple, got[["s", "t"]].to_numpy())) == [
+            ("a", "b"), ("a", "c"), ("b", "c")]
+        # constant start binds only the end var
+        got = run_sparql(tr, PRE + """
+            SELECT ?t WHERE { "a" ex:p+ ?t }""").to_pandas()
+        assert sorted(got["t"]) == ["b", "c"]
+        assert list(got.columns) == ["t"]
+        # constant end filters the closure
+        got = run_sparql(tr, PRE + """
+            SELECT ?s WHERE { ?s ex:p+ "c" }""").to_pandas()
+        assert sorted(got["s"]) == ["a", "b"]
+
+    def test_closure_composition_is_loud(self):
+        tr = _triples()
+        with pytest.raises(NotImplementedError):
+            run_sparql(tr, PRE + """
+                SELECT ?s ?t WHERE { ?s ex:p+ ?t . ?t ex:q ?u }""")
+        with pytest.raises(NotImplementedError):
+            run_sparql(tr, PRE + "SELECT ?s WHERE { ?s ex:p* ?t }")
