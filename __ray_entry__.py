@@ -3345,6 +3345,18 @@ def _q_turns_edit1_pairs(sf_dir: str):
     return edit1_token_pairs(turns)
 
 
+def _q_docs_chunk_windows(sf_dir: str):
+    """Sliding context-window chunker (size 128, stride 96): each
+    document split into overlapping token windows that never cross
+    document boundaries — the long-doc complement of the
+    concat-and-split pack. Embarrassingly parallel: one vectorized
+    pass per batch (C-speed regex token count + repeat/cumsum window
+    expansion), ZERO exchanges."""
+    from rdf_extraction_ray.stages.textstats import chunk_windows
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(chunk_windows, batch_format="pandas")
+
+
 def _q_docs_vocab_kmv(sf_dir: str):
     """KMV (k-minimum-values) distinct-count SKETCH of the corpus
     vocabulary — the approximate twin of docs_vocab_size: per-block
@@ -4599,6 +4611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turns_edit1_pairs": _q_turns_edit1_pairs,
         "kg_sparql_select": _q_kg_sparql_select,
         "kg_sparql_aggregate": _q_kg_sparql_aggregate,
+        "docs_chunk_windows": _q_docs_chunk_windows,
     }
 
 
@@ -5967,6 +5980,28 @@ def oracle_sql() -> dict[str, str]:
                 FROM tok s JOIN delkeys l ON s.tok = l.key)
             SELECT tok_a, tok_b FROM cand
             WHERE levenshtein(tok_a, tok_b) = 1
+        """,
+        "docs_chunk_windows": """
+            WITH t AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                           ::BIGINT AS n
+                FROM documents),
+            c AS (
+                SELECT doc_id, n,
+                       CASE WHEN n <= 128 THEN 1
+                            ELSE ((n - 128 + 95) // 96) + 1
+                       END AS k
+                FROM t WHERE n > 0),
+            s AS (
+                SELECT unnest(range(0, (SELECT max(k) FROM c)))
+                           ::BIGINT AS i)
+            SELECT c.doc_id,
+                   s.i AS chunk_id,
+                   (s.i * 96)::BIGINT AS tok_start,
+                   least(s.i * 96 + 128, c.n)::BIGINT AS tok_end,
+                   c.n AS n_tokens
+            FROM c JOIN s ON s.i < c.k
         """,
         "kg_sparql_select": f"""
             SELECT a.subj AS person, a.obj AS bp, b.obj AS dp

@@ -744,3 +744,44 @@ def source_overlap(docs, n_words: int = 5, n_buckets: int = 64,
         "n_b": pairs["b"].map(cnt).astype("int64")})
     return out.sort_values(["source_a", "source_b"],
                            ignore_index=True)
+
+
+def chunk_windows(batch: pd.DataFrame, size: int = 128,
+                  stride: int = 96, text_col: str = "text",
+                  id_col: str = "doc_id") -> pd.DataFrame:
+    """Sliding context-window chunker: split each document into
+    token windows of ``size`` advancing by ``stride`` (overlap =
+    size - stride) — the long-document complement of the
+    concat-and-split pack (:func:`pack_windows`), used when documents
+    must not cross sequence boundaries. Emits (doc_id, chunk_id,
+    tok_start, tok_end, n_tokens) boundary rows; a doc with n <= size
+    tokens yields one chunk, an empty doc none, and the last window
+    clamps to the document end. Chunk count = ceil((n - size) /
+    stride) + 1.
+
+    Scale shape: EMBARRASSINGLY PARALLEL — one vectorized pass per
+    batch (token count via the shared C-speed regex count, window
+    expansion via repeat + cumsum-offset arange), zero exchanges,
+    zero driver state. The SQL oracle replays it with a lateral
+    generate_series.
+    """
+    n = (batch[text_col].str.count(_TOKEN_RE)
+         .fillna(0).astype("int64").to_numpy())
+    ids = batch[id_col].to_numpy()
+    keep = n > 0
+    n, ids = n[keep], ids[keep]
+    k = np.where(n <= size, 1,
+                 -(-(n - size) // stride) + 1).astype("int64")
+    total = int(k.sum())
+    # chunk_id = global arange minus each doc's exclusive-cumsum base
+    base = np.repeat(np.concatenate(([0], np.cumsum(k)[:-1])), k)
+    chunk_id = np.arange(total, dtype="int64") - base
+    tok_start = chunk_id * stride
+    n_rep = np.repeat(n, k)
+    tok_end = np.minimum(tok_start + size, n_rep)
+    return pd.DataFrame({
+        id_col: np.repeat(ids, k),
+        "chunk_id": chunk_id,
+        "tok_start": tok_start,
+        "tok_end": tok_end,
+        "n_tokens": n_rep})

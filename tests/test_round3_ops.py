@@ -2042,3 +2042,25 @@ class TestEdit1Pairs:
         docs = self._docs([("alpha", 3), ("zzzzz", 3)])
         out = edit1_token_pairs(docs)
         assert out.count() == 0
+
+
+class TestChunkWindows:
+    def test_boundaries_and_edge_cases(self):
+        from rdf_extraction_ray.stages.textstats import chunk_windows
+        df = pd.DataFrame({
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": ["w " * 10, "w " * 128, "w " * 129, "",
+                     "w " * 321]})
+        out = chunk_windows(df)
+        by = {k: g for k, g in out.groupby("doc_id")}
+        assert 4 not in by                       # empty doc: no chunks
+        assert len(by[1]) == 1 and by[1]["tok_end"].tolist() == [10]
+        assert len(by[2]) == 1                   # n == size: one chunk
+        assert by[3][["tok_start", "tok_end"]].values.tolist() == [
+            [0, 128], [96, 129]]                 # n = size+1: two
+        # 321 tokens: ceil((321-128)/96)+1 = 4 chunks, last clamps
+        assert by[5][["tok_start", "tok_end"]].values.tolist() == [
+            [0, 128], [96, 224], [192, 320], [288, 321]]
+        # every chunk stays inside its doc and covers > 0 tokens
+        assert (out["tok_end"] > out["tok_start"]).all()
+        assert (out["tok_end"] <= out["n_tokens"]).all()
