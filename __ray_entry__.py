@@ -2805,6 +2805,21 @@ _UPD_MARK = "http://kg.example.org/ontology#schemaVersion"
 _UPD_COD = "http://kg.example.org/ontology#hasCauseOfDeath"
 
 
+def _q_kg_local_triangles(sf_dir: str):
+    """PER-NODE triangle counts + local clustering coefficient over
+    the KG's URI-object edge graph: the node-resolved refinement of
+    kg_triangles (each closed wedge credits its three corners; cc =
+    2*n_tri/(d*(d-1)) as an exact float64 quotient of exact int64s).
+    Corner partials pre-combine inside the closure buckets, one
+    (node)-bucket exchange sums them, degrees attach from the
+    orientation stage's already-built broadcast vector. Consumes the
+    cached graph-projection views."""
+    from rdf_extraction_ray.stages.graph import local_triangle_counts
+    gv = _kg_graph_views(sf_dir)
+    return local_triangle_counts(
+        None, und_pre=_graph_view_read(gv, "edges_und"))
+
+
 def _q_kg_update_migrate(sf_dir: str):
     """SPARQL 1.1 Update as a graph→graph transform — the schema
     migration `DELETE { ?p kg:hasBirthPlace ?o } INSERT { ?p
@@ -4365,6 +4380,43 @@ def _triangles_sql(triples_path: str) -> str:
     """
 
 
+def _local_triangles_sql(triples_path: str) -> str:
+    """Oracle twin of stages/graph.local_triangle_counts: the same
+    orientation + wedge closure as _triangles_sql, but each closed
+    wedge credits its apex and both feet; cc replayed as the same
+    exact float64 quotient."""
+    return f"""
+        WITH he AS (
+            SELECT ('0x' || substr(md5(subj), 1, 15))::BIGINT AS hs,
+                   ('0x' || substr(md5(obj), 1, 15))::BIGINT AS hd
+            FROM read_parquet('{triples_path}')
+            WHERE obj_kind = 'uri'),
+        e0 AS (SELECT DISTINCT least(hs, hd) AS lo,
+                               greatest(hs, hd) AS hi
+               FROM he WHERE hs <> hd),
+        deg AS (SELECT n, count(*)::BIGINT AS d
+                FROM (SELECT lo AS n FROM e0
+                      UNION ALL SELECT hi FROM e0) GROUP BY n),
+        o AS (SELECT CASE WHEN dl.d <= dh.d THEN lo ELSE hi END AS src,
+                     CASE WHEN dl.d <= dh.d THEN hi ELSE lo END AS dst
+              FROM e0 JOIN deg dl ON dl.n = lo
+                      JOIN deg dh ON dh.n = hi),
+        w AS (SELECT a.src AS apex,
+                     least(a.dst, b.dst) AS lo,
+                     greatest(a.dst, b.dst) AS hi
+              FROM o a JOIN o b ON a.src = b.src AND a.dst < b.dst),
+        t AS (SELECT apex, lo, hi FROM w JOIN e0 USING (lo, hi)),
+        tc AS (SELECT n, count(*)::BIGINT AS n_tri
+               FROM (SELECT apex AS n FROM t
+                     UNION ALL SELECT lo FROM t
+                     UNION ALL SELECT hi FROM t) GROUP BY n)
+        SELECT tc.n AS h, tc.n_tri, deg.d AS degree,
+               CAST(2 * tc.n_tri AS DOUBLE)
+                   / (deg.d * (deg.d - 1)) AS cc
+        FROM tc JOIN deg ON deg.n = tc.n
+    """
+
+
 def _pagerank_sql(triples_path: str, n_iter: int = 3,
                   scale: int = 10**9,
                   personalized_seeds: int | None = None) -> str:
@@ -4612,6 +4664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_select": _q_kg_sparql_select,
         "kg_sparql_aggregate": _q_kg_sparql_aggregate,
         "docs_chunk_windows": _q_docs_chunk_windows,
+        "kg_local_triangles": _q_kg_local_triangles,
     }
 
 
@@ -5574,6 +5627,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank_personalized": _pagerank_sql(
             triples, personalized_seeds=5),
         "kg_triangles": _triangles_sql(triples),
+        "kg_local_triangles": _local_triangles_sql(triples),
         "kg_components": _kg_components_sql(triples),
         "kg_kcore": _kg_kcore_sql(triples),
         "kg_degree_stats": _kg_degree_stats_sql(triples),

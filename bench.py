@@ -146,7 +146,7 @@ def run_bench() -> dict:
               "kg_update_migrate", "kg_update_retract",
               "turns_edit1_pairs",
               "kg_sparql_select", "kg_sparql_aggregate",
-              "docs_chunk_windows",
+              "docs_chunk_windows", "kg_local_triangles",
               "tpch_q3_shipping", "tpch_q5_local_supplier"]
     queries = entrymod.queries()
     qtimes: dict[str, float] = {}

@@ -458,42 +458,13 @@ def _deg_partial_batch(df: pd.DataFrame, B: np.int64) -> pd.DataFrame:
     return out
 
 
-def triangle_count(edges: rd.Dataset | None, n_buckets: int = 64,
-                   broadcast_max_nodes: int = 4_000_000,
-                   und_pre: rd.Dataset | None = None) -> pd.DataFrame:
-    """EXACT triangle count of the undirected simple graph induced by
-    an (s, d) edge Dataset (parallel edges collapsed, self-loops
-    dropped). Returns ONE row: (n_triangles, n_wedges, n_edges).
-
-    Algorithm: degree-ordered wedge closure (the MapReduce-classic
-    node-iterator++ / Cohen 2009): orient every edge from its
-    (degree, hash)-smaller endpoint to the larger; each triangle then
-    has exactly ONE apex with both out-edges, so counting wedges
-    (v, w) from a shared apex that close against the undirected edge
-    set counts each triangle once. The orientation bounds per-node
-    out-degree by O(sqrt(m)), so wedge volume is O(m^1.5) worst-case
-    and ~O(m·avg_deg) on hub-heavy KG graphs (hubs get IN-edges, so
-    their wedge fan-out collapses).
-
-    Scale shape:
-    - one bucket exchange dedups undirected (lo, hi) int64 edges;
-    - degrees via the pagerank-style bounded driver probe when the
-      node count fits ``broadcast_max_nodes`` (dense int64 vector,
-      broadcast once), else a (node)-bucket exchange + two
-      ``hash_join``s — both paths equality-tested;
-    - wedges are emitted per apex inside the src-bucket groupby
-      (never materialized on the driver) and closed against the edge
-      set in ONE key-bucket exchange of int64 pair-keys; only
-      per-bucket scalar counts reach the driver.
-    """
-    from .joins import hash_join
-
-    B = np.int64(n_buckets)
-
+def _distinct_und_edges(edges, und_pre, B: np.int64,
+                        n_buckets: int) -> tuple:
+    """Globally-distinct undirected (lo, hi) int64 edges, materialized
+    (one bucket exchange unless ``und_pre`` pre-paid it), plus the
+    edge count."""
     n_blocks = max(8, n_buckets // 4)
     if und_pre is not None:
-        # pre-projected view: globally-distinct (lo, hi) — the dedup
-        # exchange is already paid
         und = und_pre.repartition(n_blocks).materialize()
     else:
         und = (edges.map_batches(lambda df: _und_edge_batch(df, B),
@@ -502,13 +473,25 @@ def triangle_count(edges: rd.Dataset | None, n_buckets: int = 64,
                    lambda g: g[["lo", "hi"]].drop_duplicates(),
                    batch_format="pandas")
                .repartition(n_blocks)).materialize()
-    n_edges = und.count()
-    if not n_edges:
-        return pd.DataFrame({"n_triangles": pd.array([0], dtype="int64"),
-                             "n_wedges": pd.array([0], dtype="int64"),
-                             "n_edges": pd.array([0], dtype="int64")})
+    return und, und.count()
 
-    # --- degrees: bounded driver probe (pagerank pattern) ----------
+
+def _orient_edges(und: rd.Dataset, B: np.int64, n_buckets: int,
+                  broadcast_max_nodes: int) -> tuple:
+    """Degree-order the distinct undirected edge set: orient every
+    edge from its (degree, hash)-smaller endpoint (lo wins degree
+    ties — matching the SQL oracles' ``dl.d <= dh.d``). Returns
+    ``(oriented, degsrc)`` where oriented has (src, dst, sb) and
+    degsrc describes the degree side for reuse by callers needing
+    per-node degrees: ``("bcast", (H, deg) object ref)`` when the
+    node count fits ``broadcast_max_nodes`` (pagerank-style bounded
+    driver probe, dense int64 vectors broadcast once), else
+    ``("ds", deg_ds)`` — a materialized (h, d, nb) Dataset fed
+    through two ``hash_join``s. Both paths are equality-tested via
+    the triangle/k-core suites."""
+    from .joins import hash_join
+
+    n_blocks = max(8, n_buckets // 4)
     # drained, never abandoned mid-stream — see the pagerank probe note
     H: np.ndarray | None = np.empty(0, dtype=np.int64)
     for b in (und.map_batches(
@@ -527,6 +510,7 @@ def triangle_count(edges: rd.Dataset | None, n_buckets: int = 64,
         import ray
 
         from .dedup_docs import _cached_get
+
         def _deg_partial(df: pd.DataFrame) -> pd.DataFrame:
             # the driver sum reads (h, dpart) only; don't ship the
             # exchange path's bucket column
@@ -558,58 +542,98 @@ def triangle_count(edges: rd.Dataset | None, n_buckets: int = 64,
             return pd.DataFrame({"src": src, "dst": dst,
                                  "sb": src % B})
 
-        oriented = und.map_batches(_orient, batch_format="pandas",
-                                   batch_size=None)
-    else:
-        def _deg_rows(df: pd.DataFrame) -> pd.DataFrame:
-            return _deg_partial_batch(df, B)
+        return (und.map_batches(_orient, batch_format="pandas",
+                                batch_size=None), ("bcast", hd_ref))
 
-        # MATERIALIZED: deg_ds is consumed by BOTH joins, and
-        # re-executing a shared lazy groupby lineage after a driver
-        # iter_batches pass has produced corrupted blocks (wrong
-        # column values) in Ray 2.49 — one O(nodes) int-row
-        # materialization removes the re-execution entirely
-        deg_ds = (und.map_batches(_deg_rows, batch_format="pandas")
-                  .groupby("nb").map_groups(
-                      lambda g: g.groupby("h", as_index=False)["dpart"]
-                      .sum().rename(columns={"dpart": "d"}),
-                      batch_format="pandas")
-                  .repartition(n_blocks)).materialize()
-        # schemas passed explicitly: a LAZY hash_join output reports
-        # schema None before execution, and hash_join treats a
-        # schema-less side as provably empty
-        import pyarrow as pa
-        i64 = pa.int64()
-        j = hash_join(
-            und,
-            deg_ds.map_batches(
-                lambda df: df.rename(columns={"h": "lo", "d": "dlo"}),
-                batch_format="pandas"),
-            on="lo", n_buckets=n_buckets,
-            left_schema=pa.schema([("lo", i64), ("hi", i64)]),
-            right_schema=pa.schema([("lo", i64), ("dlo", i64)]))
-        j = hash_join(
-            j,
-            deg_ds.map_batches(
-                lambda df: df.rename(columns={"h": "hi", "d": "dhi"}),
-                batch_format="pandas"),
-            on="hi", n_buckets=n_buckets,
-            left_schema=pa.schema([("lo", i64), ("hi", i64),
-                                   ("dlo", i64)]),
-            right_schema=pa.schema([("hi", i64), ("dhi", i64)]))
+    def _deg_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return _deg_partial_batch(df, B)
 
-        def _orient_j(df: pd.DataFrame) -> pd.DataFrame:
-            lo = df["lo"].to_numpy(dtype="int64")
-            hi = df["hi"].to_numpy(dtype="int64")
-            dl = df["dlo"].to_numpy(dtype="int64")
-            dh = df["dhi"].to_numpy(dtype="int64")
-            lo_first = dl <= dh  # matches the SQL `dl.d <= dh.d`
-            src = np.where(lo_first, lo, hi)
-            dst = np.where(lo_first, hi, lo)
-            return pd.DataFrame({"src": src, "dst": dst,
-                                 "sb": src % B})
+    # MATERIALIZED: deg_ds is consumed by BOTH joins, and
+    # re-executing a shared lazy groupby lineage after a driver
+    # iter_batches pass has produced corrupted blocks (wrong
+    # column values) in Ray 2.49 — one O(nodes) int-row
+    # materialization removes the re-execution entirely
+    deg_ds = (und.map_batches(_deg_rows, batch_format="pandas")
+              .groupby("nb").map_groups(
+                  lambda g: g.groupby("h", as_index=False)["dpart"]
+                  .sum().rename(columns={"dpart": "d"}),
+                  batch_format="pandas")
+              .repartition(n_blocks)).materialize()
+    # schemas passed explicitly: a LAZY hash_join output reports
+    # schema None before execution, and hash_join treats a
+    # schema-less side as provably empty
+    import pyarrow as pa
+    i64 = pa.int64()
+    j = hash_join(
+        und,
+        deg_ds.map_batches(
+            lambda df: df[["h", "d"]].rename(
+                columns={"h": "lo", "d": "dlo"}),
+            batch_format="pandas"),
+        on="lo", n_buckets=n_buckets,
+        left_schema=pa.schema([("lo", i64), ("hi", i64)]),
+        right_schema=pa.schema([("lo", i64), ("dlo", i64)]))
+    j = hash_join(
+        j,
+        deg_ds.map_batches(
+            lambda df: df[["h", "d"]].rename(
+                columns={"h": "hi", "d": "dhi"}),
+            batch_format="pandas"),
+        on="hi", n_buckets=n_buckets,
+        left_schema=pa.schema([("lo", i64), ("hi", i64),
+                               ("dlo", i64)]),
+        right_schema=pa.schema([("hi", i64), ("dhi", i64)]))
 
-        oriented = j.map_batches(_orient_j, batch_format="pandas")
+    def _orient_j(df: pd.DataFrame) -> pd.DataFrame:
+        lo = df["lo"].to_numpy(dtype="int64")
+        hi = df["hi"].to_numpy(dtype="int64")
+        dl = df["dlo"].to_numpy(dtype="int64")
+        dh = df["dhi"].to_numpy(dtype="int64")
+        lo_first = dl <= dh  # matches the SQL `dl.d <= dh.d`
+        src = np.where(lo_first, lo, hi)
+        dst = np.where(lo_first, hi, lo)
+        return pd.DataFrame({"src": src, "dst": dst,
+                             "sb": src % B})
+
+    return (j.map_batches(_orient_j, batch_format="pandas"),
+            ("ds", deg_ds))
+
+
+def triangle_count(edges: rd.Dataset | None, n_buckets: int = 64,
+                   broadcast_max_nodes: int = 4_000_000,
+                   und_pre: rd.Dataset | None = None) -> pd.DataFrame:
+    """EXACT triangle count of the undirected simple graph induced by
+    an (s, d) edge Dataset (parallel edges collapsed, self-loops
+    dropped). Returns ONE row: (n_triangles, n_wedges, n_edges).
+
+    Algorithm: degree-ordered wedge closure (the MapReduce-classic
+    node-iterator++ / Cohen 2009): orient every edge from its
+    (degree, hash)-smaller endpoint to the larger; each triangle then
+    has exactly ONE apex with both out-edges, so counting wedges
+    (v, w) from a shared apex that close against the undirected edge
+    set counts each triangle once. The orientation bounds per-node
+    out-degree by O(sqrt(m)), so wedge volume is O(m^1.5) worst-case
+    and ~O(m·avg_deg) on hub-heavy KG graphs (hubs get IN-edges, so
+    their wedge fan-out collapses).
+
+    Scale shape:
+    - one bucket exchange dedups undirected (lo, hi) int64 edges;
+    - degrees via the pagerank-style bounded driver probe when the
+      node count fits ``broadcast_max_nodes`` (dense int64 vector,
+      broadcast once), else a (node)-bucket exchange + two
+      ``hash_join``s — both paths equality-tested;
+    - wedges are emitted per apex inside the src-bucket groupby
+      (never materialized on the driver) and closed against the edge
+      set in ONE key-bucket exchange of int64 pair-keys; only
+      per-bucket scalar counts reach the driver.
+    """
+    B = np.int64(n_buckets)
+    und, n_edges = _distinct_und_edges(edges, und_pre, B, n_buckets)
+    if not n_edges:
+        return pd.DataFrame({"n_triangles": pd.array([0], dtype="int64"),
+                             "n_wedges": pd.array([0], dtype="int64"),
+                             "n_edges": pd.array([0], dtype="int64")})
+    oriented, _ = _orient_edges(und, B, n_buckets, broadcast_max_nodes)
 
     # --- wedges from each apex, closed against the edge set --------
     def _wedges(group: pd.DataFrame) -> pd.DataFrame:
@@ -671,6 +695,150 @@ def triangle_count(edges: rd.Dataset | None, n_buckets: int = 64,
                                 dtype="int64"),
         "n_wedges": pd.array([int(parts["wed"].sum())], dtype="int64"),
         "n_edges": pd.array([int(n_edges)], dtype="int64")})
+
+
+def local_triangle_counts(edges: rd.Dataset | None,
+                          n_buckets: int = 64,
+                          broadcast_max_nodes: int = 4_000_000,
+                          und_pre: rd.Dataset | None = None
+                          ) -> rd.Dataset:
+    """PER-NODE triangle counts + local clustering coefficient of the
+    undirected simple graph: one row (h, n_tri, degree, cc) per node
+    that participates in >= 1 triangle, where h is the md5-15 int64
+    node hash (the graph family's shared node key), n_tri the number
+    of triangles containing the node, and cc = 2*n_tri /
+    (degree*(degree-1)) — an exact float64 quotient of exact int64s,
+    so the SQL oracle replays it bit-for-bit.
+
+    Same degree-ordered wedge closure as :func:`triangle_count`
+    (shared :func:`_orient_edges`), but each CLOSED wedge (apex, v,
+    w) credits all three corners: the closure bucket emits per-node
+    partial counts (a value_counts combiner over its own triangles),
+    one (node)-bucket exchange sums them, and degrees attach via the
+    already-built degree source — the broadcast (H, deg) vector when
+    the node count fits, else one more ``hash_join``. Exchange
+    volume: int64 (node, count) rows, never triangles themselves.
+    """
+    B = np.int64(n_buckets)
+    und, n_edges = _distinct_und_edges(edges, und_pre, B, n_buckets)
+    empty = pd.DataFrame({"h": pd.Series(dtype="int64"),
+                          "n_tri": pd.Series(dtype="int64"),
+                          "degree": pd.Series(dtype="int64"),
+                          "cc": pd.Series(dtype="float64")})
+    if not n_edges:
+        return rd.from_pandas(empty)
+    oriented, degsrc = _orient_edges(und, B, n_buckets,
+                                     broadcast_max_nodes)
+
+    def _wedges_apex(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["src", "dst"], kind="stable")
+        src = g["src"].to_numpy(dtype="int64")
+        dst = g["dst"].to_numpy(dtype="int64")
+        wempty = pd.DataFrame({c: pd.Series(dtype="int64")
+                               for c in ("apex", "lo", "hi",
+                                         "kind", "kb")})
+        if not len(src):
+            return wempty
+        change = np.flatnonzero(np.diff(src)) + 1
+        starts = np.concatenate([[0], change])
+        cnt = np.diff(np.concatenate([starts, [len(src)]]))
+        apexes, los, his = [], [], []
+        for c in np.unique(cnt):
+            if c < 2:
+                continue
+            runs = starts[cnt == c]
+            ti, tj = np.triu_indices(int(c), k=1)
+            idx = (runs[:, None] + ti[None, :]).ravel()
+            apexes.append(np.repeat(src[runs], len(ti)))
+            los.append(dst[idx])
+            his.append(dst[(runs[:, None] + tj[None, :]).ravel()])
+        if not los:
+            return wempty
+        lo = np.concatenate(los)
+        hi = np.concatenate(his)
+        return pd.DataFrame({"apex": np.concatenate(apexes),
+                             "lo": lo, "hi": hi,
+                             "kind": np.int64(1),
+                             "kb": (lo ^ hi) % B})
+
+    wedges = (oriented.groupby("sb")
+              .map_groups(_wedges_apex, batch_format="pandas"))
+    eset = und.map_batches(
+        lambda df: pd.DataFrame({
+            "apex": np.int64(0),
+            "lo": df["lo"].astype("int64"),
+            "hi": df["hi"].astype("int64"),
+            "kind": np.int64(0),
+            "kb": (df["lo"].astype("int64")
+                   ^ df["hi"].astype("int64")) % B}),
+        batch_format="pandas")
+
+    def _corner_partials(group: pd.DataFrame) -> pd.DataFrame:
+        e = group.loc[group["kind"] == 0, ["lo", "hi"]]
+        w = group.loc[group["kind"] == 1, ["apex", "lo", "hi"]]
+        if not len(e) or not len(w):
+            return pd.DataFrame({"h": pd.Series(dtype="int64"),
+                                 "tpart": pd.Series(dtype="int64"),
+                                 "nb": pd.Series(dtype="int64")})
+        t = w.merge(e, on=["lo", "hi"])
+        corners = np.concatenate([t["apex"].to_numpy(dtype="int64"),
+                                  t["lo"].to_numpy(dtype="int64"),
+                                  t["hi"].to_numpy(dtype="int64")])
+        h, tpart = np.unique(corners, return_counts=True)
+        return pd.DataFrame({"h": h, "tpart": tpart.astype("int64"),
+                             "nb": h % B})
+
+    tri_parts = (wedges.union(eset).groupby("kb")
+                 .map_groups(_corner_partials, batch_format="pandas"))
+
+    kind, degref = degsrc
+    if kind == "bcast":
+        from .dedup_docs import _cached_get
+
+        def _finish_bcast(group: pd.DataFrame) -> pd.DataFrame:
+            g = group.groupby("h", as_index=False)["tpart"].sum() \
+                .rename(columns={"tpart": "n_tri"})
+            hh, dd = _cached_get(degref)
+            d = dd[np.searchsorted(hh, g["h"].to_numpy(dtype="int64"))]
+            g["degree"] = d.astype("int64")
+            g["cc"] = (2 * g["n_tri"].to_numpy(dtype="int64")
+                       ).astype("float64") / (d * (d - 1))
+            return g[["h", "n_tri", "degree", "cc"]]
+
+        return rd.from_pandas(empty).union(
+            tri_parts.groupby("nb").map_groups(_finish_bcast,
+                                               batch_format="pandas"))
+
+    from .joins import hash_join
+    import pyarrow as pa
+    i64 = pa.int64()
+
+    def _sum_counts(group: pd.DataFrame) -> pd.DataFrame:
+        return (group.groupby("h", as_index=False)["tpart"].sum()
+                .rename(columns={"tpart": "n_tri"}))
+
+    tri_ds = (tri_parts.groupby("nb")
+              .map_groups(_sum_counts, batch_format="pandas"))
+    j = hash_join(
+        tri_ds,
+        degref.map_batches(lambda df: df[["h", "d"]],
+                           batch_format="pandas"),
+        on="h", n_buckets=n_buckets,
+        left_schema=pa.schema([("h", i64), ("n_tri", i64)]),
+        right_schema=pa.schema([("h", i64), ("d", i64)]))
+
+    def _finish_join(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["d"].to_numpy(dtype="int64")
+        out = pd.DataFrame({
+            "h": df["h"].astype("int64"),
+            "n_tri": df["n_tri"].astype("int64"),
+            "degree": d,
+            "cc": (2 * df["n_tri"].to_numpy(dtype="int64")
+                   ).astype("float64") / (d * (d - 1))})
+        return out
+
+    return rd.from_pandas(empty).union(
+        j.map_batches(_finish_join, batch_format="pandas"))
 
 
 def degree_histogram(edges: rd.Dataset | None,

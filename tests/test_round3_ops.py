@@ -2064,3 +2064,51 @@ class TestChunkWindows:
         # every chunk stays inside its doc and covers > 0 tokens
         assert (out["tok_end"] > out["tok_start"]).all()
         assert (out["tok_end"] <= out["n_tokens"]).all()
+
+
+class TestLocalTriangles:
+    def _hash_of(self, names):
+        from rdf_extraction_ray.stages.graph import _h15
+        return dict(zip(names, _h15(pd.Series(list(names)))))
+
+    def test_known_graph_counts_and_cc(self):
+        from rdf_extraction_ray.stages.graph import local_triangle_counts
+        # triangle a-b-c plus pendant c-d (+ dup edge and self-loop)
+        edges = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"),
+                 ("b", "a"), ("d", "d")]
+        df = pd.DataFrame(edges, columns=["s", "d"])
+        out = (local_triangle_counts(rd.from_pandas(df).repartition(3))
+               .to_pandas())
+        h = self._hash_of("abcd")
+        by = out.set_index("h")
+        assert len(out) == 3 and h["d"] not in by.index
+        for n, deg in (("a", 2), ("b", 2), ("c", 3)):
+            assert by.loc[h[n], "n_tri"] == 1
+            assert by.loc[h[n], "degree"] == deg
+            assert by.loc[h[n], "cc"] == 2.0 / (deg * (deg - 1))
+
+    def test_paths_agree_and_totals_match_global(self):
+        from rdf_extraction_ray.stages.graph import (
+            local_triangle_counts, triangle_count)
+        rng = np.random.default_rng(11)
+        df = pd.DataFrame({"s": [f"n{i}" for i in
+                                 rng.integers(0, 25, 220)],
+                           "d": [f"n{i}" for i in
+                                 rng.integers(0, 25, 220)]})
+        a = (local_triangle_counts(rd.from_pandas(df).repartition(4))
+             .to_pandas().sort_values("h", ignore_index=True))
+        b = (local_triangle_counts(rd.from_pandas(df).repartition(4),
+                                   broadcast_max_nodes=0)
+             .to_pandas().sort_values("h", ignore_index=True))
+        pd.testing.assert_frame_equal(a, b)
+        total = triangle_count(rd.from_pandas(df).repartition(4))
+        # every triangle credits exactly 3 corners
+        assert a["n_tri"].sum() == 3 * int(total["n_triangles"].iloc[0])
+
+    def test_empty_graph_is_typed_empty(self):
+        from rdf_extraction_ray.stages.graph import local_triangle_counts
+        df = pd.DataFrame({"s": pd.Series(dtype=object),
+                           "d": pd.Series(dtype=object)})
+        out = local_triangle_counts(rd.from_pandas(df))
+        assert out.count() == 0
+        assert out.schema().names == ["h", "n_tri", "degree", "cc"]
