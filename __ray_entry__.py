@@ -2820,6 +2820,20 @@ def _q_kg_local_triangles(sf_dir: str):
         None, und_pre=_graph_view_read(gv, "edges_und"))
 
 
+def _q_kg_assortativity(sf_dir: str):
+    """Newman degree-assortativity of the KG's URI-object edge graph:
+    Pearson correlation of (deg(u), deg(v)) over the 2m ordered
+    endpoint pairs, reduced through per-batch int64 partials summed
+    as driver bigints — r is a float64 quotient of exact integers the
+    SQL oracle replays bit-for-bit (HUGEINT intermediates). Consumes
+    the cached graph projection; degrees come from the shared
+    bounded-probe broadcast (hash-join fallback, equality-tested)."""
+    from rdf_extraction_ray.stages.graph import degree_assortativity
+    gv = _kg_graph_views(sf_dir)
+    return degree_assortativity(
+        None, und_pre=_graph_view_read(gv, "edges_und"))
+
+
 def _q_kg_update_migrate(sf_dir: str):
     """SPARQL 1.1 Update as a graph→graph transform — the schema
     migration `DELETE { ?p kg:hasBirthPlace ?o } INSERT { ?p
@@ -3370,6 +3384,18 @@ def _q_docs_chunk_windows(sf_dir: str):
     from rdf_extraction_ray.stages.textstats import chunk_windows
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     return docs.map_batches(chunk_windows, batch_format="pandas")
+
+
+def _q_docs_bigram_lift(sf_dir: str):
+    """Collocation mining: top-100 adjacent-token bigrams by LIFT
+    (n_ab·N)/(n_a·n_b) — exact integer counts, pinned float64 op
+    order so the SQL replay is bit-exact. One corpus pass emits
+    Counter-combined tagged (gram, count) rows; one gram-hash
+    exchange finishes counts; unigrams attach via two hash joins; a
+    per-block top-k combiner bounds the driver merge at k·blocks."""
+    from rdf_extraction_ray.stages.textstats import bigram_lift
+    docs = _read(sf_dir, "documents", ["text"])
+    return bigram_lift(docs)
 
 
 def _q_docs_vocab_kmv(sf_dir: str):
@@ -4665,6 +4691,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_aggregate": _q_kg_sparql_aggregate,
         "docs_chunk_windows": _q_docs_chunk_windows,
         "kg_local_triangles": _q_kg_local_triangles,
+        "kg_assortativity": _q_kg_assortativity,
+        "docs_bigram_lift": _q_docs_bigram_lift,
     }
 
 
@@ -5628,6 +5656,34 @@ def oracle_sql() -> dict[str, str]:
             triples, personalized_seeds=5),
         "kg_triangles": _triangles_sql(triples),
         "kg_local_triangles": _local_triangles_sql(triples),
+        "kg_assortativity": f"""
+            WITH he AS (
+                SELECT ('0x' || substr(md5(subj), 1, 15))::BIGINT AS hs,
+                       ('0x' || substr(md5(obj), 1, 15))::BIGINT AS hd
+                FROM read_parquet('{triples}')
+                WHERE obj_kind = 'uri'),
+            e0 AS (SELECT DISTINCT least(hs, hd) AS lo,
+                                   greatest(hs, hd) AS hi
+                   FROM he WHERE hs <> hd),
+            deg AS (SELECT n, count(*)::BIGINT AS d
+                    FROM (SELECT lo AS n FROM e0
+                          UNION ALL SELECT hi FROM e0) GROUP BY n),
+            s AS (SELECT count(*)::BIGINT AS m,
+                         sum(dl.d + dh.d)::HUGEINT AS s1,
+                         sum(dl.d * dl.d
+                             + dh.d * dh.d)::HUGEINT AS s2,
+                         sum(2 * dl.d * dh.d)::HUGEINT AS s3
+                  FROM e0 JOIN deg dl ON dl.n = lo
+                          JOIN deg dh ON dh.n = hi)
+            SELECT CASE WHEN 2 * m * s2 - s1 * s1 = 0 THEN NULL
+                        ELSE CAST(2 * m * s3 - s1 * s1 AS DOUBLE)
+                             / CAST(2 * m * s2 - s1 * s1 AS DOUBLE)
+                   END AS assortativity,
+                   m AS n_edges,
+                   s1::BIGINT AS s1, s2::BIGINT AS s2,
+                   s3::BIGINT AS s3
+            FROM s
+        """,
         "kg_components": _kg_components_sql(triples),
         "kg_kcore": _kg_kcore_sql(triples),
         "kg_degree_stats": _kg_degree_stats_sql(triples),
@@ -6034,6 +6090,35 @@ def oracle_sql() -> dict[str, str]:
                 FROM tok s JOIN delkeys l ON s.tok = l.key)
             SELECT tok_a, tok_b FROM cand
             WHERE levenshtein(tok_a, tok_b) = 1
+        """,
+        "docs_bigram_lift": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text),
+                                          '[a-z0-9]+') AS toks
+                FROM documents),
+            u AS (
+                SELECT doc_id, unnest(toks) AS w,
+                       unnest(range(1, len(toks) + 1)) AS i
+                FROM t),
+            tot AS (SELECT count(*)::BIGINT AS total FROM u),
+            uni AS (SELECT w, count(*)::BIGINT AS n
+                    FROM u GROUP BY w),
+            bi AS (SELECT a.w AS tok_a, b.w AS tok_b,
+                          count(*)::BIGINT AS n_ab
+                   FROM u a JOIN u b
+                     ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                   GROUP BY a.w, b.w
+                   HAVING count(*) >= 20)
+            SELECT tok_a, tok_b, n_ab, ua.n AS n_a, ub.n AS n_b,
+                   (CAST(n_ab AS DOUBLE)
+                    * CAST((SELECT total FROM tot) AS DOUBLE))
+                   / (CAST(ua.n AS DOUBLE) * CAST(ub.n AS DOUBLE))
+                       AS lift
+            FROM bi JOIN uni ua ON ua.w = tok_a
+                    JOIN uni ub ON ub.w = tok_b
+            ORDER BY lift DESC, tok_a, tok_b
+            LIMIT 100
         """,
         "docs_chunk_windows": """
             WITH t AS (

@@ -147,6 +147,7 @@ def run_bench() -> dict:
               "turns_edit1_pairs",
               "kg_sparql_select", "kg_sparql_aggregate",
               "docs_chunk_windows", "kg_local_triangles",
+              "kg_assortativity", "docs_bigram_lift",
               "tpch_q3_shipping", "tpch_q5_local_supplier"]
     queries = entrymod.queries()
     qtimes: dict[str, float] = {}

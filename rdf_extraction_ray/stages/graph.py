@@ -476,21 +476,15 @@ def _distinct_und_edges(edges, und_pre, B: np.int64,
     return und, und.count()
 
 
-def _orient_edges(und: rd.Dataset, B: np.int64, n_buckets: int,
+def _node_degrees(und: rd.Dataset, B: np.int64, n_buckets: int,
                   broadcast_max_nodes: int) -> tuple:
-    """Degree-order the distinct undirected edge set: orient every
-    edge from its (degree, hash)-smaller endpoint (lo wins degree
-    ties — matching the SQL oracles' ``dl.d <= dh.d``). Returns
-    ``(oriented, degsrc)`` where oriented has (src, dst, sb) and
-    degsrc describes the degree side for reuse by callers needing
-    per-node degrees: ``("bcast", (H, deg) object ref)`` when the
+    """Per-node degrees of the distinct undirected edge set, as a
+    tagged degree source: ``("bcast", (H, deg) object ref)`` when the
     node count fits ``broadcast_max_nodes`` (pagerank-style bounded
     driver probe, dense int64 vectors broadcast once), else
-    ``("ds", deg_ds)`` — a materialized (h, d, nb) Dataset fed
-    through two ``hash_join``s. Both paths are equality-tested via
-    the triangle/k-core suites."""
-    from .joins import hash_join
-
+    ``("ds", deg_ds)`` — a materialized (h, d, nb) Dataset for hash
+    joins. Both paths are equality-tested via the triangle/k-core
+    suites."""
     n_blocks = max(8, n_buckets // 4)
     # drained, never abandoned mid-stream — see the pagerank probe note
     H: np.ndarray | None = np.empty(0, dtype=np.int64)
@@ -509,8 +503,6 @@ def _orient_edges(und: rd.Dataset, B: np.int64, n_buckets: int,
     if H is not None:
         import ray
 
-        from .dedup_docs import _cached_get
-
         def _deg_partial(df: pd.DataFrame) -> pd.DataFrame:
             # the driver sum reads (h, dpart) only; don't ship the
             # exchange path's bucket column
@@ -526,7 +518,39 @@ def _orient_edges(und: rd.Dataset, B: np.int64, n_buckets: int,
                                 batch_size=None)):
             np.add.at(deg, np.searchsorted(H, b["h"]), b["dpart"])
         # ONE (H, deg) tuple ref — see the pagerank restore note
-        hd_ref = ray.put((H, deg))
+        return ("bcast", ray.put((H, deg)))
+
+    def _deg_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return _deg_partial_batch(df, B)
+
+    # MATERIALIZED: deg_ds is consumed by multiple joins, and
+    # re-executing a shared lazy groupby lineage after a driver
+    # iter_batches pass has produced corrupted blocks (wrong
+    # column values) in Ray 2.49 — one O(nodes) int-row
+    # materialization removes the re-execution entirely
+    deg_ds = (und.map_batches(_deg_rows, batch_format="pandas")
+              .groupby("nb").map_groups(
+                  lambda g: g.groupby("h", as_index=False)["dpart"]
+                  .sum().rename(columns={"dpart": "d"}),
+                  batch_format="pandas")
+              .repartition(n_blocks)).materialize()
+    return ("ds", deg_ds)
+
+
+def _orient_edges(und: rd.Dataset, B: np.int64, n_buckets: int,
+                  broadcast_max_nodes: int) -> tuple:
+    """Degree-order the distinct undirected edge set: orient every
+    edge from its (degree, hash)-smaller endpoint (lo wins degree
+    ties — matching the SQL oracles' ``dl.d <= dh.d``). Returns
+    ``(oriented, degsrc)`` where oriented has (src, dst, sb) and
+    degsrc is :func:`_node_degrees`' tagged degree source, for reuse
+    by callers needing per-node degrees."""
+    from .joins import hash_join
+
+    degsrc = _node_degrees(und, B, n_buckets, broadcast_max_nodes)
+    if degsrc[0] == "bcast":
+        from .dedup_docs import _cached_get
+        hd_ref = degsrc[1]
 
         def _orient(df: pd.DataFrame) -> pd.DataFrame:
             hh, dd = _cached_get(hd_ref)
@@ -543,22 +567,9 @@ def _orient_edges(und: rd.Dataset, B: np.int64, n_buckets: int,
                                  "sb": src % B})
 
         return (und.map_batches(_orient, batch_format="pandas",
-                                batch_size=None), ("bcast", hd_ref))
+                                batch_size=None), degsrc)
 
-    def _deg_rows(df: pd.DataFrame) -> pd.DataFrame:
-        return _deg_partial_batch(df, B)
-
-    # MATERIALIZED: deg_ds is consumed by BOTH joins, and
-    # re-executing a shared lazy groupby lineage after a driver
-    # iter_batches pass has produced corrupted blocks (wrong
-    # column values) in Ray 2.49 — one O(nodes) int-row
-    # materialization removes the re-execution entirely
-    deg_ds = (und.map_batches(_deg_rows, batch_format="pandas")
-              .groupby("nb").map_groups(
-                  lambda g: g.groupby("h", as_index=False)["dpart"]
-                  .sum().rename(columns={"dpart": "d"}),
-                  batch_format="pandas")
-              .repartition(n_blocks)).materialize()
+    deg_ds = degsrc[1]
     # schemas passed explicitly: a LAZY hash_join output reports
     # schema None before execution, and hash_join treats a
     # schema-less side as provably empty
@@ -595,8 +606,7 @@ def _orient_edges(und: rd.Dataset, B: np.int64, n_buckets: int,
         return pd.DataFrame({"src": src, "dst": dst,
                              "sb": src % B})
 
-    return (j.map_batches(_orient_j, batch_format="pandas"),
-            ("ds", deg_ds))
+    return (j.map_batches(_orient_j, batch_format="pandas"), degsrc)
 
 
 def triangle_count(edges: rd.Dataset | None, n_buckets: int = 64,
@@ -839,6 +849,104 @@ def local_triangle_counts(edges: rd.Dataset | None,
 
     return rd.from_pandas(empty).union(
         j.map_batches(_finish_join, batch_format="pandas"))
+
+
+def degree_assortativity(edges: rd.Dataset | None,
+                         n_buckets: int = 64,
+                         broadcast_max_nodes: int = 4_000_000,
+                         und_pre: rd.Dataset | None = None
+                         ) -> pd.DataFrame:
+    """Newman degree-assortativity coefficient of the undirected
+    simple graph: the Pearson correlation of (deg(u), deg(v)) over
+    the 2m ORDERED endpoint pairs. Returns one row
+    (assortativity, n_edges, s1, s2, s3) where s1 = Σ deg(u),
+    s2 = Σ deg(u)², s3 = Σ deg(u)·deg(v) over ordered pairs and
+    r = (2m·s3 − s1²) / (2m·s2 − s1²) — a float64 quotient of EXACT
+    integers (the driver sums per-batch int64 partials with Python
+    bigints, so no overflow at any scale), which the SQL oracle
+    replays bit-for-bit. Degenerate regular graphs (zero variance)
+    return NULL, per convention.
+
+    Scale shape: one bucket exchange dedups undirected edges, degrees
+    come from the shared :func:`_node_degrees` source (broadcast
+    vector or hash joins), and the statistic reduces through
+    per-batch scalar partials — nothing but int64 triples reaches the
+    driver."""
+    from .joins import hash_join
+
+    B = np.int64(n_buckets)
+    und, n_edges = _distinct_und_edges(edges, und_pre, B, n_buckets)
+    if not n_edges:
+        return pd.DataFrame({
+            "assortativity": pd.array([None], dtype="float64"),
+            "n_edges": pd.array([0], dtype="int64")})
+    degsrc = _node_degrees(und, B, n_buckets, broadcast_max_nodes)
+
+    def _partials(dl: np.ndarray, dh: np.ndarray) -> pd.DataFrame:
+        # ordered pairs = both orientations of every edge
+        return pd.DataFrame({
+            "s1": pd.array([int(dl.sum() + dh.sum())], dtype="int64"),
+            "s2": pd.array([int((dl * dl).sum() + (dh * dh).sum())],
+                           dtype="int64"),
+            "s3": pd.array([int(2 * (dl * dh).sum())], dtype="int64")})
+
+    if degsrc[0] == "bcast":
+        from .dedup_docs import _cached_get
+        hd_ref = degsrc[1]
+
+        def _batch(df: pd.DataFrame) -> pd.DataFrame:
+            hh, dd = _cached_get(hd_ref)
+            dl = dd[np.searchsorted(
+                hh, df["lo"].to_numpy(dtype="int64"))]
+            dh = dd[np.searchsorted(
+                hh, df["hi"].to_numpy(dtype="int64"))]
+            return _partials(dl, dh)
+
+        parts = und.map_batches(_batch, batch_format="pandas")
+    else:
+        import pyarrow as pa
+        i64 = pa.int64()
+        deg_ds = degsrc[1]
+        j = hash_join(
+            und,
+            deg_ds.map_batches(
+                lambda df: df[["h", "d"]].rename(
+                    columns={"h": "lo", "d": "dlo"}),
+                batch_format="pandas"),
+            on="lo", n_buckets=n_buckets,
+            left_schema=pa.schema([("lo", i64), ("hi", i64)]),
+            right_schema=pa.schema([("lo", i64), ("dlo", i64)]))
+        j = hash_join(
+            j,
+            deg_ds.map_batches(
+                lambda df: df[["h", "d"]].rename(
+                    columns={"h": "hi", "d": "dhi"}),
+                batch_format="pandas"),
+            on="hi", n_buckets=n_buckets,
+            left_schema=pa.schema([("lo", i64), ("hi", i64),
+                                   ("dlo", i64)]),
+            right_schema=pa.schema([("hi", i64), ("dhi", i64)]))
+        parts = j.map_batches(
+            lambda df: _partials(df["dlo"].to_numpy(dtype="int64"),
+                                 df["dhi"].to_numpy(dtype="int64")),
+            batch_format="pandas")
+
+    # driver reduce over one int64 row per block — exact bigint sums
+    s1 = s2 = s3 = 0
+    for b in parts.iter_batches(batch_format="numpy",
+                                batch_size=None):
+        s1 += int(b["s1"].sum())
+        s2 += int(b["s2"].sum())
+        s3 += int(b["s3"].sum())
+    m2 = 2 * int(n_edges)
+    num, den = m2 * s3 - s1 * s1, m2 * s2 - s1 * s1
+    r = float(num) / float(den) if den else None
+    return pd.DataFrame({
+        "assortativity": pd.array([r], dtype="float64"),
+        "n_edges": pd.array([int(n_edges)], dtype="int64"),
+        "s1": pd.array([s1], dtype="int64"),
+        "s2": pd.array([s2], dtype="int64"),
+        "s3": pd.array([s3], dtype="int64")})
 
 
 def degree_histogram(edges: rd.Dataset | None,

@@ -785,3 +785,128 @@ def chunk_windows(batch: pd.DataFrame, size: int = 128,
         "tok_start": tok_start,
         "tok_end": tok_end,
         "n_tokens": n_rep})
+
+
+def bigram_lift(docs, k: int = 100, min_count: int = 20,
+                text_col: str = "text",
+                n_buckets: int = 64) -> pd.DataFrame:
+    """Collocation mining: the top-``k`` adjacent-token bigrams by
+    LIFT — score = (n_ab · N) / (n_a · n_b), the PMI exponential —
+    over the corpus token stream ([a-z0-9]+ on lowercased text),
+    bigrams with fewer than ``min_count`` occurrences dropped.
+    Returns (tok_a, tok_b, n_ab, n_a, n_b, lift) ordered by
+    (lift DESC, tok_a, tok_b). The score is a float64 expression over
+    EXACT integer counts with a pinned operation order
+    ``(n_ab * N) / (n_a * n_b)`` (each operand cast to float64
+    first, so nothing overflows at any corpus size), which the SQL
+    oracle replays bit-for-bit.
+
+    Scale shape: ONE pass over the corpus emits per-batch
+    Counter-combined (gram, count) rows — bigrams, unigrams and the
+    token total share the exchange as tagged rows — one gram-hash
+    bucket exchange finishes the counts (materialized once:
+    vocabulary-sized, the post-combiner minimum), unigram counts
+    attach to the min_count-surviving bigrams via two hash joins,
+    and the final order is a per-block top-k combiner with a
+    ≤ k·blocks driver merge. Document bodies never shuffle."""
+    import re as _re
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .joins import hash_join
+
+    word = _re.compile(r"[a-z0-9]+")
+    B = np.int64(n_buckets)
+    cnt_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                            ("n", pa.int64()), ("kind", pa.int8()),
+                            ("gb", pa.int64())])
+
+    def _local(batch: pd.DataFrame) -> pa.Table:
+        from collections import Counter
+        bi: Counter = Counter()
+        uni: Counter = Counter()
+        total = 0
+        for t in batch[text_col]:
+            ws = word.findall(str(t).lower())
+            total += len(ws)
+            uni.update(ws)
+            bi.update(zip(ws, ws[1:]))
+        rows = [pd.DataFrame({
+            "a": [p[0] for p in bi], "b": [p[1] for p in bi],
+            "n": pd.Series(list(bi.values()), dtype="int64"),
+            "kind": np.int8(0)}), pd.DataFrame({
+                "a": list(uni.keys()), "b": "",
+                "n": pd.Series(list(uni.values()), dtype="int64"),
+                "kind": np.int8(1)}), pd.DataFrame({
+                    "a": [""], "b": [""],
+                    "n": pd.Series([total], dtype="int64"),
+                    "kind": np.int8(2)})]
+        out = pd.concat(rows, ignore_index=True)
+        out["gb"] = (pd.util.hash_pandas_object(
+            out[["a", "b", "kind"]], index=False)
+            % n_buckets).astype("int64")
+        return pa.Table.from_pandas(
+            out, schema=cnt_schema,
+            preserve_index=False).replace_schema_metadata(None)
+
+    def _sum_keys(t: pa.Table) -> pa.Table:
+        g = (t.to_pandas().groupby(["a", "b", "kind"], as_index=False)
+             ["n"].sum())
+        g["gb"] = np.int64(0)  # consumed; keep schema stable
+        return pa.Table.from_pandas(
+            g[["a", "b", "n", "kind", "gb"]], schema=cnt_schema,
+            preserve_index=False).replace_schema_metadata(None)
+
+    counts = (docs.map_batches(_local, batch_format="pandas")
+              .groupby("gb").map_groups(_sum_keys,
+                                        batch_format="pyarrow")
+              ).materialize()
+
+    total = 0
+    for b in (counts.filter(expr="kind == 2")
+              .iter_batches(batch_format="numpy", batch_size=None)):
+        total += int(b["n"].sum())
+
+    uni = counts.filter(expr="kind == 1").map_batches(
+        lambda df: df[["a", "n"]], batch_format="pandas")
+    bi = counts.filter(expr="kind == 0").map_batches(
+        lambda df: df.loc[df["n"] >= min_count,
+                          ["a", "b", "n"]]
+        .rename(columns={"n": "n_ab"}), batch_format="pandas")
+
+    i64, s = pa.int64(), pa.string()
+    j = hash_join(
+        bi, uni.map_batches(
+            lambda df: df.rename(columns={"n": "n_a"}),
+            batch_format="pandas"),
+        on="a", n_buckets=n_buckets,
+        left_schema=pa.schema([("a", s), ("b", s), ("n_ab", i64)]),
+        right_schema=pa.schema([("a", s), ("n_a", i64)]))
+    j = hash_join(
+        j, uni.map_batches(
+            lambda df: df.rename(columns={"a": "b", "n": "n_b"}),
+            batch_format="pandas"),
+        on="b", n_buckets=n_buckets,
+        left_schema=pa.schema([("a", s), ("b", s), ("n_ab", i64),
+                               ("n_a", i64)]),
+        right_schema=pa.schema([("b", s), ("n_b", i64)]))
+
+    def _topk_block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        # pinned float64 op order — the SQL oracle replays exactly
+        df["lift"] = ((df["n_ab"].to_numpy(dtype="float64")
+                       * np.float64(total))
+                      / (df["n_a"].to_numpy(dtype="float64")
+                         * df["n_b"].to_numpy(dtype="float64")))
+        return (df.sort_values(["lift", "a", "b"],
+                               ascending=[False, True, True])
+                .head(k))
+
+    parts = j.map_batches(_topk_block, batch_format="pandas") \
+        .to_pandas()
+    out = (parts.sort_values(["lift", "a", "b"],
+                             ascending=[False, True, True])
+           .head(k).reset_index(drop=True)
+           .rename(columns={"a": "tok_a", "b": "tok_b"}))
+    return out[["tok_a", "tok_b", "n_ab", "n_a", "n_b", "lift"]]

@@ -2112,3 +2112,73 @@ class TestLocalTriangles:
         out = local_triangle_counts(rd.from_pandas(df))
         assert out.count() == 0
         assert out.schema().names == ["h", "n_tri", "degree", "cc"]
+
+
+class TestAssortativity:
+    @staticmethod
+    def _expected(edges):
+        from collections import Counter
+        deg = Counter()
+        und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+        for u, v in und:
+            deg[u] += 1
+            deg[v] += 1
+        x, y = [], []
+        for u, v in und:
+            x += [deg[u], deg[v]]
+            y += [deg[v], deg[u]]
+        import numpy as np
+        return float(np.corrcoef(x, y)[0, 1])
+
+    def test_path_and_star_are_disassortative(self):
+        from rdf_extraction_ray.stages.graph import degree_assortativity
+        for edges in ([("a", "b"), ("b", "c")],
+                      [("c", "l1"), ("c", "l2"), ("c", "l3")]):
+            df = pd.DataFrame(edges, columns=["s", "d"])
+            out = degree_assortativity(rd.from_pandas(df))
+            assert out["assortativity"].iloc[0] == -1.0
+
+    def test_regular_graph_degenerates_to_null(self):
+        from rdf_extraction_ray.stages.graph import degree_assortativity
+        df = pd.DataFrame([("a", "b"), ("b", "c"), ("c", "a")],
+                          columns=["s", "d"])
+        out = degree_assortativity(rd.from_pandas(df))
+        assert pd.isna(out["assortativity"].iloc[0])
+
+    def test_matches_corrcoef_and_paths_agree(self):
+        from rdf_extraction_ray.stages.graph import degree_assortativity
+        rng = np.random.default_rng(3)
+        edges = [(f"n{a}", f"n{b}") for a, b in
+                 zip(rng.integers(0, 40, 300),
+                     rng.integers(0, 40, 300)) if a != b]
+        df = pd.DataFrame(edges, columns=["s", "d"])
+        a = degree_assortativity(rd.from_pandas(df).repartition(4))
+        b = degree_assortativity(rd.from_pandas(df).repartition(4),
+                                 broadcast_max_nodes=0)
+        assert a[["s1", "s2", "s3", "n_edges"]].equals(
+            b[["s1", "s2", "s3", "n_edges"]])
+        got = a["assortativity"].iloc[0]
+        want = self._expected(edges)
+        assert abs(got - want) < 1e-12
+
+
+class TestBigramLift:
+    def test_known_collocations_and_determinism(self):
+        from rdf_extraction_ray.stages.textstats import bigram_lift
+        docs = rd.from_pandas(pd.DataFrame({
+            "text": ["new york city is big",
+                     "new york is in new york state",
+                     "the city is big"] * 10}))
+        out = bigram_lift(docs, k=5, min_count=5)
+        # exact counts: 'the city' 10/10/20 -> lift 10*160/200 = 8
+        top = out.iloc[0]
+        assert (top["tok_a"], top["tok_b"]) == ("the", "city")
+        assert (top["n_ab"], top["n_a"], top["n_b"]) == (10, 10, 20)
+        assert top["lift"] == 8.0
+        # min_count drops rare bigrams entirely
+        rare = bigram_lift(docs, k=50, min_count=15)
+        assert set(zip(rare["tok_a"], rare["tok_b"])) == {
+            ("new", "york"), ("city", "is"), ("is", "big")}
+        # repartitioned input gives identical output
+        again = bigram_lift(docs.repartition(4), k=5, min_count=5)
+        pd.testing.assert_frame_equal(out, again)
