@@ -1741,6 +1741,320 @@ def _q_tpch_q5_local_supplier(sf_dir: str):
     return out.sort_values("n_name", ignore_index=True)
 
 
+def _q_tpch_q4_order_priority(sf_dir: str):
+    """TPC-H Q4 shape — the EXISTS semi-join census: orders placed in
+    1997 H1 counted per priority when at least one of their lineitems
+    was returned (``l_returnflag = 'R'``; the synthetic schema carries
+    no commit/receipt dates, so the returned flag plays Q4's late-line
+    EXISTS predicate).
+
+    Scale shape: both sides pre-shrink map-side (the lineitem scan
+    reduces to per-batch DISTINCT returned orderkeys — int64 rows
+    only — and the orders scan to date-windowed (key, priority)
+    rows), union into ONE ``kbucket = orderkey % 64`` exchange, and
+    each bucket resolves the semi-join + priority value_counts
+    locally. Driver traffic is ≤ 64 × 5 partial count rows; no
+    distinct-key set is ever collected or broadcast, so the path is
+    safe at any orderkey cardinality."""
+    LO, HI = pd.Timestamp("1997-01-01"), pd.Timestamp("1997-07-01")
+    _COLS = ["okey", "prio", "side", "kbucket"]
+
+    def _line_rows(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.loc[df["l_returnflag"] == "R", ["l_orderkey"]] \
+            .drop_duplicates()
+        out = pd.DataFrame({
+            "okey": g["l_orderkey"].astype("int64"),
+            "prio": pd.Series(None, index=g.index, dtype=object),
+            "side": np.int8(0)})
+        out["kbucket"] = (out["okey"] % 64).astype("int64")
+        return out[_COLS]
+
+    def _ord_rows(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[(df["o_orderdate"] >= LO) & (df["o_orderdate"] < HI)]
+        out = pd.DataFrame({
+            "okey": g["o_orderkey"].astype("int64"),
+            "prio": g["o_orderpriority"].astype(object),
+            "side": np.int8(1)})
+        out["kbucket"] = (out["okey"] % 64).astype("int64")
+        return out[_COLS]
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"]) \
+        .map_batches(_line_rows, batch_format="pandas")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"]) \
+        .map_batches(_ord_rows, batch_format="pandas")
+
+    def _bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g.loc[g["side"] == 0, "okey"].unique()
+        hit = g[(g["side"] == 1) & g["okey"].isin(keys)]
+        out = (hit.groupby("prio", as_index=False).size()
+               .rename(columns={"prio": "o_orderpriority",
+                                "size": "order_count"}))
+        return out[["o_orderpriority", "order_count"]]
+
+    parts = _typed(
+        line.union(orders).groupby("kbucket")
+        .map_groups(_bucket_counts, batch_format="pandas").to_pandas(),
+        o_orderpriority=object, order_count="int64")
+    out = (parts.groupby("o_orderpriority", as_index=False)
+           ["order_count"].sum())
+    out["order_count"] = out["order_count"].astype("int64")
+    return out.sort_values("o_orderpriority", ignore_index=True)
+
+
+def _q_tpch_q12_priority_class(sf_dir: str):
+    """TPC-H Q12 shape — conditional-CASE aggregation over a
+    fact ⋈ fact join: lineitems shipped in 1998 joined to their
+    orders, counted per linestatus split into high-priority
+    (1-URGENT / 2-HIGH) vs low-priority orders (the synthetic schema
+    has no shipmode; linestatus plays its grouping role).
+
+    Scale shape: the lineitem scan pre-combines to (orderkey,
+    linestatus, count) partials and the orders scan reduces to
+    (orderkey, is_high int8) rows; both ride ONE fused
+    ``kbucket = orderkey % 64`` exchange where the join resolves and
+    the CASE counts pre-aggregate. Driver merges ≤ 64 × 2 rows."""
+    LO, HI = pd.Timestamp("1998-01-01"), pd.Timestamp("1999-01-01")
+    _HIGH = ("1-URGENT", "2-HIGH")
+    _COLS = ["okey", "ls", "cnt", "high", "side", "kbucket"]
+
+    def _line_rows(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[(df["l_shipdate"] >= LO) & (df["l_shipdate"] < HI)]
+        out = (g.groupby(["l_orderkey", "l_linestatus"], as_index=False)
+               .size().rename(columns={"l_orderkey": "okey",
+                                       "l_linestatus": "ls",
+                                       "size": "cnt"}))
+        out["okey"] = out["okey"].astype("int64")
+        out["cnt"] = out["cnt"].astype("int64")
+        out["high"] = np.int8(0)
+        out["side"] = np.int8(0)
+        out["kbucket"] = (out["okey"] % 64).astype("int64")
+        return out[_COLS]
+
+    def _ord_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "okey": df["o_orderkey"].astype("int64"),
+            "ls": pd.Series(None, index=df.index, dtype=object),
+            "cnt": np.int64(0),
+            "high": df["o_orderpriority"].isin(_HIGH)
+            .to_numpy(dtype="int8"),
+            "side": np.int8(1)})
+        out["kbucket"] = (out["okey"] % 64).astype("int64")
+        return out[_COLS]
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_linestatus", "l_shipdate"]) \
+        .map_batches(_line_rows, batch_format="pandas")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderpriority"]) \
+        .map_batches(_ord_rows, batch_format="pandas")
+
+    def _bucket_case(g: pd.DataFrame) -> pd.DataFrame:
+        li = (g.loc[g["side"] == 0, ["okey", "ls", "cnt"]]
+              .groupby(["okey", "ls"], as_index=False)["cnt"].sum())
+        od = g.loc[g["side"] == 1, ["okey", "high"]]
+        j = li.merge(od, on="okey", how="inner")
+        j["high_line_count"] = j["cnt"] * (j["high"] == 1)
+        j["low_line_count"] = j["cnt"] * (j["high"] == 0)
+        out = (j.groupby("ls", as_index=False)
+               [["high_line_count", "low_line_count"]].sum()
+               .rename(columns={"ls": "l_linestatus"}))
+        return out
+
+    parts = _typed(
+        line.union(orders).groupby("kbucket")
+        .map_groups(_bucket_case, batch_format="pandas").to_pandas(),
+        l_linestatus=object, high_line_count="int64",
+        low_line_count="int64")
+    out = (parts.groupby("l_linestatus", as_index=False)
+           [["high_line_count", "low_line_count"]].sum())
+    for c in ("high_line_count", "low_line_count"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("l_linestatus", ignore_index=True)
+
+
+def _q_tpch_q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape — promo revenue share: the percentage of
+    March-1998 lineitem revenue attributable to PROMO-type parts.
+
+    Scale shape: part is a DIMENSION at every corpus scale, so the
+    promo partkey set broadcasts once via ``ray.put``; the lineitem
+    scan filters the one-month window, tags promo membership with a
+    vectorized ``np.isin`` and reduces each batch to ONE
+    (promo_rev, total_rev) scalar partial — the exchange is the ≤
+    one-row-per-block driver merge, with no shuffle anywhere."""
+    import ray as _ray
+
+    from rdf_extraction_ray.stages.dedup_docs import _cached_get
+    LO, HI = pd.Timestamp("1998-03-01"), pd.Timestamp("1998-04-01")
+    part = _small_df(sf_dir, "part", ["p_partkey", "p_type"])
+    promo = np.sort(part.loc[part["p_type"] == "PROMO",
+                             "p_partkey"].to_numpy(dtype="int64"))
+    pref = _ray.put(promo)
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[(df["l_shipdate"] >= LO) & (df["l_shipdate"] < HI)]
+        rev = (g["l_extendedprice"] * (1 - g["l_discount"])) \
+            .to_numpy(dtype="float64")
+        is_promo = np.isin(g["l_partkey"].to_numpy(dtype="int64"),
+                           _cached_get(pref))
+        return pd.DataFrame({
+            "promo_rev": [float(rev[is_promo].sum())],
+            "total_rev": [float(rev.sum())]})
+
+    parts = _typed(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_extendedprice", "l_discount",
+               "l_shipdate"])
+        .map_batches(_partial, batch_format="pandas").to_pandas(),
+        promo_rev="float64", total_rev="float64")
+    total = float(parts["total_rev"].sum())
+    promo_rev = float(parts["promo_rev"].sum())
+    share = round(100.0 * promo_rev / total, _ROUND) if total else None
+    return pd.DataFrame({"promo_revenue":
+                         pd.Series([share], dtype="float64")})
+
+
+def _q_tpch_q18_large_orders(sf_dir: str):
+    """TPC-H Q18 shape — large-volume customers: orders whose total
+    lineitem quantity exceeds 300, with customer name, order meta and
+    the quantity sum, top-100 by (totalprice desc, orderkey asc).
+
+    Scale shape: the lineitem scan pre-combines to per-batch
+    (orderkey, qty) partials; orders rows carry their meta through
+    the same fused ``kbucket = orderkey % 64`` exchange, where the
+    HAVING filter and the join both resolve — survivors are
+    rare-by-construction (HAVING > 300 sits in the distribution's
+    far tail), so the driver merge and the customer-name semi-join
+    (survivor custkeys broadcast, customer stream filtered, tiny
+    merged frame) are bounded regardless of corpus size."""
+    QTY = 300.0
+    _COLS = ["okey", "qty", "ckey", "odate", "tprice", "side",
+             "kbucket"]
+
+    def _line_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("l_orderkey", as_index=False)
+               ["l_quantity"].sum()
+               .rename(columns={"l_orderkey": "okey",
+                                "l_quantity": "qty"}))
+        out["okey"] = out["okey"].astype("int64")
+        out["qty"] = out["qty"].astype("float64")
+        out["ckey"] = np.int64(0)
+        out["odate"] = pd.Series(pd.NaT, index=out.index,
+                                 dtype="datetime64[us]")
+        out["tprice"] = np.float64(0.0)
+        out["side"] = np.int8(0)
+        out["kbucket"] = (out["okey"] % 64).astype("int64")
+        return out[_COLS]
+
+    def _ord_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "okey": df["o_orderkey"].astype("int64"),
+            "qty": np.float64(0.0),
+            "ckey": df["o_custkey"].astype("int64"),
+            "odate": df["o_orderdate"].astype("datetime64[us]"),
+            "tprice": df["o_totalprice"].astype("float64"),
+            "side": np.int8(1)})
+        out["kbucket"] = (out["okey"] % 64).astype("int64")
+        return out[_COLS]
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]) \
+        .map_batches(_line_rows, batch_format="pandas")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_totalprice"]) \
+        .map_batches(_ord_rows, batch_format="pandas")
+
+    def _bucket_big(g: pd.DataFrame) -> pd.DataFrame:
+        qty = (g.loc[g["side"] == 0, ["okey", "qty"]]
+               .groupby("okey", as_index=False)["qty"].sum())
+        qty = qty[qty["qty"] > QTY]
+        meta = g.loc[g["side"] == 1,
+                     ["okey", "ckey", "odate", "tprice"]]
+        return qty.merge(meta, on="okey", how="inner")
+
+    big = _typed(
+        line.union(orders).groupby("kbucket")
+        .map_groups(_bucket_big, batch_format="pandas").to_pandas(),
+        okey="int64", qty="float64", ckey="int64",
+        odate="datetime64[us]", tprice="float64")
+    big = (big.sort_values(["tprice", "okey"],
+                           ascending=[False, True], kind="stable")
+           .head(100).reset_index(drop=True))
+
+    # survivor custkeys are top-k-bounded: semi-filter the customer
+    # stream against the broadcast set, collect only the hits
+    import ray as _ray
+
+    from rdf_extraction_ray.stages.dedup_docs import _cached_get
+    ckeys = np.sort(big["ckey"].unique().astype("int64"))
+    cref = _ray.put(ckeys)
+    names = _typed(
+        _read(sf_dir, "customer", ["c_custkey", "c_name"])
+        .map_batches(
+            lambda df: df[np.isin(df["c_custkey"].to_numpy(dtype="int64"),
+                                  _cached_get(cref))],
+            batch_format="pandas").to_pandas(),
+        c_custkey="int64", c_name=object)
+    out = big.merge(names, left_on="ckey", right_on="c_custkey",
+                    how="left")
+    return pd.DataFrame({
+        "c_name": out["c_name"].astype(object),
+        "c_custkey": out["ckey"].astype("int64"),
+        "o_orderkey": out["okey"].astype("int64"),
+        "o_orderdate": out["odate"].dt.strftime("%Y-%m-%d"),
+        "o_totalprice": out["tprice"].astype("float64").round(_ROUND),
+        "sum_qty": out["qty"].astype("float64").round(_ROUND),
+    })
+
+
+def _q_tpch_q19_disjunct_revenue(sf_dir: str):
+    """TPC-H Q19 shape — disjunctive multi-predicate join revenue:
+    total discounted revenue of lineitems matching ANY of three
+    (brand, size-range, quantity-range) branches.
+
+    Scale shape: part is a dimension — each branch's qualifying
+    partkey set is computed driver-side and broadcast once (three
+    sorted int64 arrays); the lineitem scan evaluates the disjunction
+    as three vectorized ``np.isin`` masks OR-ed together and reduces
+    each batch to ONE scalar revenue partial. No shuffle; driver
+    merge is one row per block."""
+    import ray as _ray
+
+    from rdf_extraction_ray.stages.dedup_docs import _cached_get
+    BRANCHES = [("Brand#12", 1, 5, 1.0, 11.0),
+                ("Brand#15", 1, 10, 10.0, 20.0),
+                ("Brand#20", 1, 15, 20.0, 30.0)]
+    part = _small_df(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    keysets = []
+    for brand, slo, shi, _, _ in BRANCHES:
+        m = ((part["p_brand"] == brand) & (part["p_size"] >= slo)
+             & (part["p_size"] <= shi))
+        keysets.append(np.sort(part.loc[m, "p_partkey"]
+                               .to_numpy(dtype="int64")))
+    kref = _ray.put(keysets)
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        ks = _cached_get(kref)
+        pk = df["l_partkey"].to_numpy(dtype="int64")
+        qty = df["l_quantity"].to_numpy(dtype="float64")
+        mask = np.zeros(len(df), dtype=bool)
+        for (_, _, _, qlo, qhi), keys in zip(BRANCHES, ks):
+            mask |= (np.isin(pk, keys) & (qty >= qlo) & (qty <= qhi))
+        g = df[mask]
+        rev = float((g["l_extendedprice"] * (1 - g["l_discount"])).sum())
+        return pd.DataFrame({"rev": [rev]})
+
+    parts = _typed(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_quantity", "l_extendedprice",
+               "l_discount"])
+        .map_batches(_partial, batch_format="pandas").to_pandas(),
+        rev="float64")
+    return pd.DataFrame({"revenue": pd.Series(
+        [round(float(parts["rev"].sum()), _ROUND)], dtype="float64")})
+
+
 def _q_segment_revenue(sf_dir: str):
     """Revenue per market segment — the classic fact ⋈ dimension:
     the customer (custkey → segment) map broadcasts once when it is
@@ -4647,6 +4961,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3_shipping": _q_tpch_q3_shipping,
         # --- relational operator coverage (driver-green r02)
         "tpch_q5_local_supplier": _q_tpch_q5_local_supplier,
+        "tpch_q4_order_priority": _q_tpch_q4_order_priority,
+        "tpch_q12_priority_class": _q_tpch_q12_priority_class,
+        "tpch_q14_promo_revenue": _q_tpch_q14_promo_revenue,
+        "tpch_q18_large_orders": _q_tpch_q18_large_orders,
+        "tpch_q19_disjunct_revenue": _q_tpch_q19_disjunct_revenue,
         "topk_orders": _q_topk_orders,
         "region_customers": _q_region_customers,
         "segment_revenue": _q_segment_revenue,
@@ -5634,6 +5953,75 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders": """
             SELECT o_orderkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "tpch_q4_order_priority": """
+            SELECT o.o_orderpriority,
+                   count(*)::BIGINT AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_returnflag = 'R')
+            GROUP BY o.o_orderpriority
+            ORDER BY o.o_orderpriority
+        """,
+        "tpch_q12_priority_class": """
+            SELECT l.l_linestatus,
+                   sum(CASE WHEN o.o_orderpriority IN
+                                 ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END)::BIGINT
+                       AS high_line_count,
+                   sum(CASE WHEN o.o_orderpriority NOT IN
+                                 ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END)::BIGINT
+                       AS low_line_count
+            FROM orders o
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
+              AND l.l_shipdate < TIMESTAMP '1999-01-01'
+            GROUP BY l.l_linestatus
+            ORDER BY l.l_linestatus
+        """,
+        "tpch_q14_promo_revenue": f"""
+            SELECT round(100.0 *
+                     sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+                     / sum(l.l_extendedprice * (1 - l.l_discount)),
+                     {_ROUND}) AS promo_revenue
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1998-03-01'
+              AND l.l_shipdate < TIMESTAMP '1998-04-01'
+        """,
+        "tpch_q18_large_orders": f"""
+            SELECT c.c_name, c.c_custkey, o.o_orderkey,
+                   strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   round(o.o_totalprice, {_ROUND}) AS o_totalprice,
+                   round(sum(l.l_quantity), {_ROUND}) AS sum_qty
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1, 2, 3, 4, 5
+            HAVING sum(l.l_quantity) > 300
+            ORDER BY o_totalprice DESC, o.o_orderkey
+            LIMIT 100
+        """,
+        "tpch_q19_disjunct_revenue": f"""
+            SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)),
+                         {_ROUND}) AS revenue
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE (p.p_brand = 'Brand#12'
+                   AND p.p_size BETWEEN 1 AND 5
+                   AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#15'
+                   AND p.p_size BETWEEN 1 AND 10
+                   AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#20'
+                   AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 20 AND 30)
         """,
         "region_customers": f"""
             SELECT r.r_name,

@@ -148,7 +148,10 @@ def run_bench() -> dict:
               "kg_sparql_select", "kg_sparql_aggregate",
               "docs_chunk_windows", "kg_local_triangles",
               "kg_assortativity", "docs_bigram_lift",
-              "tpch_q3_shipping", "tpch_q5_local_supplier"]
+              "tpch_q3_shipping", "tpch_q5_local_supplier",
+              "tpch_q4_order_priority", "tpch_q12_priority_class",
+              "tpch_q14_promo_revenue", "tpch_q18_large_orders",
+              "tpch_q19_disjunct_revenue"]
     queries = entrymod.queries()
     qtimes: dict[str, float] = {}
     qerrors: dict[str, str] = {}
