@@ -2661,6 +2661,29 @@ def _q_docs_lang_counts(sf_dir: str):
         .groupby("lang").aggregate(Count(alias_name="n"))
 
 
+def _q_docs_bpe_pairs(sf_dir: str):
+    """Tokenizer-training step: top-50 adjacent character pairs over
+    the corpus vocabulary weighted by word frequency — the statistic
+    the first BPE merge maximizes. Word counts reduce through the
+    top_tokens value_counts combiner + ONE word-hash exchange; pair
+    expansion runs inside the bucket bodies over the distinct
+    vocabulary (never the corpus); driver merge is bounded by the
+    26² pair universe × buckets."""
+    from rdf_extraction_ray.stages.textstats import bpe_pair_counts
+    return bpe_pair_counts(_read(sf_dir, "documents",
+                                 ["doc_id", "text"]), k=50)
+
+
+def _q_docs_mixture_weights(sf_dir: str):
+    """Temperature-scaled (alpha=0.5) source-mixture sampling weights:
+    weight ∝ n_source^0.5, normalized — the standard small-source
+    upweighting rule of multi-source pretraining mixes. Per-batch
+    value_counts combiner, |sources|-row driver arithmetic, no
+    shuffle."""
+    from rdf_extraction_ray.stages.textstats import mixture_weights
+    return mixture_weights(_read(sf_dir, "documents", ["source"]))
+
+
 def _q_docs_langid(sf_dir: str):
     """Heuristic language ID (stopword + CJK-ratio). Note: the sf
     tables' ``lang`` column is uncorrelated metadata (all texts are
@@ -4994,6 +5017,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_count": _q_docs_token_count,
         "docs_quality": _q_docs_quality,
         "docs_lang_counts": _q_docs_lang_counts,
+        "docs_bpe_pairs": _q_docs_bpe_pairs,
+        "docs_mixture_weights": _q_docs_mixture_weights,
         "docs_langid": _q_docs_langid,
         "docs_stratified_sample": _q_docs_stratified_sample,
         "docs_pack_windows": _q_docs_pack_windows,
@@ -6837,6 +6862,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_lang_counts": """
             SELECT lang, count(*) AS n FROM documents GROUP BY lang
+        """,
+        "docs_bpe_pairs": """
+            WITH toks AS (
+                SELECT lower(t.tok) AS w FROM documents d,
+                unnest(regexp_extract_all(lower(d.text), '[a-z]+'))
+                    AS t(tok)),
+            words AS (SELECT w, count(*)::BIGINT AS cnt
+                      FROM toks GROUP BY w),
+            pairs AS (
+                SELECT substr(w, s.i, 1) AS a,
+                       substr(w, s.i + 1, 1) AS b,
+                       sum(cnt)::BIGINT AS n
+                FROM words,
+                     unnest(generate_series(1, length(w) - 1)) AS s(i)
+                GROUP BY 1, 2)
+            SELECT a, b, n FROM pairs
+            ORDER BY n DESC, a, b LIMIT 50
+        """,
+        "docs_mixture_weights": f"""
+            WITH src AS (SELECT source, count(*)::BIGINT AS n_docs
+                         FROM documents GROUP BY source)
+            SELECT source, n_docs,
+                   round(pow(n_docs, 0.5)
+                         / sum(pow(n_docs, 0.5)) OVER (),
+                         {_ROUND}) AS weight,
+                   round((pow(n_docs, 0.5)
+                          / sum(pow(n_docs, 0.5)) OVER ())
+                         / (n_docs::DOUBLE
+                            / sum(n_docs) OVER ()),
+                         {_ROUND}) AS epochs_at_uniform
+            FROM src ORDER BY source
         """,
         "ann_bruteforce": f"""
             WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e

@@ -151,7 +151,8 @@ def run_bench() -> dict:
               "tpch_q3_shipping", "tpch_q5_local_supplier",
               "tpch_q4_order_priority", "tpch_q12_priority_class",
               "tpch_q14_promo_revenue", "tpch_q18_large_orders",
-              "tpch_q19_disjunct_revenue"]
+              "tpch_q19_disjunct_revenue",
+              "docs_bpe_pairs", "docs_mixture_weights"]
     queries = entrymod.queries()
     qtimes: dict[str, float] = {}
     qerrors: dict[str, str] = {}

@@ -910,3 +910,128 @@ def bigram_lift(docs, k: int = 100, min_count: int = 20,
            .head(k).reset_index(drop=True)
            .rename(columns={"a": "tok_a", "b": "tok_b"}))
     return out[["tok_a", "tok_b", "n_ab", "n_a", "n_b", "lift"]]
+
+
+def bpe_pair_counts(docs, k: int = 50, n_buckets: int = 64,
+                    text_col: str = "text"):
+    """First BPE merge step of tokenizer training: adjacent
+    character-pair frequencies over the corpus VOCABULARY, weighted by
+    word frequency — the statistic byte-pair encoding (Sennrich et
+    al. 2016) maximizes when choosing each merge. The reference's
+    stemmed-retry linking ladder is the same build-a-lexical-
+    statistic-then-apply shape (Biography/culturalForm.py:524-539);
+    here the statistic is the BPE merge table a data-engine
+    tokenizer-training pipeline needs.
+
+    Scale shape: the corpus pass is the same ``value_counts`` combiner
+    as :func:`top_tokens` (one row per DISTINCT (batch, word), never
+    one per occurrence); a word-hash bucket exchange finishes EXACT
+    word counts; pair expansion runs INSIDE the bucket body over the
+    distinct vocabulary only (per-position vectorized ``str.slice`` —
+    ≤ max-word-length passes over the bucket's vocab; corpus text is
+    touched exactly once and raw documents never reach the pair
+    stage). Per-bucket pair partials pre-combine, so the driver merge
+    is bounded by |char-pair universe| × buckets (≤ 26² × 64 rows for
+    the ``[a-z]+`` token alphabet).
+
+    Returns ≤ ``k`` rows (a, b, n) ordered by (n desc, a, b).
+    """
+    import re as _re
+
+    word = _re.compile(r"[a-z]+")
+    _EMPTY = {"a": pd.Series([], dtype=object),
+              "b": pd.Series([], dtype=object),
+              "n": pd.Series([], dtype="int64")}
+
+    def _local(batch: pd.DataFrame) -> pd.DataFrame:
+        toks: list = []
+        for t in batch[text_col]:
+            toks.extend(word.findall(str(t).lower()))
+        if not toks:
+            return pd.DataFrame({
+                "w": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64"),
+                "wbucket": pd.Series([], dtype="int64")})
+        vc = pd.Series(toks).value_counts()
+        out = pd.DataFrame({"w": vc.index.to_numpy(),
+                            "n": vc.to_numpy().astype("int64")})
+        out["wbucket"] = (pd.util.hash_pandas_object(
+            out["w"], index=False) % n_buckets).astype("int64")
+        return out[["w", "n", "wbucket"]]
+
+    def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("w", as_index=False)["n"].sum()
+        words = g["w"].astype(str)
+        lens = words.str.len().to_numpy()
+        cnts = g["n"].to_numpy()
+        parts = []
+        for i in range(max(int(lens.max()) - 1, 0) if len(g) else 0):
+            m = lens > i + 1
+            if not m.any():
+                break
+            sub = words[m]
+            parts.append(pd.DataFrame({
+                "a": sub.str.slice(i, i + 1).to_numpy(),
+                "b": sub.str.slice(i + 1, i + 2).to_numpy(),
+                "n": cnts[m]}))
+        if not parts:
+            return pd.DataFrame(_EMPTY)
+        out = (pd.concat(parts, ignore_index=True)
+               .groupby(["a", "b"], as_index=False)["n"].sum())
+        out["n"] = out["n"].astype("int64")
+        return out[["a", "b", "n"]]
+
+    cands = (docs.map_batches(_local, batch_format="pandas")
+             .groupby("wbucket").map_groups(_bucket_pairs,
+                                            batch_format="pandas")
+             .to_pandas())
+    if cands.empty:
+        return pd.DataFrame(_EMPTY)
+    out = cands.groupby(["a", "b"], as_index=False)["n"].sum()
+    out["n"] = out["n"].astype("int64")
+    return (out.sort_values(["n", "a", "b"],
+                            ascending=[False, True, True],
+                            kind="stable")
+            .head(k).reset_index(drop=True))
+
+
+def mixture_weights(docs, alpha: float = 0.5, round_to: int = 4,
+                    source_col: str = "source"):
+    """Temperature-scaled source-mixture weights for training-data
+    sampling: weight(s) ∝ n_s^alpha, normalized — alpha < 1 upweights
+    small sources relative to proportional sampling (the standard
+    multilingual/multi-source rebalancing rule, e.g. the temperature
+    sampling of public multilingual-pretraining recipes).
+
+    Scale shape: a per-batch ``value_counts`` combiner reduces the
+    scan to one (source, count) row per distinct (batch, source);
+    driver traffic is bounded by |sources| × blocks, and the weight
+    arithmetic runs on the final |sources|-row frame. No shuffle.
+
+    Returns (source, n_docs, weight, epochs_at_uniform) ordered by
+    source — ``epochs_at_uniform`` is the relative over/under-sampling
+    factor weight/(n_s/N), > 1 for upweighted (small) sources.
+    """
+    def _local(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch[source_col].astype(str).value_counts()
+        return pd.DataFrame({"source": vc.index.to_numpy(),
+                             "n_docs": vc.to_numpy().astype("int64")})
+
+    parts = (docs.map_batches(_local, batch_format="pandas")
+             .to_pandas())
+    if parts.empty:
+        return pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            "n_docs": pd.Series([], dtype="int64"),
+            "weight": pd.Series([], dtype="float64"),
+            "epochs_at_uniform": pd.Series([], dtype="float64")})
+    out = (parts.groupby("source", as_index=False)["n_docs"].sum()
+           .sort_values("source", ignore_index=True))
+    out["n_docs"] = out["n_docs"].astype("int64")
+    pw = np.power(out["n_docs"].to_numpy(dtype="float64"), alpha)
+    w = pw / pw.sum()
+    total = float(out["n_docs"].sum())
+    out["weight"] = np.round(w, round_to)
+    out["epochs_at_uniform"] = np.round(
+        w / (out["n_docs"].to_numpy(dtype="float64") / total), round_to)
+    return out

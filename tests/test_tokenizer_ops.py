@@ -1,0 +1,69 @@
+"""Tokenizer-training / data-mixing operators: BPE adjacent-pair
+counts and temperature-scaled source-mixture weights."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+
+class TestBpePairCounts:
+    def test_known_corpus_counts(self):
+        from rdf_extraction_ray.stages.textstats import bpe_pair_counts
+        # vocab: "low" ×3, "lower" ×1  →  lo:4 ow:4 we:1 er:1
+        df = pd.DataFrame({
+            "doc_id": [1, 2],
+            "text": ["low low", "low Lower!"]})
+        out = bpe_pair_counts(rd.from_pandas(df), k=10)
+        got = {(r.a, r.b): r.n for r in out.itertuples()}
+        assert got == {("l", "o"): 4, ("o", "w"): 4,
+                       ("w", "e"): 1, ("e", "r"): 1}
+        # ordering: (n desc, a, b)
+        assert out[["a", "b"]].values.tolist()[:2] == [["l", "o"],
+                                                       ["o", "w"]]
+
+    def test_weighting_is_by_word_frequency_not_vocab(self):
+        from rdf_extraction_ray.stages.textstats import bpe_pair_counts
+        df = pd.DataFrame({"doc_id": [1], "text": ["aa aa aa ab"]})
+        out = bpe_pair_counts(rd.from_pandas(df), k=10)
+        got = {(r.a, r.b): r.n for r in out.itertuples()}
+        assert got == {("a", "a"): 3, ("a", "b"): 1}
+
+    def test_single_char_words_and_empty(self):
+        from rdf_extraction_ray.stages.textstats import bpe_pair_counts
+        df = pd.DataFrame({"doc_id": [1], "text": ["a b c 1 2 3"]})
+        out = bpe_pair_counts(rd.from_pandas(df), k=10)
+        assert len(out) == 0
+        assert list(out.columns) == ["a", "b", "n"]
+        empty = bpe_pair_counts(
+            rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": [""]})))
+        assert len(empty) == 0 and list(empty.columns) == ["a", "b", "n"]
+
+
+class TestMixtureWeights:
+    def test_alpha_half_upweights_small_sources(self):
+        from rdf_extraction_ray.stages.textstats import mixture_weights
+        df = pd.DataFrame({"source": ["big"] * 16 + ["small"]})
+        out = mixture_weights(rd.from_pandas(df), alpha=0.5)
+        assert out["source"].tolist() == ["big", "small"]
+        assert out["n_docs"].tolist() == [16, 1]
+        # weights: 4/(4+1), 1/(4+1)
+        assert np.allclose(out["weight"], [0.8, 0.2])
+        # small source oversampled vs its 1/17 natural share
+        assert out.loc[1, "epochs_at_uniform"] > 1.0
+        assert out.loc[0, "epochs_at_uniform"] < 1.0
+        assert np.isclose(out["weight"].sum(), 1.0)
+
+    def test_alpha_one_is_proportional(self):
+        from rdf_extraction_ray.stages.textstats import mixture_weights
+        df = pd.DataFrame({"source": ["a", "a", "a", "b"]})
+        out = mixture_weights(rd.from_pandas(df), alpha=1.0)
+        assert np.allclose(out["weight"], [0.75, 0.25])
+        assert np.allclose(out["epochs_at_uniform"], [1.0, 1.0])
+
+    def test_empty_is_typed(self):
+        from rdf_extraction_ray.stages.textstats import mixture_weights
+        out = mixture_weights(rd.from_pandas(
+            pd.DataFrame({"source": pd.Series([], dtype=object)})))
+        assert len(out) == 0
+        assert list(out.columns) == ["source", "n_docs", "weight",
+                                     "epochs_at_uniform"]
