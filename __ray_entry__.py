@@ -2055,6 +2055,274 @@ def _q_tpch_q19_disjunct_revenue(sf_dir: str):
         [round(float(parts["rev"].sum()), _ROUND)], dtype="float64")})
 
 
+def _q_tpch_q13_custdist(sf_dir: str):
+    """TPC-H Q13 shape — customer order-count distribution via a LEFT
+    OUTER join: every customer counted by how many non-URGENT orders
+    they placed (zero included), then the distribution of those counts.
+
+    Scale shape: the orders scan pre-combines to (custkey, cnt)
+    partials per batch; customer rows ride the same fused
+    ``kbucket = custkey % 64`` exchange as probe-side markers. Each
+    bucket resolves the left join (missing custkeys get count 0) and
+    value-counts the per-customer totals, so the driver merges only
+    ≤ 64 × (#distinct counts) tiny partial rows — no distinct-key
+    collection, no second exchange."""
+    _COLS = ["ckey", "cnt", "side", "kbucket"]
+
+    def _ord_rows(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[df["o_orderpriority"] != "1-URGENT"]
+        out = (g.groupby("o_custkey", as_index=False).size()
+               .rename(columns={"o_custkey": "ckey", "size": "cnt"}))
+        out["ckey"] = out["ckey"].astype("int64")
+        out["cnt"] = out["cnt"].astype("int64")
+        out["side"] = np.int8(0)
+        out["kbucket"] = (out["ckey"] % 64).astype("int64")
+        return out[_COLS]
+
+    def _cust_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "ckey": df["c_custkey"].astype("int64"),
+            "cnt": np.int64(0),
+            "side": np.int8(1)})
+        out["kbucket"] = (out["ckey"] % 64).astype("int64")
+        return out[_COLS]
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]) \
+        .map_batches(_ord_rows, batch_format="pandas")
+    cust = _read(sf_dir, "customer", ["c_custkey"]) \
+        .map_batches(_cust_rows, batch_format="pandas")
+
+    def _bucket_dist(g: pd.DataFrame) -> pd.DataFrame:
+        per_cust = g.loc[g["side"] == 0].groupby("ckey")["cnt"].sum()
+        counts = per_cust.reindex(
+            g.loc[g["side"] == 1, "ckey"]).fillna(0).astype("int64")
+        out = (counts.value_counts().rename_axis("c_count")
+               .reset_index(name="custdist"))
+        out["c_count"] = out["c_count"].astype("int64")
+        out["custdist"] = out["custdist"].astype("int64")
+        return out[["c_count", "custdist"]]
+
+    parts = _typed(
+        orders.union(cust).groupby("kbucket")
+        .map_groups(_bucket_dist, batch_format="pandas").to_pandas(),
+        c_count="int64", custdist="int64")
+    out = parts.groupby("c_count", as_index=False)["custdist"].sum()
+    out["custdist"] = out["custdist"].astype("int64")
+    return out.sort_values(["custdist", "c_count"],
+                           ascending=[False, False], ignore_index=True)
+
+
+def _q_tpch_q17_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape — correlated per-group average: revenue lost
+    to small-quantity orders, i.e. ``sum(extendedprice)/7`` over
+    Brand#12 lineitems whose quantity is under 20% of that part's
+    average lineitem quantity.
+
+    Scale shape: the brand partkey set broadcasts once (part is a
+    dimension); the lineitem scan filters map-side and ships only
+    (partkey, qty, price) rows into ONE ``pbucket = partkey % 64``
+    exchange, where the per-part average and the correlated filter
+    both resolve (quantities are integral, so the 20% test is the
+    exact integer comparison ``5·qty·cnt < sum_qty`` — replayed
+    identically in SQL, no float-boundary hazard). Driver merges one
+    revenue partial per bucket."""
+    import ray as _ray
+
+    from rdf_extraction_ray.stages.dedup_docs import _cached_get
+    part = _small_df(sf_dir, "part", ["p_partkey", "p_brand"])
+    keys = np.sort(part.loc[part["p_brand"] == "Brand#12",
+                            "p_partkey"].to_numpy(dtype="int64"))
+    kref = _ray.put(keys)
+
+    def _rows(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.isin(df["l_partkey"].to_numpy(dtype="int64"),
+                    _cached_get(kref))
+        g = df.loc[m]
+        out = pd.DataFrame({
+            "pkey": g["l_partkey"].astype("int64"),
+            "qty": g["l_quantity"].astype("int64"),
+            "price": g["l_extendedprice"].astype("float64")})
+        out["pbucket"] = (out["pkey"] % 64).astype("int64")
+        return out
+
+    def _bucket_rev(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("pkey")["qty"].agg(["sum", "count"])
+        sq = agg["sum"].reindex(g["pkey"]).to_numpy(dtype="int64")
+        cq = agg["count"].reindex(g["pkey"]).to_numpy(dtype="int64")
+        qty = g["qty"].to_numpy(dtype="int64")
+        keep = 5 * qty * cq < sq
+        return pd.DataFrame({
+            "rev": [float(g.loc[keep, "price"].sum())],
+            "n": [int(keep.sum())]})
+
+    parts = _typed(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_quantity", "l_extendedprice"])
+        .map_batches(_rows, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(_bucket_rev, batch_format="pandas").to_pandas(),
+        rev="float64", n="int64")
+    n = int(parts["n"].sum()) if len(parts) else 0
+    val = round(float(parts["rev"].sum()) / 7.0, _ROUND) if n else None
+    return pd.DataFrame({"avg_yearly": pd.Series([val],
+                                                 dtype="float64")})
+
+
+def _q_tpch_q22_dormant_customers(sf_dir: str):
+    """TPC-H Q22 shape — global-scalar threshold + anti-join census:
+    customers whose balance exceeds the average POSITIVE balance and
+    who placed no order since 2000-07-01, counted (with their total
+    balance) per nation.
+
+    Scale shape: pass 1 reduces the customer scan to one (sum, count)
+    partial per batch — the global average threshold is a scalar, so
+    its exchange is the driver merge itself (rounded to 4 dp so both
+    engines agree). Pass 2 unions per-batch DISTINCT recent-order
+    custkeys (int64 rows only) with threshold-passing customer rows
+    into ONE ``kbucket = custkey % 64`` exchange where the anti-join
+    and the per-nation (count, sum) partials resolve; the nation name
+    map broadcasts. No distinct-key set ever reaches the driver."""
+    CUTOFF = pd.Timestamp("2000-07-01")
+    nation = _small_df(sf_dir, "nation", ["n_nationkey", "n_name"])
+    nmap = dict(zip(nation["n_nationkey"].astype("int64"),
+                    nation["n_name"]))
+
+    def _avg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.loc[df["c_acctbal"] > 0, "c_acctbal"]
+        return pd.DataFrame({"s": [float(g.sum())], "n": [len(g)]})
+
+    ap = _typed(
+        _read(sf_dir, "customer", ["c_acctbal"])
+        .map_batches(_avg_partial, batch_format="pandas").to_pandas(),
+        s="float64", n="int64")
+    n_pos = int(ap["n"].sum()) if len(ap) else 0
+    if not n_pos:
+        return pd.DataFrame({
+            "cntrycode": pd.Series([], dtype=object),
+            "numcust": pd.Series([], dtype="int64"),
+            "totacctbal": pd.Series([], dtype="float64")})
+    thr = round(float(ap["s"].sum()) / n_pos, _ROUND)
+
+    _COLS = ["ckey", "nkey", "bal", "side", "kbucket"]
+
+    def _ord_keys(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.loc[df["o_orderdate"] >= CUTOFF, "o_custkey"] \
+            .drop_duplicates()
+        out = pd.DataFrame({
+            "ckey": g.astype("int64"),
+            "nkey": np.int64(-1),
+            "bal": np.float64(0.0),
+            "side": np.int8(0)})
+        out["kbucket"] = (out["ckey"] % 64).astype("int64")
+        return out[_COLS]
+
+    def _cust_rows(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[df["c_acctbal"] > thr]
+        out = pd.DataFrame({
+            "ckey": g["c_custkey"].astype("int64"),
+            "nkey": g["c_nationkey"].astype("int64"),
+            "bal": g["c_acctbal"].astype("float64"),
+            "side": np.int8(1)})
+        out["kbucket"] = (out["ckey"] % 64).astype("int64")
+        return out[_COLS]
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]) \
+        .map_batches(_ord_keys, batch_format="pandas")
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"]) \
+        .map_batches(_cust_rows, batch_format="pandas")
+
+    def _bucket_anti(g: pd.DataFrame) -> pd.DataFrame:
+        active = g.loc[g["side"] == 0, "ckey"].unique()
+        c = g[(g["side"] == 1) & ~g["ckey"].isin(active)]
+        out = (c.groupby("nkey", as_index=False)
+               .agg(numcust=("ckey", "size"), tot=("bal", "sum")))
+        return out[["nkey", "numcust", "tot"]]
+
+    parts = _typed(
+        orders.union(cust).groupby("kbucket")
+        .map_groups(_bucket_anti, batch_format="pandas").to_pandas(),
+        nkey="int64", numcust="int64", tot="float64")
+    out = parts.groupby("nkey", as_index=False).agg(
+        numcust=("numcust", "sum"), tot=("tot", "sum"))
+    out["cntrycode"] = out["nkey"].map(nmap)
+    out["numcust"] = out["numcust"].astype("int64")
+    out["totacctbal"] = out["tot"].round(_ROUND)
+    return (out[["cntrycode", "numcust", "totacctbal"]]
+            .sort_values("cntrycode", ignore_index=True))
+
+
+def _q_part_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 shape — groupwise argmin with join-back: for every
+    small part (size ≤ 3), the supplier offering the lowest observed
+    unit price (``extendedprice / quantity``) across all lineitems,
+    ties broken by the lower suppkey, with the supplier name joined
+    on.
+
+    Scale shape: the qualifying partkey set broadcasts once; each
+    lineitem batch pre-combines to ONE candidate (partkey → best
+    (unit, suppkey)) row per part seen — lexicographic argmin via
+    ``np.lexsort`` — so the ``pbucket = partkey % 64`` exchange moves
+    at most (#parts × #blocks) tiny rows and the final argmin
+    resolves per bucket. The unit price is the same IEEE division on
+    both engines, so the argmin (and its tie-break) is exact; the
+    supplier dimension broadcasts for the name join-back."""
+    import ray as _ray
+
+    from rdf_extraction_ray.stages.dedup_docs import _cached_get
+    part = _small_df(sf_dir, "part", ["p_partkey", "p_size"])
+    keys = np.sort(part.loc[part["p_size"] <= 3, "p_partkey"]
+                   .to_numpy(dtype="int64"))
+    kref = _ray.put(keys)
+    supp = _small_df(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    smap = dict(zip(supp["s_suppkey"].astype("int64"),
+                    supp["s_name"]))
+
+    def _argmin_rows(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.isin(df["l_partkey"].to_numpy(dtype="int64"),
+                    _cached_get(kref))
+        g = df.loc[m]
+        if g.empty:
+            return pd.DataFrame({
+                "pkey": pd.Series([], dtype="int64"),
+                "unit": pd.Series([], dtype="float64"),
+                "skey": pd.Series([], dtype="int64"),
+                "pbucket": pd.Series([], dtype="int64")})
+        pk = g["l_partkey"].to_numpy(dtype="int64")
+        unit = (g["l_extendedprice"].to_numpy(dtype="float64")
+                / g["l_quantity"].to_numpy(dtype="float64"))
+        sk = g["l_suppkey"].to_numpy(dtype="int64")
+        order = np.lexsort((sk, unit, pk))
+        pk, unit, sk = pk[order], unit[order], sk[order]
+        first = np.concatenate(([True], pk[1:] != pk[:-1]))
+        out = pd.DataFrame({"pkey": pk[first], "unit": unit[first],
+                            "skey": sk[first]})
+        out["pbucket"] = (out["pkey"] % 64).astype("int64")
+        return out
+
+    def _bucket_argmin(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["pkey", "unit", "skey"], kind="stable")
+        return g.drop_duplicates("pkey")[["pkey", "unit", "skey"]]
+
+    parts = _typed(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_quantity",
+               "l_extendedprice"])
+        .map_batches(_argmin_rows, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(_bucket_argmin, batch_format="pandas").to_pandas(),
+        pkey="int64", unit="float64", skey="int64")
+    out = pd.DataFrame({
+        "p_partkey": parts["pkey"].astype("int64"),
+        "s_suppkey": parts["skey"].astype("int64"),
+        "s_name": parts["skey"].map(smap),
+        # raw IEEE quotient: identical bit pattern on both engines
+        # (rounding here would re-introduce the banker's-vs-half-away
+        # divergence on exact .xxxx5 unit prices)
+        "min_unit_price": parts["unit"].astype("float64")})
+    return out.sort_values("p_partkey", ignore_index=True)
+
+
 def _q_segment_revenue(sf_dir: str):
     """Revenue per market segment — the classic fact ⋈ dimension:
     the customer (custkey → segment) map broadcasts once when it is
@@ -4989,6 +5257,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q14_promo_revenue": _q_tpch_q14_promo_revenue,
         "tpch_q18_large_orders": _q_tpch_q18_large_orders,
         "tpch_q19_disjunct_revenue": _q_tpch_q19_disjunct_revenue,
+        "tpch_q13_custdist": _q_tpch_q13_custdist,
+        "tpch_q17_small_qty_revenue": _q_tpch_q17_small_qty_revenue,
+        "tpch_q22_dormant_customers": _q_tpch_q22_dormant_customers,
+        "part_min_cost_supplier": _q_part_min_cost_supplier,
         "topk_orders": _q_topk_orders,
         "region_customers": _q_region_customers,
         "segment_revenue": _q_segment_revenue,
@@ -6047,6 +6319,65 @@ def oracle_sql() -> dict[str, str]:
                OR (p.p_brand = 'Brand#20'
                    AND p.p_size BETWEEN 1 AND 15
                    AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        "tpch_q13_custdist": """
+            SELECT c_count, count(*)::BIGINT AS custdist
+            FROM (SELECT c.c_custkey,
+                         count(o.o_orderkey)::BIGINT AS c_count
+                  FROM customer c
+                  LEFT JOIN orders o
+                    ON o.o_custkey = c.c_custkey
+                   AND o.o_orderpriority <> '1-URGENT'
+                  GROUP BY c.c_custkey) t
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "tpch_q17_small_qty_revenue": f"""
+            SELECT round(sum(l_extendedprice) / 7.0, {_ROUND})
+                       AS avg_yearly
+            FROM (SELECT l.l_extendedprice,
+                         l.l_quantity::BIGINT AS qty,
+                         sum(l.l_quantity::BIGINT)
+                             OVER (PARTITION BY l.l_partkey) AS sq,
+                         count(*)
+                             OVER (PARTITION BY l.l_partkey) AS cq
+                  FROM lineitem l
+                  JOIN part p ON p.p_partkey = l.l_partkey
+                  WHERE p.p_brand = 'Brand#12') t
+            WHERE 5 * qty * cq < sq
+        """,
+        "tpch_q22_dormant_customers": f"""
+            SELECT n.n_name AS cntrycode,
+                   count(*)::BIGINT AS numcust,
+                   round(sum(c.c_acctbal), {_ROUND}) AS totacctbal
+            FROM customer c
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            WHERE c.c_acctbal >
+                  (SELECT round(avg(c_acctbal), {_ROUND})
+                   FROM customer WHERE c_acctbal > 0)
+              AND NOT EXISTS
+                  (SELECT 1 FROM orders o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_orderdate >= TIMESTAMP '2000-07-01')
+            GROUP BY n.n_name
+            ORDER BY n.n_name
+        """,
+        "part_min_cost_supplier": f"""
+            SELECT t.p_partkey, t.skey AS s_suppkey, s.s_name,
+                   t.unit AS min_unit_price
+            FROM (SELECT l.l_partkey AS p_partkey,
+                         l.l_suppkey AS skey,
+                         l.l_extendedprice / l.l_quantity AS unit,
+                         row_number() OVER (
+                             PARTITION BY l.l_partkey
+                             ORDER BY l.l_extendedprice / l.l_quantity,
+                                      l.l_suppkey) AS rn
+                  FROM lineitem l
+                  JOIN part p ON p.p_partkey = l.l_partkey
+                  WHERE p.p_size <= 3) t
+            JOIN supplier s ON s.s_suppkey = t.skey
+            WHERE t.rn = 1
+            ORDER BY t.p_partkey
         """,
         "region_customers": f"""
             SELECT r.r_name,

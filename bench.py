@@ -152,6 +152,8 @@ def run_bench() -> dict:
               "tpch_q4_order_priority", "tpch_q12_priority_class",
               "tpch_q14_promo_revenue", "tpch_q18_large_orders",
               "tpch_q19_disjunct_revenue",
+              "tpch_q13_custdist", "tpch_q17_small_qty_revenue",
+              "tpch_q22_dormant_customers", "part_min_cost_supplier",
               "docs_bpe_pairs", "docs_mixture_weights"]
     queries = entrymod.queries()
     qtimes: dict[str, float] = {}
