@@ -35,9 +35,41 @@ _ROUND = 4  # float aggregates rounded identically on both sides
 # DuckDB twin of stages.dedup_docs.ngram_jaccard_pairs. CTE bodies are
 # shared by the pair oracle and the recursive-CTE components oracle
 # (composed under one WITH [RECURSIVE] header).
-def _ngram_ctes(table: str = "documents") -> str:
-    """The exact word-5-gram Jaccard CTE chain over ``table``
-    (grams → df-capped fg → per-doc counts → pairs)."""
+def _ngram_ctes(table: str = "documents",
+                metric: str = "jaccard") -> str:
+    """The exact word-5-gram similarity CTE chain over ``table``
+    (grams → df-capped fg → per-doc counts → pairs). ``metric``
+    picks the final score: Jaccard (rounded, ≥ 0.5) or max
+    containment ``i / least(na, nb)`` (raw IEEE quotient, exact
+    integer threshold test ``10000·i ≥ 8000·least`` — the same
+    arithmetic the engine runs, so no float boundary)."""
+    if metric == "containment":
+        return """
+    grams AS (
+        SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' '
+                               || ws[i+2] || ' ' || ws[i+3] || ' '
+                               || ws[i+4]), 1, 15))::BIGINT AS gram
+        FROM (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+              FROM {t}),
+             unnest(generate_series(1, len(ws) - 4)) s(i)),
+    fg AS (
+        SELECT g.* FROM grams g
+        JOIN (SELECT gram FROM grams
+              GROUP BY gram HAVING count(*) <= 64) keep USING (gram)),
+    cnt AS (SELECT doc_id, count(*) AS n FROM fg GROUP BY doc_id),
+    pairs AS (
+        SELECT a, b,
+               i::DOUBLE / least(ca.n, cb.n)::DOUBLE AS containment
+        FROM (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+              FROM fg x JOIN fg y
+                ON x.gram = y.gram AND x.doc_id < y.doc_id
+              GROUP BY 1, 2) inter
+        JOIN cnt ca ON ca.doc_id = a
+        JOIN cnt cb ON cb.doc_id = b
+        WHERE 10000 * i >= 8000 * least(ca.n, cb.n))
+""".replace("{t}", table)
     return """
     grams AS (
         SELECT DISTINCT doc_id,
@@ -3826,6 +3858,45 @@ def _q_docs_bm25(sf_dir: str):
     return bm25_topk(docs, "hash join filter", k=10)
 
 
+def _q_docs_rrf_fusion(sf_dir: str):
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.
+    2009): the BM25 top-50 for the fixed text query and the
+    quantized-cosine top-50 around the query embedding (vec_id 0)
+    are fused as ``Σ 1/(60 + rank)``; top-20 by fused score.
+
+    Scale shape: each ranker is the already-distributed bounded
+    top-k (BM25 two-pass partials; cosine integer-matmul partial
+    top-k); the fusion itself joins two ≤50-row driver frames. The
+    fused score is the same two-term IEEE sum on both engines (ranks
+    are integers), so no rounding is needed anywhere."""
+    from rdf_extraction_ray.stages.ann import brute_force_topk
+    from rdf_extraction_ray.stages.search import bm25_topk
+    K = 60
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    bm = bm25_topk(docs, "hash join filter", k=50).reset_index(drop=True)
+    bm["r_bm"] = np.arange(1, len(bm) + 1, dtype="int64")
+    corpus = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = _small_df(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = qdf[qdf["vec_id"] == 0]
+    ann = brute_force_topk(corpus, qdf, k=50) \
+        .rename(columns={"neighbor_id": "doc_id"})
+    ann["r_cos"] = ann["rank"].astype("int64") + 1
+    m = bm[["doc_id", "r_bm"]].merge(ann[["doc_id", "r_cos"]],
+                                     on="doc_id", how="outer")
+    a = np.where(m["r_bm"].notna(),
+                 1.0 / (K + m["r_bm"].fillna(0).to_numpy(np.float64)),
+                 0.0)
+    b = np.where(m["r_cos"].notna(),
+                 1.0 / (K + m["r_cos"].fillna(0).to_numpy(np.float64)),
+                 0.0)
+    m["rrf_score"] = a + b
+    out = m.sort_values(["rrf_score", "doc_id"],
+                        ascending=[False, True], kind="stable").head(20)
+    return pd.DataFrame({
+        "doc_id": out["doc_id"].astype("int64").to_numpy(),
+        "rrf_score": out["rrf_score"].astype("float64").to_numpy()})
+
+
 def _q_docs_weighted_sample(sf_dir: str):
     """Deterministic weighted Bernoulli sampling — keep probability
     min(n_chars, 2000)/2000 via an integer md5 coin (no RNG state,
@@ -4274,6 +4345,35 @@ def _q_docs_ngram_jaccard(sf_dir: str):
     out = _typed(ngram_jaccard_pairs(docs, threshold=0.5).to_pandas(),
                  a="int64", b="int64", jaccard="float64")
     return out.sort_values(["a", "b"], ignore_index=True)
+
+
+def _q_docs_ngram_containment(sf_dir: str):
+    """EXACT word-5-gram max-containment pairs (i / min(na, nb) ≥
+    0.8) via the same df-capped distributed inverted gram index as
+    the Jaccard path — catches a short document embedded verbatim in
+    a long one, which the Jaccard union denominator hides. The
+    threshold is an exact integer comparison and the score a raw
+    IEEE quotient, so the SQL replay is bit-identical."""
+    from rdf_extraction_ray.stages.dedup_docs import ngram_jaccard_pairs
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = _typed(ngram_jaccard_pairs(docs, threshold=0.8,
+                                     metric="containment").to_pandas(),
+                 a="int64", b="int64", containment="float64")
+    return out.sort_values(["a", "b"], ignore_index=True)
+
+
+def _q_docs_dsir_weights(sf_dir: str):
+    """DSIR importance weights: hashed-unigram log-likelihood ratio
+    of the English slice vs the whole corpus, per document —
+    1024-bucket combiner pass + broadcast quantized log-ratio vector
+    + streaming integer-sum scoring (see stages.curate.dsir_weights
+    for the exactness contract)."""
+    from rdf_extraction_ray.stages.curate import dsir_weights
+    docs = _read(sf_dir, "documents",
+                 ["doc_id", "lang", "text"])
+    out = _typed(dsir_weights(docs).to_pandas(),
+                 doc_id="int64", dsir_logweight="float64")
+    return out.sort_values("doc_id", ignore_index=True)
 
 
 def _q_docs_ngram_components(sf_dir: str):
@@ -5223,6 +5323,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_tertiles": _q_docs_token_tertiles,
         "docs_simhash": _q_docs_simhash,
         "docs_ngram_components": _q_docs_ngram_components,
+        "docs_ngram_containment": _q_docs_ngram_containment,
+        "docs_dsir_weights": _q_docs_dsir_weights,
+        "docs_rrf_fusion": _q_docs_rrf_fusion,
         "embed_cosine_pairs": _q_embed_cosine_pairs,
         "ann_bruteforce": _q_ann_bruteforce,
         "docs_top_tokens": _q_docs_top_tokens,
@@ -5694,6 +5797,57 @@ def oracle_sql() -> dict[str, str]:
                                               WHEN 'zh' THEN 0.25
                                               ELSE 0.1 END)) AS BIGINT)
         """,
+        # RRF: both rank lists are integer ranks over engine-exact
+        # orderings (rounded BM25 score / integer-quantized cosine);
+        # the fused score is the same fixed-order two-term IEEE sum
+        # on both engines, so no rounding is applied.
+        "docs_rrf_fusion": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                                                         '[a-z0-9]+')) AS w
+                FROM documents),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl
+                   FROM tok GROUP BY doc_id),
+            st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                          (SELECT coalesce(sum(dl), 0) FROM dl)
+                          / (SELECT count(*) FROM documents)::DOUBLE
+                              AS avgdl),
+            tf AS (SELECT doc_id, w, count(*)::DOUBLE AS tf
+                   FROM tok WHERE w IN ('filter', 'hash', 'join')
+                   GROUP BY doc_id, w),
+            dfq AS (SELECT w, count(*)::DOUBLE AS df FROM tf GROUP BY w),
+            sc AS (SELECT t.doc_id,
+                          sum(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                              * (tf * 2.2)
+                              / (tf + 1.2 * (0.25 + 0.75 * d.dl
+                                             / avgdl))) AS raw
+                   FROM tf t
+                   JOIN dfq USING (w)
+                   JOIN dl d ON d.doc_id = t.doc_id, st
+                   GROUP BY t.doc_id),
+            bmr AS (SELECT doc_id,
+                           row_number() OVER (
+                               ORDER BY round(raw, 4) DESC, doc_id)
+                               AS r
+                    FROM sc QUALIFY r <= 50),
+            emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings),
+            {_ann_qv_ctes('emb')},
+            s AS (SELECT vb.vec_id AS doc_id, {_ANN_COS} AS cos
+                  FROM av va, av vb, an2 na, an2 nb
+                  WHERE va.vec_id = 0 AND na.vec_id = 0
+                    AND nb.vec_id = vb.vec_id),
+            cosr AS (SELECT doc_id,
+                            row_number() OVER (
+                                ORDER BY cos DESC, doc_id) AS r
+                     FROM s QUALIFY r <= 50),
+            f AS (SELECT doc_id,
+                         COALESCE(1.0 / (60 + b.r), 0)
+                         + COALESCE(1.0 / (60 + c.r), 0) AS rrf_score
+                  FROM bmr b FULL OUTER JOIN cosr c USING (doc_id))
+            SELECT doc_id, rrf_score FROM f
+            ORDER BY rrf_score DESC, doc_id LIMIT 20
+        """,
         "docs_bm25": """
             WITH tok AS (
                 SELECT doc_id, unnest(regexp_extract_all(lower(text),
@@ -6054,6 +6208,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_ngram_jaccard": (
             f"WITH {_NGRAM_CTES} SELECT * FROM pairs ORDER BY a, b"),
+        "docs_ngram_containment": (
+            f"WITH {_ngram_ctes(metric='containment')} "
+            "SELECT * FROM pairs ORDER BY a, b"),
+        # DSIR: per-bucket log-ratios quantized to 1e-6 ints, so the
+        # per-doc aggregation is an exact integer sum — only the 1024
+        # bucket constants involve ln() (1-ulp-safe under the 1e6
+        # grain); weight = int_sum/1e6, one exact IEEE division.
+        "docs_dsir_weights": """
+            WITH words AS (
+                SELECT doc_id, lang,
+                       ('0x' || substr(md5(w), 1, 15))::BIGINT % 1024
+                           AS b
+                FROM (SELECT doc_id, lang,
+                             unnest(regexp_extract_all(lower(text),
+                                    '[a-z0-9]+')) AS w
+                      FROM documents)),
+            tots AS (SELECT count(*)::DOUBLE AS a,
+                            count(*) FILTER (lang = 'en')::DOUBLE AS t
+                     FROM words),
+            bc AS (SELECT b, count(*)::BIGINT AS call,
+                          count(*) FILTER (lang = 'en')::BIGINT AS ctgt
+                   FROM words GROUP BY b),
+            lr AS (SELECT b,
+                          CAST(round(1e6 * (
+                              ln((ctgt + 0.5) / (tots.t + 512.0))
+                            - ln((call + 0.5) / (tots.a + 512.0))))
+                               AS BIGINT) AS lrq
+                   FROM bc, tots),
+            ds AS (SELECT w.doc_id, sum(lr.lrq)::BIGINT AS s
+                   FROM words w JOIN lr USING (b) GROUP BY w.doc_id)
+            SELECT d.doc_id,
+                   (COALESCE(ds.s, 0)::DOUBLE / 1e6) AS dsir_logweight
+            FROM documents d LEFT JOIN ds USING (doc_id)
+            ORDER BY d.doc_id
+        """,
         "docs_minhash_pairs": (
             f"WITH {_MINHASH_CTES} "
             "SELECT a, b, jaccard FROM mh_pairs ORDER BY a, b"),

@@ -657,3 +657,88 @@ def strip_boilerplate(docs: rd.Dataset, min_df: int = 5,
         })
 
     return docs.map_batches(_strip, batch_format="pandas")
+
+
+def dsir_weights(docs: rd.Dataset, target_col: str = "lang",
+                 target_val: str = "en", n_buckets: int = 1024,
+                 id_col: str = "doc_id", text_col: str = "text"
+                 ) -> rd.Dataset:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by how much its hashed-unigram bag looks like the TARGET
+    slice (rows with ``target_col == target_val``) versus the whole
+    corpus.
+
+    Per-bucket log-ratios with add-0.5 smoothing are QUANTIZED to
+    1e-6 (``lrq[b] = round(1e6·(ln((tgt_b+.5)/(T+.5B)) −
+    ln((all_b+.5)/(A+.5B))))`` as int64), so the per-document score is
+    an EXACT integer sum — the only float ops the oracle must replay
+    are the ``n_buckets`` bucket constants (1 ulp of ln() shifts a
+    rounded 1e6-grain integer with probability ~1e-10), never the
+    per-document sums. Reported weight = ``sum/1e6`` (one exact IEEE
+    division).
+
+    Scale shape: pass 1 reduces each batch to ≤ ``n_buckets`` count
+    partial rows (target occurrences, total occurrences per bucket) —
+    a classic combiner; the driver merge is O(n_buckets × blocks).
+    The quantized log-ratio vector broadcasts once via ``ray.put``;
+    pass 2 streams the text again and emits one int-sum row per doc.
+    No shuffle anywhere; texts never leave the map stages.
+    """
+    B = n_buckets
+
+    def _hash_words(texts) -> tuple[np.ndarray, np.ndarray]:
+        """Explode texts to (row_index, bucket) — md5 bucket per
+        occurrence, hashed once per unique word in the batch."""
+        words, rows = [], []
+        for r, t in enumerate(texts):
+            ws = _WORD.findall(str(t).lower())
+            words.extend(ws)
+            rows.extend([r] * len(ws))
+        if not words:
+            return (np.array([], dtype=np.int64),
+                    np.array([], dtype=np.int64))
+        codes, uniq = pd.factorize(pd.Index(words))
+        ub = np.fromiter((_gram_hash(w) % B for w in uniq),
+                         dtype=np.int64, count=len(uniq))
+        return np.asarray(rows, dtype=np.int64), ub[codes]
+
+    def _count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows, bs = _hash_words(batch[text_col])
+        is_tgt = (batch[target_col].astype(str).to_numpy()
+                  == target_val)
+        tot = np.bincount(bs, minlength=B).astype(np.int64)
+        tgt = np.bincount(bs[is_tgt[rows]] if len(bs) else bs,
+                          minlength=B).astype(np.int64)
+        return pd.DataFrame({"b": np.arange(B, dtype=np.int64),
+                             "tgt": tgt, "tot": tot})
+
+    parts = docs.select_columns([target_col, text_col]) \
+        .map_batches(_count_partial, batch_format="pandas").to_pandas()
+    if not len(parts):
+        tgt_c = np.zeros(B, dtype=np.int64)
+        tot_c = np.zeros(B, dtype=np.int64)
+    else:
+        agg = parts.groupby("b")[["tgt", "tot"]].sum()
+        tgt_c = agg["tgt"].reindex(range(B), fill_value=0) \
+            .to_numpy(dtype=np.int64)
+        tot_c = agg["tot"].reindex(range(B), fill_value=0) \
+            .to_numpy(dtype=np.int64)
+    T, A = float(tgt_c.sum()), float(tot_c.sum())
+    lrq = np.round(1e6 * (np.log((tgt_c + 0.5) / (T + 0.5 * B))
+                          - np.log((tot_c + 0.5) / (A + 0.5 * B)))
+                   ).astype(np.int64)
+    lr_ref = ray.put(lrq)
+
+    def _score(batch: pd.DataFrame) -> pd.DataFrame:
+        lr = _cached_get(lr_ref)
+        rows, bs = _hash_words(batch[text_col])
+        s = np.zeros(len(batch), dtype=np.int64)
+        if len(bs):
+            np.add.at(s, rows, lr[bs])
+        return pd.DataFrame({
+            id_col: batch[id_col].astype("int64"),
+            "dsir_logweight": s.astype(np.float64) / 1e6})
+
+    return docs.select_columns([id_col, text_col]) \
+        .map_batches(_score, batch_format="pandas")

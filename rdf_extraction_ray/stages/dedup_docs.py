@@ -475,7 +475,8 @@ def ngram_jaccard_pairs(docs: rd.Dataset, n_words: int = 5,
                         n_gram_buckets: int = 256,
                         n_pair_buckets: int = 64,
                         id_col: str = "doc_id", text_col: str = "text",
-                        round_to: int = 4) -> rd.Dataset:
+                        round_to: int = 4,
+                        metric: str = "jaccard") -> rd.Dataset:
     """EXACT word-n-gram Jaccard similarity pairs (a < b, jaccard ≥
     ``threshold``) via a distributed inverted gram index — no LSH, no
     approximation, fully DuckDB-oracle-checkable.
@@ -493,7 +494,20 @@ def ngram_jaccard_pairs(docs: rd.Dataset, n_words: int = 5,
     the operator's declared semantics, and the SQL oracle applies the
     same cap). Everything that shuffles after the gram stage is
     int64-only; texts never leave the map stage.
+
+    ``metric='containment'`` switches the final score to max
+    containment ``i / min(na, nb)`` — the asymmetric-overlap measure
+    that catches a short document embedded verbatim in a long one,
+    which Jaccard's union denominator dilutes below threshold. The
+    threshold test is then the EXACT integer comparison
+    ``10000·i ≥ round(10000·threshold)·min(na, nb)`` and the reported
+    score the raw IEEE quotient — both replay bit-identically in SQL
+    (no float-rounding boundary anywhere).
     """
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"unknown metric {metric!r}")
+    thr10k = int(round(threshold * 10000))
+
     def _gram_rows(batch: pd.DataFrame) -> pd.DataFrame:
         ids, grams = [], []
         for d, t in zip(batch[id_col], batch[text_col]):
@@ -574,6 +588,8 @@ def ngram_jaccard_pairs(docs: rd.Dataset, n_words: int = 5,
                                            "pbucket2")})
         return pd.concat(parts, ignore_index=True)
 
+    score_col = "jaccard" if metric == "jaccard" else "containment"
+
     def _finish(group: pd.DataFrame) -> pd.DataFrame:
         cnt = group[group["kind"] == 0]
         pairs = group[group["kind"] == 1]
@@ -581,16 +597,26 @@ def ngram_jaccard_pairs(docs: rd.Dataset, n_words: int = 5,
             return pd.DataFrame({
                 "a": pd.Series([], dtype="int64"),
                 "b": pd.Series([], dtype="int64"),
-                "jaccard": pd.Series([], dtype="float64")})
+                score_col: pd.Series([], dtype="float64")})
         m = pairs.merge(cnt[["a", "na"]].rename(
             columns={"a": "b", "na": "nb"}), on="b")
+        if metric == "containment":
+            ii = m["i"].to_numpy(dtype="int64")
+            mn = np.minimum(m["na"].to_numpy(dtype="int64"),
+                            m["nb"].to_numpy(dtype="int64"))
+            keep = 10000 * ii >= thr10k * mn
+            return pd.DataFrame({
+                "a": m["a"].to_numpy()[keep],
+                "b": m["b"].to_numpy()[keep],
+                score_col: ii[keep].astype(np.float64)
+                / mn[keep].astype(np.float64)})
         i = m["i"].to_numpy().astype(np.float64)
         jac = i / (m["na"].to_numpy() + m["nb"].to_numpy() - i)
         keep = jac >= threshold
         return pd.DataFrame({
             "a": m["a"].to_numpy()[keep],
             "b": m["b"].to_numpy()[keep],
-            "jaccard": np.round(jac[keep], round_to)})
+            score_col: np.round(jac[keep], round_to)})
 
     return (docs.map_batches(_gram_rows, batch_format="pandas")
             .groupby("gbucket").map_groups(_gram_reduce,

@@ -2,6 +2,7 @@
 batched quality-model scoring, global quantile buckets, funnel."""
 
 import numpy as np
+import pytest
 import pandas as pd
 import ray.data as rd
 
@@ -2182,3 +2183,59 @@ class TestBigramLift:
         # repartitioned input gives identical output
         again = bigram_lift(docs.repartition(4), k=5, min_count=5)
         pd.testing.assert_frame_equal(out, again)
+
+
+class TestNgramContainment:
+    def test_subset_doc_caught_where_jaccard_misses(self):
+        from rdf_extraction_ray.stages.dedup_docs import \
+            ngram_jaccard_pairs
+        base = " ".join(f"w{i}" for i in range(40))
+        long = base + " " + " ".join(f"x{i}" for i in range(160))
+        docs = rd.from_pandas(pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": [base, long, "entirely different words only"]}))
+        cont = ngram_jaccard_pairs(docs, threshold=0.8,
+                                   metric="containment").to_pandas()
+        assert list(zip(cont["a"], cont["b"])) == [(1, 2)]
+        # doc 1's grams are all inside doc 2 → containment exactly 1
+        assert cont["containment"].iloc[0] == 1.0
+        jac = ngram_jaccard_pairs(docs, threshold=0.8,
+                                  metric="jaccard").to_pandas()
+        assert len(jac) == 0  # union denominator dilutes the pair
+
+    def test_unknown_metric_rejected(self):
+        from rdf_extraction_ray.stages.dedup_docs import \
+            ngram_jaccard_pairs
+        docs = rd.from_pandas(pd.DataFrame({"doc_id": [1],
+                                            "text": ["a b c d e"]}))
+        with pytest.raises(ValueError):
+            ngram_jaccard_pairs(docs, metric="dice")
+
+
+class TestDsirWeights:
+    def test_target_docs_score_higher_and_partition_invariant(self):
+        from rdf_extraction_ray.stages.curate import dsir_weights
+        tgt_text = "alpha beta gamma delta " * 10
+        other_text = "omega sigma tau upsilon " * 10
+        docs = pd.DataFrame({
+            "doc_id": range(20),
+            "lang": ["en"] * 10 + ["fr"] * 10,
+            "text": [tgt_text] * 10 + [other_text] * 10})
+        out = dsir_weights(rd.from_pandas(docs)).to_pandas() \
+            .sort_values("doc_id", ignore_index=True)
+        en = out.loc[out["doc_id"] < 10, "dsir_logweight"]
+        fr = out.loc[out["doc_id"] >= 10, "dsir_logweight"]
+        assert en.min() > fr.max()  # target-like docs upweighted
+        again = dsir_weights(
+            rd.from_pandas(docs).repartition(4)).to_pandas() \
+            .sort_values("doc_id", ignore_index=True)
+        pd.testing.assert_frame_equal(out, again)
+
+    def test_empty_text_scores_zero(self):
+        from rdf_extraction_ray.stages.curate import dsir_weights
+        docs = pd.DataFrame({"doc_id": [0, 1],
+                             "lang": ["en", "fr"],
+                             "text": ["", "words here"]})
+        out = dsir_weights(rd.from_pandas(docs)).to_pandas()
+        assert out.loc[out["doc_id"] == 0,
+                       "dsir_logweight"].iloc[0] == 0.0
