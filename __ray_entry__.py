@@ -4376,6 +4376,18 @@ def _q_docs_dsir_weights(sf_dir: str):
     return out.sort_values("doc_id", ignore_index=True)
 
 
+def _q_docs_bigram_logprob(sf_dir: str):
+    """Bigram-LM transition score per document (add-0.5 smoothing,
+    md5-hash-keyed counts, 1e-6-quantized log-ratios → exact integer
+    doc sums; see stages.textstats.bigram_logprob)."""
+    from rdf_extraction_ray.stages.textstats import bigram_logprob
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = _typed(bigram_logprob(docs).to_pandas(),
+                 doc_id="int64", n_bigrams="int64",
+                 bigram_logprob="float64")
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 def _q_docs_ngram_components(sf_dir: str):
     """Connected components over the EXACT n-gram Jaccard pair graph —
     the SQL-oracled (recursive CTE) twin of docs_dup_components."""
@@ -5326,6 +5338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ngram_containment": _q_docs_ngram_containment,
         "docs_dsir_weights": _q_docs_dsir_weights,
         "docs_rrf_fusion": _q_docs_rrf_fusion,
+        "docs_bigram_logprob": _q_docs_bigram_logprob,
         "embed_cosine_pairs": _q_embed_cosine_pairs,
         "ann_bruteforce": _q_ann_bruteforce,
         "docs_top_tokens": _q_docs_top_tokens,
@@ -6211,6 +6224,40 @@ def oracle_sql() -> dict[str, str]:
         "docs_ngram_containment": (
             f"WITH {_ngram_ctes(metric='containment')} "
             "SELECT * FROM pairs ORDER BY a, b"),
+        # Bigram LM: counts keyed by the md5 gram hash on BOTH
+        # engines; per-bigram log-ratios quantized to 1e-6 ints so
+        # doc aggregates are exact integer sums; score = (s/1e6)/n,
+        # two IEEE divisions identical on both engines.
+        "docs_bigram_logprob": """
+            WITH tok AS (SELECT doc_id,
+                                regexp_extract_all(lower(text),
+                                                   '[a-z0-9]+') AS ws
+                         FROM documents),
+            vv AS (SELECT count(DISTINCT w)::BIGINT AS v
+                   FROM (SELECT unnest(ws) AS w FROM tok)),
+            big AS (SELECT doc_id,
+                           ('0x' || substr(md5(ws[i] || ' '
+                                || ws[i+1]), 1, 15))::BIGINT AS h2,
+                           ('0x' || substr(md5(ws[i]), 1, 15))::BIGINT
+                               AS h1
+                    FROM tok,
+                         unnest(generate_series(1, len(ws) - 1)) s(i)),
+            c2 AS (SELECT h2, count(*)::BIGINT AS c2
+                   FROM big GROUP BY h2),
+            c1 AS (SELECT h1, count(*)::BIGINT AS c1
+                   FROM big GROUP BY h1),
+            ds AS (SELECT b.doc_id,
+                          sum(CAST(round(1e6 * ln(
+                              (c2.c2 + 0.5) / (c1.c1 + 0.5 * vv.v)))
+                              AS BIGINT))::BIGINT AS s,
+                          count(*)::BIGINT AS n
+                   FROM big b JOIN c2 USING (h2) JOIN c1 USING (h1),
+                        vv
+                   GROUP BY b.doc_id)
+            SELECT doc_id, n AS n_bigrams,
+                   (s::DOUBLE / 1e6) / n AS bigram_logprob
+            FROM ds ORDER BY doc_id
+        """,
         # DSIR: per-bucket log-ratios quantized to 1e-6 ints, so the
         # per-doc aggregation is an exact integer sum — only the 1024
         # bucket constants involve ln() (1-ulp-safe under the 1e6

@@ -1035,3 +1035,120 @@ def mixture_weights(docs, alpha: float = 0.5, round_to: int = 4,
     out["epochs_at_uniform"] = np.round(
         w / (out["n_docs"].to_numpy(dtype="float64") / total), round_to)
     return out
+
+
+def bigram_logprob(docs, n_buckets: int = 64,
+                   id_col: str = "doc_id", text_col: str = "text"):
+    """Bigram-LM quality score: mean log probability of a document's
+    token transitions under the corpus bigram model with add-0.5
+    smoothing — ``P(w2|w1) = (c(w1w2)+0.5) / (c(w1·)+0.5·V)`` where
+    ``c(w1·)`` counts w1 as a bigram context and V is the exact
+    corpus vocabulary. The conditional-probability upgrade of
+    :func:`unigram_logprob` (catches locally-plausible but
+    incoherently-ordered text a unigram model scores as fine).
+
+    EXACT/replayable contract: counts are keyed by the md5 gram hash
+    (the same 60-bit key the n-gram dedup family uses, recomputable
+    in SQL); per-bigram log-ratios are QUANTIZED to 1e-6 int64, so
+    every per-document aggregate is an exact integer sum and the
+    reported score is ``(s/1e6)/n`` — two IEEE divisions identical on
+    both engines. The only floats the oracle replays are the
+    per-distinct-bigram ln() calls (1 ulp shifts the rounded
+    1e6-grain integer with probability ~1e-10).
+
+    Scale shape: one text scan emits per-batch-combined (doc, h2,
+    h1, cnt) rows — int64-only from there. Three bounded exchanges:
+    bigram-hash bucket (attach c2; a hash lives in one bucket so
+    group-local = global), context-hash bucket (attach c1, quantize
+    the log-ratio), doc bucket (integer sum). V comes from
+    :func:`distinct_tokens` (bucketed exact distinct). No model
+    broadcast at all — unseen-bigram backoff never arises because
+    every scored position is by construction in the model, and the
+    count join shuffles ints, not a vocabulary."""
+    import re as _re
+
+    from .dedup_docs import _gram_hash
+
+    word = _re.compile(r"[a-z0-9]+")
+    B = np.int64(n_buckets)
+    V = int(distinct_tokens(docs, n_buckets=n_buckets,
+                            text_col=text_col)
+            ["n_distinct_tokens"].iloc[0])
+
+    def _pos_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = [word.findall(t.lower()) if isinstance(t, str) else []
+                for t in batch[text_col]]
+        ids = batch[id_col].to_numpy()
+        flat, docs_of = [], []
+        for r, ts in enumerate(toks):
+            flat.extend(ts)
+            docs_of.extend([r] * len(ts))
+        empty = pd.DataFrame({
+            id_col: pd.Series([], dtype="int64"),
+            "h2": pd.Series([], dtype="int64"),
+            "h1": pd.Series([], dtype="int64"),
+            "cnt": pd.Series([], dtype="int64"),
+            "b2": pd.Series([], dtype="int64")})
+        if len(flat) < 2:
+            return empty
+        fa = pd.Series(flat, dtype=object)
+        da = np.asarray(docs_of, dtype=np.int64)
+        same = da[1:] == da[:-1]
+        if not same.any():
+            return empty
+        w1 = fa.iloc[:-1].reset_index(drop=True)[same]
+        w2 = fa.iloc[1:].reset_index(drop=True)[same]
+        bg = w1.str.cat(w2, sep=" ")
+        c2_codes, c2_uniq = pd.factorize(bg)
+        h2u = np.fromiter((_gram_hash(g) for g in c2_uniq),
+                          dtype=np.int64, count=len(c2_uniq))
+        c1_codes, c1_uniq = pd.factorize(w1)
+        h1u = np.fromiter((_gram_hash(w) for w in c1_uniq),
+                          dtype=np.int64, count=len(c1_uniq))
+        df = pd.DataFrame({
+            id_col: ids[da[:-1][same]].astype("int64"),
+            "h2": h2u[c2_codes], "h1": h1u[c1_codes]})
+        out = df.groupby([id_col, "h2", "h1"], as_index=False).size() \
+            .rename(columns={"size": "cnt"})
+        out["cnt"] = out["cnt"].astype("int64")
+        out["b2"] = (out["h2"] % B).astype("int64")
+        return out
+
+    def _attach_c2(group: pd.DataFrame) -> pd.DataFrame:
+        c2 = group.groupby("h2")["cnt"].transform("sum") \
+            .astype("int64")
+        out = group[[id_col, "h1", "cnt"]].copy()
+        out["c2"] = c2
+        out["b1"] = (group["h1"] % B).astype("int64")
+        return out
+
+    def _attach_c1(group: pd.DataFrame) -> pd.DataFrame:
+        c1 = group.groupby("h1")["cnt"].transform("sum") \
+            .to_numpy(dtype="float64")
+        c2 = group["c2"].to_numpy(dtype="float64")
+        lq = np.round(1e6 * np.log((c2 + 0.5)
+                                   / (c1 + 0.5 * V))).astype(np.int64)
+        cnt = group["cnt"].to_numpy(dtype="int64")
+        out = pd.DataFrame({
+            id_col: group[id_col].to_numpy(),
+            "v": cnt * lq, "cnt": cnt})
+        out["db"] = (out[id_col] % B).astype("int64")
+        return out
+
+    def _doc_sum(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby(id_col, as_index=False) \
+            .agg(s=("v", "sum"), n=("cnt", "sum"))
+        return pd.DataFrame({
+            id_col: g[id_col].astype("int64"),
+            "n_bigrams": g["n"].astype("int64"),
+            "bigram_logprob":
+                (g["s"].to_numpy(dtype=np.float64) / 1e6)
+                / g["n"].to_numpy(dtype=np.float64)})
+
+    return (docs.map_batches(_pos_rows, batch_format="pandas")
+            .groupby("b2").map_groups(_attach_c2,
+                                      batch_format="pandas")
+            .groupby("b1").map_groups(_attach_c1,
+                                      batch_format="pandas")
+            .groupby("db").map_groups(_doc_sum,
+                                      batch_format="pandas"))

@@ -2239,3 +2239,31 @@ class TestDsirWeights:
         out = dsir_weights(rd.from_pandas(docs)).to_pandas()
         assert out.loc[out["doc_id"] == 0,
                        "dsir_logweight"].iloc[0] == 0.0
+
+
+class TestBigramLogprob:
+    def test_coherent_beats_shuffled_and_partition_invariant(self):
+        from rdf_extraction_ray.stages.textstats import bigram_logprob
+        coherent = "the cat sat on the mat " * 20
+        # same unigram bag, scrambled transitions
+        shuffled = "cat the mat sat the on " * 20
+        docs = pd.DataFrame({
+            "doc_id": [0, 1] + list(range(2, 12)),
+            "text": [coherent, shuffled] + [coherent] * 10})
+        out = bigram_logprob(rd.from_pandas(docs)).to_pandas() \
+            .sort_values("doc_id", ignore_index=True)
+        assert (out.loc[out["doc_id"] == 0, "bigram_logprob"].iloc[0]
+                > out.loc[out["doc_id"] == 1,
+                          "bigram_logprob"].iloc[0])
+        again = bigram_logprob(
+            rd.from_pandas(docs).repartition(5)).to_pandas() \
+            .sort_values("doc_id", ignore_index=True)
+        pd.testing.assert_frame_equal(out, again)
+
+    def test_short_docs_excluded(self):
+        from rdf_extraction_ray.stages.textstats import bigram_logprob
+        docs = pd.DataFrame({"doc_id": [0, 1, 2],
+                             "text": ["oneword", "", "two words"]})
+        out = bigram_logprob(rd.from_pandas(docs)).to_pandas()
+        assert set(out["doc_id"]) == {2}
+        assert out["n_bigrams"].iloc[0] == 1
