@@ -4388,6 +4388,18 @@ def _q_docs_bigram_logprob(sf_dir: str):
     return out.sort_values("doc_id", ignore_index=True)
 
 
+def _q_docs_token_entropy(sf_dir: str):
+    """Per-doc Shannon entropy of the token distribution — one
+    vectorized scan, quantized-int exact replay (see
+    stages.textstats.token_entropy)."""
+    from rdf_extraction_ray.stages.textstats import token_entropy
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = _typed(token_entropy(docs).to_pandas(),
+                 doc_id="int64", n_toks="int64",
+                 token_entropy="float64")
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 def _q_docs_ngram_components(sf_dir: str):
     """Connected components over the EXACT n-gram Jaccard pair graph —
     the SQL-oracled (recursive CTE) twin of docs_dup_components."""
@@ -5339,6 +5351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dsir_weights": _q_docs_dsir_weights,
         "docs_rrf_fusion": _q_docs_rrf_fusion,
         "docs_bigram_logprob": _q_docs_bigram_logprob,
+        "docs_token_entropy": _q_docs_token_entropy,
         "embed_cosine_pairs": _q_embed_cosine_pairs,
         "ann_bruteforce": _q_ann_bruteforce,
         "docs_top_tokens": _q_docs_top_tokens,
@@ -6224,6 +6237,29 @@ def oracle_sql() -> dict[str, str]:
         "docs_ngram_containment": (
             f"WITH {_ngram_ctes(metric='containment')} "
             "SELECT * FROM pairs ORDER BY a, b"),
+        # Token entropy: log factor quantized per distinct (n, c)
+        # pair; doc sums are exact int64; H = (s/1e6)/n, two IEEE
+        # divisions identical on both engines.
+        "docs_token_entropy": """
+            WITH tok AS (SELECT doc_id,
+                                unnest(regexp_extract_all(lower(text),
+                                       '[a-z0-9]+')) AS w
+                         FROM documents),
+            nn AS (SELECT doc_id, count(*)::BIGINT AS n
+                   FROM tok GROUP BY doc_id),
+            cc AS (SELECT doc_id, w, count(*)::BIGINT AS c
+                   FROM tok GROUP BY doc_id, w),
+            ss AS (SELECT cc.doc_id,
+                          sum(cc.c * CAST(round(1e6 *
+                              ln(nn.n::DOUBLE / cc.c)) AS BIGINT))
+                              ::BIGINT AS s
+                   FROM cc JOIN nn USING (doc_id)
+                   GROUP BY cc.doc_id)
+            SELECT ss.doc_id, nn.n AS n_toks,
+                   (ss.s::DOUBLE / 1e6) / nn.n AS token_entropy
+            FROM ss JOIN nn USING (doc_id)
+            ORDER BY ss.doc_id
+        """,
         # Bigram LM: counts keyed by the md5 gram hash on BOTH
         # engines; per-bigram log-ratios quantized to 1e-6 ints so
         # doc aggregates are exact integer sums; score = (s/1e6)/n,

@@ -1152,3 +1152,55 @@ def bigram_logprob(docs, n_buckets: int = 64,
                                       batch_format="pandas")
             .groupby("db").map_groups(_doc_sum,
                                       batch_format="pandas"))
+
+
+def token_entropy(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document Shannon entropy of the token distribution (nats):
+    ``H = Σ_w (c_w/n)·ln(n/c_w)`` — low entropy flags repetitive /
+    template text, high entropy flags token soup; the single-doc
+    companion to the corpus-level repetition filters.
+
+    Exactness contract: the log factor is quantized per DISTINCT
+    (n, c) pair — ``lq = round(1e6·ln(n/c))`` (1 ulp of ln() shifts
+    the rounded integer with probability ~1e-10) — and the document
+    sum ``Σ c·lq`` is exact int64 arithmetic, so the reported
+    ``H = (s/1e6)/n`` is two IEEE divisions identical on both
+    engines. Purely per-document: one vectorized ``map_batches``
+    scan, no shuffle, nothing at the driver."""
+    import re as _re
+
+    word = _re.compile(r"[a-z0-9]+")
+
+    def _ent(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = [word.findall(t.lower()) if isinstance(t, str) else []
+                for t in batch[text_col]]
+        lens = np.fromiter((len(t) for t in toks), dtype=np.int64,
+                           count=len(toks))
+        keep = lens > 0
+        if not keep.any():
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype="int64"),
+                "n_toks": pd.Series([], dtype="int64"),
+                "token_entropy": pd.Series([], dtype="float64")})
+        flat, didx = [], []
+        for r, ts in enumerate(toks):
+            flat.extend(ts)
+            didx.extend([r] * len(ts))
+        df = pd.DataFrame({"r": np.asarray(didx, dtype=np.int64),
+                           "w": pd.Series(flat, dtype=object)})
+        c = df.groupby(["r", "w"], sort=False).size() \
+            .reset_index(name="c")
+        n_of = lens[c["r"].to_numpy()]
+        cc = c["c"].to_numpy(dtype=np.int64)
+        lq = np.round(1e6 * np.log(n_of.astype(np.float64) / cc)) \
+            .astype(np.int64)
+        s = np.zeros(len(batch), dtype=np.int64)
+        np.add.at(s, c["r"].to_numpy(), cc * lq)
+        ids = batch[id_col].to_numpy()
+        return pd.DataFrame({
+            id_col: ids[keep].astype("int64"),
+            "n_toks": lens[keep],
+            "token_entropy": (s[keep].astype(np.float64) / 1e6)
+            / lens[keep].astype(np.float64)})
+
+    return docs.map_batches(_ent, batch_format="pandas")

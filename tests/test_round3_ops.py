@@ -2267,3 +2267,22 @@ class TestBigramLogprob:
         out = bigram_logprob(rd.from_pandas(docs)).to_pandas()
         assert set(out["doc_id"]) == {2}
         assert out["n_bigrams"].iloc[0] == 1
+
+
+class TestTokenEntropy:
+    def test_repetitive_below_diverse_and_exact_uniform(self):
+        from rdf_extraction_ray.stages.textstats import token_entropy
+        docs = pd.DataFrame({
+            "doc_id": [0, 1, 2, 3],
+            "text": ["spam " * 64,                      # H = 0
+                     " ".join(f"w{i}" for i in range(64)),  # ln(64)
+                     "a a b b c c d d",                 # ln(4)
+                     ""]})                              # excluded
+        out = token_entropy(rd.from_pandas(docs)).to_pandas() \
+            .sort_values("doc_id", ignore_index=True)
+        assert set(out["doc_id"]) == {0, 1, 2}
+        h = dict(zip(out["doc_id"], out["token_entropy"]))
+        assert h[0] == 0.0
+        assert abs(h[1] - np.log(64)) < 1e-5
+        assert abs(h[2] - np.log(4)) < 1e-5
+        assert h[0] < h[2] < h[1]
