@@ -3174,6 +3174,22 @@ def _q_kg_kcore(sf_dir: str):
     return out.sort_values("node", ignore_index=True)
 
 
+def _q_kg_embed_link(sf_dir: str):
+    """Embedding-index entity linking (north-star parity): every
+    distinct vocabulary-miss/fuzzy surface scored against the
+    broadcast hashed-trigram label index; best match + exact-integer
+    0.7-cosine match flag. The scalable replacement for the
+    reference's per-miss difflib scan (Utils/utilities.py:289-360)."""
+    from rdf_extraction_ray.stages.embedlink import embed_link_misses
+    from rdf_extraction_ray.state.fixtures import vocab_labels
+    out = _typed(
+        embed_link_misses(_linked_view(sf_dir), vocab_labels(),
+                          threshold=0.6).to_pandas(),
+        surface=object, best_uri=object, cosine="float64",
+        matched="int64")
+    return out.sort_values("surface", ignore_index=True)
+
+
 def _q_kg_copredicate_pairs(sf_dir: str):
     """Entity-resolution blocking: subject pairs sharing ≥2
     (predicate, object) values, with stop-keys (> 64 subjects) dropped
@@ -5289,6 +5305,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": _q_events_funnel,
         "segment_revenue_bucketed": _q_segment_revenue_bucketed,
         "docs_bm25": _q_docs_bm25,
+        "docs_dsir_weights": _q_docs_dsir_weights,
+        "docs_rrf_fusion": _q_docs_rrf_fusion,
         "docs_vocab_kmv": _q_docs_vocab_kmv,
         "docs_weighted_sample": _q_docs_weighted_sample,
         "docs_source_overlap": _q_docs_source_overlap,
@@ -5298,15 +5316,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kcore": _q_kg_kcore,
         "kg_degree_stats": _q_kg_degree_stats,
         "kg_copredicate_pairs": _q_kg_copredicate_pairs,
+        "kg_embed_link": _q_kg_embed_link,
         "kg_bgp_match": _q_kg_bgp_match,
         "kg_bgp_chain": _q_kg_bgp_chain,
         "kg_bgp_optional": _q_kg_bgp_optional,
         "kg_bgp_construct": _q_kg_bgp_construct,
         "kg_path_closure": _q_kg_path_closure,
         "kg_bgp_filter": _q_kg_bgp_filter,
-        "kg_bgp_union": _q_kg_bgp_union,
-        "kg_bgp_ask": _q_kg_bgp_ask,
-        "kg_describe": _q_kg_describe,
         "events_markov_transitions": _q_events_markov_transitions,
         "kg_facts": _q_kg_facts,
         # --- dedup / similarity family
@@ -5332,6 +5348,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # siblings whose family is represented above; all remain
         # oracle-gated locally and in pytest
         "kg_bgp_aggregate": _q_kg_bgp_aggregate,
+        "kg_bgp_union": _q_kg_bgp_union,
+        "kg_bgp_ask": _q_kg_bgp_ask,
+        "kg_describe": _q_kg_describe,
         "kg_bgp_minus": _q_kg_bgp_minus,
         "kg_bgp_topk": _q_kg_bgp_topk,
         "kg_bgp_global_agg": _q_kg_bgp_global_agg,
@@ -5348,8 +5367,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash": _q_docs_simhash,
         "docs_ngram_components": _q_docs_ngram_components,
         "docs_ngram_containment": _q_docs_ngram_containment,
-        "docs_dsir_weights": _q_docs_dsir_weights,
-        "docs_rrf_fusion": _q_docs_rrf_fusion,
         "docs_bigram_logprob": _q_docs_bigram_logprob,
         "docs_token_entropy": _q_docs_token_entropy,
         "embed_cosine_pairs": _q_embed_cosine_pairs,
@@ -5587,6 +5604,65 @@ def oracle_sql() -> dict[str, str]:
                   FROM read_parquet('{linked}'))
             WHERE status IS NOT NULL AND status <> ''
             GROUP BY status
+        """,
+        # Embed-link: integer trigram vectors on both engines; cosine
+        # is the same IEEE dot/(sqrt·sqrt); the match flag is exact
+        # HUGEINT arithmetic (dot²·10⁴ ≥ 60²·na·nb).
+        "kg_embed_link": f"""
+            WITH m0 AS (SELECT DISTINCT term AS surface
+                        FROM read_parquet('{linked}')
+                        WHERE regexp_matches(link_status,
+                                  '(cf|cod|occ)=(miss|fuzzy)')
+                          AND term IS NOT NULL
+                          AND length(term) >= 3),
+            v0 AS (SELECT term_uri, lower(label) AS ls
+                   FROM read_parquet('{vlabels}')),
+            mt AS (SELECT surface,
+                          ('0x' || substr(md5(substr(lower(surface),
+                               i, 3)), 1, 15))::BIGINT % 64 AS b
+                   FROM m0, unnest(generate_series(1,
+                                length(surface) - 2)) s(i)),
+            mv AS (SELECT surface, b, count(*)::BIGINT AS c
+                   FROM mt GROUP BY 1, 2),
+            mn AS (SELECT surface, sum(c * c)::BIGINT AS n2
+                   FROM mv GROUP BY 1),
+            vt AS (SELECT term_uri,
+                          ('0x' || substr(md5(substr(ls, i, 3)),
+                               1, 15))::BIGINT % 64 AS b
+                   FROM v0, unnest(generate_series(1,
+                                length(ls) - 2)) s(i)),
+            vv AS (SELECT term_uri, b, count(*)::BIGINT AS c
+                   FROM vt GROUP BY 1, 2),
+            vn AS (SELECT term_uri, sum(c * c)::BIGINT AS n2
+                   FROM vv GROUP BY 1),
+            d0 AS (SELECT mv.surface, vv.term_uri,
+                          sum(mv.c * vv.c)::BIGINT AS dot
+                   FROM mv JOIN vv USING (b) GROUP BY 1, 2),
+            d AS (SELECT m0.surface, v0.term_uri,
+                         COALESCE(d0.dot, 0) AS dot
+                  FROM m0 CROSS JOIN v0
+                  LEFT JOIN d0 ON d0.surface = m0.surface
+                              AND d0.term_uri = v0.term_uri),
+            sc AS (SELECT d.surface, d.term_uri,
+                          d.dot::DOUBLE / (sqrt(mn.n2::DOUBLE)
+                              * sqrt(vn.n2::DOUBLE)) AS cosine,
+                          CASE WHEN d.dot > 0 AND
+                                    CAST(d.dot AS HUGEINT) * d.dot
+                                    * 10000
+                                    >= 3600 * CAST(mn.n2 AS HUGEINT)
+                                       * vn.n2
+                               THEN 1 ELSE 0 END AS matched,
+                          row_number() OVER (
+                              PARTITION BY d.surface
+                              ORDER BY d.dot::DOUBLE /
+                                  (sqrt(mn.n2::DOUBLE)
+                                   * sqrt(vn.n2::DOUBLE)) DESC,
+                                  d.term_uri) AS rn
+                   FROM d JOIN mn USING (surface)
+                   JOIN vn USING (term_uri))
+            SELECT surface, term_uri AS best_uri, cosine,
+                   matched::BIGINT AS matched
+            FROM sc WHERE rn = 1 ORDER BY surface
         """,
         "kg_org_counts": f"""
             SELECT org_uri, count(*) AS n

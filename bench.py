@@ -156,7 +156,7 @@ def run_bench() -> dict:
               "tpch_q22_dormant_customers", "part_min_cost_supplier",
               "docs_ngram_containment", "docs_dsir_weights",
               "docs_rrf_fusion", "docs_bigram_logprob",
-              "docs_token_entropy",
+              "docs_token_entropy", "kg_embed_link",
               "docs_bpe_pairs", "docs_mixture_weights"]
     queries = entrymod.queries()
     qtimes: dict[str, float] = {}

@@ -1,0 +1,125 @@
+"""Embedding-index entity linking — the scalable fallback behind the
+alias dictionary.
+
+The reference resolves near-miss vocabulary surfaces with
+``difflib.get_close_matches`` (Utils/utilities.py:289-360,
+culturalForm.py:589-591) — an O(|dict|) Python scan per miss that
+cannot leave one process. This stage replaces it with the
+north-star's "shared alias-dictionary + embedding index" design: every
+vocabulary label is embedded ONCE into a small dense index that
+broadcasts to all workers, and miss surfaces are scored against it
+with one integer matrix multiply per batch.
+
+The embedding is a hashed character-trigram profile (the classic
+feature-hashing string kernel): 64 int64 dims, bucket =
+``md5(trigram) % 64`` — deterministic, model-free, and exactly
+replayable in SQL, which keeps the operator inside the project's
+oracle gate. Cosines are computed from the integer vectors with
+correctly-rounded IEEE ops (``dot / (sqrt(na)·sqrt(nb))``), so numpy
+and DuckDB agree bit for bit; the match decision is exact integer
+arithmetic (``dot > 0 AND dot²·10⁴ ≥ τ₁₀₀²·na·nb``).
+
+Scale shape: the index side is a vocabulary — dimension-table sized
+by nature — broadcast once via ``ray.put``. The mention side streams:
+per-batch DISTINCT miss surfaces ride one hash-bucket exchange (a
+surface lives in exactly one bucket, so bucket-local dedup is global),
+each bucket scores its surfaces against the broadcast index
+vectorized, and only RESULT rows (one per distinct miss surface)
+leave the exchange. Nothing corpus-sized reaches the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data as rd
+
+from .dedup_docs import _cached_get, _gram_hash
+
+DIM = 64
+
+
+def trigram_matrix(surfaces) -> np.ndarray:
+    """(n, DIM) int64 hashed char-trigram count matrix — overlapping
+    3-char windows of the lowercased surface (spaces and punctuation
+    included, exactly ``substr(lower(s), i, 3)`` in the SQL replay)."""
+    M = np.zeros((len(surfaces), DIM), dtype=np.int64)
+    for r, s in enumerate(surfaces):
+        t = str(s).lower()
+        for i in range(len(t) - 2):
+            M[r, _gram_hash(t[i:i + 3]) % DIM] += 1
+    return M
+
+
+def build_label_index(labels: dict[str, str]
+                      ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Index over ``{uri: label}``: URIs sorted for deterministic
+    tie-breaks, trigram matrix, squared norms (0 → 1 so empty labels
+    never divide by zero)."""
+    uris = np.array(sorted(labels), dtype=object)
+    M = trigram_matrix([labels[u] for u in uris])
+    n2 = (M * M).sum(axis=1)
+    n2[n2 == 0] = 1
+    return uris, M, n2
+
+
+def embed_link_misses(linked: rd.Dataset, labels: dict[str, str],
+                      status_re: str = r"(cf|cod|occ)=(miss|fuzzy)",
+                      surface_col: str = "term",
+                      threshold: float = 0.7,
+                      n_buckets: int = 32) -> rd.Dataset:
+    """Score every DISTINCT vocabulary-miss surface against the
+    broadcast label index; emit its best match.
+
+    Returns (surface, best_uri, cosine, matched) — ``best_uri`` the
+    argmax-cosine label (ties → lexicographically smaller URI),
+    ``matched`` 1 iff the exact integer threshold test passes at
+    ``threshold``. Surfaces shorter than 3 characters have no
+    trigrams and are excluded (declared semantics, mirrored in SQL).
+    """
+    tau100 = int(round(threshold * 100))
+    idx_ref = ray.put(build_label_index(labels))
+    out_empty = pd.DataFrame({
+        "surface": pd.Series([], dtype=object),
+        "best_uri": pd.Series([], dtype=object),
+        "cosine": pd.Series([], dtype="float64"),
+        "matched": pd.Series([], dtype="int64")})
+
+    def _miss_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch["link_status"].astype(str).str.contains(
+            status_re, regex=True)
+        s = batch.loc[m, surface_col].dropna()
+        s = s[s.astype(str).str.len() >= 3].drop_duplicates()
+        out = pd.DataFrame({"surface": s.astype(object)})
+        out["sbucket"] = (pd.util.hash_pandas_object(
+            out["surface"], index=False) % n_buckets).astype("int64")
+        return out
+
+    def _score_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        uris, VM, vn2 = _cached_get(idx_ref)
+        surf = group["surface"].drop_duplicates().to_numpy()
+        if not len(surf) or not len(uris):
+            return out_empty
+        M = trigram_matrix(surf)
+        n2 = (M * M).sum(axis=1)
+        n2[n2 == 0] = 1
+        dots = M @ VM.T                              # int64 exact
+        cos = dots.astype(np.float64) / (
+            np.sqrt(n2.astype(np.float64))[:, None]
+            * np.sqrt(vn2.astype(np.float64))[None, :])
+        best = cos.argmax(axis=1)  # first (lexic. smallest uri) wins
+        d = dots[np.arange(len(surf)), best]
+        ok = (d > 0) & (d.astype(object) ** 2 * 10000
+                        >= tau100 * tau100 * n2.astype(object)
+                        * vn2[best].astype(object))
+        return pd.DataFrame({
+            "surface": surf,
+            "best_uri": uris[best],
+            "cosine": cos[np.arange(len(surf)), best],
+            "matched": np.asarray(ok, dtype="int64")})
+
+    return (linked.map_batches(_miss_rows, batch_format="pandas")
+            .groupby("sbucket")
+            .map_groups(_score_bucket, batch_format="pandas"))

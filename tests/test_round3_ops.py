@@ -2286,3 +2286,39 @@ class TestTokenEntropy:
         assert abs(h[1] - np.log(64)) < 1e-5
         assert abs(h[2] - np.log(4)) < 1e-5
         assert h[0] < h[2] < h[1]
+
+
+class TestEmbedLink:
+    def test_variant_matches_and_unknown_rejected(self):
+        from rdf_extraction_ray.stages.embedlink import embed_link_misses
+        linked = pd.DataFrame({
+            "term": ["Methodistt", "Zyxqvnape", "Methodistt", None, "ab"],
+            "link_status": ["cf=miss", "cf=miss", "cf=fuzzy",
+                            "cf=miss", "occ=miss"]})
+        labels = {
+            "http://v/methodist": "Methodist",
+            "http://v/quaker": "Quaker"}
+        out = embed_link_misses(rd.from_pandas(linked), labels,
+                                threshold=0.6).to_pandas() \
+            .sort_values("surface", ignore_index=True)
+        # short + null surfaces excluded; duplicates collapsed
+        assert list(out["surface"]) == ["Methodistt", "Zyxqvnape"]
+        m = out.set_index("surface")
+        assert m.loc["Methodistt", "best_uri"] == "http://v/methodist"
+        assert m.loc["Methodistt", "matched"] == 1
+        assert m.loc["Zyxqvnape", "matched"] == 0
+
+    def test_linked_rows_ignored_and_partition_invariant(self):
+        from rdf_extraction_ray.stages.embedlink import embed_link_misses
+        linked = pd.DataFrame({
+            "term": ["Methodist"] * 4 + ["Quakerr"] * 4,
+            "link_status": ["cf=linked"] * 4 + ["cf=miss"] * 4})
+        labels = {"http://v/quaker": "Quaker"}
+        a = embed_link_misses(rd.from_pandas(linked), labels,
+                              threshold=0.6).to_pandas()
+        assert list(a["surface"]) == ["Quakerr"]
+        b = embed_link_misses(rd.from_pandas(linked).repartition(4),
+                              labels, threshold=0.6).to_pandas()
+        pd.testing.assert_frame_equal(
+            a.sort_values("surface", ignore_index=True),
+            b.sort_values("surface", ignore_index=True))
