@@ -90,8 +90,13 @@ def _read_num_blocks(path: str, env_override: bool = True) -> int | None:
     # data, not cores.
     cores = _cluster_cpus()
     floor = cores * 2 if cores <= 16 else cores
-    # ~4x parquet->Arrow expansion for short-string transcript tables
-    return max(floor, -(-total * 4 // target))
+    # ~4x parquet->Arrow expansion for short-string transcript tables,
+    # sized at 2x the target block size: the assembly sort's cost
+    # grows with partition count, and a 32-slot block sweep (3x sf0.1:
+    # 32/48/64/96/128 blocks → 6.30/6.43/6.70/7.58/9.96 s) shows
+    # fewer-but-bigger blocks win until the floor; ~256 MiB in-memory
+    # blocks of short-string rows stream fine through push-based sort.
+    return max(floor, -(-total * 4 // (2 * target)))
 
 
 def _cluster_cpus(default: int = 32) -> int:
