@@ -3174,6 +3174,25 @@ def _q_kg_kcore(sf_dir: str):
     return out.sort_values("node", ignore_index=True)
 
 
+def _q_kg_link_prediction(sf_dir: str):
+    """Common-neighbor link prediction over the KG graph: top-100
+    non-adjacent node pairs by shared-neighbor count (hub apexes
+    df-capped at 64) — the missing-edge report of a KG build.
+    Consumes the cached int64 graph projection; wedges emit per
+    apex bucket and close in one pair-key exchange with per-bucket
+    top-k partials (see stages.graph.link_prediction)."""
+    from rdf_extraction_ray.stages.graph import link_prediction
+    gv = _kg_graph_views(sf_dir)
+    out = _typed(
+        link_prediction(None,
+                        und_pre=_graph_view_read(gv, "edges_und"),
+                        nodes_pre=_graph_view_read(gv, "nodes")),
+        node_a=object, node_b=object, n_common="int64")
+    return out.sort_values(["n_common", "node_a", "node_b"],
+                           ascending=[False, True, True],
+                           ignore_index=True)
+
+
 def _q_kg_embed_link(sf_dir: str):
     """Embedding-index entity linking (north-star parity): every
     distinct vocabulary-miss/fuzzy surface scored against the
@@ -5351,6 +5370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_union": _q_kg_bgp_union,
         "kg_bgp_ask": _q_kg_bgp_ask,
         "kg_describe": _q_kg_describe,
+        "kg_link_prediction": _q_kg_link_prediction,
         "kg_bgp_minus": _q_kg_bgp_minus,
         "kg_bgp_topk": _q_kg_bgp_topk,
         "kg_bgp_global_agg": _q_kg_bgp_global_agg,
@@ -5604,6 +5624,51 @@ def oracle_sql() -> dict[str, str]:
                   FROM read_parquet('{linked}'))
             WHERE status IS NOT NULL AND status <> ''
             GROUP BY status
+        """,
+        # Link prediction: same md5-15 node hashes and min(node)
+        # collision resolution as every graph oracle; ranking ties
+        # break on the hashes, replayed identically.
+        "kg_link_prediction": f"""
+            WITH he AS (
+                SELECT ('0x' || substr(md5(subj), 1, 15))::BIGINT AS hs,
+                       ('0x' || substr(md5(obj), 1, 15))::BIGINT AS hd
+                FROM read_parquet('{triples}')
+                WHERE obj_kind = 'uri'),
+            e0 AS (SELECT DISTINCT least(hs, hd) AS lo,
+                                   greatest(hs, hd) AS hi
+                   FROM he WHERE hs <> hd),
+            adj AS (SELECT lo AS u, hi AS v FROM e0
+                    UNION ALL SELECT hi, lo FROM e0),
+            degu AS (SELECT u, count(*)::BIGINT AS d
+                     FROM adj GROUP BY u),
+            a2 AS (SELECT adj.u, adj.v FROM adj
+                   JOIN degu USING (u)
+                   WHERE degu.d BETWEEN 2 AND 64),
+            w AS (SELECT least(a.v, b.v) AS lo,
+                         greatest(a.v, b.v) AS hi
+                  FROM a2 a JOIN a2 b
+                    ON a.u = b.u AND a.v < b.v),
+            cnt AS (SELECT lo, hi, count(*)::BIGINT AS n_common
+                    FROM w GROUP BY 1, 2),
+            nc AS (SELECT c.lo, c.hi, c.n_common FROM cnt c
+                   WHERE c.n_common >= 2
+                     AND NOT EXISTS (SELECT 1 FROM e0 e
+                                     WHERE e.lo = c.lo
+                                       AND e.hi = c.hi)),
+            top AS (SELECT * FROM nc
+                    ORDER BY n_common DESC, lo, hi LIMIT 100),
+            nm AS (SELECT ('0x' || substr(md5(x), 1, 15))::BIGINT AS h,
+                          min(x) AS node
+                   FROM (SELECT subj AS x FROM read_parquet('{triples}')
+                         WHERE obj_kind = 'uri'
+                         UNION ALL
+                         SELECT obj FROM read_parquet('{triples}')
+                         WHERE obj_kind = 'uri')
+                   GROUP BY h)
+            SELECT na.node AS node_a, nb.node AS node_b, top.n_common
+            FROM top JOIN nm na ON na.h = top.lo
+                     JOIN nm nb ON nb.h = top.hi
+            ORDER BY top.n_common DESC, top.lo, top.hi
         """,
         # Embed-link: integer trigram vectors on both engines; cosine
         # is the same IEEE dot/(sqrt·sqrt); the match flag is exact

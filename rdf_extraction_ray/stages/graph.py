@@ -3306,3 +3306,187 @@ def bgp_aggregate(triples: rd.Dataset,
             preserve_index=False).replace_schema_metadata(None))
 
     return rd.from_arrow(out_schema.empty_table()).union(agg)
+
+
+def link_prediction(edges: rd.Dataset | None, k: int = 100,
+                    min_common: int = 2, max_apex_deg: int = 64,
+                    n_buckets: int = 64,
+                    und_pre: rd.Dataset | None = None,
+                    nodes_pre: rd.Dataset | None = None
+                    ) -> pd.DataFrame:
+    """Common-neighbor link prediction over the undirected simple
+    graph: the top-``k`` NON-adjacent node pairs ranked by how many
+    neighbors they share (Liben-Nowell & Kleinberg 2003's strongest
+    simple predictor) — the "which entities should probably be
+    connected" report a KG-construction pipeline runs after each
+    build to surface missing edges.
+
+    Declared semantics: apexes with degree > ``max_apex_deg`` emit no
+    wedges (the same stop-key guard as the ER blocking operator — a
+    hub adjacent to everyone carries no signal AND would emit O(d²)
+    pairs); pairs need ≥ ``min_common`` shared neighbors; ranking is
+    (n_common DESC, lo-hash, hi-hash) with the md5-15 node hashes as
+    the replayable tie-break; hash collisions (~1e-9 at 10^5 nodes)
+    merge two nodes, mirrored exactly by the oracle's min(node)
+    resolution.
+
+    Scale shape: adjacency rows bucket by APEX (a node lives in one
+    bucket, so its degree and neighbor run are bucket-local); wedges
+    emit per out-degree class with one vectorized triu expansion and
+    ride a pair-key bucket exchange TOGETHER with the edge rows, so
+    counting, the adjacency anti-join and the ≥ min_common filter all
+    resolve in-bucket; each bucket forwards only its top-``k``
+    partial, the driver merges ≤ buckets×k rows, and string
+    resolution is RESULT-sized (needed hashes broadcast, node-map
+    stream filtered)."""
+    import ray
+
+    from .dedup_docs import _cached_get
+
+    B = np.int64(n_buckets)
+    n_blocks = max(8, n_buckets // 4)
+    out_empty = pd.DataFrame({
+        "node_a": pd.Series([], dtype=object),
+        "node_b": pd.Series([], dtype=object),
+        "n_common": pd.Series([], dtype="int64")})
+
+    if und_pre is not None:
+        assert nodes_pre is not None
+        base = None
+        und = und_pre.repartition(n_blocks).materialize()
+    else:
+        base = edges.map_batches(
+            lambda df: tagged_graph_scan(df, undirected=True),
+            batch_format="pandas").materialize()
+
+        def _und_rows(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.loc[df["kind"] == 0, ["a", "b"]]
+            out = pd.DataFrame({"lo": g["a"].astype("int64"),
+                                "hi": g["b"].astype("int64")})
+            out["lb"] = out["lo"] % B
+            return out
+
+        und = (base.map_batches(_und_rows, batch_format="pandas")
+               .groupby("lb").map_groups(
+                   lambda g: g[["lo", "hi"]].drop_duplicates(),
+                   batch_format="pandas")
+               .repartition(n_blocks)).materialize()
+    if not und.count():
+        return out_empty
+
+    _PCOLS = ["lo", "hi", "kind", "kb"]
+
+    def _pair_bucket(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+        return ((lo * np.int64(1000003) + hi) % B).astype("int64")
+
+    def _adj_rows(df: pd.DataFrame) -> pd.DataFrame:
+        lo = df["lo"].to_numpy(dtype="int64")
+        hi = df["hi"].to_numpy(dtype="int64")
+        out = pd.DataFrame({
+            "u": np.concatenate([lo, hi]),
+            "v": np.concatenate([hi, lo])})
+        out["ub"] = (out["u"] % B).astype("int64")
+        return out
+
+    def _edge_rows(df: pd.DataFrame) -> pd.DataFrame:
+        lo = df["lo"].to_numpy(dtype="int64")
+        hi = df["hi"].to_numpy(dtype="int64")
+        return pd.DataFrame({"lo": lo, "hi": hi,
+                             "kind": np.int64(0),
+                             "kb": _pair_bucket(lo, hi)})[_PCOLS]
+
+    def _wedge_rows(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["u", "v"], kind="stable")
+        u = g["u"].to_numpy(dtype="int64")
+        v = g["v"].to_numpy(dtype="int64")
+        empty = pd.DataFrame({c: pd.Series([], dtype="int64")
+                              for c in _PCOLS})
+        if len(u) < 2:
+            return empty
+        change = np.flatnonzero(np.diff(u)) + 1
+        starts = np.concatenate([[0], change])
+        cnt = np.diff(np.concatenate([starts, [len(u)]]))
+        los, his = [], []
+        for c in np.unique(cnt):
+            if c < 2 or c > max_apex_deg:
+                continue
+            runs = starts[cnt == c]
+            ti, tj = np.triu_indices(int(c), k=1)
+            a = v[(runs[:, None] + ti[None, :]).ravel()]
+            b = v[(runs[:, None] + tj[None, :]).ravel()]
+            los.append(np.minimum(a, b))
+            his.append(np.maximum(a, b))
+        if not los:
+            return empty
+        lo = np.concatenate(los)
+        hi = np.concatenate(his)
+        return pd.DataFrame({"lo": lo, "hi": hi,
+                             "kind": np.int64(1),
+                             "kb": _pair_bucket(lo, hi)})[_PCOLS]
+
+    wedges = (und.map_batches(_adj_rows, batch_format="pandas")
+              .groupby("ub").map_groups(_wedge_rows,
+                                        batch_format="pandas"))
+    edge_marks = und.map_batches(_edge_rows, batch_format="pandas")
+
+    def _count_topk(group: pd.DataFrame) -> pd.DataFrame:
+        w = group[group["kind"] == 1]
+        if not len(w):
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ("lo", "hi", "n_common")})
+        c = (w.groupby(["lo", "hi"], as_index=False).size()
+             .rename(columns={"size": "n_common"}))
+        e = group.loc[group["kind"] == 0, ["lo", "hi"]]
+        c = c.merge(e, on=["lo", "hi"], how="left", indicator=True)
+        c = c[(c["_merge"] == "left_only")
+              & (c["n_common"] >= min_common)]
+        c = c.sort_values(["n_common", "lo", "hi"],
+                          ascending=[False, True, True],
+                          kind="stable").head(k)
+        return c[["lo", "hi", "n_common"]].astype("int64")
+
+    parts = (wedges.union(edge_marks).groupby("kb")
+             .map_groups(_count_topk, batch_format="pandas")
+             .to_pandas())
+    if not len(parts) or "lo" not in parts.columns:
+        return out_empty
+    top = parts.sort_values(["n_common", "lo", "hi"],
+                            ascending=[False, True, True],
+                            kind="stable").head(k)
+    need = np.sort(np.unique(np.concatenate(
+        [top["lo"].to_numpy(dtype="int64"),
+         top["hi"].to_numpy(dtype="int64")])))
+    need_ref = ray.put(need)
+
+    def _filter_pre(df: pd.DataFrame) -> pd.DataFrame:
+        ns = _cached_get(need_ref)
+        h = df["h"].to_numpy(dtype="int64")
+        idx = np.searchsorted(ns, h)
+        idx[idx == len(ns)] = 0
+        keep = ns[idx] == h
+        return pd.DataFrame({"h": h[keep],
+                             "node": df["node"].astype(str)[keep]})
+
+    def _filter_base(df: pd.DataFrame) -> pd.DataFrame:
+        ns = _cached_get(need_ref)
+        g = df[df["kind"] == 1]
+        h = g["a"].to_numpy(dtype="int64")
+        idx = np.searchsorted(ns, h)
+        idx[idx == len(ns)] = 0
+        keep = ns[idx] == h
+        return pd.DataFrame({"h": h[keep],
+                             "node": g["node"].astype(str)[keep]})
+
+    if base is None:
+        names = nodes_pre.map_batches(_filter_pre,
+                                      batch_format="pandas").to_pandas()
+    else:
+        names = base.map_batches(_filter_base,
+                                 batch_format="pandas").to_pandas()
+    nmap = names.groupby("h")["node"].min() if len(names) \
+        else pd.Series(dtype=object)
+    out = pd.DataFrame({
+        "node_a": top["lo"].map(nmap).astype(object),
+        "node_b": top["hi"].map(nmap).astype(object),
+        "n_common": top["n_common"].astype("int64")})
+    return out.reset_index(drop=True)

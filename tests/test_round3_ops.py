@@ -2322,3 +2322,45 @@ class TestEmbedLink:
         pd.testing.assert_frame_equal(
             a.sort_values("surface", ignore_index=True),
             b.sort_values("surface", ignore_index=True))
+
+
+class TestLinkPrediction:
+    def test_matches_bruteforce_and_excludes_adjacent(self):
+        import collections
+        import itertools
+
+        from rdf_extraction_ray.stages.graph import link_prediction
+        rng = np.random.default_rng(1)
+        edges = list({(f"n{a}", f"n{b}") for a, b in
+                      zip(rng.integers(0, 60, 400),
+                          rng.integers(0, 60, 400)) if a != b})
+        df = pd.DataFrame(edges, columns=["s", "d"])
+        got = link_prediction(rd.from_pandas(df).repartition(3),
+                              k=10000, min_common=2, max_apex_deg=64)
+        und = {tuple(sorted(e)) for e in edges}
+        adj = collections.defaultdict(set)
+        for a, b in und:
+            adj[a].add(b)
+            adj[b].add(a)
+        cnt = collections.Counter()
+        for u, ns in adj.items():
+            if 2 <= len(ns) <= 64:
+                for x, y in itertools.combinations(sorted(ns), 2):
+                    cnt[(x, y)] += 1
+        want = {k: c for k, c in cnt.items()
+                if c >= 2 and k not in und}
+        gm = {tuple(sorted([a, b])): c for a, b, c in
+              zip(got["node_a"], got["node_b"], got["n_common"])}
+        assert gm == want
+        # no predicted pair is already an edge
+        assert not (set(gm) & und)
+
+    def test_hub_apexes_capped(self):
+        from rdf_extraction_ray.stages.graph import link_prediction
+        # star: hub adjacent to 30 leaves; hub degree 30 > cap 10 →
+        # no leaf pair may be predicted through it
+        edges = pd.DataFrame([("hub", f"leaf{i}") for i in range(30)],
+                             columns=["s", "d"])
+        out = link_prediction(rd.from_pandas(edges), k=100,
+                              min_common=1, max_apex_deg=10)
+        assert len(out) == 0
