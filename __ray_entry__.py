@@ -2355,6 +2355,139 @@ def _q_part_min_cost_supplier(sf_dir: str):
     return out.sort_values("p_partkey", ignore_index=True)
 
 
+def _q_market_basket_pairs(sf_dir: str):
+    """Market-basket pair mining over order baskets: the top-100 part
+    pairs co-purchased in the most orders (support ≥ 2) — the
+    pairwise core of frequent-itemset mining.
+
+    Scale shape: the lineitem scan reduces to per-batch DISTINCT
+    (orderkey, partkey) int64 rows; baskets assemble in an
+    orderkey-bucket exchange where oversized baskets (> 32 items, the
+    stop-key guard against O(n²) pair blowup) emit nothing and the
+    rest emit one vectorized triu pair expansion; a pair-key bucket
+    exchange counts support, filters, and forwards per-bucket
+    top-100 partials — the driver merges ≤ buckets×100 rows."""
+    CAP = 32
+
+    def _op_rows(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[["l_orderkey", "l_partkey"]].drop_duplicates()
+        out = pd.DataFrame({"o": g["l_orderkey"].astype("int64"),
+                            "p": g["l_partkey"].astype("int64")})
+        out["ob"] = (out["o"] % 64).astype("int64")
+        return out
+
+    def _basket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(["o", "p"]) \
+            .sort_values(["o", "p"], kind="stable")
+        o = g["o"].to_numpy(dtype="int64")
+        p = g["p"].to_numpy(dtype="int64")
+        empty = pd.DataFrame({c: pd.Series([], dtype="int64")
+                              for c in ("a", "b", "pb")})
+        if len(o) < 2:
+            return empty
+        starts = np.concatenate(
+            [[0], np.flatnonzero(np.diff(o)) + 1])
+        cnt = np.diff(np.concatenate([starts, [len(o)]]))
+        aa, bb = [], []
+        for c in np.unique(cnt):
+            if c < 2 or c > CAP:
+                continue
+            runs = starts[cnt == c]
+            ti, tj = np.triu_indices(int(c), k=1)
+            aa.append(p[(runs[:, None] + ti[None, :]).ravel()])
+            bb.append(p[(runs[:, None] + tj[None, :]).ravel()])
+        if not aa:
+            return empty
+        a = np.concatenate(aa)
+        b = np.concatenate(bb)
+        return pd.DataFrame({
+            "a": a, "b": b,
+            "pb": ((a * np.int64(1000003) + b) % 64).astype("int64")})
+
+    def _count_topk(group: pd.DataFrame) -> pd.DataFrame:
+        c = (group.groupby(["a", "b"], as_index=False).size()
+             .rename(columns={"size": "n_orders"}))
+        c = c[c["n_orders"] >= 2]
+        return (c.sort_values(["n_orders", "a", "b"],
+                              ascending=[False, True, True],
+                              kind="stable").head(100)
+                .astype("int64"))
+
+    parts = _typed(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        .map_batches(_op_rows, batch_format="pandas")
+        .groupby("ob").map_groups(_basket_pairs,
+                                  batch_format="pandas")
+        .groupby("pb").map_groups(_count_topk,
+                                  batch_format="pandas").to_pandas(),
+        a="int64", b="int64", n_orders="int64")
+    out = parts.sort_values(["n_orders", "a", "b"],
+                            ascending=[False, True, True],
+                            kind="stable").head(100)
+    return pd.DataFrame({
+        "part_a": out["a"].astype("int64").to_numpy(),
+        "part_b": out["b"].astype("int64").to_numpy(),
+        "n_orders": out["n_orders"].astype("int64").to_numpy()})
+
+
+def _q_turns_role_tool_stats(sf_dir: str):
+    """Transcript-corpus analytics over the raw turns table: per
+    (role, tool) turn counts, DISTINCT conversation counts and total
+    text chars.
+
+    Scale shape: counts and char sums are per-batch combiner partials
+    (driver merge bounded by roles×tools×blocks); the distinct-conv
+    count rides one conv-hash bucket exchange (a conversation lives
+    in exactly one bucket, so bucket-local distinct counts sum to the
+    global count — the same one-bucket-per-key invariant as
+    distinct_tokens)."""
+    import ray.data as rd
+    tp = _turns_path(sf_dir)
+    turns = rd.read_parquet(tp, columns=["conv_id", "role", "tool",
+                                         "text"])
+
+    def _partials(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.copy()
+        g["tool"] = g["tool"].fillna("")
+        g["nch"] = g["text"].fillna("").str.len().astype("int64")
+        out = g.groupby(["role", "tool"], as_index=False).agg(
+            n_turns=("nch", "size"), total_chars=("nch", "sum"))
+        out["n_turns"] = out["n_turns"].astype("int64")
+        out["total_chars"] = out["total_chars"].astype("int64")
+        return out
+
+    agg = _typed(
+        turns.map_batches(_partials, batch_format="pandas")
+        .to_pandas(), role=object, tool=object, n_turns="int64",
+        total_chars="int64")
+    agg = agg.groupby(["role", "tool"], as_index=False).sum()
+
+    def _conv_rows(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[["role", "tool", "conv_id"]].copy()
+        g["tool"] = g["tool"].fillna("")
+        g = g.drop_duplicates()
+        g["cb"] = (pd.util.hash_pandas_object(
+            g["conv_id"].astype(str), index=False) % 64).astype("int64")
+        return g
+
+    def _conv_count(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(["role", "tool", "conv_id"])
+        out = (g.groupby(["role", "tool"], as_index=False).size()
+               .rename(columns={"size": "n_convs"}))
+        out["n_convs"] = out["n_convs"].astype("int64")
+        return out
+
+    convs = _typed(
+        turns.map_batches(_conv_rows, batch_format="pandas")
+        .groupby("cb").map_groups(_conv_count, batch_format="pandas")
+        .to_pandas(), role=object, tool=object, n_convs="int64")
+    convs = convs.groupby(["role", "tool"], as_index=False).sum()
+    out = agg.merge(convs, on=["role", "tool"], how="left")
+    out["n_convs"] = out["n_convs"].fillna(0).astype("int64")
+    return (out[["role", "tool", "n_turns", "n_convs", "total_chars"]]
+            .sort_values(["role", "tool"], ignore_index=True))
+
+
 def _q_segment_revenue(sf_dir: str):
     """Revenue per market segment — the classic fact ⋈ dimension:
     the customer (custkey → segment) map broadcasts once when it is
@@ -5370,6 +5503,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_union": _q_kg_bgp_union,
         "kg_bgp_ask": _q_kg_bgp_ask,
         "kg_describe": _q_kg_describe,
+        "market_basket_pairs": _q_market_basket_pairs,
+        "turns_role_tool_stats": _q_turns_role_tool_stats,
         "kg_link_prediction": _q_kg_link_prediction,
         "kg_bgp_minus": _q_kg_bgp_minus,
         "kg_bgp_topk": _q_kg_bgp_topk,
@@ -6791,6 +6926,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier s ON s.s_suppkey = t.skey
             WHERE t.rn = 1
             ORDER BY t.p_partkey
+        """,
+        "market_basket_pairs": """
+            WITH op AS (SELECT DISTINCT l_orderkey AS o,
+                                        l_partkey AS p
+                        FROM lineitem),
+            bs AS (SELECT o FROM op
+                   GROUP BY o HAVING count(*) <= 32),
+            pp AS (SELECT a.p AS part_a, b.p AS part_b
+                   FROM op a
+                   JOIN op b ON a.o = b.o AND a.p < b.p
+                   JOIN bs ON bs.o = a.o),
+            c AS (SELECT part_a, part_b, count(*)::BIGINT AS n_orders
+                  FROM pp GROUP BY 1, 2)
+            SELECT part_a, part_b, n_orders FROM c
+            WHERE n_orders >= 2
+            ORDER BY n_orders DESC, part_a, part_b LIMIT 100
+        """,
+        "turns_role_tool_stats": f"""
+            SELECT role, coalesce(tool, '') AS tool,
+                   count(*)::BIGINT AS n_turns,
+                   count(DISTINCT conv_id)::BIGINT AS n_convs,
+                   coalesce(sum(length(coalesce(text, ''))),
+                            0)::BIGINT AS total_chars
+            FROM read_parquet('{turns_glob}')
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "region_customers": f"""
             SELECT r.r_name,

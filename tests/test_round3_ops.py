@@ -2364,3 +2364,30 @@ class TestLinkPrediction:
         out = link_prediction(rd.from_pandas(edges), k=100,
                               min_common=1, max_apex_deg=10)
         assert len(out) == 0
+
+
+class TestMarketBasket:
+    def test_pair_support_and_cap(self):
+        import __ray_entry__ as E
+        out = E.queries()["market_basket_pairs"](
+            "/root/testdata/sf0.001")
+        assert (out["n_orders"] >= 2).all()
+        assert (out["part_a"] < out["part_b"]).all()
+        # descending support, deterministic order
+        assert list(out["n_orders"]) == \
+            sorted(out["n_orders"], reverse=True)
+
+
+class TestTurnsRoleToolStats:
+    def test_totals_match_corpus(self):
+        import pyarrow.parquet as pq
+
+        import __ray_entry__ as E
+        out = E.queries()["turns_role_tool_stats"](
+            "/root/testdata/sf0.001")
+        tp = E._turns_path("/root/testdata/sf0.001")
+        import glob
+        n = sum(pq.read_metadata(f).num_rows
+                for f in glob.glob(tp + "/*.parquet"))
+        assert out["n_turns"].sum() == n
+        assert (out["n_convs"] > 0).all()
