@@ -3326,6 +3326,20 @@ def _q_kg_link_prediction(sf_dir: str):
                            ignore_index=True)
 
 
+def _q_kg_hits(sf_dir: str):
+    """Integer fixed-point HITS hubs & authorities (2 rounds,
+    max-normalized — exact integer replay; see stages.graph.hits_int)
+    over the KG's directed URI-object edge graph, consuming the
+    cached int64 graph projection."""
+    from rdf_extraction_ray.stages.graph import hits_int
+    gv = _kg_graph_views(sf_dir)
+    out = _typed(
+        hits_int(None, deg_pre=_graph_view_read(gv, "edges_deg"),
+                 nodes_pre=_graph_view_read(gv, "nodes")).to_pandas(),
+        node=object, hub="int64", authority="int64")
+    return out.sort_values("node", ignore_index=True)
+
+
 def _q_kg_embed_link(sf_dir: str):
     """Embedding-index entity linking (north-star parity): every
     distinct vocabulary-miss/fuzzy surface scored against the
@@ -5340,6 +5354,49 @@ def _local_triangles_sql(triples_path: str) -> str:
     """
 
 
+def _hits_sql(triples_path: str, n_iter: int = 2,
+              scale: int = 10**6) -> str:
+    """Oracle twin of stages/graph.hits_int: the same max-normalized
+    integer recurrence unrolled as two CTEs per round."""
+    its, hub_prev = "", "h0"
+    for i in range(1, n_iter + 1):
+        its += f""",
+            a{i}r AS (SELECT n.v,
+                            coalesce(sum(p.x), 0)::BIGINT AS x
+                     FROM nodes n
+                     LEFT JOIN e ON e.d = n.v
+                     LEFT JOIN {hub_prev} p ON p.v = e.s
+                     GROUP BY n.v),
+            a{i}m AS (SELECT max(x) AS m FROM a{i}r),
+            a{i} AS (SELECT v, CASE WHEN (SELECT m FROM a{i}m) > 0
+                                   THEN x * {scale}
+                                        // (SELECT m FROM a{i}m)
+                                   ELSE x END AS x FROM a{i}r),
+            h{i}r AS (SELECT n.v,
+                            coalesce(sum(p.x), 0)::BIGINT AS x
+                     FROM nodes n
+                     LEFT JOIN e ON e.s = n.v
+                     LEFT JOIN a{i} p ON p.v = e.d
+                     GROUP BY n.v),
+            h{i}m AS (SELECT max(x) AS m FROM h{i}r),
+            h{i} AS (SELECT v, CASE WHEN (SELECT m FROM h{i}m) > 0
+                                   THEN x * {scale}
+                                        // (SELECT m FROM h{i}m)
+                                   ELSE x END AS x FROM h{i}r)"""
+        hub_prev = f"h{i}"
+    return f"""
+        WITH e AS (SELECT DISTINCT subj AS s, obj AS d
+                   FROM read_parquet('{triples_path}')
+                   WHERE obj_kind = 'uri'),
+        nodes AS (SELECT s AS v FROM e UNION SELECT d FROM e),
+        h0 AS (SELECT v, {scale}::BIGINT AS x FROM nodes){its}
+        SELECT h{n_iter}.v AS node, h{n_iter}.x AS hub,
+               a{n_iter}.x AS authority
+        FROM h{n_iter} JOIN a{n_iter} ON a{n_iter}.v = h{n_iter}.v
+        ORDER BY node
+    """
+
+
 def _pagerank_sql(triples_path: str, n_iter: int = 3,
                   scale: int = 10**9,
                   personalized_seeds: int | None = None) -> str:
@@ -5506,6 +5563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "market_basket_pairs": _q_market_basket_pairs,
         "turns_role_tool_stats": _q_turns_role_tool_stats,
         "kg_link_prediction": _q_kg_link_prediction,
+        "kg_hits": _q_kg_hits,
         "kg_bgp_minus": _q_kg_bgp_minus,
         "kg_bgp_topk": _q_kg_bgp_topk,
         "kg_bgp_global_agg": _q_kg_bgp_global_agg,
@@ -6968,6 +7026,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment
         """,
+        "kg_hits": _hits_sql(triples),
         "kg_pagerank": _pagerank_sql(triples),
         "kg_pagerank_personalized": _pagerank_sql(
             triples, personalized_seeds=5),

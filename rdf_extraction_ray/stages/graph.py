@@ -3490,3 +3490,246 @@ def link_prediction(edges: rd.Dataset | None, k: int = 100,
         "node_b": top["hi"].map(nmap).astype(object),
         "n_common": top["n_common"].astype("int64")})
     return out.reset_index(drop=True)
+
+
+HITS_SCALE = 10**6  # int64-safe: max raw sum ≤ N·scale ≤ 4e12 at the
+#                     4M-node broadcast bound; ×scale ≤ 4e18 < 2^63
+
+
+def hits_int(edges: rd.Dataset | None, n_iter: int = 2,
+             scale: int = HITS_SCALE, n_buckets: int = 64,
+             broadcast_max_nodes: int = 4_000_000,
+             deg_pre: rd.Dataset | None = None,
+             nodes_pre: rd.Dataset | None = None) -> rd.Dataset:
+    """``n_iter`` rounds of integer fixed-point HITS (Kleinberg's
+    hubs & authorities) over the DIRECTED distinct edge set. Returns
+    (node, hub, authority) int64.
+
+    Normalization is BY THE MAX, not the L2 norm: each half-round
+    computes ``x'(v) = (Σ raw) · scale // max_v(Σ raw)`` — exact
+    integer arithmetic both engines replay bit-identically (an L2
+    norm would put an irrational in the recurrence). ``h₀ = scale``
+    everywhere; round i sets authorities from hubs (in-edges), then
+    hubs from the new authorities (out-edges).
+
+    Scale shape mirrors :func:`pagerank_int`: the broadcast path
+    index-encodes the distinct edges ONCE into static (si, di) int64
+    blocks — each half-round is one ``ray.put`` of the current vector
+    + one ``map_batches`` (dense ``np.add.at`` per block) + a bounded
+    driver merge, and the global max is a scalar off that merge; the
+    exchange path (node count above ``broadcast_max_nodes``) runs the
+    same recurrence as two hash-bucket exchanges per half-round with
+    per-bucket max partials, nothing node-shaped on the driver."""
+    import pyarrow as pa
+
+    from .dedup_docs import _cached_get
+    import ray
+
+    B = np.int64(n_buckets)
+    n_blocks = max(8, n_buckets // 4)
+    out_schema = pa.schema([("node", pa.string()),
+                            ("hub", pa.int64()),
+                            ("authority", pa.int64())])
+
+    if deg_pre is not None:
+        assert nodes_pre is not None
+        base = None
+
+        def _ed_pre(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "hs": df["hs"].astype("int64"),
+                "hd": df["hd"].astype("int64")})
+
+        ed = (deg_pre.map_batches(_ed_pre, batch_format="pandas")
+              .repartition(n_blocks)).materialize()
+        nodes = nodes_pre
+    else:
+        base = edges.map_batches(
+            lambda df: tagged_graph_scan(df),
+            batch_format="pandas").materialize()
+
+        def _edge_rows(df: pd.DataFrame) -> pd.DataFrame:
+            g = df[df["kind"] == 0]
+            out = pd.DataFrame({"hs": g["a"].astype("int64"),
+                                "hd": g["b"].astype("int64")})
+            out["sb"] = out["hs"] % B
+            return out
+
+        ed = (base.map_batches(_edge_rows, batch_format="pandas")
+              .groupby("sb").map_groups(
+                  lambda g: g[["hs", "hd"]].drop_duplicates(),
+                  batch_format="pandas")
+              .repartition(n_blocks)).materialize()
+
+        def _map_rows(df: pd.DataFrame) -> pd.DataFrame:
+            g = df[df["kind"] == 1]
+            out = pd.DataFrame({"h": g["a"].astype("int64"),
+                                "node": g["node"].astype(str)})
+            out["nb"] = out["h"] % B
+            return out
+
+        nodes = (base.map_batches(_map_rows, batch_format="pandas")
+                 .groupby("nb").map_groups(
+                     lambda g: g[["h", "node"]].drop_duplicates("h"),
+                     batch_format="pandas").repartition(n_blocks))
+
+    # node-hash probe with the same drain-don't-abandon contract as
+    # pagerank_int
+    H: np.ndarray | None = np.empty(0, dtype=np.int64)
+    for b in (ed.map_batches(
+            lambda df: pd.DataFrame({"h": np.unique(np.concatenate(
+                [df["hs"].to_numpy(dtype="int64"),
+                 df["hd"].to_numpy(dtype="int64")]))}),
+            batch_format="pandas", batch_size=None)
+            .iter_batches(batch_format="numpy", batch_size=None)):
+        if H is None:
+            continue
+        H = np.union1d(H, b["h"])
+        if len(H) > broadcast_max_nodes:
+            H = None
+
+    if H is not None:
+        if not len(H):
+            return rd.from_arrow(out_schema.empty_table())
+        n = len(H)
+        Hs = H
+
+        def _encode(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "si": np.searchsorted(Hs, df["hs"].to_numpy(
+                    dtype="int64")).astype("int64"),
+                "di": np.searchsorted(Hs, df["hd"].to_numpy(
+                    dtype="int64")).astype("int64")})
+
+        enc = ed.map_batches(_encode, batch_format="pandas",
+                             batch_size=None).materialize()
+
+        def _half_round(vec: np.ndarray, src: str, dst: str
+                        ) -> np.ndarray:
+            ref = ray.put(vec)
+
+            def _acc(df: pd.DataFrame) -> pd.DataFrame:
+                v = _cached_get(ref)
+                acc = np.zeros(n, dtype=np.int64)
+                np.add.at(acc, df[dst].to_numpy(dtype="int64"),
+                          v[df[src].to_numpy(dtype="int64")])
+                nz = np.flatnonzero(acc)
+                return pd.DataFrame({"i": nz, "c": acc[nz]})
+
+            raw = np.zeros(n, dtype=np.int64)
+            for b in (enc.map_batches(_acc, batch_format="pandas",
+                                      batch_size=None)
+                      .iter_batches(batch_format="numpy",
+                                    batch_size=None)):
+                np.add.at(raw, b["i"], b["c"])
+            m = int(raw.max()) if len(raw) else 0
+            return (raw * np.int64(scale) // np.int64(m)
+                    if m > 0 else raw)
+
+        hub = np.full(n, np.int64(scale))
+        auth = np.zeros(n, dtype=np.int64)
+        for _ in range(n_iter):
+            auth = _half_round(hub, "si", "di")
+            hub = _half_round(auth, "di", "si")
+        hub_ref = ray.put(hub)
+        auth_ref = ray.put(auth)
+
+        def _resolve(df: pd.DataFrame) -> pd.DataFrame:
+            hb = _cached_get(hub_ref)
+            au = _cached_get(auth_ref)
+            h = df["h"].to_numpy(dtype="int64")
+            idx = np.searchsorted(Hs, h)
+            idx[idx == len(Hs)] = 0
+            keep = Hs[idx] == h
+            return pd.DataFrame({
+                "node": df["node"].astype(str)[keep],
+                "hub": hb[idx[keep]],
+                "authority": au[idx[keep]]})
+
+        return nodes.map_batches(_resolve, batch_format="pandas")
+
+    # ---- exchange path: nothing node-shaped on the driver ----------
+    from .joins import hash_join
+
+    def _vec0(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["h"].astype("int64")
+        return pd.DataFrame({"h": h, "x": np.int64(scale)})
+
+    hub_ds = nodes.map_batches(_vec0,
+                               batch_format="pandas").materialize()
+    zero_ds = nodes.map_batches(
+        lambda df: pd.DataFrame({"h": df["h"].astype("int64"),
+                                 "x": np.int64(0)}),
+        batch_format="pandas").materialize()
+
+    def _sum_exchange(vec: rd.Dataset, src: str, dst: str
+                      ) -> rd.Dataset:
+        """raw(v) = Σ_{edges src→dst} vec(src), over ALL nodes."""
+        j = hash_join(ed.map_batches(
+            lambda df: df[["hs", "hd"]], batch_format="pandas"),
+            vec.map_batches(
+                lambda df: df.rename(columns={"h": src})[[src, "x"]],
+                batch_format="pandas"),
+            on=src, n_buckets=n_buckets)
+
+        def _contrib(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({"h": df[dst].astype("int64"),
+                                "x": df["x"].astype("int64")})
+            out["hb"] = out["h"] % B
+            return out
+
+        def _sum(group: pd.DataFrame) -> pd.DataFrame:
+            s = group.groupby("h", as_index=False)["x"].sum()
+            s["x"] = s["x"].astype("int64")
+            return s
+
+        return (j.map_batches(_contrib, batch_format="pandas")
+                .union(zero_ds.map_batches(
+                    lambda df: df.assign(hb=(df["h"] % B)
+                                         .astype("int64")),
+                    batch_format="pandas"))
+                .groupby("hb").map_groups(_sum,
+                                          batch_format="pandas")
+                .repartition(n_blocks)).materialize()
+
+    def _global_max(vec: rd.Dataset) -> int:
+        m = vec.map_batches(
+            lambda df: pd.DataFrame(
+                {"m": [int(df["x"].max()) if len(df) else 0]}),
+            batch_format="pandas").to_pandas()
+        return int(m["m"].max()) if len(m) else 0
+
+    def _normalize(vec: rd.Dataset, m: int) -> rd.Dataset:
+        if m <= 0:
+            return vec
+
+        def _norm(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "h": df["h"].astype("int64"),
+                "x": df["x"].to_numpy(dtype="int64")
+                * np.int64(scale) // np.int64(m)})
+
+        return vec.map_batches(_norm,
+                               batch_format="pandas").materialize()
+
+    auth_ds = zero_ds
+    for _ in range(n_iter):
+        raw_a = _sum_exchange(hub_ds, "hs", "hd")
+        auth_ds = _normalize(raw_a, _global_max(raw_a))
+        raw_h = _sum_exchange(auth_ds, "hd", "hs")
+        hub_ds = _normalize(raw_h, _global_max(raw_h))
+
+    both = hash_join(
+        hub_ds.map_batches(
+            lambda df: df.rename(columns={"x": "hub"}),
+            batch_format="pandas"),
+        auth_ds.map_batches(
+            lambda df: df.rename(columns={"x": "authority"}),
+            batch_format="pandas"),
+        on="h", n_buckets=n_buckets)
+    out = hash_join(both, nodes.map_batches(
+        lambda df: df[["h", "node"]], batch_format="pandas"),
+        on="h", n_buckets=n_buckets)
+    return out.map_batches(
+        lambda df: df[["node", "hub", "authority"]],
+        batch_format="pandas")

@@ -2391,3 +2391,54 @@ class TestTurnsRoleToolStats:
                 for f in glob.glob(tp + "/*.parquet"))
         assert out["n_turns"].sum() == n
         assert (out["n_convs"] > 0).all()
+
+
+class TestHits:
+    def test_paths_agree_and_match_reference_recurrence(self):
+        from rdf_extraction_ray.stages.graph import hits_int
+        rng = np.random.default_rng(2)
+        edges = list({(f"n{a}", f"n{b}") for a, b in
+                      zip(rng.integers(0, 40, 200),
+                          rng.integers(0, 40, 200)) if a != b})
+        df = pd.DataFrame(edges, columns=["s", "d"])
+        a = hits_int(rd.from_pandas(df).repartition(3)).to_pandas() \
+            .sort_values("node", ignore_index=True)
+        b = hits_int(rd.from_pandas(df).repartition(3),
+                     broadcast_max_nodes=0).to_pandas() \
+            .sort_values("node", ignore_index=True)
+        pd.testing.assert_frame_equal(a, b)
+        nodes = sorted({x for e in edges for x in e})
+        idx = {n: i for i, n in enumerate(nodes)}
+        E = [(idx[s], idx[d]) for s, d in edges]
+        S = 10**6
+        h = np.full(len(nodes), S, dtype=object)
+        au = np.zeros(len(nodes), dtype=object)
+        for _ in range(2):
+            raw = np.zeros(len(nodes), dtype=object)
+            for s, d in E:
+                raw[d] += h[s]
+            m = raw.max()
+            au = raw * S // m if m > 0 else raw
+            raw = np.zeros(len(nodes), dtype=object)
+            for s, d in E:
+                raw[s] += au[d]
+            m = raw.max()
+            h = raw * S // m if m > 0 else raw
+        want = pd.DataFrame({"node": nodes,
+                             "hub": h.astype("int64"),
+                             "authority": au.astype("int64")})
+        pd.testing.assert_frame_equal(a, want)
+
+    def test_hub_authority_separation(self):
+        from rdf_extraction_ray.stages.graph import hits_int
+        # pure hub h0 points at 3 pure authorities
+        df = pd.DataFrame([("h0", f"a{i}") for i in range(3)],
+                          columns=["s", "d"])
+        out = hits_int(rd.from_pandas(df)).to_pandas() \
+            .set_index("node")
+        assert out.loc["h0", "hub"] == 10**6
+        assert out.loc["h0", "authority"] == 0
+        assert (out.loc[[f"a{i}" for i in range(3)],
+                        "authority"] == 10**6).all()
+        assert (out.loc[[f"a{i}" for i in range(3)],
+                        "hub"] == 0).all()
