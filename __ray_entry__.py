@@ -2355,6 +2355,93 @@ def _q_part_min_cost_supplier(sf_dir: str):
     return out.sort_values("p_partkey", ignore_index=True)
 
 
+def _q_tpch_q10_returned_revenue(sf_dir: str):
+    """TPC-H Q10 shape — returned-item report: the top-20 customers
+    by revenue lost to returned lineitems of 1997-Q3 orders, with
+    customer meta and nation joined on.
+
+    Scale shape: returned-lineitem revenue partials and date-windowed
+    (orderkey, custkey) rows share ONE fused ``orderkey % 64``
+    exchange where the join resolves; a second ``custkey % 64``
+    exchange finalizes per-customer revenue (a custkey lives in one
+    bucket, so bucket sums are global), rounds it, and forwards only
+    per-bucket top-20 partials. The driver merges ≤ 64×20 rows and
+    resolves customer meta with a broadcast-need-set semi-join over
+    the customer stream — nothing customer-cardinality-sized anywhere
+    off-cluster."""
+    LO, HI = pd.Timestamp("1997-07-01"), pd.Timestamp("1997-10-01")
+    _COLS = ["okey", "rev", "ckey", "side", "kbucket"]
+
+    def _line_rows(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[df["l_returnflag"] == "R"]
+        rev = (g["l_extendedprice"] * (1 - g["l_discount"])) \
+            .astype("float64")
+        out = pd.DataFrame({"okey": g["l_orderkey"].astype("int64"),
+                            "rev": rev, "ckey": np.int64(-1),
+                            "side": np.int8(0)})
+        out = out.groupby("okey", as_index=False).agg(
+            rev=("rev", "sum"), ckey=("ckey", "first"),
+            side=("side", "first"))
+        out["kbucket"] = (out["okey"] % 64).astype("int64")
+        return out[_COLS]
+
+    def _ord_rows(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[(df["o_orderdate"] >= LO) & (df["o_orderdate"] < HI)]
+        out = pd.DataFrame({"okey": g["o_orderkey"].astype("int64"),
+                            "rev": np.float64(0.0),
+                            "ckey": g["o_custkey"].astype("int64"),
+                            "side": np.int8(1)})
+        out["kbucket"] = (out["okey"] % 64).astype("int64")
+        return out[_COLS]
+
+    def _bucket_join(g: pd.DataFrame) -> pd.DataFrame:
+        li = (g.loc[g["side"] == 0, ["okey", "rev"]]
+              .groupby("okey", as_index=False)["rev"].sum())
+        od = g.loc[g["side"] == 1, ["okey", "ckey"]]
+        j = li.merge(od, on="okey", how="inner")
+        out = j.groupby("ckey", as_index=False)["rev"].sum()
+        out["cb"] = (out["ckey"] % 64).astype("int64")
+        return out[["ckey", "rev", "cb"]]
+
+    def _cust_topk(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("ckey", as_index=False)["rev"].sum()
+        s["revenue"] = s["rev"].round(_ROUND)
+        return (s.sort_values(["revenue", "ckey"],
+                              ascending=[False, True], kind="stable")
+                .head(20)[["ckey", "revenue"]])
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_extendedprice", "l_discount",
+                  "l_returnflag"]) \
+        .map_batches(_line_rows, batch_format="pandas")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(_ord_rows, batch_format="pandas")
+    parts = _typed(
+        line.union(orders).groupby("kbucket")
+        .map_groups(_bucket_join, batch_format="pandas")
+        .groupby("cb").map_groups(_cust_topk, batch_format="pandas")
+        .to_pandas(), ckey="int64", revenue="float64")
+    top = parts.sort_values(["revenue", "ckey"],
+                            ascending=[False, True],
+                            kind="stable").head(20)
+    cust = _small_df(sf_dir, "customer",
+                     ["c_custkey", "c_name", "c_acctbal",
+                      "c_nationkey"])
+    nation = _small_df(sf_dir, "nation", ["n_nationkey", "n_name"])
+    m = top.merge(cust, left_on="ckey", right_on="c_custkey") \
+        .merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    out = pd.DataFrame({
+        "c_custkey": m["ckey"].astype("int64"),
+        "c_name": m["c_name"].astype(object),
+        "revenue": m["revenue"].astype("float64"),
+        "c_acctbal": m["c_acctbal"].astype("float64"),
+        "n_name": m["n_name"].astype(object)})
+    return out.sort_values(["revenue", "c_custkey"],
+                           ascending=[False, True], kind="stable",
+                           ignore_index=True)
+
+
 def _q_market_basket_pairs(sf_dir: str):
     """Market-basket pair mining over order baskets: the top-100 part
     pairs co-purchased in the most orders (support ≥ 2) — the
@@ -5560,6 +5647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_union": _q_kg_bgp_union,
         "kg_bgp_ask": _q_kg_bgp_ask,
         "kg_describe": _q_kg_describe,
+        "tpch_q10_returned_revenue": _q_tpch_q10_returned_revenue,
         "market_basket_pairs": _q_market_basket_pairs,
         "turns_role_tool_stats": _q_turns_role_tool_stats,
         "kg_link_prediction": _q_kg_link_prediction,
@@ -6984,6 +7072,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier s ON s.s_suppkey = t.skey
             WHERE t.rn = 1
             ORDER BY t.p_partkey
+        """,
+        "tpch_q10_returned_revenue": f"""
+            SELECT c.c_custkey, c.c_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)),
+                         {_ROUND}) AS revenue,
+                   c.c_acctbal, n.n_name
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            WHERE o.o_orderdate >= TIMESTAMP '1997-07-01'
+              AND o.o_orderdate < TIMESTAMP '1997-10-01'
+              AND l.l_returnflag = 'R'
+            GROUP BY 1, 2, c.c_acctbal, n.n_name
+            ORDER BY revenue DESC, c.c_custkey LIMIT 20
         """,
         "market_basket_pairs": """
             WITH op AS (SELECT DISTINCT l_orderkey AS o,

@@ -153,6 +153,7 @@ def run_bench() -> dict:
               "tpch_q14_promo_revenue", "tpch_q18_large_orders",
               "tpch_q19_disjunct_revenue",
               "tpch_q13_custdist", "tpch_q17_small_qty_revenue",
+              "tpch_q10_returned_revenue",
               "tpch_q22_dormant_customers", "part_min_cost_supplier",
               "docs_ngram_containment", "docs_dsir_weights",
               "docs_rrf_fusion", "docs_bigram_logprob",

@@ -47,6 +47,7 @@ def _oracle(sql: str) -> pd.DataFrame:
     ("tpch_q17_small_qty_revenue", 1),
     ("tpch_q22_dormant_customers", 1),
     ("part_min_cost_supplier", 1),
+    ("tpch_q10_returned_revenue", 1),
 ])
 def test_matches_oracle_at_sf0001(name, min_rows):
     import __ray_entry__ as E
