@@ -3427,6 +3427,22 @@ def _q_kg_hits(sf_dir: str):
     return out.sort_values("node", ignore_index=True)
 
 
+def _q_kg_random_walks(sf_dir: str):
+    """Deterministic random-walk corpus (3 steps from every node,
+    hash-coin steps — see stages.graph.random_walks) over the KG's
+    directed URI-object edge graph; the walk-sequence generator of
+    graph-embedding training."""
+    from rdf_extraction_ray.stages.graph import random_walks
+    gv = _kg_graph_views(sf_dir)
+    out = _typed(
+        random_walks(None, n_steps=3,
+                     deg_pre=_graph_view_read(gv, "edges_deg"),
+                     nodes_pre=_graph_view_read(gv, "nodes"))
+        .to_pandas(),
+        start=object, step="int64", node=object)
+    return out.sort_values(["start", "step"], ignore_index=True)
+
+
 def _q_kg_embed_link(sf_dir: str):
     """Embedding-index entity linking (north-star parity): every
     distinct vocabulary-miss/fuzzy surface scored against the
@@ -5484,6 +5500,51 @@ def _hits_sql(triples_path: str, n_iter: int = 2,
     """
 
 
+def _walks_sql(triples_path: str, n_steps: int = 3) -> str:
+    """Oracle twin of stages/graph.random_walks: ranked adjacency +
+    one unrolled CTE per step with the same md5 hash coin."""
+    its, prev, alls = "", "w0", ["w0"]
+    for i in range(1, n_steps + 1):
+        its += f""",
+        w{i} AS (SELECT w.sh, rk.hd AS ch, {i}::BIGINT AS step
+                FROM {prev} w
+                JOIN deg ON deg.hs = w.ch
+                JOIN rk ON rk.hs = w.ch
+                       AND rk.r = ('0x' || substr(md5(
+                               w.ch::VARCHAR || '|{i}'), 1, 15))
+                               ::BIGINT % deg.dg)"""
+        prev = f"w{i}"
+        alls.append(prev)
+    un = " UNION ALL ".join(f"SELECT * FROM {w}" for w in alls)
+    return f"""
+        WITH he AS (SELECT DISTINCT
+                   ('0x' || substr(md5(subj), 1, 15))::BIGINT AS hs,
+                   ('0x' || substr(md5(obj), 1, 15))::BIGINT AS hd
+            FROM read_parquet('{triples_path}')
+            WHERE obj_kind = 'uri'),
+        deg AS (SELECT hs, count(*)::BIGINT AS dg
+                FROM he GROUP BY hs),
+        rk AS (SELECT hs, hd,
+                      row_number() OVER (PARTITION BY hs
+                                         ORDER BY hd) - 1 AS r
+               FROM he),
+        nm AS (SELECT ('0x' || substr(md5(x), 1, 15))::BIGINT AS h,
+                      min(x) AS node
+               FROM (SELECT subj AS x FROM read_parquet('{triples_path}')
+                     WHERE obj_kind = 'uri'
+                     UNION ALL
+                     SELECT obj FROM read_parquet('{triples_path}')
+                     WHERE obj_kind = 'uri')
+               GROUP BY h),
+        w0 AS (SELECT h AS sh, h AS ch, 0::BIGINT AS step FROM nm){its}
+        SELECT n1.node AS start, u.step, n2.node AS node
+        FROM ({un}) u
+        JOIN nm n1 ON n1.h = u.sh
+        JOIN nm n2 ON n2.h = u.ch
+        ORDER BY start, step
+    """
+
+
 def _pagerank_sql(triples_path: str, n_iter: int = 3,
                   scale: int = 10**9,
                   personalized_seeds: int | None = None) -> str:
@@ -5652,6 +5713,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turns_role_tool_stats": _q_turns_role_tool_stats,
         "kg_link_prediction": _q_kg_link_prediction,
         "kg_hits": _q_kg_hits,
+        "kg_random_walks": _q_kg_random_walks,
         "kg_bgp_minus": _q_kg_bgp_minus,
         "kg_bgp_topk": _q_kg_bgp_topk,
         "kg_bgp_global_agg": _q_kg_bgp_global_agg,
@@ -7130,6 +7192,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c.c_mktsegment
         """,
         "kg_hits": _hits_sql(triples),
+        "kg_random_walks": _walks_sql(triples),
         "kg_pagerank": _pagerank_sql(triples),
         "kg_pagerank_personalized": _pagerank_sql(
             triples, personalized_seeds=5),

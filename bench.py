@@ -158,7 +158,8 @@ def run_bench() -> dict:
               "docs_ngram_containment", "docs_dsir_weights",
               "docs_rrf_fusion", "docs_bigram_logprob",
               "docs_token_entropy", "kg_embed_link",
-              "kg_link_prediction", "kg_hits", "market_basket_pairs",
+              "kg_link_prediction", "kg_hits", "kg_random_walks",
+              "market_basket_pairs",
               "turns_role_tool_stats",
               "docs_bpe_pairs", "docs_mixture_weights"]
     queries = entrymod.queries()

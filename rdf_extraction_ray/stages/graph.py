@@ -3733,3 +3733,167 @@ def hits_int(edges: rd.Dataset | None, n_iter: int = 2,
     return out.map_batches(
         lambda df: df[["node", "hub", "authority"]],
         batch_format="pandas")
+
+
+def random_walks(edges: rd.Dataset | None, n_steps: int = 3,
+                 n_buckets: int = 64,
+                 deg_pre: rd.Dataset | None = None,
+                 nodes_pre: rd.Dataset | None = None) -> rd.Dataset:
+    """Deterministic random-walk corpus over the directed edge set —
+    the walk-sequence generator of DeepWalk/node2vec-style graph
+    embedding training, with the RNG replaced by a replayable hash
+    coin so the oracle can re-derive every step.
+
+    One walk starts at EVERY node; step ``t`` moves from node ``v``
+    to its ``md5(str(hv) || '|' || str(t)) % outdeg(v)``-th
+    out-neighbor in dst-hash order (hv = v's md5-15 node hash); a
+    node with no out-edges ends its walk. Returns (start, step,
+    node) — step 0 is the start node itself.
+
+    Scale shape: L exchanges, one per step — walk-state rows
+    (int64: start-hash, cur-hash, step) bucket by ``cur % B``
+    together with the adjacency rows (a source's out-edges all live
+    in its bucket), and the in-bucket pick is one vectorized
+    searchsorted against the sorted neighbor runs with the hash coin
+    evaluated once per DISTINCT (cur, t). String resolution is
+    output-sized (hash → node map joined at the end)."""
+    import ray
+
+    from .dedup_docs import _cached_get, _gram_hash
+
+    B = np.int64(n_buckets)
+    n_blocks = max(8, n_buckets // 4)
+    import pyarrow as pa
+    out_schema = pa.schema([("start", pa.string()),
+                            ("step", pa.int64()),
+                            ("node", pa.string())])
+
+    if deg_pre is not None:
+        assert nodes_pre is not None
+
+        def _adj_pre(df: pd.DataFrame) -> pd.DataFrame:
+            hs = df["hs"].astype("int64")
+            return pd.DataFrame({
+                "kind": np.int64(0), "a": hs,
+                "b": df["hd"].astype("int64"),
+                "t": np.int64(0), "cb": hs % B})
+
+        adj = (deg_pre.map_batches(_adj_pre, batch_format="pandas")
+               .repartition(n_blocks)).materialize()
+        nodes = nodes_pre
+        base = None
+    else:
+        base = edges.map_batches(
+            lambda df: tagged_graph_scan(df),
+            batch_format="pandas").materialize()
+
+        def _adj_rows(df: pd.DataFrame) -> pd.DataFrame:
+            g = df[df["kind"] == 0]
+            hs = g["a"].astype("int64")
+            out = pd.DataFrame({"kind": np.int64(0), "a": hs,
+                                "b": g["b"].astype("int64")})
+            out["t"] = np.int64(0)
+            out["cb"] = out["a"] % B
+            return out.drop_duplicates(["a", "b"])
+
+        adj = (base.map_batches(_adj_rows, batch_format="pandas")
+               .groupby("cb").map_groups(
+                   lambda g: g.drop_duplicates(["a", "b"]),
+                   batch_format="pandas")
+               .repartition(n_blocks)).materialize()
+
+        def _node_rows(df: pd.DataFrame) -> pd.DataFrame:
+            g = df[df["kind"] == 1]
+            out = pd.DataFrame({"h": g["a"].astype("int64"),
+                                "node": g["node"].astype(str)})
+            out["nb"] = out["h"] % B
+            return out
+
+        nodes = (base.map_batches(_node_rows, batch_format="pandas")
+                 .groupby("nb").map_groups(
+                     lambda g: g[["h", "node"]].drop_duplicates("h"),
+                     batch_format="pandas").repartition(n_blocks))
+
+    # walk state: kind=1 rows (a=start-hash, b=cur-hash, t=step) —
+    # seeded from the DEDUPLICATED node map (the raw-scan kind=1 rows
+    # are only per-batch distinct; seeding from them would start a
+    # walk once per batch a node appears in)
+    def _start_rows(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["h"].astype("int64")
+        return pd.DataFrame({"kind": np.int64(1), "a": h, "b": h,
+                             "t": np.int64(0), "cb": h % B})
+
+    state = nodes.map_batches(_start_rows,
+                              batch_format="pandas").materialize()
+    emitted = [state]
+
+    def _step(group: pd.DataFrame) -> pd.DataFrame:
+        ad = group[group["kind"] == 0].drop_duplicates(["a", "b"]) \
+            .sort_values(["a", "b"], kind="stable")
+        wk = group[group["kind"] == 1]
+        if not len(wk) or not len(ad):
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ("kind", "a", "b", "t",
+                                           "cb")})
+        src = ad["a"].to_numpy(dtype="int64")
+        dst = ad["b"].to_numpy(dtype="int64")
+        bounds_lo = np.searchsorted(src, wk["b"].to_numpy("int64"),
+                                    side="left")
+        bounds_hi = np.searchsorted(src, wk["b"].to_numpy("int64"),
+                                    side="right")
+        deg = bounds_hi - bounds_lo
+        alive = deg > 0
+        if not alive.any():
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ("kind", "a", "b", "t",
+                                           "cb")})
+        w = wk[alive]
+        cur = w["b"].to_numpy(dtype="int64")
+        t = w["t"].to_numpy(dtype="int64")
+        dg = deg[alive]
+        keys = pd.Series([f"{c}|{tt + 1}" for c, tt in zip(cur, t)])
+        uniq, inv = np.unique(keys.to_numpy(), return_inverse=True)
+        hv = np.fromiter((_gram_hash(u) for u in uniq),
+                         dtype=np.int64, count=len(uniq))[inv]
+        pick = bounds_lo[alive] + (hv % dg)
+        nxt = dst[pick]
+        out = pd.DataFrame({"kind": np.int64(1),
+                            "a": w["a"].to_numpy(dtype="int64"),
+                            "b": nxt, "t": t + 1})
+        out["cb"] = out["b"] % B
+        return out
+
+    for _ in range(n_steps):
+        state = (adj.union(state).groupby("cb")
+                 .map_groups(_step, batch_format="pandas")
+                 .repartition(n_blocks)).materialize()
+        if not state.count():
+            break
+        emitted.append(state)
+
+    from .joins import hash_join
+    walks = emitted[0]
+    for e in emitted[1:]:
+        walks = walks.union(e)
+
+    def _walk_rows(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[df["kind"] == 1] if "kind" in df.columns else df
+        return pd.DataFrame({"sh": g["a"].astype("int64"),
+                             "ch": g["b"].astype("int64"),
+                             "step": g["t"].astype("int64")})
+
+    w = walks.map_batches(_walk_rows, batch_format="pandas")
+    nm = nodes.map_batches(
+        lambda df: pd.DataFrame({"h": df["h"].astype("int64"),
+                                 "node": df["node"].astype(str)}),
+        batch_format="pandas")
+    j1 = hash_join(w, nm.map_batches(
+        lambda df: df.rename(columns={"h": "sh",
+                                      "node": "start"}),
+        batch_format="pandas"), on="sh", n_buckets=n_buckets)
+    j2 = hash_join(j1, nm.map_batches(
+        lambda df: df.rename(columns={"h": "ch", "node": "node"}),
+        batch_format="pandas"), on="ch", n_buckets=n_buckets)
+    return j2.map_batches(
+        lambda df: df[["start", "step", "node"]],
+        batch_format="pandas")

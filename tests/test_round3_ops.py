@@ -2442,3 +2442,50 @@ class TestHits:
                         "authority"] == 10**6).all()
         assert (out.loc[[f"a{i}" for i in range(3)],
                         "hub"] == 0).all()
+
+
+class TestRandomWalks:
+    def test_matches_hash_coin_reference(self):
+        import hashlib
+
+        from rdf_extraction_ray.stages.graph import random_walks
+        rng = np.random.default_rng(3)
+        edges = list({(f"n{a}", f"n{b}") for a, b in
+                      zip(rng.integers(0, 20, 80),
+                          rng.integers(0, 20, 80)) if a != b})
+        df = pd.DataFrame(edges, columns=["s", "d"])
+        got = random_walks(rd.from_pandas(df).repartition(3),
+                           n_steps=3).to_pandas() \
+            .sort_values(["start", "step"], ignore_index=True)
+
+        def h15s(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        hv = {n: h15s(n) for n in {x for e in edges for x in e}}
+        adj: dict = {}
+        for s, d in edges:
+            adj.setdefault(hv[s], []).append(hv[d])
+        for kk in adj:
+            adj[kk] = sorted(set(adj[kk]))
+        inv = {v: n for n, v in hv.items()}
+        rows = []
+        for n, h in sorted(hv.items()):
+            cur = h
+            rows.append((n, 0, inv[cur]))
+            for t in range(1, 4):
+                ns = adj.get(cur)
+                if not ns:
+                    break
+                cur = ns[h15s(f"{cur}|{t}") % len(ns)]
+                rows.append((n, t, inv[cur]))
+        want = pd.DataFrame(rows, columns=["start", "step", "node"]) \
+            .sort_values(["start", "step"], ignore_index=True)
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_dead_ends_stop(self):
+        from rdf_extraction_ray.stages.graph import random_walks
+        df = pd.DataFrame([("a", "b")], columns=["s", "d"])
+        out = random_walks(rd.from_pandas(df), n_steps=3).to_pandas()
+        # walk from a: a → b, stops (b has no out-edges); from b: stops
+        assert len(out[out["start"] == "a"]) == 2
+        assert len(out[out["start"] == "b"]) == 1
