@@ -2442,6 +2442,50 @@ def _q_tpch_q10_returned_revenue(sf_dir: str):
                            ignore_index=True)
 
 
+def _q_parts_skyline(sf_dir: str):
+    """Skyline (Pareto frontier) of the part table: parts not
+    strictly dominated under (maximize p_size, minimize
+    p_retailprice) — the multi-objective shortlist operator.
+
+    Scale shape: skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B)),
+    so each batch reduces to its local frontier (sort by price asc /
+    size desc, keep the running-max-size prefix — O(n log n)
+    vectorized) and the driver merges only frontier partials, each
+    bounded by the number of distinct sizes. Comparisons are raw
+    column values (no arithmetic), so the SQL replay is exact."""
+    def _local_skyline(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[["p_partkey", "p_size", "p_retailprice"]].copy()
+        if not len(g):
+            return g
+        # survivor test, price-sorted: size must equal its own
+        # price-group's max AND strictly exceed the running max of
+        # every strictly-cheaper group — one sort + two reductions
+        g = g.sort_values(["p_retailprice", "p_size"],
+                          ascending=[True, False], kind="stable")
+        size = g["p_size"].to_numpy(dtype="int64")
+        price = g["p_retailprice"].to_numpy()
+        new_grp = np.concatenate([[True], price[1:] != price[:-1]])
+        gid = np.cumsum(new_grp) - 1
+        gmax = np.maximum.reduceat(size, np.flatnonzero(new_grp))
+        prev_max = np.concatenate(
+            [[np.iinfo(np.int64).min],
+             np.maximum.accumulate(gmax)[:-1]])
+        keep = (size == gmax[gid]) & (size > prev_max[gid])
+        return g[keep]
+
+    parts = _typed(
+        _read(sf_dir, "part",
+              ["p_partkey", "p_size", "p_retailprice"])
+        .map_batches(_local_skyline, batch_format="pandas")
+        .to_pandas(), p_partkey="int64", p_size="int32",
+        p_retailprice="float64")
+    final = _local_skyline(parts)
+    return _typed(final, p_partkey="int64", p_size="int32",
+                  p_retailprice="float64") \
+        .astype({"p_partkey": "int64", "p_size": "int64"}) \
+        .sort_values("p_partkey", ignore_index=True)
+
+
 def _q_market_basket_pairs(sf_dir: str):
     """Market-basket pair mining over order baskets: the top-100 part
     pairs co-purchased in the most orders (support ≥ 2) — the
@@ -5709,6 +5753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_ask": _q_kg_bgp_ask,
         "kg_describe": _q_kg_describe,
         "tpch_q10_returned_revenue": _q_tpch_q10_returned_revenue,
+        "parts_skyline": _q_parts_skyline,
         "market_basket_pairs": _q_market_basket_pairs,
         "turns_role_tool_stats": _q_turns_role_tool_stats,
         "kg_link_prediction": _q_kg_link_prediction,
@@ -7149,6 +7194,18 @@ def oracle_sql() -> dict[str, str]:
               AND l.l_returnflag = 'R'
             GROUP BY 1, 2, c.c_acctbal, n.n_name
             ORDER BY revenue DESC, c.c_custkey LIMIT 20
+        """,
+        "parts_skyline": """
+            SELECT p.p_partkey, p.p_size::BIGINT AS p_size,
+                   p.p_retailprice
+            FROM part p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM part q
+                WHERE q.p_size >= p.p_size
+                  AND q.p_retailprice <= p.p_retailprice
+                  AND (q.p_size > p.p_size
+                       OR q.p_retailprice < p.p_retailprice))
+            ORDER BY p.p_partkey
         """,
         "market_basket_pairs": """
             WITH op AS (SELECT DISTINCT l_orderkey AS o,

@@ -159,7 +159,7 @@ def run_bench() -> dict:
               "docs_rrf_fusion", "docs_bigram_logprob",
               "docs_token_entropy", "kg_embed_link",
               "kg_link_prediction", "kg_hits", "kg_random_walks",
-              "market_basket_pairs",
+              "market_basket_pairs", "parts_skyline",
               "turns_role_tool_stats",
               "docs_bpe_pairs", "docs_mixture_weights"]
     queries = entrymod.queries()

@@ -2481,6 +2481,12 @@ class TestRandomWalks:
         want = pd.DataFrame(rows, columns=["start", "step", "node"]) \
             .sort_values(["start", "step"], ignore_index=True)
         pd.testing.assert_frame_equal(got, want)
+        # exchange path computes the identical walk set
+        ex = random_walks(rd.from_pandas(df).repartition(3),
+                          n_steps=3, broadcast_max_nodes=0) \
+            .to_pandas().sort_values(["start", "step"],
+                                     ignore_index=True)
+        pd.testing.assert_frame_equal(ex, want)
 
     def test_dead_ends_stop(self):
         from rdf_extraction_ray.stages.graph import random_walks
