@@ -3487,6 +3487,19 @@ def _q_kg_random_walks(sf_dir: str):
     return out.sort_values(["start", "step"], ignore_index=True)
 
 
+def _q_kg_entity_resolution(sf_dir: str):
+    """Entity-resolution merge stage (north-star union-find over
+    candidate merges): mention surfaces word-blocked, trigram-cosine
+    verified at 0.7, merged by distributed connected components,
+    canonicalized to the lexicographically smallest surface (see
+    stages.embedlink.surface_clusters — name-only evidence merges at
+    surname-family granularity, the grouping an alias-curation pass
+    wants)."""
+    from rdf_extraction_ray.stages.embedlink import surface_clusters
+    out = surface_clusters(_linked_view(sf_dir), threshold=0.7)
+    return _typed(out, surface=object, canonical=object)
+
+
 def _q_kg_embed_link(sf_dir: str):
     """Embedding-index entity linking (north-star parity): every
     distinct vocabulary-miss/fuzzy surface scored against the
@@ -5759,6 +5772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_link_prediction": _q_kg_link_prediction,
         "kg_hits": _q_kg_hits,
         "kg_random_walks": _q_kg_random_walks,
+        "kg_entity_resolution": _q_kg_entity_resolution,
         "kg_bgp_minus": _q_kg_bgp_minus,
         "kg_bgp_topk": _q_kg_bgp_topk,
         "kg_bgp_global_agg": _q_kg_bgp_global_agg,
@@ -6012,6 +6026,59 @@ def oracle_sql() -> dict[str, str]:
                   FROM read_parquet('{linked}'))
             WHERE status IS NOT NULL AND status <> ''
             GROUP BY status
+        """,
+        # ER surface clustering: word blocking + trigram-cosine
+        # verify (exact HUGEINT test) + recursive-closure components
+        # with min-surface canonicalization.
+        "kg_entity_resolution": f"""
+            WITH RECURSIVE m0 AS (
+                SELECT DISTINCT s FROM (
+                    SELECT person AS s FROM read_parquet('{linked}')
+                    UNION ALL
+                    SELECT other FROM read_parquet('{linked}'))
+                WHERE s IS NOT NULL),
+            wx AS (SELECT DISTINCT s, w
+                   FROM m0, unnest(regexp_extract_all(lower(s),
+                            '[a-z0-9]{{3,}}')) u(w)),
+            wd AS (SELECT w FROM wx
+                   GROUP BY w HAVING count(*) <= 64),
+            cand AS (SELECT DISTINCT a.s AS sa, b.s AS sb
+                     FROM wx a
+                     JOIN wx b ON a.w = b.w AND a.s < b.s
+                     JOIN wd ON wd.w = a.w),
+            su AS (SELECT sa AS s FROM cand
+                   UNION SELECT sb FROM cand),
+            tt AS (SELECT s,
+                          ('0x' || substr(md5(substr(lower(s), i, 3)),
+                               1, 15))::BIGINT % 64 AS b2
+                   FROM su, unnest(generate_series(1,
+                                length(s) - 2)) q(i)),
+            tv AS (SELECT s, b2, count(*)::BIGINT AS c
+                   FROM tt GROUP BY 1, 2),
+            tn AS (SELECT s, sum(c * c)::BIGINT AS n2
+                   FROM tv GROUP BY 1),
+            d AS (SELECT c.sa, c.sb,
+                         coalesce(sum(x.c * y.c), 0)::BIGINT AS dot
+                  FROM cand c
+                  LEFT JOIN tv x ON x.s = c.sa
+                  LEFT JOIN tv y ON y.s = c.sb AND y.b2 = x.b2
+                  GROUP BY 1, 2),
+            mt AS (SELECT d.sa, d.sb FROM d
+                   JOIN tn a ON a.s = d.sa
+                   JOIN tn b ON b.s = d.sb
+                   WHERE d.dot > 0
+                     AND CAST(d.dot AS HUGEINT) * d.dot * 10000
+                         >= 4900 * CAST(a.n2 AS HUGEINT) * b.n2),
+            e AS (SELECT sa AS a, sb AS b FROM mt
+                  UNION SELECT sb, sa FROM mt),
+            ns AS (SELECT DISTINCT a AS n FROM e),
+            reach(n, r) AS (
+                SELECT n, n FROM ns
+                UNION
+                SELECT reach.n, e.b FROM reach
+                JOIN e ON e.a = reach.r)
+            SELECT n AS surface, min(r) AS canonical
+            FROM reach GROUP BY n ORDER BY surface
         """,
         # Link prediction: same md5-15 node hashes and min(node)
         # collision resolution as every graph oracle; ranking ties

@@ -160,6 +160,7 @@ def run_bench() -> dict:
               "docs_token_entropy", "kg_embed_link",
               "kg_link_prediction", "kg_hits", "kg_random_walks",
               "market_basket_pairs", "parts_skyline",
+              "kg_entity_resolution",
               "turns_role_tool_stats",
               "docs_bpe_pairs", "docs_mixture_weights"]
     queries = entrymod.queries()

@@ -2495,3 +2495,33 @@ class TestRandomWalks:
         # walk from a: a → b, stops (b has no out-edges); from b: stops
         assert len(out[out["start"] == "a"]) == 2
         assert len(out[out["start"] == "b"]) == 1
+
+
+class TestSurfaceClusters:
+    def test_variants_merge_unrelated_stay_apart(self):
+        from rdf_extraction_ray.stages.embedlink import surface_clusters
+        linked = pd.DataFrame({
+            "person": ["Ida Abernathy", "I. Abernathy", "Ida Abernathy",
+                       "Horace Quimby", None],
+            "other": [None, None, "Zebulon Frost", None,
+                      "Ida Abernathy"]})
+        out = surface_clusters(rd.from_pandas(linked), threshold=0.7)
+        m = dict(zip(out["surface"], out["canonical"]))
+        # 'I. Abernathy' clusters with 'Ida Abernathy' (shared word +
+        # trigram cosine 0.86); canonical is the lexicographic min
+        assert m.get("Ida Abernathy") == m.get("I. Abernathy") \
+            == "I. Abernathy"
+        # unrelated names form no cluster rows
+        assert "Horace Quimby" not in m and "Zebulon Frost" not in m
+
+    def test_empty_and_partition_invariant(self):
+        from rdf_extraction_ray.stages.embedlink import surface_clusters
+        linked = pd.DataFrame({"person": [None], "other": [None]})
+        out = surface_clusters(rd.from_pandas(linked))
+        assert len(out) == 0
+        linked2 = pd.DataFrame({
+            "person": ["Ada Byron", "A. Byron"] * 6,
+            "other": [None] * 12})
+        a = surface_clusters(rd.from_pandas(linked2))
+        b = surface_clusters(rd.from_pandas(linked2).repartition(4))
+        pd.testing.assert_frame_equal(a, b)
