@@ -2442,6 +2442,668 @@ def _q_tpch_q10_returned_revenue(sf_dir: str):
                            ignore_index=True)
 
 
+def _q_tpch_q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape — single-scan predicate revenue forecast:
+    ``sum(extendedprice × discount)`` over 1997 shipments with
+    discount in [0.05, 0.07] and quantity < 24.
+
+    Scale shape: the whole query is a map-side combiner — each batch
+    reduces to ONE partial sum and the driver adds a handful of
+    floats; no exchange at all. Discounts are the exact parquet
+    float64 grid (0.00…0.10), so the range bounds compare identically
+    on both engines."""
+    LO, HI = pd.Timestamp("1997-01-01"), pd.Timestamp("1998-01-01")
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[(df["l_shipdate"] >= LO) & (df["l_shipdate"] < HI)
+               & (df["l_discount"] >= 0.05) & (df["l_discount"] <= 0.07)
+               & (df["l_quantity"] < 24)]
+        return pd.DataFrame({"s": [float((g["l_extendedprice"]
+                                          * g["l_discount"]).sum())]})
+
+    parts = _typed(
+        _read(sf_dir, "lineitem",
+              ["l_shipdate", "l_discount", "l_quantity",
+               "l_extendedprice"])
+        .map_batches(_partial, batch_format="pandas").to_pandas(),
+        s="float64")
+    total = float(parts["s"].sum()) if len(parts) else 0.0
+    return pd.DataFrame({"revenue": pd.Series([round(total, _ROUND)],
+                                              dtype="float64")})
+
+
+def _q_tpch_q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape — revenue view + scalar-max join-back: each
+    supplier's 1997-Q1 shipped revenue, returning the supplier(s)
+    whose total equals the global maximum.
+
+    Scale shape: lineitem pre-combines per batch to one (suppkey,
+    revenue) partial per supplier seen, so the groupby exchange is
+    supplier-dimension-sized. Both engines round per-supplier totals
+    to 4 dp BEFORE taking the max, so the equality join-back compares
+    identical values."""
+    from ray.data.aggregate import Sum
+    LO, HI = pd.Timestamp("1997-01-01"), pd.Timestamp("1997-04-01")
+    supp = _small_df(sf_dir, "supplier", ["s_suppkey", "s_name"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[(df["l_shipdate"] >= LO) & (df["l_shipdate"] < HI)]
+        rev = g["l_extendedprice"] * (1 - g["l_discount"])
+        return (pd.DataFrame({"s_suppkey": g["l_suppkey"].astype("int64"),
+                              "total_revenue": rev})
+                .groupby("s_suppkey", as_index=False)["total_revenue"]
+                .sum())
+
+    parts = _typed(
+        _read(sf_dir, "lineitem",
+              ["l_suppkey", "l_shipdate", "l_extendedprice",
+               "l_discount"])
+        .map_batches(_partial, batch_format="pandas")
+        .groupby("s_suppkey")
+        .aggregate(Sum("total_revenue", alias_name="total_revenue"))
+        .to_pandas(),
+        s_suppkey="int64", total_revenue="float64")
+    if not len(parts):
+        return pd.DataFrame({
+            "s_suppkey": pd.Series([], dtype="int64"),
+            "s_name": pd.Series([], dtype=object),
+            "total_revenue": pd.Series([], dtype="float64")})
+    parts["total_revenue"] = parts["total_revenue"].round(_ROUND)
+    best = parts[parts["total_revenue"] == parts["total_revenue"].max()]
+    out = best.merge(supp, on="s_suppkey")
+    out = out[["s_suppkey", "s_name", "total_revenue"]].astype(
+        {"s_suppkey": "int64", "total_revenue": "float64"})
+    return out.sort_values("s_suppkey", ignore_index=True)
+
+
+def _q_tpch_q7_volume_shipping(sf_dir: str):
+    """TPC-H Q7 shape — bi-national shipping volume: revenue flowing
+    between NATION_1 suppliers and NATION_2 customers (and vice
+    versa), per (supplier nation, customer nation, ship year) over
+    1996–1997.
+
+    Scale shape: supplier→nation broadcasts (dimension-sized); the
+    customer→nation side broadcasts under the documented Q5 cap with
+    a partitioned hash-join fallback. The only wide exchange is the
+    fused lineitem⋈orders bucket join on ``kbucket = orderkey % 64``
+    — lineitem rows pre-filter to the two supplier nations and
+    pre-combine per (orderkey, nation, year), so only int-keyed
+    partials enter; each bucket resolves the join, keeps
+    cross-nation pairs and emits ≤ 2×2×(years) partials."""
+    import ray as _ray
+
+    from rdf_extraction_ray.stages.dedup_docs import _cached_get
+    from rdf_extraction_ray.stages.joins import hash_join
+    LO, HI = pd.Timestamp("1996-01-01"), pd.Timestamp("1998-01-01")
+    nation = _small_df(sf_dir, "nation", ["n_nationkey", "n_name"])
+    nmap = dict(zip(nation["n_nationkey"].astype("int64"),
+                    nation["n_name"]))
+    pair_keys = {k for k, v in nmap.items()
+                 if v in ("NATION_1", "NATION_2")}
+    supp = _small_df(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    sm = supp[supp["s_nationkey"].isin(pair_keys)]
+    sref = _ray.put(dict(zip(sm["s_suppkey"].astype("int64"),
+                             sm["s_nationkey"].astype("int64"))))
+
+    _COLS = ["okey", "nkey", "year", "volume", "side", "kbucket"]
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(lambda df: df[df["c_nationkey"].isin(pair_keys)]
+                     .rename(columns={"c_custkey": "o_custkey"}),
+                     batch_format="pandas")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def _j1_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "okey": df["o_orderkey"].astype("int64"),
+            "nkey": df["c_nationkey"].astype("int64"),
+            "year": np.int64(0),
+            "volume": np.float64(0.0),
+            "side": np.int8(1)})
+        out["kbucket"] = (out["okey"] % 64).astype("int64")
+        return out[_COLS]
+
+    n_cust = cust.count()
+    if n_cust <= _Q5_CUST_BROADCAST_CAP:
+        cd = cust.to_pandas()
+        cmap = _ray.put(dict(zip(cd["o_custkey"].astype("int64"),
+                                 cd["c_nationkey"].astype("int64"))))
+
+        def _orders_map(df: pd.DataFrame) -> pd.DataFrame:
+            nk = df["o_custkey"].map(_cached_get(cmap))
+            g = df[nk.notna()]
+            out = pd.DataFrame({
+                "okey": g["o_orderkey"].astype("int64"),
+                "nkey": nk[nk.notna()].astype("int64"),
+                "year": np.int64(0),
+                "volume": np.float64(0.0),
+                "side": np.int8(1)})
+            out["kbucket"] = (out["okey"] % 64).astype("int64")
+            return out[_COLS]
+
+        j1 = orders.map_batches(_orders_map, batch_format="pandas")
+    else:
+        j1 = hash_join(orders, cust, on="o_custkey") \
+            .map_batches(_j1_rows, batch_format="pandas")
+
+    def _line_rows(df: pd.DataFrame) -> pd.DataFrame:
+        s_nat = df["l_suppkey"].map(_cached_get(sref))
+        g = df[s_nat.notna()
+               & (df["l_shipdate"] >= LO) & (df["l_shipdate"] < HI)]
+        vol = g["l_extendedprice"] * (1 - g["l_discount"])
+        out = (pd.DataFrame({
+            "okey": g["l_orderkey"].astype("int64"),
+            "nkey": s_nat.loc[g.index].astype("int64"),
+            "year": g["l_shipdate"].dt.year.astype("int64"),
+            "volume": vol})
+            .groupby(["okey", "nkey", "year"],
+                     as_index=False)["volume"].sum())
+        out["side"] = np.int8(0)
+        out["kbucket"] = (out["okey"] % 64).astype("int64")
+        return out[_COLS]
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_suppkey", "l_shipdate",
+                  "l_extendedprice", "l_discount"]) \
+        .map_batches(_line_rows, batch_format="pandas")
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lrows = g[g["side"] == 0]
+        meta = g.loc[g["side"] == 1, ["okey", "nkey"]] \
+            .rename(columns={"nkey": "cnkey"})
+        out = lrows.merge(meta, on="okey", how="inner")
+        # both ends are in {NATION_1, NATION_2}; cross-nation only
+        out = out[out["nkey"] != out["cnkey"]]
+        if not len(out):
+            return pd.DataFrame({
+                "snkey": pd.Series([], dtype="int64"),
+                "cnkey": pd.Series([], dtype="int64"),
+                "year": pd.Series([], dtype="int64"),
+                "volume": pd.Series([], dtype="float64")})
+        return (out.rename(columns={"nkey": "snkey"})
+                .groupby(["snkey", "cnkey", "year"],
+                         as_index=False)["volume"].sum())
+
+    parts = _typed(
+        line.union(j1).groupby("kbucket")
+        .map_groups(_bucket, batch_format="pandas").to_pandas(),
+        snkey="int64", cnkey="int64", year="int64", volume="float64")
+    out = parts.groupby(["snkey", "cnkey", "year"],
+                        as_index=False)["volume"].sum()
+    res = pd.DataFrame({
+        "supp_nation": out["snkey"].map(nmap).astype(object),
+        "cust_nation": out["cnkey"].map(nmap).astype(object),
+        "l_year": out["year"].astype("int64"),
+        "revenue": out["volume"].astype("float64").round(_ROUND)})
+    return res.sort_values(["supp_nation", "cust_nation", "l_year"],
+                           ignore_index=True)
+
+
+def _q_tpch_q8_market_share(sf_dir: str):
+    """TPC-H Q8 shape — national market share: NATION_7's share of
+    PROMO-part revenue sold to ASIA customers, per order year over
+    1995–1996.
+
+    Scale shape: the PROMO partkey set and the target-supplier set
+    broadcast (dimensions); the ASIA customer keys broadcast under
+    the Q5 cap (hash-join fallback). Lineitem pre-combines per
+    (orderkey) into (volume_all, volume_target) partials behind the
+    part filter, and the fused bucket exchange joins them with
+    (orderkey → order year) rows from the date-filtered ASIA orders.
+    The share divides the two 4dp-ROUNDED yearly sums on both
+    engines, so the quotient is exact."""
+    import ray as _ray
+
+    from rdf_extraction_ray.stages.dedup_docs import _cached_get
+    from rdf_extraction_ray.stages.joins import hash_join
+    LO, HI = pd.Timestamp("1995-01-01"), pd.Timestamp("1997-01-01")
+    nation = _small_df(sf_dir, "nation",
+                       ["n_nationkey", "n_name", "n_regionkey"])
+    region = _small_df(sf_dir, "region", ["r_regionkey", "r_name"])
+    asia = set(region.loc[region["r_name"] == "ASIA", "r_regionkey"])
+    asia_nk = set(nation.loc[nation["n_regionkey"].isin(asia),
+                             "n_nationkey"].astype("int64"))
+    tgt_nk = set(nation.loc[nation["n_name"] == "NATION_7",
+                            "n_nationkey"].astype("int64"))
+    part = _small_df(sf_dir, "part", ["p_partkey", "p_type"])
+    pkeys = np.sort(part.loc[part["p_type"] == "PROMO", "p_partkey"]
+                    .to_numpy(dtype="int64"))
+    pref = _ray.put(pkeys)
+    supp = _small_df(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    tgt_sk = np.sort(supp.loc[supp["s_nationkey"].isin(tgt_nk),
+                              "s_suppkey"].to_numpy(dtype="int64"))
+    tref = _ray.put(tgt_sk)
+
+    _COLS = ["okey", "year", "vall", "vtgt", "side", "kbucket"]
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(lambda df: df.loc[df["c_nationkey"].isin(asia_nk),
+                                       ["c_custkey"]]
+                     .rename(columns={"c_custkey": "o_custkey"}),
+                     batch_format="pandas")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(lambda df: df[(df["o_orderdate"] >= LO)
+                                   & (df["o_orderdate"] < HI)],
+                     batch_format="pandas")
+
+    def _ord_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "okey": df["o_orderkey"].astype("int64"),
+            "year": df["o_orderdate"].dt.year.astype("int64"),
+            "vall": np.float64(0.0),
+            "vtgt": np.float64(0.0),
+            "side": np.int8(1)})
+        out["kbucket"] = (out["okey"] % 64).astype("int64")
+        return out[_COLS]
+
+    n_cust = cust.count()
+    if n_cust <= _Q5_CUST_BROADCAST_CAP:
+        ckeys = np.sort(cust.to_pandas()["o_custkey"]
+                        .to_numpy(dtype="int64"))
+        cref = _ray.put(ckeys)
+
+        def _ord_sel(df: pd.DataFrame) -> pd.DataFrame:
+            m = np.isin(df["o_custkey"].to_numpy(dtype="int64"),
+                        _cached_get(cref))
+            return _ord_rows(df[m])
+
+        j1 = orders.map_batches(_ord_sel, batch_format="pandas")
+    else:
+        j1 = hash_join(orders, cust, on="o_custkey") \
+            .map_batches(_ord_rows, batch_format="pandas")
+
+    def _line_rows(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.isin(df["l_partkey"].to_numpy(dtype="int64"),
+                    _cached_get(pref))
+        g = df[m]
+        vol = (g["l_extendedprice"] * (1 - g["l_discount"])) \
+            .to_numpy(dtype="float64")
+        is_tgt = np.isin(g["l_suppkey"].to_numpy(dtype="int64"),
+                         _cached_get(tref))
+        out = (pd.DataFrame({
+            "okey": g["l_orderkey"].astype("int64").to_numpy(),
+            "vall": vol,
+            "vtgt": np.where(is_tgt, vol, 0.0)})
+            .groupby("okey", as_index=False)[["vall", "vtgt"]].sum())
+        out["year"] = np.int64(0)
+        out["side"] = np.int8(0)
+        out["kbucket"] = (out["okey"] % 64).astype("int64")
+        return out[_COLS]
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_partkey", "l_suppkey",
+                  "l_extendedprice", "l_discount"]) \
+        .map_batches(_line_rows, batch_format="pandas")
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lrows = g.loc[g["side"] == 0, ["okey", "vall", "vtgt"]]
+        meta = g.loc[g["side"] == 1, ["okey", "year"]]
+        out = lrows.merge(meta, on="okey", how="inner")
+        return (out.groupby("year", as_index=False)[["vall", "vtgt"]]
+                .sum())
+
+    parts = _typed(
+        line.union(j1).groupby("kbucket")
+        .map_groups(_bucket, batch_format="pandas").to_pandas(),
+        year="int64", vall="float64", vtgt="float64")
+    out = parts.groupby("year", as_index=False)[["vall", "vtgt"]].sum()
+    va = out["vall"].round(_ROUND)
+    vt = out["vtgt"].round(_ROUND)
+    return pd.DataFrame({
+        "o_year": out["year"].astype("int64"),
+        "volume_all": va.astype("float64"),
+        "volume_target": vt.astype("float64"),
+        "mkt_share": (vt / va).round(_ROUND).astype("float64"),
+    }).sort_values("o_year", ignore_index=True)
+
+
+def _q_tpch_q9_product_profit(sf_dir: str):
+    """TPC-H Q9 shape — product-type profit by (supplier nation,
+    order year) for parts named ``%widget%``. The schema carries no
+    partsupp table, so supply cost is proxied as ``0.6 ×
+    p_retailprice × l_quantity`` (documented adaptation; the
+    join/aggregate SHAPE is Q9's: two dimension broadcasts, one
+    fused lineitem⋈orders exchange, (nation, year) rollup).
+
+    Scale shape: the widget partkey→retailprice map and the full
+    supplier→nation map broadcast once; lineitem pre-combines profit
+    per (orderkey, nation); orders contribute (orderkey → year) rows
+    to the same ``kbucket`` exchange; each bucket joins and emits
+    (nation, year) partials — ≤ 25×(years) rows per bucket."""
+    import ray as _ray
+
+    from rdf_extraction_ray.stages.dedup_docs import _cached_get
+    nation = _small_df(sf_dir, "nation", ["n_nationkey", "n_name"])
+    nmap = dict(zip(nation["n_nationkey"].astype("int64"),
+                    nation["n_name"]))
+    part = _small_df(sf_dir, "part", ["p_partkey", "p_name",
+                                      "p_retailprice"])
+    wid = part[part["p_name"].str.contains("widget")]
+    pref = _ray.put(dict(zip(wid["p_partkey"].astype("int64"),
+                             wid["p_retailprice"].astype("float64"))))
+    supp = _small_df(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    sref = _ray.put(dict(zip(supp["s_suppkey"].astype("int64"),
+                             supp["s_nationkey"].astype("int64"))))
+
+    _COLS = ["okey", "nkey", "year", "amount", "side", "kbucket"]
+
+    def _ord_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "okey": df["o_orderkey"].astype("int64"),
+            "nkey": np.int64(-1),
+            "year": df["o_orderdate"].dt.year.astype("int64"),
+            "amount": np.float64(0.0),
+            "side": np.int8(1)})
+        out["kbucket"] = (out["okey"] % 64).astype("int64")
+        return out[_COLS]
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]) \
+        .map_batches(_ord_rows, batch_format="pandas")
+
+    def _line_rows(df: pd.DataFrame) -> pd.DataFrame:
+        retail = df["l_partkey"].map(_cached_get(pref))
+        g = df[retail.notna()]
+        r = retail.loc[g.index].to_numpy(dtype="float64")
+        amount = (g["l_extendedprice"].to_numpy(dtype="float64")
+                  * (1 - g["l_discount"].to_numpy(dtype="float64"))
+                  - 0.6 * r * g["l_quantity"].to_numpy(dtype="float64"))
+        nk = g["l_suppkey"].map(_cached_get(sref))
+        out = (pd.DataFrame({
+            "okey": g["l_orderkey"].astype("int64").to_numpy(),
+            "nkey": nk.astype("int64").to_numpy(),
+            "amount": amount})
+            .groupby(["okey", "nkey"], as_index=False)["amount"].sum())
+        out["year"] = np.int64(0)
+        out["side"] = np.int8(0)
+        out["kbucket"] = (out["okey"] % 64).astype("int64")
+        return out[_COLS]
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                  "l_extendedprice", "l_discount"]) \
+        .map_batches(_line_rows, batch_format="pandas")
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lrows = g.loc[g["side"] == 0, ["okey", "nkey", "amount"]]
+        meta = g.loc[g["side"] == 1, ["okey", "year"]]
+        out = lrows.merge(meta, on="okey", how="inner")
+        return (out.groupby(["nkey", "year"],
+                            as_index=False)["amount"].sum())
+
+    parts = _typed(
+        line.union(orders).groupby("kbucket")
+        .map_groups(_bucket, batch_format="pandas").to_pandas(),
+        nkey="int64", year="int64", amount="float64")
+    out = parts.groupby(["nkey", "year"], as_index=False)["amount"].sum()
+    res = pd.DataFrame({
+        "nation": out["nkey"].map(nmap).astype(object),
+        "o_year": out["year"].astype("int64"),
+        "sum_profit": out["amount"].astype("float64").round(_ROUND)})
+    return res.sort_values(["nation", "o_year"],
+                           ascending=[True, False], ignore_index=True)
+
+
+def _q_tpch_q11_important_parts(sf_dir: str):
+    """TPC-H Q11 shape — important-stock census behind a global
+    scalar threshold. No partsupp table exists, so 'inventory value'
+    is proxied by the shipped value ``sum(cents(l_extendedprice) ×
+    l_quantity)`` of EUROPE-supplied lineitems per part; a part
+    qualifies when 1000 × its value exceeds the grand total.
+
+    Scale shape: the EUROPE supplier set broadcasts; each batch
+    combines to per-part int64 cent partials; the ``pbucket``
+    exchange resolves per-part totals (part-dimension-sized driver
+    merge); the grand total is the sum of those partials — prices
+    quantize to cents map-side, so partials, total and the threshold
+    comparison replay bit-for-bit in SQL."""
+    import ray as _ray
+
+    from rdf_extraction_ray.stages.dedup_docs import _cached_get
+    nation = _small_df(sf_dir, "nation",
+                       ["n_nationkey", "n_regionkey"])
+    region = _small_df(sf_dir, "region", ["r_regionkey", "r_name"])
+    eu = set(region.loc[region["r_name"] == "EUROPE", "r_regionkey"])
+    eu_nk = set(nation.loc[nation["n_regionkey"].isin(eu),
+                           "n_nationkey"].astype("int64"))
+    supp = _small_df(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    skeys = np.sort(supp.loc[supp["s_nationkey"].isin(eu_nk),
+                             "s_suppkey"].to_numpy(dtype="int64"))
+    sref = _ray.put(skeys)
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.isin(df["l_suppkey"].to_numpy(dtype="int64"),
+                    _cached_get(sref))
+        g = df[m]
+        cents = (np.rint(g["l_extendedprice"].to_numpy(dtype="float64")
+                         * 100).astype("int64")
+                 * g["l_quantity"].to_numpy(dtype="int64"))
+        out = (pd.DataFrame({"pkey": g["l_partkey"].astype("int64")
+                             .to_numpy(), "cents": cents})
+               .groupby("pkey", as_index=False)["cents"].sum())
+        out["pbucket"] = (out["pkey"] % 64).astype("int64")
+        return out
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("pkey", as_index=False)["cents"].sum()
+
+    parts = _typed(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_quantity",
+               "l_extendedprice"])
+        .map_batches(_partial, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(_bucket, batch_format="pandas").to_pandas(),
+        pkey="int64", cents="int64")
+    total = int(parts["cents"].sum()) if len(parts) else 0
+    keep = parts[1000 * parts["cents"] > total]
+    out = pd.DataFrame({
+        "p_partkey": keep["pkey"].astype("int64"),
+        "part_value": (keep["cents"] / 100.0).astype("float64")})
+    return out.sort_values(["part_value", "p_partkey"],
+                           ascending=[False, True], ignore_index=True)
+
+
+def _q_tpch_q16_supplier_cnt(sf_dir: str):
+    """TPC-H Q16 shape — supplier diversity census: distinct-supplier
+    count per (brand, type, size) over the part↔supplier
+    relationships OBSERVED in lineitem (the schema has no partsupp
+    table), for the eight target sizes outside Brand#9/PROMO,
+    excluding negative-balance suppliers (the complaints proxy).
+
+    Scale shape: the eligible part-attribute frame and the excluded
+    supplier set broadcast; each lineitem batch reduces to distinct
+    (partkey, suppkey) int pairs; the exchange buckets by SUPPKEY —
+    buckets partition suppliers disjointly, so each bucket's
+    per-group distinct-supplier counts are exact partials and the
+    driver merge is (buckets × groups)-bounded."""
+    import ray as _ray
+
+    from rdf_extraction_ray.stages.dedup_docs import _cached_get
+    SIZES = (1, 4, 7, 11, 14, 19, 23, 28)
+    part = _small_df(sf_dir, "part",
+                     ["p_partkey", "p_brand", "p_type", "p_size"])
+    elig = part[(part["p_brand"] != "Brand#9")
+                & (part["p_type"] != "PROMO")
+                & part["p_size"].isin(SIZES)].reset_index(drop=True)
+    pref = _ray.put(elig)
+    supp = _small_df(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+    bad = np.sort(supp.loc[supp["s_acctbal"] < 0, "s_suppkey"]
+                  .to_numpy(dtype="int64"))
+    bref = _ray.put(bad)
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        el = _cached_get(pref)
+        ok = np.isin(df["l_partkey"].to_numpy(dtype="int64"),
+                     el["p_partkey"].to_numpy(dtype="int64")) \
+            & ~np.isin(df["l_suppkey"].to_numpy(dtype="int64"),
+                       _cached_get(bref))
+        out = (df.loc[ok, ["l_partkey", "l_suppkey"]]
+               .drop_duplicates().astype("int64"))
+        out["sbucket"] = (out["l_suppkey"] % 64).astype("int64")
+        return out
+
+    def _bucket_cnt(g: pd.DataFrame) -> pd.DataFrame:
+        el = _cached_get(pref)
+        pairs = g[["l_partkey", "l_suppkey"]].drop_duplicates()
+        m = pairs.merge(el, left_on="l_partkey", right_on="p_partkey")
+        m = m[["p_brand", "p_type", "p_size", "l_suppkey"]] \
+            .drop_duplicates()
+        return (m.groupby(["p_brand", "p_type", "p_size"],
+                          as_index=False)
+                .agg(supplier_cnt=("l_suppkey", "size")))
+
+    parts = _typed(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+        .map_batches(_pairs, batch_format="pandas")
+        .groupby("sbucket")
+        .map_groups(_bucket_cnt, batch_format="pandas").to_pandas(),
+        p_brand=object, p_type=object, p_size="int64",
+        supplier_cnt="int64")
+    out = (parts.groupby(["p_brand", "p_type", "p_size"],
+                         as_index=False)["supplier_cnt"].sum())
+    out["p_size"] = out["p_size"].astype("int64")
+    out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+    return out.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True], ignore_index=True)
+
+
+def _q_tpch_q20_promotion_suppliers(sf_dir: str):
+    """TPC-H Q20 shape — part-promotion shortlist: AMERICA suppliers
+    who shipped MORE THAN 30% of some red part's total 1997 volume
+    (the classic 'availqty > half of shipped' test, re-anchored on
+    shipped share because the schema has no partsupp.availqty).
+
+    Scale shape: the red partkey set broadcasts; per-batch combiner
+    reduces to (partkey, suppkey) int64 quantity partials; the
+    ``pbucket`` exchange resolves per-part totals AND the dominance
+    test in-group (quantities are integral, so ``10·qs > 3·qp`` is
+    exact); only qualifying suppkeys — supplier-dimension-bounded —
+    reach the driver for the nation filter and name join."""
+    import ray as _ray
+
+    from rdf_extraction_ray.stages.dedup_docs import _cached_get
+    LO, HI = pd.Timestamp("1997-01-01"), pd.Timestamp("1998-01-01")
+    part = _small_df(sf_dir, "part", ["p_partkey", "p_name"])
+    pkeys = np.sort(part.loc[part["p_name"].str.startswith("red"),
+                             "p_partkey"].to_numpy(dtype="int64"))
+    pref = _ray.put(pkeys)
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.isin(df["l_partkey"].to_numpy(dtype="int64"),
+                    _cached_get(pref)) \
+            & (df["l_shipdate"] >= LO).to_numpy() \
+            & (df["l_shipdate"] < HI).to_numpy()
+        g = df[m]
+        out = (pd.DataFrame({
+            "pkey": g["l_partkey"].astype("int64").to_numpy(),
+            "skey": g["l_suppkey"].astype("int64").to_numpy(),
+            "qty": g["l_quantity"].to_numpy(dtype="int64")})
+            .groupby(["pkey", "skey"], as_index=False)["qty"].sum())
+        out["pbucket"] = (out["pkey"] % 64).astype("int64")
+        return out
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby(["pkey", "skey"], as_index=False)["qty"].sum()
+        tot = per.groupby("pkey")["qty"].sum()
+        qp = tot.reindex(per["pkey"]).to_numpy(dtype="int64")
+        win = per[10 * per["qty"].to_numpy(dtype="int64") > 3 * qp]
+        return win[["skey"]].drop_duplicates()
+
+    parts = _typed(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+        .map_batches(_partial, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(_bucket, batch_format="pandas").to_pandas(),
+        skey="int64")
+    nation = _small_df(sf_dir, "nation",
+                       ["n_nationkey", "n_regionkey"])
+    region = _small_df(sf_dir, "region", ["r_regionkey", "r_name"])
+    am = set(region.loc[region["r_name"] == "AMERICA", "r_regionkey"])
+    am_nk = set(nation.loc[nation["n_regionkey"].isin(am),
+                           "n_nationkey"].astype("int64"))
+    supp = _small_df(sf_dir, "supplier",
+                     ["s_suppkey", "s_name", "s_nationkey"])
+    keep = supp[supp["s_nationkey"].isin(am_nk)
+                & supp["s_suppkey"].isin(set(parts["skey"]
+                                             .astype("int64")))]
+    out = pd.DataFrame({
+        "s_suppkey": keep["s_suppkey"].astype("int64"),
+        "s_name": keep["s_name"].astype(object)})
+    return out.sort_values("s_suppkey", ignore_index=True)
+
+
+def _q_tpch_q21_waiting_suppliers(sf_dir: str):
+    """TPC-H Q21 shape — suppliers who kept orders waiting: for
+    finalized ('F') multi-supplier orders where EXACTLY ONE supplier
+    had a returned ('R') line, that supplier takes the blame; top 20
+    by blame count. (The schema has no commit/receipt dates, so
+    'late' is anchored on the return flag — the EXISTS / NOT-EXISTS
+    double self-join SHAPE is Q21's.)
+
+    Scale shape: lineitem pre-combines to distinct (orderkey,
+    suppkey, any-late) rows per batch; the F-order keys ride the
+    same ``kbucket`` exchange as side-1 rows; each bucket resolves
+    the per-order supplier census vectorized and emits per-supplier
+    blame partials (supplier-dimension-bounded); the driver merges
+    and joins names."""
+    _COLS = ["okey", "skey", "late", "side", "kbucket"]
+
+    def _ord_rows(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.loc[df["o_orderstatus"] == "F", "o_orderkey"]
+        out = pd.DataFrame({
+            "okey": g.astype("int64"),
+            "skey": np.int64(-1),
+            "late": False,
+            "side": np.int8(1)})
+        out["kbucket"] = (out["okey"] % 64).astype("int64")
+        return out[_COLS]
+
+    def _line_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = (pd.DataFrame({
+            "okey": df["l_orderkey"].astype("int64"),
+            "skey": df["l_suppkey"].astype("int64"),
+            "late": (df["l_returnflag"] == "R").to_numpy()})
+            .groupby(["okey", "skey"], as_index=False)["late"].max())
+        out["side"] = np.int8(0)
+        out["kbucket"] = (out["okey"] % 64).astype("int64")
+        return out[_COLS]
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]) \
+        .map_batches(_ord_rows, batch_format="pandas")
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_suppkey", "l_returnflag"]) \
+        .map_batches(_line_rows, batch_format="pandas")
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        fkeys = g.loc[g["side"] == 1, "okey"].unique()
+        l = (g[g["side"] == 0]
+             .groupby(["okey", "skey"], as_index=False)["late"].max())
+        l = l[l["okey"].isin(fkeys)]
+        per = l.groupby("okey").agg(ns=("skey", "nunique"),
+                                    nl=("late", "sum"))
+        ok = per[(per["ns"] >= 2) & (per["nl"] == 1)].index
+        blamed = l[l["late"] & l["okey"].isin(ok)]
+        return (blamed.groupby("skey", as_index=False)
+                .agg(numwait=("okey", "size")))
+
+    parts = _typed(
+        line.union(orders).groupby("kbucket")
+        .map_groups(_bucket, batch_format="pandas").to_pandas(),
+        skey="int64", numwait="int64")
+    out = parts.groupby("skey", as_index=False)["numwait"].sum()
+    supp = _small_df(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    out = out.merge(supp, left_on="skey", right_on="s_suppkey")
+    out = (out[["s_name", "numwait"]]
+           .astype({"numwait": "int64"})
+           .sort_values(["numwait", "s_name"],
+                        ascending=[False, True], kind="stable")
+           .head(20).reset_index(drop=True))
+    return out
+
+
 def _q_parts_skyline(sf_dir: str):
     """Skyline (Pareto frontier) of the part table: parts not
     strictly dominated under (maximize p_size, minimize
@@ -5828,6 +6490,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q13_custdist": _q_tpch_q13_custdist,
         "tpch_q17_small_qty_revenue": _q_tpch_q17_small_qty_revenue,
         "tpch_q22_dormant_customers": _q_tpch_q22_dormant_customers,
+        "tpch_q6_forecast_revenue": _q_tpch_q6_forecast_revenue,
+        "tpch_q7_volume_shipping": _q_tpch_q7_volume_shipping,
+        "tpch_q8_market_share": _q_tpch_q8_market_share,
+        "tpch_q9_product_profit": _q_tpch_q9_product_profit,
+        "tpch_q11_important_parts": _q_tpch_q11_important_parts,
+        "tpch_q15_top_supplier": _q_tpch_q15_top_supplier,
+        "tpch_q16_supplier_cnt": _q_tpch_q16_supplier_cnt,
+        "tpch_q20_promotion_suppliers": _q_tpch_q20_promotion_suppliers,
+        "tpch_q21_waiting_suppliers": _q_tpch_q21_waiting_suppliers,
         "part_min_cost_supplier": _q_part_min_cost_supplier,
         "topk_orders": _q_topk_orders,
         "region_customers": _q_region_customers,
@@ -7229,6 +7900,159 @@ def oracle_sql() -> dict[str, str]:
                      AND o.o_orderdate >= TIMESTAMP '2000-07-01')
             GROUP BY n.n_name
             ORDER BY n.n_name
+        """,
+        "tpch_q6_forecast_revenue": f"""
+            SELECT round(coalesce(sum(l_extendedprice * l_discount), 0),
+                         {_ROUND}) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "tpch_q7_volume_shipping": f"""
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l.l_shipdate)::BIGINT AS l_year,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)),
+                         {_ROUND}) AS revenue
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
+        """,
+        "tpch_q8_market_share": f"""
+            WITH vol AS (
+                SELECT year(o.o_orderdate)::BIGINT AS o_year,
+                       l.l_extendedprice * (1 - l.l_discount) AS v,
+                       (n1.n_name = 'NATION_7') AS is_tgt
+                FROM lineitem l
+                JOIN part p ON l.l_partkey = p.p_partkey
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+                JOIN region r ON n2.n_regionkey = r.r_regionkey
+                WHERE p.p_type = 'PROMO' AND r.r_name = 'ASIA'
+                  AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+                  AND o.o_orderdate < TIMESTAMP '1997-01-01')
+            SELECT o_year,
+                   round(sum(v), {_ROUND}) AS volume_all,
+                   round(sum(CASE WHEN is_tgt THEN v ELSE 0 END),
+                         {_ROUND}) AS volume_target,
+                   round(round(sum(CASE WHEN is_tgt THEN v ELSE 0 END),
+                               {_ROUND})
+                         / round(sum(v), {_ROUND}), {_ROUND})
+                       AS mkt_share
+            FROM vol GROUP BY o_year ORDER BY o_year
+        """,
+        "tpch_q9_product_profit": f"""
+            SELECT n.n_name AS nation,
+                   year(o.o_orderdate)::BIGINT AS o_year,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)
+                             - 0.6 * p.p_retailprice * l.l_quantity),
+                         {_ROUND}) AS sum_profit
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE p.p_name LIKE '%widget%'
+            GROUP BY 1, 2
+            ORDER BY nation, o_year DESC
+        """,
+        "tpch_q11_important_parts": """
+            WITH v AS (
+                SELECT l.l_partkey AS p_partkey,
+                       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                           * CAST(l.l_quantity AS BIGINT)) AS cents
+                FROM lineitem l
+                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                JOIN nation n ON s.s_nationkey = n.n_nationkey
+                JOIN region r ON n.n_regionkey = r.r_regionkey
+                WHERE r.r_name = 'EUROPE'
+                GROUP BY 1)
+            SELECT p_partkey, cents / 100.0 AS part_value
+            FROM v
+            WHERE 1000 * cents > (SELECT sum(cents) FROM v)
+            ORDER BY part_value DESC, p_partkey
+        """,
+        "tpch_q15_top_supplier": f"""
+            WITH rev AS (
+                SELECT l_suppkey AS s_suppkey,
+                       round(sum(l_extendedprice * (1 - l_discount)),
+                             {_ROUND}) AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-04-01'
+                GROUP BY l_suppkey)
+            SELECT r.s_suppkey, s.s_name, r.total_revenue
+            FROM rev r JOIN supplier s ON r.s_suppkey = s.s_suppkey
+            WHERE r.total_revenue =
+                  (SELECT max(total_revenue) FROM rev)
+            ORDER BY r.s_suppkey
+        """,
+        "tpch_q16_supplier_cnt": """
+            SELECT p.p_brand, p.p_type, p.p_size,
+                   count(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_brand <> 'Brand#9' AND p.p_type <> 'PROMO'
+              AND p.p_size IN (1, 4, 7, 11, 14, 19, 23, 28)
+              AND l.l_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "tpch_q20_promotion_suppliers": """
+            WITH q AS (
+                SELECT l.l_partkey, l.l_suppkey,
+                       sum(CAST(l.l_quantity AS BIGINT)) AS qs
+                FROM lineitem l
+                JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE p.p_name LIKE 'red%'
+                  AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+                GROUP BY 1, 2),
+            tot AS (SELECT l_partkey, sum(qs) AS qp FROM q GROUP BY 1),
+            win AS (SELECT DISTINCT q.l_suppkey
+                    FROM q JOIN tot ON q.l_partkey = tot.l_partkey
+                    WHERE 10 * q.qs > 3 * tot.qp)
+            SELECT s.s_suppkey, s.s_name
+            FROM win w
+            JOIN supplier s ON w.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'AMERICA'
+            ORDER BY s.s_suppkey
+        """,
+        "tpch_q21_waiting_suppliers": """
+            WITH per AS (
+                SELECT l.l_orderkey,
+                       count(DISTINCT l.l_suppkey) AS ns,
+                       count(DISTINCT CASE WHEN l.l_returnflag = 'R'
+                                           THEN l.l_suppkey END) AS nl,
+                       max(CASE WHEN l.l_returnflag = 'R'
+                                THEN l.l_suppkey END) AS lskey
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                WHERE o.o_orderstatus = 'F'
+                GROUP BY l.l_orderkey)
+            SELECT s.s_name, count(*)::BIGINT AS numwait
+            FROM per
+            JOIN supplier s ON per.lskey = s.s_suppkey
+            WHERE per.ns >= 2 AND per.nl = 1
+            GROUP BY s.s_name
+            ORDER BY numwait DESC, s.s_name
+            LIMIT 20
         """,
         "part_min_cost_supplier": f"""
             SELECT t.p_partkey, t.skey AS s_suppkey, s.s_name,

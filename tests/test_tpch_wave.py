@@ -48,6 +48,17 @@ def _oracle(sql: str) -> pd.DataFrame:
     ("tpch_q22_dormant_customers", 1),
     ("part_min_cost_supplier", 1),
     ("tpch_q10_returned_revenue", 1),
+    ("tpch_q6_forecast_revenue", 1),
+    # the two-nation pair is legitimately empty at sf0.001 (the
+    # oracle agrees); the sf0.01 driver gate sees 50+ rows
+    ("tpch_q7_volume_shipping", 0),
+    ("tpch_q8_market_share", 1),
+    ("tpch_q9_product_profit", 1),
+    ("tpch_q11_important_parts", 1),
+    ("tpch_q15_top_supplier", 1),
+    ("tpch_q16_supplier_cnt", 1),
+    ("tpch_q20_promotion_suppliers", 0),
+    ("tpch_q21_waiting_suppliers", 1),
 ])
 def test_matches_oracle_at_sf0001(name, min_rows):
     import __ray_entry__ as E
