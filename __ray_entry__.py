@@ -3973,6 +3973,24 @@ def _q_kg_components(sf_dir: str):
     return _components_resolve(comp, nodes)
 
 
+def _q_kg_label_propagation(sf_dir: str):
+    """Label-propagation communities over the KG's URI-object edge
+    graph: 3 deterministic semi-synchronous rounds — each node adopts
+    the most frequent label among its neighbors plus itself, ties to
+    the smallest label, labels seeded with the node hash. The fixed
+    round count lets the DuckDB oracle unroll the identical
+    recurrence as materialized CTEs; consumes the cached
+    graph-projection views and reuses the components family's
+    string-resolution tail (isolated nodes keep their seed)."""
+    from rdf_extraction_ray.stages.graph import label_propagation
+    gv = _kg_graph_views(sf_dir)
+    nodes = _graph_view_read(gv, "nodes")
+    und = _graph_view_read(gv, "edges_und")
+    lab = label_propagation(und, n_rounds=3).materialize()
+    res = _components_resolve(lab, nodes)
+    return res.rename(columns={"component": "label"})
+
+
 def _components_resolve(comp, nodes,
                         cap: int = 4_000_000) -> pd.DataFrame:
     """Attach node strings to a (doc_id, component) label Dataset:
@@ -6017,6 +6035,58 @@ def _kg_components_sql(triples_path: str, n_rounds: int = 20) -> str:
     """
 
 
+def _kg_label_prop_sql(triples_path: str, n_rounds: int = 3) -> str:
+    """Oracle twin of stages/graph.label_propagation: the same
+    fixed-depth most-frequent-neighbor-label recurrence (self vote
+    included, ties to the smallest label) unrolled as chained
+    MATERIALIZED CTEs over the same md5-15 node hashes and deduped
+    undirected edge set."""
+    its, prev = "", "l0"
+    for i in range(1, n_rounds + 1):
+        its += f""",
+            c{i} AS MATERIALIZED (
+                SELECT v, l, count(*) AS c FROM (
+                    SELECT e.a AS v, p.l FROM e
+                    JOIN {prev} p ON p.n = e.b
+                    UNION ALL
+                    SELECT n AS v, l FROM {prev})
+                GROUP BY v, l),
+            l{i} AS MATERIALIZED (
+                SELECT v AS n, l FROM c{i}
+                QUALIFY row_number() OVER (
+                    PARTITION BY v ORDER BY c DESC, l ASC) = 1)"""
+        prev = f"l{i}"
+    return f"""
+        WITH he AS MATERIALIZED (
+            SELECT DISTINCT least(hs, hd) AS lo,
+                            greatest(hs, hd) AS hi
+            FROM (SELECT
+                      ('0x' || substr(md5(subj), 1, 15))::BIGINT AS hs,
+                      ('0x' || substr(md5(obj), 1, 15))::BIGINT AS hd
+                  FROM read_parquet('{triples_path}')
+                  WHERE obj_kind = 'uri')
+            WHERE hs <> hd),
+        e AS MATERIALIZED (
+            SELECT lo AS a, hi AS b FROM he
+            UNION ALL SELECT hi, lo FROM he),
+        nm AS (SELECT h, min(node) AS node FROM (
+                   SELECT DISTINCT node,
+                          ('0x' || substr(md5(node), 1, 15))
+                              ::BIGINT AS h
+                   FROM (SELECT subj AS node
+                         FROM read_parquet('{triples_path}')
+                         WHERE obj_kind = 'uri'
+                         UNION
+                         SELECT obj FROM read_parquet('{triples_path}')
+                         WHERE obj_kind = 'uri'))
+               GROUP BY h),
+        l0 AS MATERIALIZED (SELECT h AS n, h AS l FROM nm){its}
+        SELECT nm.node, f.l AS label
+        FROM {prev} f JOIN nm ON nm.h = f.n
+        ORDER BY node
+    """
+
+
 def _kg_degree_stats_sql(triples_path: str) -> str:
     """Oracle twin of stages/graph.degree_histogram over the KG's
     URI-object edge graph: same md5-15 node hashes, same undirected
@@ -6389,6 +6459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": _q_kg_pagerank,
         "kg_triangles": _q_kg_triangles,
         "kg_components": _q_kg_components,
+        "kg_label_propagation": _q_kg_label_propagation,
         "kg_kcore": _q_kg_kcore,
         "kg_degree_stats": _q_kg_degree_stats,
         "kg_copredicate_pairs": _q_kg_copredicate_pairs,
@@ -8175,6 +8246,7 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "kg_components": _kg_components_sql(triples),
+        "kg_label_propagation": _kg_label_prop_sql(triples),
         "kg_kcore": _kg_kcore_sql(triples),
         "kg_degree_stats": _kg_degree_stats_sql(triples),
         "kg_copredicate_pairs": _kg_copredicate_sql(triples),

@@ -1249,6 +1249,200 @@ def _kcore_broadcast(und: rd.Dataset, H: np.ndarray, k: int,
     return H[alive]
 
 
+def label_propagation(und: rd.Dataset, n_rounds: int = 3,
+                      n_buckets: int = 64,
+                      broadcast_max_nodes: int = 4_000_000,
+                      force_exchange: bool = False) -> rd.Dataset:
+    """Deterministic semi-synchronous LABEL PROPAGATION communities
+    over a pre-deduped undirected simple graph (distinct (lo, hi)
+    int64 edges, no self-loops): labels seed as the node hash; each
+    round every node adopts the most frequent label among its
+    neighbors' labels PLUS its own, ties broken by the smallest label
+    value. Exactly ``n_rounds`` rounds (fixed depth, so the DuckDB
+    oracle unrolls the identical recurrence as chained CTEs). Returns
+    a (doc_id, component) int64 Dataset — the same label-map shape
+    connected components emits, so the same string-resolution tail
+    applies. Nodes absent from the edge set are absent from the
+    output (their label never leaves the seed).
+
+    Two executions of the same recurrence (equality-tested):
+
+    - **broadcast path** (N ≤ ``broadcast_max_nodes``): edges are
+      index-encoded ONCE into static (li, ri) blocks; each round is
+      one ``ray.put`` of the label vector + per-block (node, label)
+      vote-count partials + a bounded driver argmax — ZERO per-round
+      exchanges.
+    - **exchange path**: per round, one ``hash_join`` tags each
+      directed edge with its source's current label, then one
+      node-bucket groupby resolves the vote count and the argmax —
+      int64 rows only, nothing node- or edge-shaped on the driver.
+    """
+    import pyarrow as pa
+    import ray
+
+    from .dedup_docs import _cached_get
+    from .joins import hash_join
+
+    B = np.int64(n_buckets)
+    n_blocks = max(8, n_buckets // 4)
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("component", pa.int64())])
+    und = und.repartition(n_blocks).materialize()
+
+    # bounded node-hash probe (drained, never abandoned)
+    H: np.ndarray | None = np.empty(0, dtype=np.int64)
+    if force_exchange:
+        H = None
+    else:
+        for b in (und.map_batches(
+                lambda df: pd.DataFrame({"h": np.unique(np.concatenate(
+                    [df["lo"].to_numpy(dtype="int64"),
+                     df["hi"].to_numpy(dtype="int64")]))}),
+                batch_format="pandas", batch_size=None)
+                .iter_batches(batch_format="numpy", batch_size=None)):
+            if H is None:
+                continue
+            H = np.union1d(H, b["h"])
+            if len(H) > broadcast_max_nodes:
+                H = None
+
+    if H is not None:
+        if not len(H):
+            return rd.from_arrow(out_schema.empty_table())
+        h_ref = ray.put(H)
+
+        def _to_idx(df: pd.DataFrame) -> pd.DataFrame:
+            hh = _cached_get(h_ref)
+            return pd.DataFrame({
+                "li": np.searchsorted(hh, df["lo"]
+                                      .to_numpy(dtype="int64")),
+                "ri": np.searchsorted(hh, df["hi"]
+                                      .to_numpy(dtype="int64"))})
+
+        eidx = und.map_batches(_to_idx, batch_format="pandas",
+                               batch_size=None).materialize()
+        n = len(H)
+        L = H.copy()
+        for _ in range(n_rounds):
+            l_ref = ray.put(L)
+
+            def _vote_partial(df: pd.DataFrame) -> pd.DataFrame:
+                lab = _cached_get(l_ref)
+                li = df["li"].to_numpy(dtype="int64")
+                ri = df["ri"].to_numpy(dtype="int64")
+                dst = np.concatenate([li, ri])
+                vl = np.concatenate([lab[ri], lab[li]])
+                order = np.lexsort((vl, dst))
+                dst, vl = dst[order], vl[order]
+                new = np.concatenate([[True], (dst[1:] != dst[:-1])
+                                      | (vl[1:] != vl[:-1])])
+                starts = np.flatnonzero(new)
+                cnt = np.diff(np.append(starts, len(dst)))
+                return pd.DataFrame({"i": dst[starts], "l": vl[starts],
+                                     "c": cnt})
+
+            # self-vote once per node, then per-block neighbor partials
+            ii = [np.arange(n, dtype=np.int64)]
+            ll = [L]
+            cc = [np.ones(n, dtype=np.int64)]
+            for b in (eidx.map_batches(_vote_partial,
+                                       batch_format="pandas",
+                                       batch_size=None)
+                      .iter_batches(batch_format="numpy",
+                                    batch_size=None)):
+                ii.append(np.asarray(b["i"], dtype=np.int64))
+                ll.append(np.asarray(b["l"], dtype=np.int64))
+                cc.append(np.asarray(b["c"], dtype=np.int64))
+            i = np.concatenate(ii)
+            l = np.concatenate(ll)
+            c = np.concatenate(cc)
+            order = np.lexsort((l, i))
+            i, l, c = i[order], l[order], c[order]
+            new = np.concatenate([[True], (i[1:] != i[:-1])
+                                  | (l[1:] != l[:-1])])
+            starts = np.flatnonzero(new)
+            gi, gl = i[starts], l[starts]
+            gc = np.add.reduceat(c, starts)
+            # argmax per node: vote count desc, then smallest label
+            order2 = np.lexsort((gl, -gc, gi))
+            gi2, gl2 = gi[order2], gl[order2]
+            first = np.concatenate([[True], gi2[1:] != gi2[:-1]])
+            nl = L.copy()
+            nl[gi2[first]] = gl2[first]
+            L = nl
+        return rd.from_arrow(pa.table({"doc_id": H, "component": L}))
+
+    # ---- exchange path --------------------------------------------
+    i64 = pa.int64()
+
+    def _dir_rows(df: pd.DataFrame) -> pd.DataFrame:
+        lo = df["lo"].to_numpy(dtype="int64")
+        hi = df["hi"].to_numpy(dtype="int64")
+        return pd.DataFrame({"src": np.concatenate([lo, hi]),
+                             "dst": np.concatenate([hi, lo])})
+
+    dir_edges = und.map_batches(_dir_rows, batch_format="pandas") \
+        .repartition(n_blocks).materialize()
+
+    def _init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.unique(np.concatenate(
+            [df["lo"].to_numpy(dtype="int64"),
+             df["hi"].to_numpy(dtype="int64")]))
+        return pd.DataFrame({"n": h, "l": h, "nb": h % B})
+
+    labels = (und.map_batches(_init_labels, batch_format="pandas")
+              .groupby("nb").map_groups(
+                  lambda g: g[["n", "l"]].drop_duplicates("n"),
+                  batch_format="pandas")).materialize()
+
+    def _nbr_rows(df: pd.DataFrame) -> pd.DataFrame:
+        if "dst" not in df.columns:  # schema-less empty join block
+            return pd.DataFrame({"n": pd.Series(dtype="int64"),
+                                 "l": pd.Series(dtype="int64"),
+                                 "cb": pd.Series(dtype="int64")})
+        out = pd.DataFrame({"n": df["dst"].astype("int64"),
+                            "l": df["l"].astype("int64")})
+        out["cb"] = out["n"] % B
+        return out
+
+    def _self_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"n": df["n"].astype("int64"),
+                            "l": df["l"].astype("int64")})
+        out["cb"] = out["n"] % B
+        return out
+
+    def _resolve(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = (g.groupby(["n", "l"], as_index=False)
+               .agg(c=("l", "size")))
+        cnt = cnt.sort_values(["n", "c", "l"],
+                              ascending=[True, False, True],
+                              kind="stable")
+        return cnt.drop_duplicates("n")[["n", "l"]]
+
+    for _ in range(n_rounds):
+        tagged = hash_join(
+            dir_edges,
+            labels.map_batches(
+                lambda df: df.rename(columns={"n": "src"}),
+                batch_format="pandas"),
+            on="src", n_buckets=n_buckets,
+            left_schema=pa.schema([("src", i64), ("dst", i64)]),
+            right_schema=pa.schema([("src", i64), ("l", i64)]))
+        cand = tagged.map_batches(_nbr_rows, batch_format="pandas") \
+            .union(labels.map_batches(_self_rows,
+                                      batch_format="pandas"))
+        labels = cand.groupby("cb").map_groups(
+            _resolve, batch_format="pandas").materialize()
+
+    return labels.map_batches(
+        lambda df: df.rename(columns={"n": "doc_id",
+                                      "l": "component"})
+        if "n" in df.columns else
+        pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                      "component": pd.Series(dtype="int64")}),
+        batch_format="pandas")
+
+
 def copredicate_pairs(triples: rd.Dataset, min_shared: int = 2,
                       max_df: int = 64,
                       n_buckets: int = 64) -> pd.DataFrame:

@@ -757,6 +757,89 @@ class TestKCore:
         assert len(out) == 0
 
 
+class TestLabelPropagation:
+    """label_propagation: deterministic most-frequent-neighbor-label
+    rounds (self vote included, tie → smallest label) over distinct
+    (lo, hi) int64 undirected edges."""
+
+    @staticmethod
+    def _reference(lo, hi, n_rounds):
+        nodes = sorted(set(lo) | set(hi))
+        lab = {v: v for v in nodes}
+        nbrs = {v: [] for v in nodes}
+        for a, b in zip(lo, hi):
+            nbrs[a].append(b)
+            nbrs[b].append(a)
+        for _ in range(n_rounds):
+            new = {}
+            for v in nodes:
+                votes = {}
+                for u in nbrs[v]:
+                    votes[lab[u]] = votes.get(lab[u], 0) + 1
+                votes[lab[v]] = votes.get(lab[v], 0) + 1
+                best = min(votes.items(),
+                           key=lambda kv: (-kv[1], kv[0]))
+                new[v] = best[0]
+            lab = new
+        return lab
+
+    @staticmethod
+    def _rand_graph(seed=7, n=60, m=110):
+        rng = np.random.default_rng(seed)
+        a = rng.integers(0, n, m).astype("int64") * 101
+        b = rng.integers(0, n, m).astype("int64") * 101
+        keep = a != b
+        lo, hi = np.minimum(a, b)[keep], np.maximum(a, b)[keep]
+        e = pd.DataFrame({"lo": lo, "hi": hi}).drop_duplicates()
+        return e.reset_index(drop=True)
+
+    def test_matches_reference(self):
+        from rdf_extraction_ray.stages.graph import label_propagation
+        e = self._rand_graph()
+        out = label_propagation(rd.from_pandas(e).repartition(3),
+                                n_rounds=3).to_pandas()
+        want = self._reference(e["lo"].tolist(), e["hi"].tolist(), 3)
+        got = dict(zip(out["doc_id"], out["component"]))
+        assert got == want
+
+    def test_exchange_path_equals_broadcast(self):
+        from rdf_extraction_ray.stages.graph import label_propagation
+        e = self._rand_graph(seed=11)
+        b = label_propagation(rd.from_pandas(e), n_rounds=3) \
+            .to_pandas().sort_values("doc_id", ignore_index=True)
+        x = label_propagation(rd.from_pandas(e), n_rounds=3,
+                              force_exchange=True) \
+            .to_pandas().sort_values("doc_id", ignore_index=True)
+        pd.testing.assert_frame_equal(
+            b.astype("int64"), x.astype("int64"))
+
+    def test_two_cliques_converge_to_two_labels(self):
+        from rdf_extraction_ray.stages.graph import label_propagation
+        # two 4-cliques joined by nothing: each converges to its min
+        rows = []
+        for base in (100, 200):
+            ns = [base + i for i in range(4)]
+            rows += [(min(a, b), max(a, b))
+                     for i, a in enumerate(ns) for b in ns[i + 1:]]
+        e = pd.DataFrame(rows, columns=["lo", "hi"])
+        out = label_propagation(rd.from_pandas(e), n_rounds=3) \
+            .to_pandas()
+        lab = dict(zip(out["doc_id"], out["component"]))
+        assert {lab[100 + i] for i in range(4)} == {100}
+        assert {lab[200 + i] for i in range(4)} == {200}
+
+    def test_empty(self):
+        from rdf_extraction_ray.stages.graph import label_propagation
+        e = pd.DataFrame({"lo": pd.Series(dtype="int64"),
+                          "hi": pd.Series(dtype="int64")})
+        ds = label_propagation(rd.from_pandas(e))
+        # Dataset-level schema is typed; to_pandas() of an empty
+        # from_arrow drops columns (same convention as TestKCore)
+        assert ds.count() == 0
+        assert [f.name for f in ds.schema().base_schema] == \
+            ["doc_id", "component"]
+
+
 class TestCopredicatePairs:
     def test_shared_keys_counted(self):
         from rdf_extraction_ray.stages.graph import copredicate_pairs
