@@ -1196,9 +1196,12 @@ def _kg_graph_views(sf_dir: str) -> str:
         return pd.DataFrame({"h": h, "node": g["node"].astype(str),
                              "nb": h % B})
 
+    # min(node) per hash via sort + first-per-h: a string-valued
+    # groupby().min() falls back to a pure-Python per-group loop
     (base.map_batches(_node_rows, batch_format="pandas")
      .groupby("nb").map_groups(
-         lambda g: g.groupby("h", as_index=False)["node"].min(),
+         lambda g: g.sort_values(["h", "node"], kind="stable")
+         .drop_duplicates("h")[["h", "node"]],
          batch_format="pandas")
      .write_parquet(os.path.join(tmp, "nodes")))
 
@@ -4137,6 +4140,38 @@ def _q_kg_link_prediction(sf_dir: str):
                            ignore_index=True)
 
 
+#: Adamic–Adar apex weights by degree class, quantized to 1e-9 ints —
+#: the SAME Python-computed constants are inlined into the SQL oracle
+#: as a VALUES table, so the distributed sum is integer-exact and the
+#: float log never enters either engine's aggregation.
+def _aa_weights(max_deg: int = 64) -> dict[int, int]:
+    import math
+    return {c: int(round(1e9 / math.log(c)))
+            for c in range(2, max_deg + 1)}
+
+
+def _q_kg_adamic_adar(sf_dir: str):
+    """Adamic–Adar link prediction over the KG graph: top-100
+    non-adjacent node pairs by Σ 1/ln(deg(apex)) over shared
+    neighbors — the degree-discounted refinement of the
+    common-neighbor predictor (rare shared neighbors count more).
+    Same wedge machinery and hub cap as kg_link_prediction; the
+    per-degree weights quantize to int64 BEFORE the distributed sum,
+    so ranking replays bit-for-bit in SQL."""
+    from rdf_extraction_ray.stages.graph import link_prediction
+    gv = _kg_graph_views(sf_dir)
+    out = _typed(
+        link_prediction(None,
+                        und_pre=_graph_view_read(gv, "edges_und"),
+                        nodes_pre=_graph_view_read(gv, "nodes"),
+                        apex_weights=_aa_weights()),
+        node_a=object, node_b=object, n_common="int64",
+        score="int64")
+    return out.sort_values(["score", "node_a", "node_b"],
+                           ascending=[False, True, True],
+                           ignore_index=True)
+
+
 def _q_kg_hits(sf_dir: str):
     """Integer fixed-point HITS hubs & authorities (2 rounds,
     max-normalized — exact integer replay; see stages.graph.hits_int)
@@ -6503,6 +6538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "market_basket_pairs": _q_market_basket_pairs,
         "turns_role_tool_stats": _q_turns_role_tool_stats,
         "kg_link_prediction": _q_kg_link_prediction,
+        "kg_adamic_adar": _q_kg_adamic_adar,
         "kg_hits": _q_kg_hits,
         "kg_random_walks": _q_kg_random_walks,
         "kg_entity_resolution": _q_kg_entity_resolution,
@@ -6866,6 +6902,53 @@ def oracle_sql() -> dict[str, str]:
             FROM top JOIN nm na ON na.h = top.lo
                      JOIN nm nb ON nb.h = top.hi
             ORDER BY top.n_common DESC, top.lo, top.hi
+        """,
+        "kg_adamic_adar": f"""
+            WITH wt (d, w) AS (VALUES {", ".join(
+                f"({c}, {w})" for c, w in _aa_weights().items())}),
+            he AS (
+                SELECT ('0x' || substr(md5(subj), 1, 15))::BIGINT AS hs,
+                       ('0x' || substr(md5(obj), 1, 15))::BIGINT AS hd
+                FROM read_parquet('{triples}')
+                WHERE obj_kind = 'uri'),
+            e0 AS (SELECT DISTINCT least(hs, hd) AS lo,
+                                   greatest(hs, hd) AS hi
+                   FROM he WHERE hs <> hd),
+            adj AS (SELECT lo AS u, hi AS v FROM e0
+                    UNION ALL SELECT hi, lo FROM e0),
+            degu AS (SELECT u, count(*)::BIGINT AS d
+                     FROM adj GROUP BY u),
+            a2 AS (SELECT adj.u, adj.v, wt.w FROM adj
+                   JOIN degu USING (u)
+                   JOIN wt ON wt.d = degu.d
+                   WHERE degu.d BETWEEN 2 AND 64),
+            wdg AS (SELECT least(a.v, b.v) AS lo,
+                           greatest(a.v, b.v) AS hi, a.w
+                    FROM a2 a JOIN a2 b
+                      ON a.u = b.u AND a.v < b.v),
+            cnt AS (SELECT lo, hi, count(*)::BIGINT AS n_common,
+                           sum(w)::BIGINT AS score
+                    FROM wdg GROUP BY 1, 2),
+            nc AS (SELECT c.lo, c.hi, c.n_common, c.score FROM cnt c
+                   WHERE c.n_common >= 2
+                     AND NOT EXISTS (SELECT 1 FROM e0 e
+                                     WHERE e.lo = c.lo
+                                       AND e.hi = c.hi)),
+            top AS (SELECT * FROM nc
+                    ORDER BY score DESC, lo, hi LIMIT 100),
+            nm AS (SELECT ('0x' || substr(md5(x), 1, 15))::BIGINT AS h,
+                          min(x) AS node
+                   FROM (SELECT subj AS x FROM read_parquet('{triples}')
+                         WHERE obj_kind = 'uri'
+                         UNION ALL
+                         SELECT obj FROM read_parquet('{triples}')
+                         WHERE obj_kind = 'uri')
+                   GROUP BY h)
+            SELECT na.node AS node_a, nb.node AS node_b,
+                   top.n_common, top.score
+            FROM top JOIN nm na ON na.h = top.lo
+                     JOIN nm nb ON nb.h = top.hi
+            ORDER BY top.score DESC, top.lo, top.hi
         """,
         # Embed-link: integer trigram vectors on both engines; cosine
         # is the same IEEE dot/(sqrt·sqrt); the match flag is exact

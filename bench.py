@@ -109,61 +109,14 @@ def run_bench() -> dict:
             "triples_per_sec": round(n_triples / headline_sec, 1),
         }
     ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PULL_BASED
-    qnames = ["tpch_q1_pricing", "segment_revenue", "events_hourly",
-              "user_sessions", "docs_exact_dedup", "docs_token_count",
-              "docs_quality", "docs_minhash_pairs", "ann_bruteforce",
-              "kg_link_histogram", "clicks_last_purchase",
-              "events_rolling_1h", "ann_ivf", "works_triples",
-              "docs_embed_neardup", "docs_dup_components", "docs_simhash",
-              "kg_turtle", "title_rdf", "kg_works_person_join",
-              "docs_ngram_jaccard", "embed_cosine_pairs",
-              "media_features", "docs_simhash_pairs", "docs_tfidf_terms",
-              "purchase_click_window", "docs_pack_windows",
-              "embed_kmeans", "embed_semantic_dedup", "docs_curation",
-              "docs_top_tokens", "docs_length_quantiles",
-              "docs_dup_spans", "docs_incremental_dedup",
-              "docs_source_cap", "docs_unigram_logprob",
-              "docs_vocab_size", "events_props_stats",
-              "events_rollup", "docs_quantiles_by_lang",
-              "docs_source_fuzzy", "events_pivot",
-              "events_running_total", "docs_gopher_rules",
-              "events_interarrival", "events_cube", "users_top_event",
-              "docs_train_shards", "docs_strip_boilerplate",
-              "users_event_history", "events_distinct_users",
-              "docs_norm_dedup", "docs_url_dedup", "docs_quality_model",
-              "docs_token_tertiles", "events_funnel", "docs_line_dedup",
-              "docs_balanced_mix", "segment_revenue_bucketed",
-              "kg_pagerank", "kg_pagerank_personalized", "kg_triangles", "docs_vocab_kmv", "lineitem_orderkeys_kmv", "events_users_hll",
-              "docs_weighted_sample", "docs_source_overlap", "docs_bm25",
-              "kg_components", "kg_kcore", "kg_degree_stats",
-              "kg_copredicate_pairs", "kg_bgp_match", "kg_bgp_chain", "kg_bgp_optional",
-              "kg_bgp_construct", "kg_path_closure", "kg_bfs_levels",
-              "kg_bgp_subquery", "kg_bgp_filter",
-              "kg_bgp_aggregate", "kg_bgp_minus", "kg_bgp_topk",
-              "kg_bgp_values", "kg_bgp_group_concat",
-              "events_markov_transitions",
-              "docs_embedding_labels", "events_retention_cohorts", "media_dedup",
-              "kg_update_migrate", "kg_update_retract",
-              "turns_edit1_pairs",
-              "kg_sparql_select", "kg_sparql_aggregate",
-              "docs_chunk_windows", "kg_local_triangles",
-              "kg_assortativity", "docs_bigram_lift",
-              "tpch_q3_shipping", "tpch_q5_local_supplier",
-              "tpch_q4_order_priority", "tpch_q12_priority_class",
-              "tpch_q14_promo_revenue", "tpch_q18_large_orders",
-              "tpch_q19_disjunct_revenue",
-              "tpch_q13_custdist", "tpch_q17_small_qty_revenue",
-              "tpch_q10_returned_revenue",
-              "tpch_q22_dormant_customers", "part_min_cost_supplier",
-              "docs_ngram_containment", "docs_dsir_weights",
-              "docs_rrf_fusion", "docs_bigram_logprob",
-              "docs_token_entropy", "kg_embed_link",
-              "kg_link_prediction", "kg_hits", "kg_random_walks",
-              "market_basket_pairs", "parts_skyline",
-              "kg_entity_resolution",
-              "turns_role_tool_stats",
-              "docs_bpe_pairs", "docs_mixture_weights"]
+    # Sweep EVERY queries() entry (auto-derived, so new operators can
+    # never silently fall out of the bench), minus the KG end-to-end
+    # family the headline already times (kg_turtle stays in as the
+    # serializer-family representative).
+    _SWEEP_EXCLUDE = {"kg_triples", "kg_facts", "kg_triples_seeded",
+                      "kg_ntriples", "kg_nquads"}
     queries = entrymod.queries()
+    qnames = [n for n in queries if n not in _SWEEP_EXCLUDE]
     qtimes: dict[str, float] = {}
     qerrors: dict[str, str] = {}
     for name in qnames:

@@ -3506,7 +3506,8 @@ def link_prediction(edges: rd.Dataset | None, k: int = 100,
                     min_common: int = 2, max_apex_deg: int = 64,
                     n_buckets: int = 64,
                     und_pre: rd.Dataset | None = None,
-                    nodes_pre: rd.Dataset | None = None
+                    nodes_pre: rd.Dataset | None = None,
+                    apex_weights: dict[int, int] | None = None
                     ) -> pd.DataFrame:
     """Common-neighbor link prediction over the undirected simple
     graph: the top-``k`` NON-adjacent node pairs ranked by how many
@@ -3532,17 +3533,29 @@ def link_prediction(edges: rd.Dataset | None, k: int = 100,
     resolve in-bucket; each bucket forwards only its top-``k``
     partial, the driver merges ≤ buckets×k rows, and string
     resolution is RESULT-sized (needed hashes broadcast, node-map
-    stream filtered)."""
+    stream filtered).
+
+    ``apex_weights`` switches the scoring to WEIGHTED common
+    neighbors (Adamic–Adar when the table is ``round(1e9/ln(d))``):
+    each wedge contributes its apex's int64 weight by degree class
+    instead of 1, pairs rank by (score DESC, lo, hi), and the output
+    gains a ``score`` column. Weights are integer constants shared
+    verbatim with the SQL oracle (quantized map-side — the float log
+    never enters the distributed sum), so the ranking replays
+    bit-for-bit. ``min_common`` still applies to the raw count."""
     import ray
 
     from .dedup_docs import _cached_get
 
     B = np.int64(n_buckets)
     n_blocks = max(8, n_buckets // 4)
-    out_empty = pd.DataFrame({
-        "node_a": pd.Series([], dtype=object),
-        "node_b": pd.Series([], dtype=object),
-        "n_common": pd.Series([], dtype="int64")})
+    weighted = apex_weights is not None
+    out_cols = {"node_a": object, "node_b": object,
+                "n_common": "int64"}
+    if weighted:
+        out_cols["score"] = "int64"
+    out_empty = pd.DataFrame({c: pd.Series([], dtype=t)
+                              for c, t in out_cols.items()})
 
     if und_pre is not None:
         assert nodes_pre is not None
@@ -3568,7 +3581,7 @@ def link_prediction(edges: rd.Dataset | None, k: int = 100,
     if not und.count():
         return out_empty
 
-    _PCOLS = ["lo", "hi", "kind", "kb"]
+    _PCOLS = ["lo", "hi", "kind", "w", "kb"]
 
     def _pair_bucket(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
         return ((lo * np.int64(1000003) + hi) % B).astype("int64")
@@ -3587,6 +3600,7 @@ def link_prediction(edges: rd.Dataset | None, k: int = 100,
         hi = df["hi"].to_numpy(dtype="int64")
         return pd.DataFrame({"lo": lo, "hi": hi,
                              "kind": np.int64(0),
+                             "w": np.int64(0),
                              "kb": _pair_bucket(lo, hi)})[_PCOLS]
 
     def _wedge_rows(group: pd.DataFrame) -> pd.DataFrame:
@@ -3600,7 +3614,7 @@ def link_prediction(edges: rd.Dataset | None, k: int = 100,
         change = np.flatnonzero(np.diff(u)) + 1
         starts = np.concatenate([[0], change])
         cnt = np.diff(np.concatenate([starts, [len(u)]]))
-        los, his = [], []
+        los, his, ws = [], [], []
         for c in np.unique(cnt):
             if c < 2 or c > max_apex_deg:
                 continue
@@ -3610,12 +3624,16 @@ def link_prediction(edges: rd.Dataset | None, k: int = 100,
             b = v[(runs[:, None] + tj[None, :]).ravel()]
             los.append(np.minimum(a, b))
             his.append(np.maximum(a, b))
+            wc = np.int64(apex_weights[int(c)]) if weighted \
+                else np.int64(1)
+            ws.append(np.full(len(los[-1]), wc, dtype=np.int64))
         if not los:
             return empty
         lo = np.concatenate(los)
         hi = np.concatenate(his)
         return pd.DataFrame({"lo": lo, "hi": hi,
                              "kind": np.int64(1),
+                             "w": np.concatenate(ws),
                              "kb": _pair_bucket(lo, hi)})[_PCOLS]
 
     wedges = (und.map_batches(_adj_rows, batch_format="pandas")
@@ -3623,29 +3641,32 @@ def link_prediction(edges: rd.Dataset | None, k: int = 100,
                                         batch_format="pandas"))
     edge_marks = und.map_batches(_edge_rows, batch_format="pandas")
 
+    _RANK = ["score", "lo", "hi"] if weighted \
+        else ["n_common", "lo", "hi"]
+    _OUT = ["lo", "hi", "n_common", "score"] if weighted \
+        else ["lo", "hi", "n_common"]
+
     def _count_topk(group: pd.DataFrame) -> pd.DataFrame:
-        w = group[group["kind"] == 1]
-        if not len(w):
+        wg = group[group["kind"] == 1]
+        if not len(wg):
             return pd.DataFrame({c: pd.Series([], dtype="int64")
-                                 for c in ("lo", "hi", "n_common")})
-        c = (w.groupby(["lo", "hi"], as_index=False).size()
-             .rename(columns={"size": "n_common"}))
+                                 for c in _OUT})
+        c = (wg.groupby(["lo", "hi"], as_index=False)
+             .agg(n_common=("w", "size"), score=("w", "sum")))
         e = group.loc[group["kind"] == 0, ["lo", "hi"]]
         c = c.merge(e, on=["lo", "hi"], how="left", indicator=True)
         c = c[(c["_merge"] == "left_only")
               & (c["n_common"] >= min_common)]
-        c = c.sort_values(["n_common", "lo", "hi"],
-                          ascending=[False, True, True],
+        c = c.sort_values(_RANK, ascending=[False, True, True],
                           kind="stable").head(k)
-        return c[["lo", "hi", "n_common"]].astype("int64")
+        return c[_OUT].astype("int64")
 
     parts = (wedges.union(edge_marks).groupby("kb")
              .map_groups(_count_topk, batch_format="pandas")
              .to_pandas())
     if not len(parts) or "lo" not in parts.columns:
         return out_empty
-    top = parts.sort_values(["n_common", "lo", "hi"],
-                            ascending=[False, True, True],
+    top = parts.sort_values(_RANK, ascending=[False, True, True],
                             kind="stable").head(k)
     need = np.sort(np.unique(np.concatenate(
         [top["lo"].to_numpy(dtype="int64"),
@@ -3683,6 +3704,8 @@ def link_prediction(edges: rd.Dataset | None, k: int = 100,
         "node_a": top["lo"].map(nmap).astype(object),
         "node_b": top["hi"].map(nmap).astype(object),
         "n_common": top["n_common"].astype("int64")})
+    if weighted:
+        out["score"] = top["score"].astype("int64").to_numpy()
     return out.reset_index(drop=True)
 
 
@@ -4101,12 +4124,27 @@ def random_walks(edges: rd.Dataset | None, n_steps: int = 3,
 
         nm = nodes.map_batches(_name_rows,
                                batch_format="pandas").to_pandas()
-        mp = nm.groupby("h")["node"].min()
+        # the node map is h-UNIQUE from either source (the projection
+        # view applies the min(node) tie-break at build; the raw-scan
+        # path dedups per h-partitioned bucket), so ordering it is a
+        # pure int64 argsort — the earlier groupby().min() here fell
+        # back to a pure-Python loop over 846k single-row string
+        # groups (measured 26 s)
+        order = np.argsort(nm["h"].to_numpy(dtype="int64"),
+                           kind="stable")
+        hh = nm["h"].to_numpy(dtype="int64")[order]
+        names = nm["node"].to_numpy(dtype=object)[order]
         allw = pd.concat(frames, ignore_index=True)
+
+        def _lk(a: np.ndarray) -> np.ndarray:
+            # every walk hash is in the node map by construction;
+            # searchsorted beats Series.map ~5× at walk-corpus size
+            return names[np.searchsorted(hh, a)]
+
         out = pd.DataFrame({
-            "start": allw["sh"].map(mp).astype(object),
+            "start": _lk(allw["sh"].to_numpy(dtype="int64")),
             "step": allw["step"].astype("int64"),
-            "node": allw["ch"].map(mp).astype(object)})
+            "node": _lk(allw["ch"].to_numpy(dtype="int64"))})
         return rd.from_pandas(out)
 
     # ---- exchange path: nothing node-shaped on the driver ----------
