@@ -3976,6 +3976,23 @@ def _q_kg_components(sf_dir: str):
     return _components_resolve(comp, nodes)
 
 
+def _q_kg_ktruss(sf_dir: str):
+    """4-truss of the KG's URI-object edge graph: 3 fixed peel
+    rounds — each round recomputes every surviving edge's triangle
+    support within the surviving set and drops edges in < 2
+    triangles. The cohesive-subgraph refinement of k-core (a
+    surviving edge's endpoints share ≥ 2 surviving common
+    neighbors). Consumes the cached graph projection; the oracle
+    unrolls the identical peel with value-canonical triangle
+    enumeration (orientation-independent supports)."""
+    from rdf_extraction_ray.stages.graph import ktruss_edges
+    gv = _kg_graph_views(sf_dir)
+    out = ktruss_edges(None, k=4, n_rounds=3,
+                       und_pre=_graph_view_read(gv, "edges_und"),
+                       nodes_pre=_graph_view_read(gv, "nodes"))
+    return _typed(out, node_a=object, node_b=object, support="int64")
+
+
 def _q_kg_label_propagation(sf_dir: str):
     """Label-propagation communities over the KG's URI-object edge
     graph: 3 deterministic semi-synchronous rounds — each node adopts
@@ -6070,6 +6087,62 @@ def _kg_components_sql(triples_path: str, n_rounds: int = 20) -> str:
     """
 
 
+def _kg_ktruss_sql(triples_path: str, k: int = 4,
+                   n_rounds: int = 3) -> str:
+    """Oracle twin of stages/graph.ktruss_edges: the same fixed-depth
+    support-peel recurrence, with triangles enumerated value-
+    canonically (x<y<z — orientation-independent, so per-edge
+    supports match the engine's degree-ordered closure exactly)."""
+    its, prev = "", "e0"
+    for i in range(1, n_rounds + 1):
+        its += f""",
+            t{i} AS MATERIALIZED (
+                SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+                FROM {prev} e1
+                JOIN {prev} e2 ON e2.lo = e1.hi
+                JOIN {prev} e3 ON e3.lo = e1.lo
+                              AND e3.hi = e2.hi),
+            s{i} AS MATERIALIZED (
+                SELECT lo, hi, count(*)::BIGINT AS c FROM (
+                    SELECT x AS lo, y AS hi FROM t{i}
+                    UNION ALL SELECT y, z FROM t{i}
+                    UNION ALL SELECT x, z FROM t{i})
+                GROUP BY 1, 2),
+            e{i} AS MATERIALIZED (
+                SELECT e.lo, e.hi, coalesce(s.c, 0)::BIGINT AS sup
+                FROM {prev} e LEFT JOIN s{i} s USING (lo, hi)
+                WHERE coalesce(s.c, 0) >= {k - 2})"""
+        prev = f"e{i}"
+    return f"""
+        WITH he AS MATERIALIZED (
+            SELECT DISTINCT least(hs, hd) AS lo,
+                            greatest(hs, hd) AS hi
+            FROM (SELECT
+                      ('0x' || substr(md5(subj), 1, 15))::BIGINT AS hs,
+                      ('0x' || substr(md5(obj), 1, 15))::BIGINT AS hd
+                  FROM read_parquet('{triples_path}')
+                  WHERE obj_kind = 'uri')
+            WHERE hs <> hd),
+        e0 AS MATERIALIZED (SELECT lo, hi FROM he){its},
+        nm AS (SELECT h, min(node) AS node FROM (
+                   SELECT DISTINCT node,
+                          ('0x' || substr(md5(node), 1, 15))
+                              ::BIGINT AS h
+                   FROM (SELECT subj AS node
+                         FROM read_parquet('{triples_path}')
+                         WHERE obj_kind = 'uri'
+                         UNION
+                         SELECT obj FROM read_parquet('{triples_path}')
+                         WHERE obj_kind = 'uri'))
+               GROUP BY h)
+        SELECT na.node AS node_a, nb.node AS node_b,
+               f.sup AS support
+        FROM {prev} f JOIN nm na ON na.h = f.lo
+                      JOIN nm nb ON nb.h = f.hi
+        ORDER BY node_a, node_b
+    """
+
+
 def _kg_label_prop_sql(triples_path: str, n_rounds: int = 3) -> str:
     """Oracle twin of stages/graph.label_propagation: the same
     fixed-depth most-frequent-neighbor-label recurrence (self vote
@@ -6495,6 +6568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triangles": _q_kg_triangles,
         "kg_components": _q_kg_components,
         "kg_label_propagation": _q_kg_label_propagation,
+        "kg_ktruss": _q_kg_ktruss,
         "kg_kcore": _q_kg_kcore,
         "kg_degree_stats": _q_kg_degree_stats,
         "kg_copredicate_pairs": _q_kg_copredicate_pairs,
@@ -8330,6 +8404,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_components": _kg_components_sql(triples),
         "kg_label_propagation": _kg_label_prop_sql(triples),
+        "kg_ktruss": _kg_ktruss_sql(triples),
         "kg_kcore": _kg_kcore_sql(triples),
         "kg_degree_stats": _kg_degree_stats_sql(triples),
         "kg_copredicate_pairs": _kg_copredicate_sql(triples),

@@ -1443,6 +1443,185 @@ def label_propagation(und: rd.Dataset, n_rounds: int = 3,
         batch_format="pandas")
 
 
+def ktruss_edges(edges: rd.Dataset | None, k: int = 4,
+                 n_rounds: int = 3, n_buckets: int = 64,
+                 broadcast_max_nodes: int = 4_000_000,
+                 und_pre: rd.Dataset | None = None,
+                 nodes_pre: rd.Dataset | None = None) -> pd.DataFrame:
+    """``k``-TRUSS peel of the undirected simple graph, fixed depth:
+    each round recomputes every surviving edge's triangle SUPPORT
+    (number of triangles containing it, within the surviving edge
+    set) and drops edges with support < k−2. Both engines run EXACTLY
+    ``n_rounds`` rounds — peeling is monotone, so extra rounds past
+    the fixpoint are idempotent, and a non-converged graph is cut at
+    the same round on both sides. Returns surviving edges as
+    (node_a, node_b, support) with the support each edge had in the
+    final round.
+
+    Scale shape per round (all int64 rows, nothing edge-shaped on
+    the driver): degree-ordered orientation (broadcast degrees under
+    the probe bound, hash-join fallback — :func:`_orient_edges`),
+    apex-bucket wedge emission CARRYING the apex, one pair-key
+    closure exchange where matched wedges convert to per-triangle
+    support contributions for all THREE edges (pre-combined per
+    bucket), and one support exchange joining contributions to the
+    edge set for the ≥ k−2 filter. The SQL oracle replays the same
+    recurrence with value-canonical triangle enumeration (x<y<z) —
+    orientation-independent, so the per-edge supports are identical.
+    String resolution is RESULT-sized (need-set broadcast)."""
+    import ray
+
+    from .dedup_docs import _cached_get
+
+    B = np.int64(n_buckets)
+    n_blocks = max(8, n_buckets // 4)
+    out_empty = pd.DataFrame({
+        "node_a": pd.Series([], dtype=object),
+        "node_b": pd.Series([], dtype=object),
+        "support": pd.Series([], dtype="int64")})
+    und, n_edges = _distinct_und_edges(edges, und_pre, B, n_buckets)
+    if not n_edges:
+        return out_empty
+
+    _WCOLS = ["lo", "hi", "u", "c", "kind", "kb"]
+
+    def _wedges_apex(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["src", "dst"], kind="stable")
+        src = g["src"].to_numpy(dtype="int64")
+        dst = g["dst"].to_numpy(dtype="int64")
+        empty = pd.DataFrame({c: pd.Series(dtype="int64")
+                              for c in _WCOLS})
+        if not len(src):
+            return empty
+        change = np.flatnonzero(np.diff(src)) + 1
+        starts = np.concatenate([[0], change])
+        cnt = np.diff(np.concatenate([starts, [len(src)]]))
+        los, his, us = [], [], []
+        for c in np.unique(cnt):
+            if c < 2:
+                continue
+            runs = starts[cnt == c]
+            ti, tj = np.triu_indices(int(c), k=1)
+            los.append(dst[(runs[:, None] + ti[None, :]).ravel()])
+            his.append(dst[(runs[:, None] + tj[None, :]).ravel()])
+            us.append(np.repeat(src[runs], len(ti)))
+        if not los:
+            return empty
+        lo = np.concatenate(los)
+        hi = np.concatenate(his)
+        return pd.DataFrame({"lo": lo, "hi": hi,
+                             "u": np.concatenate(us),
+                             "c": np.int64(0),
+                             "kind": np.int64(1),
+                             "kb": (lo ^ hi) % B})[_WCOLS]
+
+    def _edge_rows(df: pd.DataFrame) -> pd.DataFrame:
+        lo = df["lo"].to_numpy(dtype="int64")
+        hi = df["hi"].to_numpy(dtype="int64")
+        return pd.DataFrame({"lo": lo, "hi": hi,
+                             "u": np.int64(-1), "c": np.int64(0),
+                             "kind": np.int64(0),
+                             "kb": (lo ^ hi) % B})[_WCOLS]
+
+    def _close_contrib(group: pd.DataFrame) -> pd.DataFrame:
+        # matched wedges = triangles (each exactly once, degree
+        # orientation); convert to support contributions for all
+        # three edges, pre-combined per pair within this bucket
+        e = group.loc[group["kind"] == 0, ["lo", "hi"]]
+        w = group.loc[group["kind"] == 1, ["lo", "hi", "u"]]
+        empty = pd.DataFrame({c: pd.Series(dtype="int64")
+                              for c in ("lo", "hi", "c", "kind",
+                                        "sb")})
+        if not len(e) or not len(w):
+            return empty
+        m = w.merge(e, on=["lo", "hi"])
+        if not len(m):
+            return empty
+        a = m["lo"].to_numpy(dtype="int64")
+        b = m["hi"].to_numpy(dtype="int64")
+        u = m["u"].to_numpy(dtype="int64")
+        lo = np.concatenate([a, np.minimum(u, a), np.minimum(u, b)])
+        hi = np.concatenate([b, np.maximum(u, a), np.maximum(u, b)])
+        out = (pd.DataFrame({"lo": lo, "hi": hi})
+               .groupby(["lo", "hi"], as_index=False)
+               .agg(c=("lo", "size")))
+        out["kind"] = np.int64(1)
+        out["sb"] = (out["lo"].to_numpy(dtype="int64")
+                     ^ out["hi"].to_numpy(dtype="int64")) % B
+        return out
+
+    def _esup_rows(df: pd.DataFrame) -> pd.DataFrame:
+        lo = df["lo"].to_numpy(dtype="int64")
+        hi = df["hi"].to_numpy(dtype="int64")
+        return pd.DataFrame({"lo": lo, "hi": hi, "c": np.int64(0),
+                             "kind": np.int64(0),
+                             "sb": (lo ^ hi) % B})
+
+    thr = k - 2
+
+    def _filter_support(group: pd.DataFrame) -> pd.DataFrame:
+        e = group.loc[group["kind"] == 0, ["lo", "hi"]]
+        if not len(e):
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in ("lo", "hi", "support")})
+        s = (group.loc[group["kind"] == 1, ["lo", "hi", "c"]]
+             .groupby(["lo", "hi"], as_index=False)["c"].sum())
+        out = e.merge(s, on=["lo", "hi"], how="left")
+        out["c"] = out["c"].fillna(0).astype("int64")
+        out = out[out["c"] >= thr]
+        return out.rename(columns={"c": "support"})
+
+    cur = und
+    for _ in range(n_rounds):
+        oriented, _ = _orient_edges(cur, B, n_buckets,
+                                    broadcast_max_nodes)
+        wedges = (oriented.groupby("sb")
+                  .map_groups(_wedges_apex, batch_format="pandas"))
+        emarks = cur.map_batches(_edge_rows, batch_format="pandas")
+        contrib = (wedges.union(emarks).groupby("kb")
+                   .map_groups(_close_contrib, batch_format="pandas"))
+        esup = cur.map_batches(_esup_rows, batch_format="pandas")
+        cur = (contrib.union(esup).groupby("sb")
+               .map_groups(_filter_support, batch_format="pandas")
+               .repartition(n_blocks)).materialize()
+        if not cur.count():
+            return out_empty
+
+    surv = cur.to_pandas()
+    if not len(surv) or "lo" not in surv.columns:
+        return out_empty
+    need = np.unique(np.concatenate(
+        [surv["lo"].to_numpy(dtype="int64"),
+         surv["hi"].to_numpy(dtype="int64")]))
+    nref = ray.put(need)
+
+    def _name_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ns = _cached_get(nref)
+        h = df["h"].to_numpy(dtype="int64")
+        idx = np.searchsorted(ns, h)
+        idx[idx == len(ns)] = 0
+        keep = ns[idx] == h
+        return pd.DataFrame({"h": h[keep],
+                             "node": df["node"].astype(str)[keep]})
+
+    assert nodes_pre is not None, \
+        "ktruss_edges needs the pre-built (h, node) map view"
+    nm = nodes_pre.map_batches(_name_rows,
+                               batch_format="pandas").to_pandas()
+    order = np.argsort(nm["h"].to_numpy(dtype="int64"), kind="stable")
+    hh = nm["h"].to_numpy(dtype="int64")[order]
+    names = nm["node"].to_numpy(dtype=object)[order]
+
+    def _lk(a: np.ndarray) -> np.ndarray:
+        return names[np.searchsorted(hh, a)]
+
+    out = pd.DataFrame({
+        "node_a": _lk(surv["lo"].to_numpy(dtype="int64")),
+        "node_b": _lk(surv["hi"].to_numpy(dtype="int64")),
+        "support": surv["support"].astype("int64")})
+    return out.sort_values(["node_a", "node_b"], ignore_index=True)
+
+
 def copredicate_pairs(triples: rd.Dataset, min_shared: int = 2,
                       max_df: int = 64,
                       n_buckets: int = 64) -> pd.DataFrame:

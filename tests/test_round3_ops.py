@@ -840,6 +840,92 @@ class TestLabelPropagation:
             ["doc_id", "component"]
 
 
+class TestKTruss:
+    """ktruss_edges: fixed-depth support peel over (lo, hi) int64
+    edges + a (h, node) name view."""
+
+    @staticmethod
+    def _views(edges):
+        e = pd.DataFrame(edges, columns=["lo", "hi"]).astype("int64")
+        hs = sorted(set(e["lo"]) | set(e["hi"]))
+        nodes = pd.DataFrame({"h": pd.Series(hs, dtype="int64"),
+                              "node": [f"n{h}" for h in hs]})
+        return rd.from_pandas(e), rd.from_pandas(nodes)
+
+    @staticmethod
+    def _reference(edges, k, n_rounds):
+        cur = {tuple(e) for e in edges}
+        sup = {}
+        for _ in range(n_rounds):
+            nbr = {}
+            for (x, y) in cur:
+                nbr.setdefault(x, set()).add(y)
+                nbr.setdefault(y, set()).add(x)
+            sup = {(a, b): len(nbr[a] & nbr[b]) for (a, b) in cur}
+            cur = {e for e in cur if sup[e] >= k - 2}
+        return {e: sup[e] for e in cur}
+
+    def test_k4_survives_triangle_peels(self):
+        from rdf_extraction_ray.stages.graph import ktruss_edges
+        k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+        tri = [(10, 11), (10, 12), (11, 12)]
+        pend = [(4, 20)]
+        und, nodes = self._views(k4 + tri + pend)
+        out = ktruss_edges(None, k=4, n_rounds=3,
+                           und_pre=und, nodes_pre=nodes)
+        got = {(a, b): s for a, b, s in
+               zip(out["node_a"], out["node_b"], out["support"])}
+        assert got == {(f"n{a}", f"n{b}"): 2 for a, b in k4}
+
+    def test_matches_reference_on_random_graph(self):
+        from rdf_extraction_ray.stages.graph import ktruss_edges
+        rng = np.random.default_rng(5)
+        a = rng.integers(0, 30, 150).astype("int64")
+        b = rng.integers(0, 30, 150).astype("int64")
+        keep = a != b
+        e = (pd.DataFrame({"lo": np.minimum(a, b)[keep],
+                           "hi": np.maximum(a, b)[keep]})
+             .drop_duplicates().reset_index(drop=True))
+        edges = list(map(tuple, e.to_numpy()))
+        und, nodes = self._views(edges)
+        out = ktruss_edges(None, k=4, n_rounds=3,
+                           und_pre=und, nodes_pre=nodes)
+        # reference peel: support(e) = common neighbors of endpoints
+        want = self._reference(edges, k=4, n_rounds=3)
+        got = {(int(a[1:]), int(b[1:])): s for a, b, s in
+               zip(out["node_a"], out["node_b"], out["support"])}
+        assert got == want
+
+    def test_empty_and_trussless(self):
+        from rdf_extraction_ray.stages.graph import ktruss_edges
+        und, nodes = self._views([(1, 2), (2, 3)])  # no triangles
+        out = ktruss_edges(None, k=4, n_rounds=2,
+                           und_pre=und, nodes_pre=nodes)
+        assert len(out) == 0
+        assert list(out.columns) == ["node_a", "node_b", "support"]
+
+
+class TestWeightedLinkPrediction:
+    def test_adamic_adar_prefers_rare_shared_neighbor(self):
+        from rdf_extraction_ray.stages.graph import link_prediction
+        # x and y share hub h (degree 6) and rare r (degree 2);
+        # p and q share ONLY the hub. AA must rank (x,y) above (p,q).
+        edges = [("x", "h"), ("y", "h"), ("p", "h"), ("q", "h"),
+                 ("a", "h"), ("b", "h"), ("x", "r"), ("y", "r")]
+        df = pd.DataFrame(edges, columns=["s", "d"])
+        w = {c: int(round(1e9 / np.log(c))) for c in range(2, 65)}
+        out = link_prediction(rd.from_pandas(df), k=100, min_common=1,
+                              apex_weights=w)
+        sc = {tuple(sorted((a, b))): s for a, b, s in
+              zip(out["node_a"], out["node_b"], out["score"])}
+        assert sc[("x", "y")] == w[6] + w[2]
+        assert sc[("p", "q")] == w[6]
+        assert sc[("x", "y")] > sc[("p", "q")]
+        # unweighted path unchanged: no score column
+        base = link_prediction(rd.from_pandas(df), k=100, min_common=1)
+        assert "score" not in base.columns
+
+
 class TestCopredicatePairs:
     def test_shared_keys_counted(self):
         from rdf_extraction_ray.stages.graph import copredicate_pairs
