@@ -3226,6 +3226,108 @@ def _q_market_basket_pairs(sf_dir: str):
         "n_orders": out["n_orders"].astype("int64").to_numpy()})
 
 
+def _q_turns_role_violations(sf_dir: str):
+    """Transcript protocol validation — the chat-data cleaning gate:
+    per conversation, count (a) adjacent same-role turn pairs, (b)
+    'tool' turns not directly preceded by an assistant turn, (c) a
+    non-system opening turn; emit only conversations with at least
+    one violation.
+
+    Scale shape: one conv-hash bucket exchange (a conversation lives
+    in exactly one bucket — the same invariant the KG assembly
+    relies on); each bucket sorts locally and compares SHIFTED role
+    arrays vectorized — no per-conversation Python loop; output is
+    flagged-conversation-sized."""
+    import ray.data as rd
+    turns = rd.read_parquet(_turns_path(sf_dir),
+                            columns=["conv_id", "turn_idx", "role"])
+
+    def _rows(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[["conv_id", "turn_idx", "role"]].copy()
+        g["cb"] = (pd.util.hash_pandas_object(
+            g["conv_id"].astype(str), index=False) % 64).astype("int64")
+        return g
+
+    def _validate(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["conv_id", "turn_idx"], kind="stable")
+        conv = g["conv_id"].to_numpy(dtype=object)
+        role = g["role"].to_numpy(dtype=object)
+        idx = g["turn_idx"].to_numpy(dtype="int64")
+        same = np.concatenate([[False], conv[1:] == conv[:-1]])
+        prev = np.concatenate([[""], role[:-1]])
+        adj = same & (role == prev)
+        bad_tool = (role == "tool") & (~same | (prev != "assistant"))
+        bad_start = (idx == 0) & (role != "system")
+        out = pd.DataFrame({"conv_id": conv,
+                            "a": adj.astype("int64"),
+                            "t": bad_tool.astype("int64"),
+                            "s": bad_start.astype("int64")})
+        st = out.groupby("conv_id", as_index=False).agg(
+            n_turns=("a", "size"), n_adjacent_same=("a", "sum"),
+            n_bad_tool=("t", "sum"), bad_start=("s", "max"))
+        return st[(st["n_adjacent_same"] > 0) | (st["n_bad_tool"] > 0)
+                  | (st["bad_start"] > 0)]
+
+    out = _typed(
+        turns.map_batches(_rows, batch_format="pandas")
+        .groupby("cb").map_groups(_validate, batch_format="pandas")
+        .to_pandas(),
+        conv_id=object, n_turns="int64", n_adjacent_same="int64",
+        n_bad_tool="int64", bad_start="int64")
+    for c in ("n_turns", "n_adjacent_same", "n_bad_tool", "bad_start"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("conv_id", ignore_index=True)
+
+
+def _q_turns_render(sf_dir: str):
+    """Chat-template rendering — turns → one training document per
+    conversation: turns joined in turn_idx order as ``role: text``
+    lines, reported as (conv_id, n_turns, n_chars, body_key) with
+    the body identified by its md5-15 key so the exact rendered
+    bytes (separator placement included) are pinned by the oracle's
+    ``string_agg(..., chr(10) ORDER BY turn_idx)`` replay without
+    shipping megabyte strings through the comparison.
+
+    Scale shape: one conv-hash bucket exchange; rendering is a
+    group-local ordered join (whole conversations per bucket), one
+    output row per conversation."""
+    import ray.data as rd
+
+    from rdf_extraction_ray.stages.dedup_docs import _gram_hash
+    turns = rd.read_parquet(_turns_path(sf_dir),
+                            columns=["conv_id", "turn_idx", "role",
+                                     "text"])
+
+    def _rows(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.copy()
+        g["line"] = g["role"].astype(str) + ": " \
+            + g["text"].fillna("").astype(str)
+        g = g[["conv_id", "turn_idx", "line"]]
+        g["cb"] = (pd.util.hash_pandas_object(
+            g["conv_id"].astype(str), index=False) % 64).astype("int64")
+        return g
+
+    def _render(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["conv_id", "turn_idx"], kind="stable")
+        agg = g.groupby("conv_id")["line"].agg("\n".join)
+        n = g.groupby("conv_id")["turn_idx"].size()
+        return pd.DataFrame({
+            "conv_id": agg.index.to_numpy(dtype=object),
+            "n_turns": n.loc[agg.index].to_numpy(dtype="int64"),
+            "n_chars": np.fromiter((len(b) for b in agg),
+                                   dtype=np.int64, count=len(agg)),
+            "body_key": np.fromiter((_gram_hash(b) for b in agg),
+                                    dtype=np.int64, count=len(agg))})
+
+    out = _typed(
+        turns.map_batches(_rows, batch_format="pandas")
+        .groupby("cb").map_groups(_render, batch_format="pandas")
+        .to_pandas(),
+        conv_id=object, n_turns="int64", n_chars="int64",
+        body_key="int64")
+    return out.sort_values("conv_id", ignore_index=True)
+
+
 def _q_turns_role_tool_stats(sf_dir: str):
     """Transcript-corpus analytics over the raw turns table: per
     (role, tool) turn counts, DISTINCT conversation counts and total
@@ -6611,6 +6713,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_skyline": _q_parts_skyline,
         "market_basket_pairs": _q_market_basket_pairs,
         "turns_role_tool_stats": _q_turns_role_tool_stats,
+        "turns_role_violations": _q_turns_role_violations,
+        "turns_render": _q_turns_render,
         "kg_link_prediction": _q_kg_link_prediction,
         "kg_adamic_adar": _q_kg_adamic_adar,
         "kg_hits": _q_kg_hits,
@@ -8341,6 +8445,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT part_a, part_b, n_orders FROM c
             WHERE n_orders >= 2
             ORDER BY n_orders DESC, part_a, part_b LIMIT 100
+        """,
+        "turns_render": f"""
+            SELECT conv_id, n_turns,
+                   length(body)::BIGINT AS n_chars,
+                   ('0x' || substr(md5(body), 1, 15))::BIGINT
+                       AS body_key
+            FROM (SELECT conv_id, count(*)::BIGINT AS n_turns,
+                         string_agg(role || ': ' || coalesce(text, ''),
+                                    chr(10) ORDER BY turn_idx)
+                             AS body
+                  FROM read_parquet('{turns_glob}')
+                  GROUP BY conv_id)
+            ORDER BY conv_id
+        """,
+        "turns_role_violations": f"""
+            WITH t AS (
+                SELECT conv_id, turn_idx, role,
+                       lag(role) OVER (PARTITION BY conv_id
+                                       ORDER BY turn_idx) AS pr
+                FROM read_parquet('{turns_glob}')),
+            s AS (
+                SELECT conv_id, count(*)::BIGINT AS n_turns,
+                       sum(CASE WHEN role = pr THEN 1 ELSE 0 END)
+                           ::BIGINT AS n_adjacent_same,
+                       sum(CASE WHEN role = 'tool'
+                                 AND (pr IS NULL
+                                      OR pr <> 'assistant')
+                                THEN 1 ELSE 0 END)
+                           ::BIGINT AS n_bad_tool,
+                       max(CASE WHEN turn_idx = 0
+                                 AND role <> 'system'
+                                THEN 1 ELSE 0 END)
+                           ::BIGINT AS bad_start
+                FROM t GROUP BY conv_id)
+            SELECT * FROM s
+            WHERE n_adjacent_same > 0 OR n_bad_tool > 0
+               OR bad_start > 0
+            ORDER BY conv_id
         """,
         "turns_role_tool_stats": f"""
             SELECT role, coalesce(tool, '') AS tool,
