@@ -5294,6 +5294,46 @@ def _q_docs_length_quantiles(sf_dir: str):
                            qs=(0.25, 0.5, 0.75, 0.9, 0.99))
 
 
+def _q_docs_length_moments(sf_dir: str):
+    """INTEGER-EXACT variance/stddev aggregate: per language, doc
+    count, mean, population variance and stddev of text length via
+    the (n, Σx, Σx²) moment decomposition — all three moments are
+    int64 combiner partials, so the exchange is languages×blocks
+    rows and the float enters only in the final
+    ``(n·Σx² − (Σx)²)/n²`` division, the identical IEEE expression
+    on both engines (DuckDB evaluates the numerator in HUGEINT,
+    Python in unbounded int — both exact before the one
+    conversion)."""
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+
+    def _moments(df: pd.DataFrame) -> pd.DataFrame:
+        ln = df["text"].fillna("").str.len().astype("int64")
+        g = pd.DataFrame({"lang": df["lang"].astype(object),
+                          "n": np.int64(1), "s": ln, "sq": ln * ln})
+        return g.groupby("lang", as_index=False)[["n", "s", "sq"]] \
+            .sum()
+
+    parts = _typed(
+        docs.map_batches(_moments, batch_format="pandas").to_pandas(),
+        lang=object, n="int64", s="int64", sq="int64")
+    agg = parts.groupby("lang", as_index=False)[["n", "s", "sq"]].sum()
+    rows = []
+    for _, r in agg.iterrows():
+        n, s, sq = int(r["n"]), int(r["s"]), int(r["sq"])
+        var = float(n * sq - s * s) / float(n * n)
+        rows.append({"lang": r["lang"], "n_docs": n,
+                     "mean_chars": round(s / n, _ROUND),
+                     "var_chars": round(var, _ROUND),
+                     "std_chars": round(float(np.sqrt(var)), _ROUND)})
+    out = pd.DataFrame(rows, columns=["lang", "n_docs", "mean_chars",
+                                      "var_chars", "std_chars"])
+    out = _typed(out, lang=object, n_docs="int64",
+                 mean_chars="float64", var_chars="float64",
+                 std_chars="float64")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values("lang", ignore_index=True)
+
+
 def _q_docs_pack_windows(sf_dir: str):
     """Concat-and-split sequence packing: token counts per doc →
     hash-bucket groupby → in-bucket offsets and window ids (the
@@ -6676,12 +6716,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_copredicate_pairs": _q_kg_copredicate_pairs,
         "kg_embed_link": _q_kg_embed_link,
         "kg_bgp_match": _q_kg_bgp_match,
-        "kg_bgp_chain": _q_kg_bgp_chain,
         "kg_bgp_optional": _q_kg_bgp_optional,
         "kg_bgp_construct": _q_kg_bgp_construct,
         "kg_path_closure": _q_kg_path_closure,
         "kg_bgp_filter": _q_kg_bgp_filter,
         "events_markov_transitions": _q_events_markov_transitions,
+        "turns_role_violations": _q_turns_role_violations,
         "kg_facts": _q_kg_facts,
         # --- dedup / similarity family
         "docs_simhash_pairs": _q_docs_simhash_pairs,
@@ -6713,8 +6753,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_skyline": _q_parts_skyline,
         "market_basket_pairs": _q_market_basket_pairs,
         "turns_role_tool_stats": _q_turns_role_tool_stats,
-        "turns_role_violations": _q_turns_role_violations,
         "turns_render": _q_turns_render,
+        "kg_bgp_chain": _q_kg_bgp_chain,
         "kg_link_prediction": _q_kg_link_prediction,
         "kg_adamic_adar": _q_kg_adamic_adar,
         "kg_hits": _q_kg_hits,
@@ -6745,6 +6785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_orderkeys_kmv": _q_lineitem_orderkeys_kmv,
         "events_users_hll": _q_events_users_hll,
         "docs_length_quantiles": _q_docs_length_quantiles,
+        "docs_length_moments": _q_docs_length_moments,
         "docs_repetition": _q_docs_repetition,
         "docs_dup_spans": _q_docs_dup_spans,
         "docs_source_cap": _q_docs_source_cap,
@@ -7802,6 +7843,26 @@ def oracle_sql() -> dict[str, str]:
                               + 0.5)
                     END)::BIGINT AS est_distinct
             FROM s
+        """,
+        "docs_length_moments": f"""
+            WITH m AS (
+                SELECT lang, count(*)::BIGINT AS n,
+                       sum(length(coalesce(text, ''))::BIGINT)
+                           ::HUGEINT AS s,
+                       sum(length(coalesce(text, ''))::BIGINT
+                           * length(coalesce(text, ''))::BIGINT)
+                           ::HUGEINT AS sq
+                FROM documents GROUP BY lang)
+            SELECT lang, n AS n_docs,
+                   round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE),
+                         {_ROUND}) AS mean_chars,
+                   round(CAST(n * sq - s * s AS DOUBLE)
+                         / CAST(n * n AS DOUBLE), {_ROUND})
+                       AS var_chars,
+                   round(sqrt(CAST(n * sq - s * s AS DOUBLE)
+                              / CAST(n * n AS DOUBLE)), {_ROUND})
+                       AS std_chars
+            FROM m ORDER BY lang
         """,
         "docs_length_quantiles": """
             SELECT unnest([0.25,0.5,0.75,0.9,0.99])::DOUBLE AS q,

@@ -1289,88 +1289,111 @@ def label_propagation(und: rd.Dataset, n_rounds: int = 3,
                             ("component", pa.int64())])
     und = und.repartition(n_blocks).materialize()
 
-    # bounded node-hash probe (drained, never abandoned)
+    # bounded node-hash probe (drained, never abandoned): per-block
+    # uniques accumulate and compress with ONE np.unique per ~8M raw
+    # rows — the per-block union1d re-sorted the whole accumulated
+    # set once per block (O(blocks·n log n) driver time)
     H: np.ndarray | None = np.empty(0, dtype=np.int64)
     if force_exchange:
         H = None
-    else:
-        for b in (und.map_batches(
-                lambda df: pd.DataFrame({"h": np.unique(np.concatenate(
-                    [df["lo"].to_numpy(dtype="int64"),
-                     df["hi"].to_numpy(dtype="int64")]))}),
-                batch_format="pandas", batch_size=None)
-                .iter_batches(batch_format="numpy", batch_size=None)):
-            if H is None:
-                continue
-            H = np.union1d(H, b["h"])
-            if len(H) > broadcast_max_nodes:
+    acc: list[np.ndarray] = []
+    raw = 0
+    for b in (und.map_batches(
+            lambda df: pd.DataFrame({"h": np.unique(np.concatenate(
+                [df["lo"].to_numpy(dtype="int64"),
+                 df["hi"].to_numpy(dtype="int64")]))}),
+            batch_format="pandas", batch_size=None)
+            .iter_batches(batch_format="numpy", batch_size=None)):
+        if H is None:
+            continue
+        acc.append(np.asarray(b["h"], dtype=np.int64))
+        raw += len(acc[-1])
+        if raw > max(8_000_000, 2 * broadcast_max_nodes):
+            acc = [np.unique(np.concatenate(acc))]
+            raw = len(acc[0])
+            if raw > broadcast_max_nodes:
                 H = None
+    if H is not None:
+        H = np.unique(np.concatenate(acc)) if acc else H
+        if len(H) > broadcast_max_nodes:
+            H = None
+
+    # the block-local argmax below requires every adjd block to hold
+    # COMPLETE in-neighborhoods; map_groups emits whole groups per
+    # block and Ray only splits a block when one group's output
+    # exceeds the target block size, so bound the expected per-group
+    # rows well under it (64 groups × 4M rows × 16 B = 64 MB vs the
+    # 128 MB default) and take the exchange path past the bound
+    if H is not None and 2 * und.count() > 64 * 4_000_000:
+        H = None
 
     if H is not None:
         if not len(H):
             return rd.from_arrow(out_schema.empty_table())
         h_ref = ray.put(H)
+        n = np.int64(len(H))
 
         def _to_idx(df: pd.DataFrame) -> pd.DataFrame:
+            # index-encode AND bucket by destination: each directed
+            # (di ← si) vote row lands in di's bucket, so after the
+            # one-time groupby every block holds its nodes' COMPLETE
+            # in-neighborhoods and the per-round argmax is block-local
             hh = _cached_get(h_ref)
-            return pd.DataFrame({
-                "li": np.searchsorted(hh, df["lo"]
-                                      .to_numpy(dtype="int64")),
-                "ri": np.searchsorted(hh, df["hi"]
-                                      .to_numpy(dtype="int64"))})
+            li = np.searchsorted(hh, df["lo"].to_numpy(dtype="int64"))
+            ri = np.searchsorted(hh, df["hi"].to_numpy(dtype="int64"))
+            di = np.concatenate([li, ri])
+            si = np.concatenate([ri, li])
+            return pd.DataFrame({"di": di, "si": si, "db": di % B})
 
-        eidx = und.map_batches(_to_idx, batch_format="pandas",
-                               batch_size=None).materialize()
-        n = len(H)
-        L = H.copy()
+        adjd = (und.map_batches(_to_idx, batch_format="pandas",
+                                batch_size=None)
+                .groupby("db").map_groups(
+                    lambda g: g[["di", "si"]].sort_values(
+                        "di", kind="stable"),
+                    batch_format="pandas")).materialize()
+        L_idx = np.arange(int(n), dtype=np.int64)  # label AS INDEX
         for _ in range(n_rounds):
-            l_ref = ray.put(L)
+            l_ref = ray.put(L_idx)
 
-            def _vote_partial(df: pd.DataFrame) -> pd.DataFrame:
+            def _vote_block(df: pd.DataFrame) -> pd.DataFrame:
+                # complete in-neighborhood per node in this block:
+                # count votes per (node, label-index), add the self
+                # vote, resolve the (count desc, label asc) argmax
+                # locally — only (node, new-label) rows leave
                 lab = _cached_get(l_ref)
-                li = df["li"].to_numpy(dtype="int64")
-                ri = df["ri"].to_numpy(dtype="int64")
-                dst = np.concatenate([li, ri])
-                vl = np.concatenate([lab[ri], lab[li]])
-                order = np.lexsort((vl, dst))
-                dst, vl = dst[order], vl[order]
-                new = np.concatenate([[True], (dst[1:] != dst[:-1])
-                                      | (vl[1:] != vl[:-1])])
+                di = df["di"].to_numpy(dtype="int64")
+                si = df["si"].to_numpy(dtype="int64")
+                if not len(di):
+                    return pd.DataFrame({
+                        "i": pd.Series(dtype="int64"),
+                        "nl": pd.Series(dtype="int64")})
+                uniq = np.unique(di)
+                key = np.concatenate([di * n + lab[si],
+                                      uniq * n + lab[uniq]])
+                key.sort(kind="stable")
+                new = np.concatenate([[True], key[1:] != key[:-1]])
                 starts = np.flatnonzero(new)
-                cnt = np.diff(np.append(starts, len(dst)))
-                return pd.DataFrame({"i": dst[starts], "l": vl[starts],
-                                     "c": cnt})
+                gkey = key[starts]
+                gc = np.diff(np.append(starts, len(key)))
+                gi = gkey // n
+                gl = gkey % n
+                order2 = np.lexsort((gl, -gc, gi))
+                gi2, gl2 = gi[order2], gl[order2]
+                first = np.concatenate([[True], gi2[1:] != gi2[:-1]])
+                return pd.DataFrame({"i": gi2[first],
+                                     "nl": gl2[first]})
 
-            # self-vote once per node, then per-block neighbor partials
-            ii = [np.arange(n, dtype=np.int64)]
-            ll = [L]
-            cc = [np.ones(n, dtype=np.int64)]
-            for b in (eidx.map_batches(_vote_partial,
+            nl = L_idx.copy()
+            for b in (adjd.map_batches(_vote_block,
                                        batch_format="pandas",
                                        batch_size=None)
                       .iter_batches(batch_format="numpy",
                                     batch_size=None)):
-                ii.append(np.asarray(b["i"], dtype=np.int64))
-                ll.append(np.asarray(b["l"], dtype=np.int64))
-                cc.append(np.asarray(b["c"], dtype=np.int64))
-            i = np.concatenate(ii)
-            l = np.concatenate(ll)
-            c = np.concatenate(cc)
-            order = np.lexsort((l, i))
-            i, l, c = i[order], l[order], c[order]
-            new = np.concatenate([[True], (i[1:] != i[:-1])
-                                  | (l[1:] != l[:-1])])
-            starts = np.flatnonzero(new)
-            gi, gl = i[starts], l[starts]
-            gc = np.add.reduceat(c, starts)
-            # argmax per node: vote count desc, then smallest label
-            order2 = np.lexsort((gl, -gc, gi))
-            gi2, gl2 = gi[order2], gl[order2]
-            first = np.concatenate([[True], gi2[1:] != gi2[:-1]])
-            nl = L.copy()
-            nl[gi2[first]] = gl2[first]
-            L = nl
-        return rd.from_arrow(pa.table({"doc_id": H, "component": L}))
+                nl[np.asarray(b["i"], dtype=np.int64)] = \
+                    np.asarray(b["nl"], dtype=np.int64)
+            L_idx = nl
+        return rd.from_arrow(pa.table({"doc_id": H,
+                                       "component": H[L_idx]}))
 
     # ---- exchange path --------------------------------------------
     i64 = pa.int64()
@@ -4234,6 +4257,16 @@ def random_walks(edges: rd.Dataset | None, n_steps: int = 3,
         H = np.union1d(H, b["h"])
         if len(H) > broadcast_max_nodes:
             H = None
+
+    # the block-local neighbor pick below requires every adjb block
+    # to hold COMPLETE out-neighbor runs; map_groups emits whole
+    # groups per block and Ray only splits a block when one group's
+    # output exceeds the target block size, so bound the expected
+    # per-group rows well under it (64 groups × 4M rows × 16 B =
+    # 64 MB vs the 128 MB default) and take the exchange path past
+    # the bound
+    if H is not None and adj.count() > 64 * 4_000_000:
+        H = None
 
     if H is not None:
         if not len(H):
