@@ -4321,6 +4321,44 @@ def _q_kg_random_walks(sf_dir: str):
     return out.sort_values(["start", "step"], ignore_index=True)
 
 
+def _q_kg_path_star(sf_dir: str):
+    """SPARQL property path ``rel*`` (ZERO-or-more): the ``rel+``
+    closure unioned with the zero-length pairs — every URI term in
+    the graph paired with itself (literal self-pairs omitted: the
+    same URI projection every KG-graph query uses). Completes the
+    quantifier family next to ``+`` (kg_path_closure), alternation /
+    inverse (kg_bgp_path_alt).
+
+    Scale shape: the closure is the existing dual-path semi-naive
+    loop; zero-length terms reduce per batch to distinct URIs; one
+    pair-hash bucket exchange dedups the union (a cycle makes (x,x)
+    reachable via rel+ too — set semantics must collapse it)."""
+    from rdf_extraction_ray.stages.graph import path_closure
+    tr = _triples_view(sf_dir)
+    plus = path_closure(tr, _KG_REL)
+
+    def _zero_rows(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[df["obj_kind"] == "uri"]
+        t = pd.unique(pd.concat([g["subj"], g["obj"]],
+                                ignore_index=True))
+        return pd.DataFrame({"start": t, "node": t})
+
+    def _pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[["start", "node"]]
+        h = pd.util.hash_pandas_object(
+            g["start"].astype(str) + "\x00" + g["node"].astype(str),
+            index=False)
+        return g.assign(pb=(h % 64).astype("int64"))
+
+    zero = tr.map_batches(_zero_rows, batch_format="pandas")
+    out = (plus.union(zero)
+           .map_batches(_pair_bucket, batch_format="pandas")
+           .groupby("pb")
+           .map_groups(lambda g: g[["start", "node"]]
+                       .drop_duplicates(), batch_format="pandas"))
+    return out
+
+
 def _q_kg_entity_resolution(sf_dir: str):
     """Entity-resolution merge stage (north-star union-find over
     candidate merges): mention surfaces word-blocked, trigram-cosine
@@ -6755,6 +6793,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turns_role_tool_stats": _q_turns_role_tool_stats,
         "turns_render": _q_turns_render,
         "kg_bgp_chain": _q_kg_bgp_chain,
+        "kg_path_star": _q_kg_path_star,
         "kg_link_prediction": _q_kg_link_prediction,
         "kg_adamic_adar": _q_kg_adamic_adar,
         "kg_hits": _q_kg_hits,
@@ -8671,6 +8710,26 @@ def oracle_sql() -> dict[str, str]:
                 UNION
                 SELECT c.start, e.o FROM c JOIN e ON c.node = e.s)
             SELECT start, node FROM c
+        """,
+        "kg_path_star": f"""
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT subj AS s, obj AS o
+                FROM read_parquet('{triples}')
+                WHERE pred = '{_KG_REL}'),
+            c(start, node) AS (
+                SELECT s, o FROM e
+                UNION
+                SELECT c.start, e.o FROM c JOIN e ON c.node = e.s),
+            terms AS (
+                SELECT DISTINCT subj AS t
+                FROM read_parquet('{triples}')
+                WHERE obj_kind = 'uri'
+                UNION
+                SELECT obj FROM read_parquet('{triples}')
+                WHERE obj_kind = 'uri')
+            SELECT start, node FROM c
+            UNION
+            SELECT t, t FROM terms
         """,
         "kg_bgp_subquery": f"""
             WITH bind AS (
