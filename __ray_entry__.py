@@ -3992,6 +3992,20 @@ def _q_docs_lang_counts(sf_dir: str):
         .groupby("lang").aggregate(Count(alias_name="n"))
 
 
+def _q_docs_bpe_train(sf_dir: str):
+    """BPE tokenizer TRAINING, 3 greedy merge rounds over the corpus
+    vocabulary (count-desc, lexicographic tie-break; left-to-right
+    non-overlapping application) — the iterative step
+    docs_bpe_pairs' statistic feeds. Word counts reduce through the
+    value_counts combiner + one word-hash exchange; the exploded
+    symbol table stays bucket-aligned so each round is one pair-partial
+    map (bounded driver argmax) + one broadcast-rule merge map, zero
+    further exchanges. Output: the 3-row merge table."""
+    from rdf_extraction_ray.stages.textstats import bpe_train
+    docs = _read(sf_dir, "documents", ["text"])
+    return bpe_train(docs, n_merges=3)
+
+
 def _q_docs_bpe_pairs(sf_dir: str):
     """Tokenizer-training step: top-50 adjacent character pairs over
     the corpus vocabulary weighted by word frequency — the statistic
@@ -6323,6 +6337,77 @@ def _kg_ktruss_sql(triples_path: str, k: int = 4,
     """
 
 
+def _bpe_train_sql(n_merges: int = 3) -> str:
+    """Oracle twin of stages/textstats.bpe_train: the same greedy
+    merge rounds unrolled as window-function CTEs — pair argmax via
+    QUALIFY, greedy left-to-right overlap resolution via the
+    run-parity trick (rows in a run of consecutive matched positions
+    keep odd row_numbers)."""
+    its, prev = "", "sym0"
+    for r in range(1, n_merges + 1):
+        its += f""",
+            pc{r} AS MATERIALIZED (
+                SELECT a, b, sum(cnt)::BIGINT AS n FROM (
+                    SELECT sym AS a,
+                           lead(sym) OVER (PARTITION BY w
+                                           ORDER BY pos) AS b,
+                           cnt
+                    FROM {prev})
+                WHERE b IS NOT NULL GROUP BY a, b),
+            rule{r} AS MATERIALIZED (
+                SELECT a, b, n FROM pc{r}
+                QUALIFY row_number() OVER (
+                    ORDER BY n DESC, a, b) = 1),
+            mm{r} AS MATERIALIZED (
+                SELECT s.w, s.cnt, s.pos, s.sym,
+                       lead(s.sym) OVER (PARTITION BY s.w
+                                         ORDER BY s.pos) AS nsym,
+                       coalesce(s.sym = r.a AND lead(s.sym) OVER (
+                            PARTITION BY s.w ORDER BY s.pos) = r.b,
+                            FALSE) AS mt
+                FROM {prev} s CROSS JOIN rule{r} r),
+            rr{r} AS MATERIALIZED (
+                SELECT *, CASE WHEN mt THEN pos - row_number()
+                    OVER (PARTITION BY w, mt ORDER BY pos) END AS grp
+                FROM mm{r}),
+            kk{r} AS MATERIALIZED (
+                SELECT *, coalesce(mt AND (row_number() OVER (
+                    PARTITION BY w, grp, mt ORDER BY pos) % 2 = 1),
+                    FALSE) AS keep
+                FROM rr{r}),
+            dd{r} AS MATERIALIZED (
+                SELECT *, coalesce(lag(keep) OVER (
+                    PARTITION BY w ORDER BY pos), FALSE) AS pkeep
+                FROM kk{r}),
+            sym{r} AS MATERIALIZED (
+                SELECT w, cnt,
+                       row_number() OVER (PARTITION BY w
+                                          ORDER BY pos) - 1 AS pos,
+                       CASE WHEN keep THEN sym || nsym
+                            ELSE sym END AS sym
+                FROM dd{r} WHERE NOT pkeep)"""
+        prev = f"sym{r}"
+    sels = " UNION ALL ".join(
+        f"SELECT {r} AS merge_idx, a AS sym_a, b AS sym_b, "
+        f"n AS pair_count FROM rule{r}"
+        for r in range(1, n_merges + 1))
+    return f"""
+        WITH vocab AS MATERIALIZED (
+            SELECT w, count(*)::BIGINT AS cnt FROM (
+                SELECT unnest(regexp_extract_all(lower(text),
+                                                 '[a-z]+')) AS w
+                FROM documents) GROUP BY w),
+        sym0 AS MATERIALIZED (
+            SELECT w, cnt, i - 1 AS pos, substr(w, i, 1) AS sym
+            FROM vocab,
+                 unnest(generate_series(1, length(w))) AS u(i)){its}
+        SELECT merge_idx::BIGINT AS merge_idx, sym_a, sym_b,
+               pair_count
+        FROM ({sels})
+        ORDER BY merge_idx
+    """
+
+
 def _kg_label_prop_sql(triples_path: str, n_rounds: int = 3) -> str:
     """Oracle twin of stages/graph.label_propagation: the same
     fixed-depth most-frequent-neighbor-label recurrence (self vote
@@ -6894,6 +6979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality": _q_docs_quality,
         "docs_lang_counts": _q_docs_lang_counts,
         "docs_bpe_pairs": _q_docs_bpe_pairs,
+        "docs_bpe_train": _q_docs_bpe_train,
         "docs_mixture_weights": _q_docs_mixture_weights,
         "docs_langid": _q_docs_langid,
         "docs_stratified_sample": _q_docs_stratified_sample,
@@ -9432,6 +9518,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_lang_counts": """
             SELECT lang, count(*) AS n FROM documents GROUP BY lang
         """,
+        "docs_bpe_train": _bpe_train_sql(),
         "docs_bpe_pairs": """
             WITH toks AS (
                 SELECT lower(t.tok) AS w FROM documents d,

@@ -995,6 +995,166 @@ def bpe_pair_counts(docs, k: int = 50, n_buckets: int = 64,
             .head(k).reset_index(drop=True))
 
 
+def bpe_train(docs, n_merges: int = 3, n_buckets: int = 64,
+              text_col: str = "text") -> pd.DataFrame:
+    """BPE TRAINING (Sennrich et al. 2016), ``n_merges`` greedy merge
+    rounds over the corpus vocabulary: each round picks the adjacent
+    symbol pair with the highest word-frequency-weighted count (ties:
+    count desc, then lexicographic (a, b)) and applies it
+    LEFT-TO-RIGHT NON-OVERLAPPING to every word's symbol sequence
+    ("aaaa" + rule (a,a) → (aa, aa)). Returns the merge table:
+    (merge_idx, sym_a, sym_b, pair_count).
+
+    Scale shape: word counts reduce through the ``value_counts``
+    combiner + ONE word-hash exchange (same as
+    :func:`bpe_pair_counts`); the vocabulary then explodes to
+    (word-id, pos, sym, cnt) rows INSIDE the bucket bodies and stays
+    bucket-aligned for every round — per round, one map emits
+    per-block pair-count partials (driver argmax over the bounded
+    distinct-pair universe), the chosen rule broadcasts, and one map
+    applies the merge block-locally (a word lives whole in one
+    block; the same run-parity trick implements greedy left-to-right
+    on runs of overlapping matches vectorized). ZERO exchanges after
+    the initial one. The DuckDB oracle unrolls the identical rounds
+    with window functions.
+    """
+    import ray
+
+    from .dedup_docs import _cached_get, _gram_hash
+    import re as _re
+
+    word = _re.compile(r"[a-z]+")
+    out_empty = pd.DataFrame({
+        "merge_idx": pd.Series([], dtype="int64"),
+        "sym_a": pd.Series([], dtype=object),
+        "sym_b": pd.Series([], dtype=object),
+        "pair_count": pd.Series([], dtype="int64")})
+
+    def _local(batch: pd.DataFrame) -> pd.DataFrame:
+        toks: list = []
+        for t in batch[text_col]:
+            toks.extend(word.findall(str(t).lower()))
+        if not toks:
+            return pd.DataFrame({
+                "w": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64"),
+                "wb": pd.Series([], dtype="int64")})
+        vc = pd.Series(toks).value_counts()
+        out = pd.DataFrame({"w": vc.index.to_numpy(),
+                            "n": vc.to_numpy().astype("int64")})
+        out["wb"] = (pd.util.hash_pandas_object(
+            out["w"], index=False) % n_buckets).astype("int64")
+        return out[["w", "n", "wb"]]
+
+    def _explode(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("w", as_index=False)["n"].sum()
+        if not len(g):
+            return pd.DataFrame({
+                "wid": pd.Series([], dtype="int64"),
+                "pos": pd.Series([], dtype="int64"),
+                "sym": pd.Series([], dtype=object),
+                "cnt": pd.Series([], dtype="int64")})
+        words = g["w"].astype(str).to_numpy(dtype=object)
+        cnts = g["n"].to_numpy(dtype="int64")
+        wid = np.fromiter((_gram_hash(w) for w in words),
+                          dtype=np.int64, count=len(words))
+        lens = np.fromiter((len(w) for w in words),
+                           dtype=np.int64, count=len(words))
+        rw = np.repeat(np.arange(len(words)), lens)
+        pos = np.concatenate([np.arange(n) for n in lens]) \
+            if len(words) else np.empty(0, dtype=np.int64)
+        syms = np.array([c for w in words for c in w], dtype=object)
+        out = pd.DataFrame({"wid": wid[rw], "pos": pos, "sym": syms,
+                            "cnt": cnts[rw]})
+        return out.sort_values(["wid", "pos"], kind="stable")
+
+    vocab = (docs.map_batches(_local, batch_format="pandas")
+             .groupby("wb").map_groups(_explode,
+                                       batch_format="pandas")
+             ).materialize()
+
+    def _pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "a": pd.Series([], dtype=object),
+                "b": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64")})
+        g = df.sort_values(["wid", "pos"], kind="stable")
+        wid = g["wid"].to_numpy(dtype="int64")
+        sym = g["sym"].to_numpy(dtype=object)
+        cnt = g["cnt"].to_numpy(dtype="int64")
+        nxt = np.concatenate([wid[1:] == wid[:-1], [False]])
+        a = sym[:-1][nxt[:-1]]
+        b = sym[1:][nxt[:-1]]
+        c = cnt[:-1][nxt[:-1]]
+        out = (pd.DataFrame({"a": a, "b": b, "n": c})
+               .groupby(["a", "b"], as_index=False)["n"].sum())
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    rules = []
+    for r in range(1, n_merges + 1):
+        parts = vocab.map_batches(_pair_partial,
+                                  batch_format="pandas",
+                                  batch_size=None).to_pandas()
+        if not len(parts) or "a" not in parts.columns:
+            break
+        agg = parts.groupby(["a", "b"], as_index=False)["n"].sum()
+        if not len(agg):
+            break
+        best = agg.sort_values(["n", "a", "b"],
+                               ascending=[False, True, True],
+                               kind="stable").iloc[0]
+        ra, rb, rn = str(best["a"]), str(best["b"]), int(best["n"])
+        rules.append({"merge_idx": r, "sym_a": ra, "sym_b": rb,
+                      "pair_count": rn})
+        rule_ref = ray.put((ra, rb))
+
+        def _apply(df: pd.DataFrame, _ref=rule_ref) -> pd.DataFrame:
+            if not len(df):
+                return df
+            a, b = _cached_get(_ref)
+            g = df.sort_values(["wid", "pos"], kind="stable")
+            wid = g["wid"].to_numpy(dtype="int64")
+            sym = g["sym"].to_numpy(dtype=object)
+            cnt = g["cnt"].to_numpy(dtype="int64")
+            m = len(g)
+            nxt_same = np.concatenate([wid[1:] == wid[:-1], [False]])
+            nxt_sym = np.concatenate([sym[1:], [None]])
+            match = nxt_same & (sym == a) & (nxt_sym == b)
+            # greedy left-to-right on overlap runs: among CONSECUTIVE
+            # matched positions in one word, keep alternate starts
+            prev_match = np.concatenate([[False], match[:-1]])
+            same_prev = np.concatenate([[False], wid[1:] == wid[:-1]])
+            run_start = match & ~(prev_match & same_prev)
+            run_id = np.cumsum(run_start)
+            # position within run (0-based) for matched rows
+            idx = np.arange(m)
+            start_idx = np.zeros(m, dtype=np.int64)
+            np.maximum.accumulate(np.where(run_start, idx, 0),
+                                  out=start_idx)
+            in_run_pos = idx - start_idx
+            keep = match & (in_run_pos % 2 == 0)
+            consumed = np.concatenate([[False], keep[:-1]])
+            new_sym = np.where(keep, a + b, sym)
+            take = ~consumed
+            out = pd.DataFrame({"wid": wid[take],
+                                "sym": new_sym[take],
+                                "cnt": cnt[take]})
+            out["pos"] = out.groupby("wid").cumcount() \
+                .to_numpy(dtype="int64")
+            return out[["wid", "pos", "sym", "cnt"]]
+
+        vocab = vocab.map_batches(_apply, batch_format="pandas",
+                                  batch_size=None).materialize()
+
+    if not rules:
+        return out_empty
+    out = pd.DataFrame(rules, columns=["merge_idx", "sym_a", "sym_b",
+                                       "pair_count"])
+    return out.astype({"merge_idx": "int64", "pair_count": "int64"})
+
+
 def mixture_weights(docs, alpha: float = 0.5, round_to: int = 4,
                     source_col: str = "source"):
     """Temperature-scaled source-mixture weights for training-data

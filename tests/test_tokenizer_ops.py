@@ -67,3 +67,46 @@ class TestMixtureWeights:
         assert len(out) == 0
         assert list(out.columns) == ["source", "n_docs", "weight",
                                      "epochs_at_uniform"]
+
+
+class TestBpeTrain:
+    def test_greedy_merges_match_reference(self):
+        from rdf_extraction_ray.stages.textstats import bpe_train
+        # "ababab" x3 + "abc": round 1 must merge (a,b) with count
+        # 3*3 + 1 = 10 (left-to-right: 'ababab' -> ab,ab,ab)
+        df = pd.DataFrame({"text": ["ababab ababab", "ababab abc"]})
+        out = bpe_train(rd.from_pandas(df).repartition(2), n_merges=2)
+        assert list(out.iloc[0][["sym_a", "sym_b", "pair_count"]]) \
+            == ["a", "b", 10]
+        # round 2: after merging, 'ababab' = (ab)(ab)(ab) -> pairs
+        # (ab,ab) x2 per word x3 words = 6; 'abc' gives (ab,c) x1
+        assert list(out.iloc[1][["sym_a", "sym_b", "pair_count"]]) \
+            == ["ab", "ab", 6]
+
+    def test_overlap_run_parity(self):
+        from rdf_extraction_ray.stages.textstats import bpe_train
+        # 'aaaa' (word count 3): matches at 0,1,2 -> greedy keeps
+        # 0 and 2 -> (aa)(aa); weighted pair count = 3 pos x 3 = 9
+        df = pd.DataFrame({"text": ["aaaa aaaa aaaa"]})
+        out = bpe_train(rd.from_pandas(df), n_merges=2)
+        assert list(out.iloc[0][["sym_a", "sym_b", "pair_count"]]) \
+            == ["a", "a", 9]
+        # after round 1 the word is (aa)(aa) -> round 2 merges
+        # (aa,aa): 1 pos x word count 3 = 3
+        assert list(out.iloc[1][["sym_a", "sym_b", "pair_count"]]) \
+            == ["aa", "aa", 3]
+
+    def test_partition_invariant_and_empty(self):
+        from rdf_extraction_ray.stages.textstats import bpe_train
+        rng = np.random.default_rng(9)
+        words = ["".join(rng.choice(list("abcde"), 6)) for _ in range(300)]
+        df = pd.DataFrame({"text": [" ".join(words[i::7])
+                                    for i in range(7)]})
+        a = bpe_train(rd.from_pandas(df), n_merges=3)
+        b = bpe_train(rd.from_pandas(df).repartition(5), n_merges=3)
+        pd.testing.assert_frame_equal(a, b)
+        empty = bpe_train(rd.from_pandas(
+            pd.DataFrame({"text": pd.Series([], dtype=object)})))
+        assert len(empty) == 0
+        assert list(empty.columns) == ["merge_idx", "sym_a", "sym_b",
+                                       "pair_count"]
