@@ -4006,6 +4006,23 @@ def _q_docs_bpe_train(sf_dir: str):
     return bpe_train(docs, n_merges=3)
 
 
+def _q_docs_bpe_tokenize(sf_dir: str):
+    """BPE tokenization (train → APPLY): the 3 trained merges applied
+    to every document, reported as per-doc (n_words, n_bpe_tokens) —
+    the token-counting step a trained tokenizer adds to a data
+    pipeline. Rules come from the same distributed trainer; merges
+    run over each word-hash bucket's DISTINCT words only (corpus
+    text touched once), per-doc partials sum in a doc-hash exchange.
+    Wordless documents emit nothing (the SQL join's domain)."""
+    from rdf_extraction_ray.stages.textstats import (bpe_tokenize_counts,
+                                                     bpe_train)
+    merges = bpe_train(_read(sf_dir, "documents", ["text"]),
+                       n_merges=3)
+    rules = list(zip(merges["sym_a"], merges["sym_b"]))
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bpe_tokenize_counts(docs, rules)
+
+
 def _q_docs_bpe_pairs(sf_dir: str):
     """Tokenizer-training step: top-50 adjacent character pairs over
     the corpus vocabulary weighted by word frequency — the statistic
@@ -6337,12 +6354,9 @@ def _kg_ktruss_sql(triples_path: str, k: int = 4,
     """
 
 
-def _bpe_train_sql(n_merges: int = 3) -> str:
-    """Oracle twin of stages/textstats.bpe_train: the same greedy
-    merge rounds unrolled as window-function CTEs — pair argmax via
-    QUALIFY, greedy left-to-right overlap resolution via the
-    run-parity trick (rows in a run of consecutive matched positions
-    keep odd row_numbers)."""
+def _bpe_chain_ctes(n_merges: int) -> tuple[str, str]:
+    """The unrolled BPE merge-round CTE chain shared by the train and
+    tokenize oracles; returns (cte_body, final_symbol_cte_name)."""
     its, prev = "", "sym0"
     for r in range(1, n_merges + 1):
         its += f""",
@@ -6387,11 +6401,11 @@ def _bpe_train_sql(n_merges: int = 3) -> str:
                             ELSE sym END AS sym
                 FROM dd{r} WHERE NOT pkeep)"""
         prev = f"sym{r}"
-    sels = " UNION ALL ".join(
-        f"SELECT {r} AS merge_idx, a AS sym_a, b AS sym_b, "
-        f"n AS pair_count FROM rule{r}"
-        for r in range(1, n_merges + 1))
-    return f"""
+    return its, prev
+
+
+#: vocabulary + char-explode CTEs shared by the two BPE oracles
+_BPE_HEAD = """
         WITH vocab AS MATERIALIZED (
             SELECT w, count(*)::BIGINT AS cnt FROM (
                 SELECT unnest(regexp_extract_all(lower(text),
@@ -6400,11 +6414,47 @@ def _bpe_train_sql(n_merges: int = 3) -> str:
         sym0 AS MATERIALIZED (
             SELECT w, cnt, i - 1 AS pos, substr(w, i, 1) AS sym
             FROM vocab,
-                 unnest(generate_series(1, length(w))) AS u(i)){its}
+                 unnest(generate_series(1, length(w))) AS u(i))"""
+
+
+def _bpe_train_sql(n_merges: int = 3) -> str:
+    """Oracle twin of stages/textstats.bpe_train: the same greedy
+    merge rounds unrolled as window-function CTEs — pair argmax via
+    QUALIFY, greedy left-to-right overlap resolution via the
+    run-parity trick (rows in a run of consecutive matched positions
+    keep odd row_numbers)."""
+    its, prev = _bpe_chain_ctes(n_merges)
+    sels = " UNION ALL ".join(
+        f"SELECT {r} AS merge_idx, a AS sym_a, b AS sym_b, "
+        f"n AS pair_count FROM rule{r}"
+        for r in range(1, n_merges + 1))
+    return f"""{_BPE_HEAD}{its}
         SELECT merge_idx::BIGINT AS merge_idx, sym_a, sym_b,
                pair_count
         FROM ({sels})
         ORDER BY merge_idx
+    """
+
+
+def _bpe_tokenize_sql(n_merges: int = 3) -> str:
+    """Oracle twin of stages/textstats.bpe_tokenize_counts: the same
+    merge chain, then per-word post-merge symbol counts joined back
+    to every document's word occurrences."""
+    its, prev = _bpe_chain_ctes(n_merges)
+    return f"""{_BPE_HEAD}{its},
+        wcount AS MATERIALIZED (
+            SELECT w, count(*)::BIGINT AS ns
+            FROM {prev} GROUP BY w),
+        dw AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text),
+                                             '[a-z]+')) AS w
+            FROM documents)
+        SELECT dw.doc_id, count(*)::BIGINT AS n_words,
+               sum(wc.ns)::BIGINT AS n_bpe_tokens
+        FROM dw JOIN wcount wc USING (w)
+        GROUP BY dw.doc_id
+        ORDER BY dw.doc_id
     """
 
 
@@ -6980,6 +7030,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_counts": _q_docs_lang_counts,
         "docs_bpe_pairs": _q_docs_bpe_pairs,
         "docs_bpe_train": _q_docs_bpe_train,
+        "docs_bpe_tokenize": _q_docs_bpe_tokenize,
         "docs_mixture_weights": _q_docs_mixture_weights,
         "docs_langid": _q_docs_langid,
         "docs_stratified_sample": _q_docs_stratified_sample,
@@ -9519,6 +9570,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n FROM documents GROUP BY lang
         """,
         "docs_bpe_train": _bpe_train_sql(),
+        "docs_bpe_tokenize": _bpe_tokenize_sql(),
         "docs_bpe_pairs": """
             WITH toks AS (
                 SELECT lower(t.tok) AS w FROM documents d,

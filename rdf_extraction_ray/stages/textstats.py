@@ -995,6 +995,34 @@ def bpe_pair_counts(docs, k: int = 50, n_buckets: int = 64,
             .head(k).reset_index(drop=True))
 
 
+def bpe_merge_pass(wid: np.ndarray, sym: np.ndarray, a: str,
+                   b: str) -> tuple:
+    """One greedy LEFT-TO-RIGHT NON-OVERLAPPING merge pass over
+    word-sorted exploded symbol rows: rows with the same ``wid`` are
+    one word's consecutive symbols. Returns ``(take, new_sym)`` —
+    the surviving-row mask and the symbol array with kept merge
+    starts rewritten to ``a+b`` (apply the mask to every parallel
+    column). Overlap runs resolve by run parity: among CONSECUTIVE
+    matched start positions in one word, alternate starts win
+    ("aaaa" + (a,a) → (aa)(aa))."""
+    m = len(wid)
+    if not m:
+        return np.zeros(0, dtype=bool), sym
+    nxt_same = np.concatenate([wid[1:] == wid[:-1], [False]])
+    nxt_sym = np.concatenate([sym[1:], [None]])
+    match = nxt_same & (sym == a) & (nxt_sym == b)
+    prev_match = np.concatenate([[False], match[:-1]])
+    same_prev = np.concatenate([[False], wid[1:] == wid[:-1]])
+    run_start = match & ~(prev_match & same_prev)
+    idx = np.arange(m)
+    start_idx = np.zeros(m, dtype=np.int64)
+    np.maximum.accumulate(np.where(run_start, idx, 0), out=start_idx)
+    keep = match & ((idx - start_idx) % 2 == 0)
+    consumed = np.concatenate([[False], keep[:-1]])
+    new_sym = np.where(keep, a + b, sym)
+    return ~consumed, new_sym
+
+
 def bpe_train(docs, n_merges: int = 3, n_buckets: int = 64,
               text_col: str = "text") -> pd.DataFrame:
     """BPE TRAINING (Sennrich et al. 2016), ``n_merges`` greedy merge
@@ -1116,28 +1144,9 @@ def bpe_train(docs, n_merges: int = 3, n_buckets: int = 64,
             a, b = _cached_get(_ref)
             g = df.sort_values(["wid", "pos"], kind="stable")
             wid = g["wid"].to_numpy(dtype="int64")
-            sym = g["sym"].to_numpy(dtype=object)
             cnt = g["cnt"].to_numpy(dtype="int64")
-            m = len(g)
-            nxt_same = np.concatenate([wid[1:] == wid[:-1], [False]])
-            nxt_sym = np.concatenate([sym[1:], [None]])
-            match = nxt_same & (sym == a) & (nxt_sym == b)
-            # greedy left-to-right on overlap runs: among CONSECUTIVE
-            # matched positions in one word, keep alternate starts
-            prev_match = np.concatenate([[False], match[:-1]])
-            same_prev = np.concatenate([[False], wid[1:] == wid[:-1]])
-            run_start = match & ~(prev_match & same_prev)
-            run_id = np.cumsum(run_start)
-            # position within run (0-based) for matched rows
-            idx = np.arange(m)
-            start_idx = np.zeros(m, dtype=np.int64)
-            np.maximum.accumulate(np.where(run_start, idx, 0),
-                                  out=start_idx)
-            in_run_pos = idx - start_idx
-            keep = match & (in_run_pos % 2 == 0)
-            consumed = np.concatenate([[False], keep[:-1]])
-            new_sym = np.where(keep, a + b, sym)
-            take = ~consumed
+            take, new_sym = bpe_merge_pass(
+                wid, g["sym"].to_numpy(dtype=object), a, b)
             out = pd.DataFrame({"wid": wid[take],
                                 "sym": new_sym[take],
                                 "cnt": cnt[take]})
@@ -1153,6 +1162,99 @@ def bpe_train(docs, n_merges: int = 3, n_buckets: int = 64,
     out = pd.DataFrame(rules, columns=["merge_idx", "sym_a", "sym_b",
                                        "pair_count"])
     return out.astype({"merge_idx": "int64", "pair_count": "int64"})
+
+
+def bpe_tokenize_counts(docs, rules: list[tuple[str, str]],
+                        n_buckets: int = 64,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> pd.DataFrame:
+    """Apply a trained BPE merge table and count tokens per document:
+    for every doc, the word count and the total symbol count after
+    the merges are applied in rule order (each rule one greedy
+    left-to-right pass). Documents with no ``[a-z]+`` words emit
+    nothing (same domain as the SQL join replay).
+
+    Scale shape: per-batch (doc, word, k) occurrence combiners enter
+    ONE word-hash exchange; each bucket applies the (broadcast,
+    3-row) rule list to its DISTINCT words only — corpus text is
+    touched once, merges run over the vocabulary — and emits per-doc
+    partials; a doc-hash exchange sums them. Output is one row per
+    document."""
+    import ray
+
+    from .dedup_docs import _cached_get
+    import re as _re
+
+    word = _re.compile(r"[a-z]+")
+    rref = ray.put(tuple(rules))
+    out_empty = pd.DataFrame({
+        "doc_id": pd.Series([], dtype="int64"),
+        "n_words": pd.Series([], dtype="int64"),
+        "n_bpe_tokens": pd.Series([], dtype="int64")})
+
+    def _local(batch: pd.DataFrame) -> pd.DataFrame:
+        dids, ws = [], []
+        for d, t in zip(batch[id_col], batch[text_col]):
+            toks = word.findall(str(t).lower())
+            dids.extend([d] * len(toks))
+            ws.extend(toks)
+        if not ws:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "w": pd.Series([], dtype=object),
+                "k": pd.Series([], dtype="int64"),
+                "wb": pd.Series([], dtype="int64")})
+        out = (pd.DataFrame({"doc_id": np.asarray(dids,
+                                                  dtype="int64"),
+                             "w": np.asarray(ws, dtype=object)})
+               .groupby(["doc_id", "w"], as_index=False)
+               .agg(k=("w", "size")))
+        out["k"] = out["k"].astype("int64")
+        out["wb"] = (pd.util.hash_pandas_object(
+            out["w"], index=False) % n_buckets).astype("int64")
+        return out[["doc_id", "w", "k", "wb"]]
+
+    def _bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if not len(group):
+            return out_empty.assign(
+                db=pd.Series([], dtype="int64"))
+        rl = _cached_get(rref)
+        words = pd.unique(group["w"].astype(str))
+        # explode the bucket's DISTINCT words and run the merge
+        # passes locally (whole words by construction)
+        lens = np.fromiter((len(w) for w in words), dtype=np.int64,
+                           count=len(words))
+        wid = np.repeat(np.arange(len(words)), lens)
+        sym = np.array([c for w in words for c in w], dtype=object)
+        for a, b in rl:
+            take, sym = bpe_merge_pass(wid, sym, a, b)
+            wid, sym = wid[take], sym[take]
+        ns = np.bincount(wid, minlength=len(words)).astype("int64")
+        nmap = pd.Series(ns, index=words)
+        g = group.copy()
+        g["ns"] = g["w"].map(nmap).astype("int64") * g["k"]
+        out = (g.groupby("doc_id", as_index=False)
+               .agg(n_words=("k", "sum"), n_bpe_tokens=("ns", "sum")))
+        out["db"] = (out["doc_id"].astype("int64")
+                     % n_buckets).astype("int64")
+        return out
+
+    def _doc_sum(group: pd.DataFrame) -> pd.DataFrame:
+        out = (group.groupby("doc_id", as_index=False)
+               [["n_words", "n_bpe_tokens"]].sum())
+        return out.astype({"n_words": "int64",
+                           "n_bpe_tokens": "int64"})
+
+    res = (docs.map_batches(_local, batch_format="pandas")
+           .groupby("wb").map_groups(_bucket, batch_format="pandas")
+           .groupby("db").map_groups(_doc_sum, batch_format="pandas")
+           .to_pandas())
+    if not len(res) or "doc_id" not in res.columns:
+        return out_empty
+    res = res[["doc_id", "n_words", "n_bpe_tokens"]].astype(
+        {"doc_id": "int64", "n_words": "int64",
+         "n_bpe_tokens": "int64"})
+    return res.sort_values("doc_id", ignore_index=True)
 
 
 def mixture_weights(docs, alpha: float = 0.5, round_to: int = 4,

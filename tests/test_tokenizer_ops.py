@@ -110,3 +110,33 @@ class TestBpeTrain:
         assert len(empty) == 0
         assert list(empty.columns) == ["merge_idx", "sym_a", "sym_b",
                                        "pair_count"]
+
+
+class TestBpeTokenize:
+    def test_counts_match_manual_application(self):
+        from rdf_extraction_ray.stages.textstats import (
+            bpe_tokenize_counts)
+        df = pd.DataFrame({
+            "doc_id": np.array([1, 2, 3], dtype="int64"),
+            "text": ["the then there", "aaaa ab", "zzz"]})
+        rules = [("t", "h"), ("th", "e"), ("a", "a")]
+        out = bpe_tokenize_counts(rd.from_pandas(df).repartition(2),
+                                  rules)
+        got = {r.doc_id: (r.n_words, r.n_bpe_tokens)
+               for r in out.itertuples()}
+        # the->(the)=1; then->(the,n)=2; there->(the,r,e)=3
+        # aaaa->(aa,aa)=2; ab->(a,b)=2; zzz->(z,z,z)=3
+        assert got == {1: (3, 6), 2: (2, 4), 3: (1, 3)}
+
+    def test_wordless_doc_omitted_and_empty(self):
+        from rdf_extraction_ray.stages.textstats import (
+            bpe_tokenize_counts)
+        df = pd.DataFrame({"doc_id": np.array([7, 8], dtype="int64"),
+                           "text": ["only words", "123 !!!"]})
+        out = bpe_tokenize_counts(rd.from_pandas(df), [("o", "n")])
+        assert list(out["doc_id"]) == [7]
+        empty = bpe_tokenize_counts(rd.from_pandas(
+            pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "text": pd.Series([], dtype=object)})),
+            [("a", "b")])
+        assert len(empty) == 0
