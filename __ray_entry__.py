@@ -5403,6 +5403,56 @@ def _q_docs_length_moments(sf_dir: str):
     return out.sort_values("lang", ignore_index=True)
 
 
+def _q_events_value_trend(sf_dir: str):
+    """Per-group OLS trend — grouped linear regression as an
+    integer-exact aggregate: for each event type, the least-squares
+    slope of event value over time (value units per DAY) plus count
+    and mean. Values quantize to cents and timestamps to whole
+    seconds past a FIXED base (2024-01-01) map-side, so the five
+    moment partials (n, Σx, Σy, Σxy, Σx²) are int64-exact per batch;
+    the driver reduces them as unbounded Python ints and the float
+    enters only in the final ``(nΣxy − ΣxΣy)/(nΣx² − (Σx)²)``
+    division — the identical IEEE expression DuckDB evaluates over
+    HUGEINT moments. Exchange = types × blocks rows; no shuffle."""
+    BASE = pd.Timestamp("2024-01-01")
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def _moments(df: pd.DataFrame) -> pd.DataFrame:
+        x = ((df["ts"] - BASE) // np.timedelta64(1, "s")) \
+            .astype("int64")
+        y = np.rint(df["value"].to_numpy(dtype="float64") * 100) \
+            .astype("int64")
+        g = pd.DataFrame({"event_type": df["event_type"].astype(object),
+                          "n": np.int64(1), "sx": x, "sy": y,
+                          "sxy": x * y, "sxx": x * x})
+        return g.groupby("event_type", as_index=False)[
+            ["n", "sx", "sy", "sxy", "sxx"]].sum()
+
+    parts = _typed(
+        ds.map_batches(_moments, batch_format="pandas").to_pandas(),
+        event_type=object, n="int64", sx="int64", sy="int64",
+        sxy="int64", sxx="int64")
+    rows = []
+    for et, g in parts.groupby("event_type"):
+        n = int(g["n"].sum())
+        sx = sum(int(v) for v in g["sx"])
+        sy = sum(int(v) for v in g["sy"])
+        sxy = sum(int(v) for v in g["sxy"])
+        sxx = sum(int(v) for v in g["sxx"])
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        rows.append({
+            "event_type": et, "n_events": n,
+            "mean_value": round(sy / n / 100.0, _ROUND),
+            "slope_per_day": round(float(num) / float(den) * 864.0,
+                                   6)})
+    out = pd.DataFrame(rows, columns=["event_type", "n_events",
+                                      "mean_value", "slope_per_day"])
+    out = _typed(out, event_type=object, n_events="int64",
+                 mean_value="float64", slope_per_day="float64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values("event_type", ignore_index=True)
+
+
 def _q_docs_pack_windows(sf_dir: str):
     """Concat-and-split sequence packing: token counts per doc →
     hash-bucket groupby → in-bucket offsets and window ids (the
@@ -6960,6 +7010,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_users_hll": _q_events_users_hll,
         "docs_length_quantiles": _q_docs_length_quantiles,
         "docs_length_moments": _q_docs_length_moments,
+        "events_value_trend": _q_events_value_trend,
         "docs_repetition": _q_docs_repetition,
         "docs_dup_spans": _q_docs_dup_spans,
         "docs_source_cap": _q_docs_source_cap,
@@ -8019,6 +8070,33 @@ def oracle_sql() -> dict[str, str]:
                               + 0.5)
                     END)::BIGINT AS est_distinct
             FROM s
+        """,
+        "events_value_trend": f"""
+            WITH m AS (
+                SELECT event_type,
+                       count(*)::BIGINT AS n,
+                       sum(date_diff('second',
+                               TIMESTAMP '2024-01-01', ts)::BIGINT)
+                           ::HUGEINT AS sx,
+                       sum(CAST(round(value * 100) AS BIGINT))
+                           ::HUGEINT AS sy,
+                       sum(date_diff('second',
+                               TIMESTAMP '2024-01-01', ts)::BIGINT
+                           * CAST(round(value * 100) AS BIGINT))
+                           ::HUGEINT AS sxy,
+                       sum(date_diff('second',
+                               TIMESTAMP '2024-01-01', ts)::BIGINT
+                           * date_diff('second',
+                               TIMESTAMP '2024-01-01', ts)::BIGINT)
+                           ::HUGEINT AS sxx
+                FROM events GROUP BY event_type)
+            SELECT event_type, n AS n_events,
+                   round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                         / 100.0, {_ROUND}) AS mean_value,
+                   round(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE)
+                         * 864.0, 6) AS slope_per_day
+            FROM m ORDER BY event_type
         """,
         "docs_length_moments": f"""
             WITH m AS (
