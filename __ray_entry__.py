@@ -5987,8 +5987,10 @@ def _media_path(sf_dir: str) -> str:
     from rdf_extraction_ray.stages.multimodal import synth_media_table
     sf = _sf_of(sf_dir)
     n = max(30, int(sf * 30_000))
+    # m2: planted re-encoded video variants (chunk-neardup ground
+    # truth) joined the corpus — new cache key
     path = (f"/tmp/rdf_extraction_ray/media_v{synth.GENERATOR_VERSION}"
-            f"_sf{sf}_n{n}")
+            f"m2_sf{sf}_n{n}")
     if not os.path.exists(path):
         tmp = f"{path}.tmp.{os.getpid()}"
         os.makedirs(tmp, exist_ok=True)
@@ -6024,6 +6026,21 @@ def _q_media_features(sf_dir: str):
         })
 
     return feats.map_batches(_explode, batch_format="pandas")
+
+
+def _q_media_chunk_neardup(sf_dir: str):
+    """Multimodal chunk-hash near-dup — the storage-dedup technique
+    over binary payloads: media sharing ≥ 2 distinct 32-byte content
+    chunk digests pair up (the corpus plants re-encoded video
+    variants — same payload, md5-derived tail — as ground truth).
+    Payload bytes never leave the scan; the digest inverted index is
+    df-capped; pairs count in a pair-key exchange (see
+    stages/multimodal.chunk_neardup)."""
+    import ray.data as rd
+
+    from rdf_extraction_ray.stages.multimodal import chunk_neardup
+    media = rd.read_parquet(_media_path(sf_dir))
+    return chunk_neardup(media)
 
 
 def _q_media_frames(sf_dir: str):
@@ -6955,6 +6972,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": _q_ann_lsh,
         "media_frames": _q_media_frames,
         "media_dedup": _q_media_dedup,
+        "media_chunk_neardup": _q_media_chunk_neardup,
         # --- curation / text-analysis family
         "docs_tfidf_terms": _q_docs_tfidf_terms,
         "docs_gopher_rules": _q_docs_gopher_rules,
@@ -8403,6 +8421,30 @@ def oracle_sql() -> dict[str, str]:
                    min(media_id) AS keep_id,
                    count(*)::BIGINT AS n_dups
             FROM u GROUP BY ph ORDER BY ph
+        """,
+        "media_chunk_neardup": f"""
+            WITH ch AS (
+                SELECT media_id,
+                       ('0x' || substr(md5(substr(lower(hex(payload)),
+                            (c - 1) * 64 + 1, 64)), 1, 15))::BIGINT
+                           AS h
+                FROM read_parquet('{media_pq}'),
+                     unnest(generate_series(1,
+                         length(lower(hex(payload))) // 64))
+                         AS u(c)),
+            d AS (SELECT DISTINCT media_id, h FROM ch),
+            f AS (SELECT d.media_id, d.h FROM d
+                  JOIN (SELECT h FROM d GROUP BY h
+                        HAVING count(*) <= 16) k USING (h)),
+            p AS (SELECT a.media_id AS media_a,
+                         b.media_id AS media_b,
+                         count(*)::BIGINT AS n_shared
+                  FROM f a JOIN f b
+                    ON a.h = b.h AND a.media_id < b.media_id
+                  GROUP BY 1, 2)
+            SELECT media_a, media_b, n_shared FROM p
+            WHERE n_shared >= 2
+            ORDER BY n_shared DESC, media_a, media_b
         """,
         "media_features": f"""
             SELECT media_id, kind, j AS dim_idx,

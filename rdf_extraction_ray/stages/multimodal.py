@@ -102,11 +102,22 @@ class FrameSampler:
                          "frame_digest": pa.array(digests, pa.string())})
 
 
-def synth_media_table(n: int, seed: int = 21) -> pa.Table:
-    """Deterministic fake media corpus for plumbing tests."""
+def synth_media_table(n: int, seed: int = 21,
+                      plant_variants: bool = True) -> pa.Table:
+    """Deterministic fake media corpus for plumbing tests.
+
+    ``plant_variants`` appends a RE-ENCODED SIBLING (media_id +
+    2·10**6 — clear of the exact-dedup oracle's +10**6 union ids) for every video with ``media_id % 6 == 2``: same payload
+    except the last 24 bytes are replaced with an md5-derived tail —
+    the sibling therefore shares every full leading content chunk
+    with its original, the planted ground truth the chunk-hash
+    near-dup operator must recover. The tail derives from the
+    payload digest (not the RNG), so the base rows are byte-identical
+    with and without planting."""
     rng = np.random.RandomState(seed)
     kinds = ["image", "audio", "video"]
     rows = {k.name: [] for k in MEDIA_SCHEMA}
+    variants = []
     for i in range(n):
         kind = kinds[i % 3]
         payload = rng.bytes(64 + int(rng.randint(0, 192)))
@@ -119,7 +130,105 @@ def synth_media_table(n: int, seed: int = 21) -> pa.Table:
         rows["height"].append(int(rng.randint(16, 512)) if kind == "image" else None)
         rows["duration_ms"].append(int(rng.randint(1000, 60000))
                                    if kind != "image" else None)
+        if plant_variants and kind == "video" and i % 6 == 2:
+            tail = hashlib.md5(payload).digest() \
+                + hashlib.md5(payload + b"x").digest()[:8]
+            variants.append((i + 2 * 10**6, payload[:-24] + tail,
+                             rows["duration_ms"][-1]))
+    for mid, payload, dur in variants:
+        rows["media_id"].append(mid)
+        rows["kind"].append("video")
+        rows["payload"].append(payload)
+        rows["mime"].append("video/mp4")
+        rows["width"].append(None)
+        rows["height"].append(None)
+        rows["duration_ms"].append(dur)
     return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+def chunk_neardup(media, chunk_bytes: int = 32, min_shared: int = 2,
+                  max_df: int = 16, n_buckets: int = 32):
+    """Chunk-hash NEAR-dup over binary media content — the
+    content-defined-storage dedup technique at fixed chunk width:
+    payloads split into full ``chunk_bytes`` chunks, each chunk keyed
+    by ``md5(chunk_hex)``; media pairs sharing ≥ ``min_shared``
+    DISTINCT chunk digests are near-duplicates (a truncated or
+    re-encoded-tail copy shares every leading chunk). Returns
+    (media_a, media_b, n_shared) pairs, media_a < media_b, ordered
+    (n_shared desc, a, b).
+
+    Scale shape: per-batch flat-map emits (chunk-digest-hash,
+    media_id) int64 rows — payload BYTES never leave the scan; the
+    digest-bucket groupby builds the bounded inverted index (a digest
+    held by more than ``max_df`` media is a STOP KEY and emits
+    nothing — random content never collides, so stop keys only guard
+    pathological inputs); per-digest pair expansion rides a pair-key
+    exchange where the ≥ min_shared filter and the distinct count
+    resolve. Mirrors the ER blocking operator's shape
+    (stages/graph.copredicate_pairs)."""
+    import pandas as pd
+
+    B = np.int64(n_buckets)
+    _EMPTY = pd.DataFrame({
+        "media_a": pd.Series([], dtype="int64"),
+        "media_b": pd.Series([], dtype="int64"),
+        "n_shared": pd.Series([], dtype="int64")})
+
+    def _chunk_rows(t: pa.Table) -> "pd.DataFrame":
+        ids, hs = [], []
+        for mid, p in zip(t.column("media_id").to_pylist(),
+                          t.column("payload")):
+            payload = p.as_py() if p is not None else b""
+            hexp = payload.hex()
+            w = chunk_bytes * 2
+            for c in range(len(hexp) // w):
+                ids.append(mid)
+                hs.append(int(hashlib.md5(
+                    hexp[c * w:(c + 1) * w].encode())
+                    .hexdigest()[:15], 16))
+        out = pd.DataFrame({
+            "h": pd.Series(hs, dtype="int64"),
+            "mid": pd.Series(ids, dtype="int64")}).drop_duplicates()
+        out["hb"] = out["h"] % B
+        return out
+
+    def _pairs(group: "pd.DataFrame") -> "pd.DataFrame":
+        g = group.drop_duplicates(["h", "mid"])
+        sizes = g.groupby("h")["mid"].transform("size")
+        g = g[sizes <= max_df]
+        if not len(g):
+            return pd.DataFrame({
+                "a": pd.Series([], dtype="int64"),
+                "b": pd.Series([], dtype="int64"),
+                "pb": pd.Series([], dtype="int64")})
+        m = g.merge(g, on="h")
+        m = m[m["mid_x"] < m["mid_y"]]
+        out = pd.DataFrame({"a": m["mid_x"].astype("int64"),
+                            "b": m["mid_y"].astype("int64")})
+        out["pb"] = ((out["a"] * np.int64(1000003) + out["b"])
+                     % B).astype("int64")
+        return out
+
+    def _count(group: "pd.DataFrame") -> "pd.DataFrame":
+        out = (group.groupby(["a", "b"], as_index=False)
+               .agg(n_shared=("a", "size")))
+        out = out[out["n_shared"] >= min_shared]
+        return out.astype({"a": "int64", "b": "int64",
+                           "n_shared": "int64"})
+
+    res = (media.map_batches(_chunk_rows, batch_format="pyarrow",
+                             batch_size=64)
+           .groupby("hb").map_groups(_pairs, batch_format="pandas")
+           .groupby("pb").map_groups(_count, batch_format="pandas")
+           .to_pandas())
+    if not len(res) or "a" not in res.columns:
+        return _EMPTY
+    out = pd.DataFrame({"media_a": res["a"].astype("int64"),
+                        "media_b": res["b"].astype("int64"),
+                        "n_shared": res["n_shared"].astype("int64")})
+    return out.sort_values(["n_shared", "media_a", "media_b"],
+                           ascending=[False, True, True],
+                           ignore_index=True)
 
 
 def media_exact_dedup(media, n_buckets: int = 32):

@@ -173,13 +173,15 @@ class TestAnn:
 
 class TestMultimodal:
     def test_feature_extractor_plumbing(self):
-        media = rd.from_arrow(synth_media_table(30))
+        media = rd.from_arrow(synth_media_table(30,
+                                                plant_variants=False))
         out = media.map_batches(FeatureExtractor, batch_format="pyarrow",
                                 batch_size=8, concurrency=1).to_pandas()
         assert len(out) == 30
         assert all(len(f) == 16 for f in out["features"])
         # deterministic across runs
-        out2 = rd.from_arrow(synth_media_table(30)).map_batches(
+        out2 = rd.from_arrow(
+            synth_media_table(30, plant_variants=False)).map_batches(
             FeatureExtractor, batch_format="pyarrow", batch_size=8,
             concurrency=1).to_pandas()
         assert out["features"].map(tuple).tolist() == \
@@ -201,6 +203,27 @@ class TestMultimodal:
         from rdf_extraction_ray.stages.multimodal import _decode_image_real
         with pytest.raises(NotImplementedError):
             _decode_image_real(b"")
+
+    def test_chunk_neardup_recovers_planted_variants(self):
+        from rdf_extraction_ray.stages.multimodal import chunk_neardup
+        tbl = synth_media_table(60)  # plants a tail-variant per
+        # video with media_id % 6 == 2
+        out = chunk_neardup(rd.from_arrow(tbl))
+        got = set(zip(out["media_a"], out["media_b"]))
+        planted = set()
+        ids = tbl.column("media_id").to_pylist()
+        payloads = tbl.column("payload").to_pylist()
+        plen = dict(zip(ids, map(len, payloads)))
+        for i in ids:
+            if i < 2 * 10**6 and i % 6 == 2 and (i + 2 * 10**6) in plen:
+                # recoverable when ≥ 2 full 32-byte chunks survive
+                # ahead of the modified 24-byte tail
+                if (plen[i] - 24) // 32 >= 2:
+                    planted.add((i, i + 2 * 10**6))
+        assert planted, "corpus must plant recoverable variants"
+        assert planted <= got
+        # every reported pair shares ≥ 2 chunk digests by contract
+        assert (out["n_shared"] >= 2).all()
 
 
 class TestAsofJoin:
