@@ -1645,6 +1645,18 @@ def _q_tpch_q3_shipping(sf_dir: str):
 _Q5_CUST_BROADCAST_CAP = 2_000_000
 
 
+def _pull_under_cap(ds, cap: int = _Q5_CUST_BROADCAST_CAP):
+    """Materialize a filtered dimension side to the driver when its
+    row count is within ``cap``; return None past it, in which case
+    the caller runs its partitioned hash-join fallback. The one
+    shared half of the broadcast-or-join dual path q5/q7/q8 use on
+    the region-filtered customer side (row shaping stays
+    query-local)."""
+    if ds.count() > cap:
+        return None
+    return ds.to_pandas()
+
+
 def _q_tpch_q5_local_supplier(sf_dir: str):
     """TPC-H Q5 shape — the six-table local-supplier-volume join.
 
@@ -1710,9 +1722,8 @@ def _q_tpch_q5_local_supplier(sf_dir: str):
     # per-batch .map in the orders scan: ZERO exchange), above it the
     # partitioned hash join runs (same dual-path contract as the
     # exact-Jaccard verify's 200k-candidate cap; both paths tested).
-    n_cust = cust.count()
-    if n_cust <= _Q5_CUST_BROADCAST_CAP:
-        cd = cust.to_pandas()
+    cd = _pull_under_cap(cust)
+    if cd is not None:
         cmap = ray.put(dict(zip(cd["o_custkey"].astype("int64"),
                                 cd["c_nationkey"].astype("int64"))))
 
@@ -2566,9 +2577,8 @@ def _q_tpch_q7_volume_shipping(sf_dir: str):
         out["kbucket"] = (out["okey"] % 64).astype("int64")
         return out[_COLS]
 
-    n_cust = cust.count()
-    if n_cust <= _Q5_CUST_BROADCAST_CAP:
-        cd = cust.to_pandas()
+    cd = _pull_under_cap(cust)
+    if cd is not None:
         cmap = _ray.put(dict(zip(cd["o_custkey"].astype("int64"),
                                  cd["c_nationkey"].astype("int64"))))
 
@@ -2700,10 +2710,9 @@ def _q_tpch_q8_market_share(sf_dir: str):
         out["kbucket"] = (out["okey"] % 64).astype("int64")
         return out[_COLS]
 
-    n_cust = cust.count()
-    if n_cust <= _Q5_CUST_BROADCAST_CAP:
-        ckeys = np.sort(cust.to_pandas()["o_custkey"]
-                        .to_numpy(dtype="int64"))
+    cd = _pull_under_cap(cust)
+    if cd is not None:
+        ckeys = np.sort(cd["o_custkey"].to_numpy(dtype="int64"))
         cref = _ray.put(ckeys)
 
         def _ord_sel(df: pd.DataFrame) -> pd.DataFrame:
@@ -6446,7 +6455,11 @@ def _bpe_chain_ctes(n_merges: int) -> tuple[str, str]:
                        coalesce(s.sym = r.a AND lead(s.sym) OVER (
                             PARTITION BY s.w ORDER BY s.pos) = r.b,
                             FALSE) AS mt
-                FROM {prev} s CROSS JOIN rule{r} r),
+                -- LEFT JOIN ON TRUE (not CROSS JOIN): an empty
+                -- rule round must be a NO-OP on the symbol chain,
+                -- mirroring the engine's early loop break on a
+                -- collapsed vocabulary
+                FROM {prev} s LEFT JOIN rule{r} r ON TRUE),
             rr{r} AS MATERIALIZED (
                 SELECT *, CASE WHEN mt THEN pos - row_number()
                     OVER (PARTITION BY w, mt ORDER BY pos) END AS grp

@@ -50,11 +50,15 @@ _BCAST_CACHE: dict = {}     # per worker process: object-ref hex → value
 
 def _cached_get(ref):
     """``ray.get`` with a per-process cache: a pickled dict broadcast
-    deserializes ONCE per worker, not once per batch."""
+    deserializes ONCE per worker, not once per batch. Holds a few
+    live broadcasts (FIFO past 4) — stages that alternate TWO refs
+    per batch (e.g. a key set + a weight table) would otherwise
+    evict each other every call and re-fetch for the whole scan."""
     import ray as _ray
     key = ref.hex()
     if key not in _BCAST_CACHE:
-        _BCAST_CACHE.clear()  # one live broadcast per worker is enough
+        while len(_BCAST_CACHE) >= 4:
+            _BCAST_CACHE.pop(next(iter(_BCAST_CACHE)))
         _BCAST_CACHE[key] = _ray.get(ref)
     return _BCAST_CACHE[key]
 

@@ -1321,10 +1321,11 @@ def label_propagation(und: rd.Dataset, n_rounds: int = 3,
     # the block-local argmax below requires every adjd block to hold
     # COMPLETE in-neighborhoods; map_groups emits whole groups per
     # block and Ray only splits a block when one group's output
-    # exceeds the target block size, so bound the expected per-group
-    # rows well under it (64 groups × 4M rows × 16 B = 64 MB vs the
-    # 128 MB default) and take the exchange path past the bound
-    if H is not None and 2 * und.count() > 64 * 4_000_000:
+    # exceeds the target block size, so bound the expected PER-GROUP
+    # rows well under it (4M rows × 16 B = 64 MB vs the 128 MB
+    # default — scaled by the actual bucket count) and take the
+    # exchange path past the bound
+    if H is not None and 2 * und.count() > n_buckets * 4_000_000:
         H = None
 
     if H is not None:
@@ -1466,6 +1467,38 @@ def label_propagation(und: rd.Dataset, n_rounds: int = 3,
         batch_format="pandas")
 
 
+def resolve_names(nodes_pre: rd.Dataset, need: np.ndarray) -> tuple:
+    """RESULT-sized string resolution over the pre-built distinct
+    (h, node) map view: broadcast the sorted needed-hash array,
+    filter the streaming view, return (sorted_h, names) arrays for
+    searchsorted lookup. The view is h-unique with the min(node)
+    collision tie-break applied at build, so ordering is a pure
+    int64 argsort — shared by the k-truss, random-walk and
+    link-prediction tails."""
+    import ray
+
+    from .dedup_docs import _cached_get
+    nref = ray.put(np.sort(np.unique(need)))
+
+    def _name_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ns = _cached_get(nref)
+        h = df["h"].to_numpy(dtype="int64")
+        idx = np.searchsorted(ns, h)
+        idx[idx == len(ns)] = 0
+        keep = ns[idx] == h
+        return pd.DataFrame({"h": h[keep],
+                             "node": df["node"].astype(str)[keep]})
+
+    nm = nodes_pre.map_batches(_name_rows,
+                               batch_format="pandas").to_pandas()
+    if not len(nm) or "h" not in nm.columns:
+        return (np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=object))
+    order = np.argsort(nm["h"].to_numpy(dtype="int64"), kind="stable")
+    return (nm["h"].to_numpy(dtype="int64")[order],
+            nm["node"].to_numpy(dtype=object)[order])
+
+
 def ktruss_edges(edges: rd.Dataset | None, k: int = 4,
                  n_rounds: int = 3, n_buckets: int = 64,
                  broadcast_max_nodes: int = 4_000_000,
@@ -1492,9 +1525,8 @@ def ktruss_edges(edges: rd.Dataset | None, k: int = 4,
     recurrence with value-canonical triangle enumeration (x<y<z) —
     orientation-independent, so the per-edge supports are identical.
     String resolution is RESULT-sized (need-set broadcast)."""
-    import ray
-
-    from .dedup_docs import _cached_get
+    assert nodes_pre is not None, \
+        "ktruss_edges needs the pre-built (h, node) map view"
 
     B = np.int64(n_buckets)
     n_blocks = max(8, n_buckets // 4)
@@ -1613,27 +1645,9 @@ def ktruss_edges(edges: rd.Dataset | None, k: int = 4,
     surv = cur.to_pandas()
     if not len(surv) or "lo" not in surv.columns:
         return out_empty
-    need = np.unique(np.concatenate(
+    hh, names = resolve_names(nodes_pre, np.concatenate(
         [surv["lo"].to_numpy(dtype="int64"),
          surv["hi"].to_numpy(dtype="int64")]))
-    nref = ray.put(need)
-
-    def _name_rows(df: pd.DataFrame) -> pd.DataFrame:
-        ns = _cached_get(nref)
-        h = df["h"].to_numpy(dtype="int64")
-        idx = np.searchsorted(ns, h)
-        idx[idx == len(ns)] = 0
-        keep = ns[idx] == h
-        return pd.DataFrame({"h": h[keep],
-                             "node": df["node"].astype(str)[keep]})
-
-    assert nodes_pre is not None, \
-        "ktruss_edges needs the pre-built (h, node) map view"
-    nm = nodes_pre.map_batches(_name_rows,
-                               batch_format="pandas").to_pandas()
-    order = np.argsort(nm["h"].to_numpy(dtype="int64"), kind="stable")
-    hh = nm["h"].to_numpy(dtype="int64")[order]
-    names = nm["node"].to_numpy(dtype=object)[order]
 
     def _lk(a: np.ndarray) -> np.ndarray:
         return names[np.searchsorted(hh, a)]
@@ -4262,10 +4276,10 @@ def random_walks(edges: rd.Dataset | None, n_steps: int = 3,
     # to hold COMPLETE out-neighbor runs; map_groups emits whole
     # groups per block and Ray only splits a block when one group's
     # output exceeds the target block size, so bound the expected
-    # per-group rows well under it (64 groups × 4M rows × 16 B =
-    # 64 MB vs the 128 MB default) and take the exchange path past
-    # the bound
-    if H is not None and adj.count() > 64 * 4_000_000:
+    # PER-GROUP rows well under it (4M rows × 16 B = 64 MB vs the
+    # 128 MB default — scaled by the actual bucket count) and take
+    # the exchange path past the bound
+    if H is not None and adj.count() > n_buckets * 4_000_000:
         H = None
 
     if H is not None:
@@ -4320,32 +4334,12 @@ def random_walks(edges: rd.Dataset | None, n_steps: int = 3,
             cur = nxt["ch"].to_numpy(dtype="int64")
             frames.append(pd.DataFrame({"sh": start, "ch": cur,
                                         "step": np.int64(t)}))
-        need = np.unique(np.concatenate(
+        # RESULT-sized string resolution (shared tail; the earlier
+        # per-hash groupby().min() here was a pure-Python loop over
+        # 846k single-row string groups, measured 26 s)
+        hh, names = resolve_names(nodes, np.concatenate(
             [f["sh"].to_numpy(dtype="int64") for f in frames]
             + [f["ch"].to_numpy(dtype="int64") for f in frames]))
-        nref = ray.put(need)
-
-        def _name_rows(df: pd.DataFrame) -> pd.DataFrame:
-            ns = _cached_get(nref)
-            h = df["h"].to_numpy(dtype="int64")
-            idx = np.searchsorted(ns, h)
-            idx[idx == len(ns)] = 0
-            keep = ns[idx] == h
-            return pd.DataFrame({"h": h[keep],
-                                 "node": df["node"].astype(str)[keep]})
-
-        nm = nodes.map_batches(_name_rows,
-                               batch_format="pandas").to_pandas()
-        # the node map is h-UNIQUE from either source (the projection
-        # view applies the min(node) tie-break at build; the raw-scan
-        # path dedups per h-partitioned bucket), so ordering it is a
-        # pure int64 argsort — the earlier groupby().min() here fell
-        # back to a pure-Python loop over 846k single-row string
-        # groups (measured 26 s)
-        order = np.argsort(nm["h"].to_numpy(dtype="int64"),
-                           kind="stable")
-        hh = nm["h"].to_numpy(dtype="int64")[order]
-        names = nm["node"].to_numpy(dtype=object)[order]
         allw = pd.concat(frames, ignore_index=True)
 
         def _lk(a: np.ndarray) -> np.ndarray:

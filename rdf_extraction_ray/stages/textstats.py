@@ -1101,6 +1101,24 @@ def bpe_train(docs, n_merges: int = 3, n_buckets: int = 64,
                                        batch_format="pandas")
              ).materialize()
 
+    # the per-round maps assume every word's symbol rows live WHOLE
+    # in one block (the graph family's block-local-rounds invariant):
+    # Ray splits a block only when one group's output exceeds the
+    # target block size, so when the exploded vocabulary outgrows
+    # the per-group bound, re-bucket once with enough buckets that
+    # groups stay comfortably under it
+    n_rows = vocab.count()
+    if n_rows > n_buckets * 4_000_000:
+        B2 = np.int64(n_rows // 4_000_000 + 1)
+        vocab = (vocab.map_batches(
+            lambda df: df.assign(wb2=(df["wid"].astype("int64")
+                                      % B2).astype("int64")),
+            batch_format="pandas")
+            .groupby("wb2").map_groups(
+                lambda g: g[["wid", "pos", "sym", "cnt"]]
+                .sort_values(["wid", "pos"], kind="stable"),
+                batch_format="pandas")).materialize()
+
     def _pair_partial(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
             return pd.DataFrame({

@@ -140,3 +140,33 @@ class TestBpeTokenize:
                           "text": pd.Series([], dtype=object)})),
             [("a", "b")])
         assert len(empty) == 0
+
+
+def test_bpe_oracle_noop_on_collapsed_vocabulary(tmp_path):
+    """A round with no remaining pairs must be a NO-OP in the SQL
+    chain (LEFT JOIN ON TRUE), matching the engine's early break —
+    a CROSS JOIN against the empty rule would wipe the symbol table
+    and zero the tokenize oracle."""
+    import duckdb
+
+    import __ray_entry__ as E
+    from rdf_extraction_ray.stages.textstats import (bpe_tokenize_counts,
+                                                     bpe_train)
+    df = pd.DataFrame({"doc_id": np.array([1, 2], dtype="int64"),
+                       "text": ["ab ab", "ab"]})
+    pq = str(tmp_path / "docs.parquet")
+    df.to_parquet(pq)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM read_parquet('{pq}')")
+    want_train = con.sql(E._bpe_train_sql(3)).df()
+    got_train = bpe_train(rd.from_pandas(df), n_merges=3)
+    # engine breaks after round 1 (vocab collapses to one symbol);
+    # oracle rounds 2-3 must produce no rules and leave symbols alone
+    assert len(got_train) == 1 and len(want_train) == 1
+    assert list(want_train.iloc[0][["sym_a", "sym_b"]]) == ["a", "b"]
+    rules = list(zip(got_train["sym_a"], got_train["sym_b"]))
+    got_tok = bpe_tokenize_counts(rd.from_pandas(df), rules)
+    want_tok = con.sql(E._bpe_tokenize_sql(3)).df()
+    assert got_tok["n_bpe_tokens"].tolist() == [2, 1]
+    assert want_tok["n_bpe_tokens"].astype("int64").tolist() == [2, 1]
