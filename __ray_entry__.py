@@ -4331,6 +4331,28 @@ def _q_kg_adamic_adar(sf_dir: str):
                            ignore_index=True)
 
 
+def _q_kg_jaccard_links(sf_dir: str):
+    """Jaccard-coefficient link prediction over the KG graph: top-100
+    non-adjacent pairs by ``|common| / |union|`` of neighborhoods —
+    the normalized third member of the predictor family next to raw
+    common neighbors and Adamic–Adar. Scored as the EXACT integer
+    quotient ``(10⁹·c) // (deg_a + deg_b − c)`` (full endpoint
+    degrees via the bounded broadcast probe), so ranking replays
+    bit-for-bit in SQL."""
+    from rdf_extraction_ray.stages.graph import link_prediction
+    gv = _kg_graph_views(sf_dir)
+    out = _typed(
+        link_prediction(None,
+                        und_pre=_graph_view_read(gv, "edges_und"),
+                        nodes_pre=_graph_view_read(gv, "nodes"),
+                        jaccard=True),
+        node_a=object, node_b=object, n_common="int64",
+        score="int64")
+    return out.sort_values(["score", "node_a", "node_b"],
+                           ascending=[False, True, True],
+                           ignore_index=True)
+
+
 def _q_kg_hits(sf_dir: str):
     """Integer fixed-point HITS hubs & authorities (2 rounds,
     max-normalized — exact integer replay; see stages.graph.hits_int)
@@ -7012,6 +7034,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_path_star": _q_kg_path_star,
         "kg_link_prediction": _q_kg_link_prediction,
         "kg_adamic_adar": _q_kg_adamic_adar,
+        "kg_jaccard_links": _q_kg_jaccard_links,
         "kg_hits": _q_kg_hits,
         "kg_random_walks": _q_kg_random_walks,
         "kg_entity_resolution": _q_kg_entity_resolution,
@@ -7407,6 +7430,54 @@ def oracle_sql() -> dict[str, str]:
                            sum(w)::BIGINT AS score
                     FROM wdg GROUP BY 1, 2),
             nc AS (SELECT c.lo, c.hi, c.n_common, c.score FROM cnt c
+                   WHERE c.n_common >= 2
+                     AND NOT EXISTS (SELECT 1 FROM e0 e
+                                     WHERE e.lo = c.lo
+                                       AND e.hi = c.hi)),
+            top AS (SELECT * FROM nc
+                    ORDER BY score DESC, lo, hi LIMIT 100),
+            nm AS (SELECT ('0x' || substr(md5(x), 1, 15))::BIGINT AS h,
+                          min(x) AS node
+                   FROM (SELECT subj AS x FROM read_parquet('{triples}')
+                         WHERE obj_kind = 'uri'
+                         UNION ALL
+                         SELECT obj FROM read_parquet('{triples}')
+                         WHERE obj_kind = 'uri')
+                   GROUP BY h)
+            SELECT na.node AS node_a, nb.node AS node_b,
+                   top.n_common, top.score
+            FROM top JOIN nm na ON na.h = top.lo
+                     JOIN nm nb ON nb.h = top.hi
+            ORDER BY top.score DESC, top.lo, top.hi
+        """,
+        "kg_jaccard_links": f"""
+            WITH he AS (
+                SELECT ('0x' || substr(md5(subj), 1, 15))::BIGINT AS hs,
+                       ('0x' || substr(md5(obj), 1, 15))::BIGINT AS hd
+                FROM read_parquet('{triples}')
+                WHERE obj_kind = 'uri'),
+            e0 AS (SELECT DISTINCT least(hs, hd) AS lo,
+                                   greatest(hs, hd) AS hi
+                   FROM he WHERE hs <> hd),
+            adj AS (SELECT lo AS u, hi AS v FROM e0
+                    UNION ALL SELECT hi, lo FROM e0),
+            degu AS (SELECT u, count(*)::BIGINT AS d
+                     FROM adj GROUP BY u),
+            a2 AS (SELECT adj.u, adj.v FROM adj
+                   JOIN degu USING (u)
+                   WHERE degu.d BETWEEN 2 AND 64),
+            w AS (SELECT least(a.v, b.v) AS lo,
+                         greatest(a.v, b.v) AS hi
+                  FROM a2 a JOIN a2 b
+                    ON a.u = b.u AND a.v < b.v),
+            cnt AS (SELECT lo, hi, count(*)::BIGINT AS n_common
+                    FROM w GROUP BY 1, 2),
+            nc AS (SELECT c.lo, c.hi, c.n_common,
+                          (1000000000 * c.n_common)
+                          // (dl.d + dh.d - c.n_common) AS score
+                   FROM cnt c
+                   JOIN degu dl ON dl.u = c.lo
+                   JOIN degu dh ON dh.u = c.hi
                    WHERE c.n_common >= 2
                      AND NOT EXISTS (SELECT 1 FROM e0 e
                                      WHERE e.lo = c.lo

@@ -3723,7 +3723,9 @@ def link_prediction(edges: rd.Dataset | None, k: int = 100,
                     n_buckets: int = 64,
                     und_pre: rd.Dataset | None = None,
                     nodes_pre: rd.Dataset | None = None,
-                    apex_weights: dict[int, int] | None = None
+                    apex_weights: dict[int, int] | None = None,
+                    jaccard: bool = False,
+                    broadcast_max_nodes: int = 4_000_000
                     ) -> pd.DataFrame:
     """Common-neighbor link prediction over the undirected simple
     graph: the top-``k`` NON-adjacent node pairs ranked by how many
@@ -3758,7 +3760,15 @@ def link_prediction(edges: rd.Dataset | None, k: int = 100,
     gains a ``score`` column. Weights are integer constants shared
     verbatim with the SQL oracle (quantized map-side — the float log
     never enters the distributed sum), so the ranking replays
-    bit-for-bit. ``min_common`` still applies to the raw count."""
+    bit-for-bit. ``min_common`` still applies to the raw count.
+
+    ``jaccard`` ranks by the JACCARD coefficient instead — the exact
+    integer quotient ``(10⁹·c) // (deg(lo) + deg(hi) − c)`` with the
+    pair endpoints' FULL degrees, replayed identically in SQL.
+    Degrees come from the bounded broadcast probe; a graph past
+    ``broadcast_max_nodes`` raises (an explicit refusal, never a
+    silent semantics change). Mutually exclusive with
+    ``apex_weights``."""
     import ray
 
     from .dedup_docs import _cached_get
@@ -3766,9 +3776,10 @@ def link_prediction(edges: rd.Dataset | None, k: int = 100,
     B = np.int64(n_buckets)
     n_blocks = max(8, n_buckets // 4)
     weighted = apex_weights is not None
+    assert not (weighted and jaccard)
     out_cols = {"node_a": object, "node_b": object,
                 "n_common": "int64"}
-    if weighted:
+    if weighted or jaccard:
         out_cols["score"] = "int64"
     out_empty = pd.DataFrame({c: pd.Series([], dtype=t)
                               for c, t in out_cols.items()})
@@ -3796,6 +3807,16 @@ def link_prediction(edges: rd.Dataset | None, k: int = 100,
                .repartition(n_blocks)).materialize()
     if not und.count():
         return out_empty
+
+    deg_ref = None
+    if jaccard:
+        degsrc = _node_degrees(und, B, n_buckets, broadcast_max_nodes)
+        if degsrc[0] != "bcast":
+            raise ValueError(
+                "jaccard link prediction needs the broadcast degree "
+                f"path (<= {broadcast_max_nodes} nodes): refusing "
+                "rather than silently changing ranking semantics")
+        deg_ref = degsrc[1]
 
     _PCOLS = ["lo", "hi", "kind", "w", "kb"]
 
@@ -3857,9 +3878,10 @@ def link_prediction(edges: rd.Dataset | None, k: int = 100,
                                         batch_format="pandas"))
     edge_marks = und.map_batches(_edge_rows, batch_format="pandas")
 
-    _RANK = ["score", "lo", "hi"] if weighted \
+    scored = weighted or jaccard
+    _RANK = ["score", "lo", "hi"] if scored \
         else ["n_common", "lo", "hi"]
-    _OUT = ["lo", "hi", "n_common", "score"] if weighted \
+    _OUT = ["lo", "hi", "n_common", "score"] if scored \
         else ["lo", "hi", "n_common"]
 
     def _count_topk(group: pd.DataFrame) -> pd.DataFrame:
@@ -3873,6 +3895,17 @@ def link_prediction(edges: rd.Dataset | None, k: int = 100,
         c = c.merge(e, on=["lo", "hi"], how="left", indicator=True)
         c = c[(c["_merge"] == "left_only")
               & (c["n_common"] >= min_common)]
+        if jaccard and len(c):
+            # exact integer Jaccard quotient with the endpoints'
+            # full degrees (broadcast); |union| = dlo + dhi − c
+            hh, dd = _cached_get(deg_ref)
+            dlo = dd[np.searchsorted(
+                hh, c["lo"].to_numpy(dtype="int64"))]
+            dhi = dd[np.searchsorted(
+                hh, c["hi"].to_numpy(dtype="int64"))]
+            cc = c["n_common"].to_numpy(dtype="int64")
+            c = c.assign(score=(1_000_000_000 * cc)
+                         // (dlo + dhi - cc))
         c = c.sort_values(_RANK, ascending=[False, True, True],
                           kind="stable").head(k)
         return c[_OUT].astype("int64")
@@ -3920,7 +3953,7 @@ def link_prediction(edges: rd.Dataset | None, k: int = 100,
         "node_a": top["lo"].map(nmap).astype(object),
         "node_b": top["hi"].map(nmap).astype(object),
         "n_common": top["n_common"].astype("int64")})
-    if weighted:
+    if weighted or jaccard:
         out["score"] = top["score"].astype("int64").to_numpy()
     return out.reset_index(drop=True)
 

@@ -925,6 +925,23 @@ class TestWeightedLinkPrediction:
         base = link_prediction(rd.from_pandas(df), k=100, min_common=1)
         assert "score" not in base.columns
 
+    def test_jaccard_quotient_exact(self):
+        from rdf_extraction_ray.stages.graph import link_prediction
+        # x,y share {h, r}; deg(x)=deg(y)=2 → J = 2/(2+2-2) = 1.0
+        # p,q share only h; deg(p)=deg(q)=1 → J = 1/(1+1-1) = 1.0;
+        # a,b share h but a also touches c: deg(a)=2 → J = 1/2
+        edges = [("x", "h"), ("y", "h"), ("p", "h"), ("q", "h"),
+                 ("x", "r"), ("y", "r"), ("a", "h"), ("a", "c")]
+        df = pd.DataFrame(edges, columns=["s", "d"])
+        out = link_prediction(rd.from_pandas(df), k=100,
+                              min_common=1, jaccard=True)
+        sc = {tuple(sorted((u, v))): s for u, v, s in
+              zip(out["node_a"], out["node_b"], out["score"])}
+        assert sc[("x", "y")] == 1_000_000_000
+        assert sc[("p", "q")] == 1_000_000_000
+        # a (deg 2) with q (deg 1): c=1, union=2 → 0.5
+        assert sc[("a", "q")] == 500_000_000
+
 
 class TestCopredicatePairs:
     def test_shared_keys_counted(self):
