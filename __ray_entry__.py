@@ -3337,6 +3337,84 @@ def _q_turns_render(sf_dir: str):
     return out.sort_values("conv_id", ignore_index=True)
 
 
+def _q_turns_curation(sf_dir: str):
+    """COMPOSED transcript-curation flagship — the chat-data analog
+    of docs_curation: protocol gate (drop conversations with a
+    misplaced tool turn or a non-system opener) → chat-template
+    render → exact whole-conversation dedup on the rendered body
+    (keep the lexicographically smallest conv_id) → per-survivor
+    stats. One conv-bucket exchange runs the gate and the render
+    together (whole conversations per bucket); the body-key dedup is
+    a second hash-bucket exchange of (key, conv_id, stats) rows —
+    rendered bodies never shuffle."""
+    import ray.data as rd
+
+    from rdf_extraction_ray.stages.dedup_docs import _gram_hash
+    turns = rd.read_parquet(_turns_path(sf_dir),
+                            columns=["conv_id", "turn_idx", "role",
+                                     "text"])
+
+    def _rows(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.copy()
+        g["line"] = g["role"].astype(str) + ": " \
+            + g["text"].fillna("").astype(str)
+        g = g[["conv_id", "turn_idx", "role", "line"]]
+        g["cb"] = (pd.util.hash_pandas_object(
+            g["conv_id"].astype(str), index=False) % 64).astype("int64")
+        return g
+
+    def _gate_render(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["conv_id", "turn_idx"], kind="stable")
+        conv = g["conv_id"].to_numpy(dtype=object)
+        role = g["role"].to_numpy(dtype=object)
+        idx = g["turn_idx"].to_numpy(dtype="int64")
+        same = np.concatenate([[False], conv[1:] == conv[:-1]])
+        prev = np.concatenate([[""], role[:-1]])
+        bad_tool = (role == "tool") & (~same | (prev != "assistant"))
+        bad_start = (idx == 0) & (role != "system")
+        bad = pd.DataFrame({"conv_id": conv,
+                            "b": (bad_tool | bad_start)
+                            .astype("int64")}) \
+            .groupby("conv_id")["b"].max()
+        agg = g.groupby("conv_id")["line"].agg("\n".join)
+        n = g.groupby("conv_id")["turn_idx"].size()
+        keep = bad.loc[agg.index].to_numpy() == 0
+        bodies = agg.to_numpy(dtype=object)[keep]
+        out = pd.DataFrame({
+            "conv_id": agg.index.to_numpy(dtype=object)[keep],
+            "n_turns": n.loc[agg.index].to_numpy(dtype="int64")[keep],
+            "n_chars": np.fromiter((len(b) for b in bodies),
+                                   dtype=np.int64,
+                                   count=len(bodies)),
+            "body_key": np.fromiter((_gram_hash(b) for b in bodies),
+                                    dtype=np.int64,
+                                    count=len(bodies))})
+        out["kb"] = (out["body_key"] % 64).astype("int64")
+        return out
+
+    def _dedup(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["body_key", "conv_id"], kind="stable")
+        first = g.drop_duplicates("body_key")
+        n_dups = g.groupby("body_key")["conv_id"].size()
+        out = first.copy()
+        out["n_dups"] = n_dups.loc[first["body_key"]] \
+            .to_numpy(dtype="int64")
+        return out[["conv_id", "n_turns", "n_chars", "body_key",
+                    "n_dups"]]
+
+    out = _typed(
+        turns.map_batches(_rows, batch_format="pandas")
+        .groupby("cb").map_groups(_gate_render,
+                                  batch_format="pandas")
+        .groupby("kb").map_groups(_dedup, batch_format="pandas")
+        .to_pandas(),
+        conv_id=object, n_turns="int64", n_chars="int64",
+        body_key="int64", n_dups="int64")
+    for c in ("n_turns", "n_chars", "body_key", "n_dups"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("conv_id", ignore_index=True)
+
+
 def _q_turns_role_tool_stats(sf_dir: str):
     """Transcript-corpus analytics over the raw turns table: per
     (role, tool) turn counts, DISTINCT conversation counts and total
@@ -6996,7 +7074,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_path_closure": _q_kg_path_closure,
         "kg_bgp_filter": _q_kg_bgp_filter,
         "events_markov_transitions": _q_events_markov_transitions,
-        "turns_role_violations": _q_turns_role_violations,
+        "turns_curation": _q_turns_curation,
         "kg_facts": _q_kg_facts,
         # --- dedup / similarity family
         "docs_simhash_pairs": _q_docs_simhash_pairs,
@@ -7030,6 +7108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "market_basket_pairs": _q_market_basket_pairs,
         "turns_role_tool_stats": _q_turns_role_tool_stats,
         "turns_render": _q_turns_render,
+        "turns_role_violations": _q_turns_role_violations,
         "kg_bgp_chain": _q_kg_bgp_chain,
         "kg_path_star": _q_kg_path_star,
         "kg_link_prediction": _q_kg_link_prediction,
@@ -8886,6 +8965,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT part_a, part_b, n_orders FROM c
             WHERE n_orders >= 2
             ORDER BY n_orders DESC, part_a, part_b LIMIT 100
+        """,
+        "turns_curation": f"""
+            WITH t AS (
+                SELECT conv_id, turn_idx, role, text,
+                       lag(role) OVER (PARTITION BY conv_id
+                                       ORDER BY turn_idx) AS pr
+                FROM read_parquet('{turns_glob}')),
+            bad AS (
+                SELECT conv_id,
+                       max(CASE WHEN (role = 'tool'
+                                      AND (pr IS NULL
+                                           OR pr <> 'assistant'))
+                                  OR (turn_idx = 0
+                                      AND role <> 'system')
+                                THEN 1 ELSE 0 END) AS b
+                FROM t GROUP BY conv_id),
+            r AS (
+                SELECT conv_id, count(*)::BIGINT AS n_turns,
+                       string_agg(role || ': ' || coalesce(text, ''),
+                                  chr(10) ORDER BY turn_idx) AS body
+                FROM read_parquet('{turns_glob}')
+                GROUP BY conv_id),
+            kept AS (
+                SELECT r.conv_id, r.n_turns,
+                       length(r.body)::BIGINT AS n_chars,
+                       ('0x' || substr(md5(r.body), 1, 15))::BIGINT
+                           AS body_key
+                FROM r JOIN bad USING (conv_id)
+                WHERE bad.b = 0)
+            SELECT conv_id, n_turns, n_chars, body_key,
+                   count(*) OVER (PARTITION BY body_key)::BIGINT
+                       AS n_dups
+            FROM kept
+            QUALIFY row_number() OVER (PARTITION BY body_key
+                                       ORDER BY conv_id) = 1
+            ORDER BY conv_id
         """,
         "turns_render": f"""
             SELECT conv_id, n_turns,
