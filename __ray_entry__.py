@@ -5061,6 +5061,43 @@ def _q_kg_bgp_path_alt(sf_dir: str):
         select=["child", "mother"], distinct=True)
 
 
+def _q_kg_bgp_negated_pathset(sf_dir: str):
+    """SPARQL NEGATED PROPERTY SET: SELECT ?s ?p ?o WHERE
+    { ?s !(kg:interpersonalRelationshipWith | crm:P100_was_death_of)
+    ?o . FILTER(isIRI(?o)) } — every URI-object edge whose predicate
+    is OUTSIDE the excluded set, the last property-path form the
+    SPARQL surface was missing (alongside +, *, alternation,
+    inverse). Pure map-side predicate filter — the negation never
+    becomes an anti-join; per-batch vectorized isin, zero
+    exchanges."""
+    tr = _triples_view(sf_dir)
+    excluded = {_KG_REL, _P100}
+
+    def _flt(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[(df["obj_kind"] == "uri")
+               & ~df["pred"].isin(excluded)]
+        return pd.DataFrame({"s": g["subj"].astype(object),
+                             "p": g["pred"].astype(object),
+                             "o": g["obj"].astype(object)}) \
+            .drop_duplicates()
+
+    def _dedup(group: pd.DataFrame) -> pd.DataFrame:
+        return group[["s", "p", "o"]].drop_duplicates()
+
+    def _kb(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["kb"] = (pd.util.hash_pandas_object(
+            out["s"].astype(str) + "\x00" + out["p"].astype(str)
+            + "\x00" + out["o"].astype(str), index=False)
+            % 64).astype("int64")
+        return out
+
+    return (tr.map_batches(_flt, batch_format="pandas")
+            .map_batches(_kb, batch_format="pandas")
+            .groupby("kb").map_groups(_dedup,
+                                      batch_format="pandas"))
+
+
 def _q_events_markov_transitions(sf_dir: str):
     """Per-user event-type transition (Markov bigram) counts: events
     ordered by (ts, event_id) within each user, consecutive
@@ -7111,6 +7148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turns_role_violations": _q_turns_role_violations,
         "kg_bgp_chain": _q_kg_bgp_chain,
         "kg_path_star": _q_kg_path_star,
+        "kg_bgp_negated_pathset": _q_kg_bgp_negated_pathset,
         "kg_link_prediction": _q_kg_link_prediction,
         "kg_adamic_adar": _q_kg_adamic_adar,
         "kg_jaccard_links": _q_kg_jaccard_links,
@@ -9166,6 +9204,12 @@ def oracle_sql() -> dict[str, str]:
                 UNION
                 SELECT c.start, e.o FROM c JOIN e ON c.node = e.s)
             SELECT start, node FROM c
+        """,
+        "kg_bgp_negated_pathset": f"""
+            SELECT DISTINCT subj AS s, pred AS p, obj AS o
+            FROM read_parquet('{triples}')
+            WHERE obj_kind = 'uri'
+              AND pred NOT IN ('{_KG_REL}', '{_P100}')
         """,
         "kg_path_star": f"""
             WITH RECURSIVE e AS (
