@@ -5549,6 +5549,65 @@ def _q_docs_length_moments(sf_dir: str):
     return out.sort_values("lang", ignore_index=True)
 
 
+def _q_events_outliers(sf_dir: str):
+    """Two-pass σ-gate outlier detection with a FULLY INTEGER
+    comparison: events whose value sits more than 1.5 population
+    standard deviations from their type's mean. The test
+    ``|y − μ| > 1.5σ`` multiplies out to
+    ``4(ny − S)² > 9(nQ − S²)`` over cents-quantized values
+    (S = Σy, Q = Σy²) — no float ever enters, so the flag replays
+    bit-for-bit in SQL's HUGEINT arithmetic.
+
+    Scale shape: pass 1 is the moments combiner (types × blocks
+    rows); the per-type (n, S, Q) table broadcasts (types are tiny)
+    and pass 2 streams the events again with a vectorized int
+    comparison. No shuffle."""
+    import ray as _ray
+
+    from rdf_extraction_ray.stages.dedup_docs import _cached_get
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def _moments(df: pd.DataFrame) -> pd.DataFrame:
+        y = np.rint(df["value"].to_numpy(dtype="float64") * 100) \
+            .astype("int64")
+        g = pd.DataFrame({"event_type": df["event_type"]
+                          .astype(object),
+                          "n": np.int64(1), "s": y, "q": y * y})
+        return g.groupby("event_type", as_index=False)[
+            ["n", "s", "q"]].sum()
+
+    parts = _typed(
+        ds.map_batches(_moments, batch_format="pandas").to_pandas(),
+        event_type=object, n="int64", s="int64", q="int64")
+    stats = {}
+    for et, g in parts.groupby("event_type"):
+        stats[et] = (int(g["n"].sum()), int(g["s"].sum()),
+                     int(g["q"].sum()))
+    sref = _ray.put(stats)
+
+    def _flag(df: pd.DataFrame) -> pd.DataFrame:
+        st = _cached_get(sref)
+        y = np.rint(df["value"].to_numpy(dtype="float64") * 100) \
+            .astype(object)  # unbounded ints: (ny-S)² can pass 2^63
+        keep = np.zeros(len(df), dtype=bool)
+        ets = df["event_type"].to_numpy(dtype=object)
+        for et, (n, s, q) in st.items():
+            m = ets == et
+            d = n * y[m] - s
+            keep[m] = 4 * d * d > 9 * (n * q - s * s)
+        g = df[keep]
+        return pd.DataFrame({
+            "event_id": g["event_id"].astype("int64"),
+            "event_type": g["event_type"].astype(object),
+            "value": g["value"].astype("float64")})
+
+    out = _typed(ds.map_batches(_flag,
+                                batch_format="pandas").to_pandas(),
+                 event_id="int64", event_type=object, value="float64")
+    out["event_id"] = out["event_id"].astype("int64")
+    return out.sort_values("event_id", ignore_index=True)
+
+
 def _q_events_value_trend(sf_dir: str):
     """Per-group OLS trend — grouped linear regression as an
     integer-exact aggregate: for each event type, the least-squares
@@ -7182,6 +7241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_length_quantiles": _q_docs_length_quantiles,
         "docs_length_moments": _q_docs_length_moments,
         "events_value_trend": _q_events_value_trend,
+        "events_outliers": _q_events_outliers,
         "docs_repetition": _q_docs_repetition,
         "docs_dup_spans": _q_docs_dup_spans,
         "docs_source_cap": _q_docs_source_cap,
@@ -8289,6 +8349,24 @@ def oracle_sql() -> dict[str, str]:
                               + 0.5)
                     END)::BIGINT AS est_distinct
             FROM s
+        """,
+        "events_outliers": """
+            WITH m AS (
+                SELECT event_type, count(*)::HUGEINT AS n,
+                       sum(CAST(round(value * 100) AS BIGINT))
+                           ::HUGEINT AS s,
+                       sum(CAST(round(value * 100) AS BIGINT)
+                           * CAST(round(value * 100) AS BIGINT))
+                           ::HUGEINT AS q
+                FROM events GROUP BY event_type)
+            SELECT e.event_id, e.event_type, e.value
+            FROM events e JOIN m USING (event_type)
+            WHERE 4 * (m.n * CAST(round(e.value * 100) AS BIGINT)
+                       - m.s)
+                    * (m.n * CAST(round(e.value * 100) AS BIGINT)
+                       - m.s)
+                  > 9 * (m.n * m.q - m.s * m.s)
+            ORDER BY e.event_id
         """,
         "events_value_trend": f"""
             WITH m AS (
