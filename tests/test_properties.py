@@ -136,3 +136,39 @@ class TestCanonicalUrlProperties:
         assert not any(t.split("=")[0] in c.split("?")[-1]
                        for t in tracking if "?" in c)
         assert TRACKING_PARAMS  # imported constant stays non-empty
+
+
+class TestBpeMergePassProperty:
+    """bpe_merge_pass vs a straightforward per-word greedy scan."""
+
+    @staticmethod
+    def _reference_merge(word_syms, a, b):
+        out, i = [], 0
+        while i < len(word_syms):
+            if (i + 1 < len(word_syms) and word_syms[i] == a
+                    and word_syms[i + 1] == b):
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(word_syms[i])
+                i += 1
+        return out
+
+    @given(st.lists(st.text(alphabet="ab", min_size=1, max_size=10),
+                    min_size=1, max_size=12),
+           st.sampled_from(["a", "b"]),
+           st.sampled_from(["a", "b"]))
+    @settings(max_examples=60, deadline=None)
+    def test_matches_greedy_reference(self, words, a, b):
+        from rdf_extraction_ray.stages.textstats import bpe_merge_pass
+        wid = np.concatenate([
+            np.full(len(w), i, dtype=np.int64)
+            for i, w in enumerate(words)])
+        sym = np.array([c for w in words for c in w], dtype=object)
+        take, new_sym = bpe_merge_pass(wid, sym, a, b)
+        got = {}
+        for i, s in zip(wid[take], new_sym[take]):
+            got.setdefault(int(i), []).append(s)
+        want = {i: self._reference_merge(list(w), a, b)
+                for i, w in enumerate(words)}
+        assert got == want
