@@ -5549,6 +5549,70 @@ def _q_docs_length_moments(sf_dir: str):
     return out.sort_values("lang", ignore_index=True)
 
 
+def _q_embed_covariance(sf_dir: str):
+    """Distributed covariance / Gram matrix over the embedding corpus
+    — the linear-algebra primitive a PCA/whitening stage consumes:
+    the upper triangle of the d×d integer Gram matrix plus the
+    population covariance. Vectors quantize with the cluster
+    family's shared ``floor(v·1000 + 0.5)`` rule; each batch emits
+    ONE QᵀQ partial (a d²-row int64 matmul per block, never per-row
+    pairs); the driver reduces exactly and the float enters only in
+    the final ``(n·G − s·sᵀ)/n²`` division — the identical IEEE
+    expression over HUGEINT moments in SQL."""
+    from rdf_extraction_ray.stages.cluster import _quantize
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        Q = _quantize(df["embedding"])
+        if not len(Q):
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ("kind", "i", "j", "v")})
+        G = Q.T @ Q
+        s = Q.sum(axis=0)
+        d = Q.shape[1]
+        iu, ju = np.triu_indices(d)
+        return pd.concat([
+            pd.DataFrame({"kind": np.int64(0),
+                          "i": iu.astype("int64"),
+                          "j": ju.astype("int64"),
+                          "v": G[iu, ju].astype("int64")}),
+            pd.DataFrame({"kind": np.int64(1),
+                          "i": np.arange(d, dtype="int64"),
+                          "j": np.int64(0),
+                          "v": s.astype("int64")}),
+            pd.DataFrame({"kind": [np.int64(2)], "i": [np.int64(0)],
+                          "j": [np.int64(0)],
+                          "v": [np.int64(len(Q))]}),
+        ], ignore_index=True)
+
+    parts = _typed(
+        ds.map_batches(_partial, batch_format="pandas").to_pandas(),
+        kind="int64", i="int64", j="int64", v="int64")
+    agg = parts.groupby(["kind", "i", "j"], as_index=False)["v"] \
+        .sum()
+    n = int(agg.loc[agg["kind"] == 2, "v"].sum())
+    if not n:
+        return pd.DataFrame({
+            "i": pd.Series([], dtype="int64"),
+            "j": pd.Series([], dtype="int64"),
+            "gram": pd.Series([], dtype="int64"),
+            "cov": pd.Series([], dtype="float64")})
+    smap = dict(zip(agg.loc[agg["kind"] == 1, "i"].astype(int),
+                    agg.loc[agg["kind"] == 1, "v"].astype(int)))
+    g = agg[agg["kind"] == 0]
+    rows = []
+    for i, j, gram in zip(g["i"].astype(int), g["j"].astype(int),
+                          g["v"].astype(int)):
+        cov = float(n * gram - smap[i] * smap[j]) / float(n * n) \
+            / 1_000_000.0
+        rows.append({"i": i, "j": j, "gram": gram,
+                     "cov": round(cov, 6)})
+    out = pd.DataFrame(rows, columns=["i", "j", "gram", "cov"])
+    out = out.astype({"i": "int64", "j": "int64", "gram": "int64",
+                      "cov": "float64"})
+    return out.sort_values(["i", "j"], ignore_index=True)
+
+
 def _q_events_outliers(sf_dir: str):
     """Two-pass σ-gate outlier detection with a FULLY INTEGER
     comparison: events whose value sits more than 1.5 population
@@ -7242,6 +7306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_length_moments": _q_docs_length_moments,
         "events_value_trend": _q_events_value_trend,
         "events_outliers": _q_events_outliers,
+        "embed_covariance": _q_embed_covariance,
         "docs_repetition": _q_docs_repetition,
         "docs_dup_spans": _q_docs_dup_spans,
         "docs_source_cap": _q_docs_source_cap,
@@ -8349,6 +8414,31 @@ def oracle_sql() -> dict[str, str]:
                               + 0.5)
                     END)::BIGINT AS est_distinct
             FROM s
+        """,
+        "embed_covariance": """
+            WITH q AS (
+                SELECT vec_id,
+                       CAST(floor(v * 1000 + 0.5) AS BIGINT) AS qv, i
+                FROM (SELECT vec_id, unnest(embedding) AS v,
+                             unnest(generate_series(1,
+                                 len(embedding))) AS i
+                      FROM embeddings)),
+            g AS (SELECT a.i - 1 AS i, b.i - 1 AS j,
+                         sum(a.qv * b.qv)::BIGINT AS gram
+                  FROM q a JOIN q b
+                    ON a.vec_id = b.vec_id AND a.i <= b.i
+                  GROUP BY 1, 2),
+            s AS (SELECT i - 1 AS i, sum(qv)::HUGEINT AS si
+                  FROM q GROUP BY 1),
+            n AS (SELECT count(*)::HUGEINT AS n FROM embeddings)
+            SELECT g.i, g.j, g.gram,
+                   round(CAST(n.n * g.gram - sa.si * sb.si AS DOUBLE)
+                         / CAST(n.n * n.n AS DOUBLE)
+                         / 1000000.0, 6) AS cov
+            FROM g CROSS JOIN n
+            JOIN s sa ON sa.i = g.i
+            JOIN s sb ON sb.i = g.j
+            ORDER BY g.i, g.j
         """,
         "events_outliers": """
             WITH m AS (
