@@ -55,6 +55,36 @@ def _h15(s: pd.Series) -> np.ndarray:
         dtype=np.int64, count=len(s))
 
 
+def _bounded_distinct_probe(ds, col: str, cap: int):
+    """Drain a per-block-distinct int64 column into ONE sorted
+    distinct array, or None once the distinct count provably exceeds
+    ``cap``. Per-block arrays accumulate and compress with one
+    np.unique per ~max(8M, 2·cap) raw rows — the per-block union1d
+    this replaces re-sorted the whole accumulated set once per block
+    (O(blocks · n log n) driver time). The stream is always DRAINED,
+    never abandoned mid-iteration (a partially-consumed
+    iter_batches corrupts the next execution of the same dataset)."""
+    acc: list[np.ndarray] = []
+    raw = 0
+    over = False
+    for b in ds.iter_batches(batch_format="numpy", batch_size=None):
+        if over:
+            continue
+        a = np.asarray(b[col], dtype=np.int64)
+        acc.append(a)
+        raw += len(a)
+        if raw > max(8_000_000, 2 * cap):
+            acc = [np.unique(np.concatenate(acc))]
+            raw = len(acc[0])
+            if raw > cap:
+                over = True
+    if over:
+        return None
+    H = np.unique(np.concatenate(acc)) if acc \
+        else np.empty(0, dtype=np.int64)
+    return None if len(H) > cap else H
+
+
 def tagged_graph_scan(df: pd.DataFrame,
                       undirected: bool = False) -> pd.DataFrame:
     """ONE md5 pass per row occurrence over an (s, d) string-edge
@@ -207,22 +237,13 @@ def pagerank_int(edges: rd.Dataset | None, n_iter: int = 5,
     # exchange path the moment it exceeds the broadcast threshold
     # (driver memory stays O(broadcast_max_nodes + one block))
     # NOTE the loop always DRAINS the iterator: abandoning a
-    # partially-consumed iter_batches mid-stream corrupts the next
-    # execution on the same dataset (observed: a later hash_join
-    # emitted blocks with missing columns) — so past the threshold we
-    # stop accumulating but keep consuming
-    H: np.ndarray | None = np.empty(0, dtype=np.int64)
-    for b in (ed.map_batches(
+    H = _bounded_distinct_probe(
+        ed.map_batches(
             lambda df: pd.DataFrame({"h": np.unique(np.concatenate(
                 [df["hs"].to_numpy(dtype="int64"),
                  df["hd"].to_numpy(dtype="int64")]))}),
-            batch_format="pandas", batch_size=None)
-            .iter_batches(batch_format="numpy", batch_size=None)):
-        if H is None:
-            continue  # drain (see note above)
-        H = np.union1d(H, b["h"])
-        if len(H) > broadcast_max_nodes:
-            H = None
+            batch_format="pandas", batch_size=None),
+        "h", broadcast_max_nodes)
 
     if H is not None:
         n_nodes = len(H)
@@ -486,19 +507,13 @@ def _node_degrees(und: rd.Dataset, B: np.int64, n_buckets: int,
     joins. Both paths are equality-tested via the triangle/k-core
     suites."""
     n_blocks = max(8, n_buckets // 4)
-    # drained, never abandoned mid-stream — see the pagerank probe note
-    H: np.ndarray | None = np.empty(0, dtype=np.int64)
-    for b in (und.map_batches(
+    H = _bounded_distinct_probe(
+        und.map_batches(
             lambda df: pd.DataFrame({"h": np.unique(np.concatenate(
                 [df["lo"].to_numpy(dtype="int64"),
                  df["hi"].to_numpy(dtype="int64")]))}),
-            batch_format="pandas", batch_size=None)
-            .iter_batches(batch_format="numpy", batch_size=None)):
-        if H is None:
-            continue
-        H = np.union1d(H, b["h"])
-        if len(H) > broadcast_max_nodes:
-            H = None
+            batch_format="pandas", batch_size=None),
+        "h", broadcast_max_nodes)
 
     if H is not None:
         import ray
@@ -1065,20 +1080,13 @@ def kcore_nodes(edges: rd.Dataset | None, k: int = 2,
                    batch_format="pandas")
                .repartition(n_blocks)).materialize()
 
-    # bounded node-hash probe (drained, never abandoned — see the
-    # pagerank probe note)
-    H: np.ndarray | None = np.empty(0, dtype=np.int64)
-    for b in (und.map_batches(
+    H = _bounded_distinct_probe(
+        und.map_batches(
             lambda df: pd.DataFrame({"h": np.unique(np.concatenate(
                 [df["lo"].to_numpy(dtype="int64"),
                  df["hi"].to_numpy(dtype="int64")]))}),
-            batch_format="pandas", batch_size=None)
-            .iter_batches(batch_format="numpy", batch_size=None)):
-        if H is None:
-            continue
-        H = np.union1d(H, b["h"])
-        if len(H) > broadcast_max_nodes:
-            H = None
+            batch_format="pandas", batch_size=None),
+        "h", broadcast_max_nodes)
 
     if H is not None:
         if not len(H):
@@ -1289,34 +1297,17 @@ def label_propagation(und: rd.Dataset, n_rounds: int = 3,
                             ("component", pa.int64())])
     und = und.repartition(n_blocks).materialize()
 
-    # bounded node-hash probe (drained, never abandoned): per-block
-    # uniques accumulate and compress with ONE np.unique per ~8M raw
-    # rows — the per-block union1d re-sorted the whole accumulated
-    # set once per block (O(blocks·n log n) driver time)
-    H: np.ndarray | None = np.empty(0, dtype=np.int64)
     if force_exchange:
         H = None
-    acc: list[np.ndarray] = []
-    raw = 0
-    for b in (und.map_batches(
-            lambda df: pd.DataFrame({"h": np.unique(np.concatenate(
-                [df["lo"].to_numpy(dtype="int64"),
-                 df["hi"].to_numpy(dtype="int64")]))}),
-            batch_format="pandas", batch_size=None)
-            .iter_batches(batch_format="numpy", batch_size=None)):
-        if H is None:
-            continue
-        acc.append(np.asarray(b["h"], dtype=np.int64))
-        raw += len(acc[-1])
-        if raw > max(8_000_000, 2 * broadcast_max_nodes):
-            acc = [np.unique(np.concatenate(acc))]
-            raw = len(acc[0])
-            if raw > broadcast_max_nodes:
-                H = None
-    if H is not None:
-        H = np.unique(np.concatenate(acc)) if acc else H
-        if len(H) > broadcast_max_nodes:
-            H = None
+    else:
+        H = _bounded_distinct_probe(
+            und.map_batches(
+                lambda df: pd.DataFrame(
+                    {"h": np.unique(np.concatenate(
+                        [df["lo"].to_numpy(dtype="int64"),
+                         df["hi"].to_numpy(dtype="int64")]))}),
+                batch_format="pandas", batch_size=None),
+            "h", broadcast_max_nodes)
 
     # the block-local argmax below requires every adjd block to hold
     # COMPLETE in-neighborhoods; map_groups emits whole groups per
@@ -4039,20 +4030,13 @@ def hits_int(edges: rd.Dataset | None, n_iter: int = 2,
                      lambda g: g[["h", "node"]].drop_duplicates("h"),
                      batch_format="pandas").repartition(n_blocks))
 
-    # node-hash probe with the same drain-don't-abandon contract as
-    # pagerank_int
-    H: np.ndarray | None = np.empty(0, dtype=np.int64)
-    for b in (ed.map_batches(
+    H = _bounded_distinct_probe(
+        ed.map_batches(
             lambda df: pd.DataFrame({"h": np.unique(np.concatenate(
                 [df["hs"].to_numpy(dtype="int64"),
                  df["hd"].to_numpy(dtype="int64")]))}),
-            batch_format="pandas", batch_size=None)
-            .iter_batches(batch_format="numpy", batch_size=None)):
-        if H is None:
-            continue
-        H = np.union1d(H, b["h"])
-        if len(H) > broadcast_max_nodes:
-            H = None
+            batch_format="pandas", batch_size=None),
+        "h", broadcast_max_nodes)
 
     if H is not None:
         if not len(H):
@@ -4292,18 +4276,12 @@ def random_walks(edges: rd.Dataset | None, n_steps: int = 3,
                      batch_format="pandas").repartition(n_blocks))
 
     # ---- broadcast-state path: node-hash probe over the node map
-    # (same drain-don't-abandon contract as pagerank_int)
-    H: np.ndarray | None = np.empty(0, dtype=np.int64)
-    for b in (nodes.map_batches(
+    H = _bounded_distinct_probe(
+        nodes.map_batches(
             lambda df: pd.DataFrame(
                 {"h": np.unique(df["h"].to_numpy(dtype="int64"))}),
-            batch_format="pandas", batch_size=None)
-            .iter_batches(batch_format="numpy", batch_size=None)):
-        if H is None:
-            continue
-        H = np.union1d(H, b["h"])
-        if len(H) > broadcast_max_nodes:
-            H = None
+            batch_format="pandas", batch_size=None),
+        "h", broadcast_max_nodes)
 
     # the block-local neighbor pick below requires every adjb block
     # to hold COMPLETE out-neighbor runs; map_groups emits whole
