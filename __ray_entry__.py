@@ -2887,8 +2887,10 @@ def _q_tpch_q11_important_parts(sf_dir: str):
         m = np.isin(df["l_suppkey"].to_numpy(dtype="int64"),
                     _cached_get(sref))
         g = df[m]
-        cents = (np.rint(g["l_extendedprice"].to_numpy(dtype="float64")
-                         * 100).astype("int64")
+        # floor(x+0.5) = SQL round() on the positive price domain
+        cents = (np.floor(g["l_extendedprice"]
+                          .to_numpy(dtype="float64") * 100
+                          + 0.5).astype("int64")
                  * g["l_quantity"].to_numpy(dtype="int64"))
         out = (pd.DataFrame({"pkey": g["l_partkey"].astype("int64")
                              .to_numpy(), "cents": cents})
@@ -5632,8 +5634,10 @@ def _q_events_outliers(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
 
     def _moments(df: pd.DataFrame) -> pd.DataFrame:
-        y = np.rint(df["value"].to_numpy(dtype="float64") * 100) \
-            .astype("int64")
+        # floor(x+0.5) = SQL round() for the positive value domain
+        # (np.rint is half-to-even and would diverge on half-cents)
+        y = np.floor(df["value"].to_numpy(dtype="float64") * 100
+                     + 0.5).astype("int64")
         g = pd.DataFrame({"event_type": df["event_type"]
                           .astype(object),
                           "n": np.int64(1), "s": y, "q": y * y})
@@ -5645,14 +5649,19 @@ def _q_events_outliers(sf_dir: str):
         event_type=object, n="int64", s="int64", q="int64")
     stats = {}
     for et, g in parts.groupby("event_type"):
-        stats[et] = (int(g["n"].sum()), int(g["s"].sum()),
-                     int(g["q"].sum()))
+        # unbounded Python-int reduce (an int64 partial sum of y²
+        # terms would wrap silently at scale)
+        stats[et] = (int(g["n"].sum()),
+                     sum(int(v) for v in g["s"]),
+                     sum(int(v) for v in g["q"]))
     sref = _ray.put(stats)
 
     def _flag(df: pd.DataFrame) -> pd.DataFrame:
         st = _cached_get(sref)
-        y = np.rint(df["value"].to_numpy(dtype="float64") * 100) \
-            .astype(object)  # unbounded ints: (ny-S)² can pass 2^63
+        y = np.floor(df["value"].to_numpy(dtype="float64") * 100
+                     + 0.5).astype("int64") \
+            .astype(object)  # int64 FIRST (rint→object yields Python
+        # FLOATS, not ints), then object for unbounded (ny−S)²
         keep = np.zeros(len(df), dtype=bool)
         ets = df["event_type"].to_numpy(dtype=object)
         for et, (n, s, q) in st.items():
@@ -5689,8 +5698,9 @@ def _q_events_value_trend(sf_dir: str):
     def _moments(df: pd.DataFrame) -> pd.DataFrame:
         x = ((df["ts"] - BASE) // np.timedelta64(1, "s")) \
             .astype("int64")
-        y = np.rint(df["value"].to_numpy(dtype="float64") * 100) \
-            .astype("int64")
+        # floor(x+0.5) = SQL round() on the positive value domain
+        y = np.floor(df["value"].to_numpy(dtype="float64") * 100
+                     + 0.5).astype("int64")
         g = pd.DataFrame({"event_type": df["event_type"].astype(object),
                           "n": np.int64(1), "sx": x, "sy": y,
                           "sxy": x * y, "sxx": x * x})

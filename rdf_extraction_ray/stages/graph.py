@@ -55,22 +55,33 @@ def _h15(s: pd.Series) -> np.ndarray:
         dtype=np.int64, count=len(s))
 
 
-def _bounded_distinct_probe(ds, col: str, cap: int):
-    """Drain a per-block-distinct int64 column into ONE sorted
-    distinct array, or None once the distinct count provably exceeds
-    ``cap``. Per-block arrays accumulate and compress with one
-    np.unique per ~max(8M, 2·cap) raw rows — the per-block union1d
-    this replaces re-sorted the whole accumulated set once per block
-    (O(blocks · n log n) driver time). The stream is always DRAINED,
-    never abandoned mid-iteration (a partially-consumed
-    iter_batches corrupts the next execution of the same dataset)."""
+def _bounded_distinct_probe(ds, cols, cap: int):
+    """Distinct int64 values of ``cols`` across ``ds`` as ONE sorted
+    array, or None once the distinct count provably exceeds ``cap``.
+    The per-block projection (unique of the concatenated columns)
+    runs distributed; driver-side, per-block arrays accumulate and
+    compress with one np.unique per ~max(8M, 2·cap) raw rows — the
+    per-block union1d this replaces re-sorted the whole accumulated
+    set once per block (O(blocks · n log n) driver time). Past the
+    cap the accumulator is DROPPED immediately but the stream is
+    still drained, never abandoned mid-iteration (a
+    partially-consumed iter_batches corrupts the next execution of
+    the same dataset)."""
+    cols = tuple(cols)
+
+    def _proj(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"h": np.unique(np.concatenate(
+            [df[c].to_numpy(dtype="int64") for c in cols]))})
+
     acc: list[np.ndarray] = []
     raw = 0
     over = False
-    for b in ds.iter_batches(batch_format="numpy", batch_size=None):
+    for b in (ds.map_batches(_proj, batch_format="pandas",
+                             batch_size=None)
+              .iter_batches(batch_format="numpy", batch_size=None)):
         if over:
             continue
-        a = np.asarray(b[col], dtype=np.int64)
+        a = np.asarray(b["h"], dtype=np.int64)
         acc.append(a)
         raw += len(a)
         if raw > max(8_000_000, 2 * cap):
@@ -78,6 +89,7 @@ def _bounded_distinct_probe(ds, col: str, cap: int):
             raw = len(acc[0])
             if raw > cap:
                 over = True
+                acc = []  # free the driver footprint, keep draining
     if over:
         return None
     H = np.unique(np.concatenate(acc)) if acc \
@@ -237,13 +249,8 @@ def pagerank_int(edges: rd.Dataset | None, n_iter: int = 5,
     # exchange path the moment it exceeds the broadcast threshold
     # (driver memory stays O(broadcast_max_nodes + one block))
     # NOTE the loop always DRAINS the iterator: abandoning a
-    H = _bounded_distinct_probe(
-        ed.map_batches(
-            lambda df: pd.DataFrame({"h": np.unique(np.concatenate(
-                [df["hs"].to_numpy(dtype="int64"),
-                 df["hd"].to_numpy(dtype="int64")]))}),
-            batch_format="pandas", batch_size=None),
-        "h", broadcast_max_nodes)
+    H = _bounded_distinct_probe(ed, ("hs", "hd"),
+                                broadcast_max_nodes)
 
     if H is not None:
         n_nodes = len(H)
@@ -507,13 +514,8 @@ def _node_degrees(und: rd.Dataset, B: np.int64, n_buckets: int,
     joins. Both paths are equality-tested via the triangle/k-core
     suites."""
     n_blocks = max(8, n_buckets // 4)
-    H = _bounded_distinct_probe(
-        und.map_batches(
-            lambda df: pd.DataFrame({"h": np.unique(np.concatenate(
-                [df["lo"].to_numpy(dtype="int64"),
-                 df["hi"].to_numpy(dtype="int64")]))}),
-            batch_format="pandas", batch_size=None),
-        "h", broadcast_max_nodes)
+    H = _bounded_distinct_probe(und, ("lo", "hi"),
+                                broadcast_max_nodes)
 
     if H is not None:
         import ray
@@ -1080,13 +1082,8 @@ def kcore_nodes(edges: rd.Dataset | None, k: int = 2,
                    batch_format="pandas")
                .repartition(n_blocks)).materialize()
 
-    H = _bounded_distinct_probe(
-        und.map_batches(
-            lambda df: pd.DataFrame({"h": np.unique(np.concatenate(
-                [df["lo"].to_numpy(dtype="int64"),
-                 df["hi"].to_numpy(dtype="int64")]))}),
-            batch_format="pandas", batch_size=None),
-        "h", broadcast_max_nodes)
+    H = _bounded_distinct_probe(und, ("lo", "hi"),
+                                broadcast_max_nodes)
 
     if H is not None:
         if not len(H):
@@ -1300,14 +1297,8 @@ def label_propagation(und: rd.Dataset, n_rounds: int = 3,
     if force_exchange:
         H = None
     else:
-        H = _bounded_distinct_probe(
-            und.map_batches(
-                lambda df: pd.DataFrame(
-                    {"h": np.unique(np.concatenate(
-                        [df["lo"].to_numpy(dtype="int64"),
-                         df["hi"].to_numpy(dtype="int64")]))}),
-                batch_format="pandas", batch_size=None),
-            "h", broadcast_max_nodes)
+        H = _bounded_distinct_probe(und, ("lo", "hi"),
+                                    broadcast_max_nodes)
 
     # the block-local argmax below requires every adjd block to hold
     # COMPLETE in-neighborhoods; map_groups emits whole groups per
@@ -3801,12 +3792,17 @@ def link_prediction(edges: rd.Dataset | None, k: int = 100,
 
     deg_ref = None
     if jaccard:
-        degsrc = _node_degrees(und, B, n_buckets, broadcast_max_nodes)
-        if degsrc[0] != "bcast":
+        # cheap node-count probe FIRST: the refusal must not pay for
+        # _node_degrees' full exchange-path degree materialization
+        # whose only use would be to be discarded
+        if _bounded_distinct_probe(und, ("lo", "hi"),
+                                   broadcast_max_nodes) is None:
             raise ValueError(
                 "jaccard link prediction needs the broadcast degree "
                 f"path (<= {broadcast_max_nodes} nodes): refusing "
                 "rather than silently changing ranking semantics")
+        degsrc = _node_degrees(und, B, n_buckets, broadcast_max_nodes)
+        assert degsrc[0] == "bcast"
         deg_ref = degsrc[1]
 
     _PCOLS = ["lo", "hi", "kind", "w", "kb"]
@@ -4030,13 +4026,8 @@ def hits_int(edges: rd.Dataset | None, n_iter: int = 2,
                      lambda g: g[["h", "node"]].drop_duplicates("h"),
                      batch_format="pandas").repartition(n_blocks))
 
-    H = _bounded_distinct_probe(
-        ed.map_batches(
-            lambda df: pd.DataFrame({"h": np.unique(np.concatenate(
-                [df["hs"].to_numpy(dtype="int64"),
-                 df["hd"].to_numpy(dtype="int64")]))}),
-            batch_format="pandas", batch_size=None),
-        "h", broadcast_max_nodes)
+    H = _bounded_distinct_probe(ed, ("hs", "hd"),
+                                broadcast_max_nodes)
 
     if H is not None:
         if not len(H):
@@ -4276,12 +4267,8 @@ def random_walks(edges: rd.Dataset | None, n_steps: int = 3,
                      batch_format="pandas").repartition(n_blocks))
 
     # ---- broadcast-state path: node-hash probe over the node map
-    H = _bounded_distinct_probe(
-        nodes.map_batches(
-            lambda df: pd.DataFrame(
-                {"h": np.unique(df["h"].to_numpy(dtype="int64"))}),
-            batch_format="pandas", batch_size=None),
-        "h", broadcast_max_nodes)
+    H = _bounded_distinct_probe(nodes, ("h",),
+                                broadcast_max_nodes)
 
     # the block-local neighbor pick below requires every adjb block
     # to hold COMPLETE out-neighbor runs; map_groups emits whole
