@@ -5732,6 +5732,51 @@ def _q_events_value_trend(sf_dir: str):
     return out.sort_values("event_type", ignore_index=True)
 
 
+def _q_docs_length_token_corr(sf_dir: str):
+    """Grouped PEARSON CORRELATION as an integer-exact aggregate —
+    completing the moment-decomposition statistics family
+    (mean/variance/covariance/trend): per language, the correlation
+    between character length and regex-token count. All six moments
+    (n, Σx, Σy, Σxy, Σx², Σy²) are int64 combiner partials reduced
+    as unbounded Python ints; the float enters only in the closing
+    ``(nΣxy−ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²))`` — IEEE sqrt is
+    correctly rounded, so the quotient replays bit-for-bit against
+    DuckDB's HUGEINT moments."""
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+
+    def _moments(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].fillna("")
+        x = t.str.len().astype("int64")
+        y = t.str.count(r"[A-Za-z0-9_]+").astype("int64")
+        g = pd.DataFrame({"lang": df["lang"].astype(object),
+                          "n": np.int64(1), "sx": x, "sy": y,
+                          "sxy": x * y, "sxx": x * x, "syy": y * y})
+        return g.groupby("lang", as_index=False)[
+            ["n", "sx", "sy", "sxy", "sxx", "syy"]].sum()
+
+    parts = _typed(
+        docs.map_batches(_moments, batch_format="pandas").to_pandas(),
+        lang=object, n="int64", sx="int64", sy="int64", sxy="int64",
+        sxx="int64", syy="int64")
+    rows = []
+    for lang, g in parts.groupby("lang"):
+        n = int(g["n"].sum())
+        sx = sum(int(v) for v in g["sx"])
+        sy = sum(int(v) for v in g["sy"])
+        sxy = sum(int(v) for v in g["sxy"])
+        sxx = sum(int(v) for v in g["sxx"])
+        syy = sum(int(v) for v in g["syy"])
+        num = n * sxy - sx * sy
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        corr = float(num) / (np.sqrt(float(vx)) * np.sqrt(float(vy)))
+        rows.append({"lang": lang, "n_docs": n,
+                     "corr": round(corr, 6)})
+    out = pd.DataFrame(rows, columns=["lang", "n_docs", "corr"])
+    out = _typed(out, lang=object, n_docs="int64", corr="float64")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values("lang", ignore_index=True)
+
+
 def _q_docs_pack_windows(sf_dir: str):
     """Concat-and-split sequence packing: token counts per doc →
     hash-bucket groupby → in-bucket offsets and window ids (the
@@ -7317,6 +7362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_trend": _q_events_value_trend,
         "events_outliers": _q_events_outliers,
         "embed_covariance": _q_embed_covariance,
+        "docs_length_token_corr": _q_docs_length_token_corr,
         "docs_repetition": _q_docs_repetition,
         "docs_dup_spans": _q_docs_dup_spans,
         "docs_source_cap": _q_docs_source_cap,
@@ -8494,6 +8540,27 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(n * sxx - sx * sx AS DOUBLE)
                          * 864.0, 6) AS slope_per_day
             FROM m ORDER BY event_type
+        """,
+        "docs_length_token_corr": """
+            WITH m AS (
+                SELECT lang, count(*)::BIGINT AS n,
+                       sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+                       sum(x * y)::HUGEINT AS sxy,
+                       sum(x * x)::HUGEINT AS sxx,
+                       sum(y * y)::HUGEINT AS syy
+                FROM (SELECT lang,
+                             length(coalesce(text, ''))::BIGINT AS x,
+                             len(regexp_extract_all(
+                                 coalesce(text, ''),
+                                 '[A-Za-z0-9_]+'))::BIGINT AS y
+                      FROM documents)
+                GROUP BY lang)
+            SELECT lang, n AS n_docs,
+                   round(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                            * sqrt(CAST(n * syy - sy * sy
+                                        AS DOUBLE))), 6) AS corr
+            FROM m ORDER BY lang
         """,
         "docs_length_moments": f"""
             WITH m AS (
