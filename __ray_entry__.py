@@ -5681,6 +5681,61 @@ def _q_events_outliers(sf_dir: str):
     return out.sort_values("event_id", ignore_index=True)
 
 
+def _q_events_greedy_pairs(sf_dir: str):
+    """Greedy disjoint VIEW→PURCHASE matching per user — the
+    two-step complex-event-processing count: scanning a user's
+    events in (ts, event_id) order, each purchase consumes the
+    earliest unconsumed prior view; the result is the number of
+    completed disjoint pairs. Sequential-looking, but it has the
+    EXACT prefix-deficit closed form
+    ``m = #purchases − max(0, max_prefix(#purchases − #views))`` —
+    one cumulative sum + one prefix max, fully vectorized per
+    user-bucket group and replayed with window functions in SQL.
+    Users with at least one pair are emitted."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group[group["event_type"].isin(("view", "purchase"))] \
+            .sort_values(["user_id", "ts", "event_id"], kind="stable")
+        if not len(g):
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "n_pairs": pd.Series([], dtype="int64")})
+        uid = g["user_id"].to_numpy(dtype="int64")
+        is_p = (g["event_type"] == "purchase").to_numpy()
+        step = np.where(is_p, 1, -1).astype(np.int64)
+        # per-user running deficit (#purchases − #views): restart the
+        # cumulative sum at each user via an offset subtraction
+        cs = np.cumsum(step)
+        first = np.concatenate([[True], uid[1:] != uid[:-1]])
+        # offset = the global cumsum just BEFORE each user's first row
+        starts = np.flatnonzero(first)
+        offs = np.repeat(cs[starts] - step[starts],
+                         np.diff(np.append(starts, len(cs))))
+        run = cs - offs
+        # per-user max prefix deficit and total purchases
+        df2 = pd.DataFrame({"uid": uid, "run": run,
+                            "p": is_p.astype("int64")})
+        agg = df2.groupby("uid").agg(mx=("run", "max"),
+                                     np_=("p", "sum"))
+        m = agg["np_"].to_numpy(dtype="int64") \
+            - np.maximum(agg["mx"].to_numpy(dtype="int64"), 0)
+        out = pd.DataFrame({"user_id": agg.index.to_numpy(
+            dtype="int64"), "n_pairs": m})
+        return out[out["n_pairs"] > 0]
+
+    out = _typed(
+        ds.map_batches(_bucket_by_user, batch_format="pandas",
+                       batch_size=None)
+        .groupby("bucket").map_groups(_pairs, batch_format="pandas")
+        .to_pandas(),
+        user_id="int64", n_pairs="int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_pairs"] = out["n_pairs"].astype("int64")
+    return out.sort_values("user_id", ignore_index=True)
+
+
 def _q_events_value_trend(sf_dir: str):
     """Per-group OLS trend — grouped linear regression as an
     integer-exact aggregate: for each event type, the least-squares
@@ -7363,6 +7418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_outliers": _q_events_outliers,
         "embed_covariance": _q_embed_covariance,
         "docs_length_token_corr": _q_docs_length_token_corr,
+        "events_greedy_pairs": _q_events_greedy_pairs,
         "docs_repetition": _q_docs_repetition,
         "docs_dup_spans": _q_docs_dup_spans,
         "docs_source_cap": _q_docs_source_cap,
@@ -8495,6 +8551,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN s sa ON sa.i = g.i
             JOIN s sb ON sb.i = g.j
             ORDER BY g.i, g.j
+        """,
+        "events_greedy_pairs": """
+            WITH e AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE -1 END AS step,
+                       CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END AS p
+                FROM events
+                WHERE event_type IN ('view', 'purchase')),
+            r AS (
+                SELECT user_id, p,
+                       sum(step) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING)
+                           AS run
+                FROM e),
+            a AS (
+                SELECT user_id, sum(p)::BIGINT AS np,
+                       greatest(max(run), 0)::BIGINT AS mx
+                FROM r GROUP BY user_id)
+            SELECT user_id, (np - mx)::BIGINT AS n_pairs
+            FROM a WHERE np - mx > 0
+            ORDER BY user_id
         """,
         "events_outliers": """
             WITH m AS (

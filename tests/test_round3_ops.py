@@ -2711,3 +2711,45 @@ class TestSurfaceClusters:
         a = surface_clusters(rd.from_pandas(linked2))
         b = surface_clusters(rd.from_pandas(linked2).repartition(4))
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestGreedyPairs:
+    """events_greedy_pairs' prefix-deficit closed form equals literal
+    greedy view→purchase consumption."""
+
+    @staticmethod
+    def _reference(seq):
+        open_views, pairs = 0, 0
+        for e in seq:
+            if e == "view":
+                open_views += 1
+            elif e == "purchase" and open_views:
+                open_views -= 1
+                pairs += 1
+        return pairs
+
+    def test_matches_literal_greedy(self):
+        import __ray_entry__ as E
+        rng = np.random.default_rng(13)
+        rows = []
+        seqs = {}
+        eid = 0
+        for uid in range(20):
+            seq = list(rng.choice(
+                ["view", "purchase", "click"], rng.integers(1, 15)))
+            seqs[uid] = [e for e in seq if e != "click"]
+            for k, e in enumerate(seq):
+                rows.append((eid, uid,
+                             pd.Timestamp("2024-01-01")
+                             + pd.Timedelta(seconds=k), e, 1.0))
+                eid += 1
+        df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts",
+                                         "event_type", "value"])
+        import tempfile, os
+        with tempfile.TemporaryDirectory() as d:
+            df.to_parquet(os.path.join(d, "events.parquet"))
+            out = E._q_events_greedy_pairs(d)
+        got = dict(zip(out["user_id"], out["n_pairs"]))
+        want = {u: self._reference(s) for u, s in seqs.items()
+                if self._reference(s) > 0}
+        assert got == want
