@@ -5323,6 +5323,42 @@ def _q_docs_top_tokens(sf_dir: str):
     return top_tokens(docs, k=100)
 
 
+def _q_docs_vocab_coverage(sf_dir: str):
+    """Vocabulary COVERAGE CURVE — the tokenizer-budget planning
+    statistic: the fraction of all corpus token occurrences the
+    exact top-k vocabulary covers, for k ∈ {100, 1000, 5000}.
+    Heavy-hitter counts come from the one-bucket-per-token top-k
+    machinery (bucket-local top-5000 partials are globally sound);
+    the total is a scalar combiner; coverage divides two exact
+    int64s with the identical IEEE division in SQL."""
+    from rdf_extraction_ray.stages.textstats import top_tokens
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    top = top_tokens(docs, k=5000)
+
+    def _total(df: pd.DataFrame) -> pd.DataFrame:
+        c = int(df["text"].fillna("").str.lower()
+                .str.count(r"[a-z0-9]+").sum())
+        return pd.DataFrame({"c": pd.Series([c], dtype="int64")})
+
+    tparts = _typed(
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(_total, batch_format="pandas").to_pandas(),
+        c="int64")
+    tot = int(tparts["c"].sum()) if len(tparts) else 0
+    cum = top["n"].to_numpy(dtype="int64").cumsum() \
+        if len(top) else np.empty(0, dtype=np.int64)
+    rows = []
+    for k in (100, 1000, 5000):
+        cov = int(cum[min(k, len(cum)) - 1]) if len(cum) else 0
+        rows.append({"k": k, "top_tokens": cov,
+                     "total_tokens": tot,
+                     "coverage": round(cov / tot, 6) if tot else 0.0})
+    out = pd.DataFrame(rows, columns=["k", "top_tokens",
+                                      "total_tokens", "coverage"])
+    return out.astype({"k": "int64", "top_tokens": "int64",
+                       "total_tokens": "int64", "coverage": "float64"})
+
+
 def _q_docs_token_cms(sf_dir: str):
     """Count-Min sketch token-frequency estimates probed at the exact
     top-20 corpus tokens (frequency sibling of the KMV/HLL
@@ -7419,6 +7455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_covariance": _q_embed_covariance,
         "docs_length_token_corr": _q_docs_length_token_corr,
         "events_greedy_pairs": _q_events_greedy_pairs,
+        "docs_vocab_coverage": _q_docs_vocab_coverage,
         "docs_repetition": _q_docs_repetition,
         "docs_dup_spans": _q_docs_dup_spans,
         "docs_source_cap": _q_docs_source_cap,
@@ -8551,6 +8588,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN s sa ON sa.i = g.i
             JOIN s sb ON sb.i = g.j
             ORDER BY g.i, g.j
+        """,
+        "docs_vocab_coverage": """
+            WITH toks AS (
+                SELECT unnest(regexp_extract_all(lower(text),
+                                                 '[a-z0-9]+'))
+                    AS token
+                FROM documents),
+            cnt AS (SELECT token, count(*)::BIGINT AS n
+                    FROM toks GROUP BY token),
+            rk AS (SELECT n, row_number()
+                       OVER (ORDER BY n DESC, token) AS r
+                   FROM cnt),
+            tot AS (SELECT count(*)::BIGINT AS t FROM toks)
+            SELECT k,
+                   (SELECT coalesce(sum(n), 0)::BIGINT
+                    FROM rk WHERE r <= k) AS top_tokens,
+                   tot.t AS total_tokens,
+                   round((SELECT coalesce(sum(n), 0)
+                          FROM rk WHERE r <= k) * 1.0 / tot.t, 6)
+                       AS coverage
+            FROM unnest([100, 1000, 5000]) AS u(k)
+            CROSS JOIN tot
+            ORDER BY k
         """,
         "events_greedy_pairs": """
             WITH e AS (
