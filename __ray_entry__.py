@@ -3417,6 +3417,59 @@ def _q_turns_curation(sf_dir: str):
     return out.sort_values("conv_id", ignore_index=True)
 
 
+def _q_turns_tool_latency(sf_dir: str):
+    """Tool-call latency analytics over the transcripts: for every
+    tool turn directly following an assistant turn in its
+    conversation, the gap in whole seconds to that assistant turn,
+    aggregated per tool as (n_calls, total/mean/max seconds).
+    Integer-exact: gaps floor to whole seconds (SQL
+    ``date_diff('second', …)``) and only the mean's final division
+    is float. One conv-bucket exchange, shifted-array gap extraction
+    per bucket, per-tool partials to the driver."""
+    import ray.data as rd
+    turns = rd.read_parquet(_turns_path(sf_dir),
+                            columns=["conv_id", "turn_idx", "role",
+                                     "tool", "ts"])
+
+    def _rows(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.copy()
+        g["cb"] = (pd.util.hash_pandas_object(
+            g["conv_id"].astype(str), index=False) % 64).astype("int64")
+        return g
+
+    def _gaps(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["conv_id", "turn_idx"], kind="stable")
+        conv = g["conv_id"].to_numpy(dtype=object)
+        role = g["role"].to_numpy(dtype=object)
+        tool = g["tool"].fillna("").to_numpy(dtype=object)
+        ts = g["ts"].to_numpy()
+        same = np.concatenate([[False], conv[1:] == conv[:-1]])
+        prev_role = np.concatenate([[""], role[:-1]])
+        m = (role == "tool") & same & (prev_role == "assistant")
+        prev_ts = np.concatenate([[np.datetime64("NaT")], ts[:-1]])
+        gap = ((ts[m] - prev_ts[m])
+               // np.timedelta64(1, "s")).astype("int64")
+        out = pd.DataFrame({"tool": tool[m], "gap": gap})
+        agg = out.groupby("tool", as_index=False).agg(
+            n_calls=("gap", "size"), total_s=("gap", "sum"),
+            max_s=("gap", "max"))
+        return agg
+
+    parts = _typed(
+        turns.map_batches(_rows, batch_format="pandas")
+        .groupby("cb").map_groups(_gaps, batch_format="pandas")
+        .to_pandas(),
+        tool=object, n_calls="int64", total_s="int64", max_s="int64")
+    agg = parts.groupby("tool", as_index=False).agg(
+        n_calls=("n_calls", "sum"), total_s=("total_s", "sum"),
+        max_s=("max_s", "max"))
+    agg["mean_s"] = (agg["total_s"] / agg["n_calls"]).round(_ROUND)
+    out = agg[["tool", "n_calls", "total_s", "mean_s", "max_s"]] \
+        .astype({"n_calls": "int64", "total_s": "int64",
+                 "max_s": "int64", "mean_s": "float64"})
+    return out.sort_values("tool", ignore_index=True)
+
+
 def _q_turns_role_tool_stats(sf_dir: str):
     """Transcript-corpus analytics over the raw turns table: per
     (role, tool) turn counts, DISTINCT conversation counts and total
@@ -7415,6 +7468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turns_role_tool_stats": _q_turns_role_tool_stats,
         "turns_render": _q_turns_render,
         "turns_role_violations": _q_turns_role_violations,
+        "turns_tool_latency": _q_turns_tool_latency,
         "kg_bgp_chain": _q_kg_bgp_chain,
         "kg_path_star": _q_kg_path_star,
         "kg_bgp_negated_pathset": _q_kg_bgp_negated_pathset,
@@ -9437,6 +9491,27 @@ def oracle_sql() -> dict[str, str]:
                   FROM read_parquet('{turns_glob}')
                   GROUP BY conv_id)
             ORDER BY conv_id
+        """,
+        "turns_tool_latency": f"""
+            WITH t AS (
+                SELECT conv_id, turn_idx, role,
+                       coalesce(tool, '') AS tool, ts,
+                       lag(role) OVER w AS pr,
+                       lag(ts) OVER w AS pts
+                FROM read_parquet('{turns_glob}')
+                WINDOW w AS (PARTITION BY conv_id
+                             ORDER BY turn_idx)),
+            g AS (
+                SELECT tool,
+                       date_diff('second', pts, ts)::BIGINT AS gap
+                FROM t
+                WHERE role = 'tool' AND pr = 'assistant')
+            SELECT tool, count(*)::BIGINT AS n_calls,
+                   sum(gap)::BIGINT AS total_s,
+                   round(sum(gap) * 1.0 / count(*), {_ROUND})
+                       AS mean_s,
+                   max(gap)::BIGINT AS max_s
+            FROM g GROUP BY tool ORDER BY tool
         """,
         "turns_role_violations": f"""
             WITH t AS (
