@@ -172,3 +172,26 @@ class TestBpeMergePassProperty:
         want = {i: self._reference_merge(list(w), a, b)
                 for i, w in enumerate(words)}
         assert got == want
+
+
+class TestGreedyPairClosedForm:
+    """The prefix-deficit closed form events_greedy_pairs relies on:
+    greedy disjoint (view→purchase) matches =
+    #purchases − max(0, max_prefix(#purchases − #views))."""
+
+    @given(st.lists(st.sampled_from(["v", "p"]), max_size=40))
+    @settings(max_examples=200, deadline=None)
+    def test_formula_equals_literal_greedy(self, seq):
+        opens, greedy = 0, 0
+        for e in seq:
+            if e == "v":
+                opens += 1
+            elif opens:
+                opens -= 1
+                greedy += 1
+        run, mx, n_p = 0, 0, 0
+        for e in seq:
+            run += 1 if e == "p" else -1
+            mx = max(mx, run)
+            n_p += 1 if e == "p" else 0
+        assert n_p - max(mx, 0) == greedy
