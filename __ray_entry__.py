@@ -5116,6 +5116,68 @@ def _q_kg_bgp_path_alt(sf_dir: str):
         select=["child", "mother"], distinct=True)
 
 
+def _q_kg_schema_census(sf_dir: str):
+    """KG SCHEMA CENSUS — the ontology-usage profiling report every
+    KG build ships: per predicate, triple count, distinct subject
+    and object counts, and the URI/literal object split. Per-batch
+    combiners carry (pred, obj_kind) counts; the two distinct counts
+    ride subject-/object-hash bucket exchanges where bucket-local
+    distinct (pred, term) pairs make the global count exact (the
+    one-bucket-per-term invariant); the driver merges
+    predicate-cardinality-bounded partials."""
+    tr = _triples_view(sf_dir)
+
+    def _counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.copy()
+        g["uri"] = (g["obj_kind"] == "uri").astype("int64")
+        out = g.groupby("pred", as_index=False).agg(
+            n_triples=("uri", "size"), n_uri_obj=("uri", "sum"))
+        out["n_triples"] = out["n_triples"].astype("int64")
+        out["n_uri_obj"] = out["n_uri_obj"].astype("int64")
+        return out
+
+    base = _typed(
+        tr.map_batches(_counts, batch_format="pandas").to_pandas(),
+        pred=object, n_triples="int64", n_uri_obj="int64")
+    base = base.groupby("pred", as_index=False)[
+        ["n_triples", "n_uri_obj"]].sum()
+
+    def _distinct_side(col: str, out_col: str) -> pd.DataFrame:
+        def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+            g = df[["pred", col]].drop_duplicates()
+            g = g.rename(columns={col: "term"})
+            g["tb"] = (pd.util.hash_pandas_object(
+                g["term"].astype(str), index=False) % 64) \
+                .astype("int64")
+            return g
+
+        def _cnt(group: pd.DataFrame) -> pd.DataFrame:
+            g = group.drop_duplicates(["pred", "term"])
+            out = (g.groupby("pred", as_index=False)
+                   .agg(n=("term", "size")))
+            out["n"] = out["n"].astype("int64")
+            return out
+
+        parts = _typed(
+            tr.map_batches(_pairs, batch_format="pandas")
+            .groupby("tb").map_groups(_cnt, batch_format="pandas")
+            .to_pandas(), pred=object, n="int64")
+        agg = parts.groupby("pred", as_index=False)["n"].sum()
+        return agg.rename(columns={"n": out_col})
+
+    subj = _distinct_side("subj", "n_subjects")
+    obj = _distinct_side("obj", "n_objects")
+    out = base.merge(subj, on="pred", how="left") \
+        .merge(obj, on="pred", how="left")
+    for c in ("n_subjects", "n_objects"):
+        out[c] = out[c].fillna(0).astype("int64")
+    out["n_lit_obj"] = (out["n_triples"] - out["n_uri_obj"]) \
+        .astype("int64")
+    out = out[["pred", "n_triples", "n_subjects", "n_objects",
+               "n_uri_obj", "n_lit_obj"]]
+    return out.sort_values("pred", ignore_index=True)
+
+
 def _q_kg_bgp_negated_pathset(sf_dir: str):
     """SPARQL NEGATED PROPERTY SET: SELECT ?s ?p ?o WHERE
     { ?s !(kg:interpersonalRelationshipWith | crm:P100_was_death_of)
@@ -7472,6 +7534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_chain": _q_kg_bgp_chain,
         "kg_path_star": _q_kg_path_star,
         "kg_bgp_negated_pathset": _q_kg_bgp_negated_pathset,
+        "kg_schema_census": _q_kg_schema_census,
         "kg_link_prediction": _q_kg_link_prediction,
         "kg_adamic_adar": _q_kg_adamic_adar,
         "kg_jaccard_links": _q_kg_jaccard_links,
@@ -9664,6 +9727,18 @@ def oracle_sql() -> dict[str, str]:
                 UNION
                 SELECT c.start, e.o FROM c JOIN e ON c.node = e.s)
             SELECT start, node FROM c
+        """,
+        "kg_schema_census": f"""
+            SELECT pred,
+                   count(*)::BIGINT AS n_triples,
+                   count(DISTINCT subj)::BIGINT AS n_subjects,
+                   count(DISTINCT obj)::BIGINT AS n_objects,
+                   sum(CASE WHEN obj_kind = 'uri'
+                            THEN 1 ELSE 0 END)::BIGINT AS n_uri_obj,
+                   sum(CASE WHEN obj_kind = 'uri'
+                            THEN 0 ELSE 1 END)::BIGINT AS n_lit_obj
+            FROM read_parquet('{triples}')
+            GROUP BY pred ORDER BY pred
         """,
         "kg_bgp_negated_pathset": f"""
             SELECT DISTINCT subj AS s, pred AS p, obj AS o
