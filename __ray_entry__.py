@@ -4262,10 +4262,12 @@ def _q_kg_ktruss(sf_dir: str):
     enumeration (orientation-independent supports)."""
     from rdf_extraction_ray.stages.graph import ktruss_edges
     gv = _kg_graph_views(sf_dir)
-    out = ktruss_edges(None, k=4, n_rounds=3,
-                       und_pre=_graph_view_read(gv, "edges_und"),
-                       nodes_pre=_graph_view_read(gv, "nodes"))
-    return _typed(out, node_a=object, node_b=object, support="int64")
+    # returns an rd.Dataset (round-4: the surviving-edge set streams
+    # through the string-resolution joins; only the small path pulls
+    # result rows to the driver)
+    return ktruss_edges(None, k=4, n_rounds=3,
+                        und_pre=_graph_view_read(gv, "edges_und"),
+                        nodes_pre=_graph_view_read(gv, "nodes"))
 
 
 def _q_kg_label_propagation(sf_dir: str):
@@ -6524,7 +6526,7 @@ def _media_path(sf_dir: str) -> str:
     if not os.path.exists(path):
         tmp = f"{path}.tmp.{os.getpid()}"
         os.makedirs(tmp, exist_ok=True)
-        pq.write_table(synth_media_table(n),
+        pq.write_table(synth_media_table(n, plant_variants=True),
                        os.path.join(tmp, "media.parquet"))
         _publish_dir(tmp, path)
     return os.path.join(path, "media.parquet")
@@ -7456,70 +7458,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     (driver-green in CORRECTNESS_r02.json) closes the dict.
     """
     return {
-        # --- flagships: KG construction + LLM training-data curation
+        # --- canaries: the two flagships, always in-window
         "kg_triples": _q_kg_triples,
         "docs_curation": _q_docs_curation,
-        "docs_minhash_pairs": _q_docs_minhash_pairs,
-        "docs_dup_components": _q_docs_dup_components,
-        "ann_ivf": _q_ann_ivf,
-        "embed_semantic_dedup": _q_embed_semantic_dedup,
-        "media_features": _q_media_features,
-        "docs_incremental_dedup": _q_docs_incremental_dedup,
-        # --- one never-driver-green representative per family
-        #     (window slots are scarce: a sibling that shares the
-        #     family's code path yields its slot — see the post-window
-        #     section — and every name here is still oracle-checked
-        #     locally by tools/check_oracles.py regardless of window)
-        "docs_balanced_mix": _q_docs_balanced_mix,
-        "docs_quality_model": _q_docs_quality_model,
-        "events_funnel": _q_events_funnel,
-        "segment_revenue_bucketed": _q_segment_revenue_bucketed,
-        "docs_bm25": _q_docs_bm25,
-        "docs_dsir_weights": _q_docs_dsir_weights,
-        "docs_rrf_fusion": _q_docs_rrf_fusion,
-        "docs_vocab_kmv": _q_docs_vocab_kmv,
-        "docs_weighted_sample": _q_docs_weighted_sample,
-        "docs_source_overlap": _q_docs_source_overlap,
-        "kg_pagerank": _q_kg_pagerank,
-        "kg_triangles": _q_kg_triangles,
-        "kg_components": _q_kg_components,
-        "kg_label_propagation": _q_kg_label_propagation,
-        "kg_ktruss": _q_kg_ktruss,
-        "kg_kcore": _q_kg_kcore,
-        "kg_degree_stats": _q_kg_degree_stats,
-        "kg_copredicate_pairs": _q_kg_copredicate_pairs,
-        "kg_embed_link": _q_kg_embed_link,
-        "kg_bgp_match": _q_kg_bgp_match,
-        "kg_bgp_optional": _q_kg_bgp_optional,
-        "kg_bgp_construct": _q_kg_bgp_construct,
-        "kg_path_closure": _q_kg_path_closure,
-        "kg_bgp_filter": _q_kg_bgp_filter,
-        "events_markov_transitions": _q_events_markov_transitions,
-        "turns_curation": _q_turns_curation,
-        "kg_facts": _q_kg_facts,
-        # --- dedup / similarity family
-        "docs_simhash_pairs": _q_docs_simhash_pairs,
-        "docs_ngram_jaccard": _q_docs_ngram_jaccard,
-        "docs_dedup_keep_best": _q_docs_dedup_keep_best,
-        "docs_embed_neardup": _q_docs_embed_neardup,
-        "embed_kmeans": _q_embed_kmeans,
-        "ann_lsh": _q_ann_lsh,
-        "media_frames": _q_media_frames,
-        "media_dedup": _q_media_dedup,
-        "media_chunk_neardup": _q_media_chunk_neardup,
-        # --- curation / text-analysis family
-        "docs_tfidf_terms": _q_docs_tfidf_terms,
-        "docs_gopher_rules": _q_docs_gopher_rules,
-        "docs_train_shards": _q_docs_train_shards,
-        "docs_strip_boilerplate": _q_docs_strip_boilerplate,
-        "docs_unigram_logprob": _q_docs_unigram_logprob,
-        "docs_pii_redact": _q_docs_pii_redact,
+        # --- round-4 rotation: queries never yet driver-verified
+        #     (VERDICT_r03 next-round task #1 — CORRECTNESS_r0{1,2,3}
+        #     covered 101 distinct names; the ~50-query window now
+        #     lands on the unwitnessed set; every entry remains
+        #     oracle-gated locally via tools/check_oracles.py)
         "docs_decontaminate": _q_docs_decontaminate,
-        "docs_fingerprint": _q_docs_fingerprint,
         "events_retention_cohorts": _q_events_retention_cohorts,
-        # ---------------- window boundary (~50) ----------------
-        # siblings whose family is represented above; all remain
-        # oracle-gated locally and in pytest
         "kg_bgp_aggregate": _q_kg_bgp_aggregate,
         "kg_bgp_union": _q_kg_bgp_union,
         "kg_bgp_ask": _q_kg_bgp_ask,
@@ -7554,13 +7502,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_line_dedup": _q_docs_line_dedup,
         "docs_url_dedup": _q_docs_url_dedup,
         "docs_token_tertiles": _q_docs_token_tertiles,
-        "docs_simhash": _q_docs_simhash,
         "docs_ngram_components": _q_docs_ngram_components,
         "docs_ngram_containment": _q_docs_ngram_containment,
         "docs_bigram_logprob": _q_docs_bigram_logprob,
         "docs_token_entropy": _q_docs_token_entropy,
         "embed_cosine_pairs": _q_embed_cosine_pairs,
-        "ann_bruteforce": _q_ann_bruteforce,
         "docs_top_tokens": _q_docs_top_tokens,
         "docs_vocab_size": _q_docs_vocab_size,
         "lineitem_orderkeys_kmv": _q_lineitem_orderkeys_kmv,
@@ -7568,6 +7514,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_length_quantiles": _q_docs_length_quantiles,
         "docs_length_moments": _q_docs_length_moments,
         "events_value_trend": _q_events_value_trend,
+        # ---------------- window boundary (~50) ----------------
+        # remaining never-driver-verified names (in case the
+        # window is wider than 50)
         "events_outliers": _q_events_outliers,
         "embed_covariance": _q_embed_covariance,
         "docs_length_token_corr": _q_docs_length_token_corr,
@@ -7576,25 +7525,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition": _q_docs_repetition,
         "docs_dup_spans": _q_docs_dup_spans,
         "docs_source_cap": _q_docs_source_cap,
-        # --- KG long tail (serializers, reports, works)
-        "kg_triples_seeded": _q_kg_triples_seeded,
-        "kg_ntriples": _q_kg_ntriples,
-        "kg_nquads": _q_kg_nquads,
-        "kg_turtle": _q_kg_turtle,
-        "title_rdf": _q_title_rdf,
-        "works_triples": _q_works_triples,
-        "works_genres": _q_works_genres,
-        "kg_works_person_join": _q_kg_works_person_join,
-        "kg_link_histogram": _q_kg_link_histogram,
-        "kg_title_census": _q_kg_title_census,
-        "kg_org_counts": _q_kg_org_counts,
-        "kg_triples_stats": _q_kg_triples_stats,
-        "kg_unmatched_places": _q_kg_unmatched_places,
-        "kg_vocab_terms": _q_kg_vocab_terms,
-        "tpch_q1_pricing": _q_tpch_q1,
-        "tpch_q3_shipping": _q_tpch_q3_shipping,
-        # --- relational operator coverage (driver-green r02)
-        "tpch_q5_local_supplier": _q_tpch_q5_local_supplier,
         "tpch_q4_order_priority": _q_tpch_q4_order_priority,
         "tpch_q12_priority_class": _q_tpch_q12_priority_class,
         "tpch_q14_promo_revenue": _q_tpch_q14_promo_revenue,
@@ -7613,6 +7543,94 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q20_promotion_suppliers": _q_tpch_q20_promotion_suppliers,
         "tpch_q21_waiting_suppliers": _q_tpch_q21_waiting_suppliers,
         "part_min_cost_supplier": _q_part_min_cost_supplier,
+        "docs_bpe_pairs": _q_docs_bpe_pairs,
+        "docs_bpe_train": _q_docs_bpe_train,
+        "docs_bpe_tokenize": _q_docs_bpe_tokenize,
+        "docs_mixture_weights": _q_docs_mixture_weights,
+        "docs_embedding_labels": _q_docs_embedding_labels,
+        "kg_bgp_exists": _q_kg_bgp_exists,
+        "kg_bgp_bind": _q_kg_bgp_bind,
+        "kg_bgp_sum_avg": _q_kg_bgp_sum_avg,
+        "docs_token_cms": _q_docs_token_cms,
+        "events_rank_window": _q_events_rank_window,
+        "kg_update_migrate": _q_kg_update_migrate,
+        "kg_update_retract": _q_kg_update_retract,
+        "turns_edit1_pairs": _q_turns_edit1_pairs,
+        "kg_sparql_select": _q_kg_sparql_select,
+        "kg_sparql_aggregate": _q_kg_sparql_aggregate,
+        "docs_chunk_windows": _q_docs_chunk_windows,
+        "kg_local_triangles": _q_kg_local_triangles,
+        "kg_assortativity": _q_kg_assortativity,
+        "docs_bigram_lift": _q_docs_bigram_lift,
+        # --- driver-green in at least one prior round
+        "docs_minhash_pairs": _q_docs_minhash_pairs,
+        "docs_dup_components": _q_docs_dup_components,
+        "ann_ivf": _q_ann_ivf,
+        "embed_semantic_dedup": _q_embed_semantic_dedup,
+        "media_features": _q_media_features,
+        "docs_incremental_dedup": _q_docs_incremental_dedup,
+        "docs_balanced_mix": _q_docs_balanced_mix,
+        "docs_quality_model": _q_docs_quality_model,
+        "events_funnel": _q_events_funnel,
+        "segment_revenue_bucketed": _q_segment_revenue_bucketed,
+        "docs_bm25": _q_docs_bm25,
+        "docs_dsir_weights": _q_docs_dsir_weights,
+        "docs_rrf_fusion": _q_docs_rrf_fusion,
+        "docs_vocab_kmv": _q_docs_vocab_kmv,
+        "docs_weighted_sample": _q_docs_weighted_sample,
+        "docs_source_overlap": _q_docs_source_overlap,
+        "kg_pagerank": _q_kg_pagerank,
+        "kg_triangles": _q_kg_triangles,
+        "kg_components": _q_kg_components,
+        "kg_label_propagation": _q_kg_label_propagation,
+        "kg_ktruss": _q_kg_ktruss,
+        "kg_kcore": _q_kg_kcore,
+        "kg_degree_stats": _q_kg_degree_stats,
+        "kg_copredicate_pairs": _q_kg_copredicate_pairs,
+        "kg_embed_link": _q_kg_embed_link,
+        "kg_bgp_match": _q_kg_bgp_match,
+        "kg_bgp_optional": _q_kg_bgp_optional,
+        "kg_bgp_construct": _q_kg_bgp_construct,
+        "kg_path_closure": _q_kg_path_closure,
+        "kg_bgp_filter": _q_kg_bgp_filter,
+        "events_markov_transitions": _q_events_markov_transitions,
+        "turns_curation": _q_turns_curation,
+        "kg_facts": _q_kg_facts,
+        "docs_simhash_pairs": _q_docs_simhash_pairs,
+        "docs_ngram_jaccard": _q_docs_ngram_jaccard,
+        "docs_dedup_keep_best": _q_docs_dedup_keep_best,
+        "docs_embed_neardup": _q_docs_embed_neardup,
+        "embed_kmeans": _q_embed_kmeans,
+        "ann_lsh": _q_ann_lsh,
+        "media_frames": _q_media_frames,
+        "media_dedup": _q_media_dedup,
+        "media_chunk_neardup": _q_media_chunk_neardup,
+        "docs_tfidf_terms": _q_docs_tfidf_terms,
+        "docs_gopher_rules": _q_docs_gopher_rules,
+        "docs_train_shards": _q_docs_train_shards,
+        "docs_strip_boilerplate": _q_docs_strip_boilerplate,
+        "docs_unigram_logprob": _q_docs_unigram_logprob,
+        "docs_pii_redact": _q_docs_pii_redact,
+        "docs_fingerprint": _q_docs_fingerprint,
+        "docs_simhash": _q_docs_simhash,
+        "ann_bruteforce": _q_ann_bruteforce,
+        "kg_triples_seeded": _q_kg_triples_seeded,
+        "kg_ntriples": _q_kg_ntriples,
+        "kg_nquads": _q_kg_nquads,
+        "kg_turtle": _q_kg_turtle,
+        "title_rdf": _q_title_rdf,
+        "works_triples": _q_works_triples,
+        "works_genres": _q_works_genres,
+        "kg_works_person_join": _q_kg_works_person_join,
+        "kg_link_histogram": _q_kg_link_histogram,
+        "kg_title_census": _q_kg_title_census,
+        "kg_org_counts": _q_kg_org_counts,
+        "kg_triples_stats": _q_kg_triples_stats,
+        "kg_unmatched_places": _q_kg_unmatched_places,
+        "kg_vocab_terms": _q_kg_vocab_terms,
+        "tpch_q1_pricing": _q_tpch_q1,
+        "tpch_q3_shipping": _q_tpch_q3_shipping,
+        "tpch_q5_local_supplier": _q_tpch_q5_local_supplier,
         "topk_orders": _q_topk_orders,
         "region_customers": _q_region_customers,
         "segment_revenue": _q_segment_revenue,
@@ -7641,28 +7659,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_count": _q_docs_token_count,
         "docs_quality": _q_docs_quality,
         "docs_lang_counts": _q_docs_lang_counts,
-        "docs_bpe_pairs": _q_docs_bpe_pairs,
-        "docs_bpe_train": _q_docs_bpe_train,
-        "docs_bpe_tokenize": _q_docs_bpe_tokenize,
-        "docs_mixture_weights": _q_docs_mixture_weights,
         "docs_langid": _q_docs_langid,
         "docs_stratified_sample": _q_docs_stratified_sample,
         "docs_pack_windows": _q_docs_pack_windows,
-        "docs_embedding_labels": _q_docs_embedding_labels,
-        "kg_bgp_exists": _q_kg_bgp_exists,
-        "kg_bgp_bind": _q_kg_bgp_bind,
-        "kg_bgp_sum_avg": _q_kg_bgp_sum_avg,
-        "docs_token_cms": _q_docs_token_cms,
-        "events_rank_window": _q_events_rank_window,
-        "kg_update_migrate": _q_kg_update_migrate,
-        "kg_update_retract": _q_kg_update_retract,
-        "turns_edit1_pairs": _q_turns_edit1_pairs,
-        "kg_sparql_select": _q_kg_sparql_select,
-        "kg_sparql_aggregate": _q_kg_sparql_aggregate,
-        "docs_chunk_windows": _q_docs_chunk_windows,
-        "kg_local_triangles": _q_kg_local_triangles,
-        "kg_assortativity": _q_kg_assortativity,
-        "docs_bigram_lift": _q_docs_bigram_lift,
     }
 
 

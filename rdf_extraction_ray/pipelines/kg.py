@@ -232,7 +232,19 @@ def _probe_fingerprint(path: str) -> str | None:
         return None
 
 
-_PROBE_CACHE_DIR = "/tmp/rdf_extraction_ray/probe_cache"
+# Probe-verdict cache directory. DRIVER-LOCAL semantics: the probe
+# runs on the driver and the verdict only steers the driver-built
+# plan, so on a multi-node cluster this cache lives (and only needs
+# to live) on the driver host — workers never read it. Override via
+# RDF_RAY_PROBE_CACHE_DIR (e.g. to a per-user or persistent path);
+# resolved at call time so tests and long-lived processes can
+# repoint it without reimporting.
+
+
+def _probe_cache_dir() -> str:
+    import os as _os
+    return _os.environ.get("RDF_RAY_PROBE_CACHE_DIR",
+                           "/tmp/rdf_extraction_ray/probe_cache")
 
 
 def _probe_cache_load(stats_key: str | None) -> dict | None:
@@ -244,7 +256,7 @@ def _probe_cache_load(stats_key: str | None) -> dict | None:
     fp = _probe_fingerprint(stats_key)
     if fp is None:
         return None
-    p = _os.path.join(_PROBE_CACHE_DIR,
+    p = _os.path.join(_probe_cache_dir(),
                       _hashlib.md5(stats_key.encode()).hexdigest()
                       + ".json")
     try:
@@ -266,8 +278,9 @@ def _probe_cache_store(stats_key: str | None, needs_salt: bool,
     if fp is None:
         return
     try:
-        _os.makedirs(_PROBE_CACHE_DIR, exist_ok=True)
-        p = _os.path.join(_PROBE_CACHE_DIR,
+        cache_dir = _probe_cache_dir()
+        _os.makedirs(cache_dir, exist_ok=True)
+        p = _os.path.join(cache_dir,
                           _hashlib.md5(stats_key.encode()).hexdigest()
                           + ".json")
         tmp = p + f".tmp{_os.getpid()}"

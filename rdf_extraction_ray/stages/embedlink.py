@@ -2,8 +2,10 @@
 alias dictionary.
 
 The reference resolves near-miss vocabulary surfaces with
-``difflib.get_close_matches`` (Utils/utilities.py:289-360,
-culturalForm.py:589-591) — an O(|dict|) Python scan per miss that
+``difflib.get_close_matches`` (Biography/culturalForm.py:589-591,
+and the same call shape in Biography/education.py,
+Biography/occupation.py, Biography/birthDeath.py) — an O(|dict|)
+Python scan per miss that
 cannot leave one process. This stage replaces it with the
 north-star's "shared alias-dictionary + embedding index" design: every
 vocabulary label is embedded ONCE into a small dense index that

@@ -1485,7 +1485,8 @@ def ktruss_edges(edges: rd.Dataset | None, k: int = 4,
                  n_rounds: int = 3, n_buckets: int = 64,
                  broadcast_max_nodes: int = 4_000_000,
                  und_pre: rd.Dataset | None = None,
-                 nodes_pre: rd.Dataset | None = None) -> pd.DataFrame:
+                 nodes_pre: rd.Dataset | None = None,
+                 driver_max_edges: int = 2_000_000) -> rd.Dataset:
     """``k``-TRUSS peel of the undirected simple graph, fixed depth:
     each round recomputes every surviving edge's triangle SUPPORT
     (number of triangles containing it, within the surviving edge
@@ -1506,16 +1507,25 @@ def ktruss_edges(edges: rd.Dataset | None, k: int = 4,
     edge set for the ≥ k−2 filter. The SQL oracle replays the same
     recurrence with value-canonical triangle enumeration (x<y<z) —
     orientation-independent, so the per-edge supports are identical.
-    String resolution is RESULT-sized (need-set broadcast)."""
+
+    Returns an ``rd.Dataset``. String resolution is two-path:
+    surviving sets at or under ``driver_max_edges`` use the
+    RESULT-sized need-set broadcast (one driver pull of result rows);
+    larger survivors NEVER touch the driver — two partitioned hash
+    joins against the streaming (h, node) map view resolve both
+    endpoints in bucket exchanges (the ``kcore_nodes`` tail shape)."""
+    import pyarrow as pa
+
+    from .joins import hash_join
     assert nodes_pre is not None, \
         "ktruss_edges needs the pre-built (h, node) map view"
 
     B = np.int64(n_buckets)
     n_blocks = max(8, n_buckets // 4)
-    out_empty = pd.DataFrame({
-        "node_a": pd.Series([], dtype=object),
-        "node_b": pd.Series([], dtype=object),
-        "support": pd.Series([], dtype="int64")})
+    out_schema = pa.schema([("node_a", pa.string()),
+                            ("node_b", pa.string()),
+                            ("support", pa.int64())])
+    out_empty = rd.from_arrow(out_schema.empty_table())
     und, n_edges = _distinct_und_edges(edges, und_pre, B, n_buckets)
     if not n_edges:
         return out_empty
@@ -1624,21 +1634,70 @@ def ktruss_edges(edges: rd.Dataset | None, k: int = 4,
         if not cur.count():
             return out_empty
 
-    surv = cur.to_pandas()
-    if not len(surv) or "lo" not in surv.columns:
+    n_surv = cur.count()
+    if not n_surv:
         return out_empty
-    hh, names = resolve_names(nodes_pre, np.concatenate(
-        [surv["lo"].to_numpy(dtype="int64"),
-         surv["hi"].to_numpy(dtype="int64")]))
+    if n_surv <= driver_max_edges:
+        # result-sized driver path: pull the surviving (lo, hi,
+        # support) rows once and resolve via the need-set broadcast
+        surv = cur.to_pandas()
+        if not len(surv) or "lo" not in surv.columns:
+            return out_empty
+        hh, names = resolve_names(nodes_pre, np.concatenate(
+            [surv["lo"].to_numpy(dtype="int64"),
+             surv["hi"].to_numpy(dtype="int64")]))
 
-    def _lk(a: np.ndarray) -> np.ndarray:
-        return names[np.searchsorted(hh, a)]
+        def _lk(a: np.ndarray) -> np.ndarray:
+            return names[np.searchsorted(hh, a)]
 
-    out = pd.DataFrame({
-        "node_a": _lk(surv["lo"].to_numpy(dtype="int64")),
-        "node_b": _lk(surv["hi"].to_numpy(dtype="int64")),
-        "support": surv["support"].astype("int64")})
-    return out.sort_values(["node_a", "node_b"], ignore_index=True)
+        out = pd.DataFrame({
+            "node_a": _lk(surv["lo"].to_numpy(dtype="int64")),
+            "node_b": _lk(surv["hi"].to_numpy(dtype="int64")),
+            "support": surv["support"].astype("int64")})
+        return rd.from_pandas(
+            out.sort_values(["node_a", "node_b"], ignore_index=True))
+
+    # large path: surviving edges never materialize on the driver —
+    # resolve each endpoint with a partitioned hash join against the
+    # streaming (h, node) map view (h-unique, min(node) tie-break
+    # applied at view build, so each join is 1:1 and row counts are
+    # preserved)
+    i64 = pa.int64()
+    surv_schema = pa.schema([("lo", i64), ("hi", i64),
+                             ("support", i64)])
+    j1 = hash_join(
+        cur, nodes_pre.map_batches(
+            lambda df: df.rename(columns={"h": "lo",
+                                          "node": "node_a"}),
+            batch_format="pandas"),
+        on="lo", n_buckets=n_buckets,
+        left_schema=surv_schema,
+        right_schema=pa.schema([("lo", i64),
+                                ("node_a", pa.string())]))
+    j2 = hash_join(
+        j1, nodes_pre.map_batches(
+            lambda df: df.rename(columns={"h": "hi",
+                                          "node": "node_b"}),
+            batch_format="pandas"),
+        on="hi", n_buckets=n_buckets,
+        left_schema=pa.schema([("lo", i64), ("hi", i64),
+                               ("support", i64),
+                               ("node_a", pa.string())]),
+        right_schema=pa.schema([("hi", i64),
+                                ("node_b", pa.string())]))
+
+    def _project(df: pd.DataFrame) -> pd.DataFrame:
+        if "node_a" not in df.columns:  # schema-less empty block
+            return pd.DataFrame({
+                "node_a": pd.Series([], dtype=object),
+                "node_b": pd.Series([], dtype=object),
+                "support": pd.Series([], dtype="int64")})
+        return pd.DataFrame({
+            "node_a": df["node_a"].astype(str),
+            "node_b": df["node_b"].astype(str),
+            "support": df["support"].astype("int64")})
+
+    return j2.map_batches(_project, batch_format="pandas")
 
 
 def copredicate_pairs(triples: rd.Dataset, min_shared: int = 2,
@@ -3759,6 +3818,19 @@ def link_prediction(edges: rd.Dataset | None, k: int = 100,
     n_blocks = max(8, n_buckets // 4)
     weighted = apex_weights is not None
     assert not (weighted and jaccard)
+    if weighted:
+        # Fail fast at call time: _wedge_rows looks up
+        # apex_weights[c] for every apex degree class 2..max_apex_deg
+        # inside a Ray task; a table that doesn't cover that range
+        # would otherwise surface as a KeyError deep in a worker.
+        missing = [c for c in range(2, max_apex_deg + 1)
+                   if c not in apex_weights]
+        if missing:
+            raise ValueError(
+                "apex_weights must cover every degree class in "
+                f"range(2, max_apex_deg+1={max_apex_deg + 1}); "
+                f"missing {missing[:5]}"
+                f"{'...' if len(missing) > 5 else ''}")
     out_cols = {"node_a": object, "node_b": object,
                 "n_common": "int64"}
     if weighted or jaccard:
@@ -3808,7 +3880,13 @@ def link_prediction(edges: rd.Dataset | None, k: int = 100,
     _PCOLS = ["lo", "hi", "kind", "w", "kb"]
 
     def _pair_bucket(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
-        return ((lo * np.int64(1000003) + hi) % B).astype("int64")
+        # Reduce mod B BEFORE mixing so the product stays well inside
+        # int64 (lo/hi are md5-15 hashes up to ~2^60; lo·1000003
+        # would silently wrap). B ≤ a few thousand, so
+        # (lo%B)·1000003 + hi%B ≤ ~2^42 — no overflow, and the
+        # bucket assignment stays deterministic across numpy versions.
+        return (((lo % B) * np.int64(1000003) + (hi % B)) % B) \
+            .astype("int64")
 
     def _adj_rows(df: pd.DataFrame) -> pd.DataFrame:
         lo = df["lo"].to_numpy(dtype="int64")
@@ -4143,12 +4221,24 @@ def hits_int(edges: rd.Dataset | None, n_iter: int = 2,
     def _normalize(vec: rd.Dataset, m: int) -> rd.Dataset:
         if m <= 0:
             return vec
+        # Exchange-path overflow guard: the max raw value IS m (a
+        # global max over x), so every x·scale fits int64 iff
+        # m·scale does. Unlike the broadcast path, this path has no
+        # 4M-node bound, so a hub with in-degree above ~2^63/scale²
+        # is reachable; fall back to exact Python-int division there
+        # (result ≤ scale, so the OUTPUT always fits int64).
+        wide = m > (2**63 - 1) // scale
 
         def _norm(df: pd.DataFrame) -> pd.DataFrame:
+            xs = df["x"].to_numpy(dtype="int64")
+            if wide:
+                vals = np.fromiter(
+                    ((int(v) * scale) // m for v in xs),
+                    dtype="int64", count=len(xs))
+            else:
+                vals = xs * np.int64(scale) // np.int64(m)
             return pd.DataFrame({
-                "h": df["h"].astype("int64"),
-                "x": df["x"].to_numpy(dtype="int64")
-                * np.int64(scale) // np.int64(m)})
+                "h": df["h"].astype("int64"), "x": vals})
 
         return vec.map_batches(_norm,
                                batch_format="pandas").materialize()

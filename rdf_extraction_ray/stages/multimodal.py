@@ -103,10 +103,13 @@ class FrameSampler:
 
 
 def synth_media_table(n: int, seed: int = 21,
-                      plant_variants: bool = True) -> pa.Table:
+                      plant_variants: bool = False) -> pa.Table:
     """Deterministic fake media corpus for plumbing tests.
 
-    ``plant_variants`` appends a RE-ENCODED SIBLING (media_id +
+    The default preserves the original public contract (base rows
+    only); the chunk-neardup oracle and its test opt in explicitly.
+
+    ``plant_variants=True`` appends a RE-ENCODED SIBLING (media_id +
     2·10**6 — clear of the exact-dedup oracle's +10**6 union ids) for every video with ``media_id % 6 == 2``: same payload
     except the last 24 bytes are replaced with an md5-derived tail —
     the sibling therefore shares every full leading content chunk

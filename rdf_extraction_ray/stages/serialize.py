@@ -235,24 +235,52 @@ def jsonld_header() -> str:
 def format_jsonld(batch: pd.DataFrame) -> pd.DataFrame:
     """Triple rows → one JSON-LD node object per SUBJECT found in the
     batch (subjects split across blocks merge by JSON-LD set
-    semantics when the shards are combined)."""
+    semantics when the shards are combined).
+
+    Vectorized: per-value JSON encoding is one C ``json.dumps`` call
+    per scalar (byte-identical escaping to the reference encoder),
+    and the node assembly is two string group-concats — values per
+    (subj, pred) in row encounter order, then sorted predicate keys
+    per subject — instead of per-row dict building. Key order
+    replicates ``json.dumps(sort_keys=True)``: CURIE predicates all
+    start with a letter (> '@'), so ``"@id"`` always leads."""
     import json
-    rows = []
-    for subj, g in batch.groupby("subj", sort=True):
-        node: dict = {"@id": subj}
-        for _, r in g.iterrows():
-            if r["obj_kind"] == "uri":
-                val = {"@id": r["obj"]}
-            else:
-                val = {"@value": r["obj"]}
-                if r["obj_lang"]:
-                    val["@language"] = r["obj_lang"]
-                elif r["obj_datatype"]:
-                    d = r["obj_datatype"]
-                    val["@type"] = NS[d.split(":")[0]] + d.split(":")[1]
-            node.setdefault(r["pred"], []).append(val)
-        rows.append(" " + json.dumps(node, sort_keys=True))
-    return pd.DataFrame({"line": rows})
+    if not len(batch):
+        return pd.DataFrame({"line": pd.Series([], dtype=object)})
+    enc = json.dumps  # '"escaped"' — exact json string escaping
+    g = batch.reset_index(drop=True)
+    obj_e = g["obj"].map(enc)
+    lang = g["obj_lang"].fillna("").astype(str)
+    dtype = g["obj_datatype"].fillna("").astype(str)
+    kind = g["obj_kind"].astype(str)
+    # literal datatype CURIE -> IRI (NS is a small in-process dict)
+    has_dt = dtype != ""
+    iri = pd.Series("", index=g.index, dtype=object)
+    if has_dt.any():
+        parts = dtype[has_dt].str.split(":", n=1)
+        iri[has_dt] = (parts.str[0].map(NS) + parts.str[1]).map(enc)
+    has_lang = lang != ""
+    val = '{"@value": ' + obj_e + "}"
+    val = val.where(~(has_dt & ~has_lang),
+                    '{"@type": ' + iri + ', "@value": ' + obj_e + "}")
+    val = val.where(~has_lang,
+                    '{"@language": ' + lang.map(enc)
+                    + ', "@value": ' + obj_e + "}")
+    val = val.where(kind != "uri", '{"@id": ' + obj_e + "}")
+    g = pd.DataFrame({"subj": g["subj"].astype(str),
+                      "pred": g["pred"].astype(str), "val": val})
+    # values per (subj, pred) keep row encounter order (stable sort);
+    # groupby(sort=True) yields predicate keys in sorted order
+    per_pred = (g.groupby(["subj", "pred"], sort=True)["val"]
+                .agg(", ".join))
+    kv = (pd.Series(per_pred.index.get_level_values("pred"),
+                    index=per_pred.index).map(enc)
+          + ": [" + per_pred + "]")
+    per_subj = kv.groupby(level="subj", sort=True).agg(", ".join)
+    lines = (' {"@id": '
+             + pd.Series(per_subj.index, index=per_subj.index).map(enc)
+             + ", " + per_subj + "}")
+    return pd.DataFrame({"line": lines.to_numpy(dtype=object)})
 
 
 def write_jsonld(triples: rd.Dataset, path: str) -> None:

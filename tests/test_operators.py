@@ -206,7 +206,7 @@ class TestMultimodal:
 
     def test_chunk_neardup_recovers_planted_variants(self):
         from rdf_extraction_ray.stages.multimodal import chunk_neardup
-        tbl = synth_media_table(60)  # plants a tail-variant per
+        tbl = synth_media_table(60, plant_variants=True)  # plants a tail-variant per
         # video with media_id % 6 == 2
         out = chunk_neardup(rd.from_arrow(tbl))
         got = set(zip(out["media_a"], out["media_b"]))

@@ -872,7 +872,7 @@ class TestKTruss:
         pend = [(4, 20)]
         und, nodes = self._views(k4 + tri + pend)
         out = ktruss_edges(None, k=4, n_rounds=3,
-                           und_pre=und, nodes_pre=nodes)
+                           und_pre=und, nodes_pre=nodes).to_pandas()
         got = {(a, b): s for a, b, s in
                zip(out["node_a"], out["node_b"], out["support"])}
         assert got == {(f"n{a}", f"n{b}"): 2 for a, b in k4}
@@ -889,7 +889,7 @@ class TestKTruss:
         edges = list(map(tuple, e.to_numpy()))
         und, nodes = self._views(edges)
         out = ktruss_edges(None, k=4, n_rounds=3,
-                           und_pre=und, nodes_pre=nodes)
+                           und_pre=und, nodes_pre=nodes).to_pandas()
         # reference peel: support(e) = common neighbors of endpoints
         want = self._reference(edges, k=4, n_rounds=3)
         got = {(int(a[1:]), int(b[1:])): s for a, b, s in
@@ -901,8 +901,39 @@ class TestKTruss:
         und, nodes = self._views([(1, 2), (2, 3)])  # no triangles
         out = ktruss_edges(None, k=4, n_rounds=2,
                            und_pre=und, nodes_pre=nodes)
-        assert len(out) == 0
-        assert list(out.columns) == ["node_a", "node_b", "support"]
+        # a zero-row Dataset keeps its declared schema (to_pandas()
+        # would drop it — the documented _typed quirk)
+        assert out.schema().names == ["node_a", "node_b", "support"]
+        assert out.count() == 0
+
+    def test_large_path_streams_and_matches_small_path(self,
+                                                       monkeypatch):
+        """driver_max_edges=0 forces the distributed string-resolution
+        tail: the result must be an rd.Dataset, row-identical to the
+        need-set-broadcast path, and must never call resolve_names
+        (the driver-side resolver) — i.e. surviving edges never
+        materialize on the driver."""
+        import rdf_extraction_ray.stages.graph as G
+        k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+        tri = [(10, 11), (10, 12), (11, 12)]
+        und, nodes = self._views(k4 + tri + [(4, 20)])
+        small = G.ktruss_edges(None, k=4, n_rounds=3,
+                               und_pre=und, nodes_pre=nodes)             .to_pandas().sort_values(["node_a", "node_b"],
+                                     ignore_index=True)
+
+        def _boom(*a, **kw):
+            raise AssertionError(
+                "resolve_names (driver path) used on the large path")
+
+        monkeypatch.setattr(G, "resolve_names", _boom)
+        out = G.ktruss_edges(None, k=4, n_rounds=3,
+                             und_pre=und, nodes_pre=nodes,
+                             driver_max_edges=0)
+        assert isinstance(out, rd.Dataset)
+        large = out.to_pandas().sort_values(["node_a", "node_b"],
+                                            ignore_index=True)
+        large["support"] = large["support"].astype("int64")
+        pd.testing.assert_frame_equal(small, large)
 
 
 class TestWeightedLinkPrediction:

@@ -207,3 +207,50 @@ class TestNt:
                  for ln in shard.splitlines() if ln]
         assert len(lines) == len(_ROWS)
         assert {tuple([*ln.split(" ", 2)]) and ln for ln in lines}
+
+
+class TestJsonldVectorized:
+    def test_matches_rowwise_reference_encoder(self):
+        """format_jsonld's group-concat assembly must be
+        byte-identical to the row-at-a-time dict builder it replaced
+        (values per pred in encounter order, keys sorted, exact
+        json.dumps escaping)."""
+        from rdf_extraction_ray.namespaces import NS
+        from rdf_extraction_ray.stages.serialize import format_jsonld
+
+        def rowwise(batch):
+            rows = []
+            for subj, g in batch.groupby("subj", sort=True):
+                node = {"@id": subj}
+                for _, r in g.iterrows():
+                    if r["obj_kind"] == "uri":
+                        val = {"@id": r["obj"]}
+                    else:
+                        val = {"@value": r["obj"]}
+                        if r["obj_lang"]:
+                            val["@language"] = r["obj_lang"]
+                        elif r["obj_datatype"]:
+                            d = r["obj_datatype"]
+                            val["@type"] = (NS[d.split(":")[0]]
+                                            + d.split(":")[1])
+                    node.setdefault(r["pred"], []).append(val)
+                rows.append(" " + json.dumps(node, sort_keys=True))
+            return pd.DataFrame({"line": rows})
+
+        batch = pd.DataFrame({
+            "subj": ["s2", "s1", "s1", "s1", "s2", "s1"],
+            "pred": ["rdf:type", "foaf:name", "foaf:name",
+                     "cwrc:x", "oa:motiv", "rdf:type"],
+            "obj": ["http://x/T", 'Ann "Quo\\te"\nß', "Bob",
+                    "42", "http://y/m", "http://x/T2"],
+            "obj_kind": ["uri", "literal", "literal", "literal",
+                         "uri", "uri"],
+            "obj_lang": [None, "en", None, None, None, None],
+            "obj_datatype": [None, None, None, "xsd:integer",
+                             None, None]})
+        want = rowwise(batch)["line"].tolist()
+        got = format_jsonld(batch)["line"].tolist()
+        assert got == want
+        for ln in got:  # every line is a valid JSON node object
+            json.loads(ln)
+        assert len(format_jsonld(batch.iloc[0:0])) == 0
