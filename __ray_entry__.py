@@ -4824,6 +4824,59 @@ WHERE {
 """
 
 
+_SPARQL_STAR_TEXT = """
+PREFIX kg: <http://kg.example.org/ontology#>
+SELECT ?x ?y WHERE { ?x kg:interpersonalRelationshipWith* ?y }
+"""
+
+_SPARQL_COMPOSE_TEXT = """
+PREFIX kg: <http://kg.example.org/ontology#>
+SELECT DISTINCT ?x ?y ?bp WHERE {
+  ?x kg:interpersonalRelationshipWith+ ?y .
+  ?y kg:hasBirthPlace ?bp .
+}
+"""
+
+_SPARQL_OFFSET_TEXT = """
+PREFIX kg: <http://kg.example.org/ontology#>
+SELECT ?person ?bp WHERE { ?person kg:hasBirthPlace ?bp }
+ORDER BY ?person ?bp LIMIT 200 OFFSET 100
+"""
+
+
+def _q_kg_sparql_path_star(sf_dir: str):
+    """Textual ``p*`` (zero-or-more, round-4 grammar closure): the
+    single-pattern star dispatches to the dual-path ``path_closure``
+    unioned with the zero-length URI-term self-pairs and one
+    pair-hash dedup exchange — the same plan as kg_path_star, now
+    reachable from the query STRING surface
+    (stages/sparql.py:_closure_pairs). Reference analogue: arbitrary
+    endpoint SPARQL property paths (cwrc/RDF-extraction
+    Utils/utilities.py:446-490)."""
+    from rdf_extraction_ray.stages.sparql import run_sparql
+    return run_sparql(_triples_view(sf_dir), _SPARQL_STAR_TEXT)
+
+
+def _q_kg_sparql_path_compose(sf_dir: str):
+    """Textual ``p+`` COMPOSED with another pattern (round-4 grammar
+    closure): the closure joins the BGP plan as a derived relation
+    under a synthetic predicate (stages/sparql.py:_compose_closures)
+    — the planner is unchanged and the only exchanges are the
+    closure's own plus the ordinary BGP hash join."""
+    from rdf_extraction_ray.stages.sparql import run_sparql
+    return run_sparql(_triples_view(sf_dir), _SPARQL_COMPOSE_TEXT)
+
+
+def _q_kg_sparql_offset(sf_dir: str):
+    """Textual OFFSET pagination (round-4 grammar closure): ORDER BY
+    + LIMIT + OFFSET fetches the sorted top (offset + limit) rows via
+    the combiner top-k plan and drops the first ``offset`` — the
+    driver materialization is page-sized, never the solution
+    sequence."""
+    from rdf_extraction_ray.stages.sparql import run_sparql
+    return run_sparql(_triples_view(sf_dir), _SPARQL_OFFSET_TEXT)
+
+
 def _q_kg_sparql_select(sf_dir: str):
     """The textual-SPARQL surface end to end: a query STRING (two-way
     join + var-to-var FILTER + ORDER BY DESC + LIMIT) parsed by
@@ -7517,6 +7570,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---------------- window boundary (~50) ----------------
         # remaining never-driver-verified names (in case the
         # window is wider than 50)
+        "kg_sparql_path_star": _q_kg_sparql_path_star,
+        "kg_sparql_path_compose": _q_kg_sparql_path_compose,
+        "kg_sparql_offset": _q_kg_sparql_offset,
         "events_outliers": _q_events_outliers,
         "embed_covariance": _q_embed_covariance,
         "docs_length_token_corr": _q_docs_length_token_corr,
@@ -10157,6 +10213,47 @@ def oracle_sql() -> dict[str, str]:
                    least(s.i * 96 + 128, c.n)::BIGINT AS tok_end,
                    c.n AS n_tokens
             FROM c JOIN s ON s.i < c.k
+        """,
+        "kg_sparql_path_star": f"""
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT subj AS s, obj AS o
+                FROM read_parquet('{triples}')
+                WHERE pred = '{_KG_REL}'),
+            c(start, node) AS (
+                SELECT s, o FROM e
+                UNION
+                SELECT c.start, e.o FROM c JOIN e ON c.node = e.s),
+            terms AS (
+                SELECT DISTINCT subj AS t
+                FROM read_parquet('{triples}')
+                WHERE obj_kind = 'uri'
+                UNION
+                SELECT obj FROM read_parquet('{triples}')
+                WHERE obj_kind = 'uri')
+            SELECT start AS x, node AS y FROM c
+            UNION
+            SELECT t, t FROM terms
+        """,
+        "kg_sparql_path_compose": f"""
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT subj AS s, obj AS o
+                FROM read_parquet('{triples}')
+                WHERE pred = '{_KG_REL}'),
+            c(start, node) AS (
+                SELECT s, o FROM e
+                UNION
+                SELECT c.start, e.o FROM c JOIN e ON c.node = e.s)
+            SELECT DISTINCT c.start AS x, c.node AS y, b.obj AS bp
+            FROM c JOIN read_parquet('{triples}') b
+              ON c.node = b.subj
+            WHERE b.pred = '{_UPD_OLD}'
+        """,
+        "kg_sparql_offset": f"""
+            SELECT subj AS person, obj AS bp
+            FROM read_parquet('{triples}')
+            WHERE pred = '{_UPD_OLD}'
+            ORDER BY person, bp
+            LIMIT 200 OFFSET 100
         """,
         "kg_sparql_select": f"""
             SELECT a.subj AS person, a.obj AS bp, b.obj AS dp

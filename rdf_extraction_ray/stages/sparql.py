@@ -25,19 +25,27 @@ raises a precise error outside it):
   ``&&``, plus CONTAINS/STRSTARTS), FILTER [NOT] EXISTS { },
   MINUS { }, VALUES, BIND (expr AS ?v), and a top-level
   ``{ g } UNION { g }``.
-* Solution modifiers GROUP BY / HAVING / ORDER BY [ASC|DESC] / LIMIT.
+* Solution modifiers GROUP BY / HAVING / ORDER BY [ASC|DESC] /
+  LIMIT / OFFSET (OFFSET requires ORDER BY + LIMIT — the paginated
+  top-k idiom; an unordered OFFSET is nondeterministic).
 * ``{ SELECT ... }`` subqueries (aggregate inner sequences, joined on
   the shared variables via :func:`graph.bgp_subquery`).
-* ``p+`` as the single pattern of a plain SELECT (dispatched to
-  :func:`graph.path_closure`; constant subject/object slots restrict
-  the origin set / filter the closure end).
+* Property-path quantifiers ``p+`` (one-or-more) and ``p*``
+  (zero-or-more; zero-length pairs are the graph's URI terms paired
+  with themselves): alone they dispatch straight to
+  :func:`graph.path_closure` (constant subject/object slots restrict
+  the origin set / filter the closure end); COMPOSED with other
+  patterns in a SELECT / ASK / CONSTRUCT, the closure joins the BGP
+  plan as a derived relation under a synthetic predicate
+  (:func:`_compose_closures`) — no planner change, zero extra
+  exchanges beyond the closure itself.
 * Query forms SELECT, ASK, CONSTRUCT, DESCRIBE ?v, and the update
   form ``DELETE { } INSERT { } WHERE { }`` (either template optional;
   ``DELETE WHERE { }`` shorthand).
 
-Out of scope (documented, loud errors): ``p*`` (zero-or-more), ``p+``
-composed with other patterns, variable predicates, named graphs,
-OFFSET, and non-"|" GROUP_CONCAT separators (the engine pins "|").
+Out of scope (documented, loud errors): variable predicates, named
+graphs, closures outside the required pattern block, and non-"|"
+GROUP_CONCAT separators (the engine pins "|").
 """
 
 from __future__ import annotations
@@ -150,15 +158,14 @@ class _Parser:
         while self._peek()[1] == "|":
             self._next()
             alts.append(one())
-        if self._peek()[1] == "*":
-            raise NotImplementedError(
-                "p* (zero-or-more) is not supported; p+ is")
-        if self._peek()[1] == "+":
+        quant = self._peek()[1]
+        if quant in ("+", "*"):
             self._next()
             if len(alts) > 1 or alts[0].startswith("^"):
                 raise NotImplementedError(
-                    "p+ supports a single forward predicate")
-            return ("__closure__", alts[0])
+                    f"p{quant} supports a single forward predicate")
+            return ("__closure_star__" if quant == "*"
+                    else "__closure__", alts[0])
         return alts[0] if len(alts) == 1 else tuple(alts)
 
     def _const_iri(self) -> str:
@@ -485,7 +492,11 @@ class _Parser:
                     raise SyntaxError("LIMIT needs a number")
                 q["limit"] = int(n)
             elif kw == "offset":
-                raise NotImplementedError("OFFSET is not supported")
+                self._next()
+                kind, n = self._next()
+                if kind != "num":
+                    raise SyntaxError("OFFSET needs a number")
+                q["offset"] = int(n)
             else:
                 break
 
@@ -530,8 +541,9 @@ class _Parser:
         return {"form": None, "distinct": False, "select": None,
                 "aggs": [], "binds": [], "group_by": [],
                 "having": [], "order_by": [], "limit": None,
-                "template": None, "describe_var": None,
-                "delete": None, "insert": None, "group": None}
+                "offset": None, "template": None,
+                "describe_var": None, "delete": None, "insert": None,
+                "group": None}
 
     def _parse_subselect(self) -> dict:
         """SELECT header + group + modifiers (shared by the top-level
@@ -623,6 +635,95 @@ def parse_sparql(text: str) -> dict:
     return _Parser(text).parse()
 
 
+_CLOSURE_MARKS = ("__closure__", "__closure_star__")
+
+
+def _is_closure(p) -> bool:
+    return isinstance(p[1], tuple) and p[1][0] in _CLOSURE_MARKS
+
+
+def _closure_pairs(G, triples, pred: str, star: bool,
+                   start_const: str | None, n_buckets: int):
+    """The (start, node) relation of ``pred+`` / ``pred*`` as a
+    set-distinct Dataset. ``pred*`` unions the ``pred+`` closure with
+    the zero-length pairs — every URI term in the graph paired with
+    itself (or just (s, s) when the subject slot is the constant
+    ``s``) — then pair-dedups (a cycle makes (x, x) reachable via
+    ``pred+`` too; set semantics must collapse it)."""
+    import pandas as pd
+    import ray.data as rd
+
+    clo = G.path_closure(triples, pred,
+                         starts=[start_const] if start_const else None,
+                         n_buckets=n_buckets)
+    if not star:
+        return clo  # path_closure output is already set-distinct
+    if start_const is not None:
+        zero = rd.from_pandas(pd.DataFrame(
+            {"start": [start_const], "node": [start_const]}))
+    else:
+        def _zero_rows(df: pd.DataFrame) -> pd.DataFrame:
+            g = df[df["obj_kind"] == "uri"] \
+                if "obj_kind" in df.columns else df
+            t = pd.unique(pd.concat([g["subj"], g["obj"]],
+                                    ignore_index=True))
+            return pd.DataFrame({"start": t, "node": t})
+
+        zero = triples.map_batches(_zero_rows, batch_format="pandas")
+
+    def _pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[["start", "node"]]
+        h = pd.util.hash_pandas_object(
+            g["start"].astype(str) + "\x00" + g["node"].astype(str),
+            index=False)
+        return g.assign(pb=(h % 64).astype("int64"))
+
+    return (clo.union(zero)
+            .map_batches(_pair_bucket, batch_format="pandas")
+            .groupby("pb")
+            .map_groups(lambda g: g[["start", "node"]]
+                        .drop_duplicates(), batch_format="pandas"))
+
+
+def _compose_closures(G, triples, patterns, n_buckets: int):
+    """Rewrite closure patterns as DERIVED RELATIONS joined into the
+    BGP plan: each ``(s, p+/p*, o)`` pattern's (start, node) pairs
+    become triple rows under a synthetic predicate, unioned with the
+    base scan (projected to subj/pred/obj — the only columns the BGP
+    planner reads), and the pattern becomes an ordinary constant-
+    predicate pattern over that predicate. The closure exchanges stay
+    inside :func:`graph.path_closure`; the union adds zero extra
+    shuffles."""
+    import pyarrow as pa
+
+    base = triples.map_batches(
+        lambda t: t.select(["subj", "pred", "obj"]),
+        batch_format="pyarrow")
+    aug = base
+    out_pats = []
+    for i, pat in enumerate(patterns):
+        if not _is_closure(pat):
+            out_pats.append(pat)
+            continue
+        s, (mark, pred), o = pat
+        syn = f"urn:x-sparql-closure:{i}"
+        pairs = _closure_pairs(
+            G, triples, pred, star=mark == "__closure_star__",
+            start_const=None if s.startswith("?") else s,
+            n_buckets=n_buckets)
+
+        def _to_triples(t, syn=syn):
+            return pa.table({
+                "subj": t.column("start").cast(pa.string()),
+                "pred": pa.array([syn] * len(t), pa.string()),
+                "obj": t.column("node").cast(pa.string())})
+
+        aug = aug.union(pairs.map_batches(_to_triples,
+                                          batch_format="pyarrow"))
+        out_pats.append((s, syn, o))
+    return aug, out_pats
+
+
 def run_sparql(triples, text: str, n_buckets: int = 64):
     """Parse ``text`` and execute it over the ``triples`` Dataset
     (columns subj/pred/obj[, provenance]) — a Dataset out for
@@ -634,39 +735,59 @@ def run_sparql(triples, text: str, n_buckets: int = 64):
     q = parse_sparql(text)
     g = q["group"]
 
-    closures = [p for p in (g["patterns"] or [])
-                if isinstance(p[1], tuple) and p[1][0] == "__closure__"]
+    # closure paths (p+ / p*) outside the required pattern block are
+    # out of scope — loud errors, never a silent misplan
+    aux_pats = list(g["optional"]) + list(g["minus"] or []) \
+        + list(g["exists"] or []) + list(g["not_exists"] or []) \
+        + [p for pats, opt in (g["union"] or [])
+           for p in list(pats) + list(opt or [])] \
+        + list(q["template"] or []) + list(q["delete"] or []) \
+        + list(q["insert"] or [])
+    if any(_is_closure(p) for p in aux_pats):
+        raise NotImplementedError(
+            "p+/p* are supported in the required pattern block only")
+
+    closures = [p for p in (g["patterns"] or []) if _is_closure(p)]
     if closures:
-        if q["form"] != "select" or len(g["patterns"]) != 1 \
-                or any(g[k] for k in ("optional", "filters", "binds")) \
-                or g["union"] or g["minus"] or g["exists"] \
-                or g["not_exists"] or g["values"] or g["subquery"] \
-                or q["aggs"] or q["order_by"] or q["limit"]:
+        simple = (
+            q["form"] == "select" and len(g["patterns"]) == 1
+            and not any(g[k] for k in ("optional", "filters", "binds"))
+            and not g["union"] and not g["minus"] and not g["exists"]
+            and not g["not_exists"] and not g["values"]
+            and not g["subquery"] and not q["aggs"]
+            and not q["order_by"] and q["limit"] is None
+            and q["offset"] is None)
+        if simple:
+            s, (mark, pred), o = g["patterns"][0]
+            out = _closure_pairs(
+                G, triples, pred, star=mark == "__closure_star__",
+                start_const=None if s.startswith("?") else s,
+                n_buckets=n_buckets)
+            # closure columns are (start, node); map them to the
+            # pattern's variables (a constant slot filters instead) —
+            # one zero-copy Arrow pass does filter + rename + project
+            names = {"start": s[1:] if s.startswith("?") else None,
+                     "node": o[1:] if o.startswith("?") else None}
+            keep = q["select"] or [v for v in names.values() if v]
+            keep = [v for v in keep if v in names.values()]
+
+            def _shape(t, o=o, names=names, keep=keep):
+                import pyarrow as pa
+                import pyarrow.compute as pc
+                if names["node"] is None:  # ?x p+ <const o>
+                    t = t.filter(pc.equal(t.column("node"), o))
+                cols = {v: t.column(c) for c, v in names.items() if v}
+                return pa.table({v: cols[v] for v in keep})
+
+            return out.map_batches(_shape, batch_format="pyarrow")
+        if q["form"] not in ("select", "ask", "construct"):
             raise NotImplementedError(
-                "p+ is supported as the single pattern of a plain "
-                "SELECT — compose further with graph.path_closure")
-        s, (_, pred), o = g["patterns"][0]
-        out = G.path_closure(
-            triples, pred,
-            starts=[s] if not s.startswith("?") else None,
-            n_buckets=n_buckets)
-        # closure columns are (start, node); map them to the
-        # pattern's variables (a constant slot filters instead) —
-        # one zero-copy Arrow pass does filter + rename + project
-        names = {"start": s[1:] if s.startswith("?") else None,
-                 "node": o[1:] if o.startswith("?") else None}
-        keep = q["select"] or [v for v in names.values() if v]
-        keep = [v for v in keep if v in names.values()]
-
-        def _shape(t, o=o, names=names, keep=keep):
-            import pyarrow as pa
-            import pyarrow.compute as pc
-            if names["node"] is None:  # ?x p+ <const o>
-                t = t.filter(pc.equal(t.column("node"), o))
-            cols = {v: t.column(c) for c, v in names.items() if v}
-            return pa.table({v: cols[v] for v in keep})
-
-        return out.map_batches(_shape, batch_format="pyarrow")
+                "p+/p* compose with other patterns in SELECT / ASK / "
+                "CONSTRUCT only (DESCRIBE and updates return graph "
+                "triples, which a derived closure relation would "
+                "pollute)")
+        triples, g["patterns"] = _compose_closures(
+            G, triples, g["patterns"], n_buckets)
 
     if q["form"] == "ask":
         if g["union"] or g["minus"] or g["exists"] or g["not_exists"] \
@@ -708,6 +829,13 @@ def run_sparql(triples, text: str, n_buckets: int = 64):
                                n_buckets=n_buckets)
 
     # ---- SELECT
+    if q["offset"] is not None and (
+            g["union"] is not None or g["subquery"] is not None
+            or q["aggs"] or q["group_by"] or g["minus"] is not None
+            or g["exists"] is not None or g["not_exists"] is not None):
+        raise NotImplementedError(
+            "OFFSET composes with the plain pattern SELECT "
+            "(ORDER BY + LIMIT pagination)")
     if g["union"] is not None:
         if q["aggs"] or q["binds"] or q["order_by"] or q["limit"] \
                 or q["group_by"]:
@@ -811,6 +939,30 @@ def run_sparql(triples, text: str, n_buckets: int = 64):
                             filters=g["filters"] or None,
                             n_buckets=n_buckets)
 
+    offset = q["offset"]
+    if offset:
+        # paginated top-k: fetch the sorted top (offset + limit)
+        # rows, then drop the first ``offset`` — the materialization
+        # is RESULT-PAGE-sized (offset + limit rows), never the full
+        # solution sequence, which is why ORDER BY + LIMIT are
+        # required (unordered OFFSET would be nondeterministic
+        # anyway)
+        if not q["order_by"] or q["limit"] is None:
+            raise NotImplementedError(
+                "OFFSET requires ORDER BY and LIMIT")
+        import pandas as pd
+        import ray.data as rd
+        out = G.bgp_match(triples, g["patterns"], select=q["select"],
+                          distinct=q["distinct"],
+                          optional=g["optional"] or None,
+                          filters=g["filters"] or None,
+                          values=g["values"],
+                          order_by=q["order_by"] or None,
+                          limit=q["limit"] + offset,
+                          binds=q["binds"] or None,
+                          n_buckets=n_buckets)
+        page = out.to_pandas().iloc[offset:].reset_index(drop=True)
+        return rd.from_pandas(page)
     return G.bgp_match(triples, g["patterns"], select=q["select"],
                        distinct=q["distinct"],
                        optional=g["optional"] or None,

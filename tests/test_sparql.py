@@ -164,7 +164,9 @@ class TestOtherForms:
 
 class TestParserErrors:
     @pytest.mark.parametrize("q,err", [
-        ("SELECT ?x WHERE { ?x <p>* ?y }", NotImplementedError),
+        ("SELECT ?x WHERE { ?x ^<p>+ ?y }", NotImplementedError),
+        ("SELECT ?x WHERE { OPTIONAL { ?x <p>* ?y } }",
+         NotImplementedError),
         ("SELECT ?x WHERE { ?x ?p ?y }", NotImplementedError),
         ("SELECT ?x WHERE { ?x <p> ?y } OFFSET 5", NotImplementedError),
         ("SELECT ?x WHERE { ?x <p> ?y } LIMIT x", SyntaxError),
@@ -237,10 +239,104 @@ class TestClosurePath:
             SELECT ?s WHERE { ?s ex:p+ "c" }""").to_pandas()
         assert sorted(got["s"]) == ["a", "b"]
 
-    def test_closure_composition_is_loud(self):
+    def test_closure_out_of_scope_forms_are_loud(self):
+        # composition and p* are supported since round 4
+        # (TestClosureForms); closures in auxiliary blocks and in
+        # graph-returning forms stay loud
         tr = _triples()
         with pytest.raises(NotImplementedError):
             run_sparql(tr, PRE + """
-                SELECT ?s ?t WHERE { ?s ex:p+ ?t . ?t ex:q ?u }""")
+                SELECT ?s WHERE { ?s ex:q ?t .
+                                  MINUS { ?s ex:p+ ?t } }""")
         with pytest.raises(NotImplementedError):
-            run_sparql(tr, PRE + "SELECT ?s WHERE { ?s ex:p* ?t }")
+            run_sparql(tr, PRE + """
+                DESCRIBE ?s WHERE { ?s ex:p+ ?t . ?t ex:q ?u }""")
+
+
+class TestClosureForms:
+    """Round-4 grammar closures: p* alone, p+/p* composed with other
+    patterns (derived-relation join), and OFFSET pagination."""
+
+    @staticmethod
+    def _chain():
+        # a -> b -> c -> d  via ex:next, plus names on each node
+        rows = [
+            ("a", "http://ex.org/next", "b"),
+            ("b", "http://ex.org/next", "c"),
+            ("c", "http://ex.org/next", "d"),
+            ("a", "http://ex.org/name", "NA"),
+            ("b", "http://ex.org/name", "NB"),
+            ("c", "http://ex.org/name", "NC"),
+            ("d", "http://ex.org/name", "ND"),
+        ]
+        return rd.from_pandas(pd.DataFrame(
+            rows, columns=["subj", "pred", "obj"]))
+
+    def test_star_single_pattern_includes_zero_length(self):
+        got = _canon(run_sparql(
+            self._chain(),
+            PRE + "SELECT ?y WHERE { <a> ex:next* ?y }"))
+        assert got["y"].tolist() == ["a", "b", "c", "d"]
+
+    def test_star_var_endpoints_self_pairs(self):
+        got = _canon(run_sparql(
+            self._chain(),
+            PRE + "SELECT ?x ?y WHERE { ?x ex:next* ?y }"))
+        pairs = set(zip(got["x"], got["y"]))
+        # every URI term self-paired (zero hops)...
+        for t in ["a", "b", "c", "d", "NA", "NB", "NC", "ND"]:
+            assert (t, t) in pairs
+        # ...plus the transitive reach
+        assert {("a", "b"), ("a", "c"), ("a", "d"),
+                ("b", "d")} <= pairs
+
+    def test_plus_composed_with_pattern(self):
+        # reachable-from-a nodes joined with their names
+        got = _canon(run_sparql(self._chain(), PRE + """
+            SELECT ?y ?n WHERE {
+              <a> ex:next+ ?y .
+              ?y ex:name ?n .
+            }"""))
+        assert list(zip(got["y"], got["n"])) == [
+            ("b", "NB"), ("c", "NC"), ("d", "ND")]
+
+    def test_star_composed_with_filter(self):
+        got = _canon(run_sparql(self._chain(), PRE + """
+            SELECT ?y ?n WHERE {
+              <a> ex:next* ?y .
+              ?y ex:name ?n .
+              FILTER (?n != "NC")
+            }"""))
+        assert list(zip(got["y"], got["n"])) == [
+            ("a", "NA"), ("b", "NB"), ("d", "ND")]
+
+    def test_plus_composed_ask_and_construct(self):
+        assert run_sparql(self._chain(), PRE + """
+            ASK { <a> ex:next+ ?y . ?y ex:name "ND" }""") is True
+        assert run_sparql(self._chain(), PRE + """
+            ASK { <a> ex:next+ ?y . ?y ex:name "NA" }""") is False
+        cons = _canon(run_sparql(self._chain(), PRE + """
+            CONSTRUCT { <a> ex:reaches ?y } WHERE {
+              <a> ex:next+ ?y . ?y ex:name ?n }"""))
+        assert set(cons["obj"]) == {"b", "c", "d"}
+        assert set(cons["pred"]) == {"http://ex.org/reaches"}
+
+    def test_offset_paginates_sorted_results(self):
+        q = PRE + ("SELECT ?s ?n WHERE { ?s ex:name ?n } "
+                   "ORDER BY ?n LIMIT 2 OFFSET %d")
+        page0 = run_sparql(self._chain(), q % 0).to_pandas()
+        page1 = run_sparql(self._chain(), q % 2).to_pandas()
+        assert page0["n"].tolist() == ["NA", "NB"]
+        assert page1["n"].tolist() == ["NC", "ND"]
+        # past-the-end page is empty
+        assert len(run_sparql(self._chain(), q % 4).to_pandas()) == 0
+
+    def test_offset_requires_order_and_limit(self):
+        with pytest.raises(NotImplementedError):
+            run_sparql(self._chain(), PRE +
+                       "SELECT ?s WHERE { ?s ex:name ?n } "
+                       "ORDER BY ?n OFFSET 1")
+        with pytest.raises(NotImplementedError):
+            run_sparql(self._chain(), PRE +
+                       "SELECT (COUNT(*) AS ?c) WHERE "
+                       "{ ?s ex:name ?n } LIMIT 1 OFFSET 1")
