@@ -1140,6 +1140,42 @@ def _graph_view_read(gv: str, name: str):
     return _view_read(gv, name)
 
 
+_GV_MANIFEST = "_MANIFEST.json"
+
+
+def _find_prev_graph_view(entries: dict) -> tuple | None:
+    """A previously published graph view whose manifest covers a
+    strict SUBSET of the current input files, each byte-identical by
+    (size, mtime) — i.e. the current input is that view's input plus
+    appended shards. Returns (view_path, prev_files) or None; when
+    several qualify, the one covering the most files wins (smallest
+    delta)."""
+    import json as _json
+    root = "/tmp/rdf_extraction_ray"
+    best = None
+    try:
+        names = os.listdir(root)
+    except OSError:
+        return None
+    pref = f"kggraph_v{_KG_GRAPH_VERSION}_"
+    for d in names:
+        if not d.startswith(pref) or ".tmp" in d                 or "_nocache_" in d:
+            continue
+        mpath = os.path.join(root, d, _GV_MANIFEST)
+        try:
+            with open(mpath) as f:
+                m = _json.load(f)
+        except (OSError, ValueError):
+            continue
+        prev_files = m.get("files") or {}
+        if not prev_files or len(prev_files) >= len(entries):
+            continue  # equal sets can't happen (key would have hit)
+        if all(entries.get(f) == v for f, v in prev_files.items()):
+            if best is None or len(prev_files) > len(best[1]):
+                best = (os.path.join(root, d), prev_files)
+    return best
+
+
 def _kg_graph_views(sf_dir: str) -> str:
     """Materialized int64 GRAPH PROJECTION of the KG triples, cached
     beside the triples view: ``nodes/`` (distinct (h, node), min(node)
@@ -1158,16 +1194,19 @@ def _kg_graph_views(sf_dir: str) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    import ray.data as rd
     from rdf_extraction_ray.stages.graph import tagged_graph_scan
     tr = _triples_view(sf_dir)
     # cache key = fingerprint of the triples view's actual input
     # files (path, size, mtime): a regenerated or substituted triples
     # source (tests monkeypatch _triples_view) invalidates the cache
     files = sorted(tr.input_files())
+    entries = {}
     if files:
         sig = hashlib.md5()
         for f in files:
             st = os.stat(f)
+            entries[f] = [st.st_size, st.st_mtime_ns]
             sig.update(f"{f}:{st.st_size}:{st.st_mtime_ns}".encode())
         path = (f"/tmp/rdf_extraction_ray/kggraph_v{_KG_GRAPH_VERSION}"
                 f"_{sig.hexdigest()[:16]}")
@@ -1183,12 +1222,28 @@ def _kg_graph_views(sf_dir: str) -> str:
     tmp = f"{path}.tmp.{os.getpid()}"
     B = np.int64(64)
 
+    # INCREMENTAL REFRESH (append-only inputs): if a previously
+    # published view's manifest covers a strict subset of the current
+    # files — every covered file byte-identical by (size, mtime) —
+    # only the NEW files' triples get the string scan + md5 hashing;
+    # the old views merge back in as int64 rows through the same
+    # dedup exchanges. At 100 TB the string scan dominates the build,
+    # so an appended shard costs its own scan plus edge-sized int64
+    # exchanges instead of a full corpus re-hash.
+    prev = _find_prev_graph_view(entries) if entries else None
+    delta_files = sorted(set(files) - set(prev[1])) if prev else []
+
     def _scan(df: pd.DataFrame) -> pd.DataFrame:
         g = df[df["obj_kind"] == "uri"]
         return tagged_graph_scan(pd.DataFrame({"s": g["subj"],
                                                "d": g["obj"]}))
 
-    base = tr.map_batches(_scan, batch_format="pandas").materialize()
+    if prev is None:
+        src = tr
+    else:
+        src = rd.read_parquet(delta_files,
+                              columns=["subj", "obj", "obj_kind"])
+    base = src.map_batches(_scan, batch_format="pandas").materialize()
 
     def _node_rows(df: pd.DataFrame) -> pd.DataFrame:
         g = df[df["kind"] == 1]
@@ -1196,9 +1251,19 @@ def _kg_graph_views(sf_dir: str) -> str:
         return pd.DataFrame({"h": h, "node": g["node"].astype(str),
                              "nb": h % B})
 
+    node_src = base.map_batches(_node_rows, batch_format="pandas")
+    if prev is not None:
+        node_src = node_src.union(
+            rd.read_parquet(os.path.join(prev[0], "nodes"))
+            .map_batches(
+                lambda df: df.assign(
+                    nb=(df["h"].astype("int64") % B))[
+                        ["h", "node", "nb"]],
+                batch_format="pandas"))
+
     # min(node) per hash via sort + first-per-h: a string-valued
     # groupby().min() falls back to a pure-Python per-group loop
-    (base.map_batches(_node_rows, batch_format="pandas")
+    (node_src
      .groupby("nb").map_groups(
          lambda g: g.sort_values(["h", "node"], kind="stable")
          .drop_duplicates("h")[["h", "node"]],
@@ -1214,7 +1279,18 @@ def _kg_graph_views(sf_dir: str) -> str:
         return pd.DataFrame({"hs": hs, "hd": g["b"].astype("int64"),
                              "sb": hs % B})
 
-    deg = (base.map_batches(_edge_rows, batch_format="pandas")
+    edge_src = base.map_batches(_edge_rows, batch_format="pandas")
+    if prev is not None:
+        edge_src = edge_src.union(
+            rd.read_parquet(os.path.join(prev[0], "edges_deg"))
+            .map_batches(
+                lambda df: pd.DataFrame({
+                    "hs": df["hs"].astype("int64"),
+                    "hd": df["hd"].astype("int64"),
+                    "sb": df["hs"].astype("int64") % B}),
+                batch_format="pandas"))
+
+    deg = (edge_src
            .groupby("sb").map_groups(dedup_deg_group,
                                      batch_format="pandas")).materialize()
     deg.write_parquet(os.path.join(tmp, "edges_deg"))
@@ -1244,6 +1320,12 @@ def _kg_graph_views(sf_dir: str) -> str:
         if not any(f.endswith(".parquet") for f in os.listdir(d)):
             pq.write_table(schema.empty_table(),
                            os.path.join(d, "empty.parquet"))
+    if entries:
+        import json as _json
+        with open(os.path.join(tmp, _GV_MANIFEST), "w") as f:
+            _json.dump({"files": entries,
+                        "mode": "incremental" if prev else "full",
+                        "delta_files": delta_files}, f, sort_keys=True)
     _publish_dir(tmp, path)
     return path
 

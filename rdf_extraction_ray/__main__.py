@@ -207,46 +207,18 @@ def cmd_curate(args) -> int:
     """Training-data curation driver: documents parquet → quality
     gate → exact dedup (min id per distinct text, bodies shuffle
     exactly once, straight to the sink) → shard-partitioned training
-    parquet. Stats counts run on the materialized survivor set —
-    which IS the output, so nothing extra is held."""
+    parquet. END-TO-END RESUMABLE (stages/curate.run_curation): the
+    dedup survivor-id set and each output shard checkpoint against
+    the input fingerprint, so a killed run resumes from its last
+    completed stage; ``--fresh`` discards the checkpoints."""
     _ensure_ray()
-    import hashlib
+    from .stages.curate import run_curation
 
-    import pyarrow.compute as pc
-    import ray.data as rd
-
-    from .stages.curate import write_train_shards
-    from .stages.textstats import quality_score
-
-    docs = rd.read_parquet(args.input, columns=["doc_id", "text"])
-    n_in = docs.count()
-    gated = (docs.map_batches(quality_score, batch_format="pandas")
-             .map_batches(
-                 lambda t: t.filter(pc.equal(t.column("quality_ok"),
-                                             True))
-                 .select(["doc_id", "text"]),
-                 batch_format="pyarrow"))
-
-    def _with_tbucket(df):
-        b = df.copy()
-        b["tbucket"] = [int(hashlib.md5(str(t).encode())
-                            .hexdigest()[:8], 16) % 64
-                        for t in b["text"]]
-        return b
-
-    def _survivors(group):
-        g = group.sort_values("doc_id", kind="stable")
-        return g.drop_duplicates("text", keep="first")[
-            ["doc_id", "text"]]
-
-    surv = (gated.map_batches(_with_tbucket, batch_format="pandas")
-            .groupby("tbucket").map_groups(_survivors,
-                                           batch_format="pandas")
-            .materialize())
-    n_out = surv.count()
-    write_train_shards(surv, args.out, n_shards=args.shards)
-    print(json.dumps({"out": args.out, "docs_in": int(n_in),
-                      "docs_out": int(n_out),
+    res = run_curation(args.input, args.out, n_shards=args.shards,
+                       fresh=args.fresh)
+    print(json.dumps({"out": args.out, "docs_in": res["docs_in"],
+                      "docs_out": res["docs_out"],
+                      "resumed": res["resumed"],
                       "shards": args.shards}))
     return 0
 
@@ -290,10 +262,12 @@ def main(argv: list[str] | None = None) -> int:
     s.set_defaults(fn=cmd_report)
 
     s = sub.add_parser("curate", help="documents → quality gate → "
-                       "exact dedup → training shards")
+                       "exact dedup → training shards (resumable)")
     s.add_argument("--input", required=True)
     s.add_argument("--out", required=True)
     s.add_argument("--shards", type=int, default=8)
+    s.add_argument("--fresh", action="store_true",
+                   help="discard survivor/shard checkpoints")
     s.set_defaults(fn=cmd_curate)
 
     s = sub.add_parser("sparql", help="textual SPARQL over a triples "

@@ -593,6 +593,147 @@ def write_train_shards(docs: rd.Dataset, out_dir: str,
     return {"written": pending, "skipped": sorted(done)}
 
 
+_CKPT_MARKER = "_SURVIVORS.json"
+
+
+def _input_fingerprint(path: str) -> str | None:
+    """(file name, size, mtime) digest of a parquet file/dir — the
+    same cheap input identity the KG probe cache and shard markers
+    key on. None when the path can't be stat'd (checkpointing is
+    then disabled rather than wrong)."""
+    try:
+        if os.path.isdir(path):
+            files = sorted(os.path.join(path, f)
+                           for f in os.listdir(path)
+                           if f.endswith(".parquet"))
+        else:
+            files = [path]
+        parts = []
+        for f in files:
+            st = os.stat(f)
+            parts.append(f"{f}|{st.st_size}|{st.st_mtime_ns}")
+        return hashlib.md5("\n".join(parts).encode()).hexdigest()
+    except OSError:
+        return None
+
+
+def _load_survivor_checkpoint(ck_dir: str,
+                              fingerprint: str | None
+                              ) -> rd.Dataset | None:
+    """The checkpointed survivor-id Dataset, or None when absent /
+    written against a different input."""
+    import json
+    mpath = os.path.join(ck_dir, _CKPT_MARKER)
+    if fingerprint is None or not os.path.exists(mpath):
+        return None
+    try:
+        with open(mpath) as f:
+            m = json.load(f)
+    except (OSError, ValueError):
+        return None
+    if m.get("fingerprint") != fingerprint:
+        return None
+    return rd.read_parquet(ck_dir)
+
+
+def run_curation(input_path: str, out_dir: str, n_shards: int = 8,
+                 fresh: bool = False) -> dict:
+    """The composed curation DAG — quality gate → exact dedup →
+    shard-partitioned training parquet — with END-TO-END RESUME: a
+    run killed mid-dedup or mid-sink restarts from its last completed
+    stage instead of from scratch.
+
+    Two checkpoints, both keyed to the INPUT fingerprint (file
+    names/sizes/mtimes), both atomically published (tmp +
+    ``os.replace``):
+
+    1. the dedup SURVIVOR-ID SET (``<out>/_survivors/`` — one int64
+       id per surviving doc, written distributed, never through the
+       driver). Gate + dedup are deterministic, so the id set alone
+       reproduces the survivor rows: a resumed run semi-joins the
+       input against it (one partitioned hash join) and skips the
+       gate scan and the dedup exchange entirely.
+    2. the per-shard ``_SHARD.json`` markers
+       (:func:`write_train_shards`) — finished shards are never
+       rewritten.
+
+    ``fresh=True`` discards both and recomputes. Returns
+    ``{"docs_in", "docs_out", "resumed", "shards": {...}}``.
+    """
+    import json
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from .joins import hash_join
+    from .textstats import quality_score
+
+    fp = _input_fingerprint(input_path)
+    ck_dir = os.path.join(out_dir, "_survivors")
+    if fresh:
+        shutil.rmtree(ck_dir, ignore_errors=True)
+        for d in list(os.listdir(out_dir))                 if os.path.isdir(out_dir) else []:
+            if d.startswith("shard="):
+                shutil.rmtree(os.path.join(out_dir, d),
+                              ignore_errors=True)
+
+    docs = rd.read_parquet(input_path, columns=["doc_id", "text"])
+    n_in = docs.count()
+    ids = None if fresh else _load_survivor_checkpoint(ck_dir, fp)
+    resumed = ids is not None
+
+    if ids is None:
+        gated = (docs.map_batches(quality_score,
+                                  batch_format="pandas")
+                 .map_batches(
+                     lambda t: t.filter(
+                         pc.equal(t.column("quality_ok"), True))
+                     .select(["doc_id", "text"]),
+                     batch_format="pyarrow"))
+
+        def _with_tbucket(df: pd.DataFrame) -> pd.DataFrame:
+            b = df.copy()
+            b["tbucket"] = [int(hashlib.md5(str(x).encode())
+                                .hexdigest()[:8], 16) % 64
+                            for x in b["text"]]
+            return b
+
+        def _survivors(group: pd.DataFrame) -> pd.DataFrame:
+            g = group.sort_values("doc_id", kind="stable")
+            return g.drop_duplicates("text", keep="first")[
+                ["doc_id", "text"]]
+
+        surv = (gated.map_batches(_with_tbucket,
+                                  batch_format="pandas")
+                .groupby("tbucket").map_groups(
+                    _survivors, batch_format="pandas")
+                .materialize())
+        if fp is not None:
+            # checkpoint 1: distributed write of the compact id set,
+            # marker written INSIDE the tmp dir, then one atomic rename
+            os.makedirs(out_dir, exist_ok=True)
+            tmp = ck_dir + f".tmp.{os.getpid()}"
+            shutil.rmtree(tmp, ignore_errors=True)
+            surv.map_batches(lambda df: df[["doc_id"]],
+                             batch_format="pandas").write_parquet(tmp)
+            with open(os.path.join(tmp, _CKPT_MARKER), "w") as f:
+                json.dump({"fingerprint": fp}, f, sort_keys=True)
+            shutil.rmtree(ck_dir, ignore_errors=True)
+            os.replace(tmp, ck_dir)
+    else:
+        # resume: rebuild the survivor rows with ONE partitioned hash
+        # semi-join of the input against the checkpointed id set —
+        # no gate scan, no dedup exchange, nothing id-shaped on the
+        # driver
+        surv = hash_join(docs, ids, on="doc_id")
+
+    n_out = surv.count()
+    res = write_train_shards(surv, out_dir, n_shards=n_shards,
+                             fingerprint=fp)
+    return {"docs_in": int(n_in), "docs_out": int(n_out),
+            "resumed": resumed, "shards": res}
+
+
 def frequent_lines(docs: rd.Dataset, min_df: int = 5,
                    n_buckets: int = 64, text_col: str = "text"
                    ) -> "frozenset[str]":

@@ -308,3 +308,70 @@ def test_train_shards_resume_skips_published_and_is_byte_identical(tmp_path):
     r4 = write_train_shards(rd.from_pandas(df), out, n_shards=4,
                             fingerprint="fp2")
     assert r4["skipped"] == [] and r4["written"] == [0, 1, 2, 3]
+
+
+def test_run_curation_resumes_full_chain(tmp_path, monkeypatch):
+    """End-to-end resume of the composed curation DAG (gate → dedup →
+    shards): a run killed mid-sink resumes from the survivor
+    checkpoint — the gate/dedup stages are NOT recomputed (asserted
+    by poisoning quality_score) and only missing shards are written;
+    touching the input invalidates the checkpoint."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    import rdf_extraction_ray.stages.textstats as TS
+    from rdf_extraction_ray.stages.curate import run_curation
+
+    long = ("a reasonably long sentence with plenty of words in it "
+            "for the quality gate to accept without any complaint")
+    df = pd.DataFrame({
+        "doc_id": range(6),
+        "text": [long, long, long + " tail", "short", long + " tail",
+                 long + " other"]})
+    inp = str(tmp_path / "docs.parquet")
+    df.to_parquet(inp)
+    out = str(tmp_path / "out")
+
+    r1 = run_curation(inp, out, n_shards=4)
+    assert (r1["docs_in"], r1["docs_out"]) == (6, 3)
+    assert not r1["resumed"]
+    assert r1["shards"]["written"] == [0, 1, 2, 3]
+    full = pd.read_parquet(out).sort_values("doc_id",
+                                            ignore_index=True)
+    assert full["doc_id"].tolist() == [0, 2, 5]
+
+    # simulate a crash after two shards published: delete the others
+    shutil.rmtree(os.path.join(out, "shard=2"))
+    shutil.rmtree(os.path.join(out, "shard=3"))
+
+    real_qs = TS.quality_score
+
+    def _boom(*a, **kw):
+        raise AssertionError("gate recomputed despite checkpoint")
+
+    monkeypatch.setattr(TS, "quality_score", _boom)
+    r2 = run_curation(inp, out, n_shards=4)
+    assert r2["resumed"]
+    assert r2["shards"] == {"written": [2, 3], "skipped": [0, 1]}
+    resumed = pd.read_parquet(out).sort_values("doc_id",
+                                               ignore_index=True)
+    pd.testing.assert_frame_equal(
+        resumed[["doc_id", "text"]], full[["doc_id", "text"]])
+
+    # a fully-published output is a no-op resume
+    r3 = run_curation(inp, out, n_shards=4)
+    assert r3["resumed"] and r3["shards"]["written"] == []
+
+    # touching the input invalidates both checkpoints
+    monkeypatch.setattr(TS, "quality_score", real_qs)
+    df2 = pd.concat([df, pd.DataFrame(
+        {"doc_id": [9], "text": [long + " nine"]})],
+        ignore_index=True)
+    df2.to_parquet(inp)
+    r4 = run_curation(inp, out, n_shards=4)
+    assert not r4["resumed"]
+    assert (r4["docs_in"], r4["docs_out"]) == (7, 4)
+    got = pd.read_parquet(out)
+    assert sorted(got["doc_id"]) == [0, 2, 5, 9]

@@ -400,3 +400,91 @@ class TestEmptyCorpus:
             except Exception as exc:  # noqa: BLE001 — meta-test
                 failures.append((name, f"{type(exc).__name__}: {exc}"))
         assert not failures, failures
+
+
+class TestGraphViewIncrementalRefresh:
+    """_kg_graph_views (round 4): appending an input shard triggers an
+    INCREMENTAL build — only the new file is string-scanned; old
+    views merge back as int64 rows — and the result is identical to a
+    full rebuild over all files."""
+
+    @staticmethod
+    def _write(path, rows):
+        import pandas as pd
+        pd.DataFrame(rows, columns=["subj", "pred", "obj"]) \
+            .assign(obj_kind="uri").to_parquet(path)
+
+    @staticmethod
+    def _views(gv):
+        import pandas as pd
+
+        import __ray_entry__ as E
+        out = {}
+        for name in ("nodes", "edges_deg", "edges_und"):
+            df = E._graph_view_read(gv, name).to_pandas()
+            out[name] = df.sort_values(list(df.columns),
+                                       ignore_index=True)
+        return out
+
+    def test_appended_shard_builds_incrementally(self, tmp_path,
+                                                 monkeypatch):
+        import os
+
+        import pandas as pd
+        import ray.data as rd
+
+        import __ray_entry__ as E
+
+        d = tmp_path / "tri"
+        d.mkdir()
+        p = "http://ex.org/rel"
+        self._write(str(d / "a.parquet"),
+                    [("n1", p, "n2"), ("n2", p, "n3")])
+        self._write(str(d / "b.parquet"),
+                    [("n3", p, "n4"), ("n1", p, "n3")])
+        monkeypatch.setattr(
+            E, "_triples_view",
+            lambda sf_dir: rd.read_parquet(str(d)))
+
+        gv1 = E._kg_graph_views("ignored")
+        import json
+        with open(os.path.join(gv1, E._GV_MANIFEST)) as f:
+            m1 = json.load(f)
+        assert m1["mode"] == "full" and len(m1["files"]) == 2
+
+        # append one shard (old files untouched)
+        new_f = str(d / "c.parquet")
+        self._write(new_f, [("n4", p, "n5"), ("n5", p, "n1"),
+                            ("n1", p, "n2")])  # one duplicate edge
+
+        # expected: a FULL rebuild over all three files
+        monkeypatch.setattr(E, "_find_prev_graph_view",
+                            lambda entries: None)
+        gv_full = E._kg_graph_views("ignored")
+        assert gv_full != gv1
+        want = self._views(gv_full)
+        with open(os.path.join(gv_full, E._GV_MANIFEST)) as f:
+            assert json.load(f)["mode"] == "full"
+        import shutil
+        shutil.rmtree(gv_full)
+
+        # actual: the incremental path (same cache key as the full
+        # build — the published artifact is interchangeable)
+        monkeypatch.undo()
+        monkeypatch.setattr(
+            E, "_triples_view",
+            lambda sf_dir: rd.read_parquet(str(d)))
+        gv2 = E._kg_graph_views("ignored")
+        assert gv2 == gv_full
+        with open(os.path.join(gv2, E._GV_MANIFEST)) as f:
+            m2 = json.load(f)
+        assert m2["mode"] == "incremental"
+        assert m2["delta_files"] == [new_f]
+        got = self._views(gv2)
+        for name in want:
+            pd.testing.assert_frame_equal(got[name], want[name])
+        # sanity: the merged graph really contains old + new edges
+        und = set(map(tuple,
+                      got["edges_und"][["lo", "hi"]].to_numpy()))
+        # n1-n2, n2-n3, n3-n4, n1-n3, n4-n5, n5-n1
+        assert len(und) == 6
