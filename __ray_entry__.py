@@ -4926,6 +4926,26 @@ ORDER BY ?person ?bp LIMIT 200 OFFSET 100
 """
 
 
+_SPARQL_INV_TEXT = """
+PREFIX kg: <http://kg.example.org/ontology#>
+SELECT DISTINCT ?y ?cod WHERE {
+  ?x ^kg:interpersonalRelationshipWith+ ?y .
+  ?y kg:hasCauseOfDeath ?cod .
+}
+"""
+
+
+def _q_kg_sparql_path_inverse(sf_dir: str):
+    """Textual INVERSE closure ``^p+`` composed with a pattern
+    (round-4 grammar closure): one stateless subj/obj swap feeds the
+    same dual-path closure, whose (start, node) pairs join the BGP
+    plan as a derived relation. ``?x ^p+ ?y`` ≡ ``?y p+ ?x``, so the
+    oracle replays the forward recursive CTE with the roles
+    swapped."""
+    from rdf_extraction_ray.stages.sparql import run_sparql
+    return run_sparql(_triples_view(sf_dir), _SPARQL_INV_TEXT)
+
+
 def _q_kg_sparql_path_star(sf_dir: str):
     """Textual ``p*`` (zero-or-more, round-4 grammar closure): the
     single-pattern star dispatches to the dual-path ``path_closure``
@@ -7653,6 +7673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # remaining never-driver-verified names (in case the
         # window is wider than 50)
         "kg_sparql_path_star": _q_kg_sparql_path_star,
+        "kg_sparql_path_inverse": _q_kg_sparql_path_inverse,
         "kg_sparql_path_compose": _q_kg_sparql_path_compose,
         "kg_sparql_offset": _q_kg_sparql_offset,
         "events_outliers": _q_events_outliers,
@@ -10295,6 +10316,21 @@ def oracle_sql() -> dict[str, str]:
                    least(s.i * 96 + 128, c.n)::BIGINT AS tok_end,
                    c.n AS n_tokens
             FROM c JOIN s ON s.i < c.k
+        """,
+        "kg_sparql_path_inverse": f"""
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT subj AS s, obj AS o
+                FROM read_parquet('{triples}')
+                WHERE pred = '{_KG_REL}'),
+            c(start, node) AS (
+                SELECT s, o FROM e
+                UNION
+                SELECT c.start, e.o FROM c JOIN e ON c.node = e.s)
+            -- ?x ^rel+ ?y == ?y rel+ ?x: start plays y, node plays x
+            SELECT DISTINCT c.node AS y, d.obj AS cod
+            FROM c JOIN read_parquet('{triples}') d
+              ON c.node = d.subj
+            WHERE d.pred = '{_UPD_COD}'
         """,
         "kg_sparql_path_star": f"""
             WITH RECURSIVE e AS (

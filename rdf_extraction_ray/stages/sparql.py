@@ -32,7 +32,8 @@ raises a precise error outside it):
   the shared variables via :func:`graph.bgp_subquery`).
 * Property-path quantifiers ``p+`` (one-or-more) and ``p*``
   (zero-or-more; zero-length pairs are the graph's URI terms paired
-  with themselves): alone they dispatch straight to
+  with themselves), each over a forward OR inverse (``^p``) single
+  predicate: alone they dispatch straight to
   :func:`graph.path_closure` (constant subject/object slots restrict
   the origin set / filter the closure end); COMPOSED with other
   patterns in a SELECT / ASK / CONSTRUCT, the closure joins the BGP
@@ -161,9 +162,10 @@ class _Parser:
         quant = self._peek()[1]
         if quant in ("+", "*"):
             self._next()
-            if len(alts) > 1 or alts[0].startswith("^"):
+            if len(alts) > 1:
                 raise NotImplementedError(
-                    f"p{quant} supports a single forward predicate")
+                    f"p{quant} supports a single (optionally inverse) "
+                    "predicate, not an alternation")
             return ("__closure_star__" if quant == "*"
                     else "__closure__", alts[0])
         return alts[0] if len(alts) == 1 else tuple(alts)
@@ -649,11 +651,24 @@ def _closure_pairs(G, triples, pred: str, star: bool,
     the zero-length pairs — every URI term in the graph paired with
     itself (or just (s, s) when the subject slot is the constant
     ``s``) — then pair-dedups (a cycle makes (x, x) reachable via
-    ``pred+`` too; set semantics must collapse it)."""
+    ``pred+`` too; set semantics must collapse it). An INVERSE
+    predicate (``^p``) closes over the reversed edge relation: one
+    stateless subj/obj swap ahead of the same dual-path closure."""
     import pandas as pd
     import ray.data as rd
 
-    clo = G.path_closure(triples, pred,
+    src = triples
+    if pred.startswith("^"):
+        pred = pred[1:]
+
+        def _swap(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            out["subj"], out["obj"] = df["obj"], df["subj"]
+            return out
+
+        src = triples.map_batches(_swap, batch_format="pandas")
+
+    clo = G.path_closure(src, pred,
                          starts=[start_const] if start_const else None,
                          n_buckets=n_buckets)
     if not star:

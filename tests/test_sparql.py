@@ -164,7 +164,7 @@ class TestOtherForms:
 
 class TestParserErrors:
     @pytest.mark.parametrize("q,err", [
-        ("SELECT ?x WHERE { ?x ^<p>+ ?y }", NotImplementedError),
+        ("SELECT ?x WHERE { ?x <p>|<q>+ ?y }", NotImplementedError),
         ("SELECT ?x WHERE { OPTIONAL { ?x <p>* ?y } }",
          NotImplementedError),
         ("SELECT ?x WHERE { ?x ?p ?y }", NotImplementedError),
@@ -340,3 +340,30 @@ class TestClosureForms:
             run_sparql(self._chain(), PRE +
                        "SELECT (COUNT(*) AS ?c) WHERE "
                        "{ ?s ex:name ?n } LIMIT 1 OFFSET 1")
+
+
+class TestInverseClosure:
+    def test_inverse_plus_and_star(self):
+        # chain a -> b -> c; ^next+ walks it backwards
+        tr = rd.from_pandas(pd.DataFrame(
+            [("a", "http://ex.org/next", "b"),
+             ("b", "http://ex.org/next", "c")],
+            columns=["subj", "pred", "obj"]))
+        got = _canon(run_sparql(
+            tr, PRE + "SELECT ?x ?y WHERE { ?x ^ex:next+ ?y }"))
+        assert set(zip(got["x"], got["y"])) == {
+            ("b", "a"), ("c", "b"), ("c", "a")}
+        got = _canon(run_sparql(
+            tr, PRE + "SELECT ?y WHERE { <c> ^ex:next* ?y }"))
+        assert got["y"].tolist() == ["a", "b", "c"]
+
+    def test_inverse_closure_composed(self):
+        tr = rd.from_pandas(pd.DataFrame(
+            [("a", "http://ex.org/next", "b"),
+             ("b", "http://ex.org/next", "c"),
+             ("a", "http://ex.org/name", "NA")],
+            columns=["subj", "pred", "obj"]))
+        got = _canon(run_sparql(tr, PRE + """
+            SELECT ?y ?n WHERE {
+              <c> ^ex:next+ ?y . ?y ex:name ?n }"""))
+        assert list(zip(got["y"], got["n"])) == [("a", "NA")]
