@@ -4935,6 +4935,39 @@ SELECT DISTINCT ?y ?cod WHERE {
 """
 
 
+_SPARQL_ALT_TEXT = """
+PREFIX kg: <http://kg.example.org/ontology#>
+SELECT ?x ?y WHERE {
+  <%s> (kg:interpersonalRelationshipWith|^kg:interpersonalRelationshipWith)+ ?y .
+  BIND (LCASE(?y) AS ?x)
+}
+"""
+
+
+def _q_kg_sparql_path_alt(sf_dir: str):
+    """Textual ALTERNATION closure ``(p|^p)+`` (round-4 grammar
+    closure): the grouped alternation's members project into ONE
+    synthetic edge relation (forward rows kept, inverse rows swapped
+    — a single stateless pass) that feeds the same dual-path closure;
+    with the predicate and its inverse this is WEAK (undirected)
+    reachability from a constant origin, composed here with a BIND to
+    exercise the derived-relation path. The origin is the
+    lexicographically smallest relationship subject, computed by the
+    same bounded min the bfs seeds use."""
+    from rdf_extraction_ray.stages.sparql import run_sparql
+    tr = _triples_view(sf_dir)
+
+    def _min_subj(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[df["pred"] == _KG_REL]
+        if not len(g):
+            return pd.DataFrame({"s": pd.Series(dtype=object)})
+        return pd.DataFrame({"s": [g["subj"].min()]})
+
+    seed = (tr.map_batches(_min_subj, batch_format="pandas")
+            .to_pandas()["s"].min())
+    return run_sparql(tr, _SPARQL_ALT_TEXT % seed)
+
+
 def _q_kg_sparql_path_inverse(sf_dir: str):
     """Textual INVERSE closure ``^p+`` composed with a pattern
     (round-4 grammar closure): one stateless subj/obj swap feeds the
@@ -7674,6 +7707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # window is wider than 50)
         "kg_sparql_path_star": _q_kg_sparql_path_star,
         "kg_sparql_path_inverse": _q_kg_sparql_path_inverse,
+        "kg_sparql_path_alt": _q_kg_sparql_path_alt,
         "kg_sparql_path_compose": _q_kg_sparql_path_compose,
         "kg_sparql_offset": _q_kg_sparql_offset,
         "events_outliers": _q_events_outliers,
@@ -10316,6 +10350,20 @@ def oracle_sql() -> dict[str, str]:
                    least(s.i * 96 + 128, c.n)::BIGINT AS tok_end,
                    c.n AS n_tokens
             FROM c JOIN s ON s.i < c.k
+        """,
+        "kg_sparql_path_alt": f"""
+            WITH RECURSIVE r AS (
+                SELECT DISTINCT subj AS s, obj AS o
+                FROM read_parquet('{triples}')
+                WHERE pred = '{_KG_REL}'),
+            e AS (SELECT s, o FROM r
+                  UNION SELECT o, s FROM r),
+            seed AS (SELECT min(s) AS s FROM r),
+            c(node) AS (
+                SELECT e.o FROM e JOIN seed ON e.s = seed.s
+                UNION
+                SELECT e.o FROM c JOIN e ON c.node = e.s)
+            SELECT lower(node) AS x, node AS y FROM c
         """,
         "kg_sparql_path_inverse": f"""
             WITH RECURSIVE e AS (

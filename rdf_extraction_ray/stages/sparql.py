@@ -32,8 +32,10 @@ raises a precise error outside it):
   the shared variables via :func:`graph.bgp_subquery`).
 * Property-path quantifiers ``p+`` (one-or-more) and ``p*``
   (zero-or-more; zero-length pairs are the graph's URI terms paired
-  with themselves), each over a forward OR inverse (``^p``) single
-  predicate: alone they dispatch straight to
+  with themselves), over a forward or inverse (``^p``) predicate or
+  a parenthesized alternation of those (``(p1|^p2)+`` — e.g. ``p``
+  with its inverse gives weak/undirected reachability): alone they
+  dispatch straight to
   :func:`graph.path_closure` (constant subject/object slots restrict
   the origin set / filter the closure end); COMPOSED with other
   patterns in a SELECT / ASK / CONSTRUCT, the closure joins the BGP
@@ -148,26 +150,37 @@ class _Parser:
         raise SyntaxError(f"expected term, got {val!r}")
 
     def _path(self):
-        """Predicate path: iri, ^iri, or a |-alternation of those."""
+        """Predicate path: iri, ^iri, a |-alternation of those, or a
+        quantified closure ``p+`` / ``p*`` / ``^p+`` /
+        ``(p1|^p2|...)+`` (parenthesized alternations may carry the
+        quantifier; SPARQL requires the parens for grouping, and an
+        UNparenthesized ``p1|p2+`` stays a loud error rather than
+        silently binding the quantifier to the whole alternation)."""
         def one():
             if self._peek()[1] == "^":
                 self._next()
                 return "^" + self._const_iri()
             return self._const_iri()
 
+        grouped = self._peek()[1] == "("
+        if grouped:
+            self._next()
         alts = [one()]
         while self._peek()[1] == "|":
             self._next()
             alts.append(one())
+        if grouped:
+            self._expect(")")
         quant = self._peek()[1]
         if quant in ("+", "*"):
             self._next()
-            if len(alts) > 1:
+            if len(alts) > 1 and not grouped:
                 raise NotImplementedError(
-                    f"p{quant} supports a single (optionally inverse) "
-                    "predicate, not an alternation")
+                    f"p{quant} over an alternation needs parentheses: "
+                    "(p1|p2)" + quant)
+            body = alts[0] if len(alts) == 1 else tuple(alts)
             return ("__closure_star__" if quant == "*"
-                    else "__closure__", alts[0])
+                    else "__closure__", body)
         return alts[0] if len(alts) == 1 else tuple(alts)
 
     def _const_iri(self) -> str:
@@ -644,31 +657,52 @@ def _is_closure(p) -> bool:
     return isinstance(p[1], tuple) and p[1][0] in _CLOSURE_MARKS
 
 
-def _closure_pairs(G, triples, pred: str, star: bool,
+def _closure_pairs(G, triples, pred, star: bool,
                    start_const: str | None, n_buckets: int):
     """The (start, node) relation of ``pred+`` / ``pred*`` as a
     set-distinct Dataset. ``pred*`` unions the ``pred+`` closure with
     the zero-length pairs — every URI term in the graph paired with
     itself (or just (s, s) when the subject slot is the constant
     ``s``) — then pair-dedups (a cycle makes (x, x) reachable via
-    ``pred+`` too; set semantics must collapse it). An INVERSE
-    predicate (``^p``) closes over the reversed edge relation: one
-    stateless subj/obj swap ahead of the same dual-path closure."""
+    ``pred+`` too; set semantics must collapse it).
+
+    ``pred`` is a single member or a tuple (alternation); each member
+    may be inverse (``^p``). Anything beyond the plain single forward
+    predicate normalizes through ONE stateless edge-projection pass —
+    forward members keep (subj, obj), inverse members swap — under a
+    synthetic predicate, and the same dual-path closure runs over
+    that relation; no extra exchanges."""
     import pandas as pd
     import ray.data as rd
 
-    src = triples
-    if pred.startswith("^"):
-        pred = pred[1:]
+    members = list(pred) if isinstance(pred, tuple) else [pred]
+    fwd = [m for m in members if not m.startswith("^")]
+    inv = [m[1:] for m in members if m.startswith("^")]
+    if len(members) == 1 and fwd:
+        src, p_use = triples, members[0]
+    else:
+        p_use = "urn:x-closure-edge"
 
-        def _swap(df: pd.DataFrame) -> pd.DataFrame:
-            out = df.copy()
-            out["subj"], out["obj"] = df["obj"], df["subj"]
-            return out
+        def _edges(df: pd.DataFrame) -> pd.DataFrame:
+            parts = []
+            if fwd:
+                f = df[df["pred"].isin(fwd)]
+                parts.append(pd.DataFrame({"subj": f["subj"],
+                                           "obj": f["obj"]}))
+            if inv:
+                i = df[df["pred"].isin(inv)]
+                parts.append(pd.DataFrame({
+                    "subj": i["obj"].to_numpy(),
+                    "obj": i["subj"].to_numpy()}))
+            out = (pd.concat(parts, ignore_index=True) if parts
+                   else pd.DataFrame({"subj": pd.Series(dtype=object),
+                                      "obj": pd.Series(dtype=object)}))
+            out["pred"] = p_use
+            return out[["subj", "pred", "obj"]]
 
-        src = triples.map_batches(_swap, batch_format="pandas")
+        src = triples.map_batches(_edges, batch_format="pandas")
 
-    clo = G.path_closure(src, pred,
+    clo = G.path_closure(src, p_use,
                          starts=[start_const] if start_const else None,
                          n_buckets=n_buckets)
     if not star:

@@ -367,3 +367,44 @@ class TestInverseClosure:
             SELECT ?y ?n WHERE {
               <c> ^ex:next+ ?y . ?y ex:name ?n }"""))
         assert list(zip(got["y"], got["n"])) == [("a", "NA")]
+
+
+class TestAlternationClosure:
+    def test_grouped_alternation_plus(self):
+        # a -next-> b -link-> c; (next|link)+ reaches across both
+        tr = rd.from_pandas(pd.DataFrame(
+            [("a", "http://ex.org/next", "b"),
+             ("b", "http://ex.org/link", "c")],
+            columns=["subj", "pred", "obj"]))
+        got = _canon(run_sparql(tr, PRE + """
+            SELECT ?x ?y WHERE { ?x (ex:next|ex:link)+ ?y }"""))
+        assert set(zip(got["x"], got["y"])) == {
+            ("a", "b"), ("b", "c"), ("a", "c")}
+
+    def test_mixed_inverse_alternation_is_undirected_closure(self):
+        # (next|^next)+ from a reaches everything in the weak
+        # component, both directions
+        tr = rd.from_pandas(pd.DataFrame(
+            [("a", "http://ex.org/next", "b"),
+             ("c", "http://ex.org/next", "b")],
+            columns=["subj", "pred", "obj"]))
+        got = run_sparql(tr, PRE + """
+            SELECT ?y WHERE { <a> (ex:next|^ex:next)+ ?y }""") \
+            .to_pandas()
+        assert sorted(got["y"]) == ["a", "b", "c"]  # a via b-cycle
+
+    def test_grouped_star_and_composition(self):
+        tr = rd.from_pandas(pd.DataFrame(
+            [("a", "http://ex.org/next", "b"),
+             ("b", "http://ex.org/link", "c"),
+             ("c", "http://ex.org/name", "NC")],
+            columns=["subj", "pred", "obj"]))
+        got = _canon(run_sparql(tr, PRE + """
+            SELECT ?y ?n WHERE {
+              <a> (ex:next|ex:link)* ?y . ?y ex:name ?n }"""))
+        assert list(zip(got["y"], got["n"])) == [("c", "NC")]
+
+    def test_ungrouped_alternation_quantifier_is_loud(self):
+        with pytest.raises(NotImplementedError):
+            run_sparql(_triples(), PRE +
+                       "SELECT ?x WHERE { ?x ex:p|ex:q+ ?y }")
