@@ -6185,6 +6185,32 @@ def _q_docs_pack_windows(sf_dir: str):
             .map_groups(assign_windows, batch_format="pandas"))
 
 
+def _q_docs_cdc_chunks(sf_dir: str):
+    """Content-defined chunking (basic CDC, rolling-hash boundaries):
+    every document split where the trailing 16-codepoint polynomial
+    hash is 0 mod 64 — insertion-stable chunk alignment, the chunker
+    a 100-TB chunk-level dedup/delta pass needs where byte-offset
+    windows break on any edit. Stateless vectorized map (int64
+    sliding-window matmul over the UTF-32 view), zero exchanges;
+    md5 per chunk only. The oracle replays the identical hash with
+    16 LAG terms over per-position codepoints and rebuilds spans
+    with one LAG window."""
+    from rdf_extraction_ray.stages.textstats import cdc_chunks
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(cdc_chunks, batch_format="pandas")
+
+
+def _q_docs_cdc_dup_chunks(sf_dir: str):
+    """Chunk-level dedup census over the CDC chunking: chunk hashes
+    occurring 2+ times corpus-wide with occurrence and distinct-doc
+    counts — the candidate set a chunk-level dedup pass consumes.
+    Combiner-first: one (md5, partials) row per distinct chunk per
+    batch, md5-bucket groupby sums; chunk text never shuffles."""
+    from rdf_extraction_ray.stages.textstats import cdc_dup_chunks
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return cdc_dup_chunks(docs)
+
+
 def _q_docs_fingerprint(sf_dir: str):
     """Winnowing-style document fingerprint: min of a vectorized
     polynomial rolling hash over 8-grams of the normalized text,
@@ -7708,6 +7734,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_path_star": _q_kg_sparql_path_star,
         "kg_sparql_path_inverse": _q_kg_sparql_path_inverse,
         "kg_sparql_path_alt": _q_kg_sparql_path_alt,
+        "docs_cdc_chunks": _q_docs_cdc_chunks,
+        "docs_cdc_dup_chunks": _q_docs_cdc_dup_chunks,
         "kg_sparql_path_compose": _q_kg_sparql_path_compose,
         "kg_sparql_offset": _q_kg_sparql_offset,
         "events_outliers": _q_events_outliers,
@@ -10350,6 +10378,134 @@ def oracle_sql() -> dict[str, str]:
                    least(s.i * 96 + 128, c.n)::BIGINT AS tok_end,
                    c.n AS n_tokens
             FROM c JOIN s ON s.i < c.k
+        """,
+        "docs_cdc_chunks": """
+            WITH d AS (
+                SELECT doc_id, text, length(text)::BIGINT AS n
+                FROM documents WHERE length(text) > 0),
+            cps AS (
+                SELECT doc_id, n, text,
+                       unnest(range(0, n))::BIGINT AS pos
+                FROM d),
+            cp2 AS (
+                SELECT doc_id, n, pos,
+                       unicode(substr(text, (pos + 1)::INT, 1))::BIGINT
+                           AS c
+                FROM cps),
+            h AS (
+                SELECT doc_id, n, pos,
+                       (c * 1
+                 + lag(c, 1, 0) OVER w * 1000003
+                 + lag(c, 2, 0) OVER w * 1426104154
+                 + lag(c, 3, 0) OVER w * 1049561761
+                 + lag(c, 4, 0) OVER w * 1604566856
+                 + lag(c, 5, 0) OVER w * 1953433226
+                 + lag(c, 6, 0) OVER w * 2061642598
+                 + lag(c, 7, 0) OVER w * 57298384
+                 + lag(c, 8, 0) OVER w * 1544709545
+                 + lag(c, 9, 0) OVER w * 1274554124
+                 + lag(c, 10, 0) OVER w * 633364108
+                 + lag(c, 11, 0) OVER w * 66148026
+                 + lag(c, 12, 0) OVER w * 1433149184
+                 + lag(c, 13, 0) OVER w * 206851044
+                 + lag(c, 14, 0) OVER w * 1744706798
+                 + lag(c, 15, 0) OVER w * 1828017126) % 2147483647 AS hv
+                FROM cp2
+                WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+            b AS (
+                SELECT doc_id, pos + 1 AS e
+                FROM h WHERE pos >= 15 AND hv % 64 = 0),
+            ends AS (
+                SELECT doc_id, e FROM b
+                UNION ALL
+                SELECT d.doc_id, d.n AS e
+                FROM d LEFT JOIN (SELECT doc_id, max(e) AS me
+                                  FROM b GROUP BY doc_id) m
+                  USING (doc_id)
+                WHERE m.me IS NULL OR m.me <> d.n),
+            spans AS (
+                SELECT doc_id, e,
+                       lag(e, 1, 0) OVER (PARTITION BY doc_id
+                                          ORDER BY e) AS s,
+                       (row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY e) - 1)::BIGINT
+                           AS chunk_id
+                FROM ends),
+            chunks AS (
+                SELECT sp.doc_id, sp.chunk_id,
+                       sp.s::BIGINT AS start, sp.e::BIGINT AS end_excl,
+                       (sp.e - sp.s)::BIGINT AS n_chars,
+                       md5(substr(d.text, (sp.s + 1)::INT,
+                                  (sp.e - sp.s)::INT)) AS chunk_md5
+                FROM spans sp JOIN d USING (doc_id))
+            SELECT doc_id, chunk_id, start, end_excl, n_chars,
+                   chunk_md5
+            FROM chunks
+        """,
+        "docs_cdc_dup_chunks": """
+            WITH d AS (
+                SELECT doc_id, text, length(text)::BIGINT AS n
+                FROM documents WHERE length(text) > 0),
+            cps AS (
+                SELECT doc_id, n, text,
+                       unnest(range(0, n))::BIGINT AS pos
+                FROM d),
+            cp2 AS (
+                SELECT doc_id, n, pos,
+                       unicode(substr(text, (pos + 1)::INT, 1))::BIGINT
+                           AS c
+                FROM cps),
+            h AS (
+                SELECT doc_id, n, pos,
+                       (c * 1
+                 + lag(c, 1, 0) OVER w * 1000003
+                 + lag(c, 2, 0) OVER w * 1426104154
+                 + lag(c, 3, 0) OVER w * 1049561761
+                 + lag(c, 4, 0) OVER w * 1604566856
+                 + lag(c, 5, 0) OVER w * 1953433226
+                 + lag(c, 6, 0) OVER w * 2061642598
+                 + lag(c, 7, 0) OVER w * 57298384
+                 + lag(c, 8, 0) OVER w * 1544709545
+                 + lag(c, 9, 0) OVER w * 1274554124
+                 + lag(c, 10, 0) OVER w * 633364108
+                 + lag(c, 11, 0) OVER w * 66148026
+                 + lag(c, 12, 0) OVER w * 1433149184
+                 + lag(c, 13, 0) OVER w * 206851044
+                 + lag(c, 14, 0) OVER w * 1744706798
+                 + lag(c, 15, 0) OVER w * 1828017126) % 2147483647 AS hv
+                FROM cp2
+                WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+            b AS (
+                SELECT doc_id, pos + 1 AS e
+                FROM h WHERE pos >= 15 AND hv % 64 = 0),
+            ends AS (
+                SELECT doc_id, e FROM b
+                UNION ALL
+                SELECT d.doc_id, d.n AS e
+                FROM d LEFT JOIN (SELECT doc_id, max(e) AS me
+                                  FROM b GROUP BY doc_id) m
+                  USING (doc_id)
+                WHERE m.me IS NULL OR m.me <> d.n),
+            spans AS (
+                SELECT doc_id, e,
+                       lag(e, 1, 0) OVER (PARTITION BY doc_id
+                                          ORDER BY e) AS s,
+                       (row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY e) - 1)::BIGINT
+                           AS chunk_id
+                FROM ends),
+            chunks AS (
+                SELECT sp.doc_id, sp.chunk_id,
+                       sp.s::BIGINT AS start, sp.e::BIGINT AS end_excl,
+                       (sp.e - sp.s)::BIGINT AS n_chars,
+                       md5(substr(d.text, (sp.s + 1)::INT,
+                                  (sp.e - sp.s)::INT)) AS chunk_md5
+                FROM spans sp JOIN d USING (doc_id))
+            SELECT chunk_md5,
+                   count(*)::BIGINT AS n_occ,
+                   count(DISTINCT doc_id)::BIGINT AS n_docs
+            FROM chunks
+            GROUP BY chunk_md5 HAVING count(*) >= 2
         """,
         "kg_sparql_path_alt": f"""
             WITH RECURSIVE r AS (

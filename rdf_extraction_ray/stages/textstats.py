@@ -787,6 +787,123 @@ def chunk_windows(batch: pd.DataFrame, size: int = 128,
         "n_tokens": n_rep})
 
 
+CDC_WINDOW = 16
+CDC_BASE = 1_000_003
+CDC_MOD = 2**31 - 1
+CDC_MASK = 64
+
+
+def cdc_chunks(batch: pd.DataFrame, window: int = CDC_WINDOW,
+               base: int = CDC_BASE, mod: int = CDC_MOD,
+               mask: int = CDC_MASK, text_col: str = "text",
+               id_col: str = "doc_id") -> pd.DataFrame:
+    """CONTENT-DEFINED CHUNKING (basic CDC, the LBFS/Venti rolling-
+    hash chunker): a chunk boundary falls after every position whose
+    trailing ``window``-codepoint polynomial hash is 0 mod ``mask``,
+    so an insertion early in a document shifts only the chunk it
+    lands in — downstream chunk-level dedup stays aligned, which is
+    exactly what byte-offset chunking (:func:`chunk_windows`) cannot
+    give a 100-TB near-dup pass. No min/max chunk clamp: the
+    boundary rule is STATELESS PER POSITION (clamps would make each
+    boundary depend on the previous one), which keeps the operator
+    embarrassingly parallel AND exactly SQL-replayable.
+
+    Hash: H(p) = Σ_{i=0..w-1} codepoint(text[p-i]) · base^i mod
+    ``mod`` (int64-safe: codepoint < 2^21, weight < 2^31, 16-term sum
+    < 2^56), computed for all positions of a document at once as one
+    int64 sliding-window matmul over the UTF-32 view of the string —
+    no Python loop over characters. Emits (doc_id, chunk_id, start,
+    end_excl, n_chars, chunk_md5) rows; empty docs emit none, docs
+    shorter than ``window`` are one chunk.
+
+    Scale shape: EMBARRASSINGLY PARALLEL — stateless map_batches,
+    zero exchanges; the md5 is per CHUNK (≈ len/mask rows), not per
+    position. The SQL oracle replays the identical 16-term rolling
+    hash with unicode()/substr arithmetic and rebuilds the spans
+    with one LAG window.
+    """
+    import hashlib as _hashlib
+    weights = np.array(
+        [pow(base, window - 1 - j, mod) for j in range(window)],
+        dtype=np.int64)
+    out_ids, out_cid, out_s, out_e, out_md5 = [], [], [], [], []
+    for doc_id, text in zip(batch[id_col], batch[text_col]):
+        s = "" if text is None else str(text)
+        n = len(s)
+        if n == 0:
+            continue
+        if n < window:
+            ends = [n]
+        else:
+            cp = np.frombuffer(s.encode("utf-32-le"),
+                               dtype=np.uint32).astype(np.int64)
+            win = np.lib.stride_tricks.sliding_window_view(cp, window)
+            hv = (win @ weights) % mod
+            # hv[j] is the hash ENDING at position j + window - 1
+            bpos = np.flatnonzero(hv % mask == 0) + (window - 1)
+            ends = (bpos + 1).tolist()
+            if not ends or ends[-1] != n:
+                ends.append(n)
+        start = 0
+        for cid, e in enumerate(ends):
+            chunk = s[start:e]
+            out_ids.append(doc_id)
+            out_cid.append(cid)
+            out_s.append(start)
+            out_e.append(e)
+            out_md5.append(_hashlib.md5(
+                chunk.encode("utf-8")).hexdigest())
+            start = e
+    return pd.DataFrame({
+        id_col: pd.Series(out_ids),
+        "chunk_id": pd.Series(out_cid, dtype="int64"),
+        "start": pd.Series(out_s, dtype="int64"),
+        "end_excl": pd.Series(out_e, dtype="int64"),
+        "n_chars": (pd.Series(out_e, dtype="int64")
+                    - pd.Series(out_s, dtype="int64")),
+        "chunk_md5": pd.Series(out_md5, dtype=object)})
+
+
+def cdc_dup_chunks(docs, n_buckets: int = 64,
+                   text_col: str = "text",
+                   id_col: str = "doc_id"):
+    """Chunk-level dedup census over the CDC chunking: every
+    chunk_md5 occurring more than once corpus-wide, with its
+    occurrence and distinct-document counts — the candidate set a
+    chunk-level dedup/delta-encoding pass consumes.
+
+    Scale shape: the chunker is stateless per batch; the census ships
+    ONE (chunk_md5, doc_id-distinct partial, count partial) row per
+    distinct md5 per batch (combiner), then a md5-bucket groupby
+    sums. Chunk text never shuffles."""
+    import ray.data as rd
+
+    def _partials(df: pd.DataFrame) -> pd.DataFrame:
+        ch = cdc_chunks(df, text_col=text_col, id_col=id_col)
+        if not len(ch):
+            return pd.DataFrame({
+                "chunk_md5": pd.Series(dtype=object),
+                "n_occ": pd.Series(dtype="int64"),
+                "n_docs": pd.Series(dtype="int64"),
+                "hb": pd.Series(dtype="int64")})
+        g = (ch.groupby("chunk_md5")
+             .agg(n_occ=(id_col, "size"), n_docs=(id_col, "nunique"))
+             .reset_index())
+        g["hb"] = [int(m[:8], 16) % n_buckets for m in g["chunk_md5"]]
+        return g
+
+    def _sum(group: pd.DataFrame) -> pd.DataFrame:
+        # n_docs partials are per-batch distinct; they only sum
+        # exactly when a doc's chunks never split across batches —
+        # guaranteed because the chunker runs inside the same batch.
+        s = (group.groupby("chunk_md5", as_index=False)
+             .agg(n_occ=("n_occ", "sum"), n_docs=("n_docs", "sum")))
+        return s[s["n_occ"] >= 2]
+
+    return (docs.map_batches(_partials, batch_format="pandas")
+            .groupby("hb").map_groups(_sum, batch_format="pandas"))
+
+
 def bigram_lift(docs, k: int = 100, min_count: int = 20,
                 text_col: str = "text",
                 n_buckets: int = 64) -> pd.DataFrame:
