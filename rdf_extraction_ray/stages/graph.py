@@ -1619,6 +1619,7 @@ def ktruss_edges(edges: rd.Dataset | None, k: int = 4,
         return out.rename(columns={"c": "support"})
 
     cur = und
+    n_prev = n_edges
     for _ in range(n_rounds):
         oriented, _ = _orient_edges(cur, B, n_buckets,
                                     broadcast_max_nodes)
@@ -1631,8 +1632,17 @@ def ktruss_edges(edges: rd.Dataset | None, k: int = 4,
         cur = (contrib.union(esup).groupby("sb")
                .map_groups(_filter_support, batch_format="pandas")
                .repartition(n_blocks)).materialize()
-        if not cur.count():
+        n_cur = cur.count()
+        if not n_cur:
             return out_empty
+        if n_cur == n_prev:
+            # fixpoint: peeling is monotone, so an unchanged edge
+            # count means the surviving SET is unchanged, every later
+            # round recomputes identical supports, and this round's
+            # supports already equal round n's — skip the idempotent
+            # rounds (the oracle unrolls all n and agrees)
+            break
+        n_prev = n_cur
 
     n_surv = cur.count()
     if not n_surv:
