@@ -215,7 +215,7 @@ def cmd_curate(args) -> int:
     from .stages.curate import run_curation
 
     res = run_curation(args.input, args.out, n_shards=args.shards,
-                       fresh=args.fresh)
+                       fresh=args.fresh, neardup=args.neardup)
     print(json.dumps({"out": args.out, "docs_in": res["docs_in"],
                       "docs_out": res["docs_out"],
                       "resumed": res["resumed"],
@@ -268,6 +268,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--shards", type=int, default=8)
     s.add_argument("--fresh", action="store_true",
                    help="discard survivor/shard checkpoints")
+    s.add_argument("--neardup", action="store_true",
+                   help="add the near-dup resolution stage "
+                        "(5-gram Jaccard components, keep longest)")
     s.set_defaults(fn=cmd_curate)
 
     s = sub.add_parser("sparql", help="textual SPARQL over a triples "

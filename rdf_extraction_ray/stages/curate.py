@@ -637,7 +637,8 @@ def _load_survivor_checkpoint(ck_dir: str,
 
 
 def run_curation(input_path: str, out_dir: str, n_shards: int = 8,
-                 fresh: bool = False) -> dict:
+                 fresh: bool = False, neardup: bool = False,
+                 jaccard_threshold: float = 0.5) -> dict:
     """The composed curation DAG — quality gate → exact dedup →
     shard-partitioned training parquet — with END-TO-END RESUME: a
     run killed mid-dedup or mid-sink restarts from its last completed
@@ -653,12 +654,20 @@ def run_curation(input_path: str, out_dir: str, n_shards: int = 8,
        reproduces the survivor rows: a resumed run semi-joins the
        input against it (one partitioned hash join) and skips the
        gate scan and the dedup exchange entirely.
-    2. the per-shard ``_SHARD.json`` markers
+    2. (``neardup=True``) the FINAL survivor-id set after near-dup
+       resolution (``<out>/_survivors_neardup/`` — word-5-gram
+       Jaccard components over the exact-dedup survivors, longest
+       text per cluster wins): a run killed mid-sink resumes with one
+       semi-join and skips gate, dedup AND the near-dup exchanges; a
+       run killed mid-near-dup resumes from checkpoint 1 and redoes
+       only the near-dup stage.
+    3. the per-shard ``_SHARD.json`` markers
        (:func:`write_train_shards`) — finished shards are never
        rewritten.
 
-    ``fresh=True`` discards both and recomputes. Returns
-    ``{"docs_in", "docs_out", "resumed", "shards": {...}}``.
+    ``fresh=True`` discards all and recomputes. Returns
+    ``{"docs_in", "docs_out", "resumed", "resumed_stage",
+    "shards": {...}}``.
     """
     import json
     import shutil
@@ -677,8 +686,39 @@ def run_curation(input_path: str, out_dir: str, n_shards: int = 8,
                 shutil.rmtree(os.path.join(out_dir, d),
                               ignore_errors=True)
 
+    ck_final = os.path.join(out_dir, "_survivors_neardup")
+    if fresh:
+        shutil.rmtree(ck_final, ignore_errors=True)
+
+    def _publish_ids(ds: rd.Dataset, dest: str) -> None:
+        """Distributed write of a compact id set, marker written
+        INSIDE the tmp dir, then one atomic rename."""
+        os.makedirs(out_dir, exist_ok=True)
+        tmp = dest + f".tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        ds.map_batches(lambda df: df[["doc_id"]],
+                       batch_format="pandas").write_parquet(tmp)
+        with open(os.path.join(tmp, _CKPT_MARKER), "w") as f:
+            json.dump({"fingerprint": fp}, f, sort_keys=True)
+        shutil.rmtree(dest, ignore_errors=True)
+        os.replace(tmp, dest)
+
     docs = rd.read_parquet(input_path, columns=["doc_id", "text"])
     n_in = docs.count()
+
+    if neardup and not fresh:
+        final_ids = _load_survivor_checkpoint(ck_final, fp)
+        if final_ids is not None:
+            # deepest checkpoint hit: every compute stage skipped
+            surv = hash_join(docs, final_ids, on="doc_id")
+            n_out = surv.count()
+            res = write_train_shards(surv, out_dir,
+                                     n_shards=n_shards,
+                                     fingerprint=fp)
+            return {"docs_in": int(n_in), "docs_out": int(n_out),
+                    "resumed": True, "resumed_stage": "neardup",
+                    "shards": res}
+
     ids = None if fresh else _load_survivor_checkpoint(ck_dir, fp)
     resumed = ids is not None
 
@@ -709,17 +749,7 @@ def run_curation(input_path: str, out_dir: str, n_shards: int = 8,
                     _survivors, batch_format="pandas")
                 .materialize())
         if fp is not None:
-            # checkpoint 1: distributed write of the compact id set,
-            # marker written INSIDE the tmp dir, then one atomic rename
-            os.makedirs(out_dir, exist_ok=True)
-            tmp = ck_dir + f".tmp.{os.getpid()}"
-            shutil.rmtree(tmp, ignore_errors=True)
-            surv.map_batches(lambda df: df[["doc_id"]],
-                             batch_format="pandas").write_parquet(tmp)
-            with open(os.path.join(tmp, _CKPT_MARKER), "w") as f:
-                json.dump({"fingerprint": fp}, f, sort_keys=True)
-            shutil.rmtree(ck_dir, ignore_errors=True)
-            os.replace(tmp, ck_dir)
+            _publish_ids(surv, ck_dir)  # checkpoint 1 (gate + exact)
     else:
         # resume: rebuild the survivor rows with ONE partitioned hash
         # semi-join of the input against the checkpointed id set —
@@ -727,11 +757,56 @@ def run_curation(input_path: str, out_dir: str, n_shards: int = 8,
         # driver
         surv = hash_join(docs, ids, on="doc_id")
 
+    if neardup:
+        # stage 2: near-dup resolution over the exact-dedup survivors
+        # (the composed flagship's shape — word-5-gram Jaccard
+        # components, longest text per cluster wins, min id breaks
+        # ties); the LOSER set is bounded by the clustered rows, a
+        # sliver of the corpus, so the anti-filter broadcasts while
+        # the corpus streams
+        import ray
+
+        from .dedup_docs import (connected_components_ds,
+                                 ngram_jaccard_pairs)
+        from .joins import semi_join_filter
+        comp = connected_components_ds(
+            ngram_jaccard_pairs(surv, threshold=jaccard_threshold)
+        ).to_pandas()
+        if len(comp) and "doc_id" in comp.columns:
+            cmap_ref = ray.put(dict(zip(
+                comp["doc_id"].astype("int64"),
+                comp["component"].astype("int64"))))
+
+            def _clustered(df: pd.DataFrame) -> pd.DataFrame:
+                cmap = ray.get(cmap_ref)
+                c = df["doc_id"].astype("int64").map(cmap)
+                keep = c.notna()
+                return pd.DataFrame({
+                    "doc_id": df["doc_id"].astype("int64")[keep],
+                    "n_chars": df["text"].str.len()
+                    .astype("int64")[keep],
+                    "component": c[keep].astype("int64")})
+
+            cl = surv.map_batches(_clustered,
+                                  batch_format="pandas").to_pandas()
+            if len(cl):
+                cl = cl.sort_values(["component", "n_chars",
+                                     "doc_id"],
+                                    ascending=[True, False, True])
+                losers = set(cl.loc[cl.duplicated("component"),
+                                    "doc_id"])
+                surv = semi_join_filter(surv, losers, "doc_id",
+                                        anti=True).materialize()
+        if fp is not None:
+            _publish_ids(surv, ck_final)  # checkpoint 2 (final set)
+
     n_out = surv.count()
     res = write_train_shards(surv, out_dir, n_shards=n_shards,
                              fingerprint=fp)
     return {"docs_in": int(n_in), "docs_out": int(n_out),
-            "resumed": resumed, "shards": res}
+            "resumed": resumed,
+            "resumed_stage": "exact" if resumed else None,
+            "shards": res}
 
 
 def frequent_lines(docs: rd.Dataset, min_df: int = 5,

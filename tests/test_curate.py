@@ -375,3 +375,62 @@ def test_run_curation_resumes_full_chain(tmp_path, monkeypatch):
     assert (r4["docs_in"], r4["docs_out"]) == (7, 4)
     got = pd.read_parquet(out)
     assert sorted(got["doc_id"]) == [0, 2, 5, 9]
+
+
+def test_run_curation_neardup_stage_and_two_level_resume(tmp_path,
+                                                         monkeypatch):
+    """neardup=True adds the checkpointed near-dup stage: a planted
+    near-duplicate pair collapses to its longest member; a run killed
+    mid-near-dup resumes from the exact checkpoint and redoes only
+    near-dup (gate poisoned); a run killed mid-sink resumes from the
+    FINAL checkpoint (near-dup poisoned too)."""
+    import os
+    import shutil
+
+    import rdf_extraction_ray.stages.dedup_docs as DD
+    import rdf_extraction_ray.stages.textstats as TS
+    from rdf_extraction_ray.stages.curate import run_curation
+
+    words = ("alpha bravo charlie delta echo foxtrot golf hotel "
+             "india juliet kilo lima mike november oscar papa "
+             "quebec romeo sierra tango uniform victor whiskey "
+             "xray yankee zulu one two three four five six seven")
+    near_a = words + " extra tail here"        # longest — the winner
+    near_b = words                             # near-dup loser
+    other = ("completely different content about ships and sails "
+             "and harbors and tides and long voyages across seas "
+             "with plenty of unrelated vocabulary in every line")
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": [near_a, near_b, other]})
+    inp = str(tmp_path / "docs.parquet")
+    df.to_parquet(inp)
+    out = str(tmp_path / "out")
+
+    r1 = run_curation(inp, out, n_shards=2, neardup=True)
+    assert not r1["resumed"]
+    surv = pd.read_parquet(out)
+    assert sorted(surv["doc_id"]) == [1, 3]  # loser 2 dropped
+
+    # killed mid-near-dup: final checkpoint missing, exact present
+    shutil.rmtree(os.path.join(out, "_survivors_neardup"))
+    for d in list(os.listdir(out)):
+        if d.startswith("shard="):
+            shutil.rmtree(os.path.join(out, d))
+    monkeypatch.setattr(TS, "quality_score",
+                        lambda *a, **kw: (_ for _ in ()).throw(
+                            AssertionError("gate recomputed")))
+    r2 = run_curation(inp, out, n_shards=2, neardup=True)
+    assert r2["resumed"] and r2["resumed_stage"] == "exact"
+    surv2 = pd.read_parquet(out)
+    assert sorted(surv2["doc_id"]) == [1, 3]
+
+    # killed mid-sink: final checkpoint present — near-dup skipped too
+    shutil.rmtree(os.path.join(out, "shard=0"))
+    monkeypatch.setattr(DD, "ngram_jaccard_pairs",
+                        lambda *a, **kw: (_ for _ in ()).throw(
+                            AssertionError("near-dup recomputed")))
+    r3 = run_curation(inp, out, n_shards=2, neardup=True)
+    assert r3["resumed"] and r3["resumed_stage"] == "neardup"
+    assert r3["shards"]["skipped"] == [1]
+    surv3 = pd.read_parquet(out)
+    assert sorted(surv3["doc_id"]) == [1, 3]
