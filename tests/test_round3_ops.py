@@ -467,6 +467,29 @@ class TestProbeStatsCache:
         os.utime(f)
         assert _probe_cache_load(key) is None
 
+    def test_cache_dir_env_override(self, tmp_path, monkeypatch):
+        """RDF_RAY_PROBE_CACHE_DIR repoints the (driver-local) probe
+        cache without reimport — store lands under the override and
+        load reads it back from there."""
+        import os
+
+        from rdf_extraction_ray.pipelines.kg import (
+            _probe_cache_dir, _probe_cache_load, _probe_cache_store)
+        from rdf_extraction_ray import synth
+        override = str(tmp_path / "probe_cache")
+        monkeypatch.setenv("RDF_RAY_PROBE_CACHE_DIR", override)
+        assert _probe_cache_dir() == override
+        path = synth.write_turns(str(tmp_path / "turns"), 5, seed=9)
+        _probe_cache_store(path, needs_salt=True, max_rows=7,
+                           threshold=3)
+        assert os.path.isdir(override) and os.listdir(override)
+        rec = _probe_cache_load(path)
+        assert rec == {"fingerprint": rec["fingerprint"],
+                       "needs_salt": True,
+                       "max_conv_fact_rows": 7, "threshold": 3}
+        monkeypatch.delenv("RDF_RAY_PROBE_CACHE_DIR")
+        assert _probe_cache_dir()             == "/tmp/rdf_extraction_ray/probe_cache"
+
 
 class TestReadBlockFloor:
     def test_narrow_widths_get_two_blocks_per_slot(self, tmp_path,
