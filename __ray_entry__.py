@@ -6350,6 +6350,115 @@ def _kmeans_sql(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
     return "WITH " + ",".join(ctes)
 
 
+def _pq_sql(m_sub: int = 4, k: int = 16, n_iter: int = 2,
+            dim: int = 64, topk: int = 10, nq: int = 8) -> str:
+    """DuckDB replay of stages.ann.pq_topk: per-subspace Lloyd
+    codebooks from the SHARED (md5-hash, vec_id) init rows (each
+    subspace sees slices of the same k vectors), integer assign /
+    floor-division updates per subspace, then asymmetric-distance
+    ranking — approx distance = Σ_m L2²(q_m, codeword(code_m)),
+    row_number ties to the smaller neighbor id. Every CTE is
+    AS MATERIALIZED: with four independent Lloyd chains joined
+    at the end, DuckDB's default CTE inlining sends the
+    optimizer into a combinatorial join-order search (>100 s);
+    materialized, the whole replay runs in ~0.2 s."""
+    d = dim // m_sub
+    floordiv = ("CAST((u.s - ((u.s % u.n) + u.n) % u.n) / u.n"
+                " AS BIGINT)")
+
+    def assign(src: str, cents: str, name: str) -> str:
+        return f"""
+            {name} AS MATERIALIZED (
+                SELECT vec_id, v, c, d FROM (
+                    SELECT vec_id, v, c, d,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY d, c) AS rn
+                    FROM (SELECT q.vec_id, q.v, cc.c,
+                                 list_sum(list_transform(
+                                     list_zip(q.v, cc.v),
+                                     p -> (p[1]-p[2])*(p[1]-p[2])))
+                                     AS d
+                          FROM {src} q, {cents} cc))
+                WHERE rn = 1)"""
+
+    def update(assigned: str, prev: str, name: str) -> str:
+        return f"""
+            u_{name} AS MATERIALIZED (
+                SELECT c, i, sum(v[i]) AS s, count(*) AS n
+                FROM {assigned},
+                     unnest(generate_series(1, {d})) s(i)
+                GROUP BY c, i),
+            {name} AS MATERIALIZED (
+                SELECT dd.c, list(dd.val ORDER BY dd.i) AS v FROM (
+                    SELECT cc.c, i.i,
+                           coalesce({floordiv}, cc.v[i.i]) AS val
+                    FROM {prev} cc
+                    CROSS JOIN (SELECT unnest(generate_series(1, {d}))
+                                AS i) i
+                    LEFT JOIN u_{name} u
+                      ON u.c = cc.c AND u.i = i.i) dd
+                GROUP BY dd.c)"""
+
+    ctes = [f"""
+            q AS MATERIALIZED (
+                SELECT vec_id,
+                       list_transform(embedding,
+                           x -> CAST(floor(CAST(x AS DOUBLE) * 1000
+                                           + 0.5) AS BIGINT)) AS v
+                FROM embeddings),
+            c0full AS MATERIALIZED (
+                SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS c,
+                       v
+                FROM (SELECT vec_id, v,
+                             ('0x' || substr(md5(vec_id::VARCHAR),
+                                             1, 15))::BIGINT AS h
+                      FROM q)
+                ORDER BY h, vec_id LIMIT {k})"""]
+    finals = []
+    for m in range(m_sub):
+        lo, hi = m * d + 1, (m + 1) * d
+        ctes.append(f"""
+            qs{m} AS MATERIALIZED (SELECT vec_id, v[{lo}:{hi}] AS v FROM q)""")
+        ctes.append(f"""
+            cs{m}_0 AS MATERIALIZED (SELECT c, v[{lo}:{hi}] AS v FROM c0full)""")
+        prev = f"cs{m}_0"
+        for it in range(1, n_iter + 1):
+            ctes.append(assign(f"qs{m}", prev, f"as{m}_{it}"))
+            ctes.append(update(f"as{m}_{it}", prev, f"cs{m}_{it}"))
+            prev = f"cs{m}_{it}"
+        ctes.append(assign(f"qs{m}", prev, f"afin{m}"))
+        ctes.append(f"""
+            dt{m} AS MATERIALIZED (
+                SELECT qv.vec_id AS qid, cc.c,
+                       list_sum(list_transform(list_zip(qv.v, cc.v),
+                           p -> (p[1]-p[2])*(p[1]-p[2]))) AS dd
+                FROM (SELECT vec_id, v FROM qs{m}
+                      WHERE vec_id < {nq}) qv, {prev} cc)""")
+        finals.append((f"afin{m}", f"dt{m}"))
+    joins = ["afin0 a0"]
+    dsum = []
+    for m in range(m_sub):
+        if m > 0:
+            joins.append(f"JOIN afin{m} a{m} USING (vec_id)")
+        joins.append(f"JOIN dt{m} t{m} ON t{m}.c = a{m}.c"
+                     + ("" if m == 0
+                        else " AND t{0}.qid = t0.qid".format(m)))
+        dsum.append(f"t{m}.dd")
+    ctes.append(f"""
+            ad AS MATERIALIZED (
+                SELECT t0.qid AS query_id, a0.vec_id AS neighbor_id,
+                       {' + '.join(dsum)} AS adist
+                FROM {' '.join(joins)})""")
+    return ("WITH " + ",".join(ctes) + f"""
+            SELECT query_id, neighbor_id,
+                   (row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adist, neighbor_id)
+                    - 1)::BIGINT AS rank
+            FROM ad
+            QUALIFY rank < {topk}
+        """)
+
+
 def _kmeans_select(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
     return (_kmeans_sql(k, n_iter, dim)
             + " SELECT vec_id, c AS cluster,"
@@ -6674,6 +6783,19 @@ def _q_ann_ivf(sf_dir: str):
     qdf = _small_df(sf_dir, "embeddings", ["vec_id", "embedding"])
     qdf = qdf[qdf["vec_id"] < 8]
     return ivf_topk(corpus, qdf, k=10)
+
+
+def _q_ann_pq(sf_dir: str):
+    """Product-quantization top-10 (the PQ half of IVF-PQ):
+    per-subspace integer-exact Lloyd codebooks, corpus vectors encode
+    to 4 codes, queries rank by the asymmetric table-lookup distance
+    Σ_m L2²(q_m, codeword) — all integer, oracle-bit-exact. Completes
+    the ANN family next to brute force, LSH and IVF."""
+    from rdf_extraction_ray.stages.ann import pq_topk
+    corpus = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = _small_df(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = qdf[qdf["vec_id"] < 8]
+    return pq_topk(corpus, qdf, k=10)
 
 
 def _q_docs_embed_neardup(sf_dir: str):
@@ -7734,6 +7856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_path_star": _q_kg_sparql_path_star,
         "kg_sparql_path_inverse": _q_kg_sparql_path_inverse,
         "kg_sparql_path_alt": _q_kg_sparql_path_alt,
+        "ann_pq": _q_ann_pq,
         "docs_cdc_chunks": _q_docs_cdc_chunks,
         "docs_cdc_dup_chunks": _q_docs_cdc_dup_chunks,
         "kg_sparql_path_compose": _q_kg_sparql_path_compose,
@@ -10945,6 +11068,8 @@ def oracle_sql() -> dict[str, str]:
                     AND na.vec_id = c.qid AND nb.vec_id = c.cid),
             {_ANN_RANK}
         """,
+        "ann_pq": _pq_sql(m_sub=4, k=16, n_iter=2, dim=64,
+                          topk=10, nq=8),
         "ann_ivf": _kmeans_sql(k=16, n_iter=2) + f""",
             emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                     FROM embeddings),

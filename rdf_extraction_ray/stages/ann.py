@@ -258,6 +258,148 @@ def ivf_topk(corpus: rd.Dataset, queries_df: pd.DataFrame, k: int = 10,
     return _topk_from_partials(partials, k)
 
 
+def _emit_mink_partials(dists: np.ndarray, ids: np.ndarray,
+                        q_ids: np.ndarray, k: int) -> pd.DataFrame:
+    """Distance-ranked twin of :func:`_emit_topk_partials`: emit every
+    candidate at or below the row's k-th SMALLEST distance (tied
+    cohorts survive to the driver merge, which orders by
+    (dist asc, neighbor_id asc))."""
+    nc = dists.shape[1]
+    kk = min(k, nc)
+    if kk == 0:
+        return pd.DataFrame({
+            "query_id": pd.Series([], dtype=q_ids.dtype),
+            "neighbor_id": pd.Series([], dtype="int64"),
+            "adist": pd.Series([], dtype="int64")})
+    kth = np.partition(dists, kk - 1, axis=1)[:, kk - 1]
+    keep = dists <= kth[:, None]
+    qrow, cidx = np.nonzero(keep)
+    return pd.DataFrame({
+        "query_id": q_ids[qrow],
+        "neighbor_id": ids[cidx],
+        "adist": dists[qrow, cidx].astype("int64")})
+
+
+def _mink_from_partials(partials: pd.DataFrame, k: int) -> pd.DataFrame:
+    if partials.empty:
+        return pd.DataFrame({
+            "query_id": pd.Series([], dtype="int64"),
+            "neighbor_id": pd.Series([], dtype="int64"),
+            "rank": pd.Series([], dtype="int64")})
+    partials = partials.sort_values(
+        ["query_id", "adist", "neighbor_id"], kind="stable")
+    out = partials.groupby("query_id", sort=True).head(k).copy()
+    out["rank"] = out.groupby("query_id").cumcount().astype("int64")
+    return out[["query_id", "neighbor_id", "rank"]]         .reset_index(drop=True)
+
+
+def _fit_pq_codebooks(corpus: rd.Dataset, m_sub: int, k: int,
+                      n_iter: int, id_col: str,
+                      vec_col: str) -> np.ndarray:
+    """(m_sub, k, d) int64 PRODUCT-QUANTIZATION codebooks: the same
+    integer-exact Lloyd recurrence as :func:`.cluster._fit_centroids`
+    run over every subspace AT ONCE — init rows shared across
+    subspaces (the k smallest-(md5, id) vectors, sliced), one
+    ``map_batches`` pass per round emitting (m, c, count, sum) partial
+    rows for ALL subspaces, driver reduce of O(batches·m·k) rows."""
+    from .cluster import _assign, _quantize, init_centroids
+    init_full = init_centroids(corpus, k, id_col, vec_col)
+    dim = init_full.shape[1]
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    d = dim // m_sub
+    kk = init_full.shape[0]  # may be < k on tiny inputs
+    cents = np.ascontiguousarray(
+        init_full.reshape(kk, m_sub, d).transpose(1, 0, 2))
+
+    for _ in range(n_iter):
+        ref = ray.put(cents)
+
+        def _partials(batch: pd.DataFrame) -> pd.DataFrame:
+            ce = ray.get(ref)
+            x = _quantize(batch[vec_col]).reshape(-1, m_sub, d)
+            ms, cs, ns, ss = [], [], [], []
+            for m in range(m_sub):
+                a = _assign(x[:, m, :], ce[m])
+                sums = np.zeros((kk, d), dtype=np.int64)
+                np.add.at(sums, a, x[:, m, :])
+                cnt = np.bincount(a, minlength=kk).astype(np.int64)
+                ms.append(np.full(kk, m, dtype=np.int64))
+                cs.append(np.arange(kk, dtype=np.int64))
+                ns.append(cnt)
+                ss.extend(sums[j].tolist() for j in range(kk))
+            return pd.DataFrame({"m": np.concatenate(ms),
+                                 "c": np.concatenate(cs),
+                                 "n": np.concatenate(ns),
+                                 "s": ss})
+
+        parts = (corpus.map_batches(_partials, batch_format="pandas")
+                 .to_pandas())  # O(batches · m · k) rows — bounded
+        cs_sum = np.zeros((m_sub, kk, d), dtype=np.int64)
+        np.add.at(cs_sum, (parts["m"].to_numpy(), parts["c"].to_numpy()),
+                  np.asarray(parts["s"].tolist(), dtype=np.int64))
+        cnt = np.zeros((m_sub, kk), dtype=np.int64)
+        np.add.at(cnt, (parts["m"].to_numpy(), parts["c"].to_numpy()),
+                  parts["n"].to_numpy())
+        nxt = cents.copy()
+        nz = cnt > 0  # empty codewords keep their previous centroid
+        nxt[nz] = cs_sum[nz] // cnt[nz][:, None]
+        cents = nxt
+    return cents
+
+
+def pq_topk(corpus: rd.Dataset, queries_df: pd.DataFrame, k: int = 10,
+            m_sub: int = 4, n_codes: int = 16, n_iter: int = 2,
+            id_col: str = "vec_id", vec_col: str = "embedding"
+            ) -> pd.DataFrame:
+    """PRODUCT-QUANTIZATION top-k (the PQ half of IVF-PQ, Jégou et
+    al. 2011) with asymmetric distance computation: per-subspace
+    integer-exact codebooks (:func:`_fit_pq_codebooks`, the shared
+    Lloyd recurrence on the ×1000 grid), corpus vectors encode to
+    ``m_sub`` one-byte codes, and each query ranks candidates by the
+    table-lookup distance Σ_m ||q_m − codeword(code_m)||² — exact
+    integer arithmetic end to end, so the DuckDB oracle replays every
+    codebook, code and distance bit for bit. Ties break to the
+    smaller neighbor id.
+
+    Scale shape: codebooks are tiny (m·k·d ints) and ride the object
+    store; the scoring pass streams the corpus ONCE — encode (m
+    argmins over k codewords) + one gather-sum per batch — emitting
+    bounded per-batch partial top-k rows. The memory win PQ exists
+    for (codes instead of vectors) shows up at re-ranking/serving
+    time; here the codes are derived in the same pass that scores
+    them, so nothing vector-shaped ever lands on the driver."""
+    corpus = corpus.materialize()  # init + Lloyd + scoring passes
+    if not len(queries_df) or not corpus.count():
+        return _mink_from_partials(pd.DataFrame(), k)
+    from .cluster import _assign, _quantize
+    cents = _fit_pq_codebooks(corpus, m_sub, n_codes, n_iter,
+                              id_col, vec_col)
+    d = cents.shape[2]
+    q = _quantize(queries_df[vec_col])
+    nq = q.shape[0]
+    qs = q.reshape(nq, m_sub, d)
+    # (nq, m, k) integer distance tables — the ADC lookup tables
+    dt = ((qs[:, :, None, :].astype(np.int64)
+           - cents[None, :, :, :]) ** 2).sum(axis=3)
+    q_ids = queries_df[id_col].to_numpy()
+    ref = ray.put((dt, q_ids, cents))
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        dtb, qi, ce = ray.get(ref)
+        x = _quantize(batch[vec_col]).reshape(-1, m_sub, d)
+        ids = batch[id_col].to_numpy()
+        ad = np.zeros((dtb.shape[0], x.shape[0]), dtype=np.int64)
+        for m in range(m_sub):
+            codes_m = _assign(x[:, m, :], ce[m])
+            ad += dtb[:, m, codes_m]
+        return _emit_mink_partials(ad, ids, qi, k)
+
+    partials = corpus.map_batches(_partial,
+                                  batch_format="pandas").to_pandas()
+    return _mink_from_partials(partials, k)
+
+
 def lsh_topk(corpus: rd.Dataset, queries_df: pd.DataFrame, k: int = 10,
              n_bits: int = 8, n_tables: int = 4, seed: int = 99,
              id_col: str = "vec_id", vec_col: str = "embedding",

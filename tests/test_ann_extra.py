@@ -154,3 +154,85 @@ def test_bruteforce_tied_cohort_survives_batch_cutoff():
     # smallest ids of the tied cohort must win
     out = brute_force_topk(rd.from_pandas(df), df.head(1), k=5)
     assert sorted(out["neighbor_id"]) == [0, 1, 2, 3, 4]
+
+
+class TestPQTopk:
+    """Product-quantization ADC ranking: exact vs a single-process
+    reference of the same recurrence, plus self-retrieval recall."""
+
+    @staticmethod
+    def _naive(corpus_df, queries_df, k, m_sub, n_codes, n_iter):
+        import hashlib
+
+        import numpy as np
+
+        def quant(col):
+            e = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in col])
+            return np.floor(e * 1000.0 + 0.5).astype(np.int64)
+
+        x = quant(corpus_df["embedding"])
+        ids = corpus_df["vec_id"].to_numpy()
+        h = np.array([int(hashlib.md5(str(int(v)).encode())
+                          .hexdigest()[:15], 16) for v in ids])
+        order = np.lexsort((ids, h))[:n_codes]
+        dim = x.shape[1]
+        d = dim // m_sub
+        cents = x[order].reshape(-1, m_sub, d) \
+            .transpose(1, 0, 2).copy()
+        kk = cents.shape[1]
+        xs = x.reshape(-1, m_sub, d)
+        for _ in range(n_iter):
+            nxt = cents.copy()
+            for m in range(m_sub):
+                dmat = ((xs[:, None, m, :] - cents[None, m]) ** 2) \
+                    .sum(-1)
+                a = dmat.argmin(1)
+                for c in range(kk):
+                    sel = xs[a == c, m, :]
+                    if len(sel):
+                        nxt[m, c] = sel.sum(0) // len(sel)
+            cents = nxt
+        q = quant(queries_df["embedding"]).reshape(-1, m_sub, d)
+        qi = queries_df["vec_id"].to_numpy()
+        out = []
+        for i in range(len(qi)):
+            ad = np.zeros(len(ids), dtype=np.int64)
+            for m in range(m_sub):
+                dmat = ((xs[:, m, :][:, None, :]
+                         - cents[None, m]) ** 2).sum(-1)
+                codes = dmat.argmin(1)
+                dt = ((q[i, m] - cents[m]) ** 2).sum(-1)
+                ad += dt[codes]
+            rank = np.lexsort((ids, ad))[:k]
+            for r, j in enumerate(rank):
+                out.append((qi[i], ids[j], r))
+        return sorted(out)
+
+    def test_matches_reference(self):
+        rng = np.random.RandomState(17)
+        emb = rng.randn(40, 8).round(3)
+        df = pd.DataFrame({"vec_id": np.arange(40),
+                           "embedding": [list(r) for r in emb]})
+        qdf = df.head(5)
+        from rdf_extraction_ray.stages.ann import pq_topk
+        got = pq_topk(rd.from_pandas(df), qdf, k=6, m_sub=2,
+                      n_codes=8, n_iter=2)
+        got_t = sorted(map(tuple, got.to_numpy()))
+        want = self._naive(df, qdf, 6, 2, 8, 2)
+        assert got_t == want
+
+    def test_self_retrieval_recall(self):
+        rng = np.random.RandomState(4)
+        emb = rng.randn(120, 16).round(3)
+        df = pd.DataFrame({"vec_id": np.arange(120),
+                           "embedding": [list(r) for r in emb]})
+        qdf = df.head(8)
+        from rdf_extraction_ray.stages.ann import pq_topk
+        got = pq_topk(rd.from_pandas(df), qdf, k=10, m_sub=4,
+                      n_codes=16, n_iter=2)
+        hits = sum(
+            int(q) in set(got.loc[got["query_id"] == q,
+                                  "neighbor_id"])
+            for q in qdf["vec_id"])
+        assert hits >= 6  # ADC is approximate; most selves survive
