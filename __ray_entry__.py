@@ -6351,7 +6351,9 @@ def _kmeans_sql(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
 
 
 def _pq_sql(m_sub: int = 4, k: int = 16, n_iter: int = 2,
-            dim: int = 64, topk: int = 10, nq: int = 8) -> str:
+            dim: int = 64, topk: int = 10, nq: int = 8,
+            n_coarse: int | None = None,
+            nprobe: int = 4) -> str:
     """DuckDB replay of stages.ann.pq_topk: per-subspace Lloyd
     codebooks from the SHARED (md5-hash, vec_id) init rows (each
     subspace sees slices of the same k vectors), integer assign /
@@ -6381,19 +6383,20 @@ def _pq_sql(m_sub: int = 4, k: int = 16, n_iter: int = 2,
                           FROM {src} q, {cents} cc))
                 WHERE rn = 1)"""
 
-    def update(assigned: str, prev: str, name: str) -> str:
+    def update(assigned: str, prev: str, name: str,
+               ndim: int = d) -> str:
         return f"""
             u_{name} AS MATERIALIZED (
                 SELECT c, i, sum(v[i]) AS s, count(*) AS n
                 FROM {assigned},
-                     unnest(generate_series(1, {d})) s(i)
+                     unnest(generate_series(1, {ndim})) s(i)
                 GROUP BY c, i),
             {name} AS MATERIALIZED (
                 SELECT dd.c, list(dd.val ORDER BY dd.i) AS v FROM (
                     SELECT cc.c, i.i,
                            coalesce({floordiv}, cc.v[i.i]) AS val
                     FROM {prev} cc
-                    CROSS JOIN (SELECT unnest(generate_series(1, {d}))
+                    CROSS JOIN (SELECT unnest(generate_series(1, {ndim}))
                                 AS i) i
                     LEFT JOIN u_{name} u
                       ON u.c = cc.c AND u.i = i.i) dd
@@ -6444,6 +6447,44 @@ def _pq_sql(m_sub: int = 4, k: int = 16, n_iter: int = 2,
                      + ("" if m == 0
                         else " AND t{0}.qid = t0.qid".format(m)))
         dsum.append(f"t{m}.dd")
+    if n_coarse is not None:
+        # coarse-quantizer chain (full dim) + nprobe cell filter —
+        # same Lloyd recurrence, init = the k_coarse smallest-(h, id)
+        # vectors, probe ties to the smaller cell id
+        ctes.append(f"""
+            co0 AS MATERIALIZED (
+                SELECT row_number() OVER (ORDER BY h, vec_id) - 1
+                           AS c, v
+                FROM (SELECT vec_id, v,
+                             ('0x' || substr(md5(vec_id::VARCHAR),
+                                             1, 15))::BIGINT AS h
+                      FROM q)
+                ORDER BY h, vec_id LIMIT {n_coarse})""")
+        prev_c = "co0"
+        for it in range(1, n_iter + 1):
+            ctes.append(assign("q", prev_c, f"coa{it}"))
+            ctes.append(update(f"coa{it}", prev_c, f"co{it}",
+                               ndim=dim))
+            prev_c = f"co{it}"
+        ctes.append(assign("q", prev_c, "cofinal"))
+        ctes.append(f"""
+            probe AS MATERIALIZED (
+                SELECT qid, c FROM (
+                    SELECT qid, c,
+                           row_number() OVER (PARTITION BY qid
+                                              ORDER BY d, c) AS rn
+                    FROM (SELECT qv.vec_id AS qid, cc.c,
+                                 list_sum(list_transform(
+                                     list_zip(qv.v, cc.v),
+                                     p -> (p[1]-p[2])*(p[1]-p[2])))
+                                     AS d
+                          FROM (SELECT vec_id, v FROM q
+                                WHERE vec_id < {nq}) qv,
+                               {prev_c} cc))
+                WHERE rn <= {nprobe})""")
+        joins.append("JOIN cofinal cf ON cf.vec_id = a0.vec_id")
+        joins.append("JOIN probe p ON p.qid = t0.qid"
+                     " AND p.c = cf.c")
     ctes.append(f"""
             ad AS MATERIALIZED (
                 SELECT t0.qid AS query_id, a0.vec_id AS neighbor_id,
@@ -6796,6 +6837,19 @@ def _q_ann_pq(sf_dir: str):
     qdf = _small_df(sf_dir, "embeddings", ["vec_id", "embedding"])
     qdf = qdf[qdf["vec_id"] < 8]
     return pq_topk(corpus, qdf, k=10)
+
+
+def _q_ann_ivfpq(sf_dir: str):
+    """IVF-PQ top-10 — the canonical billion-scale ANN recipe: the
+    integer-exact coarse quantizer prunes each query to its 4 nearest
+    cells; candidates rank by the PQ asymmetric table-lookup distance
+    (no residual encoding — both halves stay independently
+    oracle-exact). nprobe=n_centroids reproduces ann_pq exactly."""
+    from rdf_extraction_ray.stages.ann import ivfpq_topk
+    corpus = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = _small_df(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = qdf[qdf["vec_id"] < 8]
+    return ivfpq_topk(corpus, qdf, k=10)
 
 
 def _q_docs_embed_neardup(sf_dir: str):
@@ -7857,6 +7911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_path_inverse": _q_kg_sparql_path_inverse,
         "kg_sparql_path_alt": _q_kg_sparql_path_alt,
         "ann_pq": _q_ann_pq,
+        "ann_ivfpq": _q_ann_ivfpq,
         "docs_cdc_chunks": _q_docs_cdc_chunks,
         "docs_cdc_dup_chunks": _q_docs_cdc_dup_chunks,
         "kg_sparql_path_compose": _q_kg_sparql_path_compose,
@@ -11070,6 +11125,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_pq": _pq_sql(m_sub=4, k=16, n_iter=2, dim=64,
                           topk=10, nq=8),
+        "ann_ivfpq": _pq_sql(m_sub=4, k=16, n_iter=2, dim=64,
+                             topk=10, nq=8, n_coarse=16, nprobe=4),
         "ann_ivf": _kmeans_sql(k=16, n_iter=2) + f""",
             emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                     FROM embeddings),

@@ -258,6 +258,11 @@ def ivf_topk(corpus: rd.Dataset, queries_df: pd.DataFrame, k: int = 10,
     return _topk_from_partials(partials, k)
 
 
+#: masked-out candidates (outside the probed cells) carry this
+#: distance and never emit — mirrors the -2.0 cosine sentinel
+_DIST_SENTINEL = np.int64(2**62)
+
+
 def _emit_mink_partials(dists: np.ndarray, ids: np.ndarray,
                         q_ids: np.ndarray, k: int) -> pd.DataFrame:
     """Distance-ranked twin of :func:`_emit_topk_partials`: emit every
@@ -272,7 +277,7 @@ def _emit_mink_partials(dists: np.ndarray, ids: np.ndarray,
             "neighbor_id": pd.Series([], dtype="int64"),
             "adist": pd.Series([], dtype="int64")})
     kth = np.partition(dists, kk - 1, axis=1)[:, kk - 1]
-    keep = dists <= kth[:, None]
+    keep = (dists <= kth[:, None]) & (dists < _DIST_SENTINEL)
     qrow, cidx = np.nonzero(keep)
     return pd.DataFrame({
         "query_id": q_ids[qrow],
@@ -393,6 +398,63 @@ def pq_topk(corpus: rd.Dataset, queries_df: pd.DataFrame, k: int = 10,
         for m in range(m_sub):
             codes_m = _assign(x[:, m, :], ce[m])
             ad += dtb[:, m, codes_m]
+        return _emit_mink_partials(ad, ids, qi, k)
+
+    partials = corpus.map_batches(_partial,
+                                  batch_format="pandas").to_pandas()
+    return _mink_from_partials(partials, k)
+
+
+def ivfpq_topk(corpus: rd.Dataset, queries_df: pd.DataFrame,
+               k: int = 10, n_centroids: int = 16, nprobe: int = 4,
+               m_sub: int = 4, n_codes: int = 16, n_iter: int = 2,
+               id_col: str = "vec_id", vec_col: str = "embedding"
+               ) -> pd.DataFrame:
+    """IVF-PQ top-k — the canonical billion-scale ANN recipe (Jégou
+    et al. 2011): the coarse quantizer (:func:`.cluster`'s
+    integer-exact k-means) prunes the corpus to each query's
+    ``nprobe`` nearest cells, and candidates rank by the PQ
+    asymmetric table-lookup distance (:func:`pq_topk`'s metric; no
+    residual encoding — both halves stay independently oracle-exact).
+    ``nprobe == n_centroids`` reproduces :func:`pq_topk` exactly.
+
+    Scale shape: coarse centroids + codebooks are tiny broadcast
+    state; one streaming scoring pass encodes, masks and gathers per
+    batch; queries with fewer than k in-cell candidates return fewer
+    rows (mask sentinel never emits)."""
+    corpus = corpus.materialize()
+    if not len(queries_df) or not corpus.count():
+        return _mink_from_partials(pd.DataFrame(), k)
+    from .cluster import _assign, _fit_centroids, _quantize
+    coarse = _fit_centroids(corpus, k=n_centroids, n_iter=n_iter,
+                            id_col=id_col, vec_col=vec_col)
+    cents = _fit_pq_codebooks(corpus, m_sub, n_codes, n_iter,
+                              id_col, vec_col)
+    d = cents.shape[2]
+    q = _quantize(queries_df[vec_col])
+    nq = q.shape[0]
+    qs = q.reshape(nq, m_sub, d)
+    dt = ((qs[:, :, None, :].astype(np.int64)
+           - cents[None, :, :, :]) ** 2).sum(axis=3)
+    # probe the nprobe nearest coarse cells (integer L2 on the same
+    # ×1000 grid, ties to the smaller cell id — the IVF rule)
+    dq = ((q[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+    probe = np.argsort(dq, axis=1, kind="stable")[:, :nprobe]
+    q_ids = queries_df[id_col].to_numpy()
+    ref = ray.put((dt, q_ids, cents, coarse, probe))
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        dtb, qi, ce, co, pr = ray.get(ref)
+        x = _quantize(batch[vec_col])
+        xs = x.reshape(-1, m_sub, d)
+        ids = batch[id_col].to_numpy()
+        cell = _assign(x, co)
+        mask = (pr[:, :, None] == cell[None, None, :]).any(axis=1)
+        ad = np.zeros((dtb.shape[0], x.shape[0]), dtype=np.int64)
+        for m in range(m_sub):
+            codes_m = _assign(xs[:, m, :], ce[m])
+            ad += dtb[:, m, codes_m]
+        ad[~mask] = _DIST_SENTINEL
         return _emit_mink_partials(ad, ids, qi, k)
 
     partials = corpus.map_batches(_partial,

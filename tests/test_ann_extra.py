@@ -236,3 +236,37 @@ class TestPQTopk:
                                   "neighbor_id"])
             for q in qdf["vec_id"])
         assert hits >= 6  # ADC is approximate; most selves survive
+
+
+class TestIVFPQ:
+    def test_full_probe_reproduces_pq(self):
+        rng = np.random.RandomState(23)
+        emb = rng.randn(60, 8).round(3)
+        df = pd.DataFrame({"vec_id": np.arange(60),
+                           "embedding": [list(r) for r in emb]})
+        qdf = df.head(5)
+        from rdf_extraction_ray.stages.ann import ivfpq_topk, pq_topk
+        a = pq_topk(rd.from_pandas(df), qdf, k=7, m_sub=2,
+                    n_codes=8, n_iter=2)
+        b = ivfpq_topk(rd.from_pandas(df), qdf, k=7,
+                       n_centroids=8, nprobe=8, m_sub=2,
+                       n_codes=8, n_iter=2)
+        pd.testing.assert_frame_equal(
+            a.reset_index(drop=True), b.reset_index(drop=True))
+
+    def test_narrow_probe_prunes_and_may_shorten(self):
+        rng = np.random.RandomState(29)
+        emb = rng.randn(40, 8).round(3)
+        df = pd.DataFrame({"vec_id": np.arange(40),
+                           "embedding": [list(r) for r in emb]})
+        qdf = df.head(4)
+        from rdf_extraction_ray.stages.ann import ivfpq_topk
+        out = ivfpq_topk(rd.from_pandas(df), qdf, k=30,
+                         n_centroids=8, nprobe=1, m_sub=2,
+                         n_codes=8, n_iter=2)
+        # with one probed cell of 8, no query can see all 40 vectors
+        per_q = out.groupby("query_id").size()
+        assert (per_q < 40).all() and len(out) > 0
+        # ranks are dense from 0 per query
+        for q, g in out.groupby("query_id"):
+            assert g["rank"].tolist() == list(range(len(g)))
