@@ -195,3 +195,50 @@ class TestGreedyPairClosedForm:
             mx = max(mx, run)
             n_p += 1 if e == "p" else 0
         assert n_p - max(mx, 0) == greedy
+
+
+class TestJsonldVectorizedProperty:
+    """format_jsonld's group-concat assembly is byte-identical to the
+    row-at-a-time dict builder for ARBITRARY text (exact json.dumps
+    escaping, encounter-order values, sorted keys)."""
+
+    @given(st.lists(st.tuples(
+        st.sampled_from(["s1", "s2", "s3"]),
+        st.sampled_from(["p:a", "p:b", "rdf:type"]),
+        st.text(max_size=24),
+        st.sampled_from(["uri", "literal"]),
+        st.sampled_from([None, "", "en"]),
+        st.sampled_from([None, "", "xsd:date"])),
+        min_size=1, max_size=24))
+    @settings(max_examples=120, deadline=None)
+    def test_matches_rowwise_builder(self, rows):
+        import json
+
+        import pandas as pd
+
+        from rdf_extraction_ray.namespaces import NS
+        from rdf_extraction_ray.stages.serialize import format_jsonld
+        batch = pd.DataFrame(rows, columns=[
+            "subj", "pred", "obj", "obj_kind", "obj_lang",
+            "obj_datatype"])
+
+        def rowwise(b):
+            out = []
+            for subj, g in b.groupby("subj", sort=True):
+                node = {"@id": subj}
+                for _, r in g.iterrows():
+                    if r["obj_kind"] == "uri":
+                        val = {"@id": r["obj"]}
+                    else:
+                        val = {"@value": r["obj"]}
+                        if r["obj_lang"]:
+                            val["@language"] = r["obj_lang"]
+                        elif r["obj_datatype"]:
+                            dd = r["obj_datatype"]
+                            val["@type"] = (NS[dd.split(":")[0]]
+                                            + dd.split(":")[1])
+                    node.setdefault(r["pred"], []).append(val)
+                out.append(" " + json.dumps(node, sort_keys=True))
+            return out
+
+        assert format_jsonld(batch)["line"].tolist() == rowwise(batch)
