@@ -6350,6 +6350,69 @@ def _kmeans_sql(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
     return "WITH " + ",".join(ctes)
 
 
+def _cdc_sql(tail: str, window: int = 16,
+             base: int = 1_000_003, mod: int = 2**31 - 1,
+             mask: int = 64) -> str:
+    """DuckDB replay of stages.textstats.cdc_chunks shared by both
+    CDC oracles (one source for the 16-term rolling-hash constants
+    and the span reconstruction): per-position codepoints, the
+    polynomial hash H(p) = Σ codepoint(text[p-i])·base^i mod ``mod``
+    as ``window`` LAG terms, boundaries where H % mask = 0, spans via
+    one LAG window, md5 per chunk. ``tail`` is the final SELECT over
+    the ``chunks`` CTE."""
+    terms = []
+    for i in range(window):
+        wgt = pow(base, i, mod)
+        terms.append(f"c * {wgt}" if i == 0
+                     else f"lag(c, {i}, 0) OVER w * {wgt}")
+    hash_expr = "\n                 + ".join(terms)
+    return f"""
+            WITH d AS (
+                SELECT doc_id, text, length(text)::BIGINT AS n
+                FROM documents WHERE length(text) > 0),
+            cps AS (
+                SELECT doc_id, n, text,
+                       unnest(range(0, n))::BIGINT AS pos
+                FROM d),
+            cp2 AS (
+                SELECT doc_id, n, pos,
+                       unicode(substr(text, (pos + 1)::INT, 1))::BIGINT
+                           AS c
+                FROM cps),
+            h AS (
+                SELECT doc_id, n, pos,
+                       ({hash_expr}) % {mod} AS hv
+                FROM cp2
+                WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+            b AS (
+                SELECT doc_id, pos + 1 AS e
+                FROM h WHERE pos >= {window - 1} AND hv % {mask} = 0),
+            ends AS (
+                SELECT doc_id, e FROM b
+                UNION ALL
+                SELECT d.doc_id, d.n AS e
+                FROM d LEFT JOIN (SELECT doc_id, max(e) AS me
+                                  FROM b GROUP BY doc_id) m
+                  USING (doc_id)
+                WHERE m.me IS NULL OR m.me <> d.n),
+            spans AS (
+                SELECT doc_id, e,
+                       lag(e, 1, 0) OVER (PARTITION BY doc_id
+                                          ORDER BY e) AS s,
+                       (row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY e) - 1)::BIGINT
+                           AS chunk_id
+                FROM ends),
+            chunks AS (
+                SELECT sp.doc_id, sp.chunk_id,
+                       sp.s::BIGINT AS start, sp.e::BIGINT AS end_excl,
+                       (sp.e - sp.s)::BIGINT AS n_chars,
+                       md5(substr(d.text, (sp.s + 1)::INT,
+                                  (sp.e - sp.s)::INT)) AS chunk_md5
+                FROM spans sp JOIN d USING (doc_id))
+""" + tail
+
+
 def _pq_sql(m_sub: int = 4, k: int = 16, n_iter: int = 2,
             dim: int = 64, topk: int = 10, nq: int = 8,
             n_coarse: int | None = None,
@@ -10557,134 +10620,18 @@ def oracle_sql() -> dict[str, str]:
                    c.n AS n_tokens
             FROM c JOIN s ON s.i < c.k
         """,
-        "docs_cdc_chunks": """
-            WITH d AS (
-                SELECT doc_id, text, length(text)::BIGINT AS n
-                FROM documents WHERE length(text) > 0),
-            cps AS (
-                SELECT doc_id, n, text,
-                       unnest(range(0, n))::BIGINT AS pos
-                FROM d),
-            cp2 AS (
-                SELECT doc_id, n, pos,
-                       unicode(substr(text, (pos + 1)::INT, 1))::BIGINT
-                           AS c
-                FROM cps),
-            h AS (
-                SELECT doc_id, n, pos,
-                       (c * 1
-                 + lag(c, 1, 0) OVER w * 1000003
-                 + lag(c, 2, 0) OVER w * 1426104154
-                 + lag(c, 3, 0) OVER w * 1049561761
-                 + lag(c, 4, 0) OVER w * 1604566856
-                 + lag(c, 5, 0) OVER w * 1953433226
-                 + lag(c, 6, 0) OVER w * 2061642598
-                 + lag(c, 7, 0) OVER w * 57298384
-                 + lag(c, 8, 0) OVER w * 1544709545
-                 + lag(c, 9, 0) OVER w * 1274554124
-                 + lag(c, 10, 0) OVER w * 633364108
-                 + lag(c, 11, 0) OVER w * 66148026
-                 + lag(c, 12, 0) OVER w * 1433149184
-                 + lag(c, 13, 0) OVER w * 206851044
-                 + lag(c, 14, 0) OVER w * 1744706798
-                 + lag(c, 15, 0) OVER w * 1828017126) % 2147483647 AS hv
-                FROM cp2
-                WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-            b AS (
-                SELECT doc_id, pos + 1 AS e
-                FROM h WHERE pos >= 15 AND hv % 64 = 0),
-            ends AS (
-                SELECT doc_id, e FROM b
-                UNION ALL
-                SELECT d.doc_id, d.n AS e
-                FROM d LEFT JOIN (SELECT doc_id, max(e) AS me
-                                  FROM b GROUP BY doc_id) m
-                  USING (doc_id)
-                WHERE m.me IS NULL OR m.me <> d.n),
-            spans AS (
-                SELECT doc_id, e,
-                       lag(e, 1, 0) OVER (PARTITION BY doc_id
-                                          ORDER BY e) AS s,
-                       (row_number() OVER (PARTITION BY doc_id
-                                           ORDER BY e) - 1)::BIGINT
-                           AS chunk_id
-                FROM ends),
-            chunks AS (
-                SELECT sp.doc_id, sp.chunk_id,
-                       sp.s::BIGINT AS start, sp.e::BIGINT AS end_excl,
-                       (sp.e - sp.s)::BIGINT AS n_chars,
-                       md5(substr(d.text, (sp.s + 1)::INT,
-                                  (sp.e - sp.s)::INT)) AS chunk_md5
-                FROM spans sp JOIN d USING (doc_id))
+        "docs_cdc_chunks": _cdc_sql("""
             SELECT doc_id, chunk_id, start, end_excl, n_chars,
                    chunk_md5
             FROM chunks
-        """,
-        "docs_cdc_dup_chunks": """
-            WITH d AS (
-                SELECT doc_id, text, length(text)::BIGINT AS n
-                FROM documents WHERE length(text) > 0),
-            cps AS (
-                SELECT doc_id, n, text,
-                       unnest(range(0, n))::BIGINT AS pos
-                FROM d),
-            cp2 AS (
-                SELECT doc_id, n, pos,
-                       unicode(substr(text, (pos + 1)::INT, 1))::BIGINT
-                           AS c
-                FROM cps),
-            h AS (
-                SELECT doc_id, n, pos,
-                       (c * 1
-                 + lag(c, 1, 0) OVER w * 1000003
-                 + lag(c, 2, 0) OVER w * 1426104154
-                 + lag(c, 3, 0) OVER w * 1049561761
-                 + lag(c, 4, 0) OVER w * 1604566856
-                 + lag(c, 5, 0) OVER w * 1953433226
-                 + lag(c, 6, 0) OVER w * 2061642598
-                 + lag(c, 7, 0) OVER w * 57298384
-                 + lag(c, 8, 0) OVER w * 1544709545
-                 + lag(c, 9, 0) OVER w * 1274554124
-                 + lag(c, 10, 0) OVER w * 633364108
-                 + lag(c, 11, 0) OVER w * 66148026
-                 + lag(c, 12, 0) OVER w * 1433149184
-                 + lag(c, 13, 0) OVER w * 206851044
-                 + lag(c, 14, 0) OVER w * 1744706798
-                 + lag(c, 15, 0) OVER w * 1828017126) % 2147483647 AS hv
-                FROM cp2
-                WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-            b AS (
-                SELECT doc_id, pos + 1 AS e
-                FROM h WHERE pos >= 15 AND hv % 64 = 0),
-            ends AS (
-                SELECT doc_id, e FROM b
-                UNION ALL
-                SELECT d.doc_id, d.n AS e
-                FROM d LEFT JOIN (SELECT doc_id, max(e) AS me
-                                  FROM b GROUP BY doc_id) m
-                  USING (doc_id)
-                WHERE m.me IS NULL OR m.me <> d.n),
-            spans AS (
-                SELECT doc_id, e,
-                       lag(e, 1, 0) OVER (PARTITION BY doc_id
-                                          ORDER BY e) AS s,
-                       (row_number() OVER (PARTITION BY doc_id
-                                           ORDER BY e) - 1)::BIGINT
-                           AS chunk_id
-                FROM ends),
-            chunks AS (
-                SELECT sp.doc_id, sp.chunk_id,
-                       sp.s::BIGINT AS start, sp.e::BIGINT AS end_excl,
-                       (sp.e - sp.s)::BIGINT AS n_chars,
-                       md5(substr(d.text, (sp.s + 1)::INT,
-                                  (sp.e - sp.s)::INT)) AS chunk_md5
-                FROM spans sp JOIN d USING (doc_id))
+        """),
+        "docs_cdc_dup_chunks": _cdc_sql("""
             SELECT chunk_md5,
                    count(*)::BIGINT AS n_occ,
                    count(DISTINCT doc_id)::BIGINT AS n_docs
             FROM chunks
             GROUP BY chunk_md5 HAVING count(*) >= 2
-        """,
+        """),
         "kg_sparql_path_alt": f"""
             WITH RECURSIVE r AS (
                 SELECT DISTINCT subj AS s, obj AS o
@@ -10708,10 +10655,13 @@ def oracle_sql() -> dict[str, str]:
                 SELECT s, o FROM e
                 UNION
                 SELECT c.start, e.o FROM c JOIN e ON c.node = e.s)
-            -- ?x ^rel+ ?y == ?y rel+ ?x: start plays y, node plays x
-            SELECT DISTINCT c.node AS y, d.obj AS cod
+            -- ?x ^rel+ ?y == ?y rel+ ?x: the pattern's ?y binds the
+            -- FORWARD-closure start (y reaches x), so cod attaches
+            -- to c.start — binding c.node here would only agree on
+            -- corpora whose relationship edges are all mutual
+            SELECT DISTINCT c.start AS y, d.obj AS cod
             FROM c JOIN read_parquet('{triples}') d
-              ON c.node = d.subj
+              ON c.start = d.subj
             WHERE d.pred = '{_UPD_COD}'
         """,
         "kg_sparql_path_star": f"""

@@ -678,6 +678,15 @@ def run_curation(input_path: str, out_dir: str, n_shards: int = 8,
     from .textstats import quality_score
 
     fp = _input_fingerprint(input_path)
+    # Stage-1 checkpoint keys on the INPUT alone (gate + exact dedup
+    # don't depend on the near-dup config); the FINAL survivor set
+    # and the shard markers key on input + pipeline config, so
+    # toggling neardup or changing the threshold invalidates the
+    # shards and the final checkpoint instead of silently reusing
+    # output produced under a different configuration.
+    fp_cfg = None if fp is None else hashlib.md5(
+        f"{fp}|neardup={bool(neardup)}|tau={jaccard_threshold}"
+        .encode()).hexdigest()
     ck_dir = os.path.join(out_dir, "_survivors")
     if fresh:
         shutil.rmtree(ck_dir, ignore_errors=True)
@@ -690,7 +699,8 @@ def run_curation(input_path: str, out_dir: str, n_shards: int = 8,
     if fresh:
         shutil.rmtree(ck_final, ignore_errors=True)
 
-    def _publish_ids(ds: rd.Dataset, dest: str) -> None:
+    def _publish_ids(ds: rd.Dataset, dest: str,
+                     marker_fp: str | None = None) -> None:
         """Distributed write of a compact id set, marker written
         INSIDE the tmp dir, then one atomic rename."""
         os.makedirs(out_dir, exist_ok=True)
@@ -699,7 +709,8 @@ def run_curation(input_path: str, out_dir: str, n_shards: int = 8,
         ds.map_batches(lambda df: df[["doc_id"]],
                        batch_format="pandas").write_parquet(tmp)
         with open(os.path.join(tmp, _CKPT_MARKER), "w") as f:
-            json.dump({"fingerprint": fp}, f, sort_keys=True)
+            json.dump({"fingerprint": marker_fp or fp}, f,
+                      sort_keys=True)
         shutil.rmtree(dest, ignore_errors=True)
         os.replace(tmp, dest)
 
@@ -707,14 +718,14 @@ def run_curation(input_path: str, out_dir: str, n_shards: int = 8,
     n_in = docs.count()
 
     if neardup and not fresh:
-        final_ids = _load_survivor_checkpoint(ck_final, fp)
+        final_ids = _load_survivor_checkpoint(ck_final, fp_cfg)
         if final_ids is not None:
             # deepest checkpoint hit: every compute stage skipped
             surv = hash_join(docs, final_ids, on="doc_id")
             n_out = surv.count()
             res = write_train_shards(surv, out_dir,
                                      n_shards=n_shards,
-                                     fingerprint=fp)
+                                     fingerprint=fp_cfg)
             return {"docs_in": int(n_in), "docs_out": int(n_out),
                     "resumed": True, "resumed_stage": "neardup",
                     "shards": res}
@@ -798,11 +809,12 @@ def run_curation(input_path: str, out_dir: str, n_shards: int = 8,
                 surv = semi_join_filter(surv, losers, "doc_id",
                                         anti=True).materialize()
         if fp is not None:
-            _publish_ids(surv, ck_final)  # checkpoint 2 (final set)
+            _publish_ids(surv, ck_final,
+                         fp_cfg)  # checkpoint 2 (final set)
 
     n_out = surv.count()
     res = write_train_shards(surv, out_dir, n_shards=n_shards,
-                             fingerprint=fp)
+                             fingerprint=fp_cfg)
     return {"docs_in": int(n_in), "docs_out": int(n_out),
             "resumed": resumed,
             "resumed_stage": "exact" if resumed else None,

@@ -258,7 +258,15 @@ def format_jsonld(batch: pd.DataFrame) -> pd.DataFrame:
     iri = pd.Series("", index=g.index, dtype=object)
     if has_dt.any():
         parts = dtype[has_dt].str.split(":", n=1)
-        iri[has_dt] = (parts.str[0].map(NS) + parts.str[1]).map(enc)
+        base = parts.str[0].map(NS)
+        if base.isna().any():
+            # fail loudly like the rowwise encoder's NS[...] lookup
+            # did — a silent NaN here would serialize as a bare
+            # (unquoted, invalid-JSON) NaN token in the shard
+            bad = dtype[has_dt][base.isna()].iloc[0]
+            raise KeyError(
+                f"unknown datatype prefix in {bad!r}: not in NS")
+        iri[has_dt] = (base + parts.str[1]).map(enc)
     has_lang = lang != ""
     val = '{"@value": ' + obj_e + "}"
     val = val.where(~(has_dt & ~has_lang),

@@ -792,9 +792,22 @@ def run_sparql(triples, text: str, n_buckets: int = 64):
            for p in list(pats) + list(opt or [])] \
         + list(q["template"] or []) + list(q["delete"] or []) \
         + list(q["insert"] or [])
+    if g["subquery"] is not None:
+        ig = g["subquery"]["group"]
+        # subquery bodies route to bgp_aggregate, which reads a
+        # closure marker tuple as a plain predicate ALTERNATION —
+        # guard them too, or transitive patterns silently become
+        # single-hop matches
+        aux_pats += list(ig["patterns"]) + list(ig["optional"]) \
+            + list(ig["minus"] or []) + list(ig["exists"] or []) \
+            + list(ig["not_exists"] or [])
+        if g["subquery"].get("offset") is not None:
+            raise NotImplementedError(
+                "OFFSET inside a subquery is not supported")
     if any(_is_closure(p) for p in aux_pats):
         raise NotImplementedError(
-            "p+/p* are supported in the required pattern block only")
+            "p+/p* are supported in the required pattern block of "
+            "the (outer) query only")
 
     closures = [p for p in (g["patterns"] or []) if _is_closure(p)]
     if closures:

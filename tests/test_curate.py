@@ -434,3 +434,32 @@ def test_run_curation_neardup_stage_and_two_level_resume(tmp_path,
     assert r3["shards"]["skipped"] == [1]
     surv3 = pd.read_parquet(out)
     assert sorted(surv3["doc_id"]) == [1, 3]
+
+
+def test_run_curation_config_change_invalidates_shards(tmp_path):
+    """Shard markers key on input + pipeline config: re-running with
+    neardup toggled on the SAME input must rewrite the shards (the
+    old markers would otherwise silently keep near-dup losers in the
+    output while docs_out reports them removed)."""
+    import random
+
+    from rdf_extraction_ray.stages.curate import run_curation
+    rng = random.Random(7)
+    para = "".join(rng.choice("abcdefg hijk") for _ in range(400))
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": [para + " one tail", "pre " + para,
+                                "totally different " + "".join(
+                                    rng.choice("mnopqr st")
+                                    for _ in range(350))]})
+    inp = str(tmp_path / "docs.parquet")
+    df.to_parquet(inp)
+    out = str(tmp_path / "out")
+
+    r1 = run_curation(inp, out, n_shards=2)          # no near-dup
+    assert r1["docs_out"] == 3
+    assert sorted(pd.read_parquet(out)["doc_id"]) == [1, 2, 3]
+
+    r2 = run_curation(inp, out, n_shards=2, neardup=True)
+    assert r2["shards"]["written"] == [0, 1]  # config change: rewrite
+    got = sorted(pd.read_parquet(out)["doc_id"])
+    assert len(got) == r2["docs_out"] == 2  # a near-dup loser dropped

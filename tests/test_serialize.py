@@ -254,3 +254,18 @@ class TestJsonldVectorized:
         for ln in got:  # every line is a valid JSON node object
             json.loads(ln)
         assert len(format_jsonld(batch.iloc[0:0])) == 0
+
+
+def test_jsonld_unknown_datatype_prefix_is_loud():
+    """A datatype CURIE whose prefix is missing from NS must raise
+    (the rowwise encoder's KeyError contract) — a silent NaN would
+    serialize as an unquoted invalid-JSON token."""
+    import pytest
+
+    from rdf_extraction_ray.stages.serialize import format_jsonld
+    batch = pd.DataFrame({
+        "subj": ["s"], "pred": ["p:x"], "obj": ["42"],
+        "obj_kind": ["literal"], "obj_lang": [None],
+        "obj_datatype": ["nosuchprefix:int"]})
+    with pytest.raises(KeyError):
+        format_jsonld(batch)

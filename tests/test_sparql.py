@@ -408,3 +408,63 @@ class TestAlternationClosure:
         with pytest.raises(NotImplementedError):
             run_sparql(_triples(), PRE +
                        "SELECT ?x WHERE { ?x ex:p|ex:q+ ?y }")
+
+
+class TestReviewRegressionPins:
+    """Round-4 review findings pinned: closure markers and OFFSET must
+    not silently leak into subquery bodies, and the ^p+ oracle shape
+    must agree with the engine on NON-mutual edges."""
+
+    def test_closure_in_subquery_body_is_loud(self):
+        with pytest.raises(NotImplementedError):
+            run_sparql(_triples(), PRE + """
+                SELECT ?o WHERE {
+                  ?s ex:p ?o .
+                  { SELECT ?o (COUNT(?x) AS ?c)
+                    WHERE { ?x ex:next+ ?o } GROUP BY ?o }
+                }""")
+
+    def test_offset_in_subquery_is_loud(self):
+        with pytest.raises(NotImplementedError):
+            run_sparql(_triples(), PRE + """
+                SELECT ?o WHERE {
+                  ?s ex:q ?o .
+                  { SELECT ?o (COUNT(?x) AS ?c)
+                    WHERE { ?x ex:q ?o } GROUP BY ?o OFFSET 5 }
+                }""")
+
+    def test_inverse_closure_oracle_shape_on_non_mutual_chain(self):
+        """On a one-directional chain the corrected oracle shape
+        (y = forward-closure START) matches the engine; the old
+        node-side binding would not."""
+        import duckdb
+        rows = [("a", "http://ex.org/rel", "b"),
+                ("b", "http://ex.org/rel", "c"),
+                ("a", "http://ex.org/cod", "CA"),
+                ("b", "http://ex.org/cod", "CB"),
+                ("c", "http://ex.org/cod", "CC")]
+        df = pd.DataFrame(rows, columns=["subj", "pred", "obj"])
+        got = _canon(run_sparql(rd.from_pandas(df), PRE + """
+            SELECT DISTINCT ?y ?cod WHERE {
+              ?x ^ex:rel+ ?y . ?y ex:cod ?cod }"""))
+        con = duckdb.connect()
+        con.register("t", df)
+        want = con.sql("""
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT subj AS s, obj AS o FROM t
+                WHERE pred = 'http://ex.org/rel'),
+            c(start, node) AS (
+                SELECT s, o FROM e
+                UNION
+                SELECT c.start, e.o FROM c JOIN e ON c.node = e.s)
+            SELECT DISTINCT c.start AS y, d.obj AS cod
+            FROM c JOIN t d ON c.start = d.subj
+            WHERE d.pred = 'http://ex.org/cod'
+        """).df().sort_values(["y", "cod"], ignore_index=True)
+        got = got.rename(columns=str).sort_values(
+            ["cod", "y"]).reset_index(drop=True)
+        want = want.sort_values(["cod", "y"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["cod", "y"]], want[["cod", "y"]])
+        # starts only: c never starts a forward path
+        assert set(got["y"]) == {"a", "b"}
