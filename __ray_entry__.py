@@ -4617,8 +4617,10 @@ def _q_kg_path_star(sf_dir: str):
     plus = path_closure(tr, _KG_REL)
 
     def _zero_rows(df: pd.DataFrame) -> pd.DataFrame:
+        # subjects self-pair unconditionally (RDF subjects are URI
+        # terms); only the object side filters on kind
         g = df[df["obj_kind"] == "uri"]
-        t = pd.unique(pd.concat([g["subj"], g["obj"]],
+        t = pd.unique(pd.concat([df["subj"], g["obj"]],
                                 ignore_index=True))
         return pd.DataFrame({"start": t, "node": t})
 
@@ -10217,9 +10219,10 @@ def oracle_sql() -> dict[str, str]:
                 UNION
                 SELECT c.start, e.o FROM c JOIN e ON c.node = e.s),
             terms AS (
+                -- subjects are URI terms unconditionally (RDF);
+                -- only the object side filters on kind
                 SELECT DISTINCT subj AS t
                 FROM read_parquet('{triples}')
-                WHERE obj_kind = 'uri'
                 UNION
                 SELECT obj FROM read_parquet('{triples}')
                 WHERE obj_kind = 'uri')
@@ -10674,9 +10677,10 @@ def oracle_sql() -> dict[str, str]:
                 UNION
                 SELECT c.start, e.o FROM c JOIN e ON c.node = e.s),
             terms AS (
+                -- subjects are URI terms unconditionally (RDF);
+                -- only the object side filters on kind
                 SELECT DISTINCT subj AS t
                 FROM read_parquet('{triples}')
-                WHERE obj_kind = 'uri'
                 UNION
                 SELECT obj FROM read_parquet('{triples}')
                 WHERE obj_kind = 'uri')

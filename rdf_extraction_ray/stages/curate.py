@@ -553,13 +553,25 @@ def write_train_shards(docs: rd.Dataset, out_dir: str,
     for d in os.listdir(out_dir):
         if not d.startswith("shard=") or ".tmp" in d:
             continue
+        idx = int(d.split("=", 1)[1])
+        if idx >= n_shards:
+            # a shrunk n_shards leaves higher-indexed dirs from the
+            # previous layout: readers globbing shard=* would see
+            # every row twice — remove them
+            shutil.rmtree(os.path.join(out_dir, d),
+                          ignore_errors=True)
+            continue
         mpath = os.path.join(out_dir, d, _SHARD_MARKER)
         if os.path.exists(mpath):
             with open(mpath) as f:
                 m = json.load(f)
-            if (m.get("fingerprint") == fingerprint
+            # fingerprint None means fingerprinting is DISABLED:
+            # never skip on a null match (two different inputs would
+            # both write null markers)
+            if (fingerprint is not None
+                    and m.get("fingerprint") == fingerprint
                     and m.get("n_shards") == n_shards):
-                done.add(int(d.split("=", 1)[1]))
+                done.add(idx)
     pending = [s for s in range(n_shards)
                if s not in done and (shards is None or s in shards)]
     if not pending:
@@ -608,6 +620,12 @@ def _input_fingerprint(path: str) -> str | None:
                            if f.endswith(".parquet"))
         else:
             files = [path]
+        if not files:
+            # a layout with no top-level parquet (nested/partitioned)
+            # has nothing to fingerprint: every such input would hash
+            # identically — disable checkpointing rather than risk
+            # cross-corpus checkpoint reuse
+            return None
         parts = []
         for f in files:
             st = os.stat(f)

@@ -712,9 +712,13 @@ def _closure_pairs(G, triples, pred, star: bool,
             {"start": [start_const], "node": [start_const]}))
     else:
         def _zero_rows(df: pd.DataFrame) -> pd.DataFrame:
+            # subjects are always URI terms of the graph (RDF), so
+            # they self-pair unconditionally; only the OBJECT side
+            # is filtered to URI kind — a subject whose triples all
+            # have literal objects still gets its zero-length pair
             g = df[df["obj_kind"] == "uri"] \
                 if "obj_kind" in df.columns else df
-            t = pd.unique(pd.concat([g["subj"], g["obj"]],
+            t = pd.unique(pd.concat([df["subj"], g["obj"]],
                                     ignore_index=True))
             return pd.DataFrame({"start": t, "node": t})
 
@@ -725,7 +729,7 @@ def _closure_pairs(G, triples, pred, star: bool,
         h = pd.util.hash_pandas_object(
             g["start"].astype(str) + "\x00" + g["node"].astype(str),
             index=False)
-        return g.assign(pb=(h % 64).astype("int64"))
+        return g.assign(pb=(h % n_buckets).astype("int64"))
 
     return (clo.union(zero)
             .map_batches(_pair_bucket, batch_format="pandas")
@@ -820,7 +824,24 @@ def run_sparql(triples, text: str, n_buckets: int = 64):
             and not q["order_by"] and q["limit"] is None
             and q["offset"] is None)
         if simple:
+            # the direct dispatch additionally requires a shape whose
+            # result IS the (already set-distinct) closure relation:
+            # distinct endpoint slots (?x p+ ?x needs the planner's
+            # same-variable equality), a projection that keeps every
+            # bound variable (a strict subset would need a dedup
+            # under DISTINCT and bgp_match's loud unbound-var check
+            # otherwise) — anything else routes through the composed
+            # path, where bgp_match applies the full solution
+            # semantics
             s, (mark, pred), o = g["patterns"][0]
+            svar = s[1:] if s.startswith("?") else None
+            ovar = o[1:] if o.startswith("?") else None
+            bound = {v for v in (svar, ovar) if v}
+            sel = q["select"]
+            simple = (
+                (svar is None or svar != ovar)
+                and (sel is None or set(sel) == bound))
+        if simple:
             out = _closure_pairs(
                 G, triples, pred, star=mark == "__closure_star__",
                 start_const=None if s.startswith("?") else s,

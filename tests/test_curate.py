@@ -463,3 +463,50 @@ def test_run_curation_config_change_invalidates_shards(tmp_path):
     assert r2["shards"]["written"] == [0, 1]  # config change: rewrite
     got = sorted(pd.read_parquet(out)["doc_id"])
     assert len(got) == r2["docs_out"] == 2  # a near-dup loser dropped
+
+
+def test_train_shards_none_fingerprint_never_skips(tmp_path):
+    """fingerprint=None means fingerprinting is DISABLED: a second
+    run must rewrite instead of treating null==null as a match."""
+    import ray.data as rd
+
+    from rdf_extraction_ray.stages.curate import write_train_shards
+    df = pd.DataFrame({"doc_id": np.arange(8), "text": "x"})
+    out = str(tmp_path / "s")
+    r1 = write_train_shards(rd.from_pandas(df), out, n_shards=2,
+                            fingerprint=None)
+    assert r1["written"] == [0, 1]
+    r2 = write_train_shards(rd.from_pandas(df), out, n_shards=2,
+                            fingerprint=None)
+    assert r2 == {"written": [0, 1], "skipped": []}
+
+
+def test_train_shards_shrinking_n_shards_removes_stale_dirs(tmp_path):
+    """Shrinking n_shards must delete the higher-indexed shard dirs
+    of the previous layout — otherwise a shard=* glob reads every
+    row twice."""
+    import os
+
+    import ray.data as rd
+
+    from rdf_extraction_ray.stages.curate import write_train_shards
+    df = pd.DataFrame({"doc_id": np.arange(32), "text": "y"})
+    out = str(tmp_path / "s")
+    write_train_shards(rd.from_pandas(df), out, n_shards=8,
+                       fingerprint="f")
+    assert len([d for d in os.listdir(out)
+                if d.startswith("shard=")]) == 8
+    write_train_shards(rd.from_pandas(df), out, n_shards=2,
+                       fingerprint="f")
+    dirs = sorted(d for d in os.listdir(out)
+                  if d.startswith("shard="))
+    assert dirs == ["shard=0", "shard=1"]
+    got = pd.read_parquet(out)
+    assert sorted(got["doc_id"]) == list(range(32))  # each row once
+
+
+def test_input_fingerprint_empty_dir_disables_checkpointing(tmp_path):
+    from rdf_extraction_ray.stages.curate import _input_fingerprint
+    d = tmp_path / "nested"
+    (d / "shard=0").mkdir(parents=True)
+    assert _input_fingerprint(str(d)) is None

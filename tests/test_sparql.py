@@ -468,3 +468,60 @@ class TestReviewRegressionPins:
             got[["cod", "y"]], want[["cod", "y"]])
         # starts only: c never starts a forward path
         assert set(got["y"]) == {"a", "b"}
+
+
+class TestClosureFastPathSemantics:
+    """Round-4 review pins: shapes the direct closure dispatch cannot
+    represent must route through the composed path with full
+    solution semantics."""
+
+    @staticmethod
+    def _chain():
+        return rd.from_pandas(pd.DataFrame(
+            [("a", "http://ex.org/next", "b"),
+             ("b", "http://ex.org/next", "c")],
+            columns=["subj", "pred", "obj"]))
+
+    def test_same_variable_closure_is_cycle_membership(self):
+        # acyclic chain: ?x next+ ?x has NO solutions
+        got = run_sparql(self._chain(), PRE +
+                         "SELECT ?x WHERE { ?x ex:next+ ?x }") \
+            .to_pandas()
+        assert len(got) == 0
+        # with a cycle b->a added, a and b satisfy it
+        tr = rd.from_pandas(pd.DataFrame(
+            [("a", "http://ex.org/next", "b"),
+             ("b", "http://ex.org/next", "a")],
+            columns=["subj", "pred", "obj"]))
+        got = run_sparql(tr, PRE +
+                         "SELECT ?x WHERE { ?x ex:next+ ?x }") \
+            .to_pandas()
+        assert sorted(got["x"]) == ["a", "b"]
+
+    def test_distinct_subset_projection_dedups(self):
+        got = run_sparql(self._chain(), PRE +
+                         "SELECT DISTINCT ?x WHERE "
+                         "{ ?x ex:next+ ?y }").to_pandas()
+        assert sorted(got["x"]) == ["a", "b"]  # not [a, a, b]
+        # bag semantics WITHOUT distinct keep the duplicate
+        bag = run_sparql(self._chain(), PRE +
+                         "SELECT ?x WHERE { ?x ex:next+ ?y }") \
+            .to_pandas()
+        assert sorted(bag["x"]) == ["a", "a", "b"]
+
+    def test_unbound_selected_var_is_loud(self):
+        with pytest.raises(ValueError):
+            run_sparql(self._chain(), PRE +
+                       "SELECT ?z WHERE { ?x ex:next+ ?y }") \
+                .to_pandas()
+
+    def test_star_zero_pairs_include_literal_only_subjects(self):
+        tr = rd.from_pandas(pd.DataFrame(
+            [("a", "http://ex.org/next", "b", "uri"),
+             ("c", "http://ex.org/name", "Carol", "literal")],
+            columns=["subj", "pred", "obj", "obj_kind"]))
+        got = run_sparql(tr, PRE + "SELECT ?x ?y WHERE "
+                         "{ ?x ex:next* ?y }").to_pandas()
+        pairs = set(zip(got["x"], got["y"]))
+        assert ("c", "c") in pairs  # c is a URI term of the graph
+        assert ("Carol", "Carol") not in pairs  # literals are not
