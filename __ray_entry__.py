@@ -8580,24 +8580,30 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{writing}')
         """,
         "docs_fingerprint": """
+            -- codepoints mod 256 per character position: bit-exact
+            -- with the engine for ALL unicode (identical to the old
+            -- expression on ASCII); null text coalesces like the
+            -- engine's empty-string treatment
             WITH norm AS (
                 SELECT doc_id,
                        CASE WHEN length(t) < 8 THEN rpad(t, 8, '_')
                             ELSE t END AS t
                 FROM (SELECT doc_id,
-                             trim(regexp_replace(lower(text), '\\s+', ' ',
+                             trim(regexp_replace(lower(coalesce(text,
+                                                                '')),
+                                                 '\\s+', ' ',
                                                  'g')) AS t
                       FROM documents)
             )
             SELECT doc_id,
-                   min(  ord(substr(t, i, 1))::BIGINT * 662062621900811
-                       + ord(substr(t, i + 1, 1))::BIGINT * 5053913144281
-                       + ord(substr(t, i + 2, 1))::BIGINT * 38579489651
-                       + ord(substr(t, i + 3, 1))::BIGINT * 294499921
-                       + ord(substr(t, i + 4, 1))::BIGINT * 2248091
-                       + ord(substr(t, i + 5, 1))::BIGINT * 17161
-                       + ord(substr(t, i + 6, 1))::BIGINT * 131
-                       + ord(substr(t, i + 7, 1))::BIGINT)::BIGINT
+                   min(  (ord(substr(t, i, 1)) % 256)::BIGINT * 662062621900811
+                       + (ord(substr(t, i + 1, 1)) % 256)::BIGINT * 5053913144281
+                       + (ord(substr(t, i + 2, 1)) % 256)::BIGINT * 38579489651
+                       + (ord(substr(t, i + 3, 1)) % 256)::BIGINT * 294499921
+                       + (ord(substr(t, i + 4, 1)) % 256)::BIGINT * 2248091
+                       + (ord(substr(t, i + 5, 1)) % 256)::BIGINT * 17161
+                       + (ord(substr(t, i + 6, 1)) % 256)::BIGINT * 131
+                       + (ord(substr(t, i + 7, 1)) % 256)::BIGINT)::BIGINT
                        AS fingerprint
             FROM norm, unnest(generate_series(1, length(t) - 7)) AS s(i)
             GROUP BY doc_id

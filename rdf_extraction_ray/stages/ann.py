@@ -38,7 +38,8 @@ import pandas as pd
 import ray
 import ray.data as rd
 
-from .cluster import _assign, _fit_centroids, _quantize
+from .cluster import (_assign, _fit_centroids, _quantize,
+                      init_centroids)
 
 #: Vector quantization scale for the ANN similarity metric.
 Q_SCALE = 10_000
@@ -62,6 +63,20 @@ def _q10k(col) -> np.ndarray:
     return _qscale(_matrix(col), Q_SCALE)
 
 
+def _empty_cos_partial() -> pd.DataFrame:
+    return pd.DataFrame({
+        "query_id": pd.Series([], dtype="int64"),
+        "neighbor_id": pd.Series([], dtype="int64"),
+        "cosine": pd.Series([], dtype="float64")})
+
+
+def _empty_dist_partial() -> pd.DataFrame:
+    return pd.DataFrame({
+        "query_id": pd.Series([], dtype="int64"),
+        "neighbor_id": pd.Series([], dtype="int64"),
+        "adist": pd.Series([], dtype="int64")})
+
+
 def _emit_topk_partials(sims: np.ndarray, ids: np.ndarray,
                         q_ids: np.ndarray, k: int) -> pd.DataFrame:
     """Per-batch partial top-k that is DETERMINISTIC under ties: emit
@@ -81,11 +96,22 @@ def _emit_topk_partials(sims: np.ndarray, ids: np.ndarray,
     kth = np.partition(sims, nc - kk, axis=1)[:, nc - kk]
     keep = (sims >= kth[:, None]) & (sims > -1.5)
     qrow, cidx = np.nonzero(keep)
-    return pd.DataFrame({
+    out = pd.DataFrame({
         "query_id": q_ids[qrow],
         "neighbor_id": ids[cidx],
         "cosine": sims[qrow, cidx],
     })
+    # BOUND the emission at k rows per query under the TOTAL merge
+    # order (cosine desc, neighbor_id asc): candidates past a batch's
+    # local k-th under that order can never enter the global top-k,
+    # so truncating here is lossless — and without it a degenerate
+    # low-cardinality corpus (mass ties at the k-th value) would
+    # flood the driver merge with up to |queries|·|batch| rows
+    out = out.sort_values(["query_id", "cosine", "neighbor_id"],
+                          ascending=[True, False, True],
+                          kind="stable")
+    return out.groupby("query_id", sort=False).head(kk) \
+        .reset_index(drop=True)
 
 
 def _norm2(m: np.ndarray) -> np.ndarray:
@@ -139,6 +165,8 @@ def brute_force_topk(corpus: rd.Dataset, queries_df: pd.DataFrame, k: int = 10,
     ref = ray.put((q, qn, q_ids))
 
     def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):  # (0,)-shaped matrix would crash _norm2
+            return _empty_cos_partial()
         qm, qnrm, qi = ray.get(ref)
         c = _q10k(batch[vec_col])
         cn = np.sqrt(_norm2(c).astype(np.float64))
@@ -189,6 +217,11 @@ def cosine_threshold_pairs(corpus: rd.Dataset, threshold: float = 0.4,
     ref = ray.put((ids_full, m_full))
 
     def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({
+                "a": pd.Series([], dtype="int64"),
+                "b": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64")})
         fids, fm = ray.get(ref)
         c = _normalize(_matrix(batch[vec_col]))
         ids = batch[id_col].to_numpy()
@@ -243,6 +276,8 @@ def ivf_topk(corpus: rd.Dataset, queries_df: pd.DataFrame, k: int = 10,
     ref = ray.put((q10, qn, q_ids, probe, cents))
 
     def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return _empty_cos_partial()
         qm, qnrm, qi, pr, ce = ray.get(ref)
         m = _matrix(batch[vec_col])  # one conversion, two grids
         c10 = _qscale(m, Q_SCALE)
@@ -279,10 +314,16 @@ def _emit_mink_partials(dists: np.ndarray, ids: np.ndarray,
     kth = np.partition(dists, kk - 1, axis=1)[:, kk - 1]
     keep = (dists <= kth[:, None]) & (dists < _DIST_SENTINEL)
     qrow, cidx = np.nonzero(keep)
-    return pd.DataFrame({
+    out = pd.DataFrame({
         "query_id": q_ids[qrow],
         "neighbor_id": ids[cidx],
         "adist": dists[qrow, cidx].astype("int64")})
+    # lossless per-batch truncation under the total merge order —
+    # see _emit_topk_partials
+    out = out.sort_values(["query_id", "adist", "neighbor_id"],
+                          kind="stable")
+    return out.groupby("query_id", sort=False).head(kk) \
+        .reset_index(drop=True)
 
 
 def _mink_from_partials(partials: pd.DataFrame, k: int) -> pd.DataFrame:
@@ -307,7 +348,6 @@ def _fit_pq_codebooks(corpus: rd.Dataset, m_sub: int, k: int,
     subspaces (the k smallest-(md5, id) vectors, sliced), one
     ``map_batches`` pass per round emitting (m, c, count, sum) partial
     rows for ALL subspaces, driver reduce of O(batches·m·k) rows."""
-    from .cluster import _assign, _quantize, init_centroids
     init_full = init_centroids(corpus, k, id_col, vec_col)
     dim = init_full.shape[1]
     if dim % m_sub:
@@ -377,7 +417,6 @@ def pq_topk(corpus: rd.Dataset, queries_df: pd.DataFrame, k: int = 10,
     corpus = corpus.materialize()  # init + Lloyd + scoring passes
     if not len(queries_df) or not corpus.count():
         return _mink_from_partials(pd.DataFrame(), k)
-    from .cluster import _assign, _quantize
     cents = _fit_pq_codebooks(corpus, m_sub, n_codes, n_iter,
                               id_col, vec_col)
     d = cents.shape[2]
@@ -391,6 +430,8 @@ def pq_topk(corpus: rd.Dataset, queries_df: pd.DataFrame, k: int = 10,
     ref = ray.put((dt, q_ids, cents))
 
     def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return _empty_dist_partial()
         dtb, qi, ce = ray.get(ref)
         x = _quantize(batch[vec_col]).reshape(-1, m_sub, d)
         ids = batch[id_col].to_numpy()
@@ -425,7 +466,6 @@ def ivfpq_topk(corpus: rd.Dataset, queries_df: pd.DataFrame,
     corpus = corpus.materialize()
     if not len(queries_df) or not corpus.count():
         return _mink_from_partials(pd.DataFrame(), k)
-    from .cluster import _assign, _fit_centroids, _quantize
     coarse = _fit_centroids(corpus, k=n_centroids, n_iter=n_iter,
                             id_col=id_col, vec_col=vec_col)
     cents = _fit_pq_codebooks(corpus, m_sub, n_codes, n_iter,
@@ -444,6 +484,8 @@ def ivfpq_topk(corpus: rd.Dataset, queries_df: pd.DataFrame,
     ref = ray.put((dt, q_ids, cents, coarse, probe))
 
     def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return _empty_dist_partial()
         dtb, qi, ce, co, pr = ray.get(ref)
         x = _quantize(batch[vec_col])
         xs = x.reshape(-1, m_sub, d)
@@ -487,6 +529,8 @@ def lsh_topk(corpus: rd.Dataset, queries_df: pd.DataFrame, k: int = 10,
     ref = ray.put((q, qn, q_ids, q_buckets, planes, pw))
 
     def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return _empty_cos_partial()
         qm, qnrm, qi, qb, pl, powv = ray.get(ref)
         c = _q10k(batch[vec_col])
         cn = np.sqrt(_norm2(c).astype(np.float64))

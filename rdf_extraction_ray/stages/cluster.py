@@ -82,11 +82,21 @@ def _fit_centroids(vecs: rd.Dataset, k: int, n_iter: int,
     clusters keep their previous centroid."""
     cents = init_centroids(vecs, k, id_col, vec_col)
     dim = cents.shape[1]
+    # a corpus smaller than k inits fewer centroids; every array
+    # below sizes off the ACTUAL count or the k-mask misaligns
+    # (IndexError deep in a Lloyd round) — the SQL oracle's
+    # LIMIT k init has the same effective count
+    k = cents.shape[0]
 
     for _ in range(n_iter):
         ref = ray.put(cents)
 
         def _partials(batch: pd.DataFrame) -> pd.DataFrame:
+            if not len(batch):  # (0,) matrix would crash _assign
+                return pd.DataFrame({
+                    "c": pd.Series([], dtype="int64"),
+                    "n": pd.Series([], dtype="int64"),
+                    "s": pd.Series([], dtype=object)})
             c = ray.get(ref)
             x = _quantize(batch[vec_col])
             a = _assign(x, c)

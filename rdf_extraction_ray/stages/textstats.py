@@ -100,22 +100,29 @@ def fingerprint(batch: pd.DataFrame, text_col: str = "text",
     """Winnowing-style document fingerprint: min rolling hash over
     ``window``-grams of the normalized text (one int64 per doc).
 
-    The polynomial (base 131 over bytes, window 8) never exceeds
-    2^58, so values are exact non-negative int64 — reproducible in
-    SQL as eight ord()·131^k terms (the DuckDB oracle does exactly
-    that). Short texts are '_'-padded to one full window."""
+    The polynomial runs over CODEPOINTS REDUCED MOD 256 (base 131,
+    window 8) so character positions — not UTF-8 byte positions —
+    define the windows, matching the SQL oracle's per-character
+    ``ord(substr(...)) % 256`` terms exactly for ALL unicode input
+    (the earlier byte-windowed variant silently diverged from the
+    oracle on any non-ASCII text). Reduced terms keep the value under
+    2^58: exact non-negative int64 on both engines. Null text is
+    treated as the empty string (the oracle COALESCEs identically);
+    short texts are '_'-padded to one full window."""
     out = batch.copy()
     fps = np.empty(len(batch), dtype="int64")
     for i, t in enumerate(batch[text_col]):
-        t = " ".join(str(t).lower().split())
+        t = "" if pd.isna(t) else str(t)
+        t = " ".join(t.lower().split())
         if len(t) < window:
             t = t.ljust(window, "_")
-        data = np.frombuffer(t.encode("utf-8", "ignore"), dtype=np.uint8)
+        data = (np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+                .astype(np.uint64) % np.uint64(256))
         n = len(data) - window + 1
-        # vectorized polynomial rolling hash over byte windows
+        # vectorized polynomial rolling hash over codepoint windows
         acc = np.zeros(n, dtype=np.uint64)
         for k in range(window):
-            acc = acc * np.uint64(131) + data[k:k + n].astype(np.uint64)
+            acc = acc * np.uint64(131) + data[k:k + n]
         fps[i] = np.int64(acc.min())
     out["fingerprint"] = fps
     return out
@@ -227,6 +234,9 @@ def tfidf_top_terms(docs, k: int = 3, n_buckets: int = 64,
     import re
 
     word = re.compile(r"[a-z0-9]+")
+    # consumed twice (count + term scan): pin so an expensive
+    # upstream runs once — the ann-family multi-pass convention
+    docs = docs.materialize()
     n_docs = docs.count()
 
     def _doc_terms(batch: pd.DataFrame) -> pd.DataFrame:
@@ -483,6 +493,9 @@ def unigram_logprob(docs, vocab_k: int = 2000, n_buckets: int = 64,
     import ray
 
     word = _re.compile(r"[a-z0-9]+")
+    # three passes consume docs (vocab fit, token total, scoring):
+    # pin so an expensive upstream runs once
+    docs = docs.materialize()
     vocab = top_tokens(docs, k=vocab_k, n_buckets=n_buckets,
                        id_col=id_col, text_col=text_col)
 
@@ -770,6 +783,13 @@ def chunk_windows(batch: pd.DataFrame, size: int = 128,
     ids = batch[id_col].to_numpy()
     keep = n > 0
     n, ids = n[keep], ids[keep]
+    if not len(n):  # an all-empty batch: typed empty, not a crash
+        return pd.DataFrame({
+            id_col: pd.Series([], dtype=ids.dtype),
+            "chunk_id": pd.Series([], dtype="int64"),
+            "tok_start": pd.Series([], dtype="int64"),
+            "tok_end": pd.Series([], dtype="int64"),
+            "n_tokens": pd.Series([], dtype="int64")})
     k = np.where(n <= size, 1,
                  -(-(n - size) // stride) + 1).astype("int64")
     total = int(k.sum())
@@ -828,7 +848,11 @@ def cdc_chunks(batch: pd.DataFrame, window: int = CDC_WINDOW,
         dtype=np.int64)
     out_ids, out_cid, out_s, out_e, out_md5 = [], [], [], [], []
     for doc_id, text in zip(batch[id_col], batch[text_col]):
-        s = "" if text is None else str(text)
+        # None AND float-NaN nulls both mean "no text" (a NaN would
+        # otherwise stringify to 'nan' and emit a bogus shared chunk
+        # that pollutes the dedup census)
+        s = "" if text is None or (isinstance(text, float)
+                                   and np.isnan(text)) else str(text)
         n = len(s)
         if n == 0:
             continue
@@ -934,7 +958,6 @@ def bigram_lift(docs, k: int = 100, min_count: int = 20,
     from .joins import hash_join
 
     word = _re.compile(r"[a-z0-9]+")
-    B = np.int64(n_buckets)
     cnt_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
                             ("n", pa.int64()), ("kind", pa.int8()),
                             ("gb", pa.int64())])
@@ -1468,6 +1491,9 @@ def bigram_logprob(docs, n_buckets: int = 64,
 
     word = _re.compile(r"[a-z0-9]+")
     B = np.int64(n_buckets)
+    # two passes (distinct-token fit + position scan): pin so an
+    # expensive upstream runs once
+    docs = docs.materialize()
     V = int(distinct_tokens(docs, n_buckets=n_buckets,
                             text_col=text_col)
             ["n_distinct_tokens"].iloc[0])

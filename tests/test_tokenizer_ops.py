@@ -170,3 +170,75 @@ def test_bpe_oracle_noop_on_collapsed_vocabulary(tmp_path):
     want_tok = con.sql(E._bpe_tokenize_sql(3)).df()
     assert got_tok["n_bpe_tokens"].tolist() == [2, 1]
     assert want_tok["n_bpe_tokens"].astype("int64").tolist() == [2, 1]
+
+
+class TestReviewPinsRound4:
+    def test_fingerprint_non_ascii_matches_codepoint_oracle(self):
+        """Engine fingerprints hash codepoints-mod-256 per CHARACTER
+        position — byte-positioned UTF-8 windows silently diverged
+        from the SQL oracle on any non-ASCII text."""
+        import duckdb
+
+        from rdf_extraction_ray.stages.textstats import fingerprint
+        df = pd.DataFrame({
+            "doc_id": [0, 1, 2],
+            "text": ["café déjà vu résumé here",
+                     "中文 text with 汉字 mixed in",
+                     None]})
+        eng = fingerprint(df)
+        con = duckdb.connect()
+        con.register("documents", df)
+        ora = con.sql("""
+            WITH norm AS (
+                SELECT doc_id,
+                       CASE WHEN length(t) < 8 THEN rpad(t, 8, '_')
+                            ELSE t END AS t
+                FROM (SELECT doc_id,
+                             trim(regexp_replace(lower(coalesce(text,
+                                                                '')),
+                                                 '\\s+', ' ', 'g'))
+                                 AS t
+                      FROM documents))
+            SELECT doc_id,
+                   min(  (ord(substr(t, i, 1)) % 256)::BIGINT * 662062621900811
+                       + (ord(substr(t, i + 1, 1)) % 256)::BIGINT * 5053913144281
+                       + (ord(substr(t, i + 2, 1)) % 256)::BIGINT * 38579489651
+                       + (ord(substr(t, i + 3, 1)) % 256)::BIGINT * 294499921
+                       + (ord(substr(t, i + 4, 1)) % 256)::BIGINT * 2248091
+                       + (ord(substr(t, i + 5, 1)) % 256)::BIGINT * 17161
+                       + (ord(substr(t, i + 6, 1)) % 256)::BIGINT * 131
+                       + (ord(substr(t, i + 7, 1)) % 256)::BIGINT)::BIGINT
+                       AS fingerprint
+            FROM norm, unnest(generate_series(1, length(t) - 7)) s(i)
+            GROUP BY doc_id ORDER BY doc_id
+        """).df()
+        assert eng.sort_values("doc_id")["fingerprint"].tolist() \
+            == ora["fingerprint"].astype("int64").tolist()
+
+    def test_cdc_nan_text_emits_no_chunks(self):
+        import numpy as np
+
+        from rdf_extraction_ray.stages.textstats import cdc_chunks
+        out = cdc_chunks(pd.DataFrame(
+            {"doc_id": [1, 2], "text": [np.nan, None]}))
+        assert len(out) == 0
+
+    def test_emit_partials_bounded_under_mass_ties(self):
+        import numpy as np
+
+        from rdf_extraction_ray.stages.ann import (_emit_mink_partials,
+                                                   _emit_topk_partials)
+        sims = np.zeros((3, 500))  # every candidate ties
+        ids = np.arange(500, dtype="int64")
+        qids = np.arange(3, dtype="int64")
+        out = _emit_topk_partials(sims, ids, qids, k=10)
+        assert len(out) == 30  # k per query, not 1500
+        # deterministic: the smallest neighbor ids survive
+        assert out.loc[out["query_id"] == 0,
+                       "neighbor_id"].tolist() == list(range(10))
+        dists = np.zeros((2, 300), dtype="int64")
+        out2 = _emit_mink_partials(dists, ids[:300],
+                                   qids[:2], k=5)
+        assert len(out2) == 10
+        assert out2.loc[out2["query_id"] == 1,
+                        "neighbor_id"].tolist() == list(range(5))
