@@ -168,7 +168,14 @@ def _rolling_gram_hashes(text: str, k: int) -> np.ndarray:
     t = " ".join(str(text).lower().split())
     if len(t) < k:
         t = t.ljust(k, "_")
-    data = np.frombuffer(t.encode("utf-8", "ignore"), dtype=np.uint8)
+    # pad the ENCODED bytes too: 'ignore' drops unencodable chars
+    # (lone surrogates from surrogateescape-decoded crawl bytes), so
+    # a char-length-padded string can still encode to < k bytes —
+    # n would go non-positive and crash np.zeros / corrupt reduceat
+    raw = t.encode("utf-8", "ignore")
+    if len(raw) < k:
+        raw = raw.ljust(k, b"_")
+    data = np.frombuffer(raw, dtype=np.uint8)
     n = len(data) - k + 1
     acc = np.zeros(n, dtype=np.uint64)
     for j in range(k):
@@ -194,8 +201,8 @@ class MinHasher:
                  chunk_shingles: int = 262_144):
         if num_perm % n_bands:
             raise ValueError(
-                f"num_perm ({num_perm}) must divide evenly into "
-                f"n_bands ({n_bands}) — an indivisible split would "
+                f"n_bands ({n_bands}) must divide num_perm "
+                f"({num_perm}) evenly — an indivisible split would "
                 "silently truncate signature rows")
         rng = np.random.RandomState(seed)
         # 32-bit universal-hash arithmetic throughout: numpy's 64-bit
@@ -221,7 +228,13 @@ class MinHasher:
         t = " ".join(str(text).lower().split())
         if len(t) < self.shingle:
             t = t.ljust(self.shingle, "_")
-        data = np.frombuffer(t.encode("utf-8", "ignore"), dtype=np.uint8)
+        # byte-pad as well — see _rolling_gram_hashes: encoding can
+        # drop chars, and an empty shingle set would crash here and
+        # corrupt the reduceat offsets downstream
+        raw = t.encode("utf-8", "ignore")
+        if len(raw) < self.shingle:
+            raw = raw.ljust(self.shingle, b"_")
+        data = np.frombuffer(raw, dtype=np.uint8)
         n = len(data) - self.shingle + 1
         acc = np.zeros(n, dtype=np.uint32)
         for j in range(self.shingle):
@@ -390,11 +403,17 @@ def verify_jaccard(pairs: rd.Dataset, docs: rd.Dataset,
     which dies at corpus scale)."""
     from .joins import distinct_values, hash_join, semi_join_filter
 
-    # the pair set is consumed three times (two distincts + the join);
+    # the pair set is consumed twice (melted distinct + the join);
     # pin it in the object store so the candidate pipeline runs once
     pairs = pairs.materialize()
-    cand_ids = set(distinct_values(pairs, "a")) \
-        | set(distinct_values(pairs, "b"))
+    # ONE melted pass stacks both id columns before the distinct —
+    # two separate distinct_values calls paid two full scans and two
+    # exchanges for the same id set
+    melted = pairs.map_batches(
+        lambda df: pd.DataFrame({"v": pd.concat(
+            [df["a"], df["b"]], ignore_index=True)}),
+        batch_format="pandas")
+    cand_ids = set(distinct_values(melted, "v"))
     if not cand_ids:  # no candidates (e.g. empty corpus): typed empty
         return rd.from_pandas(pd.DataFrame({
             "a": pd.Series([], dtype="int64"),
@@ -644,10 +663,14 @@ class SimHasher:
 
     _WORD_RE = r"[a-z0-9]+"
 
-    def __init__(self, seed: int = 7, cache_cap: int = 1_000_000):
+    def __init__(self, cache_cap: int = 1_000_000):
+        # NOTE: no seed parameter — the word hash is pure md5 (the
+        # SQL-replayable contract), so a seed could not change the
+        # signatures; the old parameter was stored and silently
+        # ignored, which a multi-probe caller would misread as an
+        # independent hash family
         import re
         self.word = re.compile(self._WORD_RE)
-        self.seed = seed
         self._bits: dict[str, np.ndarray] = {}  # word → ±1 votes (64,)
         self._cache_cap = cache_cap
 
@@ -759,13 +782,24 @@ def simhash_pairs(docs: rd.Dataset, max_hamming: int = 3,
                 .astype(np.uint64)
             order = np.argsort(ids, kind="stable")
             ids, hs = ids[order], hs[order]
-            iu, ju = np.triu_indices(len(ids), k=1)
-            d = _popcount64(hs[iu] ^ hs[ju])
-            keep = d <= max_hamming
-            if keep.any():
-                parts.append(pd.DataFrame({
-                    "a": ids[iu[keep]], "b": ids[ju[keep]],
-                    "hamming": d[keep]}))
+            # ROW-BLOCKED enumeration: a popular band value (e.g.
+            # 100k boilerplate docs sharing one simhash) would
+            # materialize O(n²) triu indices at once; blocking keeps
+            # live pair cells bounded while the emitted rows stay
+            # exactly the ≤ max_hamming pairs
+            nb = len(ids)
+            blk = max(1, 4_000_000 // max(1, nb))
+            jj = np.arange(nb)[None, :]
+            for i0 in range(0, nb, blk):
+                i1 = min(i0 + blk, nb)
+                d = _popcount64(hs[i0:i1, None] ^ hs[None, :])
+                keep = (jj > np.arange(i0, i1)[:, None]) \
+                    & (d <= max_hamming)
+                r, c = np.nonzero(keep)
+                if len(r):
+                    parts.append(pd.DataFrame({
+                        "a": ids[r + i0], "b": ids[c],
+                        "hamming": d[r, c]}))
         if not parts:
             return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                                  "b": pd.Series([], dtype="int64"),
@@ -868,17 +902,47 @@ def embedding_neardup_pairs(embeddings: rd.Dataset, threshold: float = 0.9,
             return pair_schema.empty_table()
         m = _vecs_of(t, "vec", dim, dtype=np.int64)[keep]
         ids = ids[keep]
-        dots = m @ m.T
         n2 = (m * m).sum(axis=1)
         n2[n2 == 0] = 1
-        iu, ju = np.triu_indices(len(ids), k=1)
-        d = dots[iu, ju]
-        # exact rational threshold: dot²·10⁶ ≥ τ²·na·nb (big-ints —
-        # the products overflow int64 for large-norm vectors)
+        nb_rows = len(ids)
+        # ROW-BLOCKED pair scan: a dense bucket's full n×n matmul +
+        # triu materializes O(n²) cells at once (a 78k-row bucket is
+        # ~48 GB) — block rows so live cells stay ≤ _PAIR_CELLS, and
+        # run a conservative FLOAT prefilter per block so the exact
+        # big-int threshold check (Python ints) only touches real
+        # candidates instead of every pair
+        _PAIR_CELLS = 4_000_000
+        blk = max(1, _PAIR_CELLS // max(1, nb_rows))
+        n2f = n2.astype(np.float64)
+        ci, cj, cd = [], [], []
+        jj = np.arange(nb_rows)[None, :]
+        for i0 in range(0, nb_rows, blk):
+            i1 = min(i0 + blk, nb_rows)
+            dots_b = m[i0:i1] @ m.T                      # (blk, n)
+            ii = np.arange(i0, i1)[:, None]
+            lhs = dots_b.astype(np.float64)
+            lhs = lhs * lhs * 1.0e6
+            rhs = (float(tau) * float(tau)
+                   * n2f[i0:i1][:, None] * n2f[None, :])
+            candm = (jj > ii) & (dots_b > 0)                 & (lhs >= rhs * (1.0 - 1e-9))
+            r, c = np.nonzero(candm)
+            if len(r):
+                ci.append(r + i0)
+                cj.append(c)
+                cd.append(dots_b[r, c])
+        if not ci:
+            return pair_schema.empty_table()
+        iu = np.concatenate(ci)
+        ju = np.concatenate(cj)
+        d = np.concatenate(cd)
+        # exact rational threshold on the CANDIDATES only: dot²·10⁶ ≥
+        # τ²·na·nb (big-ints — the products overflow int64 for
+        # large-norm vectors; the 1e-9-margin float prefilter above
+        # can only over-admit, never drop a qualifying pair)
         do = d.astype(object)
         na = n2[iu].astype(object)
         nb = n2[ju].astype(object)
-        mask = (d > 0) & np.asarray(
+        mask = np.asarray(
             do * do * 1_000_000 >= tau * tau * na * nb, dtype=bool)
         # CANONICAL-TABLE dedup, map-side: a pair sharing a bucket in
         # k tables would surface k times (identical cosine — same
@@ -1010,28 +1074,68 @@ def connected_components_ds(pairs: rd.Dataset, n_buckets: int = 32,
     a silent cap).
     """
 
-    def _canon(t: pa.Table) -> pa.Table:
+    def _tag(t: pa.Table) -> pa.Table:
         a = t.column("a").cast(pa.int64()).to_numpy(zero_copy_only=False)
         b = t.column("b").cast(pa.int64()).to_numpy(zero_copy_only=False)
         hi, lo = np.maximum(a, b), np.minimum(a, b)
-        keep = hi != lo
-        return pa.table({"a": pa.array(hi[keep]), "b": pa.array(lo[keep])})
+        return pa.table({"a": pa.array(hi), "b": pa.array(lo),
+                         "s": pa.array(hi == lo)})
 
-    edges = pairs.map_batches(_canon, batch_format="pyarrow").materialize()
+    # one scan tags canonical edges; self-loops split off so their
+    # nodes can rejoin as SINGLETON components at the end (the pandas
+    # reference kernel keeps them; contraction must drop them or the
+    # rounds never converge)
+    tagged = pairs.map_batches(_tag, batch_format="pyarrow") \
+        .materialize()
+    edges = (tagged.filter(expr="s == False")
+             .map_batches(lambda t: t.select(["a", "b"]),
+                          batch_format="pyarrow")).materialize()
+    selfs_raw = tagged.filter(expr="s == True")
+    n_selfs = selfs_raw.count()
+
+    def _with_self_singletons(memb: rd.Dataset) -> rd.Dataset:
+        """Union in (n, n) rows for nodes whose ONLY edges are
+        self-loops — an anti-join of the distinct self nodes against
+        the membership keys (int rows only)."""
+        if not n_selfs:
+            return memb
+        from .joins import hash_join
+
+        def _nodes(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame(
+                {"doc_id": df["a"].astype("int64")})
+            out["__b"] = _edge_bucket(out["doc_id"], n_buckets)
+            return out
+
+        sd = (selfs_raw.map_batches(_nodes, batch_format="pandas")
+              .groupby("__b").map_groups(
+                  lambda g: g[["doc_id"]].drop_duplicates(),
+                  batch_format="pandas"))
+        missing = hash_join(
+            sd, memb.map_batches(lambda df: df[["doc_id"]],
+                                 batch_format="pandas"),
+            on="doc_id", how="anti", n_buckets=n_buckets,
+            left_schema=pa.schema([("doc_id", pa.int64())]),
+            right_schema=pa.schema([("doc_id", pa.int64())]))
+        return memb.union(missing.map_batches(
+            lambda df: pd.DataFrame({
+                "doc_id": df["doc_id"].astype("int64"),
+                "component": df["doc_id"].astype("int64")}),
+            batch_format="pandas"))
 
     cap = (SMALL_EDGE_FASTPATH if small_edge_fastpath is None
            else small_edge_fastpath)
     if edges.count() <= cap:
         df = edges.to_pandas()
         if not len(df):
-            return rd.from_arrow(pa.table(
+            return _with_self_singletons(rd.from_arrow(pa.table(
                 {"doc_id": pa.array([], pa.int64()),
-                 "component": pa.array([], pa.int64())}))
+                 "component": pa.array([], pa.int64())})))
         out = connected_components(df)
         out["doc_id"] = out["doc_id"].astype("int64")
         out["component"] = out["component"].astype("int64")
-        return rd.from_pandas(out.sort_values("doc_id",
-                                              ignore_index=True))
+        return _with_self_singletons(rd.from_pandas(
+            out.sort_values("doc_id", ignore_index=True)))
 
     def _large_map(df: pd.DataFrame) -> pd.DataFrame:
         # symmetrize so each group key sees its full neighborhood
@@ -1133,8 +1237,9 @@ def connected_components_ds(pairs: rd.Dataset, n_buckets: int = 32,
         return (g.sort_values(["doc_id", "component"])
                 .drop_duplicates("doc_id")[["doc_id", "component"]])
 
-    return (edges.map_batches(_emit, batch_format="pandas")
-            .groupby("__b").map_groups(_dedup, batch_format="pandas"))
+    return _with_self_singletons(
+        edges.map_batches(_emit, batch_format="pandas")
+        .groupby("__b").map_groups(_dedup, batch_format="pandas"))
 
 
 # ------------------------------------------- exact duplicated spans

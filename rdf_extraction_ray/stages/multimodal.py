@@ -156,9 +156,11 @@ def chunk_neardup(media, chunk_bytes: int = 32, min_shared: int = 2,
     payloads split into full ``chunk_bytes`` chunks, each chunk keyed
     by ``md5(chunk_hex)``; media pairs sharing ≥ ``min_shared``
     DISTINCT chunk digests are near-duplicates (a truncated or
-    re-encoded-tail copy shares every leading chunk). Returns
-    (media_a, media_b, n_shared) pairs, media_a < media_b, ordered
-    (n_shared desc, a, b).
+    re-encoded-tail copy shares every leading chunk). Returns a
+    STREAMING Dataset of (media_a, media_b, n_shared) rows,
+    media_a < media_b, unordered — collection/ordering stays the
+    caller's decision (the pair set of a heavily duplicated corpus
+    is unbounded).
 
     Scale shape: per-batch flat-map emits (chunk-digest-hash,
     media_id) int64 rows — payload BYTES never leave the scan; the
@@ -172,10 +174,6 @@ def chunk_neardup(media, chunk_bytes: int = 32, min_shared: int = 2,
     import pandas as pd
 
     B = np.int64(n_buckets)
-    _EMPTY = pd.DataFrame({
-        "media_a": pd.Series([], dtype="int64"),
-        "media_b": pd.Series([], dtype="int64"),
-        "n_shared": pd.Series([], dtype="int64")})
 
     def _chunk_rows(t: pa.Table) -> "pd.DataFrame":
         ids, hs = [], []
@@ -219,19 +217,26 @@ def chunk_neardup(media, chunk_bytes: int = 32, min_shared: int = 2,
         return out.astype({"a": "int64", "b": "int64",
                            "n_shared": "int64"})
 
-    res = (media.map_batches(_chunk_rows, batch_format="pyarrow",
-                             batch_size=64)
-           .groupby("hb").map_groups(_pairs, batch_format="pandas")
-           .groupby("pb").map_groups(_count, batch_format="pandas")
-           .to_pandas())
-    if not len(res) or "a" not in res.columns:
-        return _EMPTY
-    out = pd.DataFrame({"media_a": res["a"].astype("int64"),
-                        "media_b": res["b"].astype("int64"),
-                        "n_shared": res["n_shared"].astype("int64")})
-    return out.sort_values(["n_shared", "media_a", "media_b"],
-                           ascending=[False, True, True],
-                           ignore_index=True)
+    def _project(df: pd.DataFrame) -> pd.DataFrame:
+        if "a" not in df.columns:  # schema-less empty block
+            return pd.DataFrame({
+                "media_a": pd.Series([], dtype="int64"),
+                "media_b": pd.Series([], dtype="int64"),
+                "n_shared": pd.Series([], dtype="int64")})
+        return pd.DataFrame({
+            "media_a": df["a"].astype("int64"),
+            "media_b": df["b"].astype("int64"),
+            "n_shared": df["n_shared"].astype("int64")})
+
+    # returns a STREAMING Dataset like the sibling media operators —
+    # the pair set of a heavily duplicated corpus is result-sized but
+    # unbounded, so collection stays the caller's decision (the old
+    # tail pulled and pandas-sorted every pair on the driver)
+    return (media.map_batches(_chunk_rows, batch_format="pyarrow",
+                              batch_size=64)
+            .groupby("hb").map_groups(_pairs, batch_format="pandas")
+            .groupby("pb").map_groups(_count, batch_format="pandas")
+            .map_batches(_project, batch_format="pandas"))
 
 
 def media_exact_dedup(media, n_buckets: int = 32):

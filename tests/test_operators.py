@@ -208,7 +208,7 @@ class TestMultimodal:
         from rdf_extraction_ray.stages.multimodal import chunk_neardup
         tbl = synth_media_table(60, plant_variants=True)  # plants a tail-variant per
         # video with media_id % 6 == 2
-        out = chunk_neardup(rd.from_arrow(tbl))
+        out = chunk_neardup(rd.from_arrow(tbl)).to_pandas()
         got = set(zip(out["media_a"], out["media_b"]))
         planted = set()
         ids = tbl.column("media_id").to_pylist()
@@ -1134,3 +1134,49 @@ class TestJoinBigIntExact:
                                          ignore_index=True)
         assert df["k"].tolist() == [1, 2, 2]
         assert df.loc[1:, "rv"].astype("int64").tolist() == [10, 20]
+
+
+class TestDedupReviewPins:
+    """Round-4 review pins over the dedup family."""
+
+    def test_shingle_hashing_survives_lone_surrogates(self):
+        from rdf_extraction_ray.stages.dedup_docs import (MinHasher,
+                                                          _rolling_gram_hashes)
+        bad = "\ud800" * 6  # encodes to ZERO utf-8 bytes
+        assert len(_rolling_gram_hashes(bad, 5)) == 1
+        mh = MinHasher()
+        out = mh(pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": [bad, "normal text here", bad + "x"]}))
+        assert len(out) == 3 * mh.n_bands
+        # the corrupted-offset failure mode: doc 1 must NOT inherit
+        # doc 2's signature
+        s1 = out.loc[out["doc_id"] == 1, "band_hash"].tolist()
+        s2 = out.loc[out["doc_id"] == 2, "band_hash"].tolist()
+        assert s1 != s2
+
+    def test_components_ds_keeps_self_loop_only_nodes(self):
+        from rdf_extraction_ray.stages.dedup_docs import (
+            connected_components, connected_components_ds)
+        pairs = pd.DataFrame({"a": [5, 1, 7], "b": [5, 2, 7]})
+        ref = connected_components(pairs).sort_values(
+            "doc_id", ignore_index=True)
+        for kw in ({}, {"small_edge_fastpath": 0}):
+            got = (connected_components_ds(rd.from_pandas(pairs), **kw)
+                   .to_pandas().sort_values("doc_id",
+                                            ignore_index=True))
+            pd.testing.assert_frame_equal(
+                ref, got.astype({"doc_id": ref["doc_id"].dtype,
+                                 "component": ref["component"].dtype}))
+
+    def test_simhash_pairs_dense_bucket_blocked_enumeration(self):
+        """200 identical docs share one simhash: the blocked
+        enumeration must emit exactly C(200,2) zero-hamming pairs."""
+        from rdf_extraction_ray.stages.dedup_docs import simhash_pairs
+        docs = pd.DataFrame({
+            "doc_id": range(200),
+            "text": "same boilerplate text everywhere"})
+        out = simhash_pairs(rd.from_pandas(docs)).to_pandas()
+        assert len(out) == 200 * 199 // 2
+        assert (out["hamming"] == 0).all()
+        assert (out["a"] < out["b"]).all()
