@@ -505,17 +505,20 @@ def _distinct_und_edges(edges, und_pre, B: np.int64,
 
 
 def _node_degrees(und: rd.Dataset, B: np.int64, n_buckets: int,
-                  broadcast_max_nodes: int) -> tuple:
+                  broadcast_max_nodes: int,
+                  H_pre: np.ndarray | None = None) -> tuple:
     """Per-node degrees of the distinct undirected edge set, as a
     tagged degree source: ``("bcast", (H, deg) object ref)`` when the
     node count fits ``broadcast_max_nodes`` (pagerank-style bounded
     driver probe, dense int64 vectors broadcast once), else
     ``("ds", deg_ds)`` — a materialized (h, d, nb) Dataset for hash
     joins. Both paths are equality-tested via the triangle/k-core
-    suites."""
+    suites. ``H_pre`` lets a caller that already ran the node probe
+    share it instead of paying a second full pass."""
     n_blocks = max(8, n_buckets // 4)
-    H = _bounded_distinct_probe(und, ("lo", "hi"),
-                                broadcast_max_nodes)
+    H = (H_pre if H_pre is not None
+         else _bounded_distinct_probe(und, ("lo", "hi"),
+                                      broadcast_max_nodes))
 
     if H is not None:
         import ray
@@ -900,12 +903,25 @@ def degree_assortativity(edges: rd.Dataset | None,
     degsrc = _node_degrees(und, B, n_buckets, broadcast_max_nodes)
 
     def _partials(dl: np.ndarray, dh: np.ndarray) -> pd.DataFrame:
-        # ordered pairs = both orientations of every edge
+        # ordered pairs = both orientations of every edge.
+        # Per-ELEMENT products fit int64 (deg² ≤ ~8.5e18 needs
+        # deg ≤ 3e9), but a batch SUM over a giant hub's edges can
+        # exceed 2^63 — accumulate the sums as Python bigints
+        # (object-dtype reduce) so the partial itself is exact, as
+        # the docstring promises; per-batch cost is one object pass
+        # over scalar products, not the hot path
+        s2 = int((dl * dl).astype(object).sum()
+                 + (dh * dh).astype(object).sum())
+        s3 = int(2 * (dl * dh).astype(object).sum())
+        if not (-(2**63) <= s2 < 2**63 and -(2**63) <= s3 < 2**63):
+            raise OverflowError(
+                "assortativity partial exceeds int64 — split the "
+                "input into smaller blocks (batch sums of deg² "
+                "overflowed)")
         return pd.DataFrame({
             "s1": pd.array([int(dl.sum() + dh.sum())], dtype="int64"),
-            "s2": pd.array([int((dl * dl).sum() + (dh * dh).sum())],
-                           dtype="int64"),
-            "s3": pd.array([int(2 * (dl * dh).sum())], dtype="int64")})
+            "s2": pd.array([s2], dtype="int64"),
+            "s3": pd.array([s3], dtype="int64")})
 
     if degsrc[0] == "bcast":
         from .dedup_docs import _cached_get
@@ -1522,6 +1538,9 @@ def ktruss_edges(edges: rd.Dataset | None, k: int = 4,
 
     B = np.int64(n_buckets)
     n_blocks = max(8, n_buckets // 4)
+    # <1 would skip the peel entirely and crash on the missing
+    # support column downstream — same guard as kcore_nodes
+    n_rounds = max(1, n_rounds)
     out_schema = pa.schema([("node_a", pa.string()),
                             ("node_b", pa.string()),
                             ("support", pa.int64())])
@@ -3876,14 +3895,18 @@ def link_prediction(edges: rd.Dataset | None, k: int = 100,
     if jaccard:
         # cheap node-count probe FIRST: the refusal must not pay for
         # _node_degrees' full exchange-path degree materialization
-        # whose only use would be to be discarded
-        if _bounded_distinct_probe(und, ("lo", "hi"),
-                                   broadcast_max_nodes) is None:
+        # whose only use would be to be discarded; the probe result
+        # is SHARED with _node_degrees (the old code re-probed,
+        # doubling a full pass on every in-bounds call)
+        H = _bounded_distinct_probe(und, ("lo", "hi"),
+                                    broadcast_max_nodes)
+        if H is None:
             raise ValueError(
                 "jaccard link prediction needs the broadcast degree "
                 f"path (<= {broadcast_max_nodes} nodes): refusing "
                 "rather than silently changing ranking semantics")
-        degsrc = _node_degrees(und, B, n_buckets, broadcast_max_nodes)
+        degsrc = _node_degrees(und, B, n_buckets, broadcast_max_nodes,
+                               H_pre=H)
         assert degsrc[0] == "bcast"
         deg_ref = degsrc[1]
 
@@ -4152,8 +4175,17 @@ def hits_int(edges: rd.Dataset | None, n_iter: int = 2,
                                     batch_size=None)):
                 np.add.at(raw, b["i"], b["c"])
             m = int(raw.max()) if len(raw) else 0
-            return (raw * np.int64(scale) // np.int64(m)
-                    if m > 0 else raw)
+            if m <= 0:
+                return raw
+            if m > (2**63 - 1) // scale:
+                # same wide guard as the exchange path: nothing pins
+                # broadcast_max_nodes to the int64-safe default, and
+                # raw·scale wraps silently past it — exact Python-int
+                # division (output ≤ scale always fits int64)
+                return np.fromiter(
+                    ((int(v) * scale) // m for v in raw),
+                    dtype="int64", count=len(raw))
+            return raw * np.int64(scale) // np.int64(m)
 
         hub = np.full(n, np.int64(scale))
         auth = np.zeros(n, dtype=np.int64)
@@ -4361,10 +4393,17 @@ def random_walks(edges: rd.Dataset | None, n_steps: int = 3,
             out["nb"] = out["h"] % B
             return out
 
+        # materialized BEFORE the probe: the probe's driver
+        # iter_batches pass executes this groupby lineage, and the
+        # later consumers (walk seeding, resolve_names, the exchange
+        # path's name join) would otherwise RE-execute it — the
+        # re-execution-after-driver-pass pattern documented above as
+        # corrupting re-run blocks on this Ray version
         nodes = (base.map_batches(_node_rows, batch_format="pandas")
                  .groupby("nb").map_groups(
                      lambda g: g[["h", "node"]].drop_duplicates("h"),
-                     batch_format="pandas").repartition(n_blocks))
+                     batch_format="pandas").repartition(n_blocks)
+                 ).materialize()
 
     # ---- broadcast-state path: node-hash probe over the node map
     H = _bounded_distinct_probe(nodes, ("h",),
