@@ -362,7 +362,7 @@ def _works_paths(sf_dir: str) -> tuple[str, str]:
     return wp, gp
 
 
-_KG_VIEW_VERSION = 1  # bump when extraction/link/template output changes
+_KG_VIEW_VERSION = 2  # v2: context snippets use the reference's limit_to_full_sentences rule  # bump when extraction/link/template output changes
 
 
 def _kg_views(sf_dir: str) -> str:
@@ -588,12 +588,24 @@ final AS MATERIALIZED (
                 ELSE k.person END AS person,
            k.other, k.place, k.place2, k.term, k.category, k.date,
            k.certainty, k.title, k.org, k.amount, k.cand_idx,
-           CASE WHEN len(ws) > 35
-                THEN array_to_string(ws[1:35], ' ') || '...'
-                ELSE array_to_string(ws, ' ') END AS snippet
+           (SELECT coalesce(string_agg(fs, '.' ORDER BY ord)
+                                || '.', '')
+            FROM (SELECT trim(p[1]) AS fs,
+                         p[2]::BIGINT AS ord,
+                         coalesce(sum(len(trim(p[1]))
+                                      - len(replace(trim(p[1]),
+                                                    ' ', '')))
+                             OVER (ORDER BY p[2]::BIGINT
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0)
+                             AS prior_spaces
+                  FROM (SELECT unnest(list_zip(fr,
+                                      range(1, len(fr) + 1))) AS p
+                        FROM (SELECT string_split(trim(k.text), '.')
+                                  AS fr)))
+            WHERE prior_spaces < 35 AND fs <> '') AS snippet
     FROM kept k
-    LEFT JOIN subj s USING (conv_id),
-    LATERAL (SELECT string_split_regex(trim(k.text), '\\s+') AS ws))
+    LEFT JOIN subj s USING (conv_id))
 SELECT * FROM final
 """
 

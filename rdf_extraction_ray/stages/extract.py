@@ -37,7 +37,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.text import limit_words
 from ..state import fixtures as fx
 from ..synth import FACT_COLUMNS
 
@@ -172,6 +171,10 @@ def _classify_childlessness(word_text: str) -> str:
     return "unspecifiedReproductiveHistory"
 
 
+_BIRTH_CERT = {"on": "CERT", "by": "BY", "after": "AFTER",
+               "around": "ROUGHLYDATED"}
+
+
 def _detect_one(text: str) -> list[dict]:
     """All candidate facts for one turn text (without conv context)."""
     m = _SUBJECT.match(text)
@@ -192,8 +195,7 @@ def _detect_one(text: str) -> list[dict]:
         elif fact_type == "location":
             g["category"] = _LOC_VERB[g.pop("verb")]
         elif fact_type == "birth":
-            g["certainty"] = {"on": "CERT", "by": "BY", "after": "AFTER",
-                              "around": "ROUGHLYDATED"}[g.pop("marker")]
+            g["certainty"] = _BIRTH_CERT[g.pop("marker")]
         elif fact_type == "childlessness":
             g["category"] = _classify_childlessness(g.pop("word"))
         elif fact_type == "culturalform" and "marker" in g:
@@ -222,19 +224,20 @@ def _detect_one(text: str) -> list[dict]:
     return []
 
 
-_BIRTH_CERT = {"on": "CERT", "by": "BY", "after": "AFTER",
-               "around": "ROUGHLYDATED"}
-
-
 def _snippets_arrow(texts, max_words: int):
-    """Vectorized :func:`limit_words` on an Arrow string array:
-    whitespace-normalize, keep the first ``max_words`` words, append
-    ``...`` when truncated. All C kernels."""
-    import pyarrow.compute as pc
-    words = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(texts))
-    trunc = pc.binary_join(pc.list_slice(words, 0, max_words), " ")
-    return pc.if_else(pc.greater(pc.list_value_length(words), max_words),
-                      pc.binary_join_element_wise(trunc, "...", ""), trunc)
+    """Reference CONTEXT-SNIPPET rule (SURVEY M23): whole sentences
+    until the accumulated text reaches ~``max_words`` words —
+    ``limit_to_full_sentences``, the limiter the reference's context
+    builder uses (cwrc/RDF-extraction Utils/context.py:264,
+    activity.py:248), NOT ``limit_words`` (that is the PROFILE
+    rule, Writing/writing_extraction.py:33 — see template.py). The
+    Python call runs once per UNIQUE matched turn (the caller dedups
+    positions first), so the cost is bounded by matched candidates,
+    not corpus rows; the SQL oracle replays the identical
+    sentence-accumulation rule with a windowed prefix-space count."""
+    from ..functions.text import limit_to_full_sentences
+    return np.array([limit_to_full_sentences(s, max_words)
+                     for s in texts.to_pylist()], dtype=object)
 
 
 def _empty_cand_table() -> pa.Table:
@@ -257,7 +260,12 @@ def detect_facts(batch: pa.Table) -> pa.Table:
     """
     import pyarrow.compute as pc
 
-    text_arr = batch.column("text")
+    # null text rows carry no facts but must not carry the stage
+    # down with them: pc.match_substring(null) is null, and the
+    # object-array boolean algebra below would raise TypeError on
+    # the first None — one null transcript row would abort the whole
+    # extract job (nulls coalesce to "", which matches no anchor)
+    text_arr = pc.fill_null(batch.column("text"), "")
     text = text_arr.to_pandas()
     role = batch.column("role").to_numpy(zero_copy_only=False)
     parts: list[pd.DataFrame] = []
@@ -343,7 +351,7 @@ def detect_facts(batch: pa.Table) -> pa.Table:
     out["seq"] = -1  # minted in finalize
     upos = np.unique(pos)
     snips = _snippets_arrow(pc.take(text_arr, pa.array(upos)),
-                            _MAX_SNIPPET_WORDS).to_pandas().to_numpy()
+                            _MAX_SNIPPET_WORDS)
     out["snippet"] = snips[np.searchsorted(upos, pos)]
     # deterministic conversation bucket (the assembly-shuffle key)
     out["bucket"] = (pd.util.hash_pandas_object(

@@ -68,8 +68,13 @@ class EntityLinker:
         self.causes: dict[str, str] = m["causes"]
         self.cultural_forms: dict[str, dict[str, str]] = m["cultural_forms"]
         self.degrees: dict[str, str] = m["degrees"]
-        self.writers = WRITERS
-        self._sex_by_uri = {u: t[1] for u, t in WRITERS.items()}
+        # honor an injected writers table: build_linker_maps ships a
+        # 'writers' key for exactly this, and reading the module
+        # global here silently gave every custom corpus person_sex
+        # NaN (which the sex-conditional family templating resolves
+        # to the wrong inverse predicate)
+        self.writers = m.get("writers", WRITERS)
+        self._sex_by_uri = {u: t[1] for u, t in self.writers.items()}
         self.fuzzy_substitute = fuzzy_substitute
         # per-actor memo for the fuzzy diagnostic (SURVEY §7.5.4)
         self._fuzzy_memo: dict[tuple[str, str], str | None] = {}
@@ -107,7 +112,11 @@ class EntityLinker:
     def _fuzzy_lookup(self, table: dict[str, str], kind: str,
                       key: str) -> str | None:
         """Memoized ``get_close_matches`` probe; returns the close
-        match's URI or None."""
+        match's URI or None. ``kind`` must identify the TABLE, not
+        just the fact family — the cultural-form categories each have
+        their own vocabulary, and a shared 'cf' memo would let one
+        category's miss (or worse, with substitution on, one
+        category's URI) poison another's lookups order-dependently."""
         memo_key = (kind, key)
         if memo_key not in self._fuzzy_memo:
             if len(self._fuzzy_memo) > 100_000:
@@ -120,12 +129,15 @@ class EntityLinker:
         return self._fuzzy_memo[memo_key]
 
     def _vocab(self, table: dict[str, str], key: str,
-               kind: str) -> tuple[str | None, str]:
-        """exact (cleaned) → fuzzy-diagnostic → miss ladder."""
+               kind: str, memo_kind: str | None = None
+               ) -> tuple[str | None, str]:
+        """exact (cleaned) → fuzzy-diagnostic → miss ladder.
+        ``memo_kind`` qualifies the fuzzy memo when several tables
+        share one status ``kind`` (the cultural-form categories)."""
         hit = table.get(key)
         if hit is not None:
             return hit, f"{kind}=linked"
-        close_hit = self._fuzzy_lookup(table, kind, key)
+        close_hit = self._fuzzy_lookup(table, memo_kind or kind, key)
         if close_hit is None:
             return None, f"{kind}=miss"
         if self.fuzzy_substitute:
@@ -143,7 +155,8 @@ class EntityLinker:
             return self._vocab(self.causes, clean_term(surface), "cod")
         if fact_type == "culturalform":
             table = self.cultural_forms.get(category or "", {})
-            return self._vocab(table, clean_term_stemmed(surface), "cf")
+            return self._vocab(table, clean_term_stemmed(surface), "cf",
+                               memo_kind=f"cf:{category or ''}")
         if fact_type == "education" and category == "degree":
             return self._vocab(self.degrees, clean_term(surface), "edu")
         return None, ""
@@ -151,7 +164,8 @@ class EntityLinker:
     # ------------------------------------------------------ vector ladder
 
     def _vocab_series(self, table: dict[str, str], keys: pd.Series,
-                      kind: str) -> tuple[pd.Series, pd.Series]:
+                      kind: str, memo_kind: str | None = None
+                      ) -> tuple[pd.Series, pd.Series]:
         """Vectorized ``_vocab``: dict map for the exact rung, Python
         only on unique misses (fuzzy diagnostic, memoized per actor)."""
         hit = keys.map(table)
@@ -160,7 +174,8 @@ class EntityLinker:
         miss = hit.isna()
         if miss.any():
             mk = keys[miss]
-            close = mk.map({k: self._fuzzy_lookup(table, kind, k)
+            mkind = memo_kind or kind
+            close = mk.map({k: self._fuzzy_lookup(table, mkind, k)
                             for k in pd.unique(mk)})
             status[miss] = np.where(close.notna(), f"{kind}=fuzzy",
                                     f"{kind}=miss")
@@ -240,10 +255,11 @@ class EntityLinker:
         cfm = (ft == "culturalform") & term.notna()
         if cfm.any():
             for cat, g in batch.loc[cfm].groupby("category", dropna=False):
-                table = self.cultural_forms.get(
-                    cat if isinstance(cat, str) else "", {})
+                cat_key = cat if isinstance(cat, str) else ""
+                table = self.cultural_forms.get(cat_key, {})
                 u, s = self._vocab_series(
-                    table, _map_unique(g["term"], clean_term_stemmed), "cf")
+                    table, _map_unique(g["term"], clean_term_stemmed),
+                    "cf", memo_kind=f"cf:{cat_key}")
                 t_uri[g.index] = u
                 t_status[g.index] = s
 

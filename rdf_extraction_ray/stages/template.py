@@ -163,7 +163,7 @@ def _emit_triples(batch: pd.DataFrame) -> _Emitter:
             continue
         sub = b[m]
         lex, dtyp, start, ok = _date_columns(sub["date"])
-        sC, sA, sP = C[m], A[m], P[m]
+        sA, sP = A[m], P[m]
         em.emit(sA, _R, NS["crm"] + ev_class, conv=sub["conv_id"], tidx=sub["turn_idx"])
         em.emit(sA, NS["crm"] + ev_pred, sP, conv=sub["conv_id"], tidx=sub["turn_idx"])
         em.emit(sP, uri("kg", date_pred), pd.Series(lex, index=sub.index),

@@ -101,7 +101,7 @@ class TestDetection:
         exactly the rows the scalar spec (_detect_one) produces, over a
         synth corpus that exercises every pattern."""
         from rdf_extraction_ray import synth
-        from rdf_extraction_ray.functions.text import limit_words
+        from rdf_extraction_ray.functions.text import limit_words, limit_to_full_sentences
         turns, _ = synth.generate(60, seed=13, mega_every=0)
         got = detect_facts(turns).to_pandas()
         exp_rows = []
@@ -120,7 +120,7 @@ class TestDetection:
                 row = {c: None for c in CAND_COLUMNS}
                 row.update(cand)
                 row.update(conv_id=cid, turn_idx=ti, seq=-1, cand_idx=ci,
-                           snippet=limit_words(tx, 35))
+                           snippet=limit_to_full_sentences(tx, 35))
                 exp_rows.append(row)
         exp = pd.DataFrame(exp_rows)
         cols = [c for c in CAND_COLUMNS if c != "bucket"]

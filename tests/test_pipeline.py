@@ -6,7 +6,8 @@ import pyarrow as pa
 import ray.data as rd
 
 from rdf_extraction_ray import synth
-from rdf_extraction_ray.functions.text import limit_words
+from rdf_extraction_ray.functions.text import (
+    limit_to_full_sentences)
 from rdf_extraction_ray.namespaces import NS
 from rdf_extraction_ray.pipelines.kg import extract_facts, triples_from_turns
 
@@ -60,7 +61,7 @@ class TestGoldenTriples:
             (C0, RDF_TYPE, KG + "BirthContext", "uri", "", ""),
             (C0, KG + "hasSubject", P, "uri", "", ""),
             (C0, OA + "hasTarget", DATA + "g1_turn_2", "uri", "", ""),
-            (C0, KG + "snippet", t2, "literal", "en", ""),
+            (C0, KG + "snippet", limit_to_full_sentences(t2, 35), "literal", "en", ""),
             (P, RDF_TYPE, CRM + "E21_Person", "uri", "", ""),
             (A0, RDF_TYPE, CRM + "E67_Birth", "uri", "", ""),
             (A0, CRM + "P98_brought_into_life", P, "uri", "", ""),
@@ -72,7 +73,7 @@ class TestGoldenTriples:
             (C1, RDF_TYPE, KG + "DeathContext", "uri", "", ""),
             (C1, KG + "hasSubject", P, "uri", "", ""),
             (C1, OA + "hasTarget", DATA + "g1_turn_3", "uri", "", ""),
-            (C1, KG + "snippet", t3, "literal", "en", ""),
+            (C1, KG + "snippet", limit_to_full_sentences(t3, 35), "literal", "en", ""),
             (A1, RDF_TYPE, CRM + "E69_Death", "uri", "", ""),
             (A1, CRM + "P100_was_death_of", P, "uri", "", ""),
             (P, KG + "hasDeathDate", "1899-12", "literal", "", "xsd:gYearMonth"),
@@ -84,7 +85,7 @@ class TestGoldenTriples:
             (C2, RDF_TYPE, KG + "DeathContext", "uri", "", ""),
             (C2, KG + "hasSubject", P, "uri", "", ""),
             (C2, OA + "hasTarget", DATA + "g1_turn_4", "uri", "", ""),
-            (C2, KG + "snippet", t4, "literal", "en", ""),
+            (C2, KG + "snippet", limit_to_full_sentences(t4, 35), "literal", "en", ""),
             (P, KG + "hasBurialPlace", BATH, "uri", "", ""),
         }
         out = triples_from_turns(rd.from_arrow(turns)).to_pandas()
@@ -138,8 +139,8 @@ class TestInvariants:
         snips = out[out["pred"] == KG + "snippet"]
         assert len(snips) > 0
         for _, r in snips.iterrows():
-            assert r["obj"] == limit_words(src[(r["conv_id"], r["turn_idx"])],
-                                           35)
+            assert r["obj"] == limit_to_full_sentences(
+                src[(r["conv_id"], r["turn_idx"])], 35)
 
     def test_determinism_and_dedup(self):
         turns, _ = synth.generate(30, seed=5, mega_every=0)
