@@ -180,10 +180,39 @@ def _side_frames(t: pa.Table, left_cols: list[str], right_cols: list[str]
     Selecting a side's OWN columns before ``to_pandas`` means no
     padding nulls ever reach pandas, so dtypes survive exactly."""
     import pyarrow.compute as pc
+
+    def _pdf(tab: pa.Table) -> pd.DataFrame:
+        # integer columns carrying REAL nulls (not padding — those
+        # were projected away) would round-trip through float64,
+        # rounding values above 2^53 and crashing the int64 cast
+        # back; route null-bearing tables through pandas' masked
+        # integer dtypes instead. null_count is O(1) metadata, so the
+        # common null-free case stays on the fast numpy path.
+        has_int_nulls = any(
+            tab.column(i).null_count > 0
+            and pa.types.is_integer(tab.schema.field(i).type)
+            for i in range(tab.num_columns))
+        if not has_int_nulls:
+            return tab.to_pandas()
+        mapper = {pa.int64(): pd.Int64Dtype(),
+                  pa.int32(): pd.Int32Dtype(),
+                  pa.int16(): pd.Int16Dtype(),
+                  pa.int8(): pd.Int8Dtype()}.get
+        return tab.to_pandas(types_mapper=mapper)
+
     side = t.column("__side")
-    l = t.filter(pc.equal(side, 0)).select(left_cols).to_pandas()
-    r = t.filter(pc.equal(side, 1)).select(right_cols).to_pandas()
+    l = _pdf(t.filter(pc.equal(side, 0)).select(left_cols))
+    r = _pdf(t.filter(pc.equal(side, 1)).select(right_cols))
     return l, r
+
+
+def _provably_empty(ds: rd.Dataset) -> bool:
+    """schema() returning None conflates UNKNOWN with EMPTY (a lazy
+    pipeline whose schema Ray cannot report looks identical to a
+    filtered-to-nothing one). count() settles it: cheap for the
+    genuinely-empty case, and the non-empty case raises anyway, so
+    the extra execution is only ever the error path's cost."""
+    return ds.count() == 0
 
 
 def asof_join(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
@@ -201,12 +230,18 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
     One shuffle each side, |left|+|right| rows once, Arrow blocks
     throughout the exchange.
     """
-    if (left_schema or left.schema()) is None \
-            or (right_schema or right.schema()) is None:
-        # a schema-less side is an EMPTY side; the as-of inner match
-        # is then provably empty (callers' typed-empty shims own the
-        # output column contract)
-        return rd.from_pandas(pd.DataFrame())
+    for side_schema, side in ((left_schema, left),
+                              (right_schema, right)):
+        if side_schema is None and side.schema() is None:
+            if _provably_empty(side):
+                # an EMPTY side: the as-of inner match is provably
+                # empty (callers' typed-empty shims own the output
+                # column contract)
+                return rd.from_pandas(pd.DataFrame())
+            raise ValueError(
+                "asof_join: side has rows but reports no schema — "
+                "pass left_schema/right_schema explicitly (lazy "
+                "exchange outputs lose schema on this Ray version)")
     rschema = right_schema or _arrow_schema(right)
     all_cols, (left_cols, right_cols), type_of = _union_schema(
         left_schema or _arrow_schema(left), rschema)
@@ -225,12 +260,39 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, by: str, on: str,
 
     def _merge_bucket(t: pa.Table) -> pa.Table:
         l, r = _side_frames(t, left_cols, right_cols)
+        # SQL key semantics + merge_asof's own constraint: a null
+        # `on` anywhere in a bucket raises inside merge_asof, and a
+        # null `by` would NaN-pair; null-keyed rows can never match
+        # an inner as-of, so they drop on both sides
+        l = l.dropna(subset=[by, on])
+        r = r.dropna(subset=[by, on])
         if not len(l) or not len(r):
             return out_schema.empty_table()
+        # a null-bearing key column arrived as pandas' masked dtype
+        # (see _side_frames); post-dropna it is null-free, and
+        # merge_asof requires matching NUMPY key dtypes on both sides
+        for df_ in (l, r):
+            for c in (by, on):
+                if pd.api.types.is_extension_array_dtype(df_[c]):
+                    df_[c] = df_[c].to_numpy(
+                        dtype=df_[c].dtype.numpy_dtype)
         l = l.sort_values(on, kind="stable")
+        # DETERMINISTIC duplicate resolution: secondary-sort the
+        # right side by all remaining columns so ties on (by, on)
+        # resolve by total row order, not post-shuffle arrival order
+        # (merge_asof backward takes the last row <= t)
+        r_order = [on] + [c for c in r.columns if c != on]
+        r = r.sort_values(r_order, kind="stable")
+        # int64 value columns ride as pandas' masked Int64 so an
+        # unmatched left row cannot float64-promote (and round >2^53)
+        # the whole bucket's matched values — the corruption
+        # hash_join's split-merge explicitly avoids
+        for c in r.columns:
+            if c not in (by, on) and r[c].dtype == np.int64:
+                r[c] = r[c].astype("Int64")
         # explicit matched indicator: NEVER probe a value column (a
         # legitimately-null right value is not a failed match)
-        r = r.sort_values(on, kind="stable").assign(__rmatch=np.int8(1))
+        r = r.assign(__rmatch=np.int8(1))
         out = pd.merge_asof(l, r, on=on, by=by, direction="backward",
                             suffixes=("", suffix))
         out = out[out["__rmatch"].notna()]
@@ -268,23 +330,42 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str | list[str],
     before the exchange, so the shuffle carries |left| + |right keys|
     rows and the output schema is exactly the left schema.
     """
-    if (left_schema or left.schema()) is None:
-        # schema-less = empty LEFT: every join flavor is empty
-        return rd.from_pandas(pd.DataFrame())
+    if how not in ("inner", "left", "anti"):
+        raise ValueError(
+            f"hash_join supports how='inner'/'left'/'anti', got "
+            f"{how!r} — 'outer'/'right' would silently drop "
+            "right-only buckets here")
+    if left_schema is None and left.schema() is None:
+        if _provably_empty(left):
+            # empty LEFT: every supported join flavor is empty
+            return rd.from_pandas(pd.DataFrame())
+        raise ValueError(
+            "hash_join: left side has rows but reports no schema — "
+            "pass left_schema explicitly (lazy exchange outputs "
+            "lose schema on this Ray version)")
     on_cols = [on] if isinstance(on, str) else list(on)
     if how == "anti":
-        if (right_schema or right.schema()) is None:
-            return left  # anti vs an empty right keeps every left row
+        if right_schema is None and right.schema() is None:
+            if _provably_empty(right):
+                return left  # anti vs an empty right keeps every row
+            raise ValueError(
+                "hash_join: right side has rows but reports no "
+                "schema — pass right_schema explicitly")
         rs = right_schema or _arrow_schema(right)
         right = right.map_batches(lambda t: t.select(on_cols),
                                   batch_format="pyarrow")
         right_schema = pa.schema(
             [(c, rs.field(c).type) for c in on_cols])
-    elif how == "inner" and (right_schema or right.schema()) is None:
-        # inner with an empty right side is provably empty; a LEFT
+    elif how == "inner" and right_schema is None \
+            and right.schema() is None:
+        # inner with an EMPTY right side is provably empty; a LEFT
         # join with only the right side empty still needs schemas and
         # falls through to the clear _arrow_schema error
-        return rd.from_pandas(pd.DataFrame())
+        if _provably_empty(right):
+            return rd.from_pandas(pd.DataFrame())
+        raise ValueError(
+            "hash_join: right side has rows but reports no schema — "
+            "pass right_schema explicitly")
     rschema = right_schema or _arrow_schema(right)
     all_cols, (left_cols, right_cols), type_of = _union_schema(
         left_schema or _arrow_schema(left), rschema)
@@ -337,6 +418,18 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: str | list[str],
             return pa.Table.from_pandas(
                 l[out_cols], schema=out_schema,
                 preserve_index=False).replace_schema_metadata(None)
+        # SQL equality: a NULL key never matches (pandas merge would
+        # pair NaN with NaN, diverging from the oracle and from this
+        # module's own anti flavor). Null-keyed right rows can never
+        # contribute; null-keyed left rows drop from inner and ride
+        # the unmatched path of a left join.
+        if len(r) and r[on_cols].isna().any().any():
+            r = r.dropna(subset=on_cols)
+        if how == "inner" and len(l) \
+                and l[on_cols].isna().any().any():
+            l = l.dropna(subset=on_cols)
+            if not len(l) or not len(r):
+                return out_schema.empty_table()
         if how == "left":
             # split matched/unmatched explicitly: pandas' how="left"
             # merge promotes missing right ints to float64, silently
@@ -374,7 +467,9 @@ def range_count_join(left: rd.Dataset, right: rd.Dataset, on: str,
     equi-bucket + in-group interval-count composition: both sides
     hash-bucket on the key, union into one sorted exchange, and each
     key's count is two vectorized ``searchsorted`` probes against that
-    key's sorted right-timestamp array. Partitioning assumption: one
+    key's sorted right-timestamp array. An EMPTY right side
+    short-circuits to every left row with count 0 (the well-defined
+    answer) instead of failing the schema lookup. Partitioning assumption: one
     KEY's rows fit a worker (same contract as the as-of join /
     sessionization); a pathologically hot key needs the salted-segment
     treatment (SURVEY §7.5.7).
@@ -382,8 +477,23 @@ def range_count_join(left: rd.Dataset, right: rd.Dataset, on: str,
     Returns the left rows + ``count_col`` (int64).
     """
     if left.schema() is None:
-        # schema-less = empty left: nothing to count over
-        return rd.from_pandas(pd.DataFrame())
+        if _provably_empty(left):
+            # empty left: nothing to count over
+            return rd.from_pandas(pd.DataFrame())
+        raise ValueError(
+            "range_count_join: left side has rows but reports no "
+            "schema — materialize it or rebuild with a typed source")
+    if right.schema() is None:
+        if _provably_empty(right):
+            # empty right: the well-defined answer is every left row
+            # with count 0 — not a schema-lookup crash
+            return left.map_batches(
+                lambda tb: tb.append_column(
+                    count_col, pa.array([0] * len(tb), pa.int64())),
+                batch_format="pyarrow")
+        raise ValueError(
+            "range_count_join: right side has rows but reports no "
+            "schema — materialize it or rebuild with a typed source")
 
     # both sides are padded to ONE explicit column set before the
     # union, with TYPED Arrow nulls — the exchange moves compact Arrow

@@ -195,6 +195,20 @@ def cms_token_counts(docs, probes: list[str], d: int = 4,
 
 
 def hll_distinct(ds, col: str, b: int = 10) -> pd.DataFrame:
+    """See the full docstring below ``_HLL_B_BOUNDS``."""
+    if not 7 <= b <= 16:
+        # b <= 6: rem has > 53 bits, so the float64 frexp bit-length
+        # trick rounds near powers of two AND the alpha constant
+        # 0.7213/(1+1.079/m) only holds for m >= 128 (b >= 7);
+        # b > 16 wastes registers beyond any md5-15 use here
+        raise ValueError(
+            f"hll_distinct needs 7 <= b <= 16 (got {b}): smaller b "
+            "leaves a remainder wider than float64's exact-integer "
+            "range and invalidates the alpha_m constant")
+    return _hll_distinct_impl(ds, col, b)
+
+
+def _hll_distinct_impl(ds, col: str, b: int) -> pd.DataFrame:
     """HyperLogLog distinct-count sketch (Flajolet et al. 2007,
     "HyperLogLog: the analysis of a near-optimal cardinality
     estimation algorithm") with INTEGER-EXACT registers, the KMV

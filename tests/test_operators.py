@@ -1180,3 +1180,85 @@ class TestDedupReviewPins:
         assert len(out) == 200 * 199 // 2
         assert (out["hamming"] == 0).all()
         assert (out["a"] < out["b"]).all()
+
+
+class TestJoinReviewPins:
+    """Round-4 review pins over the custom join exchange operators."""
+
+    def test_hash_join_null_keys_never_match(self):
+        from rdf_extraction_ray.stages.joins import hash_join
+        l = rd.from_arrow(pa.table({
+            "k": pa.array([1, None, 3], pa.int64()),
+            "lv": pa.array([10, 20, 30], pa.int64())}))
+        r = rd.from_arrow(pa.table({
+            "k": pa.array([1, None], pa.int64()),
+            "rv": pa.array([100, 200], pa.int64())}))
+        inner = hash_join(l, r, on="k").to_pandas()
+        assert sorted(inner["lv"]) == [10]  # NULL != NULL
+        left = hash_join(l, r, on="k", how="left").to_pandas()
+        assert len(left) == 3
+        row = left[left["lv"] == 20].iloc[0]
+        assert pd.isna(row["rv"])  # null key rides unmatched
+        anti = hash_join(l, r, on="k", how="anti").to_pandas()
+        # inner and anti are complements on the left rows
+        assert sorted(anti["lv"]) == [20, 30]
+
+    def test_hash_join_rejects_unsupported_how(self):
+        import pytest
+
+        from rdf_extraction_ray.stages.joins import hash_join
+        l = rd.from_pandas(pd.DataFrame({"k": [1]}))
+        with pytest.raises(ValueError):
+            hash_join(l, l, on="k", how="outer")
+
+    def test_asof_join_int64_values_survive_unmatched_rows(self):
+        """An unmatched left row in a bucket must not float64-promote
+        (and round) the bucket's matched md5-scale int64 values."""
+        from rdf_extraction_ray.stages.joins import asof_join
+        big = (1 << 60) + 12345  # not representable in float64
+        l = pd.DataFrame({"u": [1, 1], "ts": [5, 0]})  # ts=0 unmatched
+        r = pd.DataFrame({"u": [1], "ts": [3], "payload": [big]})
+        out = asof_join(rd.from_pandas(l), rd.from_pandas(r),
+                        by="u", on="ts").to_pandas()
+        assert out["payload"].tolist() == [big]
+
+    def test_asof_join_duplicate_ties_deterministic(self):
+        from rdf_extraction_ray.stages.joins import asof_join
+        l = pd.DataFrame({"u": [1], "ts": [10]})
+        r = pd.DataFrame({"u": [1, 1], "ts": [3, 3],
+                          "payload": [7, 9]})
+        outs = set()
+        for _ in range(3):
+            out = asof_join(rd.from_pandas(l),
+                            rd.from_pandas(r.sample(frac=1)),
+                            by="u", on="ts").to_pandas()
+            outs.add(int(out["payload"].iloc[0]))
+        assert outs == {9}  # max under the total row order, always
+
+    def test_asof_join_null_on_rows_drop_not_crash(self):
+        from rdf_extraction_ray.stages.joins import asof_join
+        l = rd.from_arrow(pa.table({
+            "u": pa.array([1, 1], pa.int64()),
+            "ts": pa.array([None, 5], pa.int64())}))
+        r = rd.from_arrow(pa.table({
+            "u": pa.array([1], pa.int64()),
+            "ts": pa.array([2], pa.int64()),
+            "v": pa.array([1], pa.int64())}))
+        out = asof_join(l, r, by="u", on="ts").to_pandas()
+        assert len(out) == 1 and int(out["ts"].iloc[0]) == 5
+
+    def test_range_count_join_empty_right_counts_zero(self):
+        import pyarrow.compute as pc
+
+        from rdf_extraction_ray.stages.joins import range_count_join
+        l = pd.DataFrame({"k": [1, 2],
+                          "ts": pd.to_datetime(["2024-01-01",
+                                                "2024-01-02"])})
+        r = rd.from_pandas(pd.DataFrame(
+            {"k": [1], "ts": pd.to_datetime(["2024-01-01"])}))
+        r_empty = r.map_batches(
+            lambda tb: tb.filter(pc.equal(tb.column("k"), 99)),
+            batch_format="pyarrow")
+        out = range_count_join(rd.from_pandas(l), r_empty,
+                               on="k").to_pandas()
+        assert sorted(out["n_in_range"]) == [0, 0]
