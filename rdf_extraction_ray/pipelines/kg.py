@@ -130,15 +130,22 @@ def extract_facts(turns: rd.Dataset) -> rd.Dataset:
 _LINKER_CACHE: list = []  # one EntityLinker per worker process
 
 
-def _link_batch(batch):
-    """Task-pool linker body: the EntityLinker (broadcast dicts +
-    fuzzy memo) is built once per WORKER PROCESS and cached — Ray
-    pre-starts workers at init, so unlike an actor pool there is no
-    process-spawn + import latency on the critical path. Semantically
-    identical to the actor pool (state is read-only + memo)."""
+def _get_linker() -> EntityLinker:
+    """The per-worker-process EntityLinker (broadcast dicts + fuzzy
+    memo), built once and cached — the ONE construction point shared
+    by the task-pool, fused-assembly and salted paths (three inline
+    copies of this idiom previously invited drift)."""
     if not _LINKER_CACHE:
         _LINKER_CACHE.append(EntityLinker())
-    return _LINKER_CACHE[0](batch)
+    return _LINKER_CACHE[0]
+
+
+def _link_batch(batch):
+    """Task-pool linker body: Ray pre-starts workers at init, so
+    unlike an actor pool there is no process-spawn + import latency
+    on the critical path. Semantically identical to the actor pool
+    (state is read-only + memo)."""
+    return _get_linker()(batch)
 
 
 def link_facts(facts: rd.Dataset, concurrency: int | tuple | None = None,
@@ -170,10 +177,8 @@ def _assemble_bucket(group):
     the golden/P-R suite, which runs both paths."""
     from ..stages.dedup import add_bucket_and_combine
     from ..stages.template import build_triples_frame
-    if not _LINKER_CACHE:
-        _LINKER_CACHE.append(EntityLinker())
     finalized = finalize_bucket(group)
-    triples = build_triples_frame(_LINKER_CACHE[0](finalized))
+    triples = build_triples_frame(_get_linker()(finalized))
     return add_bucket_and_combine(triples)
 
 
@@ -188,7 +193,14 @@ def triples_from_turns(turns: rd.Dataset,
     ``stats_key`` (the input's path) enables the skew-probe statistics
     cache — see :func:`_assembled`."""
     if linker_concurrency is not None:
-        facts = extract_facts(turns)
+        # the actor-pool path routes through the SAME skew probe as
+        # the fused path (a giant conversation previously landed in
+        # one unsalted finalize group here and OOM'd the worker)
+        cands, needs = _route_candidates(turns, AUTO_SALT_FACTS,
+                                         stats_key)
+        facts = (salted_assembly(cands) if needs
+                 else cands.groupby("bucket").map_groups(
+                     finalize_bucket, batch_format="pandas"))
         linked = link_facts(facts, concurrency=linker_concurrency)
         triples = linked.map_batches(build_triples, batch_format="pandas",
                                      batch_size=None)
@@ -205,29 +217,18 @@ def _link_template_combine(batch):
     grouping needed — the salted assembly already minted seq ids)."""
     from ..stages.dedup import add_bucket_and_combine
     from ..stages.template import build_triples_frame
-    if not _LINKER_CACHE:
-        _LINKER_CACHE.append(EntityLinker())
     return add_bucket_and_combine(
-        build_triples_frame(_LINKER_CACHE[0](batch)))
+        build_triples_frame(_get_linker()(batch)))
 
 
 def _probe_fingerprint(path: str) -> str | None:
-    """Content fingerprint of an input path (file names, sizes,
-    mtimes) — same invalidation basis as the sink manifest."""
-    import glob as _glob
-    import hashlib as _hashlib
-    import os as _os
+    """Content fingerprint of an input path — delegates to the ONE
+    canonical recursive helper (pipelines.manifest._fingerprint), so
+    the probe cache and the sink manifests can never drift apart;
+    None (probe cache disabled) when the path can't be stat'd."""
     try:
-        if _os.path.isdir(path):
-            files = sorted(_glob.glob(_os.path.join(path, "**", "*"),
-                                      recursive=True))
-        else:
-            files = [path]
-        parts = []
-        for f in files:
-            st = _os.stat(f)
-            parts.append(f"{f}|{st.st_size}|{st.st_mtime_ns}")
-        return _hashlib.md5("\n".join(parts).encode()).hexdigest()
+        from .manifest import _fingerprint
+        return _fingerprint(path)
     except OSError:
         return None
 
@@ -328,35 +329,47 @@ def _assembled(turns: rd.Dataset,
     once attributed to streaming was host noise). Fact rows are 1-5%
     of corpus bytes, so the barrier's storage cost is negligible at
     any scale."""
-    cands = turns.map_batches(detect_facts, batch_format="pyarrow",
-                              batch_size=None)
-    if salt_threshold is not None:
-        cands = cands.materialize()
-        cached = _probe_cache_load(stats_key)
-        # a verdict is only valid for the threshold it was probed
-        # under — a caller asking for a stricter bound must re-probe
-        if cached is not None and cached.get("threshold") != salt_threshold:
-            cached = None
-        if cached is not None:
-            needs = cached["needs_salt"]
-        else:
-            # metadata guard: if the WHOLE corpus has fewer fact rows
-            # than the threshold, no conversation can exceed it — skip
-            # the probe job (count() on materialized data is free)
-            max_rows = 0
-            needs = cands.count() > salt_threshold
-            if needs:
-                max_rows = max_conv_fact_rows(cands)
-                needs = max_rows > salt_threshold
-            _probe_cache_store(stats_key, needs, max_rows,
-                               salt_threshold)
-        if needs:
-            return (salted_assembly(cands)
-                    .map_batches(_link_template_combine,
-                                 batch_format="pandas",
-                                 batch_size=None))
+    cands, needs = _route_candidates(turns, salt_threshold, stats_key)
+    if needs:
+        return (salted_assembly(cands)
+                .map_batches(_link_template_combine,
+                             batch_format="pandas",
+                             batch_size=None))
     return cands.groupby("bucket").map_groups(
         _assemble_bucket, batch_format="pandas")
+
+
+def _route_candidates(turns: rd.Dataset,
+                      salt_threshold: int | None,
+                      stats_key: str | None) -> tuple:
+    """detect → (candidate Dataset, needs_salt verdict) — the skew
+    probe shared by EVERY assembly consumer (fused, actor-pool
+    linker, sharded runner), so no path can silently bypass the
+    giant-conversation routing the module docstring promises."""
+    cands = turns.map_batches(detect_facts, batch_format="pyarrow",
+                              batch_size=None)
+    if salt_threshold is None:
+        return cands, False
+    cands = cands.materialize()
+    cached = _probe_cache_load(stats_key)
+    # a verdict is only valid for the threshold it was probed
+    # under — a caller asking for a stricter bound must re-probe
+    if cached is not None and cached.get("threshold") != salt_threshold:
+        cached = None
+    if cached is not None:
+        needs = cached["needs_salt"]
+    else:
+        # metadata guard: if the WHOLE corpus has fewer fact rows
+        # than the threshold, no conversation can exceed it — skip
+        # the probe job (count() on materialized data is free)
+        max_rows = 0
+        needs = cands.count() > salt_threshold
+        if needs:
+            max_rows = max_conv_fact_rows(cands)
+            needs = max_rows > salt_threshold
+        _probe_cache_store(stats_key, needs, max_rows,
+                           salt_threshold)
+    return cands, needs
 
 
 def triples_with_seed(turns: rd.Dataset,
@@ -392,6 +405,17 @@ def kg_pipeline(turns_path: str, out_dir: str | None = None,
                                  linker_concurrency=linker_concurrency,
                                  stats_key=turns_path)
     if out_dir is not None:
-        triples.write_parquet(out_dir)
+        # idempotent sink: Ray's write_parquet never clears the
+        # target, so a re-run into a used directory would read back
+        # old + new files mixed — write to a tmp dir and publish
+        # atomically (the manifest runner's pattern)
+        import os
+        import shutil
+        tmp = f"{out_dir}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        triples.write_parquet(tmp)
+        os.makedirs(tmp, exist_ok=True)  # empty result: publish anyway
+        shutil.rmtree(out_dir, ignore_errors=True)
+        os.replace(tmp, out_dir)
         return rd.read_parquet(out_dir)
     return triples

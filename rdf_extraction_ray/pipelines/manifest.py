@@ -39,17 +39,27 @@ MANIFEST_NAME = "_MANIFEST.json"
 
 
 def _fingerprint(turns_path: str) -> str:
-    """Cheap input identity: file names + sizes + mtimes. The mtime
-    guards against an in-place rewrite that happens to preserve sizes
-    (which would otherwise make resume silently serve stale output)."""
-    def _one(p: str) -> str:
-        st = os.stat(p)
-        return f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}"
-
+    """Cheap input identity: RECURSIVE file names + sizes + mtimes,
+    md5-digested. Recursion matters: a nested hive layout
+    (``part=0/data.parquet``) rewritten in place changes only the
+    FILE's mtime, not its parent directory's — a top-level listing
+    would serve stale resumes. The mtime guards against an in-place
+    rewrite that preserves sizes. This is the ONE canonical input
+    fingerprint; the KG probe cache imports it (a second divergent
+    copy is exactly how the non-recursive bug survived)."""
+    import glob as _glob
+    import hashlib as _hashlib
     if os.path.isdir(turns_path):
-        return "|".join(_one(os.path.join(turns_path, name))
-                        for name in sorted(os.listdir(turns_path)))
-    return _one(turns_path)
+        files = sorted(_glob.glob(os.path.join(turns_path, "**", "*"),
+                                  recursive=True))
+        files = [f for f in files if os.path.isfile(f)]
+    else:
+        files = [turns_path]
+    parts = []
+    for f in files:
+        st = os.stat(f)
+        parts.append(f"{f}|{st.st_size}|{st.st_mtime_ns}")
+    return _hashlib.md5("\n".join(parts).encode()).hexdigest()
 
 
 def _shard_of(conv_ids: pd.Series, n_shards: int) -> pd.Series:
@@ -87,6 +97,8 @@ def _prepartition(turns_path: str, out_dir: str, n_shards: int,
     (rd.read_parquet(turns_path)
      .map_batches(_tag, batch_format="pandas", batch_size=None)
      .write_parquet(tmp, partition_cols=["shard"]))
+    os.makedirs(tmp, exist_ok=True)  # an EMPTY corpus writes no
+    # files and creates no dir — the marker below must still publish
     with open(os.path.join(tmp, "_PARTITIONED.json"), "w") as f:
         json.dump({"fingerprint": fp, "n": n_shards}, f)
     shutil.rmtree(part_dir, ignore_errors=True)
@@ -157,7 +169,11 @@ def run_sharded(turns_path: str, out_dir: str, n_shards: int = 8,
         if os.path.exists(mpath):
             with open(mpath) as f:
                 m = json.load(f)
-            if m.get("input_fingerprint") == fp:
+            if m.get("input_fingerprint") == fp \
+                    and m.get("n_shards") == n_shards:
+                # a shard finished under a DIFFERENT n_shards holds a
+                # different partition of the corpus — skipping it
+                # would mix layouts and double-extract conversations
                 return m
         return None
 
@@ -209,11 +225,15 @@ def _run_one_shard(turns_path: str, out_dir: str, s: int, n_shards: int,
 
         shard_turns = turns.map_batches(_filter_shard,
                                         batch_format="pandas")
-    facts = (shard_turns
-             .map_batches(detect_facts, batch_format="pyarrow",
-                          batch_size=None)
-             .groupby("bucket").map_groups(finalize_bucket,
-                                           batch_format="pandas"))
+    # route through the shared skew probe — a giant conversation in
+    # a shard previously landed in one unsalted finalize group
+    from ..stages.extract import AUTO_SALT_FACTS, salted_assembly
+    from .kg import _route_candidates
+    cands, needs_salt = _route_candidates(shard_turns,
+                                          AUTO_SALT_FACTS, None)
+    facts = (salted_assembly(cands) if needs_salt
+             else cands.groupby("bucket").map_groups(
+                 finalize_bucket, batch_format="pandas"))
     linked = link_facts(facts, concurrency=linker_concurrency)
 
     # side-channel counters (§2.6 A3): per-batch partials → tiny sum.
@@ -221,7 +241,10 @@ def _run_one_shard(turns_path: str, out_dir: str, s: int, n_shards: int,
     # to turns, so one extra consumption of the linked facts is cheap —
     # materialize ONLY this small intermediate, never the turns.
     linked = linked.materialize()
-    facts_detected = linked.count()
+    # counted AFTER finalize+link (conversation rules consume some
+    # detection rows, e.g. subject declarations) — named accordingly
+    facts_linked = linked.count()
+    turns_in = shard_turns.count()  # parquet metadata count — cheap
 
     def _status_partial(df: pd.DataFrame) -> pd.DataFrame:
         st = (df["link_status"].str.split(";").explode())
@@ -248,7 +271,10 @@ def _run_one_shard(turns_path: str, out_dir: str, s: int, n_shards: int,
         "shard": s,
         "n_shards": n_shards,
         "input_fingerprint": fp,
-        "facts_detected": int(facts_detected),
+        "turns_in": int(turns_in),
+        "facts_linked": int(facts_linked),
+        # legacy alias for pre-round-4 manifest readers
+        "facts_detected": int(facts_linked),
         "link_status_histogram": histogram,
         "triples_out": int(triples_out),
         "skipped": False,

@@ -47,11 +47,23 @@ def _quantize(col) -> np.ndarray:
     return np.floor(e * 1000.0 + 0.5).astype(np.int64)
 
 
+def _sqdist(x: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """(n, k) EXACT integer squared-L2 distances via the expansion
+    |x|² + |c|² − 2·x@cᵀ — one int64 matmul instead of the rank-3
+    (n, k, dim) difference tensor, which at the k-in-the-thousands
+    scale the module recommends would allocate terabytes per task.
+    All terms stay far inside int64 on the ×1000 grid (|coord| ≤
+    ~5.4e3 → |x|² ≤ dim·2.9e7), so the integers are identical to the
+    tensor form's."""
+    nx = (x * x).sum(axis=1)
+    nc = (cents * cents).sum(axis=1)
+    return nx[:, None] + nc[None, :] - 2 * (x @ cents.T)
+
+
 def _assign(x: np.ndarray, cents: np.ndarray) -> np.ndarray:
     """Integer squared-L2 argmin; np.argmin's first-hit rule = the
     smallest cluster id on ties (the oracle orders by (dist, c))."""
-    d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-    return d.argmin(axis=1)
+    return _sqdist(x, cents).argmin(axis=1)
 
 
 def init_centroids(vecs: rd.Dataset, k: int, id_col: str = "vec_id",
@@ -142,7 +154,7 @@ def kmeans(vecs: rd.Dataset, k: int = 8, n_iter: int = 2,
     def _final(batch: pd.DataFrame) -> pd.DataFrame:
         c = ray.get(ref)
         x = _quantize(batch[vec_col])
-        d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        d = _sqdist(x, c)
         a = d.argmin(axis=1)
         return pd.DataFrame({
             id_col: batch[id_col].astype("int64").to_numpy(),

@@ -145,3 +145,37 @@ class TestMegaConversation:
         fast = max_conv_fact_rows(cands, driver_merge_rows=10**9)
         dist = max_conv_fact_rows(cands, driver_merge_rows=0)
         assert fast == dist == 801
+
+
+class TestActorPathSaltRouting:
+    def test_actor_pool_linker_path_salts_and_matches_fused(self,
+                                                            monkeypatch):
+        """The linker_concurrency path must route through the SAME
+        skew probe as the fused path (round-4 review: a giant
+        conversation previously landed in one unsalted finalize
+        group there) — outputs row-identical either way."""
+        import rdf_extraction_ray.pipelines.kg as KG
+
+        turns, _ = synth.generate(30, seed=13, mega_every=0)
+        mega = _mega_turns(800)
+        ds = rd.from_arrow(pa.concat_tables([turns, mega])) \
+            .repartition(4)
+        fused = KG.triples_from_turns(ds).to_pandas()
+        # force the salted verdict on the actor path
+        monkeypatch.setattr(KG, "AUTO_SALT_FACTS", 100)
+        routed = []
+        real_route = KG._route_candidates
+
+        def _spy(t, thr, key):
+            c, needs = real_route(t, thr, key)
+            routed.append(needs)
+            return c, needs
+
+        monkeypatch.setattr(KG, "_route_candidates", _spy)
+        actor = KG.triples_from_turns(
+            ds, linker_concurrency=2).to_pandas()
+        assert routed == [True]  # the probe fired and chose salted
+        cols = sorted(fused.columns)
+        a = fused[cols].sort_values(cols, ignore_index=True).fillna("")
+        b = actor[cols].sort_values(cols, ignore_index=True).fillna("")
+        assert len(a) == len(b) and a.equals(b)
