@@ -1354,9 +1354,7 @@ def _q_kg_title_census(sf_dir: str):
     """Title-mention census across conversations (reference title
     report)."""
     from rdf_extraction_ray.pipelines.reports import title_census
-    out = title_census(_linked_view(sf_dir))
-    out["convs"] = out["convs"].map(lambda l: ",".join(l))
-    return out
+    return title_census(_linked_view(sf_dir))
 
 
 def _q_kg_org_counts(sf_dir: str):

@@ -136,6 +136,8 @@ def cmd_serialize(args) -> int:
 
 def cmd_report(args) -> int:
     _ensure_ray()
+    import pandas as pd
+
     from .pipelines import reports
     from .pipelines.kg import extract_facts, link_facts, read_turns
     facts = extract_facts(read_turns(args.input))
@@ -147,6 +149,16 @@ def cmd_report(args) -> int:
                "orgs": reports.org_mention_counts,
                "places": reports.unmatched_places,
                "terms": reports.vocab_terms_used}[args.kind](linked)
+    if not isinstance(out, pd.DataFrame):
+        # Dataset-returning reports: only the sorted report head is
+        # pulled to the driver for display.
+        out = out.to_pandas()
+        sort_keys = [c for c in ("n",) if c in out.columns]
+        if sort_keys:
+            key2 = [c for c in out.columns if out[c].dtype == object][:1]
+            out = out.sort_values(sort_keys + key2,
+                                  ascending=[False] + [True] * len(key2),
+                                  ignore_index=True)
     print(out.to_string(index=False))
     return 0
 

@@ -247,13 +247,65 @@ class TestReports:
         linked = link_facts(extract_facts(rd.from_arrow(turns)))
         linked = linked.materialize()
         up = unmatched_places(linked)
+        assert isinstance(up, rd.Dataset)
+        up = up.to_pandas()
         # every 7th settlement is deliberately missing from the gazetteer
         assert len(up) > 0
         assert (up["n"] > 0).all()
+        assert up["place"].is_unique
         vt = vocab_terms_used(linked)
         assert len(vt) > 0
         assert vt["label"].notna().all()
         assert vt["term_uri"].is_unique
+
+    def test_census_reports_use_bucket_exchange(self):
+        """VERDICT r4 #1: the three distinct-value census reports must
+        return lazily-merged Datasets — no full-census ``to_pandas``
+        on the driver before the bucket groupby. Checked two ways:
+        structurally (source has the bucket exchange, no to_pandas)
+        and behaviorally (values match an independent pandas
+        recompute)."""
+        import inspect
+
+        from rdf_extraction_ray.pipelines import reports
+
+        for fn in (reports.org_mention_counts, reports.unmatched_places,
+                   reports.title_census, reports._bucketed_counts):
+            src = inspect.getsource(fn)
+            assert "to_pandas" not in src, fn.__name__
+        for fn in (reports.title_census,):
+            src = inspect.getsource(fn)
+            assert 'groupby("bucket")' in src and "map_groups" in src
+
+        turns, _ = synth.generate(90, seed=23, mega_every=0)
+        facts = extract_facts(rd.from_arrow(turns))
+        linked = link_facts(facts).materialize()
+
+        org = reports.org_mention_counts(linked)
+        assert isinstance(org, rd.Dataset)
+        got = (org.to_pandas().sort_values("org_uri",
+                                           ignore_index=True))
+        ldf = linked.to_pandas()
+        want = (ldf[ldf["org_uri"].notna()]
+                .groupby("org_uri", as_index=False).size()
+                .rename(columns={"size": "n"})
+                .sort_values("org_uri", ignore_index=True))
+        pd.testing.assert_frame_equal(
+            got, want.astype({"n": "int64"}), check_dtype=False)
+
+        cen = reports.title_census(linked)
+        assert isinstance(cen, rd.Dataset)
+        got = cen.to_pandas().sort_values("title_norm",
+                                          ignore_index=True)
+        sub = ldf[ldf["fact_type"] == "title"].copy()
+        sub["title_norm"] = sub["title"].str.lower().str.strip()
+        want = (sub.groupby("title_norm")
+                .agg(n=("conv_id", "size"),
+                     convs=("conv_id",
+                            lambda s: ",".join(sorted(set(s)))))
+                .reset_index()
+                .sort_values("title_norm", ignore_index=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
 class TestSqlOracleParity:
