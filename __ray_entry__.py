@@ -4975,8 +4975,17 @@ def _q_kg_sparql_path_alt(sf_dir: str):
             return pd.DataFrame({"s": pd.Series(dtype=object)})
         return pd.DataFrame({"s": [g["subj"].min()]})
 
-    seed = (tr.map_batches(_min_subj, batch_format="pandas")
-            .to_pandas()["s"].min())
+    seeds = tr.map_batches(_min_subj, batch_format="pandas").to_pandas()["s"]
+    seeds = seeds[seeds.notna()]
+    if not len(seeds):
+        # no relationship triples → empty result with the query's
+        # projected columns, instead of interpolating "<nan>"
+        return pd.DataFrame({"x": pd.Series(dtype=object),
+                             "y": pd.Series(dtype=object)})
+    seed = str(seeds.min())
+    if any(c in seed for c in "<>\"{}|^`\\") or any(
+            c.isspace() for c in seed):
+        raise ValueError(f"seed subject is not a valid IRI: {seed!r}")
     return run_sparql(tr, _SPARQL_ALT_TEXT % seed)
 
 

@@ -553,7 +553,10 @@ def write_train_shards(docs: rd.Dataset, out_dir: str,
     for d in os.listdir(out_dir):
         if not d.startswith("shard=") or ".tmp" in d:
             continue
-        idx = int(d.split("=", 1)[1])
+        tail = d.split("=", 1)[1]
+        if not tail.isdigit():
+            continue  # foreign/malformed dir (e.g. shard=old): ignore
+        idx = int(tail)
         if idx >= n_shards:
             # a shrunk n_shards leaves higher-indexed dirs from the
             # previous layout: readers globbing shard=* would see
@@ -609,28 +612,26 @@ _CKPT_MARKER = "_SURVIVORS.json"
 
 
 def _input_fingerprint(path: str) -> str | None:
-    """(file name, size, mtime) digest of a parquet file/dir — the
-    same cheap input identity the KG probe cache and shard markers
-    key on. None when the path can't be stat'd (checkpointing is
-    then disabled rather than wrong)."""
+    """(file name, size, mtime) digest of a parquet file/dir —
+    delegates to the ONE canonical RECURSIVE fingerprint in
+    ``pipelines.manifest._fingerprint`` (a top-level-only listing
+    would let an edit to a nested/partitioned file leave the survivor
+    checkpoint 'valid' and serve a stale resume — the same
+    non-recursive staleness bug the KG probe cache had). None when
+    the path can't be stat'd or holds no parquet at all
+    (checkpointing is then disabled rather than wrong)."""
+    from ..pipelines.manifest import _fingerprint
     try:
         if os.path.isdir(path):
-            files = sorted(os.path.join(path, f)
-                           for f in os.listdir(path)
-                           if f.endswith(".parquet"))
-        else:
-            files = [path]
-        if not files:
-            # a layout with no top-level parquet (nested/partitioned)
-            # has nothing to fingerprint: every such input would hash
-            # identically — disable checkpointing rather than risk
-            # cross-corpus checkpoint reuse
-            return None
-        parts = []
-        for f in files:
-            st = os.stat(f)
-            parts.append(f"{f}|{st.st_size}|{st.st_mtime_ns}")
-        return hashlib.md5("\n".join(parts).encode()).hexdigest()
+            has_parquet = any(
+                f.endswith(".parquet")
+                for _, _, fs in os.walk(path) for f in fs)
+            if not has_parquet:
+                # nothing to fingerprint: every such input would hash
+                # identically — disable checkpointing rather than
+                # risk cross-corpus checkpoint reuse
+                return None
+        return _fingerprint(path)
     except OSError:
         return None
 
@@ -790,42 +791,54 @@ def run_curation(input_path: str, out_dir: str, n_shards: int = 8,
         # stage 2: near-dup resolution over the exact-dedup survivors
         # (the composed flagship's shape — word-5-gram Jaccard
         # components, longest text per cluster wins, min id breaks
-        # ties); the LOSER set is bounded by the clustered rows, a
-        # sliver of the corpus, so the anti-filter broadcasts while
-        # the corpus streams
-        import ray
-
+        # ties). Everything stays distributed: component membership is
+        # joined to per-doc sizes with a partitioned hash join, the
+        # per-component winner is resolved inside a bucketed
+        # groupby/map_groups, and the losers are removed with a
+        # partitioned hash ANTI join — in a heavily duplicated corpus
+        # (near-dup dedup's target case) the clustered set is NOT a
+        # sliver, so none of it may land on the driver.
         from .dedup_docs import (connected_components_ds,
                                  ngram_jaccard_pairs)
-        from .joins import semi_join_filter
+        from .joins import hash_join as _hj
         comp = connected_components_ds(
-            ngram_jaccard_pairs(surv, threshold=jaccard_threshold)
-        ).to_pandas()
-        if len(comp) and "doc_id" in comp.columns:
-            cmap_ref = ray.put(dict(zip(
-                comp["doc_id"].astype("int64"),
-                comp["component"].astype("int64"))))
+            ngram_jaccard_pairs(surv, threshold=jaccard_threshold))
+        comp_schema = comp.schema(fetch_if_missing=True)
+        if comp_schema is not None and "doc_id" in comp_schema.names:
 
-            def _clustered(df: pd.DataFrame) -> pd.DataFrame:
-                cmap = ray.get(cmap_ref)
-                c = df["doc_id"].astype("int64").map(cmap)
-                keep = c.notna()
+            def _sizes(df: pd.DataFrame) -> pd.DataFrame:
                 return pd.DataFrame({
-                    "doc_id": df["doc_id"].astype("int64")[keep],
-                    "n_chars": df["text"].str.len()
-                    .astype("int64")[keep],
-                    "component": c[keep].astype("int64")})
+                    "doc_id": df["doc_id"].astype("int64"),
+                    "n_chars": df["text"].str.len().astype("int64")})
 
-            cl = surv.map_batches(_clustered,
-                                  batch_format="pandas").to_pandas()
-            if len(cl):
-                cl = cl.sort_values(["component", "n_chars",
-                                     "doc_id"],
-                                    ascending=[True, False, True])
-                losers = set(cl.loc[cl.duplicated("component"),
-                                    "doc_id"])
-                surv = semi_join_filter(surv, losers, "doc_id",
-                                        anti=True).materialize()
+            def _cast_comp(df: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame({
+                    "doc_id": df["doc_id"].astype("int64"),
+                    "component": df["component"].astype("int64")})
+
+            clustered = _hj(
+                comp.map_batches(_cast_comp, batch_format="pandas"),
+                surv.map_batches(_sizes, batch_format="pandas"),
+                on="doc_id")
+
+            def _with_cbucket(df: pd.DataFrame) -> pd.DataFrame:
+                b = df.copy()
+                b["cbucket"] = (pd.util.hash_pandas_object(
+                    b["component"], index=False) % 64).astype("int32")
+                return b
+
+            def _losers(group: pd.DataFrame) -> pd.DataFrame:
+                g = group.sort_values(["component", "n_chars",
+                                       "doc_id"],
+                                      ascending=[True, False, True])
+                return g.loc[g.duplicated("component"), ["doc_id"]]
+
+            losers = (clustered.map_batches(_with_cbucket,
+                                            batch_format="pandas")
+                      .groupby("cbucket")
+                      .map_groups(_losers, batch_format="pandas"))
+            surv = _hj(surv, losers, on="doc_id",
+                       how="anti").materialize()
         if fp is not None:
             _publish_ids(surv, ck_final,
                          fp_cfg)  # checkpoint 2 (final set)

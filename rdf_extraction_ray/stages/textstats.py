@@ -897,9 +897,13 @@ def cdc_dup_chunks(docs, n_buckets: int = 64,
     chunk-level dedup/delta-encoding pass consumes.
 
     Scale shape: the chunker is stateless per batch; the census ships
-    ONE (chunk_md5, doc_id-distinct partial, count partial) row per
-    distinct md5 per batch (combiner), then a md5-bucket groupby
-    sums. Chunk text never shuffles."""
+    ONE (chunk_md5, doc_id, count partial) row per distinct
+    (md5, doc) per batch (combiner), then a md5-bucket groupby sums
+    occurrences and counts distinct docs INSIDE the bucket — exact
+    even when the same doc_id occupies multiple input rows split
+    across batches (a per-batch nunique partial would over-count
+    vs the oracle's global COUNT(DISTINCT doc_id)). Chunk text
+    never shuffles."""
     import ray.data as rd
 
     def _partials(df: pd.DataFrame) -> pd.DataFrame:
@@ -907,21 +911,19 @@ def cdc_dup_chunks(docs, n_buckets: int = 64,
         if not len(ch):
             return pd.DataFrame({
                 "chunk_md5": pd.Series(dtype=object),
+                id_col: pd.Series(dtype="int64"),
                 "n_occ": pd.Series(dtype="int64"),
-                "n_docs": pd.Series(dtype="int64"),
                 "hb": pd.Series(dtype="int64")})
-        g = (ch.groupby("chunk_md5")
-             .agg(n_occ=(id_col, "size"), n_docs=(id_col, "nunique"))
-             .reset_index())
+        g = (ch.groupby(["chunk_md5", id_col]).size()
+             .rename("n_occ").reset_index())
+        g["n_occ"] = g["n_occ"].astype("int64")
         g["hb"] = [int(m[:8], 16) % n_buckets for m in g["chunk_md5"]]
         return g
 
     def _sum(group: pd.DataFrame) -> pd.DataFrame:
-        # n_docs partials are per-batch distinct; they only sum
-        # exactly when a doc's chunks never split across batches —
-        # guaranteed because the chunker runs inside the same batch.
         s = (group.groupby("chunk_md5", as_index=False)
-             .agg(n_occ=("n_occ", "sum"), n_docs=("n_docs", "sum")))
+             .agg(n_occ=("n_occ", "sum"), n_docs=(id_col, "nunique")))
+        s["n_docs"] = s["n_docs"].astype("int64")
         return s[s["n_occ"] >= 2]
 
     return (docs.map_batches(_partials, batch_format="pandas")

@@ -510,3 +510,76 @@ def test_input_fingerprint_empty_dir_disables_checkpointing(tmp_path):
     d = tmp_path / "nested"
     (d / "shard=0").mkdir(parents=True)
     assert _input_fingerprint(str(d)) is None
+
+
+def test_shard_sink_ignores_malformed_shard_dirs(tmp_path):
+    """ADVICE r4: a foreign/malformed directory like ``shard=old``
+    must be ignored by the marker scan, not abort the whole sink
+    with a ValueError."""
+    import os
+
+    from rdf_extraction_ray.stages.curate import write_train_shards
+
+    out = str(tmp_path / "out")
+    os.makedirs(os.path.join(out, "shard=old"))
+    df = pd.DataFrame({"doc_id": range(8),
+                       "text": [f"doc {i}" for i in range(8)]})
+    res = write_train_shards(rd.from_pandas(df), out, n_shards=2,
+                             fingerprint="fpX")
+    assert res["written"] == [0, 1]
+    # the foreign dir survives untouched and unclaimed
+    assert os.path.isdir(os.path.join(out, "shard=old"))
+    got = pd.read_parquet(os.path.join(out, "shard=0"))
+    assert len(got) > 0
+
+
+def test_input_fingerprint_is_recursive(tmp_path):
+    """ADVICE r4: a dir with top-level parquet PLUS nested/partitioned
+    files must change fingerprint when only a nested file changes —
+    otherwise a resumed run_curation semi-joins a stale survivor
+    set."""
+    import os
+    import time
+
+    from rdf_extraction_ray.stages.curate import _input_fingerprint
+
+    root = tmp_path / "docs"
+    nested = root / "part=0"
+    nested.mkdir(parents=True)
+    pd.DataFrame({"doc_id": [1], "text": ["top"]}).to_parquet(
+        root / "top.parquet")
+    nested_file = nested / "data.parquet"
+    pd.DataFrame({"doc_id": [2], "text": ["deep"]}).to_parquet(
+        nested_file)
+
+    fp1 = _input_fingerprint(str(root))
+    assert fp1 is not None
+    # rewrite ONLY the nested file (same size is fine — mtime guards)
+    time.sleep(0.01)
+    pd.DataFrame({"doc_id": [3], "text": ["deep2"]}).to_parquet(
+        nested_file)
+    fp2 = _input_fingerprint(str(root))
+    assert fp2 is not None and fp2 != fp1
+
+    # no parquet anywhere → checkpointing disabled, not a collision
+    empty = tmp_path / "empty"
+    (empty / "sub").mkdir(parents=True)
+    (empty / "sub" / "notes.txt").write_text("x")
+    assert _input_fingerprint(str(empty)) is None
+
+
+def test_run_curation_neardup_stays_distributed():
+    """ADVICE r4: the near-dup loser resolution must not pull
+    component membership / clustered rows to the driver — no
+    ``to_pandas`` (or ray.put of an id map) anywhere in
+    run_curation; winners resolve in a bucketed groupby and losers
+    leave via a partitioned hash anti join."""
+    import inspect
+
+    from rdf_extraction_ray.stages.curate import run_curation
+
+    src = inspect.getsource(run_curation)
+    assert "to_pandas" not in src
+    assert "ray.put" not in src
+    assert 'groupby("cbucket")' in src
+    assert 'how="anti"' in src

@@ -2905,3 +2905,27 @@ class TestCDCChunks:
             got[["chunk_md5", "n_occ", "n_docs"]],
             want[["chunk_md5", "n_occ", "n_docs"]])
         assert (got["n_occ"] >= 2).all() and len(got) > 0
+
+    def test_dup_census_distinct_docs_exact_across_batches(self):
+        """ADVICE r4: duplicate doc_id rows split across batches must
+        not over-count n_docs — the bucket body counts distinct doc
+        ids through the exchange, matching a global
+        COUNT(DISTINCT doc_id)."""
+        import ray.data as rd
+
+        from rdf_extraction_ray.stages.textstats import cdc_dup_chunks
+        text = "the same duplicated payload " * 8
+        # doc 7 occupies TWO input rows; repartition(4) forces them
+        # into different batches
+        docs = pd.DataFrame({"doc_id": [7, 7, 8, 9],
+                             "text": [text, text, text, "solo row"]})
+        got = (cdc_dup_chunks(rd.from_pandas(docs).repartition(4))
+               .to_pandas())
+        assert len(got) > 0
+        # three rows share the text but only 3 DISTINCT docs (7,7,8,9
+        # → {7,8,9} minus the solo) — per-batch partial summing would
+        # report 3 occurrences of doc 7's chunk across 2 batches as
+        # n_docs=2 for doc 7 alone, i.e. 3 total
+        row = got[got["n_occ"] == 3]
+        assert len(row) >= 1
+        assert (row["n_docs"] == 2).all()  # docs {7, 8}, not 3
