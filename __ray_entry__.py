@@ -5013,6 +5013,57 @@ def _q_kg_sparql_path_star(sf_dir: str):
     return run_sparql(_triples_view(sf_dir), _SPARQL_STAR_TEXT)
 
 
+_SPARQL_PRED_CENSUS_TEXT = """
+SELECT ?p (COUNT(*) AS ?n) WHERE { ?s ?p ?o } GROUP BY ?p
+"""
+
+
+def _q_kg_sparql_pred_census(sf_dir: str):
+    """Textual VARIABLE-PREDICATE SPARQL (round-5 grammar closure —
+    VERDICT r4 missing #1): ``?s ?p ?o`` plans as the unfiltered
+    triple scan with the predicate term bound into the solution (the
+    kg_schema_census scan shape), here under a GROUP BY aggregate —
+    the predicate histogram. Reference analogue: arbitrary endpoint
+    SPARQL (cwrc/RDF-extraction Utils/utilities.py:446-490)."""
+    from rdf_extraction_ray.stages.sparql import run_sparql
+    return run_sparql(_triples_view(sf_dir), _SPARQL_PRED_CENSUS_TEXT)
+
+
+_SPARQL_GRAPH_TEXT = """
+PREFIX kg: <http://kg.example.org/ontology#>
+SELECT ?g (COUNT(*) AS ?n) WHERE {
+  GRAPH ?g { ?s kg:hasCauseOfDeath ?o }
+} GROUP BY ?g
+"""
+
+
+def _quads_view(sf_dir: str):
+    """The triple view as QUADS: graph = the conversation node — the
+    same graph term the N-Quads sink emits
+    (stages/serialize.py:format_nquads; reference analogue
+    named-graph quads, Huviz/huvizQuads.py:15,129-140). One stateless
+    vectorized pass; no exchange."""
+    from rdf_extraction_ray.namespaces import NS
+
+    def _addg(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["graph"] = NS["data"] + df["conv_id"].fillna(
+            "corpus").astype(str)
+        return df
+
+    return _triples_view(sf_dir).map_batches(_addg,
+                                             batch_format="pandas")
+
+
+def _q_kg_sparql_graph(sf_dir: str):
+    """Textual ``GRAPH ?g { ... }`` (round-5 grammar closure —
+    VERDICT r4 missing #1): quad patterns bind the graph column of
+    the N-Quads layout; here the per-named-graph occupation-triple
+    histogram — COUNT(*) per conversation node."""
+    from rdf_extraction_ray.stages.sparql import run_sparql
+    return run_sparql(_quads_view(sf_dir), _SPARQL_GRAPH_TEXT)
+
+
 def _q_kg_sparql_path_compose(sf_dir: str):
     """Textual ``p+`` COMPOSED with another pattern (round-4 grammar
     closure): the closure joins the BGP plan as a derived relation
@@ -7935,11 +7986,77 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- canaries: the two flagships, always in-window
         "kg_triples": _q_kg_triples,
         "docs_curation": _q_docs_curation,
-        # --- round-4 rotation: queries never yet driver-verified
-        #     (VERDICT_r03 next-round task #1 — CORRECTNESS_r0{1,2,3}
-        #     covered 101 distinct names; the ~50-query window now
-        #     lands on the unwitnessed set; every entry remains
-        #     oracle-gated locally via tools/check_oracles.py)
+        # --- round-5 rotation (VERDICT_r04 next-round task #2):
+        #     2 NEW round-5 queries (variable-predicate SPARQL +
+        #     GRAPH clause), then the two names whose only driver
+        #     rows ever were r01 `no_oracle` entries, then the 54
+        #     names with no green row in any CORRECTNESS_r01–r04
+        #     (non-TPC-H families first). The ~50-row window reaches
+        #     through tpch_q17; the 10 TPC-H names just past the
+        #     boundary stay oracle-gated locally via
+        #     tools/check_oracles.py (see BASELINE.md round-5 notes).
+        "kg_sparql_pred_census": _q_kg_sparql_pred_census,
+        "kg_sparql_graph": _q_kg_sparql_graph,
+        "docs_fingerprint": _q_docs_fingerprint,
+        "docs_simhash": _q_docs_simhash,
+        "kg_sparql_select": _q_kg_sparql_select,
+        "kg_sparql_aggregate": _q_kg_sparql_aggregate,
+        "kg_sparql_offset": _q_kg_sparql_offset,
+        "kg_sparql_path_star": _q_kg_sparql_path_star,
+        "kg_sparql_path_inverse": _q_kg_sparql_path_inverse,
+        "kg_sparql_path_alt": _q_kg_sparql_path_alt,
+        "kg_sparql_path_compose": _q_kg_sparql_path_compose,
+        "kg_update_migrate": _q_kg_update_migrate,
+        "kg_update_retract": _q_kg_update_retract,
+        "kg_bgp_exists": _q_kg_bgp_exists,
+        "kg_bgp_bind": _q_kg_bgp_bind,
+        "kg_bgp_sum_avg": _q_kg_bgp_sum_avg,
+        "kg_local_triangles": _q_kg_local_triangles,
+        "kg_assortativity": _q_kg_assortativity,
+        "docs_bpe_train": _q_docs_bpe_train,
+        "docs_bpe_tokenize": _q_docs_bpe_tokenize,
+        "docs_bpe_pairs": _q_docs_bpe_pairs,
+        "docs_token_cms": _q_docs_token_cms,
+        "docs_cdc_chunks": _q_docs_cdc_chunks,
+        "docs_cdc_dup_chunks": _q_docs_cdc_dup_chunks,
+        "docs_repetition": _q_docs_repetition,
+        "docs_dup_spans": _q_docs_dup_spans,
+        "docs_source_cap": _q_docs_source_cap,
+        "docs_mixture_weights": _q_docs_mixture_weights,
+        "docs_embedding_labels": _q_docs_embedding_labels,
+        "docs_vocab_coverage": _q_docs_vocab_coverage,
+        "docs_length_token_corr": _q_docs_length_token_corr,
+        "docs_chunk_windows": _q_docs_chunk_windows,
+        "docs_bigram_lift": _q_docs_bigram_lift,
+        "ann_pq": _q_ann_pq,
+        "ann_ivfpq": _q_ann_ivfpq,
+        "embed_covariance": _q_embed_covariance,
+        "events_rank_window": _q_events_rank_window,
+        "events_outliers": _q_events_outliers,
+        "events_greedy_pairs": _q_events_greedy_pairs,
+        "turns_edit1_pairs": _q_turns_edit1_pairs,
+        "part_min_cost_supplier": _q_part_min_cost_supplier,
+        "tpch_q4_order_priority": _q_tpch_q4_order_priority,
+        "tpch_q12_priority_class": _q_tpch_q12_priority_class,
+        "tpch_q14_promo_revenue": _q_tpch_q14_promo_revenue,
+        "tpch_q18_large_orders": _q_tpch_q18_large_orders,
+        "tpch_q19_disjunct_revenue": _q_tpch_q19_disjunct_revenue,
+        "tpch_q13_custdist": _q_tpch_q13_custdist,
+        "tpch_q17_small_qty_revenue": _q_tpch_q17_small_qty_revenue,
+        # ---------------- window boundary (~50) ----------------
+        # the TPC-H tail past the boundary: never driver-witnessed,
+        # locally oracle-green (tools/check_oracles.py, BASELINE.md)
+        "tpch_q22_dormant_customers": _q_tpch_q22_dormant_customers,
+        "tpch_q6_forecast_revenue": _q_tpch_q6_forecast_revenue,
+        "tpch_q7_volume_shipping": _q_tpch_q7_volume_shipping,
+        "tpch_q8_market_share": _q_tpch_q8_market_share,
+        "tpch_q9_product_profit": _q_tpch_q9_product_profit,
+        "tpch_q11_important_parts": _q_tpch_q11_important_parts,
+        "tpch_q15_top_supplier": _q_tpch_q15_top_supplier,
+        "tpch_q16_supplier_cnt": _q_tpch_q16_supplier_cnt,
+        "tpch_q20_promotion_suppliers": _q_tpch_q20_promotion_suppliers,
+        "tpch_q21_waiting_suppliers": _q_tpch_q21_waiting_suppliers,
+        # --- driver-green r4 (the round-4 rotation block)
         "docs_decontaminate": _q_docs_decontaminate,
         "events_retention_cohorts": _q_events_retention_cohorts,
         "kg_bgp_aggregate": _q_kg_bgp_aggregate,
@@ -7988,64 +8105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_length_quantiles": _q_docs_length_quantiles,
         "docs_length_moments": _q_docs_length_moments,
         "events_value_trend": _q_events_value_trend,
-        # ---------------- window boundary (~50) ----------------
-        # remaining never-driver-verified names (in case the
-        # window is wider than 50)
-        "kg_sparql_path_star": _q_kg_sparql_path_star,
-        "kg_sparql_path_inverse": _q_kg_sparql_path_inverse,
-        "kg_sparql_path_alt": _q_kg_sparql_path_alt,
-        "ann_pq": _q_ann_pq,
-        "ann_ivfpq": _q_ann_ivfpq,
-        "docs_cdc_chunks": _q_docs_cdc_chunks,
-        "docs_cdc_dup_chunks": _q_docs_cdc_dup_chunks,
-        "kg_sparql_path_compose": _q_kg_sparql_path_compose,
-        "kg_sparql_offset": _q_kg_sparql_offset,
-        "events_outliers": _q_events_outliers,
-        "embed_covariance": _q_embed_covariance,
-        "docs_length_token_corr": _q_docs_length_token_corr,
-        "events_greedy_pairs": _q_events_greedy_pairs,
-        "docs_vocab_coverage": _q_docs_vocab_coverage,
-        "docs_repetition": _q_docs_repetition,
-        "docs_dup_spans": _q_docs_dup_spans,
-        "docs_source_cap": _q_docs_source_cap,
-        "tpch_q4_order_priority": _q_tpch_q4_order_priority,
-        "tpch_q12_priority_class": _q_tpch_q12_priority_class,
-        "tpch_q14_promo_revenue": _q_tpch_q14_promo_revenue,
-        "tpch_q18_large_orders": _q_tpch_q18_large_orders,
-        "tpch_q19_disjunct_revenue": _q_tpch_q19_disjunct_revenue,
-        "tpch_q13_custdist": _q_tpch_q13_custdist,
-        "tpch_q17_small_qty_revenue": _q_tpch_q17_small_qty_revenue,
-        "tpch_q22_dormant_customers": _q_tpch_q22_dormant_customers,
-        "tpch_q6_forecast_revenue": _q_tpch_q6_forecast_revenue,
-        "tpch_q7_volume_shipping": _q_tpch_q7_volume_shipping,
-        "tpch_q8_market_share": _q_tpch_q8_market_share,
-        "tpch_q9_product_profit": _q_tpch_q9_product_profit,
-        "tpch_q11_important_parts": _q_tpch_q11_important_parts,
-        "tpch_q15_top_supplier": _q_tpch_q15_top_supplier,
-        "tpch_q16_supplier_cnt": _q_tpch_q16_supplier_cnt,
-        "tpch_q20_promotion_suppliers": _q_tpch_q20_promotion_suppliers,
-        "tpch_q21_waiting_suppliers": _q_tpch_q21_waiting_suppliers,
-        "part_min_cost_supplier": _q_part_min_cost_supplier,
-        "docs_bpe_pairs": _q_docs_bpe_pairs,
-        "docs_bpe_train": _q_docs_bpe_train,
-        "docs_bpe_tokenize": _q_docs_bpe_tokenize,
-        "docs_mixture_weights": _q_docs_mixture_weights,
-        "docs_embedding_labels": _q_docs_embedding_labels,
-        "kg_bgp_exists": _q_kg_bgp_exists,
-        "kg_bgp_bind": _q_kg_bgp_bind,
-        "kg_bgp_sum_avg": _q_kg_bgp_sum_avg,
-        "docs_token_cms": _q_docs_token_cms,
-        "events_rank_window": _q_events_rank_window,
-        "kg_update_migrate": _q_kg_update_migrate,
-        "kg_update_retract": _q_kg_update_retract,
-        "turns_edit1_pairs": _q_turns_edit1_pairs,
-        "kg_sparql_select": _q_kg_sparql_select,
-        "kg_sparql_aggregate": _q_kg_sparql_aggregate,
-        "docs_chunk_windows": _q_docs_chunk_windows,
-        "kg_local_triangles": _q_kg_local_triangles,
-        "kg_assortativity": _q_kg_assortativity,
-        "docs_bigram_lift": _q_docs_bigram_lift,
-        # --- driver-green in at least one prior round
+        # --- driver-green in earlier rounds
         "docs_minhash_pairs": _q_docs_minhash_pairs,
         "docs_dup_components": _q_docs_dup_components,
         "ann_ivf": _q_ann_ivf,
@@ -8094,8 +8154,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_strip_boilerplate": _q_docs_strip_boilerplate,
         "docs_unigram_logprob": _q_docs_unigram_logprob,
         "docs_pii_redact": _q_docs_pii_redact,
-        "docs_fingerprint": _q_docs_fingerprint,
-        "docs_simhash": _q_docs_simhash,
         "ann_bruteforce": _q_ann_bruteforce,
         "kg_triples_seeded": _q_kg_triples_seeded,
         "kg_ntriples": _q_kg_ntriples,
@@ -10660,6 +10718,20 @@ def oracle_sql() -> dict[str, str]:
             FROM chunks
             GROUP BY chunk_md5 HAVING count(*) >= 2
         """),
+        "kg_sparql_pred_census": f"""
+            SELECT pred AS p, count(*)::BIGINT AS n
+            FROM read_parquet('{triples}')
+            GROUP BY pred
+        """,
+        "kg_sparql_graph": f"""
+            SELECT 'http://kg.example.org/data/'
+                   || coalesce(conv_id, 'corpus') AS g,
+                   count(*)::BIGINT AS n
+            FROM read_parquet('{triples}')
+            WHERE pred =
+                'http://kg.example.org/ontology#hasCauseOfDeath'
+            GROUP BY g
+        """,
         "kg_sparql_path_alt": f"""
             WITH RECURSIVE r AS (
                 SELECT DISTINCT subj AS s, obj AS o

@@ -1931,6 +1931,27 @@ def _is_var(term: str) -> bool:
     return isinstance(term, str) and term.startswith("?")
 
 
+def _pattern_vars(pats) -> list[str]:
+    """First-appearance variable list over (s, p, o[, g]) patterns in
+    slot order — including VARIABLE predicates (a plain ``"?p"``
+    string in the predicate slot) and the optional graph slot; a
+    predicate that is an alternation tuple / inverse path binds
+    nothing."""
+    out: list[str] = []
+    for pat in pats or []:
+        pat = tuple(pat)
+        terms = [pat[0]]
+        if isinstance(pat[1], str):
+            terms.append(pat[1])
+        terms.append(pat[2])
+        if len(pat) > 3 and pat[3] is not None:
+            terms.append(pat[3])
+        for t in terms:
+            if _is_var(t) and t[1:] not in out:
+                out.append(t[1:])
+    return out
+
+
 #: SPARQL FILTER operators — each maps (lhs Series, rhs Series-or-str)
 #: to a boolean mask. Comparisons where either side is unbound (NULL)
 #: are SPARQL type errors and drop the row (masks below are combined
@@ -2031,13 +2052,25 @@ def bgp_match(triples: rd.Dataset,
               broadcast_rows: int = 1_000_000) -> rd.Dataset:
     """General SPARQL basic-graph-pattern match over the triple set.
 
-    Each pattern is ``(s, p, o)`` where ``s``/``o`` are either a
-    ``"?var"`` or a constant term and ``p`` is a constant predicate
-    path: a URI, a ``"^uri"`` INVERSE path (the s-slot binds the
-    triple's object), or a tuple of either — SPARQL ALTERNATION
-    ``p1|p2``, whose solutions are the bag-union over alternatives
-    (SQL: UNION ALL). Variable predicates are out of scope. Returns the
-    bindings of ``select`` (default: every variable, in
+    Each pattern is ``(s, p, o)`` — or ``(s, p, o, g)`` for a
+    quad/named-graph pattern — where ``s``/``o`` are either a
+    ``"?var"`` or a constant term and ``p`` is a ``"?var"`` (VARIABLE
+    PREDICATE: the pattern matches every triple and binds the
+    predicate term into the solution — the unfiltered scan shape of
+    the schema-census queries; reference analogue: arbitrary endpoint
+    SPARQL, cwrc/RDF-extraction Utils/utilities.py:446-490) or a
+    constant predicate path: a URI, a ``"^uri"`` INVERSE path (the
+    s-slot binds the triple's object), or a tuple of either — SPARQL
+    ALTERNATION ``p1|p2``, whose solutions are the bag-union over
+    alternatives (SQL: UNION ALL). The optional 4th slot ``g`` is a
+    SPARQL ``GRAPH`` term — a ``"?var"`` (binds the row's ``graph``
+    column; rows with a NULL graph never match, per quad-store
+    semantics) or a constant graph IRI (equality filter); it
+    requires a ``graph`` column on the input (the engine's quad
+    layout, stages/serialize.py N-Quads sink; reference analogue:
+    named-graph quads, cwrc/RDF-extraction
+    Huviz/huvizQuads.py:15,129-140). Returns the bindings of
+    ``select`` (default: every variable, in
     first-appearance order) as a lazy Dataset of string columns;
     ``distinct=True`` applies the SPARQL DISTINCT solution modifier.
     ``optional`` patterns are SPARQL OPTIONAL clauses: each is
@@ -2137,14 +2170,29 @@ def bgp_match(triples: rd.Dataset,
     from .joins import hash_join
 
     n_req = len(patterns)
-    parsed = [tuple(p) for p in patterns] \
-        + [tuple(p) for p in (optional or [])]
 
-    def _alts(p) -> list[tuple[str, bool]]:
+    def _norm(p) -> tuple:
+        t = tuple(p)
+        if len(t) == 3:
+            return t + (None,)
+        if len(t) == 4:
+            return t
+        raise ValueError(
+            f"patterns are (s, p, o) or (s, p, o, graph); got {p!r}")
+
+    parsed = [_norm(p) for p in patterns] \
+        + [_norm(p) for p in (optional or [])]
+
+    def _alts(p) -> list[tuple[str | None, bool]]:
         """Predicate term → [(base_uri, inverse)] alternatives: a
         plain URI, a ``"^uri"`` inverse path, or a tuple/list of
         either (SPARQL alternation ``p1|p2``; solutions are the
-        bag-union over alternatives, replayed in SQL as UNION ALL)."""
+        bag-union over alternatives, replayed in SQL as UNION ALL).
+        A VARIABLE predicate is the single unfiltered alternative
+        ``(None, False)`` — every triple matches and the scan binds
+        the predicate term."""
+        if isinstance(p, str) and _is_var(p):
+            return [(None, False)]
         alts = list(p) if isinstance(p, (tuple, list)) else [p]
         if not alts:
             raise ValueError("empty predicate alternation")
@@ -2153,18 +2201,33 @@ def bgp_match(triples: rd.Dataset,
             if not isinstance(a, str) or _is_var(a) or a in ("", "^"):
                 raise ValueError(
                     "predicates must be constant URIs (optionally "
-                    "'^'-inverted, or a tuple of alternatives); "
-                    "variable predicates are not supported")
+                    "'^'-inverted, a tuple of alternatives) or a "
+                    "single '?var'; a variable inside an "
+                    "alternation/inverse path is not supported")
             out.append((a[1:], True) if a.startswith("^")
                        else (a, False))
         return out
 
-    alt_of = [_alts(p) for (_, p, _) in parsed]
+    alt_of = [_alts(p) for (_, p, _, _) in parsed]
+    need_pred = any(base is None for alts in alt_of
+                    for base, _ in alts)
+    need_graph = any(gt is not None for (_, _, _, gt) in parsed)
     all_vars: list[str] = []
-    for s, _, o in parsed:
-        for t in (s, o):
-            if _is_var(t) and t[1:] not in all_vars:
+    for s, p, o, gt in parsed:
+        pterm = p if isinstance(p, str) and _is_var(p) else None
+        for t in (s, pterm, o, gt):
+            if t is not None and _is_var(t) and t[1:] not in all_vars:
                 all_vars.append(t[1:])
+
+    def _pvars(i: int) -> list[str]:
+        """Pattern i's variables in slot order (s, p, o, graph)."""
+        s, p, o, gt = parsed[i]
+        pterm = p if isinstance(p, str) and _is_var(p) else None
+        vs: list[str] = []
+        for t in (s, pterm, o, gt):
+            if t is not None and _is_var(t) and t[1:] not in vs:
+                vs.append(t[1:])
+        return vs
     if not all_vars:
         raise ValueError("at least one pattern must bind a variable")
     bind_list: list[tuple[tuple, str]] = []
@@ -2215,10 +2278,10 @@ def bgp_match(triples: rd.Dataset,
         pending.remove(f)
 
     req_bound: list[str] = []
-    for s, _, o in parsed[:n_req]:
-        for t in (s, o):
-            if _is_var(t) and t[1:] not in req_bound:
-                req_bound.append(t[1:])
+    for i in range(n_req):
+        for v in _pvars(i):
+            if v not in req_bound:
+                req_bound.append(v)
     pending_vals: list[tuple[list[str], pd.DataFrame]] = []
     if values is not None:
         vvars_raw, vrows = values
@@ -2282,40 +2345,61 @@ def bgp_match(triples: rd.Dataset,
             acc = acc.map_batches(_vals, batch_format="pandas")
         return acc
 
-    def _pvars(i: int) -> list[str]:
-        s, _, o = parsed[i]
-        vs = [s[1:]] if _is_var(s) else []
-        if _is_var(o) and o[1:] not in vs:
-            vs.append(o[1:])
-        return vs
-
     # ONE shared scan: a row matching pattern i's constants emits one
-    # (pi=i, subj, obj) row; everything else never leaves the scan.
+    # (pi=i, subj, obj[, pred][, graph]) row; everything else never
+    # leaves the scan. The pred / graph columns ride the exchange
+    # ONLY when some pattern actually binds or filters them.
     def _scan(df: pd.DataFrame) -> pd.DataFrame:
         pred = df["pred"].to_numpy()
         subj = df["subj"].to_numpy()
         obj = df["obj"].to_numpy()
+        if need_graph:
+            if "graph" not in df.columns:
+                raise ValueError(
+                    "GRAPH patterns require a 'graph' column on the "
+                    "input (quad layout)")
+            grph = df["graph"].to_numpy()
         outs = []
-        for i, (s, _, o) in enumerate(parsed):
+        for i, (s, _, o, gt) in enumerate(parsed):
             for base, inv in alt_of[i]:
                 # an inverse alternative binds the pattern's s-slot
                 # from the triple's OBJECT (x ^p y  ≡  y p x)
                 t_s, t_o = (obj, subj) if inv else (subj, obj)
-                m = pred == base
+                if base is None:  # variable predicate: every triple
+                    m = np.ones(len(df), dtype=bool)
+                else:
+                    m = pred == base
                 if not _is_var(s):
                     m &= t_s == s
                 if not _is_var(o):
                     m &= t_o == o
+                if gt is not None:
+                    if _is_var(gt):
+                        # a NULL graph is the default graph: GRAPH ?g
+                        # matches NAMED graphs only (quad semantics)
+                        m &= pd.notna(grph)
+                    else:
+                        m &= grph == gt
                 if m.any():
-                    outs.append(pd.DataFrame({
+                    cols = {
                         "pi": np.full(int(m.sum()), i,
                                       dtype=np.int64),
                         "subj": t_s[m].astype(str),
-                        "obj": t_o[m].astype(str)}))
+                        "obj": t_o[m].astype(str)}
+                    if need_pred:
+                        cols["pred"] = pred[m].astype(str)
+                    if need_graph:
+                        cols["graph"] = grph[m].astype(str)
+                    outs.append(pd.DataFrame(cols))
         if not outs:
-            return pd.DataFrame({"pi": pd.Series(dtype="int64"),
-                                 "subj": pd.Series(dtype=object),
-                                 "obj": pd.Series(dtype=object)})
+            empty = {"pi": pd.Series(dtype="int64"),
+                     "subj": pd.Series(dtype=object),
+                     "obj": pd.Series(dtype=object)}
+            if need_pred:
+                empty["pred"] = pd.Series(dtype=object)
+            if need_graph:
+                empty["graph"] = pd.Series(dtype=object)
+            return pd.DataFrame(empty)
         return pd.concat(outs, ignore_index=True)
 
     tagged = triples.map_batches(_scan,
@@ -2337,25 +2421,34 @@ def bgp_match(triples: rd.Dataset,
         Emits TYPED Arrow blocks — most tagged blocks hold only other
         patterns' rows, so empty outputs are the common case and must
         carry the schema (object-dtype pandas empties also trip the
-        executor's per-column size sampler into log spam)."""
-        s, _, o = parsed[i]
-        same = _is_var(s) and s == o
+        executor's per-column size sampler into log spam). A variable
+        repeated across slots (``?x p ?x``, ``?s ?x ?x``) keeps only
+        the rows where those slots agree (SPARQL same-variable
+        equality)."""
+        s, p, o, gt = parsed[i]
+        slots: list[tuple[str, str]] = []  # (scan column, var name)
+        if _is_var(s):
+            slots.append(("subj", s[1:]))
+        if isinstance(p, str) and _is_var(p):
+            slots.append(("pred", p[1:]))
+        if _is_var(o):
+            slots.append(("obj", o[1:]))
+        if gt is not None and _is_var(gt):
+            slots.append(("graph", gt[1:]))
+        by_var: dict[str, list[str]] = {}
+        for col, v in slots:
+            by_var.setdefault(v, []).append(col)
 
         def _proj(df: pd.DataFrame) -> pa.Table:
             part = df[df["pi"].to_numpy() == i]
-            if same:  # ?x p ?x — one column, subj == obj rows only
-                part = part[part["subj"].to_numpy()
-                            == part["obj"].to_numpy()]
-                return pa.table({s[1:]: pa.array(
-                    part["subj"].to_numpy(), type=pa.string())})
-            out = {}
-            if _is_var(s):
-                out[s[1:]] = pa.array(part["subj"].to_numpy(),
-                                      type=pa.string())
-            if _is_var(o):
-                out[o[1:]] = pa.array(part["obj"].to_numpy(),
-                                      type=pa.string())
-            return pa.table(out)
+            for cols in by_var.values():
+                for extra in cols[1:]:
+                    part = part[part[cols[0]].to_numpy()
+                                == part[extra].to_numpy()]
+            return pa.table({
+                v: pa.array(part[cols[0]].to_numpy(),
+                            type=pa.string())
+                for v, cols in by_var.items()})
 
         return tagged.map_batches(_proj, batch_format="pandas")
 
@@ -3076,11 +3169,7 @@ def bgp_subquery(triples: rd.Dataset,
 
     from .joins import hash_join
 
-    outer_vars: list[str] = []
-    for s, _, o in list(patterns) + list(optional or []):
-        for t in (s, o):
-            if _is_var(t) and t[1:] not in outer_vars:
-                outer_vars.append(t[1:])
+    outer_vars = _pattern_vars(list(patterns) + list(optional or []))
     sub = sub.materialize()  # count + collect must not re-execute
     sub_schema = sub.schema()
     if sub_schema is None:
@@ -3173,11 +3262,7 @@ def bgp_union(triples: rd.Dataset,
     parts = []
     for g in groups:
         pats, opt = g if isinstance(g, tuple) else (g, None)
-        bound: list[str] = []
-        for s, _, o in list(pats) + list(opt or []):
-            for t in (s, o):
-                if _is_var(t) and t[1:] not in bound:
-                    bound.append(t[1:])
+        bound = _pattern_vars(list(pats) + list(opt or []))
         sel = [v for v in select if v in bound]
         if not sel:
             raise ValueError("a UNION branch binds no selected var")
@@ -3288,29 +3373,23 @@ def bgp_minus(triples: rd.Dataset,
 
     from .joins import hash_join
 
-    req_vars: list[str] = []
-    for s, _, o in patterns:
-        for t in (s, o):
-            if _is_var(t) and t[1:] not in req_vars:
-                req_vars.append(t[1:])
-    minus_vars = {t[1:] for tri in minus for t in tri if _is_var(t)}
+    req_vars = _pattern_vars(patterns)
+    minus_vars = set(_pattern_vars(minus))
     shared = [v for v in req_vars if v in minus_vars]
     if not shared:
         raise ValueError(
             "MINUS patterns share no variable with the required "
             "main patterns")
     all_vars = list(req_vars)
-    for s, _, o in (optional or []):
-        for t in (s, o):
-            if _is_var(t) and t[1:] not in all_vars:
-                all_vars.append(t[1:])
+    for v in _pattern_vars(optional or []):
+        if v not in all_vars:
+            all_vars.append(v)
     if select is None:
         select = list(all_vars)
     out_schema = pa.schema([(v, pa.string()) for v in select])
 
     if optional is None and len(minus) == 1 and not _force_anti:
-        mvars = [t[1:] for t in (minus[0][0], minus[0][2])
-                 if _is_var(t)]
+        mvars = _pattern_vars([minus[0]])
         cand = [v for v in mvars
                 if v not in all_vars and v not in select]
         if cand:
@@ -3385,22 +3464,17 @@ def bgp_exists(triples: rd.Dataset,
 
     from .joins import hash_join
 
-    req_vars: list[str] = []
-    for s, _, o in patterns:
-        for t in (s, o):
-            if _is_var(t) and t[1:] not in req_vars:
-                req_vars.append(t[1:])
-    ex_vars = {t[1:] for tri in exists for t in tri if _is_var(t)}
+    req_vars = _pattern_vars(patterns)
+    ex_vars = set(_pattern_vars(exists))
     shared = [v for v in req_vars if v in ex_vars]
     if not shared:
         raise ValueError(
             "EXISTS patterns share no variable with the required "
             "main patterns")
     all_vars = list(req_vars)
-    for s, _, o in (optional or []):
-        for t in (s, o):
-            if _is_var(t) and t[1:] not in all_vars:
-                all_vars.append(t[1:])
+    for v in _pattern_vars(optional or []):
+        if v not in all_vars:
+            all_vars.append(v)
     if select is None:
         select = list(all_vars)
     out_schema = pa.schema([(v, pa.string()) for v in select])
@@ -3535,8 +3609,7 @@ def bgp_aggregate(triples: rd.Dataset,
     if not needed:
         # global COUNT(*) with no var aggregates: carry one pattern
         # variable so the solution stream keeps a row shape
-        needed = [t[1:] for s_, _, o_ in patterns for t in (s_, o_)
-                  if _is_var(t)][:1]
+        needed = _pattern_vars(patterns)[:1]
         if not needed:
             raise ValueError("patterns bind no variable")
     bindings = bgp_match(triples, patterns, select=needed,

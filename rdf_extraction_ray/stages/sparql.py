@@ -46,8 +46,25 @@ raises a precise error outside it):
   form ``DELETE { } INSERT { } WHERE { }`` (either template optional;
   ``DELETE WHERE { }`` shorthand).
 
-Out of scope (documented, loud errors): variable predicates, named
-graphs, closures outside the required pattern block, and non-"|"
+* VARIABLE PREDICATES: a bare ``?p`` in the predicate slot plans as
+  the unfiltered triple scan with the predicate term bound into the
+  solution (the schema-census scan shape) — composable with every
+  form that routes through :func:`graph.bgp_match` (SELECT incl.
+  aggregates/DISTINCT/ORDER BY, ASK, CONSTRUCT, DESCRIBE, updates,
+  UNION, MINUS, EXISTS, subqueries). Reference analogue: arbitrary
+  endpoint SPARQL (cwrc/RDF-extraction Utils/utilities.py:446-490).
+* NAMED GRAPHS: ``GRAPH ?g { ... }`` / ``GRAPH <iri> { ... }`` in
+  the required/OPTIONAL blocks — each inner triple pattern becomes a
+  quad pattern whose 4th slot binds (or constant-filters) the
+  input's ``graph`` column (the engine's N-Quads layout,
+  stages/serialize.py; a NULL graph row never matches ``GRAPH ?g``,
+  per quad-store semantics). Reference analogue: named-graph quads
+  (cwrc/RDF-extraction Huviz/huvizQuads.py:15,129-140).
+
+Out of scope (documented, loud errors): path operators over a
+variable predicate (``?p+`` / ``^?p`` / ``?p|q``), GRAPH inside
+UNION/MINUS/EXISTS/subqueries/templates or composed with p+/p*,
+closures outside the required pattern block, and non-"|"
 GROUP_CONCAT separators (the engine pins "|").
 """
 
@@ -150,12 +167,23 @@ class _Parser:
         raise SyntaxError(f"expected term, got {val!r}")
 
     def _path(self):
-        """Predicate path: iri, ^iri, a |-alternation of those, or a
-        quantified closure ``p+`` / ``p*`` / ``^p+`` /
-        ``(p1|^p2|...)+`` (parenthesized alternations may carry the
-        quantifier; SPARQL requires the parens for grouping, and an
-        UNparenthesized ``p1|p2+`` stays a loud error rather than
-        silently binding the quantifier to the whole alternation)."""
+        """Predicate path: a bare ``?var`` (VARIABLE predicate — the
+        unfiltered scan binds the predicate term), iri, ^iri, a
+        |-alternation of those, or a quantified closure ``p+`` /
+        ``p*`` / ``^p+`` / ``(p1|^p2|...)+`` (parenthesized
+        alternations may carry the quantifier; SPARQL requires the
+        parens for grouping, and an UNparenthesized ``p1|p2+`` stays
+        a loud error rather than silently binding the quantifier to
+        the whole alternation). A variable composes with no path
+        operator — ``?p|q`` / ``?p+`` / ``^?p`` stay loud errors."""
+        if self._peek()[0] == "var":
+            var = self._next()[1]
+            if self._peek()[1] in ("|", "+", "*"):
+                raise NotImplementedError(
+                    "path operators over a variable predicate are "
+                    "not supported")
+            return var
+
         def one():
             if self._peek()[1] == "^":
                 self._next()
@@ -193,7 +221,8 @@ class _Parser:
             return _RDF_TYPE
         if kind == "var":
             raise NotImplementedError(
-                "variable predicates are not supported")
+                "a variable predicate composes with no path operator "
+                "(^ / | / + / *) — use a bare ?var")
         raise SyntaxError(f"expected predicate, got {val!r}")
 
     # ------------------------------------------------------- prologue
@@ -245,6 +274,11 @@ class _Parser:
                           for b in branches]
             return g
         while self._peek()[1] != "}":
+            if self._peek()[1] == ".":
+                # SPARQL allows an optional '.' after any group
+                # pattern (OPTIONAL/GRAPH/FILTER blocks etc.)
+                self._next()
+                continue
             kw = self._kw()
             if kw == "optional":
                 self._next()
@@ -262,6 +296,33 @@ class _Parser:
                 if g["minus"] is not None:
                     raise NotImplementedError("one MINUS per group")
                 g["minus"] = sub["patterns"]
+            elif kw == "graph":
+                # GRAPH (?g | <iri>) { triple patterns }: each inner
+                # pattern becomes a QUAD pattern (s, p, o, gterm) —
+                # the planner binds/filters the input's graph column
+                # (quad layout; reference analogue named-graph quads,
+                # Huviz/huvizQuads.py:15,129-140)
+                self._next()
+                kind, val = self._peek()
+                if kind == "var":
+                    gterm = self._next()[1]
+                elif kind == "iri":
+                    gterm = self._next()[1][1:-1]
+                elif kind == "pname":
+                    gterm = self._expand(self._next()[1])
+                else:
+                    raise SyntaxError(
+                        f"GRAPH needs ?var or an IRI, got {val!r}")
+                sub = self.parse_group()
+                if any(sub[k] for k in sub if k != "patterns"):
+                    raise NotImplementedError(
+                        "GRAPH groups support only triple patterns")
+                for pat in sub["patterns"]:
+                    if _is_closure_term(pat[1]):
+                        raise NotImplementedError(
+                            "p+/p* inside GRAPH is not supported")
+                    g["patterns"].append(
+                        (pat[0], pat[1], pat[2], gterm))
             elif kw == "values":
                 self._next()
                 g["values"] = self._parse_values()
@@ -653,8 +714,14 @@ def parse_sparql(text: str) -> dict:
 _CLOSURE_MARKS = ("__closure__", "__closure_star__")
 
 
+def _is_closure_term(t) -> bool:
+    """Is this PREDICATE term a parsed closure (``p+`` / ``p*``)?"""
+    return isinstance(t, tuple) and len(t) == 2 \
+        and t[0] in _CLOSURE_MARKS
+
+
 def _is_closure(p) -> bool:
-    return isinstance(p[1], tuple) and p[1][0] in _CLOSURE_MARKS
+    return _is_closure_term(p[1])
 
 
 def _closure_pairs(G, triples, pred, star: bool,
@@ -813,8 +880,30 @@ def run_sparql(triples, text: str, n_buckets: int = 64):
             "p+/p* are supported in the required pattern block of "
             "the (outer) query only")
 
+    # GRAPH (quad) patterns plan through bgp_match's graph slot —
+    # supported in the required and OPTIONAL blocks; everywhere else
+    # (UNION branches, MINUS / EXISTS bodies, subqueries, templates)
+    # stays a loud error rather than a silently ignored 4th slot
+    no_quad_zones = list(g["minus"] or []) + list(g["exists"] or []) \
+        + list(g["not_exists"] or []) \
+        + [p for pats, opt in (g["union"] or [])
+           for p in list(pats) + list(opt or [])] \
+        + list(q["template"] or []) + list(q["delete"] or []) \
+        + list(q["insert"] or [])
+    if g["subquery"] is not None:
+        ig = g["subquery"]["group"]
+        no_quad_zones += list(ig["patterns"]) + list(ig["optional"])
+    if any(len(tuple(p)) == 4 for p in no_quad_zones):
+        raise NotImplementedError(
+            "GRAPH patterns are supported in the required and "
+            "OPTIONAL blocks of the outer query only")
+
     closures = [p for p in (g["patterns"] or []) if _is_closure(p)]
     if closures:
+        if any(len(tuple(p)) == 4 for p in g["patterns"]):
+            raise NotImplementedError(
+                "GRAPH patterns do not compose with p+/p* (the "
+                "closure union projects the graph column away)")
         simple = (
             q["form"] == "select" and len(g["patterns"]) == 1
             and not any(g[k] for k in ("optional", "filters", "binds"))
@@ -926,12 +1015,12 @@ def run_sparql(triples, text: str, n_buckets: int = 64):
                 "UNION composes with DISTINCT only")
         select = q["select"]
         if select is None:  # SELECT *: vars in first-appearance order
+            from rdf_extraction_ray.stages.graph import _pattern_vars
             select = []
             for pats, opt in g["union"]:
-                for s, _, o in list(pats) + list(opt or []):
-                    for t in (s, o):
-                        if t.startswith("?") and t[1:] not in select:
-                            select.append(t[1:])
+                for v in _pattern_vars(list(pats) + list(opt or [])):
+                    if v not in select:
+                        select.append(v)
         return G.bgp_union(triples, g["union"], select,
                            distinct=q["distinct"], n_buckets=n_buckets)
 
@@ -961,11 +1050,9 @@ def run_sparql(triples, text: str, n_buckets: int = 64):
                               having=inner["having"] or None,
                               binds=inner["binds"] or None,
                               n_buckets=n_buckets)
-        outer_vars = []
-        for s, _, o in list(g["patterns"]) + list(g["optional"]):
-            for t in (s, o):
-                if t.startswith("?") and t[1:] not in outer_vars:
-                    outer_vars.append(t[1:])
+        from rdf_extraction_ray.stages.graph import _pattern_vars
+        outer_vars = _pattern_vars(
+            list(g["patterns"]) + list(g["optional"]))
         inner_cols = inner["group_by"] + [a[2] for a in inner["aggs"]]
         on = [v for v in inner_cols if v in outer_vars]
         if not on:

@@ -167,7 +167,14 @@ class TestParserErrors:
         ("SELECT ?x WHERE { ?x <p>|<q>+ ?y }", NotImplementedError),
         ("SELECT ?x WHERE { OPTIONAL { ?x <p>* ?y } }",
          NotImplementedError),
-        ("SELECT ?x WHERE { ?x ?p ?y }", NotImplementedError),
+        ("SELECT ?x WHERE { ?x ^?p ?y }", NotImplementedError),
+        ("SELECT ?x WHERE { ?x ?p|<q> ?y }", NotImplementedError),
+        ("SELECT ?x WHERE { ?x ?p+ ?y }", NotImplementedError),
+        ("SELECT ?g WHERE { GRAPH 42 { ?x <p> ?y } }", SyntaxError),
+        ("SELECT ?x WHERE { GRAPH ?g { ?x <p>+ ?y } }",
+         NotImplementedError),
+        ("SELECT ?x ?y WHERE { { GRAPH ?g { ?x <p> ?y } } UNION "
+         "{ ?x <q> ?y } }", NotImplementedError),
         ("SELECT ?x WHERE { ?x <p> ?y } OFFSET 5", NotImplementedError),
         ("SELECT ?x WHERE { ?x <p> ?y } LIMIT x", SyntaxError),
         ("FROB ?x WHERE { }", SyntaxError),
@@ -525,3 +532,102 @@ class TestClosureFastPathSemantics:
         pairs = set(zip(got["x"], got["y"]))
         assert ("c", "c") in pairs  # c is a URI term of the graph
         assert ("Carol", "Carol") not in pairs  # literals are not
+
+
+def _quads():
+    rows = [
+        ("ev1", "http://ex.org/died", "alice", "conv1"),
+        ("ev2", "http://ex.org/died", "alice", "conv2"),
+        ("ev3", "http://ex.org/died", "bob", "conv2"),
+        ("alice", "http://ex.org/dplace", "york", None),
+        ("bob", "http://ex.org/bplace", "hull", "conv1"),
+    ]
+    return rd.from_pandas(pd.DataFrame(
+        rows, columns=["subj", "pred", "obj", "graph"]))
+
+
+class TestVariablePredicates:
+    """Round-5 grammar closure: a bare ?p in the predicate slot plans
+    as the unfiltered scan with the predicate bound (VERDICT r4
+    missing #1; reference analogue Utils/utilities.py:446-490)."""
+
+    def test_predicate_histogram(self):
+        got = _canon(run_sparql(_triples(), """
+            SELECT ?p (COUNT(*) AS ?n) WHERE { ?s ?p ?o }
+            GROUP BY ?p"""))
+        want = {"http://ex.org/died": 3, "http://ex.org/dplace": 2,
+                "http://ex.org/bplace": 2,
+                "http://www.w3.org/1999/02/22-rdf-syntax-ns#type": 1}
+        assert dict(zip(got["p"], got["n"])) == want
+
+    def test_constant_subject_binds_pred_and_obj(self):
+        got = _canon(run_sparql(_triples(), """
+            SELECT ?p ?o WHERE { <alice> ?p ?o }"""))
+        assert set(zip(got["p"], got["o"])) == {
+            ("http://ex.org/dplace", "york"),
+            ("http://ex.org/bplace", "leeds"),
+            ("http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+             "Person")}
+
+    def test_pred_var_joins_across_patterns(self):
+        # predicates used by BOTH alice and bob
+        got = _canon(run_sparql(_triples(), """
+            SELECT DISTINCT ?p WHERE {
+              <alice> ?p ?o1 . <bob> ?p ?o2 . }"""))
+        assert got["p"].tolist() == ["http://ex.org/bplace"]
+
+    def test_pred_var_in_construct_template(self):
+        got = _canon(run_sparql(_triples(), """
+            CONSTRUCT { ?o ?p ?s } WHERE { ?s ?p ?o . }"""))
+        assert len(got) == 8  # every triple reversed, set-deduped
+        assert ("york", "http://ex.org/dplace", "alice") in set(
+            map(tuple, got[["subj", "pred", "obj"]].to_numpy()))
+
+    def test_pred_var_distinct_select(self):
+        # the schema-census shape: distinct predicate inventory
+        got = _canon(run_sparql(_triples(), """
+            SELECT DISTINCT ?p WHERE { ?s ?p ?o }"""))
+        assert len(got) == 4
+
+
+class TestNamedGraphs:
+    """Round-5 GRAPH clause: quad patterns over the engine's N-Quads
+    layout (VERDICT r4 missing #1; reference analogue
+    Huviz/huvizQuads.py:15,129-140)."""
+
+    def test_graph_var_binds_and_skips_default_graph(self):
+        got = _canon(run_sparql(_quads(), PRE + """
+            SELECT ?g ?s WHERE { GRAPH ?g { ?s ex:died ?p } }"""))
+        assert set(zip(got["g"], got["s"])) == {
+            ("conv1", "ev1"), ("conv2", "ev2"), ("conv2", "ev3")}
+        # the NULL-graph dplace row never matches GRAPH ?g
+        got2 = _canon(run_sparql(_quads(), PRE + """
+            SELECT ?g WHERE { GRAPH ?g { ?s ex:dplace ?o } }"""))
+        assert len(got2) == 0
+
+    def test_graph_constant_filters(self):
+        got = _canon(run_sparql(_quads(), PRE + """
+            SELECT ?s ?o WHERE { GRAPH <conv2> { ?s ex:died ?o } }"""))
+        assert set(zip(got["s"], got["o"])) == {
+            ("ev2", "alice"), ("ev3", "bob")}
+
+    def test_graph_with_variable_predicate_aggregate(self):
+        got = _canon(run_sparql(_quads(), """
+            SELECT ?g (COUNT(*) AS ?n) WHERE { GRAPH ?g { ?s ?p ?o } }
+            GROUP BY ?g"""))
+        assert dict(zip(got["g"], got["n"])) == {"conv1": 2,
+                                                 "conv2": 2}
+
+    def test_graph_mixed_with_default_patterns(self):
+        got = _canon(run_sparql(_quads(), PRE + """
+            SELECT ?g ?p2 WHERE {
+              GRAPH ?g { ?ev ex:died ?p } .
+              ?p ex:dplace ?p2 . }"""))
+        assert set(zip(got["g"], got["p2"])) == {
+            ("conv1", "york"), ("conv2", "york")}
+
+    def test_graph_on_tripleset_without_graph_column_errors(self):
+        with pytest.raises(Exception, match="graph"):
+            run_sparql(_triples(), PRE + """
+                SELECT ?g WHERE { GRAPH ?g { ?s ex:died ?o } }"""
+                       ).to_pandas()
