@@ -45,3 +45,36 @@ def test_every_query_runs_and_returns_rows():
         except Exception as exc:  # noqa: BLE001 — collect, report all
             failures.append((name, f"{type(exc).__name__}: {exc}"))
     assert not failures, failures
+
+
+@pytest.mark.skipif(not os.environ.get("GRAFT_FULL_SMOKE"),
+                    reason="multi-minute large-corpus smoke — run "
+                    "explicitly with GRAFT_FULL_SMOKE=1 (the recorded "
+                    "round-5 reading is in BASELINE.md)")
+def test_big_smoke_streaming_memory_bound():
+    """VERDICT r4 task #6: the KG + curation flagships at
+    GRAFT_CORPUS_MULT x sf0.1 (default 10x = the sf1 scale) must
+    complete with peak memory far below corpus-proportional — a
+    full-corpus materialization mistake would show here. Runs in a
+    subprocess so its own ray session cannot disturb the suite's."""
+    import json
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.setdefault("GRAFT_CORPUS_MULT", "10")
+    proc = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(__file__), "..", "tools",
+                      "big_smoke.py")],
+        capture_output=True, text=True, timeout=3600, env=env)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    res = json.loads(line)
+    assert res["n_triples"] > 0 and res["cur_docs_out"] > 0
+    # replicas collapse in the dedup exchange: survivors ≈ docs_in/mult
+    assert res["cur_docs_out"] <= res["cur_docs_in"] // res["mult"] + 1
+    # streaming bound: the job's memory footprint above the idle
+    # baseline stays a small multiple of block/exchange sizes, never
+    # corpus-scale (5.4M-turn corpus ≈ 2+ GiB of text alone)
+    assert res["kg_peak_gib"] - res["baseline_gib"] < 48
