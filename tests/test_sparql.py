@@ -631,3 +631,62 @@ class TestNamedGraphs:
             run_sparql(_triples(), PRE + """
                 SELECT ?g WHERE { GRAPH ?g { ?s ex:died ?o } }"""
                        ).to_pandas()
+
+
+class TestVarPredGraphDifferential:
+    """Randomized DuckDB differential for the round-5 forms: on
+    seeded random quad graphs, the engine's variable-predicate and
+    GRAPH results must equal the SQL replay row-for-row."""
+
+    @pytest.mark.parametrize("seed", [3, 11, 29])
+    def test_random_graph_matches_duckdb(self, seed):
+        import duckdb
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(30, 120))
+        nodes = [f"n{i}" for i in range(int(rng.integers(5, 15)))]
+        preds = [f"p{i}" for i in range(int(rng.integers(2, 6)))]
+        graphs = [f"g{i}" for i in range(3)] + [None]
+        df = pd.DataFrame({
+            "subj": rng.choice(nodes, n),
+            "pred": rng.choice(preds, n),
+            "obj": rng.choice(nodes, n),
+            "graph": rng.choice(np.array(graphs, dtype=object), n),
+        }).drop_duplicates(ignore_index=True)
+        ds = rd.from_pandas(df)
+        con = duckdb.connect()
+        con.register("t", df)
+
+        got = _canon(run_sparql(ds, """
+            SELECT ?p (COUNT(*) AS ?n) WHERE { ?s ?p ?o }
+            GROUP BY ?p"""))
+        want = _canon(con.sql(
+            "SELECT pred AS p, count(*)::BIGINT AS n FROM t "
+            "GROUP BY pred").df())
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+        got = _canon(run_sparql(ds, f"""
+            SELECT ?g ?s WHERE {{ GRAPH ?g {{ ?s <{preds[0]}> ?o }} }}
+        """))
+        want = _canon(con.sql(
+            f"SELECT DISTINCT graph AS g, subj AS s FROM t "
+            f"WHERE pred = '{preds[0]}' AND graph IS NOT NULL").df())
+        # engine keeps solution bag; compare as sets of (g, s)
+        got = got.drop_duplicates(ignore_index=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+        got = _canon(run_sparql(ds, f"""
+            SELECT ?p ?o WHERE {{ <{nodes[0]}> ?p ?o }}"""))
+        want = _canon(con.sql(
+            f"SELECT pred AS p, obj AS o FROM t "
+            f"WHERE subj = '{nodes[0]}'").df())
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+        got = _canon(run_sparql(ds, """
+            SELECT ?g (COUNT(*) AS ?n) WHERE { GRAPH ?g { ?s ?p ?o } }
+            GROUP BY ?g"""))
+        want = _canon(con.sql(
+            "SELECT graph AS g, count(*)::BIGINT AS n FROM t "
+            "WHERE graph IS NOT NULL GROUP BY graph").df())
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
