@@ -690,3 +690,74 @@ class TestVarPredGraphDifferential:
             "SELECT graph AS g, count(*)::BIGINT AS n FROM t "
             "WHERE graph IS NOT NULL GROUP BY graph").df())
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestRound5Compositions:
+    """Edge compositions of the round-5 forms, each pinned against
+    hand-computed results on the quad fixture graph
+    subj/pred/obj/graph = (a p1 b g1)(a p2 x g1)(b p1 c g2)
+    (c p2 y None)(c p3 z g2)(d p1 a g1)."""
+
+    def _ds(self):
+        tri = pd.DataFrame({
+            "subj": ["a", "a", "b", "c", "c", "d"],
+            "pred": ["p1", "p2", "p1", "p2", "p3", "p1"],
+            "obj": ["b", "x", "c", "y", "z", "a"],
+            "graph": ["g1", "g1", "g2", None, "g2", "g1"]})
+        return rd.from_pandas(tri), rd.from_pandas(
+            tri[["subj", "pred", "obj"]])
+
+    def test_graph_with_chained_optional(self):
+        ds, _ = self._ds()
+        r = run_sparql(ds, """
+            SELECT ?s ?g ?o2 WHERE {
+              GRAPH ?g { ?s <p1> ?o }
+              OPTIONAL { ?o <p1> ?o2 } }""").to_pandas()
+        assert sorted(map(tuple, r.fillna("-").values.tolist())) == [
+            ("a", "g1", "c"), ("b", "g2", "-"), ("d", "g1", "b")]
+
+    def test_optional_containing_graph(self):
+        ds, _ = self._ds()
+        r = run_sparql(ds, """
+            SELECT ?s ?g WHERE {
+              ?s <p1> ?o .
+              OPTIONAL { GRAPH ?g { ?s <p2> ?x } } }""").to_pandas()
+        assert sorted(map(tuple, r.fillna("-").values.tolist())) == [
+            ("a", "g1"), ("b", "-"), ("d", "-")]
+
+    def test_describe_with_variable_predicate(self):
+        _, ds3 = self._ds()
+        r = run_sparql(ds3, "DESCRIBE ?s WHERE { ?s ?p <c> }"
+                       ).to_pandas()
+        assert sorted(set(r["subj"])) == ["b"]
+
+    def test_minus_with_variable_predicate(self):
+        _, ds3 = self._ds()
+        r = run_sparql(ds3, """
+            SELECT DISTINCT ?s WHERE {
+              ?s <p1> ?o . MINUS { ?s ?q <x> } }""").to_pandas()
+        assert sorted(r["s"]) == ["b", "d"]
+
+    def test_union_branches_with_variable_predicates(self):
+        _, ds3 = self._ds()
+        r = run_sparql(ds3, """
+            SELECT DISTINCT ?p WHERE {
+              { <a> ?p ?o } UNION { <b> ?p ?o } }""").to_pandas()
+        assert sorted(r["p"]) == ["p1", "p2"]
+
+    def test_update_with_variable_predicate_templates(self):
+        _, ds3 = self._ds()
+        r = run_sparql(ds3, """
+            DELETE { ?s ?p ?o } INSERT { ?o ?p ?s }
+            WHERE { ?s ?p ?o }""").to_pandas()
+        assert len(r) == 6
+        assert ("b", "p1", "a") in set(
+            map(tuple, r[["subj", "pred", "obj"]].to_numpy()))
+
+    def test_constant_graph_with_varpred_and_filter(self):
+        ds, _ = self._ds()
+        r = run_sparql(ds, """
+            SELECT ?s ?p WHERE { GRAPH <g1> { ?s ?p ?o }
+              FILTER (?p != "p2") }""").to_pandas()
+        assert sorted(map(tuple, r.values.tolist())) == [
+            ("a", "p1"), ("d", "p1")]
