@@ -5039,16 +5039,15 @@ SELECT ?g (COUNT(*) AS ?n) WHERE {
 
 def _quads_view(sf_dir: str):
     """The triple view as QUADS: graph = the conversation node — the
-    same graph term the N-Quads sink emits
-    (stages/serialize.py:format_nquads; reference analogue
+    SAME shared rule the N-Quads sink uses
+    (stages/serialize.py:quad_graph_term; reference analogue
     named-graph quads, Huviz/huvizQuads.py:15,129-140). One stateless
     vectorized pass; no exchange."""
-    from rdf_extraction_ray.namespaces import NS
+    from rdf_extraction_ray.stages.serialize import quad_graph_term
 
     def _addg(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["graph"] = NS["data"] + df["conv_id"].fillna(
-            "corpus").astype(str)
+        df["graph"] = quad_graph_term(df["conv_id"])
         return df
 
     return _triples_view(sf_dir).map_batches(_addg,

@@ -150,15 +150,22 @@ def cmd_report(args) -> int:
                "places": reports.unmatched_places,
                "terms": reports.vocab_terms_used}[args.kind](linked)
     if not isinstance(out, pd.DataFrame):
-        # Dataset-returning reports: only the sorted report head is
-        # pulled to the driver for display.
-        out = out.to_pandas()
-        sort_keys = [c for c in ("n",) if c in out.columns]
-        if sort_keys:
-            key2 = [c for c in out.columns if out[c].dtype == object][:1]
-            out = out.sort_values(sort_keys + key2,
-                                  ascending=[False] + [True] * len(key2),
-                                  ignore_index=True)
+        # Dataset-returning reports: sort DISTRIBUTED (the census can
+        # be corpus-growing), then pull only the report head — the
+        # driver never holds more than ``head`` rows.
+        head = int(getattr(args, "head", 0) or 200)
+        schema = out.schema(fetch_if_missing=True)
+        if schema is not None and "n" in schema.names:
+            key2 = [c for c in schema.names if c != "n"][:1]
+            out = out.sort(["n"] + key2,
+                           descending=[True] + [False] * len(key2))
+        total = out.count()
+        out = out.limit(head).to_pandas()
+        print(out.to_string(index=False))
+        if total > head:
+            print(f"... {total - head} more rows (use --head to "
+                  "raise the cap)")
+        return 0
     print(out.to_string(index=False))
     return 0
 
@@ -271,6 +278,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--input", required=True)
     s.add_argument("--kind", choices=["links", "orgs", "titles", "places",
                                       "terms"], default="links")
+    s.add_argument("--head", type=int, default=200,
+                   help="max report rows pulled to the driver for "
+                        "display (distributed sort + limit)")
     s.set_defaults(fn=cmd_report)
 
     s = sub.add_parser("curate", help="documents → quality gate → "

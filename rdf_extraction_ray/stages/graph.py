@@ -2221,13 +2221,7 @@ def bgp_match(triples: rd.Dataset,
 
     def _pvars(i: int) -> list[str]:
         """Pattern i's variables in slot order (s, p, o, graph)."""
-        s, p, o, gt = parsed[i]
-        pterm = p if isinstance(p, str) and _is_var(p) else None
-        vs: list[str] = []
-        for t in (s, pterm, o, gt):
-            if t is not None and _is_var(t) and t[1:] not in vs:
-                vs.append(t[1:])
-        return vs
+        return _pattern_vars([parsed[i]])
     if not all_vars:
         raise ValueError("at least one pattern must bind a variable")
     bind_list: list[tuple[tuple, str]] = []
@@ -2347,8 +2341,11 @@ def bgp_match(triples: rd.Dataset,
 
     # ONE shared scan: a row matching pattern i's constants emits one
     # (pi=i, subj, obj[, pred][, graph]) row; everything else never
-    # leaves the scan. The pred / graph columns ride the exchange
-    # ONLY when some pattern actually binds or filters them.
+    # leaves the scan. The pred / graph columns exist ONLY when some
+    # pattern binds them, and carry real values only for the rows of
+    # the patterns that do — constant-predicate patterns' rows ship
+    # '' so the selective patterns never pay the census pattern's
+    # extra string column in earnest.
     def _scan(df: pd.DataFrame) -> pd.DataFrame:
         pred = df["pred"].to_numpy()
         subj = df["subj"].to_numpy()
@@ -2381,15 +2378,21 @@ def bgp_match(triples: rd.Dataset,
                     else:
                         m &= grph == gt
                 if m.any():
+                    cnt = int(m.sum())
                     cols = {
-                        "pi": np.full(int(m.sum()), i,
-                                      dtype=np.int64),
+                        "pi": np.full(cnt, i, dtype=np.int64),
                         "subj": t_s[m].astype(str),
                         "obj": t_o[m].astype(str)}
                     if need_pred:
-                        cols["pred"] = pred[m].astype(str)
+                        cols["pred"] = (pred[m].astype(str)
+                                        if base is None
+                                        else np.full(cnt, "",
+                                                     dtype=object))
                     if need_graph:
-                        cols["graph"] = grph[m].astype(str)
+                        cols["graph"] = (
+                            grph[m].astype(str)
+                            if gt is not None and _is_var(gt)
+                            else np.full(cnt, "", dtype=object))
                     outs.append(pd.DataFrame(cols))
         if not outs:
             empty = {"pi": pd.Series(dtype="int64"),

@@ -55,10 +55,19 @@ def format_ntriples(batch: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"line": line})
 
 
+def quad_graph_term(conv_ids: pd.Series) -> pd.Series:
+    """THE graph-term rule of the quad layout: the conversation node
+    in the data namespace, ``corpus`` for a NULL conv_id. One shared
+    definition — the N-Quads sink and the SPARQL quads view
+    (``__ray_entry__._quads_view``) must never drift (reference
+    analogue: named-graph quads, Huviz/huvizQuads.py:15,129-140)."""
+    return NS["data"] + conv_ids.fillna("corpus").astype(str)
+
+
 def format_nquads(batch: pd.DataFrame) -> pd.DataFrame:
     """Triple rows → N-Quads lines; graph = the conversation node."""
     term = _term_columns(batch)
-    graph = NS["data"] + batch["conv_id"].fillna("corpus").astype(str)
+    graph = quad_graph_term(batch["conv_id"])
     line = ("<" + batch["subj"].astype(str) + "> <"
             + batch["pred"].astype(str) + "> " + term + " <" + graph + "> .")
     return pd.DataFrame({"line": line})

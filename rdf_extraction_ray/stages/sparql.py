@@ -62,10 +62,12 @@ raises a precise error outside it):
   (cwrc/RDF-extraction Huviz/huvizQuads.py:15,129-140).
 
 Out of scope (documented, loud errors): path operators over a
-variable predicate (``?p+`` / ``^?p`` / ``?p|q``), GRAPH inside
-UNION/MINUS/EXISTS/subqueries/templates or composed with p+/p*,
-closures outside the required pattern block, and non-"|"
-GROUP_CONCAT separators (the engine pins "|").
+variable predicate (``?p+`` / ``^?p`` / ``?p|q``), variable
+predicates composed with p+/p* closures (the composed plan scans a
+union carrying synthetic closure predicates), nested GRAPH groups,
+GRAPH inside UNION/MINUS/EXISTS/subqueries/templates or composed
+with p+/p*, closures outside the required pattern block, and
+non-"|" GROUP_CONCAT separators (the engine pins "|").
 """
 
 from __future__ import annotations
@@ -321,6 +323,11 @@ class _Parser:
                     if _is_closure_term(pat[1]):
                         raise NotImplementedError(
                             "p+/p* inside GRAPH is not supported")
+                    if len(pat) == 4:
+                        # silently re-wrapping would overwrite the
+                        # inner graph term — loud instead
+                        raise NotImplementedError(
+                            "nested GRAPH groups are not supported")
                     g["patterns"].append(
                         (pat[0], pat[1], pat[2], gterm))
             elif kw == "values":
@@ -900,10 +907,28 @@ def run_sparql(triples, text: str, n_buckets: int = 64):
 
     closures = [p for p in (g["patterns"] or []) if _is_closure(p)]
     if closures:
-        if any(len(tuple(p)) == 4 for p in g["patterns"]):
+        # the composed plan unions closure pairs into the scanned
+        # triple set under synthetic predicates and projects it to
+        # (subj, pred, obj) — two whole-query shapes cannot share
+        # that scan and must stay loud:
+        # 1. GRAPH quads anywhere (the projection drops the graph
+        #    column → a misleading runtime error),
+        # 2. VARIABLE predicates anywhere (the unfiltered scan would
+        #    match the synthetic 'urn:x-sparql-closure:N' rows as if
+        #    they were real triples — silently wrong solutions)
+        _composed_zones = list(g["patterns"]) + list(g["optional"]) \
+            + list(g["minus"] or []) + list(g["exists"] or []) \
+            + list(g["not_exists"] or [])
+        if any(len(tuple(p)) == 4 for p in _composed_zones):
             raise NotImplementedError(
                 "GRAPH patterns do not compose with p+/p* (the "
                 "closure union projects the graph column away)")
+        if any(isinstance(p[1], str) and p[1].startswith("?")
+               for p in _composed_zones):
+            raise NotImplementedError(
+                "variable predicates do not compose with p+/p* "
+                "(the unfiltered scan would match the derived "
+                "closure relation's synthetic predicates)")
         simple = (
             q["form"] == "select" and len(g["patterns"]) == 1
             and not any(g[k] for k in ("optional", "filters", "binds"))

@@ -74,7 +74,10 @@ def test_big_smoke_streaming_memory_bound():
     assert res["n_triples"] > 0 and res["cur_docs_out"] > 0
     # replicas collapse in the dedup exchange: survivors ≈ docs_in/mult
     assert res["cur_docs_out"] <= res["cur_docs_in"] // res["mult"] + 1
-    # streaming bound: the job's memory footprint above the idle
+    # streaming bound: each job's memory footprint above the idle
     # baseline stays a small multiple of block/exchange sizes, never
-    # corpus-scale (5.4M-turn corpus ≈ 2+ GiB of text alone)
+    # corpus-scale (5.4M-turn corpus ≈ 2+ GiB of text alone) — the
+    # CURATION flagship is held to the same bound (a near-dup-stage
+    # driver-materialization regression would show here)
     assert res["kg_peak_gib"] - res["baseline_gib"] < 48
+    assert res["cur_peak_gib"] - res["baseline_gib"] < 48

@@ -761,3 +761,39 @@ class TestRound5Compositions:
               FILTER (?p != "p2") }""").to_pandas()
         assert sorted(map(tuple, r.values.tolist())) == [
             ("a", "p1"), ("d", "p1")]
+
+
+class TestRound5ReviewGuards:
+    """Round-5 self-review findings, pinned: shapes that would have
+    been silently wrong (or misleadingly failing) must raise loud
+    NotImplementedErrors."""
+
+    def test_varpred_does_not_compose_with_closure(self):
+        # the composed plan unions synthetic closure predicates into
+        # the scan; an unfiltered ?q pattern would match them
+        tr = rd.from_pandas(pd.DataFrame({
+            "subj": ["a", "b"], "pred": ["p", "p"],
+            "obj": ["b", "c"]}))
+        with pytest.raises(NotImplementedError, match="variable"):
+            run_sparql(tr, """
+                SELECT ?x ?q ?o WHERE { ?x <p>+ ?y . ?x ?q ?o }""")
+        # ... and in negation bodies too
+        with pytest.raises(NotImplementedError, match="variable"):
+            run_sparql(tr, """
+                SELECT ?x WHERE { ?x <p>+ ?y .
+                  MINUS { ?x ?q <c> } }""")
+
+    def test_nested_graph_is_loud(self):
+        with pytest.raises(NotImplementedError, match="nested"):
+            parse_sparql("""
+                SELECT ?g2 WHERE {
+                  GRAPH ?g1 { GRAPH ?g2 { ?s <p> ?o } } }""")
+
+    def test_graph_in_optional_does_not_compose_with_closure(self):
+        quads = rd.from_pandas(pd.DataFrame({
+            "subj": ["a"], "pred": ["p"], "obj": ["b"],
+            "graph": ["g1"]}))
+        with pytest.raises(NotImplementedError, match="GRAPH"):
+            run_sparql(quads, """
+                SELECT ?x ?y ?g WHERE { ?x <p>+ ?y .
+                  OPTIONAL { GRAPH ?g { ?x <q> ?z } } }""")
