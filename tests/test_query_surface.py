@@ -23,10 +23,11 @@ def test_oracle_keys_match_query_keys():
 
 
 @pytest.mark.skipif(not os.environ.get("GRAFT_FULL_SMOKE"),
-                    reason="~15 min at the suite's 4 test CPUs — run "
-                    "explicitly with GRAFT_FULL_SMOKE=1 (the per-round "
-                    "check_oracles sweep covers the same surface "
-                    "value-exactly at sf0.01)")
+                    reason="~45+ min at the suite's 4 test CPUs "
+                    "(205 queries) — run explicitly with "
+                    "GRAFT_FULL_SMOKE=1 (the per-round check_oracles "
+                    "sweep covers the same surface value-exactly at "
+                    "sf0.01)")
 def test_every_query_runs_and_returns_rows():
     import __ray_entry__ as E
     failures = []
