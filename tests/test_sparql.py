@@ -797,3 +797,21 @@ class TestRound5ReviewGuards:
             run_sparql(quads, """
                 SELECT ?x ?y ?g WHERE { ?x <p>+ ?y .
                   OPTIONAL { GRAPH ?g { ?x <q> ?z } } }""")
+
+
+def test_ask_and_construct_with_graph_patterns():
+    """GRAPH quads flow through every bgp_match-routed form: ASK
+    (existence under a named-graph restriction) and CONSTRUCT
+    (template instantiated from quad-pattern bindings)."""
+    quads = rd.from_pandas(pd.DataFrame({
+        "subj": ["a", "b", "c"], "pred": ["p", "p", "p"],
+        "obj": ["x", "y", "z"], "graph": ["g1", "g2", None]}))
+    assert run_sparql(quads,
+                      "ASK { GRAPH <g1> { ?s <p> ?o } }") is True
+    assert run_sparql(quads,
+                      "ASK { GRAPH <g9> { ?s <p> ?o } }") is False
+    got = run_sparql(quads, """
+        CONSTRUCT { ?s <inGraph> ?g }
+        WHERE { GRAPH ?g { ?s <p> ?o } }""").to_pandas()
+    assert sorted(map(tuple, got.values.tolist())) == [
+        ("a", "inGraph", "g1"), ("b", "inGraph", "g2")]
